@@ -1,44 +1,95 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation suite at sf0.001;
+``queries()``/``oracle_sql()`` expose each implemented operator with a
+DuckDB-checkable ANSI-SQL oracle (see datatest_ray/pipelines/oracle.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ship_library_by_value() -> None:
+    """Ray workers may not have this repo on their import path (the
+    driver can import this module from anywhere).  Registering the
+    package for by-value pickling makes every check class / closure
+    self-contained in the task payload."""
+    try:
+        import datatest_ray  # noqa: F401
+        from ray import cloudpickle
+
+        for name, mod in list(sys.modules.items()):
+            if name == "datatest_ray" or name.startswith("datatest_ray."):
+                if mod is not None:
+                    cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass
+
+
+_ship_library_by_value()
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: a fused multi-check validation suite
+    over ``lineitem`` + referential checks against ``nation``/``region``;
+    returns the violations Dataset (stable schema: VIOLATION_SCHEMA)."""
+    import ray.data as rd
+
+    from datatest_ray import (
+        CheckSuite,
+        DomainCheck,
+        IntervalCheck,
+        RegexCheck,
+        RunContext,
+        SchemaCheck,
+        SubsetCheck,
+        UniqueCheck,
+    )
+
+    lineitem = rd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    nation = rd.read_parquet(f"{SF_SMOKE}/nation.parquet", columns=["n_nationkey"])
+    customer = rd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    suite = CheckSuite(
+        [
+            SchemaCheck({"l_orderkey": int, "l_quantity": float, "l_returnflag": str}),
+            IntervalCheck("l_quantity", min=1, max=30),
+            IntervalCheck("l_discount", min=0.0, max=0.05),
+            DomainCheck("l_returnflag", {"A", "N", "R"}),
+            RegexCheck("l_linestatus", r"^[OF]$"),
+            UniqueCheck("l_orderkey"),
+        ],
+        RunContext(),
+    )
+    violations = suite.run(lineitem).violations
+    fk = SubsetCheck("c_nationkey", (nation, "n_nationkey")).violations(
+        customer, RunContext()
+    )
+    return violations.union(fk)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from datatest_ray.pipelines import oracle
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return oracle.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from datatest_ray.pipelines import oracle
+
+    return oracle.oracle_sql()

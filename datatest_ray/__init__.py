@@ -1,0 +1,60 @@
+"""datatest_ray — a Ray-Data-native schema + constraint validation engine.
+
+Brand-new engine with the query/validation capabilities of the reference
+``Dev4Data/datatest`` (a fork of public shawnbrown/datatest 0.11.1; the
+mounted reference tree was empty at survey time — SURVEY.md §0), re-built
+from scratch on ``ray.data.Dataset`` streaming pipelines:
+
+* every element-wise requirement is a vectorized Arrow kernel fused into
+  ONE ``map_batches`` pass (stages/row_checks.py);
+* uniqueness / set / referential checks pre-aggregate per batch, then do
+  ONE hash shuffle over distinct values (stages/global_checks.py);
+* distribution drift, sketches (HLL / CMS / MinHash / t-digest) and the
+  image stages live in stages/ + functions/;
+* verdicts + violations checkpoint per partition for resume (state/).
+
+Public surface::
+
+    from datatest_ray import (
+        validate, valid, accepted, ValidationError,
+        Missing, Extra, Invalid, Deviation, Predicate,
+        CheckSuite, RunContext,
+    )
+"""
+
+from .differences import (  # noqa: F401
+    BaseDifference,
+    Deviation,
+    Extra,
+    Invalid,
+    Missing,
+    NOVALUE,
+    ValidationError,
+    VIOLATION_SCHEMA,
+    differences_from_table,
+    empty_violations,
+    violations_table,
+)
+from .predicate import Predicate, TuplePredicate, get_predicate  # noqa: F401
+from .stages.base import Check, RunContext, StatelessCheck  # noqa: F401
+from .stages.row_checks import (  # noqa: F401
+    ApproxCheck,
+    DomainCheck,
+    FuzzyCheck,
+    IntervalCheck,
+    PredicateCheck,
+    RegexCheck,
+    SchemaCheck,
+    TupleCheck,
+)
+from .stages.global_checks import (  # noqa: F401
+    SetCheck,
+    SubsetCheck,
+    SupersetCheck,
+    UniqueCheck,
+)
+from .pipelines.suite import CheckSuite, ValidationResult  # noqa: F401
+from .pipelines.validate import valid, validate  # noqa: F401
+from .pipelines.acceptance import accepted  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,194 @@
+"""CheckSuite: run many checks over one Dataset in one streaming pass.
+
+Engine equivalent of the reference's ``validate()`` call graph
+(``datatest/validation.py :: validate`` -> ``requirements.py ::
+get_requirement`` -> single lazy pass; SURVEY.md §3.1), re-planned for
+Ray Data:
+
+1. every **stateless** check is fused into ONE ``map_batches(...,
+   batch_format='pyarrow', zero_copy_batch=True)`` pass — the input is
+   read once for the whole suite, and only the columns some check needs
+   are read at all (column pruning at the plan level);
+2. each **global** check contributes its own pre-aggregated shuffle plan
+   (see stages/global_checks.py);
+3. all violation datasets are unioned lazily; verdict aggregation is a
+   small ``groupby(check_id, partition_id)`` at the end.
+
+Nothing here materializes the input; only violations (expected small)
+are ever collected.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence
+
+import pyarrow as pa
+
+from ..differences import (
+    VIOLATION_SCHEMA,
+    ValidationError,
+    differences_from_table,
+    empty_violations,
+)
+from ..stages.base import Check, RunContext, StatelessCheck
+
+__all__ = ["CheckSuite", "ValidationResult"]
+
+
+class ValidationResult:
+    """Lazy handle over the suite's violations Dataset."""
+
+    def __init__(self, violations_ds, checks: Sequence[Check], ctx: RunContext):
+        self.violations = violations_ds
+        self.checks = list(checks)
+        self.ctx = ctx
+        self._table: Optional[pa.Table] = None
+
+    # -- materialization (violations only; expected small) ---------------
+    def to_table(self) -> pa.Table:
+        if self._table is None:
+            tables = [
+                t for t in self.violations.to_arrow_refs()
+            ]
+            import ray
+
+            got = [t for t in ray.get(tables) if t.num_rows]
+            got = [t.cast(VIOLATION_SCHEMA) for t in got]
+            self._table = (
+                pa.concat_tables(got) if got else empty_violations()
+            )
+        return self._table
+
+    def differences(self) -> list:
+        return differences_from_table(self.to_table())
+
+    def counts(self) -> dict:
+        import pyarrow.compute as pc
+
+        t = self.to_table()
+        if t.num_rows == 0:
+            return {c.check_id: 0 for c in self.checks}
+        counted = t.group_by("check_id").aggregate([("check_id", "count")])
+        out = {c.check_id: 0 for c in self.checks}
+        for cid, n in zip(
+            counted.column("check_id").to_pylist(),
+            counted.column("check_id_count").to_pylist(),
+        ):
+            out[cid] = n
+        return out
+
+    def verdicts(self, partitions: Optional[Iterable[str]] = None) -> pa.Table:
+        """One row per (check_id, partition_id): pass flag + counts.
+
+        ``partitions``: the full partition list (so untouched partitions
+        get explicit PASS rows — required for checkpoint/resume lineage).
+        """
+        t = self.to_table()
+        seen: dict = {}
+        for row in t.select(["check_id", "partition_id"]).to_pylist():
+            k = (row["check_id"], row["partition_id"] or "")
+            seen[k] = seen.get(k, 0) + 1
+        parts = list(partitions) if partitions is not None else []
+        rows = {"check_id": [], "partition_id": [], "passed": [], "n_violations": []}
+        all_parts = set(parts) | {p for (_, p) in seen}
+        if not all_parts:
+            all_parts = {""}
+        for c in self.checks:
+            for p in sorted(all_parts):
+                n = seen.get((c.check_id, p), 0)
+                rows["check_id"].append(c.check_id)
+                rows["partition_id"].append(p)
+                rows["passed"].append(n == 0)
+                rows["n_violations"].append(n)
+        return pa.table(rows)
+
+    @property
+    def is_valid(self) -> bool:
+        return self.to_table().num_rows == 0
+
+    def raise_on_failure(self, msg: Optional[str] = None) -> None:
+        t = self.to_table()
+        if t.num_rows:
+            raise ValidationError(differences_from_table(t), msg or "validation failed")
+
+
+class CheckSuite:
+    def __init__(self, checks: Sequence[Check], ctx: Optional[RunContext] = None):
+        self.checks = list(checks)
+        self.ctx = ctx or RunContext()
+
+    def _split(self):
+        fused: List[StatelessCheck] = []
+        solo: List[Check] = []
+        for c in self.checks:
+            if isinstance(c, StatelessCheck) and getattr(c, "fuseable", True):
+                fused.append(c)
+            else:
+                solo.append(c)
+        return fused, solo
+
+    def _pruned_columns(self, ds, fused) -> Optional[List[str]]:
+        cols = set()
+        for c in fused:
+            for attr in ("column",):
+                v = getattr(c, attr, None)
+                if v:
+                    cols.add(v)
+            v = getattr(c, "columns", None)
+            if v:
+                cols.update(v)
+            if getattr(c, "needs_all_columns", False):
+                return None
+        if self.ctx.partition_col:
+            cols.add(self.ctx.partition_col)
+        if self.ctx.row_ref_col:
+            cols.add(self.ctx.row_ref_col)
+        have = set(ds.schema().names)
+        if not cols or not cols.issubset(have) or cols == have:
+            return None
+        return sorted(cols)
+
+    def run(self, ds) -> ValidationResult:
+        import ray.data as rd
+
+        fused, solo = self._split()
+        ctx = self.ctx
+        have = set(ds.schema().names)
+        for c in self.checks:
+            needed = [getattr(c, "column", None)] + list(getattr(c, "columns", []) or [])
+            missing = [m for m in needed if m and m not in have]
+            if missing and not isinstance(c, type(None)):
+                from ..stages.row_checks import SchemaCheck
+
+                if not isinstance(c, SchemaCheck):
+                    raise ValueError(
+                        f"check {c.check_id!r} needs column(s) {missing} "
+                        f"not present in dataset schema {sorted(have)}"
+                    )
+        pieces = []
+        if fused:
+            cols = self._pruned_columns(ds, fused)
+            fused_input = ds.select_columns(cols) if cols else ds
+            checks = list(fused)
+
+            def run_fused(batch: pa.Table) -> pa.Table:
+                outs = [c.kernel(batch, ctx) for c in checks]
+                outs = [o for o in outs if o.num_rows]
+                if not outs:
+                    return empty_violations()
+                return pa.concat_tables(outs)
+
+            pieces.append(
+                fused_input.map_batches(
+                    run_fused, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+        for c in solo:
+            pieces.append(c.violations(ds, ctx))
+        if not pieces:
+            violations = rd.from_arrow(empty_violations())
+        else:
+            violations = pieces[0]
+            for p in pieces[1:]:
+                violations = violations.union(p)
+        return ValidationResult(violations, self.checks, ctx)

@@ -1,0 +1,150 @@
+"""Check protocol and run context.
+
+A **Check** is the engine's compiled requirement (reference:
+``datatest/requirements.py :: get_requirement`` and the ``Required*``
+classes — see SURVEY.md §2.A/§2.B).  Every check emits violation rows in
+the fixed Arrow IR (``datatest_ray.differences.VIOLATION_SCHEMA``).
+
+Two execution shapes:
+
+* **Stateless checks** implement ``kernel(batch, ctx) -> pa.Table``.  The
+  :class:`~datatest_ray.pipelines.suite.CheckSuite` fuses ALL stateless
+  checks into ONE ``map_batches`` pass over zero-copy Arrow batches — the
+  data is read once no matter how many checks run.
+* **Global checks** (uniqueness, set-missing/superset, drift, near-dup)
+  implement ``violations(ds, ctx) -> Dataset`` with their own
+  pre-aggregated shuffle plan.
+
+``RunContext`` carries lineage configuration: which column is the
+partition id (Lance fragment id at scale; a synthetic column locally) and
+which column identifies a row (``image_id`` for the flagship table).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..differences import VIOLATION_SCHEMA, empty_violations, violations_table
+
+__all__ = ["RunContext", "Check", "StatelessCheck", "column_or_none", "mask_to_violations"]
+
+
+@dataclass(frozen=True)
+class RunContext:
+    """Lineage + naming configuration for a suite run."""
+
+    partition_col: Optional[str] = None   # column carrying the partition id
+    row_ref_col: Optional[str] = None     # column identifying a row
+    default_partition: str = ""           # used when partition_col is absent
+
+
+def column_or_none(batch: pa.Table, name: Optional[str]):
+    if name is not None and name in batch.column_names:
+        return batch.column(name)
+    return None
+
+
+class Check:
+    """Base for all checks; ``check_id`` must be stable across runs
+    (it keys the checkpoint layout, see state/checkpoint.py)."""
+
+    check_id: str = "check"
+
+    def violations(self, ds, ctx: RunContext):
+        """Full plan: Dataset in, violations Dataset out.  Stateless
+        checks get a default implementation via ``kernel``."""
+        raise NotImplementedError
+
+    def __repr__(self):
+        return f"<{type(self).__name__} {self.check_id}>"
+
+
+class StatelessCheck(Check):
+    """A check expressible as a pure per-batch Arrow kernel (no shuffle)."""
+
+    def kernel(self, batch: pa.Table, ctx: RunContext) -> pa.Table:
+        raise NotImplementedError
+
+    def violations(self, ds, ctx: RunContext):
+        check = self
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            out = check.kernel(batch, ctx)
+            return out if out.num_rows else empty_violations()
+
+        return ds.map_batches(_apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mask_to_violations(
+    batch: pa.Table,
+    bad: np.ndarray,
+    ctx: RunContext,
+    *,
+    check_id: str,
+    kind: str,
+    value_col: Optional[str] = None,
+    key_col: Optional[str] = None,
+    value=None,
+    value_num=None,
+    expected=None,
+    expected_num=None,
+    deviation=None,
+) -> pa.Table:
+    """Turn a boolean bad-row mask into violation rows, carrying lineage.
+
+    ``value``/``value_num``/... may be full-length arrays (they are
+    filtered by the mask) or scalars (broadcast over the bad rows).
+    When ``value_col`` is given, value/value_num are taken from that
+    column of the batch.
+    """
+    n_bad = int(bad.sum())
+    if n_bad == 0:
+        return empty_violations()
+    idx = np.flatnonzero(bad)
+    take = pa.array(idx)
+
+    def _pick(spec, from_col=None):
+        if from_col is not None:
+            return from_col.take(take)
+        if spec is None:
+            return None
+        if isinstance(spec, (pa.Array, pa.ChunkedArray)):
+            return spec.take(take) if len(spec) == batch.num_rows else spec
+        if isinstance(spec, np.ndarray):
+            return pa.array(spec[idx]) if len(spec) == batch.num_rows else pa.array(spec)
+        return spec  # scalar broadcast
+
+    vcol = column_or_none(batch, value_col)
+    value_out = _pick(value, vcol)
+    vcol_numeric = vcol is not None and (
+        pa.types.is_floating(vcol.type) or pa.types.is_integer(vcol.type)
+    )
+    if value_num is None and vcol_numeric:
+        value_num_out = vcol.take(take)
+    else:
+        value_num_out = _pick(value_num)
+
+    part = column_or_none(batch, ctx.partition_col)
+    part_out = part.take(take) if part is not None else ctx.default_partition
+    ref = column_or_none(batch, ctx.row_ref_col)
+    ref_out = ref.take(take) if ref is not None else None
+    key = column_or_none(batch, key_col)
+    key_out = key.take(take) if key is not None else None
+
+    return violations_table(
+        n_bad,
+        check_id=check_id,
+        kind=kind,
+        partition_id=part_out,
+        row_ref=ref_out,
+        key=key_out,
+        value=value_out,
+        value_num=value_num_out,
+        expected=_pick(expected),
+        expected_num=_pick(expected_num),
+        deviation=_pick(deviation),
+    )

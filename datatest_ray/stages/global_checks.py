@@ -1,0 +1,338 @@
+"""Global (shuffle-backed) checks: uniqueness, set membership, referential.
+
+Reference semantics (name citations only; SURVEY.md §0):
+``datatest/requirements.py :: RequiredSet, RequiredSubset, RequiredSuperset,
+RequiredUnique``.
+
+Scale design (SURVEY.md §7.4): every check here pre-aggregates INSIDE
+``map_batches`` (per-batch ``value_counts`` / distinct) before any
+``groupby`` shuffle, so the all-to-all exchange moves one row per
+distinct value per block — not one row per input row.  Referential checks
+against a second Dataset use the union-tag pattern (tag rows with their
+side, one groupby, no join operator needed) which is a single hash
+shuffle over DISTINCT keys only.
+
+Set-comparison semantics are over DISTINCT values, matching the
+reference: ``validate(['x','x','y'], {'x','y','w'})`` yields exactly
+``[Missing('w')]`` — duplicates do not multiply Extras.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..differences import empty_violations, violations_table
+from .base import Check, RunContext
+
+__all__ = ["UniqueCheck", "SetCheck", "SubsetCheck", "SupersetCheck"]
+
+
+def _norm_type(t: pa.DataType) -> pa.DataType:
+    """Common key type so both sides of a referential check align."""
+    if pa.types.is_integer(t):
+        return pa.int64()
+    if pa.types.is_floating(t):
+        return pa.float64()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.string()
+    return pa.string()
+
+
+def _cast_key(arr: pa.ChunkedArray) -> pa.Array:
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    target = _norm_type(arr.type)
+    if arr.type.equals(target):
+        return arr
+    return arr.cast(target, safe=False)
+
+
+def _value_num(values: pa.Array):
+    if pa.types.is_integer(values.type) or pa.types.is_floating(values.type):
+        return values.cast(pa.float64())
+    return None
+
+
+class UniqueCheck(Check):
+    """Elements of a column must be unique (reference ``validate.unique``
+    / ``RequiredUnique``): duplicates yield ``Extra`` violations.
+
+    Plan: per-batch ``pc.value_counts`` partials -> ``groupby(value)
+    .aggregate(Sum(n))`` over partials -> filter ``n > 1``.  The shuffle
+    carries at most one row per distinct value per block.
+
+    ``emit='per_value'`` (default, scale-safe): one violation row per
+    duplicated value, with ``value_num = total count`` and ``deviation =
+    count - 1`` (number of surplus occurrences).  ``emit=
+    'per_occurrence'`` expands to count-1 identical ``Extra`` rows for
+    exact reference-multiset parity (bounded data only).
+    """
+
+    def __init__(self, column: str, emit: str = "per_value",
+                 check_id: Optional[str] = None):
+        assert emit in ("per_value", "per_occurrence")
+        self.column = column
+        self.emit = emit
+        self.check_id = check_id or f"unique({column})"
+
+    def violations(self, ds, ctx: RunContext):
+        from ray.data.aggregate import Sum
+
+        col = self.column
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vc = pc.value_counts(_cast_key(batch.column(col)))
+            return pa.table({"v": vc.field("values"),
+                             "n": vc.field("counts").cast(pa.int64())})
+
+        partials = ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        totals = partials.groupby("v").aggregate(Sum("n", alias_name="n"))
+
+        check_id, emit = self.check_id, self.emit
+        default_part = ctx.default_partition
+
+        def to_violations(batch: pa.Table) -> pa.Table:
+            mask = pc.greater(batch.column("n"), 1)
+            dups = batch.filter(mask)
+            if dups.num_rows == 0:
+                return empty_violations()
+            values = dups.column("v").combine_chunks()
+            counts = dups.column("n").to_numpy(zero_copy_only=False)
+            if emit == "per_value":
+                return violations_table(
+                    dups.num_rows, check_id=check_id, kind="extra",
+                    partition_id=default_part, value=values,
+                    value_num=_value_num(values),
+                    deviation=pa.array((counts - 1).astype(np.float64)),
+                )
+            reps = (counts - 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(reps)), reps)
+            values_rep = values.take(pa.array(idx))
+            return violations_table(
+                len(idx), check_id=check_id, kind="extra",
+                partition_id=default_part, value=values_rep,
+                value_num=_value_num(values_rep),
+            )
+
+        return totals.map_batches(to_violations, batch_format="pyarrow")
+
+
+def _distinct_partials(ds, column: str):
+    """Dataset of one row per distinct value per block: {'v': ...}."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": pc.unique(_cast_key(batch.column(column)))})
+
+    return ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _distinct(ds, column: str):
+    """Globally-distinct values dataset {'v': ...} (one shuffle over
+    per-block distincts)."""
+    from ray.data.aggregate import Count
+
+    return (
+        _distinct_partials(ds, column)
+        .groupby("v")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["v"])
+    )
+
+
+Reference = Union[Iterable, tuple]  # a literal collection, or (Dataset, column)
+
+
+def _is_dataset_ref(reference) -> bool:
+    import ray.data
+
+    return (
+        isinstance(reference, tuple)
+        and len(reference) == 2
+        and isinstance(reference[0], ray.data.Dataset)
+    )
+
+
+def _tagged_union_diff(data_distinct, ref_distinct, *, want: str):
+    """Union-tag anti-join over distinct values.
+
+    want='extra'   -> values present in data but not in reference
+    want='missing' -> values present in reference but not in data
+    Single hash shuffle on 'v'; both inputs are already distinct-per-block.
+    """
+    from ray.data.aggregate import Max
+
+    d = data_distinct.map_batches(
+        lambda t: t.append_column("in_data", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+                   .append_column("in_ref", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    r = ref_distinct.map_batches(
+        lambda t: t.append_column("in_data", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+                   .append_column("in_ref", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    both = d.union(r).groupby("v").aggregate(
+        Max("in_data", alias_name="in_data"), Max("in_ref", alias_name="in_ref")
+    )
+    if want == "extra":
+        expr = lambda t: t.filter(
+            pc.and_(pc.equal(t.column("in_data"), 1), pc.equal(t.column("in_ref"), 0))
+        )
+    else:
+        expr = lambda t: t.filter(
+            pc.and_(pc.equal(t.column("in_ref"), 1), pc.equal(t.column("in_data"), 0))
+        )
+    return both.map_batches(expr, batch_format="pyarrow").select_columns(["v"])
+
+
+def _literal_ref_dataset(values, like_type: Optional[pa.DataType] = None):
+    import ray.data as rd
+
+    arr = pa.array(list(values))
+    arr = _cast_key(arr)
+    return rd.from_arrow(pa.table({"v": arr}))
+
+
+def _emit_value_violations(vds, *, check_id: str, kind: str, default_part: str,
+                           expected: Optional[str] = None):
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_violations()
+        values = batch.column("v").combine_chunks()
+        return violations_table(
+            batch.num_rows, check_id=check_id, kind=kind,
+            partition_id=default_part, value=values,
+            value_num=_value_num(values), expected=expected,
+        )
+
+    return vds.map_batches(fn, batch_format="pyarrow")
+
+
+class SubsetCheck(Check):
+    """Distinct data values must be a SUBSET of the reference domain
+    (reference ``validate.subset`` / ``RequiredSubset``, final upstream
+    orientation — SURVEY.md §2.B7 caveat pinned by tests): stray values
+    -> ``Extra``.
+
+    ``reference`` is either a literal collection (broadcast, no shuffle
+    beyond the distinct) or ``(Dataset, column)`` for referential
+    integrity (FK) via the union-tag anti-join.
+    """
+
+    def __init__(self, column: str, reference, check_id: Optional[str] = None):
+        self.column = column
+        self.reference = reference
+        self.check_id = check_id or f"subset({column})"
+
+    def violations(self, ds, ctx: RunContext):
+        if _is_dataset_ref(self.reference):
+            ref_ds, ref_col = self.reference
+            extras = _tagged_union_diff(
+                _distinct_partials(ds, self.column),
+                _distinct_partials(ref_ds, ref_col),
+                want="extra",
+            )
+            return _emit_value_violations(
+                extras, check_id=self.check_id, kind="extra",
+                default_part=ctx.default_partition,
+            )
+        allowed = set(self.reference)
+        col = self.column
+
+        def partial(batch: pa.Table) -> pa.Table:
+            uniq = pc.unique(_cast_key(batch.column(col)))
+            vs = _cast_key(pa.array(list(allowed)))
+            mask = pc.invert(pc.is_in(uniq, value_set=vs))
+            mask = pc.fill_null(mask, True)  # nulls are never in a literal set
+            return pa.table({"v": uniq.filter(mask)})
+
+        extras = (
+            ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        extras = _distinct(extras, "v")
+        return _emit_value_violations(
+            extras, check_id=self.check_id, kind="extra",
+            default_part=ctx.default_partition,
+        )
+
+
+class SupersetCheck(Check):
+    """Distinct data values must be a SUPERSET of the reference
+    (reference ``validate.superset`` / ``RequiredSuperset``): required
+    values never observed -> ``Missing``.
+
+    Literal reference: per-batch 'seen required values' partials (each at
+    most |required| rows) -> distinct -> required minus seen.  Dataset
+    reference: union-tag anti-join over distincts.
+    """
+
+    def __init__(self, column: str, reference, check_id: Optional[str] = None):
+        self.column = column
+        self.reference = reference
+        self.check_id = check_id or f"superset({column})"
+
+    def violations(self, ds, ctx: RunContext):
+        import ray.data as rd
+
+        if _is_dataset_ref(self.reference):
+            ref_ds, ref_col = self.reference
+            missing = _tagged_union_diff(
+                _distinct_partials(ds, self.column),
+                _distinct_partials(ref_ds, ref_col),
+                want="missing",
+            )
+            return _emit_value_violations(
+                missing, check_id=self.check_id, kind="missing",
+                default_part=ctx.default_partition,
+            )
+
+        required = set(self.reference)
+        col = self.column
+        req_arr = _cast_key(pa.array(list(required)))
+
+        def seen_partial(batch: pa.Table) -> pa.Table:
+            uniq = pc.unique(_cast_key(batch.column(col)))
+            mask = pc.fill_null(pc.is_in(uniq, value_set=req_arr), False)
+            return pa.table({"v": uniq.filter(mask)})
+
+        seen = (
+            ds.select_columns([col])
+            .map_batches(seen_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        # seen is tiny (<= |required| rows per block): collect distinct driver-side
+        seen_values = set(seen.unique("v"))
+        missing_vals = [m for m in req_arr.to_pylist() if m not in seen_values]
+        if not missing_vals:
+            return rd.from_arrow(empty_violations())
+        values = _cast_key(pa.array(missing_vals))
+        table = violations_table(
+            len(missing_vals), check_id=self.check_id, kind="missing",
+            partition_id=ctx.default_partition, value=values,
+            value_num=_value_num(values),
+        )
+        return rd.from_arrow(table)
+
+
+class SetCheck(Check):
+    """Two-sided set membership (reference auto-dispatch on a ``set``
+    requirement / ``validate.set`` / ``RequiredSet``): distinct data
+    values not in the requirement -> ``Extra``; required values never
+    observed -> ``Missing``."""
+
+    def __init__(self, column: str, required, check_id: Optional[str] = None):
+        self.column = column
+        self.required = set(required)
+        self.check_id = check_id or f"set({column},{len(self.required)})"
+
+    def violations(self, ds, ctx: RunContext):
+        extra = SubsetCheck(self.column, self.required, check_id=self.check_id)
+        missing = SupersetCheck(self.column, self.required, check_id=self.check_id)
+        return extra.violations(ds, ctx).union(missing.violations(ds, ctx))

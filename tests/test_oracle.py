@@ -1,0 +1,83 @@
+"""Driver-style oracle harness: run every ``queries()`` entry at sf0.001
+and compare row-count + order-insensitive values against its
+``oracle_sql()`` DuckDB result (mirrors the driver's CORRECTNESS gate)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _pairs():
+    import __ray_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    return q, o
+
+
+def test_all_queries_match_oracle(ray_session):
+    q, o = _pairs()
+    con = _duck(SF_DIR)
+    failures = []
+    for name, fn in q.items():
+        got = _canon(_to_pandas(fn(SF_DIR)))
+        if name not in o:
+            assert len(got) >= 0  # rows-only check
+            continue
+        want = _canon(con.sql(o[name]).df())
+        try:
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False, check_exact=False, rtol=1e-6
+            )
+        except AssertionError as err:
+            failures.append(f"{name}: {err}\n got={got.head()}\n want={want.head()}")
+    assert not failures, "\n\n".join(failures)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) >= 0
+    assert "check_id" in df.columns
