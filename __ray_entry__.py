@@ -43,9 +43,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on sf0.001: a fused multi-check validation suite
-    over ``lineitem`` + referential checks against ``nation``/``region``;
-    returns the violations Dataset (stable schema: VIOLATION_SCHEMA)."""
+    """Flagship smoke at sf0.001 scale: (a) the full image+caption
+    validation suite (schema, intervals, fmt domain, caption regex,
+    uniqueness, decode+PSNR+caption parity, drift, phash near-dup) over
+    a 1k-row deterministic synthetic fixture, and (b) a validation
+    suite over ``/root/testdata/sf0.001`` tables with a referential
+    check.  Returns the combined violations Dataset (stable schema:
+    VIOLATION_SCHEMA)."""
     import ray.data as rd
 
     from datatest_ray import (
@@ -58,13 +62,22 @@ def entry() -> Any:
         SubsetCheck,
         UniqueCheck,
     )
+    from datatest_ray.pipelines.flagship import run_flagship
+    from datatest_ray.sources.images import ImageFixtureSpec, generate_dataset
 
+    # (a) flagship image suite on a seeded synthetic fixture
+    spec = ImageFixtureSpec(n_rows=1000, seed=42, rows_per_part=250)
+    images = generate_dataset(spec)
+    image_violations = run_flagship(
+        images, reference_seed=spec.seed, parity_concurrency=2
+    ).violations
+
+    # (b) TPC-H-ish validation suite over the driver's smoke tables
     lineitem = rd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
     nation = rd.read_parquet(f"{SF_SMOKE}/nation.parquet", columns=["n_nationkey"])
     customer = rd.read_parquet(
         f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-
     suite = CheckSuite(
         [
             SchemaCheck({"l_orderkey": int, "l_quantity": float, "l_returnflag": str}),
@@ -80,7 +93,7 @@ def entry() -> Any:
     fk = SubsetCheck("c_nationkey", (nation, "n_nationkey")).violations(
         customer, RunContext()
     )
-    return violations.union(fk)
+    return image_violations.union(violations).union(fk)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

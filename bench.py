@@ -1,0 +1,170 @@
+"""Benchmark entry (driver contract; see BASELINE.md).
+
+Prints ONE JSON line:
+    {"metric": "flagship validation suite wall time", "value": <sec>,
+     "unit": "sec", "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "images_per_sec": ..., "n_images": ...}
+
+``--scaling``: runs the flagship pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the SAME input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the
+north_rule's N vs 4N cluster criterion — BASELINE.md protocol).
+
+The flagship input is the deterministic synthetic image+caption fixture
+(FIXTURES.md §F1) materialized once under /tmp and reused; TPC-H-ish
+oracle queries run over $GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graft_fixture")
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _fixture_path(sf: float) -> str:
+    return os.path.join(FIXTURE_ROOT, f"sf{sf}")
+
+
+def ensure_fixture(sf: float) -> tuple[str, int]:
+    from datatest_ray.sources.images import ImageFixtureSpec, materialize_fixture
+
+    n_rows = max(1000, int(1_000_000 * sf))
+    spec = ImageFixtureSpec(n_rows=n_rows, seed=42, rows_per_part=max(1000, n_rows // 100))
+    path = materialize_fixture(_fixture_path(sf), spec)
+    return path, n_rows
+
+
+def run_flagship_bench(sf: float) -> dict:
+    import ray.data as rd
+
+    from datatest_ray.pipelines.flagship import run_flagship
+
+    path, n_rows = ensure_fixture(sf)
+    files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    rd.read_parquet(files).count()
+    t0 = time.time()
+    ds = rd.read_parquet(files)
+    result = run_flagship(ds, reference_seed=42,
+                          parity_concurrency=(2, max(2, NCPU // 2)))
+    n_violations = result.to_table().num_rows
+    wall = time.time() - t0
+    return {
+        "flagship_sec": wall,
+        "images_per_sec": n_rows / wall,
+        "n_images": n_rows,
+        "n_violations": n_violations,
+    }
+
+
+def run_query_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        res = fn(SF_DIR)
+        # consume lazily-returned datasets
+        try:
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+        except ImportError:
+            pass
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NCPU,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_of(SF_DIR)
+    flagship = run_flagship_bench(sf)
+    queries = run_query_bench()
+    payload = {
+        "metric": "flagship image validation suite wall time",
+        "value": round(flagship["flagship_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NCPU,
+        "images_per_sec": round(flagship["images_per_sec"], 1),
+        "n_images": flagship["n_images"],
+        "n_violations": flagship["n_violations"],
+    }
+    print(json.dumps(payload))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """North-rule scaling evidence: same input, fresh processes at 8 and
+    32 CPUs; efficiency = throughput_32 / (4 * throughput_8)."""
+    # make sure the fixture exists before timing anything
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    ensure_fixture(_sf_of(SF_DIR))
+    ray.shutdown()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tp_lo = lo["images_per_sec"]
+    tp_hi = hi["images_per_sec"]
+    eff = tp_hi / (4.0 * tp_lo)
+    print(json.dumps({
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "images_per_sec_8": tp_lo,
+        "images_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+        "n_images": lo["n_images"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -153,18 +153,22 @@ class CheckSuite:
 
         fused, solo = self._split()
         ctx = self.ctx
+        # fail fast, driver-side, on missing columns (instead of a
+        # RayTaskError deep inside a task); SchemaCheck is exempt — its
+        # whole job is reporting missing columns
         have = set(ds.schema().names)
+        from ..stages.row_checks import SchemaCheck
+
         for c in self.checks:
+            if isinstance(c, SchemaCheck) or not isinstance(c, StatelessCheck):
+                continue
             needed = [getattr(c, "column", None)] + list(getattr(c, "columns", []) or [])
             missing = [m for m in needed if m and m not in have]
-            if missing and not isinstance(c, type(None)):
-                from ..stages.row_checks import SchemaCheck
-
-                if not isinstance(c, SchemaCheck):
-                    raise ValueError(
-                        f"check {c.check_id!r} needs column(s) {missing} "
-                        f"not present in dataset schema {sorted(have)}"
-                    )
+            if missing:
+                raise ValueError(
+                    f"check {c.check_id!r} needs column(s) {missing} "
+                    f"not present in dataset schema {sorted(have)}"
+                )
         pieces = []
         if fused:
             cols = self._pruned_columns(ds, fused)
