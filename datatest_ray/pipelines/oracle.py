@@ -261,6 +261,371 @@ FROM lineitem GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Explicit-method checks: approx (§2.B3), tuple (§2.A7), predicate (§2.A2)
+# ---------------------------------------------------------------------------
+
+
+def q_approx_tax(sf_dir: str):
+    from ..stages.row_checks import ApproxCheck
+
+    ds = _read(sf_dir, "lineitem", ["l_tax"])
+    return _run_check(
+        ApproxCheck("l_tax", 0.04, delta=0.03), ds,
+        ["value_num", "expected_num", "deviation", "kind"],
+    )
+
+
+SQL_APPROX_TAX = """
+SELECT CAST(l_tax AS DOUBLE) AS value_num, CAST(0.04 AS DOUBLE) AS expected_num,
+       l_tax - 0.04 AS deviation, 'deviation' AS kind
+FROM lineitem WHERE NOT abs(l_tax - 0.04) <= 0.03
+"""
+
+
+def q_tuple_orders(sf_dir: str):
+    from ..stages.row_checks import TupleCheck
+    import re as _re
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return _run_check(
+        TupleCheck(
+            ["o_orderstatus", "o_orderpriority"],
+            ({"O", "F"}, _re.compile(r"^[123]-")),
+        ),
+        ds,
+        ["value", "kind"],
+    )
+
+
+SQL_TUPLE_ORDERS = """
+SELECT '(' || chr(39) || o_orderstatus || chr(39) || ', ' || chr(39) || o_orderpriority || chr(39) || ')' AS value,
+       'invalid' AS kind
+FROM orders
+WHERE NOT (o_orderstatus IN ('O','F') AND regexp_matches(o_orderpriority, '^[123]-'))
+"""
+
+
+def q_predicate_custkey(sf_dir: str):
+    from ..stages.row_checks import PredicateCheck
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    return _run_check(
+        PredicateCheck("c_custkey", lambda v: v % 3 != 0, check_id="pred_mod3"),
+        ds,
+        ["value_num", "kind"],
+    )
+
+
+SQL_PREDICATE_CUSTKEY = """
+SELECT CAST(c_custkey AS DOUBLE) AS value_num, 'invalid' AS kind
+FROM customer WHERE c_custkey % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mapping / per-key aggregate requirement (§2.A10 decomposable fast path)
+# ---------------------------------------------------------------------------
+
+
+def q_group_mean_qty(sf_dir: str):
+    from ..stages.base import RunContext
+    from ..stages.mapping import GroupAggCheck
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return _run_check(
+        GroupAggCheck("l_quantity", "l_returnflag", "mean", min=25.3, max=25.6),
+        ds,
+        ["key", "value_num", "expected_num", "deviation", "kind"],
+    )
+
+
+SQL_GROUP_MEAN_QTY = """
+SELECT l_returnflag AS key, avg(l_quantity) AS value_num,
+  CASE WHEN avg(l_quantity) < 25.3 THEN 25.3 ELSE 25.6 END AS expected_num,
+  avg(l_quantity) - (CASE WHEN avg(l_quantity) < 25.3 THEN 25.3 ELSE 25.6 END) AS deviation,
+  'deviation' AS kind
+FROM lineitem GROUP BY l_returnflag
+HAVING avg(l_quantity) < 25.3 OR avg(l_quantity) > 25.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit: global top-k (§2.H)
+# ---------------------------------------------------------------------------
+
+
+def q_topk_price(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK_PRICE = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (engine extensions; stages/text.py)
+# ---------------------------------------------------------------------------
+
+_EN = "'the','and','of','to','a','in','is','it','that','for'"
+_DE = "'der','die','das','und','ist','nicht','mit','ein','zu','den'"
+_FR = "'le','la','les','et','est','une','dans','pour','que','au'"
+_ES = "'el','los','las','y','es','una','en','para','por','con'"
+_ZH = "'\u7684','\u662f','\u5728','\u4e86','\u548c','\u6709','\u6211','\u4e0d','\u4eba','\u8fd9'"
+
+
+def q_text_tokens(sf_dir: str):
+    from ..stages.text import token_counts
+
+    return _materialize(token_counts(_read(sf_dir, "documents", ["doc_id", "text"]),
+                                     "text", "doc_id"))
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    from ..stages.text import text_stats
+
+    return _materialize(text_stats(_read(sf_dir, "documents", ["doc_id", "text"]),
+                                   "text", "doc_id"))
+
+
+SQL_TEXT_QUALITY = f"""
+WITH b AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+s AS (SELECT doc_id, len(ts) AS n_tokens, length(text) AS n_chars,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+       len(list_filter(ts, t -> list_contains([{_EN}], t))) AS stop_hits
+      FROM b)
+SELECT doc_id, n_tokens, n_chars, punct, stop_hits,
+  0.5*(least(n_tokens,100)/100.0) + 0.3*(stop_hits::DOUBLE/greatest(n_tokens,1))
+  + 0.2*(1 - punct::DOUBLE/greatest(n_chars,1)) AS quality FROM s
+"""
+
+
+def q_text_lang_id(sf_dir: str):
+    from ..stages.text import lang_id
+
+    return _materialize(lang_id(_read(sf_dir, "documents", ["doc_id", "text"]),
+                                "text", "doc_id"))
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH b AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(ts, t -> list_contains([{_EN}], t))) AS s_en,
+  len(list_filter(ts, t -> list_contains([{_DE}], t))) AS s_de,
+  len(list_filter(ts, t -> list_contains([{_FR}], t))) AS s_fr,
+  len(list_filter(ts, t -> list_contains([{_ES}], t))) AS s_es,
+  len(list_filter(ts, t -> list_contains([{_ZH}], t))) AS s_zh FROM b)
+SELECT doc_id, CASE WHEN s_en+s_de+s_fr+s_es+s_zh = 0 THEN 'unknown'
+  WHEN s_en >= greatest(s_de,s_fr,s_es,s_zh) THEN 'en'
+  WHEN s_de >= greatest(s_fr,s_es,s_zh) THEN 'de'
+  WHEN s_fr >= greatest(s_es,s_zh) THEN 'fr'
+  WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred FROM s
+"""
+
+
+def q_text_fingerprint(sf_dir: str):
+    from ..stages.text import fingerprints
+
+    return _materialize(fingerprints(_read(sf_dir, "documents", ["doc_id", "text"]),
+                                     "text", "doc_id"))
+
+
+SQL_TEXT_FINGERPRINT = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (engine extensions; stages/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_duplicates
+
+    return _materialize(exact_duplicates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fingerprint, count(*)-1 AS n_dups, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_dedup_keep_first(sf_dir: str):
+    from ..stages.dedup import keep_first
+
+    return _materialize(keep_first(
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"]),
+        ["lang", "source"], "doc_id"))
+
+
+SQL_DEDUP_KEEP_FIRST = """
+SELECT lang, source, count(*) AS n, min(doc_id) AS keep_id
+FROM documents GROUP BY 1, 2
+"""
+
+
+_SQL_JACCARD_PAIRS = """
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
+         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+    len(list_intersect(a.s,b.s))::DOUBLE / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS j
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT a, b, j FROM pairs WHERE j >= 0.8
+"""
+
+
+def q_dedup_jaccard_ngram(sf_dir: str):
+    from ..stages.dedup import jaccard_pairs_exact
+
+    return _materialize(jaccard_pairs_exact(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        n=3, threshold=0.8, shuffle_partitions=8))
+
+
+def q_dedup_minhash_lsh(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return _materialize(minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        n=3, threshold=0.8, shuffle_partitions=8))
+
+
+def q_dedup_simhash(sf_dir: str):
+    # no SQL oracle (SimHash is not SQL-expressible); rows-only contract,
+    # brute-force parity asserted in tests/test_dedup.py
+    from ..stages.dedup import simhash_pairs
+
+    return _materialize(simhash_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        shuffle_partitions=8))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (engine extensions; stages/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def q_sim_neardup_cosine(sf_dir: str):
+    from ..stages.similarity import neardup_cosine_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _materialize(neardup_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4))
+
+
+SQL_SIM_NEARDUP_COSINE = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_sim_topk_cosine(sf_dir: str):
+    from ..stages.similarity import topk_cosine
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(expr="vec_id < 8")
+    return _materialize(topk_cosine(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5))
+
+
+SQL_SIM_TOPK_COSINE = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS sim,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id) WHERE rk <= 5
+"""
+
+
+def q_sim_ann_lsh(sf_dir: str):
+    # approximate ANN (hyperplane LSH) — no SQL oracle by design;
+    # recall vs the exact top-k is asserted in tests/test_similarity.py
+    from ..stages.similarity import ann_lsh_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(expr="vec_id < 8")
+    return _materialize(ann_lsh_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5))
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregate over the events stream (engine extension)
+# ---------------------------------------------------------------------------
+
+
+def q_window_hourly(sf_dir: str):
+    from ..stages.window import tumbling_window
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return tumbling_window(ev, "ts", unit="hour", by=["event_type"], sum_col="value")
+
+
+SQL_WINDOW_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window,
+       event_type, count(*) AS n, sum(value) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (HLL distinct, t-digest quantiles) — approximate, so
+# rows-only contract; accuracy bounds asserted in tests/test_aggregates.py
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct_parts(sf_dir: str):
+    from ..functions.aggregates import HLLDistinct
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    return _materialize(ds.aggregate(HLLDistinct(on="l_partkey")))
+
+
+def q_tdigest_price_quantiles(sf_dir: str):
+    from ..functions.aggregates import TDigestQuantile
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return _materialize(
+        ds.aggregate(
+            TDigestQuantile(on="l_extendedprice", q=0.5, alias_name="p50"),
+            TDigestQuantile(on="l_extendedprice", q=0.95, alias_name="p95"),
+        )
+    )
+
+
+def _materialize(result):
+    """Collect a (small) result into a pa.Table, preserving the schema
+    even when there are zero rows (to_pandas() on an empty Dataset loses
+    columns — the driver compare needs them)."""
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        batches = list(result.iter_batches(batch_format="pyarrow", batch_size=65536))
+        if batches:
+            return pa.concat_tables(batches)
+        schema = result.schema()
+        base = getattr(schema, "base_schema", schema)
+        return base.empty_table()
+    if isinstance(result, dict):  # Dataset.aggregate returns a row dict
+        return pa.table({k: [v] for k, v in result.items()})
+    return result
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -273,6 +638,26 @@ def queries() -> Dict[str, Callable]:
         "superset_lang": q_superset_lang,
         "agg_returnflag": q_agg_returnflag,
         "hist_price": q_hist_price,
+        "approx_tax": q_approx_tax,
+        "tuple_orders": q_tuple_orders,
+        "predicate_custkey": q_predicate_custkey,
+        "group_mean_qty": q_group_mean_qty,
+        "topk_price": q_topk_price,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
+        "dedup_jaccard_ngram": q_dedup_jaccard_ngram,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_neardup_cosine": q_sim_neardup_cosine,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "window_hourly": q_window_hourly,
+        "hll_distinct_parts": q_hll_distinct_parts,
+        "tdigest_price_quantiles": q_tdigest_price_quantiles,
     }
 
 
@@ -288,4 +673,20 @@ def oracle_sql() -> Dict[str, str]:
         "superset_lang": SQL_SUPERSET_LANG,
         "agg_returnflag": SQL_AGG_RETURNFLAG,
         "hist_price": SQL_HIST_PRICE,
+        "approx_tax": SQL_APPROX_TAX,
+        "tuple_orders": SQL_TUPLE_ORDERS,
+        "predicate_custkey": SQL_PREDICATE_CUSTKEY,
+        "group_mean_qty": SQL_GROUP_MEAN_QTY,
+        "topk_price": SQL_TOPK_PRICE,
+        "text_tokens": SQL_TEXT_TOKENS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "text_lang_id": SQL_TEXT_LANG_ID,
+        "text_fingerprint": SQL_TEXT_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
+        "dedup_jaccard_ngram": _SQL_JACCARD_PAIRS,
+        "dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
+        "sim_neardup_cosine": SQL_SIM_NEARDUP_COSINE,
+        "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
+        "window_hourly": SQL_WINDOW_HOURLY,
     }

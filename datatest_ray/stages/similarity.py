@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (list<float>).
+
+Engine extensions beyond the datatest reference (SURVEY.md §2.H): the
+operations a training-data pipeline needs over an embeddings table.
+
+* ``topk_cosine``        — brute-force cosine top-k: the query matrix is
+  broadcast ONCE via ``ray.put`` and read inside every ``map_batches``
+  task (never re-shipped per batch); each batch computes a (B x Q) GEMM
+  and emits per-batch partial top-k rows; a tiny ``groupby(query_id)``
+  merge yields the global top-k.  This is the exact baseline.
+* ``neardup_cosine_pairs`` — all pairs with cosine >= threshold, same
+  broadcast pattern (one side streams, the other is the broadcast
+  matrix).  Exact; suitable while one side fits worker memory.
+* ``ann_lsh_topk``       — the scale path: random-hyperplane LSH signs
+  bucket both sides; exact rerank only within buckets.  Approximate
+  (recall < 1), so it has no SQL oracle — the exact variants are the
+  oracle-paired queries.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs", "ann_lsh_topk"]
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    col = batch.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = batch.num_rows
+    return flat.reshape(n, -1)
+
+
+def embedding_matrix(ds, id_col: str, vec_col: str):
+    """Collect (ids, L2-normalized float64 matrix) of a SMALL dataset —
+    the broadcast side.  Only ever call on the small side (queries, or a
+    table known to fit in memory); the streaming side stays a Dataset."""
+    tables = list(
+        ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=4096
+        )
+    )
+    t = pa.concat_tables(tables)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _normalize_rows(_batch_matrix(t, vec_col))
+    return ids, mat
+
+
+def topk_cosine(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
+                exclude_self: bool = True):
+    """Exact top-k cosine neighbors for each query vector:
+    (query_id, neighbor_id, sim) with sim rounded to 6 decimals and ties
+    broken by ascending neighbor id (deterministic, matches the SQL
+    window oracle)."""
+    import ray
+
+    q_ids, q_mat = embedding_matrix(queries_ds, id_col, vec_col)
+    q_ref = ray.put((q_ids, q_mat.T))  # broadcast once
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q_ids_l, q_t = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize_rows(_batch_matrix(batch, vec_col))
+        sims = mat @ q_t  # (B, Q)
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            if exclude_self:
+                col = np.where(ids == q_ids_l[qi], -np.inf, col)
+            # partial top-k inside the batch, by the SAME (sim desc,
+            # neighbor-id asc) criterion as the global merge so a tie on
+            # the k-th place can never select a different winner
+            order = np.lexsort((ids, -col))[:kk]
+            finite = order[np.isfinite(col[order])]
+            out_q.append(np.full(len(finite), q_ids_l[qi], dtype=np.int64))
+            out_n.append(ids[finite].astype(np.int64))
+            out_s.append(col[finite])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else
+                                     np.empty(0, np.int64)),
+                "neighbor_id": pa.array(np.concatenate(out_n) if out_n else
+                                        np.empty(0, np.int64)),
+                "sim": pa.array(np.concatenate(out_s) if out_s else
+                                np.empty(0, np.float64)),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        nids = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        qids = group.column("query_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(qids[order]),
+                "neighbor_id": pa.array(nids[order]),
+                "sim": pa.array(np.round(sims[order], 6)),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def neardup_cosine_pairs(ds, *, id_col: str, vec_col: str,
+                         threshold: float = 0.4,
+                         broadcast_ds=None):
+    """All pairs (a < b) with cosine similarity >= threshold:
+    (a, b, sim rounded to 6dp).  The comparison side is broadcast once
+    (``ray.put``); the data side streams batch-by-batch, each batch doing
+    one GEMM against the broadcast matrix.  Exact while the broadcast
+    side fits worker memory; beyond that use ann_lsh_topk buckets."""
+    import ray
+
+    side = broadcast_ds if broadcast_ds is not None else ds
+    all_ids, all_mat = embedding_matrix(side, id_col, vec_col)
+    ref = ray.put((all_ids, all_mat.T))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_r, mat_t = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize_rows(_batch_matrix(batch, vec_col))
+        sims = mat @ mat_t  # (B, N)
+        ii, jj = np.nonzero(sims >= threshold)
+        a = ids[ii]
+        b = ids_r[jj]
+        keep = a < b  # each unordered pair reported once, from the a-side batch
+        return pa.table(
+            {
+                "a": pa.array(a[keep].astype(np.int64)),
+                "b": pa.array(b[keep].astype(np.int64)),
+                "sim": pa.array(np.round(sims[ii, jj][keep], 6)),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ann_lsh_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
+                 n_planes: int = 12, seed: int = 11,
+                 dim: Optional[int] = None):
+    """Approximate top-k: random-hyperplane LSH.  Data vectors land in
+    sign-pattern buckets; each query probes only its own bucket and is
+    exactly reranked there.  Scale path: no all-pairs GEMM, one shuffle
+    on the bucket key.  Approximate — recall depends on n_planes."""
+    import ray
+
+    q_ids, q_mat = embedding_matrix(queries_ds, id_col, vec_col)
+    if dim is None:
+        dim = q_mat.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+    q_codes = ((q_mat @ planes) > 0).astype(np.int64) @ powers
+    by_bucket: dict = {}
+    for qid, code in zip(q_ids, q_codes):
+        by_bucket.setdefault(int(code), []).append(int(qid))
+    q_ref = ray.put((dict(zip(map(int, q_ids), q_mat)), by_bucket, planes))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        q_vecs, buckets, pl = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize_rows(_batch_matrix(batch, vec_col))
+        codes = ((mat @ pl) > 0).astype(np.int64) @ powers
+        out_q, out_n, out_s = [], [], []
+        for code in np.unique(codes):
+            qids = buckets.get(int(code))
+            if not qids:
+                continue
+            rows = codes == code
+            sub, sub_ids = mat[rows], ids[rows]
+            qm = np.stack([q_vecs[q] for q in qids])
+            sims = sub @ qm.T
+            for col, qid in enumerate(qids):
+                s = sims[:, col]
+                mask = sub_ids != qid
+                out_q.append(np.full(mask.sum(), qid, dtype=np.int64))
+                out_n.append(sub_ids[mask].astype(np.int64))
+                out_s.append(s[mask])
+        empty = not out_q
+        return pa.table(
+            {
+                "query_id": pa.array(np.empty(0, np.int64) if empty else
+                                     np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.empty(0, np.int64) if empty else
+                                        np.concatenate(out_n)),
+                "sim": pa.array(np.empty(0, np.float64) if empty else
+                                np.concatenate(out_s)),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        nids = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        qids = group.column("query_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(qids[order]),
+                "neighbor_id": pa.array(nids[order]),
+                "sim": pa.array(np.round(sims[order], 6)),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")

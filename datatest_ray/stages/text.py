@@ -1,0 +1,230 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+Not part of the datatest reference (which has no text operators —
+SURVEY.md §2.H); these are the engine extensions a 100 TB document
+pipeline needs: language ID (stopword-hit heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting, and document
+fingerprinting.  All are stateless per-batch Arrow/numpy kernels fused
+into ``map_batches`` — no shuffle, no Python loop over rows in the hot
+path (tokenization uses ``pc.utf8_split_whitespace`` + flat-array
+segment arithmetic).
+
+Every function takes and returns a ``ray.data.Dataset`` and has an
+ANSI-SQL-expressible definition (oracle pairs in pipelines/oracle.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.aggregates import hash64
+
+__all__ = [
+    "STOPWORDS",
+    "LANG_ORDER",
+    "tokens_and_offsets",
+    "token_counts",
+    "text_stats",
+    "lang_id",
+    "fingerprints",
+]
+
+# Deterministic per-language stopword lists (tiny n-gram-free heuristic;
+# the zh list is CJK so it never fires on latin-token corpora — that is
+# intentional and mirrored by the SQL oracle).
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "pour", "que", "au"],
+    "es": ["el", "los", "las", "y", "es", "una", "en", "para", "por", "con"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "人", "这"],
+}
+LANG_ORDER: Sequence[str] = ("en", "de", "fr", "es", "zh")
+
+_PUNCT_RE = r"[.,;:!?]"
+
+
+def tokens_and_offsets(text_col: pa.ChunkedArray):
+    """Whitespace-tokenize a string column (lowercased) into a flat token
+    array + row offsets — the vectorized base for every text kernel."""
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(text_col))
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # Arrow's split emits empty strings at leading/trailing/consecutive
+    # whitespace; drop them so semantics equal `trim(text)` + split on
+    # \s+ (the SQL-oracle definition)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        n_rows = len(offsets) - 1
+        parents = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
+        flat = flat.filter(pa.array(nonempty))
+        counts = np.bincount(parents[nonempty], minlength=n_rows).astype(np.int64)
+        offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+    return flat, offsets
+
+
+def _row_counts(offsets: np.ndarray) -> np.ndarray:
+    return np.diff(offsets)
+
+
+def _per_row_hits(flat: pa.Array, offsets: np.ndarray, words: Sequence[str]) -> np.ndarray:
+    """Number of token OCCURRENCES per row that fall in ``words``."""
+    n_rows = len(offsets) - 1
+    if len(flat) == 0:
+        return np.zeros(n_rows, dtype=np.int64)
+    mask = pc.is_in(flat, value_set=pa.array(words)).to_numpy(zero_copy_only=False)
+    parents = np.repeat(np.arange(n_rows, dtype=np.int64), _row_counts(offsets))
+    return np.bincount(parents, weights=mask, minlength=n_rows).astype(np.int64)
+
+
+def token_counts(ds, text_col: str, id_col: str):
+    """(id, n_tokens) per document.  SQL: len(string_split_regex(trim(..)))."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        return pa.table(
+            {id_col: batch.column(id_col), "n_tokens": pa.array(_row_counts(offsets))}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def text_stats(ds, text_col: str, id_col: str):
+    """Quality scoring: (id, n_tokens, n_chars, punct, stop_hits, quality).
+
+    quality = 0.5 * min(n_tokens, 100)/100
+            + 0.3 * stop_hits/max(n_tokens, 1)
+            + 0.2 * (1 - punct/max(n_chars, 1))
+
+    Exactly mirrored by SQL_TEXT_QUALITY in pipelines/oracle.py.
+    """
+    en_words = STOPWORDS["en"]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        flat, offsets = tokens_and_offsets(text)
+        n_tok = _row_counts(offsets).astype(np.float64)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+        punct = pc.count_substring_regex(text, _PUNCT_RE).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        stop = _per_row_hits(flat, offsets, en_words).astype(np.float64)
+        quality = (
+            0.5 * (np.minimum(n_tok, 100.0) / 100.0)
+            + 0.3 * (stop / np.maximum(n_tok, 1.0))
+            + 0.2 * (1.0 - punct / np.maximum(n_chars, 1.0))
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "n_chars": pa.array(n_chars.astype(np.int64)),
+                "punct": pa.array(punct.astype(np.int64)),
+                "stop_hits": pa.array(stop.astype(np.int64)),
+                "quality": pa.array(quality),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lang_id(ds, text_col: str, id_col: str):
+    """Language ID: stopword-occurrence score per language; prediction is
+    the first language (in LANG_ORDER) attaining the max score, or
+    'unknown' when every score is zero.  Mirrored by SQL_LANG_ID."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        n_rows = batch.num_rows
+        scores = np.zeros((n_rows, len(LANG_ORDER)), dtype=np.int64)
+        for j, lang in enumerate(LANG_ORDER):
+            scores[:, j] = _per_row_hits(flat, offsets, STOPWORDS[lang])
+        best = np.argmax(scores, axis=1)  # first max wins (= SQL CASE chain)
+        pred = np.asarray(LANG_ORDER, dtype=object)[best]
+        pred[scores.sum(axis=1) == 0] = "unknown"
+        return pa.table(
+            {id_col: batch.column(id_col), "lang_pred": pa.array(pred)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def fingerprints(ds, text_col: str, id_col: str):
+    """Content fingerprint: md5 hexdigest of the raw text (md5 so DuckDB
+    can recompute it — the exact-dedup key in stages/dedup.py)."""
+    import hashlib
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        fp = [hashlib.md5(("" if t is None else t).encode("utf-8")).hexdigest() for t in texts]
+        return pa.table({id_col: batch.column(id_col), "fingerprint": pa.array(fp)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def shingle_hash_sets(
+    flat_tokens: pa.Array, offsets: np.ndarray, n: int = 3
+):
+    """Per-row DISTINCT hashes of n-token shingles, fully vectorized.
+
+    Returns (flat_shingle_hashes: uint64, shingle_offsets: int64) in the
+    same flat+offsets layout as the token input.  Token hashes are mixed
+    with a polynomial rolling combine so no shingle strings are ever
+    materialized.
+    """
+    tok_h = hash64(flat_tokens)
+    counts = _row_counts(offsets)
+    n_rows = len(counts)
+    sh_counts = np.maximum(counts - (n - 1), 0)
+    if sh_counts.sum() == 0:
+        return (
+            np.empty(0, dtype=np.uint64),
+            np.zeros(n_rows + 1, dtype=np.int64),
+        )
+    C = np.uint64(0x9E3779B97F4A7C15)
+    # poly combine of n consecutive token hashes; windows never cross row
+    # boundaries because we only take the first (count - n + 1) per row.
+    acc = tok_h[: len(tok_h) - (n - 1)].copy()
+    for k in range(1, n):
+        acc = acc * C + tok_h[k : len(tok_h) - (n - 1) + k]
+    # valid window start positions per row
+    starts = np.repeat(offsets[:-1], sh_counts) + _concat_ranges(sh_counts)
+    flat_sh = acc[starts]
+    # distinct within each row
+    parents = np.repeat(np.arange(n_rows, dtype=np.int64), sh_counts)
+    order = np.lexsort((flat_sh, parents))
+    ps, hs = parents[order], flat_sh[order]
+    keep = np.ones(len(hs), dtype=bool)
+    keep[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+    ps, hs = ps[keep], hs[keep]
+    out_counts = np.bincount(ps, minlength=n_rows).astype(np.int64)
+    out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_offsets[1:])
+    return hs, out_offsets
+
+
+def _concat_ranges(counts: np.ndarray) -> np.ndarray:
+    """[arange(c) for c in counts] concatenated, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ids = np.arange(total, dtype=np.int64)
+    offs = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    return ids - np.repeat(offs, counts)

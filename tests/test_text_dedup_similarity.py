@@ -1,0 +1,219 @@
+"""Unit tests for the text-analysis / dedup / similarity extensions
+(stages/text.py, stages/dedup.py, stages/similarity.py, stages/mapping.py,
+stages/window.py) on tiny in-memory datasets with injected duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds():
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different words describing unrelated material entirely here now"
+    texts = [base, near, other, base, "  spaced   out\ttokens  ", ""]
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()), "text": texts})
+    )
+
+
+def test_token_counts_edges(ray_session):
+    from datatest_ray.stages.text import token_counts
+
+    out = token_counts(_docs_ds(), "text", "doc_id").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [13, 13, 9, 13, 3, 0]
+
+
+def test_shingle_sets_match_brute(ray_session):
+    from datatest_ray.stages.text import shingle_hash_sets, tokens_and_offsets
+
+    t = pa.table({"text": ["a b c d e", "x y", "a b c d e a b c"]})
+    flat, off = tokens_and_offsets(t.column("text"))
+    sh, sh_off = shingle_hash_sets(flat, off, n=3)
+    counts = np.diff(sh_off).tolist()
+    # doc0: 3 distinct trigrams; doc1: too short -> 0; doc2: tokens
+    # a b c d e a b c -> 6 windows, 'a b c' repeats -> 5 distinct
+    assert counts == [3, 0, 5]
+    # determinism
+    sh2, _ = shingle_hash_sets(flat, off, n=3)
+    assert np.array_equal(np.sort(sh), np.sort(sh2))
+
+
+def test_exact_duplicates_and_keep_first(ray_session):
+    from datatest_ray.stages.dedup import exact_duplicates
+
+    out = exact_duplicates(_docs_ds(), "text", "doc_id").to_pandas()
+    assert len(out) == 1  # doc 0 == doc 3
+    assert out.iloc[0]["keep_id"] == 0
+    assert out.iloc[0]["n_dups"] == 1
+
+
+def test_jaccard_and_minhash_find_near_dups(ray_session):
+    from datatest_ray.stages.dedup import jaccard_pairs_exact, minhash_lsh_pairs
+
+    exact = jaccard_pairs_exact(
+        _docs_ds(), "text", "doc_id", n=3, threshold=0.5, shuffle_partitions=2
+    ).to_pandas()
+    pairs = set(zip(exact["a"], exact["b"]))
+    assert (0, 3) in pairs  # identical
+    assert (0, 1) in pairs and (1, 3) in pairs  # near-dup
+    assert all(b != 2 and a != 2 for a, b in pairs)  # unrelated doc absent
+
+    mh = minhash_lsh_pairs(
+        _docs_ds(), "text", "doc_id", n=3, threshold=0.5, shuffle_partitions=2
+    ).to_pandas()
+    assert set(zip(mh["a"], mh["b"])) == pairs
+    # verified j values are the exact jaccard, equal across both paths
+    je = dict(((a, b), j) for a, b, j in exact[["a", "b", "j"]].itertuples(index=False))
+    jm = dict(((a, b), j) for a, b, j in mh[["a", "b", "j"]].itertuples(index=False))
+    for k in je:
+        assert abs(je[k] - jm[k]) < 1e-12
+
+
+def test_simhash_pairs_match_bruteforce(ray_session):
+    from datatest_ray.stages.dedup import _popcount64, simhash64, simhash_pairs
+    from datatest_ray.stages.text import shingle_hash_sets, tokens_and_offsets
+
+    ds = _docs_ds()
+    out = simhash_pairs(ds, "text", "doc_id", max_hamming=7,
+                        shuffle_partitions=2).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).combine_chunks()
+    flat, off = tokens_and_offsets(t.column("text"))
+    sh, sh_off = shingle_hash_sets(flat, off, n=3)
+    sims = simhash64(sh, sh_off)
+    want = set()
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            ham = int(_popcount64(np.array([sims[i] ^ sims[j]], dtype=np.uint64))[0])
+            if ham <= 7:
+                want.add((i, j))
+    assert got == want
+    assert (0, 3) in got  # identical docs -> hamming 0
+
+
+def _emb_ds(n=64, d=16, seed=3):
+    import ray.data as rd
+
+    rng = np.random.RandomState(seed)
+    m = rng.standard_normal((n, d))
+    m[7] = m[3] + 0.01 * rng.standard_normal(d)  # planted near-dup
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([row.astype(np.float32) for row in m],
+                                      pa.list_(pa.float32())),
+            }
+        )
+    ), m
+
+
+def test_neardup_cosine_finds_planted_pair(ray_session):
+    from datatest_ray.stages.similarity import neardup_cosine_pairs
+
+    ds, m = _emb_ds()
+    out = neardup_cosine_pairs(ds, id_col="vec_id", vec_col="embedding",
+                               threshold=0.95).to_pandas()
+    assert (3, 7) in set(zip(out["a"], out["b"]))
+
+
+def test_topk_cosine_matches_numpy(ray_session):
+    from datatest_ray.stages.similarity import topk_cosine
+
+    ds, m = _emb_ds()
+    queries = ds.filter(expr="vec_id < 3")
+    out = topk_cosine(ds, queries, id_col="vec_id", vec_col="embedding", k=4)
+    df = out.to_pandas().sort_values(["query_id", "sim"],
+                                     ascending=[True, False])
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mm @ mm.T
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        want = list(np.argsort(-s)[:4])
+        got = df[df["query_id"] == q]["neighbor_id"].tolist()
+        assert got == want
+
+
+def test_ann_lsh_results_are_true_neighbors(ray_session):
+    from datatest_ray.stages.similarity import ann_lsh_topk
+
+    ds, m = _emb_ds()
+    queries = ds.filter(expr="vec_id < 3")
+    out = ann_lsh_topk(ds, queries, id_col="vec_id", vec_col="embedding",
+                       k=4, n_planes=4).to_pandas()
+    # every reported sim must be the true cosine (exact rerank in-bucket)
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for _, row in out.iterrows():
+        true = float(mm[int(row.query_id)] @ mm[int(row.neighbor_id)])
+        assert abs(true - row.sim) < 1e-5
+
+
+def test_group_agg_check(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.base import RunContext
+    from datatest_ray.stages.mapping import GroupAggCheck
+
+    ds = rd.from_arrow(
+        pa.table({"k": ["x"] * 3 + ["y"] * 3, "v": [1.0, 2.0, 3.0, 10.0, 11.0, 12.0]})
+    )
+    out = GroupAggCheck("v", "k", "mean", min=0.0, max=5.0).violations(
+        ds, RunContext()
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["key"] == "y"
+    assert out.iloc[0]["value_num"] == pytest.approx(11.0)
+    assert out.iloc[0]["deviation"] == pytest.approx(6.0)
+
+    with pytest.raises(ValueError):
+        GroupAggCheck("v", "k", "median", min=0)
+    with pytest.raises(ValueError):
+        GroupAggCheck("v", "k", "mean")
+
+
+def test_tumbling_window(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.window import tumbling_window
+
+    ts = pa.array(
+        [1_700_000_000_000_000 + i * 1800 * 1_000_000 for i in range(6)],
+        pa.timestamp("us"),
+    )
+    ds = rd.from_arrow(pa.table({"ts": ts, "g": ["a", "b"] * 3,
+                                 "v": [1.0] * 6}))
+    out = tumbling_window(ds, "ts", unit="hour", by=["g"], sum_col="v").to_pandas()
+    # 6 half-hour events -> 3 hours x interleaved groups
+    assert out["n"].sum() == 6
+    assert set(out["g"]) == {"a", "b"}
+    assert all(w.endswith(":00:00") for w in out["window"])
+
+    with pytest.raises(ValueError):
+        tumbling_window(ds, "ts", unit="fortnight")
+
+
+def test_lang_id_unknown_and_stopwords(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.text import lang_id
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": [
+                    "the cat and the dog in a house",
+                    "der hund und die katze ist nicht da",
+                    "zzz qqq www",
+                ],
+            }
+        )
+    )
+    out = lang_id(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["en", "de", "unknown"]
