@@ -40,12 +40,22 @@ def _fixture_path(sf: float) -> str:
     return os.path.join(FIXTURE_ROOT, f"sf{sf}")
 
 
+FIXTURE_DIMS = dict(dim_mu=4.0, dim_sigma=0.35, dim_lo=16, dim_hi=160)
+DRIFT_BINS = dict(dim_hi=160, bytes_hi=32768)
+
+
 def ensure_fixture(sf: float) -> tuple[str, int]:
+    """Bench fixture: realistic image sizes (16..160 px, median ~55) so
+    decode work dominates as in the north-star workload; 10M x sf rows
+    (1M images at the default sf0.1) so the run is compute-bound and the
+    N-vs-4N scaling criterion measures the engine, not fixed setup."""
     from datatest_ray.sources.images import ImageFixtureSpec, materialize_fixture
 
-    n_rows = max(1000, int(1_000_000 * sf))
-    spec = ImageFixtureSpec(n_rows=n_rows, seed=42, rows_per_part=max(1000, n_rows // 100))
-    path = materialize_fixture(_fixture_path(sf), spec)
+    n_rows = max(1000, int(10_000_000 * sf))
+    spec = ImageFixtureSpec(n_rows=n_rows, seed=42,
+                            rows_per_part=max(1000, n_rows // 128),
+                            **FIXTURE_DIMS)
+    path = materialize_fixture(_fixture_path(sf) + "_d160", spec)
     return path, n_rows
 
 
@@ -62,8 +72,17 @@ def run_flagship_bench(sf: float) -> dict:
     rd.read_parquet(files).count()
     t0 = time.time()
     ds = rd.read_parquet(files)
+    # fixed-size actor pool: autoscaling (lo, hi) pools waste the warmup
+    # ramp on a finite run; decode is the critical path so it gets
+    # NCPU/2 actors and the light fused/shuffle stages share the rest.
+    # shuffle_partitions=NCPU keeps every all-to-all at a P x P task
+    # matrix proportional to the cluster.
     result = run_flagship(ds, reference_seed=42,
-                          parity_concurrency=(2, max(2, NCPU // 2)))
+                          parity_concurrency=max(2, NCPU - max(2, NCPU // 8)),
+                          parity_batch_size=512,
+                          shuffle_partitions=NCPU,
+                          near_dup_mode="sampled",
+                          **DRIFT_BINS)
     n_violations = result.to_table().num_rows
     wall = time.time() - t0
     return {

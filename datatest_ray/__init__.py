@@ -53,6 +53,10 @@ from .stages.global_checks import (  # noqa: F401
     SupersetCheck,
     UniqueCheck,
 )
+from .stages.mapping import GroupAggCheck  # noqa: F401
+from .stages.order import OrderCheck  # noqa: F401
+from .stages.window import tumbling_window  # noqa: F401
+from .stages import dedup, similarity, text  # noqa: F401
 from .pipelines.suite import CheckSuite, ValidationResult  # noqa: F401
 from .pipelines.validate import valid, validate  # noqa: F401
 from .pipelines.acceptance import accepted  # noqa: F401

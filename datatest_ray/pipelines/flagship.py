@@ -45,6 +45,9 @@ def flagship_checks(
     with_near_dup: bool = True,
     parity_concurrency=(2, 8),
     parity_batch_size: int = 256,
+    dim_hi: int = 80,
+    bytes_hi: int = 8192,
+    near_dup_mode: str = "exact",
 ):
     checks = [
         SchemaCheck({
@@ -65,15 +68,19 @@ def flagship_checks(
         ))
     if with_drift:
         checks.append(DriftCheck([
-            BinSpec("w", 0, 80, 40),
-            BinSpec("h", 0, 80, 40),
-            BinSpec("bytes", 0, 8192, 64, source="binary_length"),
+            BinSpec("w", 0, dim_hi, min(dim_hi // 2, 64)),
+            BinSpec("h", 0, dim_hi, min(dim_hi // 2, 64)),
+            BinSpec("bytes", 0, bytes_hi, 64, source="binary_length"),
         ]))
     if with_near_dup:
-        checks.append(PhashNearDupCheck(threshold=4))
+        checks.append(PhashNearDupCheck(threshold=4, mode=near_dup_mode))
     return checks
 
 
-def run_flagship(ds, reference_seed: Optional[int] = None, **kwargs) -> ValidationResult:
-    suite = CheckSuite(flagship_checks(reference_seed=reference_seed, **kwargs), IMAGE_CTX)
+def run_flagship(ds, reference_seed: Optional[int] = None,
+                 shuffle_partitions: Optional[int] = None, **kwargs) -> ValidationResult:
+    import dataclasses
+
+    ctx = dataclasses.replace(IMAGE_CTX, shuffle_partitions=shuffle_partitions)
+    suite = CheckSuite(flagship_checks(reference_seed=reference_seed, **kwargs), ctx)
     return suite.run(ds)

@@ -38,21 +38,56 @@ __all__ = ["CheckSuite", "ValidationResult"]
 class ValidationResult:
     """Lazy handle over the suite's violations Dataset."""
 
-    def __init__(self, violations_ds, checks: Sequence[Check], ctx: RunContext):
+    def __init__(self, violations_ds, checks: Sequence[Check], ctx: RunContext,
+                 pieces: Optional[list] = None,
+                 piece_is_actor_pool: Optional[list] = None):
         self.violations = violations_ds
         self.checks = list(checks)
         self.ctx = ctx
+        self.pieces = pieces  # per-branch violation Datasets (pre-union)
+        self._piece_is_actor_pool = piece_is_actor_pool or (
+            [False] * len(pieces) if pieces else []
+        )
         self._table: Optional[pa.Table] = None
 
     # -- materialization (violations only; expected small) ---------------
     def to_table(self) -> pa.Table:
         if self._table is None:
-            tables = [
-                t for t in self.violations.to_arrow_refs()
-            ]
             import ray
 
-            got = [t for t in ray.get(tables) if t.num_rows]
+            if self.pieces and len(self.pieces) > 1:
+                # run each branch as its OWN streaming execution: one big
+                # unioned plan makes the resource manager split the
+                # cluster across ~20 operators and branch progress
+                # serializes.  Task-pool branches run concurrently
+                # (phase 1); actor-pool branches (decode — the dominant
+                # compute) run AFTER, each with the cluster to itself, so
+                # reserved actors never starve the light branches and
+                # vice versa.
+                from concurrent.futures import ThreadPoolExecutor
+
+                light = [(i, p) for i, p in enumerate(self.pieces)
+                         if not self._piece_is_actor_pool[i]]
+                heavy = [(i, p) for i, p in enumerate(self.pieces)
+                         if self._piece_is_actor_pool[i]]
+                mats = {}
+                if light:
+                    with ThreadPoolExecutor(max_workers=len(light)) as ex:
+                        for (i, _), m in zip(
+                            light, ex.map(lambda ip: ip[1].materialize(), light)
+                        ):
+                            mats[i] = m
+                for i, p in heavy:
+                    mats[i] = p.materialize()
+                refs = [r for i in sorted(mats) for r in mats[i].to_arrow_refs()]
+            else:
+                # materialize once: to_arrow_refs on a lazy union triggers
+                # a separate schema-resolution execution (limit-1 per
+                # branch) that re-runs every shuffle branch
+                mat = self.violations.materialize()
+                self.violations = mat
+                refs = mat.to_arrow_refs()
+            got = [t for t in ray.get(refs) if t.num_rows]
             got = [t.cast(VIOLATION_SCHEMA) for t in got]
             self._table = (
                 pa.concat_tables(got) if got else empty_violations()
@@ -170,6 +205,7 @@ class CheckSuite:
                     f"not present in dataset schema {sorted(have)}"
                 )
         pieces = []
+        piece_pool = []
         if fused:
             cols = self._pruned_columns(ds, fused)
             fused_input = ds.select_columns(cols) if cols else ds
@@ -187,12 +223,15 @@ class CheckSuite:
                     run_fused, batch_format="pyarrow", zero_copy_batch=True
                 )
             )
+            piece_pool.append(False)
         for c in solo:
             pieces.append(c.violations(ds, ctx))
+            piece_pool.append(bool(getattr(c, "actor_pool", False)))
         if not pieces:
             violations = rd.from_arrow(empty_violations())
         else:
             violations = pieces[0]
             for p in pieces[1:]:
                 violations = violations.union(p)
-        return ValidationResult(violations, self.checks, ctx)
+        return ValidationResult(violations, self.checks, ctx, pieces=pieces,
+                                piece_is_actor_pool=piece_pool)

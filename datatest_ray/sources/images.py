@@ -64,6 +64,10 @@ class ImageFixtureSpec:
         p_bad_cap: float = 0.003,
         p_phash_dup: float = 0.004,
         drift_last_partition: bool = True,
+        dim_mu: float = 3.0,
+        dim_sigma: float = 0.35,
+        dim_lo: int = 8,
+        dim_hi: int = 48,
     ):
         self.n_rows = n_rows
         self.seed = seed
@@ -77,6 +81,10 @@ class ImageFixtureSpec:
         self.p_bad_cap = p_bad_cap
         self.p_phash_dup = p_phash_dup
         self.drift_last_partition = drift_last_partition
+        self.dim_mu = dim_mu
+        self.dim_sigma = dim_sigma
+        self.dim_lo = dim_lo
+        self.dim_hi = dim_hi
 
     @property
     def n_parts(self) -> int:
@@ -127,10 +135,14 @@ def generate_batch(indices: np.ndarray, spec: ImageFixtureSpec) -> pa.Table:
         i = int(i)
         rng = _row_rng(seed, i)
         part = i // spec.rows_per_part
-        # dimensions: log-normal-ish in [8, 48] (payload kept small)
+        # dimensions: log-normal-ish in [dim_lo, dim_hi] (spec knobs —
+        # tests keep small payloads; BENCH uses realistic image sizes so
+        # decode work dominates, as in the north-star workload)
         scale = 1.25 if part == drift_part else 1.0
-        w = int(np.clip(np.exp(rng.normal(3.0, 0.35)) * scale, 8, 48))
-        h = int(np.clip(np.exp(rng.normal(3.0, 0.35)) * scale, 8, 48))
+        w = int(np.clip(np.exp(rng.normal(spec.dim_mu, spec.dim_sigma)) * scale,
+                        spec.dim_lo, spec.dim_hi))
+        h = int(np.clip(np.exp(rng.normal(spec.dim_mu, spec.dim_sigma)) * scale,
+                        spec.dim_lo, spec.dim_hi))
 
         near_dup_of = None
         if rng.rand() < spec.p_phash_dup and i > 0:
@@ -139,8 +151,10 @@ def generate_batch(indices: np.ndarray, spec: ImageFixtureSpec) -> pa.Table:
             src_rng = _row_rng(seed, near_dup_of)
             src_part = near_dup_of // spec.rows_per_part
             s_scale = 1.25 if src_part == drift_part else 1.0
-            w = int(np.clip(np.exp(src_rng.normal(3.0, 0.35)) * s_scale, 8, 48))
-            h = int(np.clip(np.exp(src_rng.normal(3.0, 0.35)) * s_scale, 8, 48))
+            w = int(np.clip(np.exp(src_rng.normal(spec.dim_mu, spec.dim_sigma)) * s_scale,
+                            spec.dim_lo, spec.dim_hi))
+            h = int(np.clip(np.exp(src_rng.normal(spec.dim_mu, spec.dim_sigma)) * s_scale,
+                            spec.dim_lo, spec.dim_hi))
             pixels = reference_pixels(seed, near_dup_of, w, h)
             jitter = rng.randint(-2, 3, pixels.shape)
             pixels = np.clip(pixels.astype(np.int32) + jitter, 0, 255).astype(np.uint8)

@@ -30,7 +30,7 @@ import pyarrow as pa
 
 from ..differences import VIOLATION_SCHEMA, empty_violations, violations_table
 
-__all__ = ["RunContext", "Check", "StatelessCheck", "column_or_none", "mask_to_violations"]
+__all__ = ["RunContext", "Check", "StatelessCheck", "column_or_none", "mask_to_violations", "coalesced"]
 
 
 @dataclass(frozen=True)
@@ -40,6 +40,18 @@ class RunContext:
     partition_col: Optional[str] = None   # column carrying the partition id
     row_ref_col: Optional[str] = None     # column identifying a row
     default_partition: str = ""           # used when partition_col is absent
+    # coalesce intermediate datasets to this many blocks before each
+    # all-to-all (groupby/aggregate) so the shuffle task matrix is P x P
+    # instead of n_blocks x n_blocks; None = keep input partitioning
+    # (the right default at cluster scale, where block count ~ cluster)
+    shuffle_partitions: Optional[int] = None
+
+
+def coalesced(ds, ctx: "RunContext"):
+    """Apply the ctx shuffle coalescing to a pre-shuffle dataset."""
+    if ctx.shuffle_partitions:
+        return ds.repartition(ctx.shuffle_partitions)
+    return ds
 
 
 def column_or_none(batch: pa.Table, name: Optional[str]):

@@ -160,9 +160,17 @@ def _shingle_rows(ds, text_col: str, id_col: str, n: int):
     )
 
 
+def _pair_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic mix of a doc-id pair into one uint64 (the pair
+    shuffle key)."""
+    C = np.uint64(0x9E3779B97F4A7C15)
+    return (a.astype(np.uint64) * C + b.astype(np.uint64)) * C
+
+
 def _emit_pairs_from_coarse_group(group: pa.Table) -> pa.Table:
-    """All ordered pairs (a<b) of docs sharing a shingle, for every
-    shingle hashed into this coarse bucket — one vectorized pass."""
+    """Candidate pairs (a<b, with co-occurrence counts COMBINED within
+    this bucket) of docs sharing a shingle hashed into this coarse
+    bucket — one vectorized pass, no per-shingle Python."""
     docs = group.column("doc").to_numpy(zero_copy_only=False)
     sh = group.column("sh").to_numpy(zero_copy_only=False)
     nsh = group.column("nsh").to_numpy(zero_copy_only=False)
@@ -170,12 +178,25 @@ def _emit_pairs_from_coarse_group(group: pa.Table) -> pa.Table:
     docs, sh, nsh = docs[order], sh[order], nsh[order]
     _, counts = np.unique(sh, return_counts=True)
     ii, jj = _segment_pairs(counts)
+    a, b, na, nb = docs[ii], docs[jj], nsh[ii], nsh[jj]
+    # local combiner: collapse duplicate (a, b) pairs before the shuffle
+    order2 = np.lexsort((b, a))
+    a, b, na, nb = a[order2], b[order2], na[order2], nb[order2]
+    new = np.ones(len(a), dtype=bool)
+    if len(a):
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    seg = np.cumsum(new) - 1
+    c = np.bincount(seg)
+    first = np.flatnonzero(new)
+    a, b, na, nb = a[first], b[first], na[first], nb[first]
     return pa.table(
         {
-            "a": pa.array(docs[ii]),
-            "b": pa.array(docs[jj]),
-            "na": pa.array(nsh[ii]),
-            "nb": pa.array(nsh[jj]),
+            "pc": pa.array((_pair_key(a, b) % np.uint64(_N_COARSE)).astype(np.int64)),
+            "a": pa.array(a),
+            "b": pa.array(b),
+            "na": pa.array(na),
+            "nb": pa.array(nb),
+            "c": pa.array(c),
         }
     )
 
@@ -186,11 +207,11 @@ def jaccard_pairs_exact(ds, text_col: str, id_col: str, *, n: int = 3,
     """Every document pair with n-token-shingle Jaccard >= threshold:
     (a, b, j).  Exact — matches the DuckDB all-pairs oracle.  Cost is
     sum over shingles of df² pair emissions, so this is the small/verify
-    path; minhash_lsh_pairs is the scale path."""
-    from ray.data.aggregate import Count, Max
+    path; minhash_lsh_pairs is the scale path.
 
-    import pyarrow.compute as pc
-
+    Both shuffles group on a bounded coarse key (shingle-hash buckets,
+    then pair-hash buckets) with fully vectorized per-group combines —
+    never a groupby over millions of tiny (a, b) groups."""
     inv = _shingle_rows(ds, text_col, id_col, n)
     if shuffle_partitions:
         # small/medium inputs: coalesce before the all-to-all so the
@@ -201,26 +222,32 @@ def jaccard_pairs_exact(ds, text_col: str, id_col: str, *, n: int = 3,
     )
     if shuffle_partitions:
         pairs = pairs.repartition(shuffle_partitions)
-    co = pairs.groupby(["a", "b"]).aggregate(
-        Count(alias_name="c"), Max("na", alias_name="na"), Max("nb", alias_name="nb")
-    )
 
-    def finalize(t: pa.Table) -> pa.Table:
-        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = t.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = t.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
-        j = c / (na + nb - c)
+    def combine_and_finalize(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        na = group.column("na").to_numpy(zero_copy_only=False)
+        nb = group.column("nb").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, na, nb, c = a[order], b[order], na[order], nb[order], c[order]
+        new = np.ones(len(a), dtype=bool)
+        if len(a):
+            new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        seg = np.cumsum(new) - 1
+        csum = np.bincount(seg, weights=c)
+        first = np.flatnonzero(new)
+        af, bf = a[first], b[first]
+        j = csum / (na[first].astype(np.float64) + nb[first] - csum)
         keep = j >= threshold
         return pa.table(
-            {
-                "a": t.column("a").filter(pa.array(keep)),
-                "b": t.column("b").filter(pa.array(keep)),
-                "j": pa.array(j[keep]),
-            }
+            {"a": pa.array(af[keep]), "b": pa.array(bf[keep]),
+             "j": pa.array(j[keep])}
         )
 
-    _ = pc  # (imported for parity with sibling kernels)
-    return co.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    return pairs.groupby("pc").map_groups(
+        combine_and_finalize, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -93,7 +93,9 @@ class DriftCheck(Check):
                     .to_numpy(zero_copy_only=False)
                 )
                 ok = ~np.isnan(v)
-                idx = np.floor((v - s.lo) / (s.hi - s.lo) * s.bins).astype(np.int64)
+                idx = np.floor(
+                    (np.where(ok, v, s.lo) - s.lo) / (s.hi - s.lo) * s.bins
+                ).astype(np.int64)
                 idx = np.clip(idx + 1, 0, s.bins + 1)
                 for pi, pname in enumerate(uniq_parts):
                     m = ok & (inv == pi)
@@ -112,9 +114,14 @@ class DriftCheck(Check):
                 "n": pa.array(out_n, pa.int64()),
             })
 
+        from .base import coalesced
+
         cols_needed = sorted({s.column for s in specs} | ({part_col} if part_col else set()))
-        partials = ds.select_columns(cols_needed).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
+        partials = coalesced(
+            ds.select_columns(cols_needed).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ctx,
         )
         merged = partials.groupby(["col", "part", "bucket"]).aggregate(
             Sum("n", alias_name="n")

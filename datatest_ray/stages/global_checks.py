@@ -88,38 +88,68 @@ class UniqueCheck(Check):
             return pa.table({"v": vc.field("values"),
                              "n": vc.field("counts").cast(pa.int64())})
 
-        partials = ds.select_columns([col]).map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
+        from .base import coalesced
+        from ..functions.aggregates import hash64
+
+        partials = coalesced(
+            ds.select_columns([col]).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ctx,
         )
-        totals = partials.groupby("v").aggregate(Sum("n", alias_name="n"))
+        # ONE shuffle on a bounded coarse key (hash of the value), then a
+        # fully vectorized per-group combine — never a groupby with one
+        # tiny group per distinct value
+        _ = Sum  # Ray built-in kept for the decomposable-aggregate variants
+
+        def add_coarse(batch: pa.Table) -> pa.Table:
+            h = hash64(batch.column("v")) % np.uint64(256)
+            return batch.append_column("coarse", pa.array(h.astype(np.int64)))
+
+        partials = partials.map_batches(
+            add_coarse, batch_format="pyarrow", zero_copy_batch=True
+        )
 
         check_id, emit = self.check_id, self.emit
         default_part = ctx.default_partition
 
-        def to_violations(batch: pa.Table) -> pa.Table:
-            mask = pc.greater(batch.column("n"), 1)
-            dups = batch.filter(mask)
-            if dups.num_rows == 0:
+        def combine_to_violations(group: pa.Table) -> pa.Table:
+            values = group.column("v").combine_chunks()
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            v_np = values.to_numpy(zero_copy_only=False)
+            order = np.argsort(v_np, kind="stable")
+            v_np, n = v_np[order], n[order]
+            new_seg = np.ones(len(v_np), dtype=bool)
+            if len(v_np):
+                new_seg[1:] = v_np[1:] != v_np[:-1]
+            seg = np.cumsum(new_seg) - 1
+            totals = np.bincount(seg, weights=n).astype(np.int64)
+            first = np.flatnonzero(new_seg)
+            dup = totals > 1
+            if not dup.any():
                 return empty_violations()
-            values = dups.column("v").combine_chunks()
-            counts = dups.column("n").to_numpy(zero_copy_only=False)
+            take = pa.array(order[first[dup]])
+            dup_values = values.take(take)
+            counts = totals[dup]
             if emit == "per_value":
                 return violations_table(
-                    dups.num_rows, check_id=check_id, kind="extra",
-                    partition_id=default_part, value=values,
-                    value_num=_value_num(values),
+                    len(counts), check_id=check_id, kind="extra",
+                    partition_id=default_part, value=dup_values,
+                    value_num=_value_num(dup_values),
                     deviation=pa.array((counts - 1).astype(np.float64)),
                 )
             reps = (counts - 1).astype(np.int64)
             idx = np.repeat(np.arange(len(reps)), reps)
-            values_rep = values.take(pa.array(idx))
+            values_rep = dup_values.take(pa.array(idx))
             return violations_table(
                 len(idx), check_id=check_id, kind="extra",
                 partition_id=default_part, value=values_rep,
                 value_num=_value_num(values_rep),
             )
 
-        return totals.map_batches(to_violations, batch_format="pyarrow")
+        return partials.groupby("coarse").map_groups(
+            combine_to_violations, batch_format="pyarrow"
+        )
 
 
 def _distinct_partials(ds, column: str):

@@ -217,3 +217,30 @@ def test_lang_id_unknown_and_stopwords(ray_session):
     )
     out = lang_id(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
     assert out["lang_pred"].tolist() == ["en", "de", "unknown"]
+
+
+def test_order_check(ray_session):
+    import ray.data as rd
+
+    from datatest_ray import OrderCheck, RunContext
+
+    ds = rd.from_arrow(
+        pa.table({"pos": pa.array([2, 0, 1, 3], pa.int64()),
+                  "v": ["b", "a", "x", "d"]})
+    )
+    # ordered by pos: a, x, b, d ; required: a, b, c, d
+    out = OrderCheck("v", ["a", "b", "c", "d"], pos_col="pos").violations(
+        ds, RunContext()
+    ).to_pandas()
+    got = set(zip(out["kind"], out["value"], out["value_num"]))
+    assert ("extra", "x", 1.0) in got
+    assert ("missing", "c", 3.0) in got
+    assert len(out) == 2
+
+    clean = rd.from_arrow(
+        pa.table({"pos": pa.array([1, 0], pa.int64()), "v": ["b", "a"]})
+    )
+    out2 = OrderCheck("v", ["a", "b"], pos_col="pos").violations(
+        clean, RunContext()
+    )
+    assert out2.count() == 0
