@@ -56,6 +56,11 @@ from .stages.global_checks import (  # noqa: F401
 from .stages.mapping import GroupAggCheck  # noqa: F401
 from .stages.order import OrderCheck  # noqa: F401
 from .stages.window import tumbling_window  # noqa: F401
+from .stages.salting import (  # noqa: F401
+    add_salt_column,
+    salted_distinct_count,
+    salted_group_map,
+)
 from .stages import dedup, similarity, text  # noqa: F401
 from .pipelines.suite import CheckSuite, ValidationResult  # noqa: F401
 from .pipelines.validate import valid, validate  # noqa: F401

@@ -626,6 +626,23 @@ def _materialize(result):
     return result
 
 
+def q_salted_distinct_supp(sf_dir: str):
+    # skew handling: l_returnflag has 3 values over the whole table; the
+    # two-stage value-hash salt spreads each hot key over 32 reducers
+    from ..stages.salting import salted_distinct_count
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    return _materialize(
+        salted_distinct_count(ds, "l_returnflag", "l_suppkey", salt=32)
+    )
+
+
+SQL_SALTED_DISTINCT_SUPP = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_distinct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -656,6 +673,7 @@ def queries() -> Dict[str, Callable]:
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_ann_lsh": q_sim_ann_lsh,
         "window_hourly": q_window_hourly,
+        "salted_distinct_supp": q_salted_distinct_supp,
         "hll_distinct_parts": q_hll_distinct_parts,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
     }
@@ -689,4 +707,5 @@ def oracle_sql() -> Dict[str, str]:
         "sim_neardup_cosine": SQL_SIM_NEARDUP_COSINE,
         "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
         "window_hourly": SQL_WINDOW_HOURLY,
+        "salted_distinct_supp": SQL_SALTED_DISTINCT_SUPP,
     }

@@ -244,3 +244,42 @@ def test_order_check(ray_session):
         clean, RunContext()
     )
     assert out2.count() == 0
+
+
+def test_salted_distinct_count(ray_session):
+    import ray.data as rd
+
+    from datatest_ray import salted_distinct_count
+
+    # skewed key: 'hot' has 1000 rows but only 7 distinct values
+    k = ["hot"] * 1000 + ["cold"] * 10
+    v = [i % 7 for i in range(1000)] + list(range(100, 110))
+    ds = rd.from_arrow(pa.table({"k": k, "v": pa.array(v, pa.int64())}))
+    out = salted_distinct_count(ds, "k", "v", salt=8).to_pandas()
+    got = dict(zip(out["k"], out["n_distinct"]))
+    assert got == {"hot": 7, "cold": 10}
+
+
+def test_salted_group_map(ray_session):
+    import ray.data as rd
+
+    from datatest_ray import salted_group_map
+
+    ds = rd.from_arrow(
+        pa.table({"k": ["a"] * 500 + ["b"] * 20,
+                  "v": pa.array(list(range(500)) + list(range(20)), pa.int64())})
+    )
+
+    def partial(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"k": [group.column("k")[0].as_py()],
+                         "m": [pc.max(group.column("v")).as_py()]})
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"k": [group.column("k")[0].as_py()],
+                         "m": [pc.max(group.column("m")).as_py()]})
+
+    out = salted_group_map(ds, "k", partial, merge, salt=4).to_pandas()
+    got = dict(zip(out["k"], out["m"]))
+    assert got == {"a": 499, "b": 19}
