@@ -61,6 +61,11 @@ from .stages.salting import (  # noqa: F401
     salted_distinct_count,
     salted_group_map,
 )
+from .stages.transforms import (  # noqa: F401
+    extract_image_features,
+    resize_images,
+    sample_frames,
+)
 from .stages import dedup, similarity, text  # noqa: F401
 from .pipelines.suite import CheckSuite, ValidationResult  # noqa: F401
 from .pipelines.validate import valid, validate  # noqa: F401

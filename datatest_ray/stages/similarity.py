@@ -27,6 +27,14 @@ import pyarrow as pa
 __all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs", "ann_lsh_topk"]
 
 
+def _pa_ids(arr: np.ndarray):
+    """Arrow array from an id numpy array of ANY type (int keys and
+    string keys both supported)."""
+    if arr.dtype == object:
+        return pa.array(arr.tolist(), pa.string())
+    return pa.array(arr)
+
+
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -84,15 +92,16 @@ def topk_cosine(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
             # the k-th place can never select a different winner
             order = np.lexsort((ids, -col))[:kk]
             finite = order[np.isfinite(col[order])]
-            out_q.append(np.full(len(finite), q_ids_l[qi], dtype=np.int64))
-            out_n.append(ids[finite].astype(np.int64))
+            out_q.append(np.full(len(finite), q_ids_l[qi],
+                                 dtype=q_ids_l.dtype if hasattr(q_ids_l, "dtype") else None))
+            out_n.append(ids[finite])
             out_s.append(col[finite])
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(out_q) if out_q else
-                                     np.empty(0, np.int64)),
-                "neighbor_id": pa.array(np.concatenate(out_n) if out_n else
-                                        np.empty(0, np.int64)),
+                "query_id": _pa_ids(np.concatenate(out_q) if out_q else
+                                    np.empty(0, np.int64)),
+                "neighbor_id": _pa_ids(np.concatenate(out_n) if out_n else
+                                       np.empty(0, np.int64)),
                 "sim": pa.array(np.concatenate(out_s) if out_s else
                                 np.empty(0, np.float64)),
             }
@@ -105,8 +114,8 @@ def topk_cosine(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
         order = np.lexsort((nids, -sims))[:k]
         return pa.table(
             {
-                "query_id": pa.array(qids[order]),
-                "neighbor_id": pa.array(nids[order]),
+                "query_id": _pa_ids(qids[order]),
+                "neighbor_id": _pa_ids(nids[order]),
                 "sim": pa.array(np.round(sims[order], 6)),
             }
         )
@@ -142,8 +151,8 @@ def neardup_cosine_pairs(ds, *, id_col: str, vec_col: str,
         keep = a < b  # each unordered pair reported once, from the a-side batch
         return pa.table(
             {
-                "a": pa.array(a[keep].astype(np.int64)),
-                "b": pa.array(b[keep].astype(np.int64)),
+                "a": _pa_ids(a[keep]),
+                "b": _pa_ids(b[keep]),
                 "sim": pa.array(np.round(sims[ii, jj][keep], 6)),
             }
         )
@@ -171,8 +180,8 @@ def ann_lsh_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
     q_codes = ((q_mat @ planes) > 0).astype(np.int64) @ powers
     by_bucket: dict = {}
     for qid, code in zip(q_ids, q_codes):
-        by_bucket.setdefault(int(code), []).append(int(qid))
-    q_ref = ray.put((dict(zip(map(int, q_ids), q_mat)), by_bucket, planes))
+        by_bucket.setdefault(int(code), []).append(qid)
+    q_ref = ray.put((dict(zip(q_ids, q_mat)), by_bucket, planes))
 
     def probe(batch: pa.Table) -> pa.Table:
         q_vecs, buckets, pl = ray.get(q_ref)
@@ -191,16 +200,17 @@ def ann_lsh_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
             for col, qid in enumerate(qids):
                 s = sims[:, col]
                 mask = sub_ids != qid
-                out_q.append(np.full(mask.sum(), qid, dtype=np.int64))
-                out_n.append(sub_ids[mask].astype(np.int64))
+                out_q.append(np.full(mask.sum(), qid,
+                                     dtype=sub_ids.dtype))
+                out_n.append(sub_ids[mask])
                 out_s.append(s[mask])
         empty = not out_q
         return pa.table(
             {
-                "query_id": pa.array(np.empty(0, np.int64) if empty else
-                                     np.concatenate(out_q)),
-                "neighbor_id": pa.array(np.empty(0, np.int64) if empty else
-                                        np.concatenate(out_n)),
+                "query_id": _pa_ids(np.empty(0, np.int64) if empty else
+                                    np.concatenate(out_q)),
+                "neighbor_id": _pa_ids(np.empty(0, np.int64) if empty else
+                                       np.concatenate(out_n)),
                 "sim": pa.array(np.empty(0, np.float64) if empty else
                                 np.concatenate(out_s)),
             }

@@ -1,0 +1,189 @@
+"""Multimodal transform stages: decode / resize / feature-extract /
+frame-sample over opaque ``binary`` payload columns.
+
+Engine extensions for training-data pipelines (not in the datatest
+reference).  Every stage is an ACTOR-POOL ``map_batches`` callable class
+— codec state is built once per actor in ``__init__``, work happens per
+batch — with small batch sizes because the payload column is wide.
+
+The sandbox has no PIL/ffmpeg: the image path runs fully (the engine's
+pure-numpy PNG/lossy codecs from functions/png.py); the video
+frame-sampler's decode step is STUBBED behind NotImplementedError with a
+deterministic fake available for tests — the Ray-side plumbing (schema,
+batch signature, actor pool, output layout) is real and tested either
+way.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.png import decode_image, png_encode
+
+__all__ = ["ImageResizer", "ImageFeatureExtractor", "FrameSampler",
+           "resize_images", "extract_image_features", "sample_frames"]
+
+
+def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize (pure numpy)."""
+    sh, sw = img.shape[:2]
+    yy = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xx = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return img[np.ix_(yy, xx)]
+
+
+class ImageResizer:
+    """Actor-pool callable: decode -> nearest-neighbor resize -> PNG
+    re-encode.  Output schema: (id, bytes, w, h); undecodable payloads
+    pass through as null bytes with w=h=0 (they are the decode check's
+    problem, not the transform's)."""
+
+    def __init__(self, width: int, height: int, id_col: str = "image_id",
+                 bytes_col: str = "bytes"):
+        self.width, self.height = width, height
+        self.id_col, self.bytes_col = id_col, bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        out = []
+        for payload in batch.column(self.bytes_col).to_pylist():
+            try:
+                img = decode_image(payload)
+            except Exception:
+                out.append(None)
+                continue
+            out.append(png_encode(_resize_nn(img, self.width, self.height)))
+        ok = [p is not None for p in out]
+        return pa.table(
+            {
+                self.id_col: ids,
+                "bytes": pa.array(out, pa.binary()),
+                "w": pa.array([self.width if k else 0 for k in ok], pa.int32()),
+                "h": pa.array([self.height if k else 0 for k in ok], pa.int32()),
+            }
+        )
+
+
+class ImageFeatureExtractor:
+    """Actor-pool callable: decode -> 66-dim feature vector
+    (64 normalized 8x8 block means + global mean + std).  Output:
+    (id, embedding list<float>).  The embedding feeds directly into
+    stages/similarity.py (cosine top-k / near-dup) — image near-dup via
+    embedding distance."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes"):
+        self.id_col, self.bytes_col = id_col, bytes_col
+
+    @staticmethod
+    def features(img: np.ndarray) -> np.ndarray:
+        g = img.astype(np.float64)
+        if g.ndim == 3:
+            g = g.mean(axis=2)
+        h, w = g.shape
+        h8, w8 = max(h // 8, 1) * 8, max(w // 8, 1) * 8
+        if h < 8 or w < 8:
+            g = np.kron(g, np.ones((max(1, -(-8 // h)), max(1, -(-8 // w)))))
+            h, w = g.shape
+            h8, w8 = h // 8 * 8, w // 8 * 8
+        g8 = g[:h8, :w8]
+        blocks = g8.reshape(8, h8 // 8, 8, w8 // 8).mean(axis=(1, 3))
+        feats = np.concatenate([(blocks / 255.0).ravel(),
+                                [g.mean() / 255.0, g.std() / 255.0]])
+        return feats.astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, vecs = [], []
+        id_list = batch.column(self.id_col).to_pylist()
+        for i, payload in enumerate(batch.column(self.bytes_col).to_pylist()):
+            try:
+                img = decode_image(payload)
+            except Exception:
+                continue
+            ids.append(id_list[i])
+            vecs.append(self.features(img))
+        return pa.table(
+            {
+                self.id_col: pa.array(ids),
+                "embedding": pa.array([v.tolist() for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool callable for VIDEO payloads: sample ``n_frames``
+    evenly-spaced frames per clip, emit one row per frame
+    (id, frame_idx, bytes).  No video codec exists in this sandbox, so
+    the real decoder is a clearly-marked stub; ``fake=True`` substitutes
+    a deterministic synthetic decoder so the plumbing (schema, explode
+    layout, actor signature) is testable."""
+
+    def __init__(self, n_frames: int = 4, id_col: str = "video_id",
+                 bytes_col: str = "bytes", fake: bool = False):
+        self.n_frames = n_frames
+        self.id_col, self.bytes_col = id_col, bytes_col
+        self.fake = fake
+
+    def _decode_frames(self, payload: bytes) -> list:
+        if self.fake:
+            rng = np.random.RandomState(len(payload) % (2**31))
+            total = 16
+            return [rng.randint(0, 256, (8, 8)).astype(np.uint8)
+                    for _ in range(total)]
+        raise NotImplementedError(
+            "video decode requires a codec library not present in this "
+            "environment; plug a decoder in here (payload -> [frames])"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        out_id, out_idx, out_bytes = [], [], []
+        for i, payload in enumerate(batch.column(self.bytes_col).to_pylist()):
+            frames = self._decode_frames(payload)
+            n = len(frames)
+            take = np.linspace(0, n - 1, min(self.n_frames, n)).astype(int)
+            for j in take:
+                out_id.append(ids[i])
+                out_idx.append(int(j))
+                out_bytes.append(png_encode(frames[j]))
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+            }
+        )
+
+
+def _actor_stage(ds, cls, columns, *, concurrency=4, batch_size=128, **kw):
+    return ds.select_columns(columns).map_batches(
+        cls, fn_constructor_kwargs=kw, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def resize_images(ds, width: int, height: int, *, id_col="image_id",
+                  bytes_col="bytes", concurrency=4, batch_size=128):
+    return _actor_stage(ds, ImageResizer, [id_col, bytes_col],
+                        concurrency=concurrency, batch_size=batch_size,
+                        width=width, height=height, id_col=id_col,
+                        bytes_col=bytes_col)
+
+
+def extract_image_features(ds, *, id_col="image_id", bytes_col="bytes",
+                           concurrency=4, batch_size=128):
+    return _actor_stage(ds, ImageFeatureExtractor, [id_col, bytes_col],
+                        concurrency=concurrency, batch_size=batch_size,
+                        id_col=id_col, bytes_col=bytes_col)
+
+
+def sample_frames(ds, n_frames: int = 4, *, id_col="video_id",
+                  bytes_col="bytes", fake=False, concurrency=4,
+                  batch_size=64):
+    return _actor_stage(ds, FrameSampler, [id_col, bytes_col],
+                        concurrency=concurrency, batch_size=batch_size,
+                        n_frames=n_frames, id_col=id_col,
+                        bytes_col=bytes_col, fake=fake)
