@@ -195,7 +195,7 @@ class CheckSuite:
         from ..stages.row_checks import SchemaCheck
 
         for c in self.checks:
-            if isinstance(c, SchemaCheck) or not isinstance(c, StatelessCheck):
+            if isinstance(c, SchemaCheck):
                 continue
             needed = [getattr(c, "column", None)] + list(getattr(c, "columns", []) or [])
             missing = [m for m in needed if m and m not in have]

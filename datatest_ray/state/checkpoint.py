@@ -86,7 +86,8 @@ class CheckpointedRun:
 
     # -- execution --------------------------------------------------------
     def _write_unit(self, key: str, result: ValidationResult,
-                    partitions: Optional[Sequence[str]]) -> None:
+                    partitions: Optional[Sequence[str]],
+                    metrics: Optional[Dict] = None) -> None:
         udir = self._unit_dir(key)
         tmp = udir + ".tmp"
         if os.path.exists(tmp):
@@ -97,6 +98,8 @@ class CheckpointedRun:
         verdicts = result.verdicts(partitions=partitions)
         with open(os.path.join(tmp, "verdicts.json"), "w") as f:
             json.dump(verdicts.to_pylist(), f)
+        with open(os.path.join(tmp, "metrics.json"), "w") as f:
+            json.dump(metrics or {}, f)
         open(os.path.join(tmp, "_DONE"), "w").close()
         if os.path.exists(udir):
             shutil.rmtree(udir)
@@ -109,25 +112,40 @@ class CheckpointedRun:
         summary dict (also written to out_dir/summary.json)."""
         import ray.data as rd
 
+        import time
+
         units = self.plan_units(input_files)
         ran, skipped = [], []
         for key, paths in units:
             if self.unit_done(key):
                 skipped.append(key)
                 continue
+            t0 = time.time()
             ds = rd.read_parquet(paths)
+            n_rows = ds.count()
             result = CheckSuite(self.per_partition_checks, self.ctx).run(ds)
             parts = partitions_of(paths) if partitions_of else None
-            self._write_unit(key, result, parts)
+            wall = time.time() - t0
+            self._write_unit(key, result, parts, metrics={
+                "n_rows": n_rows, "wall_s": round(wall, 3),
+                "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+                "n_violations": result.to_table().num_rows,
+                "input_files": list(paths),
+            })
             ran.append(key)
             if on_unit:
                 on_unit(key)
         if self.global_checks:
             gkey = "__global__"
             if not self.unit_done(gkey):
+                t0 = time.time()
                 ds = rd.read_parquet(list(input_files))
                 result = CheckSuite(self.global_checks, self.ctx).run(ds)
-                self._write_unit(gkey, result, None)
+                wall = time.time() - t0
+                self._write_unit(gkey, result, None, metrics={
+                    "wall_s": round(wall, 3),
+                    "n_violations": result.to_table().num_rows,
+                })
                 ran.append(gkey)
             else:
                 skipped.append(gkey)
@@ -138,12 +156,19 @@ class CheckpointedRun:
         units_dir = os.path.join(self.out_dir, "units")
         all_verdicts: List[dict] = []
         n_violations = 0
+        total_rows, total_wall = 0, 0.0
         for key in sorted(os.listdir(units_dir)):
             udir = os.path.join(units_dir, key)
             if not os.path.exists(os.path.join(udir, "_DONE")):
                 continue
             with open(os.path.join(udir, "verdicts.json")) as f:
                 all_verdicts.extend(json.load(f))
+            mp = os.path.join(udir, "metrics.json")
+            if os.path.exists(mp):
+                with open(mp) as f:
+                    m = json.load(f)
+                total_rows += int(m.get("n_rows") or 0)
+                total_wall += float(m.get("wall_s") or 0.0)
             vp = os.path.join(udir, "violations.parquet")
             if os.path.exists(vp):
                 n_violations += pq.read_metadata(vp).num_rows
@@ -156,6 +181,9 @@ class CheckpointedRun:
             "n_violations": n_violations,
             "n_failed_verdicts": sum(1 for v in all_verdicts if not v["passed"]),
             "n_verdicts": len(all_verdicts),
+            "n_rows_validated": total_rows,
+            "wall_s_units": round(total_wall, 3),
+            "rows_per_sec": round(total_rows / total_wall, 1) if total_wall else None,
             "ran": ran or [],
             "skipped": skipped or [],
         }
