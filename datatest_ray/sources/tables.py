@@ -1,0 +1,62 @@
+"""Table source with the Lance-first read path (BASELINE.json
+input_hint: "Lance table of image + caption pairs").
+
+At scale the flagship input is a Lance dataset whose FRAGMENTS are the
+validation partitions (`ray.data.read_lance` exists in Ray 2.49).  The
+sandbox has no ``lance`` python package, so :func:`read_table`
+auto-detects: a ``.lance`` path uses ``read_lance`` when the package is
+importable, anything else (or a missing package) falls back to
+``read_parquet`` — same Dataset, same downstream plan.  Parquet files
+stand in for fragments locally (state/checkpoint.py treats one file =
+one partition unit).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Union
+
+__all__ = ["read_table", "lance_available"]
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def read_table(path: Union[str, Sequence[str]], *,
+               columns: Optional[Sequence[str]] = None,
+               fmt: str = "auto", **kwargs):
+    """Read a table as a ray.data.Dataset.
+
+    fmt='auto': ``.lance`` directory -> read_lance (if the package is
+    present), else parquet.  fmt='lance' | 'parquet' force the path.
+    ``columns`` prunes at the read for both formats.
+    """
+    import ray.data as rd
+
+    first = path if isinstance(path, str) else next(iter(path))
+    if fmt == "auto":
+        fmt = "lance" if str(first).rstrip("/").endswith(".lance") else "parquet"
+    if fmt == "lance":
+        if not lance_available():
+            raise ImportError(
+                "lance is not installed in this environment; pass parquet "
+                "paths (the local stand-in) or install lance"
+            )
+        return rd.read_lance(path, columns=list(columns) if columns else None,
+                             **kwargs)
+    if fmt != "parquet":
+        raise ValueError(f"unknown table format {fmt!r}")
+    if isinstance(path, str) and os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        path = files or path
+    return rd.read_parquet(path, columns=list(columns) if columns else None,
+                           **kwargs)

@@ -78,3 +78,19 @@ def test_frame_sampler_fake_and_stub(ray_session):
         FrameSampler(fake=False)(pa.table({
             "video_id": ["v"], "bytes": pa.array([b"zz"], pa.binary()),
         }))
+
+
+def test_read_table_source(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from datatest_ray.sources.tables import lance_available, read_table
+
+    pq.write_table(pa.table({"x": [1, 2, 3]}), str(tmp_path / "t.parquet"))
+    ds = read_table(str(tmp_path))  # directory of parquet files
+    assert ds.count() == 3
+    ds2 = read_table(str(tmp_path / "t.parquet"), columns=["x"])
+    assert ds2.schema().names == ["x"]
+
+    assert not lance_available()  # sandbox has no lance package
+    with pytest.raises(ImportError):
+        read_table("/nope/table.lance")
