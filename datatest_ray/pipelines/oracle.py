@@ -643,6 +643,36 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_cms_event_counts(sf_dir: str):
+    """Count-Min heavy hitters over event_type: per-block CMS partials
+    merged via AggregateFnV2, then the (small) distinct key set queried
+    against the merged sketch.  With |keys| << sketch width the CM
+    estimate equals the exact count, so the plain GROUP BY is a valid
+    oracle (the sketch path itself is what's under test)."""
+    import numpy as np
+
+    from ..functions.aggregates import CountMinSketch, SketchAggregate
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    row = ds.aggregate(
+        SketchAggregate(on="event_type",
+                        factory=lambda: CountMinSketch(width=2048, depth=5),
+                        alias_name="cms")
+    )
+    cms = row["cms"]
+    keys = sorted(
+        ds.groupby("event_type").count().to_pandas()["event_type"].tolist()
+    )
+    est = cms.query(np.asarray(keys, dtype=object))
+    return pa.table({"event_type": pa.array(keys),
+                     "est_count": pa.array(est.astype("int64"))})
+
+
+SQL_CMS_EVENT_COUNTS = """
+SELECT event_type, count(*) AS est_count FROM events GROUP BY event_type
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -674,6 +704,7 @@ def queries() -> Dict[str, Callable]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "window_hourly": q_window_hourly,
         "salted_distinct_supp": q_salted_distinct_supp,
+        "cms_event_counts": q_cms_event_counts,
         "hll_distinct_parts": q_hll_distinct_parts,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
     }
@@ -708,4 +739,5 @@ def oracle_sql() -> Dict[str, str]:
         "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
         "window_hourly": SQL_WINDOW_HOURLY,
         "salted_distinct_supp": SQL_SALTED_DISTINCT_SUPP,
+        "cms_event_counts": SQL_CMS_EVENT_COUNTS,
     }

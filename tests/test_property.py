@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis): the vectorized kernels must agree
+with their per-element Python definitions on arbitrary inputs, and the
+sketches must stay within their accuracy envelopes."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# no Ray needed: these exercise the pure kernels
+
+
+# ---------------------------------------------------------------------------
+# Predicate compiler: Predicate.mask(arrow array) == [pred(v) for v]
+# ---------------------------------------------------------------------------
+
+_scalar = st.one_of(
+    st.integers(-1000, 1000),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(alphabet="abcxyz0123456789", max_size=8),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+       st.integers(-50, 50))
+def test_predicate_scalar_mask_matches_python(values, target):
+    from datatest_ray.predicate import Predicate
+
+    pred = Predicate(target)
+    arr = pa.array(values, pa.int64())
+    mask = pred.mask(arr)
+    want = np.array([pred(v) for v in values], dtype=bool)
+    assert np.array_equal(mask, want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="abcxy", max_size=6), min_size=1, max_size=60),
+       st.sets(st.text(alphabet="abcxy", max_size=6), min_size=1, max_size=5))
+def test_predicate_set_mask_matches_python(values, domain):
+    from datatest_ray.predicate import Predicate
+
+    pred = Predicate(domain)
+    arr = pa.array(values, pa.string())
+    mask = pred.mask(arr)
+    want = np.array([v in domain for v in values], dtype=bool)
+    assert np.array_equal(mask, want)
+    inv = (~pred).mask(arr)
+    assert np.array_equal(inv, ~want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=1, max_size=60),
+       st.floats(min_value=-10, max_value=10, allow_nan=False),
+       st.floats(min_value=0.1, max_value=20, allow_nan=False))
+def test_interval_kernel_matches_python(values, lo, width):
+    from datatest_ray.stages.base import RunContext
+    from datatest_ray.stages.row_checks import IntervalCheck
+
+    hi = lo + width
+    chk = IntervalCheck("v", min=lo, max=hi)
+    batch = pa.table({"v": pa.array(values, pa.float64())})
+    out = chk.kernel(batch, RunContext())
+    want_bad = [v < lo or v > hi for v in values]
+    assert out.num_rows == sum(want_bad)
+    # every reported deviation equals value - violated bound
+    for vn, dv in zip(out.column("value_num").to_pylist(),
+                      out.column("deviation").to_pylist()):
+        bound = lo if vn < lo else hi
+        assert math.isclose(dv, vn - bound, rel_tol=1e-9, abs_tol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Sequence alignment (order check) against difflib reference semantics
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.sampled_from("abcde"), max_size=12),
+       st.lists(st.sampled_from("abcde"), max_size=12))
+def test_order_alignment_round_trip(values, required):
+    """Applying the reported extras/missings reconciles the sequences:
+    count(values) - extras + missings == count(required) per element."""
+    from collections import Counter
+
+    from datatest_ray.stages.order import check_order_sequence
+
+    diffs = check_order_sequence(values, required)
+    c = Counter(values)
+    for kind, (_i, v) in diffs:
+        if kind == "extra":
+            c[v] -= 1
+        else:
+            c[v] += 1
+    assert +c == +Counter(required)
+
+
+# ---------------------------------------------------------------------------
+# Sketch accuracy envelopes
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(100, 20000), st.integers(0, 2**31 - 1))
+def test_hll_within_error_bound(n_distinct, seed):
+    from datatest_ray.functions.aggregates import HyperLogLog
+
+    rng = np.random.RandomState(seed)
+    values = rng.randint(0, 2**62, size=n_distinct)
+    # split across 4 "blocks" and merge — the AggregateFnV2 path
+    # (update() hashes to full-range uint64; raw 62-bit ints would leave
+    # the top bucket bits cold)
+    hs = [HyperLogLog(p=12).update(chunk)
+          for chunk in np.array_split(values, 4)]
+    merged = hs[0]
+    for h in hs[1:]:
+        merged.merge(h)
+    est = merged.estimate()
+    true = len(np.unique(values))
+    assert abs(est - true) / true < 0.08  # ~1.04/sqrt(4096) = 1.6%, 5x slack
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_tdigest_quantiles_close(seed):
+    from datatest_ray.functions.aggregates import TDigest
+
+    rng = np.random.RandomState(seed)
+    data = rng.lognormal(3.0, 1.0, size=5000)
+    tds = []
+    for chunk in np.array_split(data, 5):
+        td = TDigest(200.0)
+        td.update(chunk)
+        tds.append(td)
+    merged = tds[0]
+    for t in tds[1:]:
+        merged.merge(t)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true = np.quantile(data, q)
+        # rank error: the estimate's true rank must be within 2% of q
+        rank = (data <= est).mean()
+        assert abs(rank - q) < 0.02
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_cms_never_underestimates(seed):
+    from datatest_ray.functions.aggregates import CountMinSketch, hash64
+
+    rng = np.random.RandomState(seed)
+    values = rng.zipf(1.5, size=3000).astype(np.int64) % 500
+    cms = CountMinSketch(width=2048, depth=5)
+    cms.update(values)
+    uniq, counts = np.unique(values, return_counts=True)
+    est = cms.query(uniq)
+    assert (est >= counts).all()          # CMS never undercounts
+    assert (est - counts).max() <= 3000 * 5 / 2048 * 4  # loose CM bound
