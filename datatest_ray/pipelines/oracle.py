@@ -673,6 +673,29 @@ SELECT event_type, count(*) AS est_count FROM events GROUP BY event_type
 """
 
 
+def q_asof_click_purchase(sf_dir: str):
+    """As-of join: every click joined to the user's latest prior
+    purchase (tie-immune outputs: matched timestamp + gap, epoch us)."""
+    from ..stages.joins import asof_join_latest
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join_latest(clicks, purchases, by="user_id", ts="ts",
+                           left_id="event_id")
+    return _materialize(out.select_columns(["left_id", "prior_ts_us", "gap_us"]))
+
+
+SQL_ASOF_CLICK_PURCHASE = """
+SELECT a.event_id AS left_id,
+       epoch_us(b.ts) AS prior_ts_us,
+       epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -705,6 +728,7 @@ def queries() -> Dict[str, Callable]:
         "window_hourly": q_window_hourly,
         "salted_distinct_supp": q_salted_distinct_supp,
         "cms_event_counts": q_cms_event_counts,
+        "asof_click_purchase": q_asof_click_purchase,
         "hll_distinct_parts": q_hll_distinct_parts,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
     }
@@ -740,4 +764,5 @@ def oracle_sql() -> Dict[str, str]:
         "window_hourly": SQL_WINDOW_HOURLY,
         "salted_distinct_supp": SQL_SALTED_DISTINCT_SUPP,
         "cms_event_counts": SQL_CMS_EVENT_COUNTS,
+        "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     }

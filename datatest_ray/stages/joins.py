@@ -1,0 +1,85 @@
+"""As-of join (time-series point lookup) — a custom operator Ray Data
+lacks (SURVEY.md §2.H "joins/lookups"; the reference has none either).
+
+``asof_join_latest(left, right, by=..., ts=...)``: for every left row,
+find the LATEST right row of the same ``by`` key with
+``right.ts <= left.ts``.
+
+Plan (no dedicated join operator needed): both sides project to one
+tagged schema, union, ONE ``groupby(by)`` shuffle, and a vectorized
+per-key merge (sort right timestamps once, ``np.searchsorted`` for all
+left rows).  Partitioning assumption: a single ``by`` key's rows fit in
+one group (true for per-user/per-entity event streams; salt by time
+range via stages/salting.py if a key is pathologically hot).
+
+Output columns are tie-immune: the matched right TIMESTAMP (epoch µs)
+and the gap, never a payload column an equal-timestamp tie could make
+ambiguous across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["asof_join_latest"]
+
+
+def _project(ds, by: str, ts: str, id_col: str, side: int):
+    def kernel(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch.column(ts), pa.timestamp("us")), pa.int64())
+        ids = (
+            batch.column(id_col)
+            if side == 1
+            else pa.nulls(batch.num_rows, pa.int64())
+        )
+        return pa.table(
+            {
+                "k": batch.column(by),
+                "ts_us": ts_us,
+                "left_id": ids,
+                "side": pa.array(
+                    np.full(batch.num_rows, side, dtype=np.int8)
+                ),
+            }
+        )
+
+    cols = [by, ts] + ([id_col] if side == 1 else [])
+    return ds.select_columns(cols).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def asof_join_latest(left_ds, right_ds, *, by: str, ts: str,
+                     left_id: str):
+    """(left_id, k, prior_ts_us, gap_us) — one row per LEFT row; nulls
+    when no right row precedes it."""
+    tagged = _project(left_ds, by, ts, left_id, side=1).union(
+        _project(right_ds, by, ts, left_id, side=0)
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ts_us = group.column("ts_us").to_numpy(zero_copy_only=False)
+        lmask = side == 1
+        l_ts = ts_us[lmask]
+        r_ts = np.sort(ts_us[~lmask])
+        lid = group.column("left_id").filter(pa.array(lmask))
+        key = group.column("k").filter(pa.array(lmask))
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        has = idx >= 0
+        prior = np.where(has, r_ts[np.maximum(idx, 0)], 0)
+        prior_arr = pa.array(
+            [int(p) if h else None for p, h in zip(prior, has)], pa.int64()
+        )
+        gap_arr = pa.array(
+            [int(l - p) if h else None for l, p, h in zip(l_ts, prior, has)],
+            pa.int64(),
+        )
+        return pa.table(
+            {"left_id": lid, "k": key, "prior_ts_us": prior_arr,
+             "gap_us": gap_arr}
+        )
+
+    return tagged.groupby("k").map_groups(merge, batch_format="pyarrow")

@@ -94,3 +94,28 @@ def test_read_table_source(ray_session, tmp_path):
     assert not lance_available()  # sandbox has no lance package
     with pytest.raises(ImportError):
         read_table("/nope/table.lance")
+
+
+def test_asof_join_latest(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.joins import asof_join_latest
+
+    def us(sec):
+        return sec * 1_000_000
+
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "u": ["a", "a", "b", "b"],
+        "ts": pa.array([us(10), us(30), us(5), us(50)], pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "u": ["a", "a", "b"],
+        "ts": pa.array([us(8), us(20), us(40)], pa.timestamp("us")),
+    }))
+    out = asof_join_latest(left, right, by="u", ts="ts", left_id="id").to_pandas()
+    got = {r.left_id: (r.prior_ts_us, r.gap_us) for r in out.itertuples()}
+    assert got[1] == (us(8), us(2))     # latest prior of a@10 is a@8
+    assert got[2] == (us(20), us(10))   # a@30 -> a@20
+    assert np.isnan(got[3][0])          # b@5 has no prior purchase
+    assert got[4] == (us(40), us(10))   # b@50 -> b@40
