@@ -696,6 +696,59 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
 """
 
 
+def q_sessionize_users(sf_dir: str):
+    from ..stages.sessions import sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return _materialize(sessionize(ev, by="user_id", ts="ts", gap_s=3600))
+
+
+SQL_SESSIONIZE_USERS = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(3600 AS BIGINT) * 1000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), per_session AS (
+  SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2
+)
+SELECT user_id, sum(n) AS n_events, count(*) AS n_sessions,
+       max(n) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def q_accepted_tolerance_quantity(sf_dir: str):
+    """Acceptance algebra over the violations dataset: interval
+    violations on l_quantity with ``accepted.tolerance(5)`` applied —
+    only deviations beyond +/-5 remain (reference `with accepted(...)`
+    semantics, E7 in SURVEY.md §2.E)."""
+    from ..pipelines.acceptance import accepted
+    from ..stages.base import RunContext
+    from ..stages.row_checks import IntervalCheck
+    from .suite import CheckSuite
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    result = CheckSuite([IntervalCheck("l_quantity", min=1, max=30)],
+                        RunContext()).run(ds)
+    remaining = accepted.tolerance(5).filter_violations(result.to_table())
+    return remaining.select(["value_num", "deviation", "kind"])
+
+
+SQL_ACCEPTED_TOLERANCE_QUANTITY = """
+SELECT CAST(l_quantity AS DOUBLE) AS value_num,
+       CAST(l_quantity AS DOUBLE) - (CASE WHEN l_quantity < 1 THEN 1 ELSE 30 END) AS deviation,
+       'deviation' AS kind
+FROM lineitem
+WHERE (l_quantity < 1 OR l_quantity > 30)
+  AND abs(l_quantity - (CASE WHEN l_quantity < 1 THEN 1 ELSE 30 END)) > 5
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -729,6 +782,8 @@ def queries() -> Dict[str, Callable]:
         "salted_distinct_supp": q_salted_distinct_supp,
         "cms_event_counts": q_cms_event_counts,
         "asof_click_purchase": q_asof_click_purchase,
+        "sessionize_users": q_sessionize_users,
+        "accepted_tolerance_quantity": q_accepted_tolerance_quantity,
         "hll_distinct_parts": q_hll_distinct_parts,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
     }
@@ -765,4 +820,6 @@ def oracle_sql() -> Dict[str, str]:
         "salted_distinct_supp": SQL_SALTED_DISTINCT_SUPP,
         "cms_event_counts": SQL_CMS_EVENT_COUNTS,
         "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+        "sessionize_users": SQL_SESSIONIZE_USERS,
+        "accepted_tolerance_quantity": SQL_ACCEPTED_TOLERANCE_QUANTITY,
     }
