@@ -749,6 +749,21 @@ WHERE (l_quantity < 1 OR l_quantity > 30)
 """
 
 
+def q_order_region(sf_dir: str):
+    """Order-sensitive sequence check (B10; bounded data by design —
+    difflib alignment is not SQL-expressible, so rows-only contract):
+    region names ordered by r_regionkey vs the expected sequence."""
+    from ..stages.base import RunContext
+    from ..stages.order import OrderCheck
+
+    ds = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    required = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    v = OrderCheck("r_name", required, pos_col="r_regionkey").violations(
+        ds, RunContext()
+    )
+    return _materialize(v).select(["kind", "value", "value_num"])
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -784,6 +799,7 @@ def queries() -> Dict[str, Callable]:
         "asof_click_purchase": q_asof_click_purchase,
         "sessionize_users": q_sessionize_users,
         "accepted_tolerance_quantity": q_accepted_tolerance_quantity,
+        "order_region": q_order_region,
         "hll_distinct_parts": q_hll_distinct_parts,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
     }
