@@ -164,15 +164,24 @@ def _distinct_partials(ds, column: str):
 
 
 def _distinct(ds, column: str):
-    """Globally-distinct values dataset {'v': ...} (one shuffle over
-    per-block distincts)."""
-    from ray.data.aggregate import Count
+    """Globally-distinct values dataset {'v': ...}: ONE shuffle on a
+    bounded coarse key, Arrow-native dedup inside each group (never a
+    groupby with one group per distinct value)."""
+    from ..functions.aggregates import hash64
 
+    def add_coarse(t: pa.Table) -> pa.Table:
+        coarse = (hash64(t.column("v")) % np.uint64(256)).astype(np.int64)
+        return pa.table({"coarse": pa.array(coarse), "v": t.column("v")})
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        return group.select(["v"]).group_by("v").aggregate([])
+
+    if column != "v":
+        ds = _distinct_partials(ds, column)  # output column is 'v'
     return (
-        _distinct_partials(ds, column)
-        .groupby("v")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["v"])
+        ds.map_batches(add_coarse, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(dedup_group, batch_format="pyarrow")
     )
 
 
@@ -194,32 +203,47 @@ def _tagged_union_diff(data_distinct, ref_distinct, *, want: str):
 
     want='extra'   -> values present in data but not in reference
     want='missing' -> values present in reference but not in data
-    Single hash shuffle on 'v'; both inputs are already distinct-per-block.
+    ONE hash shuffle on a bounded coarse key (hash(v) % 256) followed by
+    a fully vectorized per-group set-difference — not a groupby with one
+    tiny group per distinct value.
     """
-    from ray.data.aggregate import Max
+    from ..functions.aggregates import hash64
 
-    d = data_distinct.map_batches(
-        lambda t: t.append_column("in_data", pa.array(np.ones(t.num_rows, dtype=np.int64)))
-                   .append_column("in_ref", pa.array(np.zeros(t.num_rows, dtype=np.int64))),
-        batch_format="pyarrow",
-    )
-    r = ref_distinct.map_batches(
-        lambda t: t.append_column("in_data", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
-                   .append_column("in_ref", pa.array(np.ones(t.num_rows, dtype=np.int64))),
-        batch_format="pyarrow",
-    )
-    both = d.union(r).groupby("v").aggregate(
-        Max("in_data", alias_name="in_data"), Max("in_ref", alias_name="in_ref")
-    )
-    if want == "extra":
-        expr = lambda t: t.filter(
-            pc.and_(pc.equal(t.column("in_data"), 1), pc.equal(t.column("in_ref"), 0))
-        )
-    else:
-        expr = lambda t: t.filter(
-            pc.and_(pc.equal(t.column("in_ref"), 1), pc.equal(t.column("in_data"), 0))
-        )
-    return both.map_batches(expr, batch_format="pyarrow").select_columns(["v"])
+    def tag(flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            coarse = (hash64(t.column("v")) % np.uint64(256)).astype(np.int64)
+            return pa.table({
+                "coarse": pa.array(coarse),
+                "v": t.column("v"),
+                "in_data": pa.array(
+                    np.full(t.num_rows, flag, dtype=np.int8)),
+            })
+        return fn
+
+    d = data_distinct.map_batches(tag(1), batch_format="pyarrow")
+    r = ref_distinct.map_batches(tag(0), batch_format="pyarrow")
+
+    keep_data = want == "extra"
+
+    def diff_group(group: pa.Table) -> pa.Table:
+        flags = group.column("in_data").to_numpy(zero_copy_only=False)
+        v = group.column("v")
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        v_np = v.to_numpy(zero_copy_only=False)
+        in_d = set(v_np[flags == 1].tolist())
+        in_r = set(v_np[flags == 0].tolist())
+        wanted = (in_d - in_r) if keep_data else (in_r - in_d)
+        if not wanted:
+            return pa.table({"v": pa.array([], v.type)})
+        mask = np.fromiter(((x in wanted) for x in v_np.tolist()),
+                           dtype=bool, count=len(v_np))
+        # one row per value: take the FIRST occurrence
+        first = pa.table({"v": v.filter(pa.array(mask))}).group_by("v").aggregate([])
+        return first
+
+    return d.union(r).groupby("coarse").map_groups(
+        diff_group, batch_format="pyarrow"
+    ).select_columns(["v"])
 
 
 def _literal_ref_dataset(values, like_type: Optional[pa.DataType] = None):
