@@ -137,6 +137,15 @@ class ValidationResult:
                 rows["n_violations"].append(n)
         return pa.table(rows)
 
+    def write_violations(self, out_dir: str) -> None:
+        """Write the violations as parquet partitioned by check_id —
+        the resumable-output layout (one directory per check; consumers
+        can skip finished checks by directory presence)."""
+        import ray.data as rd
+
+        t = self.to_table()
+        rd.from_arrow(t).write_parquet(out_dir, partition_cols=["check_id"])
+
     @property
     def is_valid(self) -> bool:
         return self.to_table().num_rows == 0

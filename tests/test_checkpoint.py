@@ -102,3 +102,27 @@ def test_atomicity_half_written_unit_ignored(ray_session, fixture_files, tmp_pat
     (fake / "verdicts.json").write_text("[]")
     s2 = run.finalize()
     assert s2["n_units_done"] == s["n_units_done"]  # half unit not counted
+
+
+def test_write_violations_partitioned(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from datatest_ray import CheckSuite, IntervalCheck, RunContext
+
+    ds = rd.from_arrow(pa.table({"v": [1.0, 50.0, -3.0, 5.0]}))
+    res = CheckSuite([IntervalCheck("v", min=0, max=10)], RunContext()).run(ds)
+    out = str(tmp_path / "viol")
+    res.write_violations(out)
+    # hive layout: one directory per check_id
+    subdirs = [d for d in os.listdir(out) if d.startswith("check_id=")]
+    assert len(subdirs) == 1
+    total = sum(
+        pq.read_table(os.path.join(root, f)).num_rows
+        for root, _, files in os.walk(out) for f in files
+        if f.endswith(".parquet")
+    )
+    assert total == 2
