@@ -764,6 +764,30 @@ def q_order_region(sf_dir: str):
     return _materialize(v).select(["kind", "value", "value_num"])
 
 
+def q_sim_ivf_topk(sf_dir: str):
+    # IVF (k-means coarse quantizer) ANN — approximate scale path, so
+    # rows-only; recall vs the exact top-k asserted in unit tests
+    from ..stages.similarity import ivf_topk
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(expr="vec_id < 8")
+    return _materialize(ivf_topk(
+        emb, queries, id_col="vec_id", vec_col="embedding", k=5,
+        n_centroids=16, n_probe=4))
+
+
+def q_fuzzy_event_type(sf_dir: str):
+    # fuzzy string match (B4): difflib ratio is not SQL-expressible, so
+    # rows-only; exact per-element semantics pinned in tests
+    from ..stages.row_checks import FuzzyCheck
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    return _run_check(
+        FuzzyCheck("event_type", "click", cutoff=0.6), ds,
+        ["value", "kind"],
+    )
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -793,6 +817,8 @@ def queries() -> Dict[str, Callable]:
         "sim_neardup_cosine": q_sim_neardup_cosine,
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "fuzzy_event_type": q_fuzzy_event_type,
         "window_hourly": q_window_hourly,
         "salted_distinct_supp": q_salted_distinct_supp,
         "cms_event_counts": q_cms_event_counts,

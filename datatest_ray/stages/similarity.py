@@ -24,7 +24,7 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs", "ann_lsh_topk"]
+__all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs", "ann_lsh_topk", "ivf_topk"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -233,3 +233,99 @@ def ann_lsh_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
         probe, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def ivf_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             train_sample: int = 4096, kmeans_iters: int = 8,
+             seed: int = 13):
+    """Approximate top-k via an IVF (inverted-file) index — the classic
+    ANN scale path alongside hyperplane LSH.
+
+    A coarse quantizer (k-means trained on a bounded sample, plain numpy
+    Lloyd iterations) partitions data vectors into ``n_centroids``
+    buckets; each query exactly reranks only its ``n_probe`` nearest
+    buckets.  One ``groupby(bucket)``-free plan: the centroid matrix is
+    broadcast via ``ray.put`` and every batch compares its rows against
+    the probed-queries set — candidate volume is ~n_probe/n_centroids of
+    brute force.  Approximate (recall grows with n_probe; n_probe =
+    n_centroids degenerates to exact brute force)."""
+    import ray
+
+    # -- train the coarse quantizer on a bounded sample ------------------
+    sample = ds.select_columns([id_col, vec_col]).limit(train_sample)
+    _, train = embedding_matrix(sample, id_col, vec_col)
+    rng = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(train))
+    cents = train[rng.choice(len(train), size=n_centroids, replace=False)]
+    for _ in range(kmeans_iters):
+        sims = train @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            members = train[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+
+    q_ids, q_mat = embedding_matrix(queries_ds, id_col, vec_col)
+    # per query: the n_probe closest centroids
+    probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
+    # centroid -> query rows probing it
+    probing: dict = {}
+    for qi in range(len(q_ids)):
+        for c in probe[qi]:
+            probing.setdefault(int(c), []).append(qi)
+    state = ray.put((q_ids, q_mat, cents, probing))
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        q_ids_l, q_mat_l, cents_l, probing_l = ray.get(state)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize_rows(_batch_matrix(batch, vec_col))
+        assign = np.argmax(mat @ cents_l.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(assign):
+            qrows = probing_l.get(int(c))
+            if not qrows:
+                continue
+            rows = assign == c
+            sub, sub_ids = mat[rows], ids[rows]
+            sims = sub @ q_mat_l[qrows].T
+            for col, qi in enumerate(qrows):
+                qid = q_ids_l[qi]
+                mask = sub_ids != qid
+                out_q.append(np.full(int(mask.sum()), qid,
+                                     dtype=np.asarray(q_ids_l).dtype))
+                out_n.append(sub_ids[mask])
+                out_s.append(sims[:, col][mask])
+        empty = not out_q
+        return pa.table(
+            {
+                "query_id": _pa_ids(np.empty(0, np.int64) if empty else
+                                    np.concatenate(out_q)),
+                "neighbor_id": _pa_ids(np.empty(0, np.int64) if empty else
+                                       np.concatenate(out_n)),
+                "sim": pa.array(np.empty(0, np.float64) if empty else
+                                np.concatenate(out_s)),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        sims = group.column("sim").to_numpy(zero_copy_only=False)
+        nids = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        qids = group.column("query_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": _pa_ids(qids[order]),
+                "neighbor_id": _pa_ids(nids[order]),
+                "sim": pa.array(np.round(sims[order], 6)),
+            }
+        )
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        probe_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(merge_topk,
+                                                   batch_format="pyarrow")

@@ -283,3 +283,25 @@ def test_salted_group_map(ray_session):
     out = salted_group_map(ds, "k", partial, merge, salt=4).to_pandas()
     got = dict(zip(out["k"], out["m"]))
     assert got == {"a": 499, "b": 19}
+
+
+def test_ivf_topk_recall(ray_session):
+    from datatest_ray.stages.similarity import ivf_topk, topk_cosine
+
+    ds, m = _emb_ds(n=128, d=16, seed=5)
+    queries = ds.filter(expr="vec_id < 4")
+    exact = topk_cosine(ds, queries, id_col="vec_id", vec_col="embedding",
+                        k=5).to_pandas()
+    approx = ivf_topk(ds, queries, id_col="vec_id", vec_col="embedding",
+                      k=5, n_centroids=8, n_probe=8).to_pandas()
+    # n_probe == n_centroids probes every bucket -> exact equivalence
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert a == e
+    # fewer probes: still returns k true-cosine neighbors per query
+    small = ivf_topk(ds, queries, id_col="vec_id", vec_col="embedding",
+                     k=5, n_centroids=8, n_probe=2).to_pandas()
+    mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for _, row in small.iterrows():
+        true = float(mm[int(row.query_id)] @ mm[int(row.neighbor_id)])
+        assert abs(true - row.sim) < 1e-5
