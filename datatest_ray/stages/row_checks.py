@@ -66,6 +66,17 @@ class PredicateCheck(StatelessCheck):
 
     def kernel(self, batch: pa.Table, ctx: RunContext) -> pa.Table:
         col = batch.column(self.column)
+        if (
+            callable(self.spec)
+            and not isinstance(self.spec, type)
+            and not hasattr(self.spec, "search")
+            and not self.pred.inverted  # ~pred: plain boolean mask path
+        ):
+            # bare-callable requirement: the reference lets the callable
+            # RETURN a difference object, which becomes the violation
+            # verbatim (datatest requirements.py :: RequiredPredicate) —
+            # a plain truthiness mask would treat it as a pass
+            return self._kernel_callable(batch, col, ctx)
         bad = ~self.pred.mask(col)
         if not bad.any():
             return empty_violations()
@@ -83,6 +94,70 @@ class PredicateCheck(StatelessCheck):
         return mask_to_violations(
             batch, bad, ctx,
             check_id=self.check_id, kind="invalid", value_col=self.column,
+        )
+
+    def _kernel_callable(self, batch: pa.Table, col, ctx: RunContext) -> pa.Table:
+        # NOTE: class-identity checks against the difference types are
+        # deliberately NAME-based: when this package ships to workers by
+        # value (cloudpickle), a user callable can close over a second
+        # copy of the classes and isinstance() would miss them.
+        def _diff_kind(x) -> Optional[str]:
+            names = {c.__name__ for c in type(x).__mro__}
+            if "BaseDifference" not in names or not hasattr(x, "args"):
+                return None
+            for n in ("Missing", "Extra", "Invalid", "Deviation"):
+                if n in names:
+                    return n.lower()
+            return "invalid"
+
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        fn = self.spec
+        n = batch.num_rows
+        bad = np.zeros(n, dtype=bool)
+        kinds: list = []
+        values: list = []
+        expecteds: list = []
+        deviations: list = []
+        value_nums: list = []
+
+        def _num(x):
+            return float(x) if isinstance(x, (int, float)) and not isinstance(
+                x, bool) else None
+
+        plist = arr.to_pylist()
+        for i, v in enumerate(plist):
+            result = fn(v)
+            dkind = _diff_kind(result)
+            if dkind is not None:
+                bad[i] = True
+                args = result.args
+                if dkind == "deviation":
+                    kinds.append("deviation")
+                    values.append(str(v))
+                    value_nums.append(_num(v))
+                    expecteds.append(repr(args[1]) if len(args) > 1 else None)
+                    deviations.append(float(args[0]))
+                else:
+                    kinds.append(dkind)
+                    values.append(repr(args[0]) if args else str(v))
+                    value_nums.append(_num(args[0]) if args else _num(v))
+                    expecteds.append(repr(args[1]) if len(args) > 1 else None)
+                    deviations.append(None)
+            elif not result:
+                bad[i] = True
+                kinds.append("invalid")
+                values.append(str(v))
+                value_nums.append(_num(v))
+                expecteds.append(None)
+                deviations.append(None)
+        if not bad.any():
+            return empty_violations()
+        return mask_to_violations(
+            batch, bad, ctx, check_id=self.check_id,
+            kind=kinds, value=pa.array(values, pa.string()),
+            value_num=pa.array(value_nums, pa.float64()),
+            expected=pa.array(expecteds, pa.string()),
+            deviation=pa.array(deviations, pa.float64()),
         )
 
 

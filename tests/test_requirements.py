@@ -220,3 +220,29 @@ def test_validate_on_dataset(ray_session):
         validate(ds, {"fmt": {"jpeg", "png"}, "w": int})
     assert Extra("bad") in e.value.differences
     validate(ds_of(a=[1, 2]), lambda v: v > 0)
+
+
+def test_callable_returning_difference_objects(ray_session):
+    """Reference parity (RequiredPredicate): a callable requirement may
+    RETURN a difference object, used verbatim as the violation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from datatest_ray import CheckSuite, Deviation, Invalid, PredicateCheck, RunContext
+
+    def req(v):
+        if v == 10:
+            return True
+        if v < 0:
+            return Invalid(v, "non-negative")
+        return Deviation(v - 10, 10)
+
+    ds = rd.from_arrow(pa.table({"v": [10, -2, 13, 10]}))
+    out = CheckSuite([PredicateCheck("v", req, check_id="custom")],
+                     RunContext()).run(ds).to_table()
+    rows = {(k, v): (e, d) for k, v, e, d in zip(
+        out.column("kind").to_pylist(), out.column("value").to_pylist(),
+        out.column("expected").to_pylist(), out.column("deviation").to_pylist())}
+    assert len(rows) == 2
+    assert rows[("invalid", "-2")] == ("'non-negative'", None)
+    assert rows[("deviation", "13")][1] == 3.0
