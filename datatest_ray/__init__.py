@@ -70,5 +70,10 @@ from .stages import dedup, similarity, text  # noqa: F401
 from .pipelines.suite import CheckSuite, ValidationResult  # noqa: F401
 from .pipelines.validate import valid, validate  # noqa: F401
 from .pipelines.acceptance import accepted  # noqa: F401
+from .integrations import (  # noqa: F401
+    compare_datasets,
+    register_accessors,
+    working_directory,
+)
 
 __version__ = "0.1.0"

@@ -456,10 +456,10 @@ class _Validate:
 validate = _Validate()
 
 
-def valid(data: Any, requirement: Any) -> bool:
+def valid(data: Any, requirement: Any, *, columns=None) -> bool:
     """Reference ``datatest/validation.py :: valid`` — bool, no raise."""
     try:
-        validate(data, requirement)
+        validate(data, requirement, columns=columns)
     except ValidationError:
         return False
     return True
