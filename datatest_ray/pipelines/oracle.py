@@ -788,6 +788,23 @@ def q_fuzzy_event_type(sf_dir: str):
     )
 
 
+def q_grouped_topk_orders(sf_dir: str):
+    from ..stages.window import grouped_topk
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice", "o_orderkey"])
+    return grouped_topk(ds, by="o_orderpriority", order_col="o_totalprice",
+                        k=3, tie_col="o_orderkey")
+
+
+SQL_GROUPED_TOPK_ORDERS = """
+SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+    row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -826,6 +843,7 @@ def queries() -> Dict[str, Callable]:
         "sessionize_users": q_sessionize_users,
         "accepted_tolerance_quantity": q_accepted_tolerance_quantity,
         "order_region": q_order_region,
+        "grouped_topk_orders": q_grouped_topk_orders,
         "hll_distinct_parts": q_hll_distinct_parts,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
     }
@@ -864,4 +882,5 @@ def oracle_sql() -> Dict[str, str]:
         "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
         "sessionize_users": SQL_SESSIONIZE_USERS,
         "accepted_tolerance_quantity": SQL_ACCEPTED_TOLERANCE_QUANTITY,
+        "grouped_topk_orders": SQL_GROUPED_TOPK_ORDERS,
     }

@@ -15,7 +15,7 @@ from typing import List, Optional, Sequence
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_window"]
+__all__ = ["tumbling_window", "grouped_topk"]
 
 _UNITS = {"minute", "hour", "day", "week", "month"}
 
@@ -54,3 +54,38 @@ def tumbling_window(ds, ts_col: str, *, unit: str = "hour",
     if sum_col:
         aggs.append(Sum(sum_col, alias_name="total"))
     return projected.groupby(["window"] + by_cols).aggregate(*aggs)
+
+
+def grouped_topk(ds, *, by: str, order_col: str, k: int = 3,
+                 descending: bool = True, tie_col: Optional[str] = None,
+                 keep_cols: Optional[Sequence[str]] = None):
+    """Top-k rows per group — with a per-batch COMBINER: each batch
+    first reduces to its own local top-k per key, so the shuffle moves
+    at most k rows per (key, block) instead of every row.  Final
+    ``groupby(by)`` re-ranks the partials.  Ties break on ``tie_col``
+    ascending (required for deterministic cross-engine results)."""
+    keep = list(keep_cols or [])
+    tie = tie_col or order_col
+    need = list(dict.fromkeys([by, order_col, tie] + keep))
+    import numpy as np
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        order = [(by, "ascending"),
+                 (order_col, "descending" if descending else "ascending"),
+                 (tie, "ascending")]
+        t = batch.select(need).sort_by(order)
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        new = np.ones(len(keys), dtype=bool)
+        if len(keys):
+            new[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(new) - 1
+        counts = np.bincount(seg) if len(keys) else np.array([], dtype=np.int64)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        if len(counts):
+            np.cumsum(counts[:-1], out=starts[1:])
+        rank = np.arange(len(keys)) - starts[seg] if len(keys) else np.array([])
+        return t.filter(pa.array(rank < k))
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby(by).map_groups(local_topk, batch_format="pyarrow")

@@ -305,3 +305,20 @@ def test_ivf_topk_recall(ray_session):
     for _, row in small.iterrows():
         true = float(mm[int(row.query_id)] @ mm[int(row.neighbor_id)])
         assert abs(true - row.sim) < 1e-5
+
+
+def test_grouped_topk(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.window import grouped_topk
+
+    t = pa.table({
+        "g": ["a"] * 5 + ["b"] * 4,
+        "v": [3.0, 9.0, 1.0, 9.0, 7.0, 2.0, 8.0, 8.0, 4.0],
+        "id": pa.array(range(9), pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(3)  # force cross-block combining
+    out = grouped_topk(ds, by="g", order_col="v", k=2, tie_col="id").to_pandas()
+    got = {(r.g, r.v, r.id) for r in out.itertuples()}
+    # a: 9.0@1 then 9.0@3 (tie on v -> smaller id first); b: 8.0@6 then 8.0@7
+    assert got == {("a", 9.0, 1), ("a", 9.0, 3), ("b", 8.0, 6), ("b", 8.0, 7)}
