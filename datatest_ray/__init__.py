@@ -55,7 +55,9 @@ from .stages.global_checks import (  # noqa: F401
 )
 from .stages.mapping import GroupAggCheck  # noqa: F401
 from .stages.order import OrderCheck  # noqa: F401
-from .stages.window import tumbling_window  # noqa: F401
+from .stages.window import grouped_topk, tumbling_window  # noqa: F401
+from .stages.joins import asof_join_latest  # noqa: F401
+from .stages.sessions import sessionize  # noqa: F401
 from .stages.salting import (  # noqa: F401
     add_salt_column,
     salted_distinct_count,
