@@ -31,7 +31,14 @@ class working_directory(ContextDecorator):
 
     def __init__(self, path):
         path = os.fspath(path)
-        if os.path.isfile(path) or os.path.splitext(path)[1]:
+        # Only fall back to the parent for an actual FILE (the upstream
+        # `working_directory(__file__)` idiom) — a dotted directory name
+        # like /data/v1.2 must be used as-is.
+        if os.path.isfile(path) or (
+            not os.path.exists(path)
+            and os.path.splitext(path)[1]
+            and os.path.isdir(os.path.dirname(os.path.abspath(path)))
+        ):
             path = os.path.dirname(os.path.abspath(path))
         self.path = path
         self._saved: list = []

@@ -57,6 +57,18 @@ class BaseAcceptance:
     def accepts(self, diff: BaseDifference, key: Any = None) -> bool:
         raise NotImplementedError
 
+    # -- quota snapshot/rollback (for `&` composition) --------------------
+    # `accepts` may consume one-shot quota (collections, count).  An
+    # intersection must not consume the left side's quota when the right
+    # side then rejects, so quota-bearing acceptances expose a cheap
+    # snapshot of their consumable state.  Stateless acceptances snapshot
+    # to None.
+    def _snapshot(self):
+        return None
+
+    def _restore(self, state) -> None:
+        pass
+
     # -- composition ------------------------------------------------------
     def __or__(self, other: "BaseAcceptance") -> "BaseAcceptance":
         return UnionedAcceptance(self, other)
@@ -135,6 +147,13 @@ class UnionedAcceptance(BaseAcceptance):
         self.a.start()
         self.b.start()
 
+    def _snapshot(self):
+        return (self.a._snapshot(), self.b._snapshot())
+
+    def _restore(self, state):
+        self.a._restore(state[0])
+        self.b._restore(state[1])
+
     def accepts(self, diff, key=None):
         return self.a.accepts(diff, key) or self.b.accepts(diff, key)
 
@@ -149,9 +168,24 @@ class IntersectedAcceptance(BaseAcceptance):
         self.a.start()
         self.b.start()
 
+    def _snapshot(self):
+        return (self.a._snapshot(), self.b._snapshot())
+
+    def _restore(self, state):
+        self.a._restore(state[0])
+        self.b._restore(state[1])
+
     def accepts(self, diff, key=None):
-        # probe b only if a accepts, so quota state stays consistent
-        return self.a.accepts(diff, key) and self.b.accepts(diff, key)
+        # a may consume one-shot quota before b gets a say; if b then
+        # rejects, roll a back so the quota entry stays available for a
+        # later difference that satisfies BOTH sides.
+        state = self.a._snapshot()
+        if not self.a.accepts(diff, key):
+            return False
+        if self.b.accepts(diff, key):
+            return True
+        self.a._restore(state)
+        return False
 
 
 def _diff_identity(d: BaseDifference):
@@ -202,6 +236,15 @@ class AcceptedDifferences(BaseAcceptance):
             }
         else:
             self._quota, self._classes = self._build_quota(self.obj)
+
+    def _snapshot(self):
+        return (
+            dict(self._quota),
+            {k: (dict(q), c) for k, (q, c) in self._key_quota.items()},
+        )
+
+    def _restore(self, state):
+        self._quota, self._key_quota = state
 
     def accepts(self, diff, key=None):
         if isinstance(self.obj, Mapping):
@@ -314,6 +357,12 @@ class AcceptedCount(BaseAcceptance):
 
     def start(self):
         self._left = self.number
+
+    def _snapshot(self):
+        return self._left
+
+    def _restore(self, state):
+        self._left = state
 
     def accepts(self, diff, key=None):
         if self._left > 0:

@@ -207,7 +207,8 @@ class CheckSuite:
             if isinstance(c, SchemaCheck):
                 continue
             needed = [getattr(c, "column", None)] + list(getattr(c, "columns", []) or [])
-            missing = [m for m in needed if m and m not in have]
+            optional = set(getattr(c, "optional_columns", []) or [])
+            missing = [m for m in needed if m and m not in have and m not in optional]
             if missing:
                 raise ValueError(
                     f"check {c.check_id!r} needs column(s) {missing} "

@@ -185,7 +185,9 @@ class ImageParityCheck(Check):
         self.reference_seed = reference_seed
         self.concurrency = concurrency
         self.batch_size = batch_size
-        self.columns = ["image_id", "bytes", "phash", "caption"]
+        self.columns = ["image_id", "bytes", "phash"]
+        # caption parity is checked only when the column exists
+        self.optional_columns = ["caption"]
 
     def violations(self, ds, ctx: RunContext):
         cols = ["image_id", "bytes", "phash"]

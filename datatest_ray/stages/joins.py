@@ -67,16 +67,16 @@ def asof_join_latest(left_ds, right_ds, *, by: str, ts: str,
         r_ts = np.sort(ts_us[~lmask])
         lid = group.column("left_id").filter(pa.array(lmask))
         key = group.column("k").filter(pa.array(lmask))
-        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
-        has = idx >= 0
-        prior = np.where(has, r_ts[np.maximum(idx, 0)], 0)
-        prior_arr = pa.array(
-            [int(p) if h else None for p, h in zip(prior, has)], pa.int64()
-        )
-        gap_arr = pa.array(
-            [int(l - p) if h else None for l, p, h in zip(l_ts, prior, has)],
-            pa.int64(),
-        )
+        prior = np.zeros_like(l_ts)
+        if r_ts.size:
+            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+            has = idx >= 0
+            prior[has] = r_ts[idx[has]]
+        else:
+            # key has left rows but no right rows: all-null match
+            has = np.zeros(l_ts.shape, dtype=bool)
+        prior_arr = pa.array(prior, type=pa.int64(), mask=~has)
+        gap_arr = pa.array(l_ts - prior, type=pa.int64(), mask=~has)
         return pa.table(
             {"left_id": lid, "k": key, "prior_ts_us": prior_arr,
              "gap_us": gap_arr}

@@ -116,6 +116,20 @@ def test_intersection_composition():
             validate([12], 10)
 
 
+def test_intersection_no_quota_leak():
+    # `a & b` with a quota-bearing left side: a's one-shot entry must NOT
+    # be consumed when b rejects, so a later difference satisfying BOTH
+    # sides still matches.
+    acc = accepted([Extra("a")]) & accepted.keys("k1")
+    left = acc.filter({"k2": [Extra("a")], "k1": [Extra("a")]})
+    assert left == {"k2": [Extra("a")]}
+
+    # same through a nested composition on the left side
+    acc = (accepted.count(1) | accepted([Extra("x")])) & accepted.keys("k1")
+    left = acc.filter({"k2": [Extra("q")], "k1": [Extra("q")]})
+    assert left == {"k2": [Extra("q")]}
+
+
 def test_filter_violations_table():
     t = violations_table(
         3, check_id="c", kind="deviation",

@@ -26,6 +26,13 @@ def test_working_directory(tmp_path):
     assert inside() == str(tmp_path)
     assert os.getcwd() == before
 
+    # directory with a dot in its name is used as-is, not its parent
+    dotted = tmp_path / "v1.2"
+    dotted.mkdir()
+    with working_directory(str(dotted)):
+        assert os.getcwd() == str(dotted)
+    assert os.getcwd() == before
+
 
 def test_register_accessors(ray_session):
     import ray.data as rd

@@ -105,9 +105,10 @@ def test_asof_join_latest(ray_session):
         return sec * 1_000_000
 
     left = rd.from_arrow(pa.table({
-        "id": pa.array([1, 2, 3, 4], pa.int64()),
-        "u": ["a", "a", "b", "b"],
-        "ts": pa.array([us(10), us(30), us(5), us(50)], pa.timestamp("us")),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "u": ["a", "a", "b", "b", "c", "c"],
+        "ts": pa.array([us(10), us(30), us(5), us(50), us(7), us(9)],
+                       pa.timestamp("us")),
     }))
     right = rd.from_arrow(pa.table({
         "u": ["a", "a", "b"],
@@ -119,3 +120,6 @@ def test_asof_join_latest(ray_session):
     assert got[2] == (us(20), us(10))   # a@30 -> a@20
     assert np.isnan(got[3][0])          # b@5 has no prior purchase
     assert got[4] == (us(40), us(10))   # b@50 -> b@40
+    # key with left rows but ZERO right rows: all-null match, no crash
+    assert np.isnan(got[5][0]) and np.isnan(got[5][1])
+    assert np.isnan(got[6][0]) and np.isnan(got[6][1])
