@@ -77,5 +77,6 @@ from .integrations import (  # noqa: F401
     register_accessors,
     working_directory,
 )
+from .case import DataTestCase  # noqa: F401
 
 __version__ = "0.1.0"

@@ -175,12 +175,53 @@ class ValidationError(AssertionError):
 
     _max_repr = 10
 
+    # Truncation hooks (reference ``datatest/validation.py ::
+    # _should_truncate / _truncation_notice``, set by the test
+    # integrations): when ``_should_truncate(line_count, char_count)``
+    # returns True, the repr stops there and appends
+    # ``_truncation_notice``.  When unset, the default ``_max_repr``
+    # elision applies.
+    _should_truncate = None
+    _truncation_notice = None
+
     def __init__(self, differences, description: str = "validation failed"):
         self.differences = differences
         self.description = description
         super().__init__(description)
 
+    def _truncation_hook(self):
+        # avoid implicit bound-method binding when a plain function is
+        # assigned as a class attribute (upstream assigns module-level
+        # functions to these hooks)
+        return self.__dict__.get("_should_truncate",
+                                 type(self)._should_truncate)
+
+    def _hook_truncated(self) -> str:
+        should_truncate = self._truncation_hook()
+        diffs = self.differences
+        if isinstance(diffs, dict):
+            all_lines = [f"    {k!r}: {v!r}," for k, v in diffs.items()]
+            n, noun, op, cl = len(diffs), "keys", "{", "}"
+        else:
+            all_lines = [f"    {d!r}," for d in diffs]
+            n, noun, op, cl = len(all_lines), "differences", "[", "]"
+        kept, chars = [], 0
+        truncated = False
+        for line in all_lines:
+            if should_truncate(len(kept) + 1, chars + len(line)):
+                truncated = True
+                break
+            kept.append(line)
+            chars += len(line)
+        body = "\n".join(kept)
+        tail = f"\n    {self._truncation_notice}" if (
+            truncated and self._truncation_notice
+        ) else ""
+        return (f"{self.description} ({n} {noun}):\n{op}\n{body}{tail}\n{cl}")
+
     def __str__(self) -> str:
+        if callable(self._truncation_hook()):
+            return self._hook_truncated()
         diffs = self.differences
         if isinstance(diffs, dict):
             items = list(diffs.items())

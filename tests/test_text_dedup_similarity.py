@@ -322,3 +322,45 @@ def test_grouped_topk(ray_session):
     got = {(r.g, r.v, r.id) for r in out.itertuples()}
     # a: 9.0@1 then 9.0@3 (tie on v -> smaller id first); b: 8.0@6 then 8.0@7
     assert got == {("a", 9.0, 1), ("a", 9.0, 3), ("b", 8.0, 6), ("b", 8.0, 7)}
+
+
+def test_minhash_shuffle_payload_is_fixed_size():
+    # Scale invariant (round-1 verdict #3): the LSH shuffle ships
+    # O(num_perm) bytes per doc per band — INDEPENDENT of document
+    # length — never the shingle sets.
+    from datatest_ray.stages.dedup import _make_minhash_bucket_kernel
+
+    kernel = _make_minhash_bucket_kernel(
+        "text", "doc_id", n=3, num_perm=64, bands=16, seed=7
+    )
+    short = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["one two three four five six", "alpha beta gamma delta eps zeta"],
+    })
+    long = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": [" ".join(f"w{i}" for i in range(500)),
+                 " ".join(f"v{i}" for i in range(800))],
+    })
+    out_s, out_l = kernel(short), kernel(long)
+    assert out_s.schema == out_l.schema
+    assert "shset" not in out_s.schema.names
+    # fixed-size signature lanes; identical payload bytes per doc row
+    assert pa.types.is_fixed_size_list(out_s.schema.field("sig").type)
+    assert out_s.schema.field("sig").type.list_size == 64
+    assert out_s.num_rows == out_l.num_rows == 2 * 16
+    assert out_s.nbytes == out_l.nbytes
+
+
+def test_minhash_signature_only_mode(ray_session):
+    # verify='signature' stays fully streaming (returns a Dataset) and
+    # finds the same planted near-dups with estimated j
+    import ray.data
+    from datatest_ray.stages.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs_ds(), "text", "doc_id", n=3,
+                            threshold=0.5, shuffle_partitions=2,
+                            verify="signature")
+    assert isinstance(out, ray.data.Dataset)
+    mh = out.to_pandas()
+    assert (0, 3) in set(zip(mh["a"], mh["b"]))

@@ -160,3 +160,85 @@ def test_validate_regex_method():
 def test_validate_set_method():
     got = diffs_of(validate.set, ["x", "z"], {"x", "y"})
     assert got == [Extra("z"), Missing("y")]
+
+
+# ---------------------------------------------------------------------------
+# Explicit-method Dataset dispatch: every validate.<name> routed to its
+# distributed Check must yield the SAME difference multiset as the
+# in-memory path on the same values (round-1 verdict gap #1).
+# ---------------------------------------------------------------------------
+
+_METHOD_CASES = [
+    ("predicate", dict(values=[2, 4, 5], args=(lambda v: v % 2 == 0,))),
+    ("regex", dict(values=["foo1", "bar", "foo2"], args=(r"^foo\d$",))),
+    ("approx", dict(values=[1.0, 1.00000001, 1.5], args=(1.0,))),
+    ("fuzzy", dict(values=["color", "xyz"], args=("colour",),
+                   kwargs=dict(cutoff=0.6))),
+    ("interval", dict(values=[0, 5, 12], kwargs=dict(min=1, max=10))),
+    ("set", dict(values=["x", "x", "z"], args=({"x", "y"},))),
+    ("subset", dict(values=["a", "d", "a"], args=({"a", "b", "c"},))),
+    ("superset", dict(values=["a", "b"], args=({"a", "b", "c"},))),
+    ("unique", dict(values=["a", "b", "a", "c", "b", "a"])),
+]
+
+
+def _diff_multiset(diffs):
+    # the violation IR carries numerics as float64, so normalize int->
+    # float before comparing (Deviation(-1, 1) == Deviation(-1.0, 1.0))
+    from collections import Counter
+
+    def norm(v):
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, (int, float)):
+            return float(v)
+        return v
+
+    return Counter(
+        (type(d).__name__, repr(tuple(norm(a) for a in d.args))) for d in diffs
+    )
+
+
+@pytest.mark.parametrize("method,case", _METHOD_CASES,
+                         ids=[m for m, _ in _METHOD_CASES])
+def test_method_dataset_dispatch(ray_session, method, case):
+    import ray.data as rd
+
+    fn = getattr(validate, method)
+    args = case.get("args", ())
+    kwargs = case.get("kwargs", {})
+    with pytest.raises(ValidationError) as e_mem:
+        fn(case["values"], *args, **kwargs)
+    ds = rd.from_items([{"v": v} for v in case["values"]])
+    with pytest.raises(ValidationError) as e_ds:
+        fn(ds, *args, columns=["v"], **kwargs)
+    assert _diff_multiset(e_ds.value.differences) == _diff_multiset(
+        e_mem.value.differences
+    )
+
+
+def test_method_dataset_dispatch_passes(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"v": 5}, {"v": 7}])
+    validate.interval(ds, min=1, max=10, columns=["v"])
+    validate.unique(ds, columns=["v"])
+    assert valid(ds, lambda v: v > 0, columns=["v"])
+
+
+def test_order_dataset_dispatch(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [{"pos": i, "v": v} for i, v in enumerate(["a", "b", "d", "e"])]
+    )
+    with pytest.raises(TypeError):
+        validate.order(ds, ["a", "b", "c"], columns=["v"])  # no pos_col
+    with pytest.raises(ValidationError) as e:
+        validate.order(ds, ["a", "b", "c", "d", "e"], columns=["v"],
+                       pos_col="pos")
+    with pytest.raises(ValidationError) as e_mem:
+        validate.order(["a", "b", "d", "e"], ["a", "b", "c", "d", "e"])
+    assert _diff_multiset(e.value.differences) == _diff_multiset(
+        e_mem.value.differences
+    )
