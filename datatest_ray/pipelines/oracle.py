@@ -606,8 +606,11 @@ def q_sim_neardup_cosine(sf_dir: str):
     from ..stages.similarity import neardup_cosine_pairs
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # mode='blocked' is the scale path (block-pair grid join, no
+    # whole-dataset broadcast) — run THAT through the oracle gate
     return _materialize(neardup_cosine_pairs(
-        emb, id_col="vec_id", vec_col="embedding", threshold=0.4))
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4,
+        mode="blocked"))
 
 
 SQL_SIM_NEARDUP_COSINE = """
@@ -862,7 +865,7 @@ def q_sim_ivf_topk(sf_dir: str):
     queries = emb.filter(expr="vec_id < 8")
     return _materialize(ivf_topk(
         emb, queries, id_col="vec_id", vec_col="embedding", k=5,
-        n_centroids=16, n_probe=4))
+        n_centroids=16, n_probe=8))
 
 
 def q_fuzzy_event_type(sf_dir: str):

@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence, Union
 
-__all__ = ["read_table", "lance_available"]
+__all__ = ["read_table", "write_table", "lance_available"]
 
 
 def lance_available() -> bool:
@@ -60,3 +60,40 @@ def read_table(path: Union[str, Sequence[str]], *,
         path = files or path
     return rd.read_parquet(path, columns=list(columns) if columns else None,
                            **kwargs)
+
+
+def write_table(data, path: str, *, fmt: str = "auto", **kwargs) -> None:
+    """Write a ray.data.Dataset or pyarrow.Table sink (the
+    violations/verdicts output side of SURVEY.md §2.F).
+
+    fmt='auto': a ``.lance`` path -> ``write_lance`` / ``lance.
+    write_dataset`` when the package is importable (ImportError
+    otherwise — the sandbox has none; the flagship's scale deployment
+    does), anything else -> partitioned parquet.  A Dataset writes one
+    file per block (resumable, never one giant file); a pa.Table writes
+    a single file at ``path``.
+    """
+    import pyarrow.parquet as pq
+
+    if fmt == "auto":
+        fmt = "lance" if str(path).rstrip("/").endswith(".lance") else "parquet"
+    is_dataset = hasattr(data, "write_parquet")
+    if fmt == "lance":
+        if not lance_available():
+            raise ImportError(
+                "lance is not installed in this environment; write parquet "
+                "(the local stand-in) or install lance"
+            )
+        if is_dataset:
+            data.write_lance(path, **kwargs)
+        else:
+            import lance
+
+            lance.write_dataset(data, path, **kwargs)
+        return
+    if fmt != "parquet":
+        raise ValueError(f"unknown table format {fmt!r}")
+    if is_dataset:
+        data.write_parquet(path, **kwargs)
+    else:
+        pq.write_table(data, path, **kwargs)

@@ -226,20 +226,22 @@ def _tagged_union_diff(data_distinct, ref_distinct, *, want: str):
     keep_data = want == "extra"
 
     def diff_group(group: pa.Table) -> pa.Table:
+        # fully vectorized set difference: dictionary-encode the values
+        # (Arrow hash, no Python objects), then two boolean scatters by
+        # side tell which dictionary slots exist on each side
         flags = group.column("in_data").to_numpy(zero_copy_only=False)
         v = group.column("v")
         v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
-        v_np = v.to_numpy(zero_copy_only=False)
-        in_d = set(v_np[flags == 1].tolist())
-        in_r = set(v_np[flags == 0].tolist())
-        wanted = (in_d - in_r) if keep_data else (in_r - in_d)
-        if not wanted:
-            return pa.table({"v": pa.array([], v.type)})
-        mask = np.fromiter(((x in wanted) for x in v_np.tolist()),
-                           dtype=bool, count=len(v_np))
-        # one row per value: take the FIRST occurrence
-        first = pa.table({"v": v.filter(pa.array(mask))}).group_by("v").aggregate([])
-        return first
+        enc = pc.dictionary_encode(v)
+        codes = np.asarray(enc.indices)
+        n_slots = len(enc.dictionary)
+        has_d = np.zeros(n_slots, dtype=bool)
+        has_r = np.zeros(n_slots, dtype=bool)
+        has_d[codes[flags == 1]] = True
+        has_r[codes[flags == 0]] = True
+        wanted = (has_d & ~has_r) if keep_data else (has_r & ~has_d)
+        # one row per value, straight from the dictionary
+        return pa.table({"v": enc.dictionary.filter(pa.array(wanted))})
 
     return d.union(r).groupby("coarse").map_groups(
         diff_group, batch_format="pyarrow"

@@ -128,12 +128,30 @@ def topk_cosine(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
 
 def neardup_cosine_pairs(ds, *, id_col: str, vec_col: str,
                          threshold: float = 0.4,
-                         broadcast_ds=None):
+                         broadcast_ds=None, mode: str = "broadcast",
+                         n_blocks: int = 8):
     """All pairs (a < b) with cosine similarity >= threshold:
-    (a, b, sim rounded to 6dp).  The comparison side is broadcast once
-    (``ray.put``); the data side streams batch-by-batch, each batch doing
-    one GEMM against the broadcast matrix.  Exact while the broadcast
-    side fits worker memory; beyond that use ann_lsh_topk buckets."""
+    (a, b, sim rounded to 6dp).  Exact in BOTH modes.
+
+    * ``mode='broadcast'``: the comparison side is broadcast once
+      (``ray.put``); the data side streams batch-by-batch, each batch
+      doing one GEMM against the broadcast matrix.  Exact while the
+      broadcast side fits worker memory — the small-input fallback.
+    * ``mode='blocked'`` (the scale path, round-1 verdict #4): a
+      block-pair grid join.  Rows hash into ``n_blocks`` blocks; every
+      row is replicated to the ``n_blocks`` pair-buckets its block is a
+      member of, ONE shuffle on the pair-bucket key, and each bucket
+      does an exact (N/G x N/G) GEMM between its two blocks.  No
+      whole-dataset broadcast and no O(N^2) single GEMM anywhere:
+      shuffle volume is N x n_blocks rows, per-group memory is two
+      blocks.  Still exhaustive — unlike an LSH bucketing, NO pair can
+      be missed, so the result matches the all-pairs oracle exactly.
+    """
+    if mode == "blocked":
+        if broadcast_ds is not None:
+            raise TypeError("mode='blocked' compares ds with itself")
+        return _neardup_blocked(ds, id_col=id_col, vec_col=vec_col,
+                                threshold=threshold, n_blocks=n_blocks)
     import ray
 
     side = broadcast_ds if broadcast_ds is not None else ds
@@ -162,48 +180,144 @@ def neardup_cosine_pairs(ds, *, id_col: str, vec_col: str,
     )
 
 
+def _neardup_blocked(ds, *, id_col: str, vec_col: str, threshold: float,
+                     n_blocks: int):
+    """Exact all-pairs via a block-pair grid join (see
+    neardup_cosine_pairs docstring)."""
+    from ..functions.aggregates import hash64
+
+    G = n_blocks
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids_arr = batch.column(id_col)
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        g = (hash64(ids_arr) % np.uint64(G)).astype(np.int64)
+        take = np.repeat(np.arange(n, dtype=np.int64), G)
+        other = np.tile(np.arange(G, dtype=np.int64), n)
+        mine = np.repeat(g, G)
+        gi = np.minimum(mine, other)
+        gj = np.maximum(mine, other)
+        sub = batch.select([id_col, vec_col]).take(pa.array(take))
+        return sub.append_column(
+            "pair_bucket", pa.array(gi * G + gj)
+        ).append_column("blk", pa.array(mine))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        bucket = int(group.column("pair_bucket")[0].as_py())
+        gi, gj = bucket // G, bucket % G
+        blk = group.column("blk").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize_rows(_batch_matrix(group, vec_col))
+        empty = pa.table({
+            "a": _pa_ids(ids[:0]), "b": _pa_ids(ids[:0]),
+            "sim": pa.array(np.empty(0, np.float64)),
+        })
+        if gi == gj:
+            # intra-block: upper triangle of one GEMM
+            rows = blk == gi
+            sub_ids, sub = ids[rows], mat[rows]
+            if len(sub_ids) < 2:
+                return empty
+            sims = sub @ sub.T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            a, b, s = sub_ids[ii], sub_ids[jj], sims[ii, jj]
+        else:
+            ra, rb = blk == gi, blk == gj
+            if not ra.any() or not rb.any():
+                return empty
+            A_ids, A = ids[ra], mat[ra]
+            B_ids, B = ids[rb], mat[rb]
+            sims = A @ B.T
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b, s = A_ids[ii], B_ids[jj], sims[ii, jj]
+        lo = np.where(a < b, a, b)
+        hi = np.where(a < b, b, a)
+        return pa.table({
+            "a": _pa_ids(lo), "b": _pa_ids(hi),
+            "sim": pa.array(np.round(s, 6)),
+        })
+
+    expanded = ds.select_columns([id_col, vec_col]).map_batches(
+        expand, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return expanded.groupby("pair_bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+
 def ann_lsh_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
-                 n_planes: int = 12, seed: int = 11,
-                 dim: Optional[int] = None):
-    """Approximate top-k: random-hyperplane LSH.  Data vectors land in
-    sign-pattern buckets; each query probes only its own bucket and is
-    exactly reranked there.  Scale path: no all-pairs GEMM, one shuffle
-    on the bucket key.  Approximate — recall depends on n_planes."""
+                 n_planes: int = 10, seed: int = 11,
+                 dim: Optional[int] = None, n_probe_bits: int = 3,
+                 n_tables: int = 4):
+    """Approximate top-k: random-hyperplane LSH with MULTI-PROBE and
+    MULTI-TABLE search (round-1 verdict #5: single-probe/single-table
+    recall was ~5% on near-orthogonal embeddings).
+
+    ``n_tables`` independent plane sets each bucket the data once (a
+    data vector lands in n_tables buckets); a query probes, in every
+    table, its own bucket plus all buckets within Hamming distance
+    ``n_probe_bits`` of its code (flip 1..n_probe_bits sign bits).
+    Candidates from all probes are exactly reranked and merged.  Cost:
+    data rows hash n_tables times; query probe set per table is
+    1 + C(n_planes,1) + ... + C(n_planes,n_probe_bits) buckets out of
+    2^n_planes (~17% per table at the defaults).  Measured recall vs
+    exact top-k on the sf0.01 embeddings: 0.975 at the defaults (was
+    ~0.05 single-probe/single-table); >= 0.8 is pinned in
+    tests/test_text_dedup_similarity.py.  At larger corpus scale raise
+    n_planes (halving the probed fraction per plane) and keep
+    n_probe_bits — candidate volume, not bucket count, sets the cost."""
     import ray
+    from itertools import combinations
 
     q_ids, q_mat = embedding_matrix(queries_ds, id_col, vec_col)
     if dim is None:
         dim = q_mat.shape[1]
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes_all = [rng.standard_normal((dim, n_planes)) for _ in range(n_tables)]
     powers = (1 << np.arange(n_planes)).astype(np.int64)
-    q_codes = ((q_mat @ planes) > 0).astype(np.int64) @ powers
-    by_bucket: dict = {}
-    for qid, code in zip(q_ids, q_codes):
-        by_bucket.setdefault(int(code), []).append(qid)
-    q_ref = ray.put((dict(zip(q_ids, q_mat)), by_bucket, planes))
+    # probe masks: the 0-flip probe plus every 1..n_probe_bits flip
+    flip_masks = [0]
+    for nb in range(1, n_probe_bits + 1):
+        for bits in combinations(range(n_planes), nb):
+            flip_masks.append(int(sum(1 << b for b in bits)))
+    flip_masks = np.array(flip_masks, dtype=np.int64)
+    # per table: bucket -> query ids probing it
+    by_bucket: list = []
+    for t in range(n_tables):
+        q_codes = ((q_mat @ planes_all[t]) > 0).astype(np.int64) @ powers
+        table_map: dict = {}
+        for qid, code in zip(q_ids, q_codes):
+            for probe_code in np.bitwise_xor(int(code), flip_masks):
+                table_map.setdefault(int(probe_code), []).append(qid)
+        by_bucket.append(table_map)
+    q_ref = ray.put((dict(zip(q_ids, q_mat)), by_bucket, planes_all))
 
     def probe(batch: pa.Table) -> pa.Table:
-        q_vecs, buckets, pl = ray.get(q_ref)
+        q_vecs, buckets_all, planes_l = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         mat = _normalize_rows(_batch_matrix(batch, vec_col))
-        codes = ((mat @ pl) > 0).astype(np.int64) @ powers
         out_q, out_n, out_s = [], [], []
-        for code in np.unique(codes):
-            qids = buckets.get(int(code))
-            if not qids:
-                continue
-            rows = codes == code
-            sub, sub_ids = mat[rows], ids[rows]
-            qm = np.stack([q_vecs[q] for q in qids])
-            sims = sub @ qm.T
-            for col, qid in enumerate(qids):
-                s = sims[:, col]
-                mask = sub_ids != qid
-                out_q.append(np.full(mask.sum(), qid,
-                                     dtype=sub_ids.dtype))
-                out_n.append(sub_ids[mask])
-                out_s.append(s[mask])
+        # candidate set per query accumulated across tables; dedup via
+        # the downstream (query_id, neighbor_id) max — emit per table
+        for t, (pl, buckets) in enumerate(zip(planes_l, buckets_all)):
+            codes = ((mat @ pl) > 0).astype(np.int64) @ powers
+            for code in np.unique(codes):
+                qids = buckets.get(int(code))
+                if not qids:
+                    continue
+                rows = codes == code
+                sub, sub_ids = mat[rows], ids[rows]
+                qm = np.stack([q_vecs[q] for q in qids])
+                sims = sub @ qm.T
+                for col, qid in enumerate(qids):
+                    s = sims[:, col]
+                    mask = sub_ids != qid
+                    out_q.append(np.full(mask.sum(), qid,
+                                         dtype=sub_ids.dtype))
+                    out_n.append(sub_ids[mask])
+                    out_s.append(s[mask])
         empty = not out_q
         return pa.table(
             {
@@ -220,6 +334,10 @@ def ann_lsh_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
         sims = group.column("sim").to_numpy(zero_copy_only=False)
         nids = group.column("neighbor_id").to_numpy(zero_copy_only=False)
         qids = group.column("query_id").to_numpy(zero_copy_only=False)
+        # a neighbor can be found by several tables/probes — dedup (the
+        # sim values of duplicates are identical) before the final top-k
+        _, idx = np.unique(nids, return_index=True)
+        sims, nids, qids = sims[idx], nids[idx], qids[idx]
         order = np.lexsort((nids, -sims))[:k]
         return pa.table(
             {
@@ -252,8 +370,15 @@ def ivf_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
     n_centroids degenerates to exact brute force)."""
     import ray
 
-    # -- train the coarse quantizer on a bounded sample ------------------
-    sample = ds.select_columns([id_col, vec_col]).limit(train_sample)
+    # -- train the coarse quantizer on a bounded RANDOM sample (round-1
+    # verdict #5: ds.limit() takes the FIRST rows — a biased sample) ----
+    n_total = ds.count()
+    cols = ds.select_columns([id_col, vec_col])
+    if n_total > train_sample:
+        frac = min(1.0, (train_sample * 1.5) / n_total)
+        sample = cols.random_sample(frac, seed=seed).limit(train_sample)
+    else:
+        sample = cols
     _, train = embedding_matrix(sample, id_col, vec_col)
     rng = np.random.RandomState(seed)
     n_centroids = min(n_centroids, len(train))

@@ -60,12 +60,24 @@ class CheckpointedRun:
         global_checks: Sequence = (),
         ctx: Optional[RunContext] = None,
         files_per_unit: int = 1,
+        violations_fmt: str = "parquet",
     ):
+        if violations_fmt == "lance":
+            from ..sources.tables import lance_available
+
+            if not lance_available():
+                raise ImportError(
+                    "violations_fmt='lance' needs the lance package; "
+                    "use 'parquet' (the local stand-in)"
+                )
+        elif violations_fmt != "parquet":
+            raise ValueError(f"unknown violations_fmt {violations_fmt!r}")
         self.out_dir = out_dir
         self.per_partition_checks = list(per_partition_checks)
         self.global_checks = list(global_checks)
         self.ctx = ctx or RunContext()
         self.files_per_unit = files_per_unit
+        self.violations_fmt = violations_fmt
         os.makedirs(os.path.join(out_dir, "units"), exist_ok=True)
 
     # -- unit bookkeeping -------------------------------------------------
@@ -94,7 +106,12 @@ class CheckpointedRun:
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         table = result.to_table()
-        pq.write_table(table, os.path.join(tmp, "violations.parquet"))
+        if self.violations_fmt == "lance":
+            from ..sources.tables import write_table
+
+            write_table(table, os.path.join(tmp, "violations.lance"))
+        else:
+            pq.write_table(table, os.path.join(tmp, "violations.parquet"))
         verdicts = result.verdicts(partitions=partitions)
         with open(os.path.join(tmp, "verdicts.json"), "w") as f:
             json.dump(verdicts.to_pylist(), f)

@@ -364,3 +364,55 @@ def test_minhash_signature_only_mode(ray_session):
     assert isinstance(out, ray.data.Dataset)
     mh = out.to_pandas()
     assert (0, 3) in set(zip(mh["a"], mh["b"]))
+
+
+def test_blocked_cosine_pairs_match_broadcast(ray_session):
+    # the scale path (block-pair grid join) is EXACT: identical pair set
+    # and sims to the broadcast small-input path
+    from datatest_ray.stages.similarity import neardup_cosine_pairs
+
+    ds, _ = _emb_ds(n=96)
+    bc = neardup_cosine_pairs(ds, id_col="vec_id", vec_col="embedding",
+                              threshold=0.4).to_pandas()
+    bl = neardup_cosine_pairs(ds, id_col="vec_id", vec_col="embedding",
+                              threshold=0.4, mode="blocked",
+                              n_blocks=4).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["a", "b", "sim"]].values.tolist()))
+    assert key(bl) == key(bc)
+    assert len(bl) >= 1  # planted near-dup present
+
+
+def test_ann_lsh_recall_sf001(ray_session):
+    # round-1 verdict #5: recall >= 0.8 vs exact top-k on the driver's
+    # own embeddings table (was ~0.05 single-probe/single-table)
+    import ray.data as rd
+
+    from datatest_ray.stages.similarity import ann_lsh_topk, topk_cosine
+
+    emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = emb.filter(expr="vec_id < 8")
+    exact = topk_cosine(emb, q, id_col="vec_id", vec_col="embedding",
+                        k=5).to_pandas()
+    ann = ann_lsh_topk(emb, q, id_col="vec_id", vec_col="embedding",
+                       k=5).to_pandas()
+    ex = set(zip(exact.query_id, exact.neighbor_id))
+    an = set(zip(ann.query_id, ann.neighbor_id))
+    assert len(an & ex) / len(ex) >= 0.8
+
+
+def test_ivf_recall_and_random_training(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.similarity import ivf_topk, topk_cosine
+
+    emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = emb.filter(expr="vec_id < 8")
+    exact = topk_cosine(emb, q, id_col="vec_id", vec_col="embedding",
+                        k=5).to_pandas()
+    ivf = ivf_topk(emb, q, id_col="vec_id", vec_col="embedding", k=5,
+                   n_centroids=16, n_probe=8).to_pandas()
+    ex = set(zip(exact.query_id, exact.neighbor_id))
+    iv = set(zip(ivf.query_id, ivf.neighbor_id))
+    assert len(iv & ex) / len(ex) >= 0.8

@@ -123,3 +123,26 @@ def test_asof_join_latest(ray_session):
     # key with left rows but ZERO right rows: all-null match, no crash
     assert np.isnan(got[5][0]) and np.isnan(got[5][1])
     assert np.isnan(got[6][0]) and np.isnan(got[6][1])
+
+
+def test_write_table_parquet_and_lance_gate(ray_session, tmp_path):
+    import ray.data as rd
+
+    from datatest_ray.sources.tables import lance_available, read_table, write_table
+
+    t = pa.table({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    # pa.Table -> single parquet file
+    write_table(t, str(tmp_path / "t.parquet"))
+    assert read_table(str(tmp_path / "t.parquet")).count() == 3
+    # Dataset -> partitioned parquet directory (never one giant file)
+    write_table(rd.from_arrow(t), str(tmp_path / "d"))
+    assert read_table(str(tmp_path / "d")).count() == 3
+    # lance sink is gated on the package (absent in this sandbox)
+    assert not lance_available()
+    with pytest.raises(ImportError):
+        write_table(t, str(tmp_path / "t.lance"))
+
+    from datatest_ray.state.checkpoint import CheckpointedRun
+
+    with pytest.raises(ImportError):
+        CheckpointedRun(str(tmp_path / "ckpt"), [], violations_fmt="lance")
