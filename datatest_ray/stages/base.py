@@ -47,10 +47,18 @@ class RunContext:
     shuffle_partitions: Optional[int] = None
 
 
-def coalesced(ds, ctx: "RunContext"):
-    """Apply the ctx shuffle coalescing to a pre-shuffle dataset."""
-    if ctx.shuffle_partitions:
-        return ds.repartition(ctx.shuffle_partitions)
+def coalesced(ds, ctx: "RunContext", cap: Optional[int] = None):
+    """Apply the ctx shuffle coalescing to a pre-shuffle dataset.
+
+    ``cap`` bounds the partition count below the ctx default — for
+    partial streams that are tiny by construction (drift histograms,
+    sketch partials) a P=NCPU shuffle is pure scheduling overhead; a
+    handful of blocks feeds the downstream groupby just as well."""
+    p = ctx.shuffle_partitions
+    if cap is not None:
+        p = min(p, cap) if p else cap
+    if p:
+        return ds.repartition(p)
     return ds
 
 

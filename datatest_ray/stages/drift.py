@@ -5,17 +5,21 @@ byte-size for the flagship table) against the pooled rest-of-dataset
 distribution.  No scipy in the sandbox — the KS machinery is
 hand-rolled in functions/aggregates.py.
 
-Plan (one streaming pass + one SMALL shuffle):
+Plan (one streaming pass + one SMALL shuffle, fully lazy):
 
-1. ``map_batches``: per batch, per column, histogram counts keyed by
-   (column, partition_id, bucket) — fixed bin spec, so partials are
-   bounded at |cols| x |partitions-touched| x (bins+2) rows per batch;
-2. ``groupby(col, partition_id, bucket).sum`` over partials — the
-   shuffle moves histogram rows, never data rows;
-3. the merged histogram is tiny (P x C x B); collect driver-side,
-   compute per-partition KS vs (global - partition), emit one
-   group-level Deviation row per (column, partition) exceeding the
-   threshold.
+1. ``map_batches``: per batch, ONE row per (column, partition-touched)
+   carrying the whole fixed-size histogram vector (bins+2 lanes) — the
+   shuffle moves histogram vectors, never data rows;
+2. ``groupby(col).map_groups``: per column, sum the partial vectors by
+   partition (vectorized np.add.at), then per-partition KS vs
+   (global - partition) INSIDE the group kernel, emitting the
+   group-level Deviation rows directly.
+
+The whole check is a lazy Dataset plan like every other check, so the
+suite materializes it CONCURRENTLY with the other branches (it
+previously finished driver-side, serializing its full payload read
+before any other branch could start — the dominant fixed cost in the
+round-1 scaling runs).
 
 ``byte-size`` is expressed as a derived column via
 ``pc.binary_length`` so the wide payload itself never leaves the read
@@ -70,11 +74,11 @@ class DriftCheck(Check):
         self.check_id = check_id or f"drift({','.join(s.label for s in self.specs)})"
 
     def violations(self, ds, ctx: RunContext):
-        import ray.data as rd
-        from ray.data.aggregate import Sum
-
         specs = self.specs
         part_col = ctx.partition_col
+        check_id, alpha, min_stat = self.check_id, self.alpha, self.min_stat
+        nbins_of = {s.label: s.bins + 2 for s in specs}
+        max_lanes = max(nbins_of.values())
 
         def partial(batch: pa.Table) -> pa.Table:
             parts = (
@@ -82,8 +86,8 @@ class DriftCheck(Check):
                 if part_col and part_col in batch.column_names
                 else np.asarray([""] * batch.num_rows, dtype=object)
             )
-            out_col, out_part, out_bucket, out_n = [], [], [], []
             uniq_parts, inv = np.unique(parts, return_inverse=True)
+            out_col, out_part, out_hist = [], [], []
             for s in specs:
                 col = batch.column(s.column)
                 if s.source == "binary_length":
@@ -97,71 +101,83 @@ class DriftCheck(Check):
                     (np.where(ok, v, s.lo) - s.lo) / (s.hi - s.lo) * s.bins
                 ).astype(np.int64)
                 idx = np.clip(idx + 1, 0, s.bins + 1)
+                # one histogram VECTOR per partition in one bincount:
+                # flatten (partition, bucket) into a single index space
+                flat = inv[ok] * (s.bins + 2) + idx[ok]
+                counts = np.bincount(
+                    flat, minlength=len(uniq_parts) * (s.bins + 2)
+                ).reshape(len(uniq_parts), s.bins + 2)
                 for pi, pname in enumerate(uniq_parts):
-                    m = ok & (inv == pi)
-                    if not m.any():
+                    if not counts[pi].any():
                         continue
-                    counts = np.bincount(idx[m], minlength=s.bins + 2)
-                    nz = np.flatnonzero(counts)
-                    out_col.extend([s.label] * len(nz))
-                    out_part.extend([pname] * len(nz))
-                    out_bucket.extend(nz.tolist())
-                    out_n.extend(counts[nz].tolist())
+                    h = np.zeros(max_lanes, dtype=np.int64)
+                    h[: s.bins + 2] = counts[pi]
+                    out_col.append(s.label)
+                    out_part.append(pname)
+                    out_hist.append(h)
+            hists = (
+                np.stack(out_hist) if out_hist
+                else np.empty((0, max_lanes), dtype=np.int64)
+            )
             return pa.table({
                 "col": pa.array(out_col, pa.string()),
                 "part": pa.array(out_part, pa.string()),
-                "bucket": pa.array(out_bucket, pa.int64()),
-                "n": pa.array(out_n, pa.int64()),
+                "hist": pa.FixedSizeListArray.from_arrays(
+                    pa.array(hists.reshape(-1)), max_lanes
+                ),
             })
+
+        def ks_group(group: pa.Table) -> pa.Table:
+            label = group.column("col")[0].as_py()
+            nbins = nbins_of[label]
+            parts = np.asarray(group.column("part").to_pylist(), dtype=object)
+            hcol = group.column("hist")
+            if isinstance(hcol, pa.ChunkedArray):
+                hcol = hcol.combine_chunks()
+            H = np.asarray(hcol.values).reshape(len(parts), -1)[:, :nbins]
+            uniq, inv = np.unique(parts, return_inverse=True)
+            mat = np.zeros((len(uniq), nbins), dtype=np.int64)
+            np.add.at(mat, inv, H)
+            total = mat.sum(axis=0)
+            rows = {k: [] for k in ("part", "value_num", "expected_num",
+                                    "deviation")}
+            for pi, p in enumerate(uniq):
+                rest = total - mat[pi]
+                stat = ks_statistic_from_histograms(mat[pi], rest)
+                thresh = max(
+                    ks_threshold(mat[pi].sum(), rest.sum(), alpha), min_stat
+                )
+                if stat > thresh:
+                    rows["part"].append(p)
+                    rows["value_num"].append(stat)
+                    rows["expected_num"].append(thresh)
+                    rows["deviation"].append(stat - thresh)
+            if not rows["part"]:
+                return empty_violations()
+            n = len(rows["part"])
+            return violations_table(
+                n, check_id=check_id, kind="deviation",
+                partition_id=rows["part"], key=label,
+                value=[f"ks={v:.4f}" for v in rows["value_num"]],
+                value_num=rows["value_num"],
+                expected_num=rows["expected_num"],
+                deviation=rows["deviation"],
+            )
 
         from .base import coalesced
 
         cols_needed = sorted({s.column for s in specs} | ({part_col} if part_col else set()))
+        # the partial stream is tiny by construction (|cols| x
+        # partitions-touched histogram vectors per batch) — cap the
+        # pre-groupby coalesce so the final exchange is a handful of
+        # blocks, not an NCPU x NCPU task matrix
         partials = coalesced(
             ds.select_columns(cols_needed).map_batches(
                 partial, batch_format="pyarrow", zero_copy_batch=True
             ),
             ctx,
+            cap=4,
         )
-        merged = partials.groupby(["col", "part", "bucket"]).aggregate(
-            Sum("n", alias_name="n")
+        return partials.groupby("col").map_groups(
+            ks_group, batch_format="pyarrow"
         )
-        # merged is tiny (P x C x B rows): finish driver-side
-        t = merged.to_pandas()
-        rows = {k: [] for k in ("part", "key", "value_num", "expected_num", "deviation")}
-        for s in specs:
-            sub = t[t["col"] == s.label]
-            if sub.empty:
-                continue
-            nbins = s.bins + 2
-            parts = sorted(sub["part"].unique())
-            hists = {}
-            for p in parts:
-                h = np.zeros(nbins, dtype=np.int64)
-                pp = sub[sub["part"] == p]
-                h[pp["bucket"].to_numpy()] = pp["n"].to_numpy()
-                hists[p] = h
-            total = np.sum(list(hists.values()), axis=0)
-            for p in parts:
-                rest = total - hists[p]
-                stat = ks_statistic_from_histograms(hists[p], rest)
-                thresh = max(
-                    ks_threshold(hists[p].sum(), rest.sum(), self.alpha),
-                    self.min_stat,
-                )
-                if stat > thresh:
-                    rows["part"].append(p)
-                    rows["key"].append(s.label)
-                    rows["value_num"].append(stat)
-                    rows["expected_num"].append(thresh)
-                    rows["deviation"].append(stat - thresh)
-        if not rows["part"]:
-            return rd.from_arrow(empty_violations())
-        n = len(rows["part"])
-        return rd.from_arrow(violations_table(
-            n, check_id=self.check_id, kind="deviation",
-            partition_id=rows["part"], key=rows["key"],
-            value=[f"ks={v:.4f}" for v in rows["value_num"]],
-            value_num=rows["value_num"], expected_num=rows["expected_num"],
-            deviation=rows["deviation"],
-        ))

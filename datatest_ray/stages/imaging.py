@@ -372,8 +372,10 @@ class PhashNearDupCheck(Check):
         pairs = exploded.groupby("coarse").map_groups(
             coarse_pairs, batch_format="pyarrow"
         )
-        # a pair may collide in several bands: dedup on (a, b)
-        deduped = coalesced(pairs, ctx).groupby(["a", "b"]).aggregate(
+        # a pair may collide in several bands: dedup on (a, b).  The
+        # pairs stream is tiny (near-dup hits only) — cap the coalesce so
+        # this second exchange is a handful of blocks, not P x P
+        deduped = coalesced(pairs, ctx, cap=4).groupby(["a", "b"]).aggregate(
             Min("d", alias_name="d")
         )
         default_part = ctx.default_partition
