@@ -671,6 +671,117 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_window_hopping(sf_dir: str):
+    """Hopping (sliding) window: 2h windows every 1h — each event lands
+    in two windows (stages/window.py :: hopping_window)."""
+    from ..stages.window import hopping_window
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return hopping_window(ev, "ts", size_s=7200, hop_s=3600,
+                          by=["event_type"], sum_col="value")
+
+
+SQL_WINDOW_HOPPING = """
+WITH ex AS (
+  SELECT date_trunc('hour', ts) - i * INTERVAL 1 HOUR AS ws, event_type, value
+  FROM events CROSS JOIN range(2) AS t(i)
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window, event_type,
+       count(*) AS n, sum(value) AS total
+FROM ex GROUP BY 1, 2
+"""
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Real distributed hash join (ray.data.Dataset.join, SURVEY.md §2.H
+    'joins/lookups'): orders x customer on custkey."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    j = orders.join(cust, join_type="inner", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    return _materialize(j.select_columns(["o_orderkey", "c_name", "c_nationkey"]))
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT o_orderkey, c_name, c_nationkey
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_text_vocab(sf_dir: str):
+    from ..stages.text import vocab_topk
+
+    return _materialize(vocab_topk(_read(sf_dir, "documents", ["text"]),
+                                   "text", k=20))
+
+
+SQL_TEXT_VOCAB = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, count(*) AS n FROM toks WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
+def q_grouped_median_price(sf_dir: str):
+    """Exact grouped quantile (linear interpolation = quantile_cont);
+    the scale path for huge groups is the t-digest sketch
+    (tdigest_price_quantiles, rows-only)."""
+    from ..stages.window import grouped_quantile
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = grouped_quantile(ds, by="l_returnflag", col="l_extendedprice",
+                           q=0.5, alias="med")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("med"), "med",
+                            pc.round(t.column("med"), ndigits=6))
+
+    return _materialize(out.map_batches(rnd, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
+SQL_GROUPED_MEDIAN_PRICE = """
+SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS med
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_emb_label_centroids(sf_dir: str):
+    """Per-label mean embedding exploded to (label, dim, val) — the
+    vector-aggregate combiner pattern (stages/similarity.py ::
+    label_centroids)."""
+    from ..stages.similarity import label_centroids
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    out = label_centroids(emb, label_col="label", vec_col="embedding")
+
+    def widen(t: pa.Table) -> pa.Table:
+        # BIGINT on both sides so the driver's value-hash sees one dtype
+        return pa.table({
+            "label": pc.cast(t.column("label"), pa.int64()),
+            "dim": t.column("dim"),
+            "val": t.column("val"),
+        })
+
+    return _materialize(out.map_batches(widen, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
+SQL_EMB_LABEL_CENTROIDS = """
+WITH u AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS e
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, dim, ROUND(avg(e), 6) AS val
+FROM u GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sketch aggregates (HLL distinct, t-digest quantiles) — approximate, so
 # rows-only contract; accuracy bounds asserted in tests/test_aggregates.py
@@ -939,6 +1050,11 @@ def queries() -> Dict[str, Callable]:
         "hll_distinct_parts": q_hll_distinct_parts,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "method_interval_extprice": q_method_interval_extprice,
+        "window_hopping": q_window_hopping,
+        "join_orders_customer": q_join_orders_customer,
+        "text_vocab": q_text_vocab,
+        "grouped_median_price": q_grouped_median_price,
+        "emb_label_centroids": q_emb_label_centroids,
     }
 
 
@@ -977,4 +1093,9 @@ def oracle_sql() -> Dict[str, str]:
         "accepted_tolerance_quantity": SQL_ACCEPTED_TOLERANCE_QUANTITY,
         "grouped_topk_orders": SQL_GROUPED_TOPK_ORDERS,
         "method_interval_extprice": SQL_METHOD_INTERVAL_EXTPRICE,
+        "window_hopping": SQL_WINDOW_HOPPING,
+        "join_orders_customer": SQL_JOIN_ORDERS_CUSTOMER,
+        "text_vocab": SQL_TEXT_VOCAB,
+        "grouped_median_price": SQL_GROUPED_MEDIAN_PRICE,
+        "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
     }

@@ -24,7 +24,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs", "ann_lsh_topk", "ivf_topk"]
+__all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs",
+           "ann_lsh_topk", "ivf_topk", "label_centroids"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -63,6 +64,55 @@ def embedding_matrix(ds, id_col: str, vec_col: str):
     ids = t.column(id_col).to_numpy(zero_copy_only=False)
     mat = _normalize_rows(_batch_matrix(t, vec_col))
     return ids, mat
+
+
+def label_centroids(ds, *, label_col: str, vec_col: str,
+                    round_to: int = 6):
+    """Per-label mean embedding, exploded to (label, dim, val) rows so
+    the result is SQL-comparable (one row per centroid coordinate).
+
+    Plan: per-batch partial (sum-vector + count per label touched, one
+    fixed-size row each — the combiner), ONE tiny ``groupby(label)``
+    exchange over partials, vectorized final divide.  Shuffle volume is
+    labels x blocks x dim floats, independent of row count."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(batch, vec_col)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            label_col: pa.array(uniq),
+            "vsum": pa.FixedSizeListArray.from_arrays(
+                pa.array(sums.reshape(-1)), mat.shape[1]
+            ),
+            "n": pa.array(counts),
+        })
+
+    def finalize(group: pa.Table) -> pa.Table:
+        vs = group.column("vsum")
+        if isinstance(vs, pa.ChunkedArray):
+            vs = vs.combine_chunks()
+        S = np.asarray(vs.values).reshape(group.num_rows, -1)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        centroid = S.sum(axis=0) / n.sum()
+        dim = len(centroid)
+        lab = group.column(label_col)[0].as_py()
+        return pa.table({
+            label_col: pa.array([lab] * dim),
+            "dim": pa.array(np.arange(dim, dtype=np.int64)),
+            "val": pa.array(np.round(centroid, round_to)),
+        })
+
+    partials = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(label_col).map_groups(
+        finalize, batch_format="pyarrow"
+    )
 
 
 def topk_cosine(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,

@@ -31,6 +31,7 @@ __all__ = [
     "text_stats",
     "lang_id",
     "fingerprints",
+    "vocab_topk",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -176,6 +177,33 @@ def fingerprints(ds, text_col: str, id_col: str):
     return ds.select_columns([id_col, text_col]).map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def vocab_topk(ds, text_col: str, *, k: int = 20):
+    """Corpus vocabulary top-k: the k most frequent lowercase tokens,
+    (token, n), ties broken by token ascending (deterministic across
+    engines).
+
+    Plan: per-batch ``pc.value_counts`` over the flat token array is the
+    COMBINER (the shuffle moves at most one row per distinct token per
+    block, never per occurrence), ONE ``groupby(token).sum`` exchange,
+    then a k-row sort+limit.  At 100 TB the shuffle volume is bounded by
+    blocks x per-block vocabulary, not corpus token count."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_and_offsets(batch.column(text_col))
+        vc = pc.value_counts(flat)
+        return pa.table({
+            "token": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    return totals.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
 def shingle_hash_sets(

@@ -15,7 +15,8 @@ from typing import List, Optional, Sequence
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["tumbling_window", "grouped_topk"]
+__all__ = ["tumbling_window", "hopping_window", "grouped_quantile",
+           "grouped_topk"]
 
 _UNITS = {"minute", "hour", "day", "week", "month"}
 
@@ -54,6 +55,79 @@ def tumbling_window(ds, ts_col: str, *, unit: str = "hour",
     if sum_col:
         aggs.append(Sum(sum_col, alias_name="total"))
     return projected.groupby(["window"] + by_cols).aggregate(*aggs)
+
+
+def hopping_window(ds, ts_col: str, *, size_s: int, hop_s: int,
+                   by: Optional[Sequence[str]] = None,
+                   sum_col: Optional[str] = None):
+    """Hopping (sliding) window aggregate: windows of ``size_s`` seconds
+    starting every ``hop_s`` seconds (``size_s`` must be a multiple of
+    ``hop_s``); each event lands in size/hop windows.  Output
+    (window, *by, n[, total]) with ``window`` the window-start string.
+
+    Plan: per batch, vectorized row replication (``take`` with repeated
+    indices + shifted window starts) — the overlap factor is the ONLY
+    data amplification — then the same single groupby as the tumbling
+    window.  No per-row Python, no state; late data is just another row
+    in its windows (the groupby is order-free)."""
+    if size_s % hop_s != 0:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+    from ray.data.aggregate import Count, Sum
+
+    import numpy as np
+
+    by_cols: List[str] = list(by or [])
+    need = [ts_col] + by_cols + ([sum_col] if sum_col else [])
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pc.cast(
+            pc.cast(batch.column(ts_col), pa.timestamp("s"), safe=False),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n = len(t)
+        base = (t // hop_s) * hop_s
+        take = np.repeat(np.arange(n, dtype=np.int64), k)
+        shift = np.tile(np.arange(k, dtype=np.int64) * hop_s, n)
+        ws = base[take] - shift
+        win = pc.strftime(pa.array(ws).cast(pa.timestamp("s")),
+                          format="%Y-%m-%d %H:%M:%S")
+        sub = batch.select([c for c in need if c != ts_col]).take(pa.array(take))
+        cols = {"window": win}
+        for c in by_cols:
+            cols[c] = sub.column(c)
+        if sum_col:
+            cols[sum_col] = sub.column(sum_col)
+        return pa.table(cols)
+
+    projected = ds.select_columns(need).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    aggs = [Count(alias_name="n")]
+    if sum_col:
+        aggs.append(Sum(sum_col, alias_name="total"))
+    return projected.groupby(["window"] + by_cols).aggregate(*aggs)
+
+
+def grouped_quantile(ds, *, by: str, col: str, q: float = 0.5,
+                     alias: str = "quantile"):
+    """Exact per-group quantile (linear interpolation, = SQL
+    ``quantile_cont``): (by, alias).  Sorts each group's values in one
+    numpy pass — the EXACT small/verify path; the scale path for huge
+    groups is the mergeable t-digest sketch
+    (functions/aggregates.py :: TDigestQuantile)."""
+    import numpy as np
+
+    def kernel(group: pa.Table) -> pa.Table:
+        v = group.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        val = float(np.quantile(v, q)) if len(v) else float("nan")
+        return pa.table({by: group.column(by)[:1],
+                         alias: pa.array([val], pa.float64())})
+
+    return ds.select_columns([by, col]).groupby(by).map_groups(
+        kernel, batch_format="pyarrow"
+    )
 
 
 def grouped_topk(ds, *, by: str, order_col: str, k: int = 3,

@@ -416,3 +416,72 @@ def test_ivf_recall_and_random_training(ray_session):
     ex = set(zip(exact.query_id, exact.neighbor_id))
     iv = set(zip(ivf.query_id, ivf.neighbor_id))
     assert len(iv & ex) / len(ex) >= 0.8
+
+
+def test_hopping_window_overlap(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.window import hopping_window
+
+    def us(sec):
+        return sec * 1_000_000
+
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array([us(100), us(3700), us(7300)], pa.timestamp("us")),
+        "etype": ["a", "a", "b"],
+        "v": [1.0, 2.0, 4.0],
+    }))
+    out = hopping_window(ev, "ts", size_s=7200, hop_s=3600,
+                         by=["etype"], sum_col="v").to_pandas()
+    # each event lands in exactly size/hop = 2 windows
+    assert out["n"].sum() == 6
+    got = {(r.window, r.etype): (r.n, r.total) for r in out.itertuples()}
+    # events at 100s and 3700s share the window starting at 00:00
+    assert got[("1970-01-01 00:00:00", "a")] == (2, 3.0)
+    assert got[("1970-01-01 01:00:00", "a")] == (1, 2.0)
+    with pytest.raises(ValueError):
+        hopping_window(ev, "ts", size_s=7000, hop_s=3600)
+
+
+def test_vocab_topk_ties_and_combiner(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.text import vocab_topk
+
+    ds = rd.from_arrow(pa.table({
+        "text": ["b a a", "b c", "  ", "A a"],
+    }))
+    out = vocab_topk(ds, "text", k=3).to_pandas()
+    # a x4 (case-folded), then the b/c tie breaks alphabetically
+    assert list(zip(out["token"], out["n"])) == [("a", 4), ("b", 2), ("c", 1)]
+
+
+def test_grouped_quantile_exact(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.window import grouped_quantile
+
+    vals = {"x": [1.0, 2.0, 10.0, 11.0], "y": [5.0, 6.0, 7.0]}
+    rows = [{"g": g, "v": v} for g, vs in vals.items() for v in vs]
+    out = grouped_quantile(rd.from_items(rows), by="g", col="v",
+                           q=0.5, alias="med").to_pandas()
+    got = dict(zip(out["g"], out["med"]))
+    assert got["x"] == np.quantile(vals["x"], 0.5)  # interpolated = 6.0
+    assert got["y"] == 6.0
+
+
+def test_label_centroids(ray_session):
+    from datatest_ray.stages.similarity import label_centroids
+
+    ds, m = _emb_ds(n=40, d=8)
+    import ray.data as rd
+
+    labels = pa.array([i % 2 for i in range(40)], pa.int32())
+    t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+    t = t.append_column("label", labels)
+    out = label_centroids(rd.from_arrow(t), label_col="label",
+                          vec_col="embedding").to_pandas()
+    assert len(out) == 2 * 8
+    want0 = m[::2].astype(np.float32).astype(np.float64).mean(axis=0)
+    got0 = out[out["label"] == 0].sort_values("dim")["val"].to_numpy()
+    assert np.allclose(got0, np.round(want0, 6), atol=1e-6)
