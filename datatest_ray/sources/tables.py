@@ -34,14 +34,26 @@ def read_table(path: Union[str, Sequence[str]], *,
     """Read a table as a ray.data.Dataset.
 
     fmt='auto': ``.lance`` directory -> read_lance (if the package is
-    present), else parquet.  fmt='lance' | 'parquet' force the path.
-    ``columns`` prunes at the read for both formats.
+    present), ``.csv`` -> read_csv (the reference's
+    ``working_directory`` + csv fixture idiom, SURVEY.md §2.F), else
+    parquet.  fmt='lance' | 'parquet' | 'csv' force the path.
+    ``columns`` prunes at the read for every format (csv prunes after
+    parse via select_columns — the format has no column projection).
     """
     import ray.data as rd
 
     first = path if isinstance(path, str) else next(iter(path))
     if fmt == "auto":
-        fmt = "lance" if str(first).rstrip("/").endswith(".lance") else "parquet"
+        p = str(first).rstrip("/")
+        if p.endswith(".lance"):
+            fmt = "lance"
+        elif p.endswith(".csv"):
+            fmt = "csv"
+        else:
+            fmt = "parquet"
+    if fmt == "csv":
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
     if fmt == "lance":
         if not lance_available():
             raise ImportError(

@@ -146,3 +146,18 @@ def test_write_table_parquet_and_lance_gate(ray_session, tmp_path):
 
     with pytest.raises(ImportError):
         CheckpointedRun(str(tmp_path / "ckpt"), [], violations_fmt="lance")
+
+
+def test_read_table_csv(ray_session, tmp_path):
+    from datatest_ray import validate, ValidationError
+    from datatest_ray.sources.tables import read_table
+
+    f = tmp_path / "fixture.csv"
+    f.write_text("name,qty\na,1\nb,2\nz,30\n")
+    ds = read_table(str(f))
+    assert ds.count() == 3
+    ds2 = read_table(str(f), columns=["qty"])
+    assert ds2.schema().names == ["qty"]
+    with pytest.raises(ValidationError) as e:
+        validate.interval(ds2, min=1, max=10, columns=["qty"])
+    assert len(e.value.differences) == 1
