@@ -111,6 +111,52 @@ class BaseAcceptance:
             return out
         return [d for d in differences if not self.accepts(d)]
 
+    # -- statelessness (for the lazy Dataset path) -------------------------
+    @property
+    def stateless(self) -> bool:
+        """True when ``accepts`` never consumes quota — the acceptance is
+        then a pure row predicate that can stream over a violations
+        Dataset without a deterministic global consume order."""
+        return True
+
+    def accepts_mask(self, table: pa.Table) -> "np.ndarray":
+        """Vectorized accepts() over violation rows (stateless only);
+        default falls back to the per-row predicate."""
+        import numpy as np
+
+        diffs = differences_from_table(table)
+        keys = table.column("key").to_pylist()
+        return np.fromiter(
+            (bool(self.accepts(d, key=k)) for d, k in zip(diffs, keys)),
+            dtype=bool, count=table.num_rows,
+        )
+
+    def filter_violations_dataset(self, vds):
+        """LAZY leftover filter over a violations Dataset — the scale
+        path for huge violation sets (SURVEY.md §2.E note): stateless
+        acceptances are pure column predicates, so they push into
+        ``map_batches`` upstream of any collection.  Quota-bearing
+        acceptances (collections, count) need the deterministic global
+        consume order and must use :meth:`filter_violations` on the
+        collected table instead."""
+        if not self.stateless:
+            raise TypeError(
+                f"{type(self).__name__} consumes one-shot quota and "
+                "cannot stream; collect the violations and use "
+                "filter_violations()"
+            )
+
+        def kernel(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            mask = self.accepts_mask(t)
+            if mask.all():
+                return empty_violations()
+            return t.filter(pa.array(~mask))
+
+        return vds.map_batches(kernel, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
     def filter_violations(self, table: pa.Table) -> pa.Table:
         """Engine IR path: violation rows in, leftover rows out."""
         if table.num_rows == 0:
@@ -154,6 +200,13 @@ class UnionedAcceptance(BaseAcceptance):
         self.a._restore(state[0])
         self.b._restore(state[1])
 
+    @property
+    def stateless(self):
+        return self.a.stateless and self.b.stateless
+
+    def accepts_mask(self, table):
+        return self.a.accepts_mask(table) | self.b.accepts_mask(table)
+
     def accepts(self, diff, key=None):
         return self.a.accepts(diff, key) or self.b.accepts(diff, key)
 
@@ -174,6 +227,13 @@ class IntersectedAcceptance(BaseAcceptance):
     def _restore(self, state):
         self.a._restore(state[0])
         self.b._restore(state[1])
+
+    @property
+    def stateless(self):
+        return self.a.stateless and self.b.stateless
+
+    def accepts_mask(self, table):
+        return self.a.accepts_mask(table) & self.b.accepts_mask(table)
 
     def accepts(self, diff, key=None):
         # a may consume one-shot quota before b gets a say; if b then
@@ -236,6 +296,30 @@ class AcceptedDifferences(BaseAcceptance):
             }
         else:
             self._quota, self._classes = self._build_quota(self.obj)
+
+    @property
+    def stateless(self):
+        # class-only acceptances (accepted(Missing)) are pure kind
+        # filters; instance/collection/mapping forms consume quota
+        return (
+            not isinstance(self.obj, Mapping)
+            and not self._quota
+            and bool(self._classes)
+        )
+
+    def accepts_mask(self, table):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if not self.stateless:
+            # the per-row fallback would silently consume quota
+            raise TypeError("quota-bearing acceptance has no row mask")
+        if BaseDifference in self._classes:
+            return np.ones(table.num_rows, dtype=bool)
+        kinds = [c.__name__.lower() for c in self._classes]
+        return pc.is_in(
+            table.column("kind"), value_set=pa.array(kinds)
+        ).to_numpy(zero_copy_only=False)
 
     def _snapshot(self):
         return (
@@ -301,6 +385,18 @@ class AcceptedTolerance(BaseAcceptance):
                 raise ValueError("lower must be <= upper")
             self.lower, self.upper = lower, upper
 
+    def accepts_mask(self, table):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        kind = pc.equal(table.column("kind"), "deviation").to_numpy(
+            zero_copy_only=False
+        )
+        dev = table.column("deviation").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            inside = (dev >= self.lower) & (dev <= self.upper)
+        return kind & np.nan_to_num(inside, nan=False).astype(bool)
+
     def accepts(self, diff, key=None):
         if not isinstance(diff, Deviation):
             return False
@@ -317,6 +413,23 @@ class AcceptedPercent(BaseAcceptance):
         if tolerance < 0:
             raise ValueError("tolerance must be non-negative")
         self.tolerance = tolerance
+
+    def accepts_mask(self, table):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        kind = pc.equal(table.column("kind"), "deviation").to_numpy(
+            zero_copy_only=False
+        )
+        dev = table.column("deviation").to_numpy(zero_copy_only=False)
+        exp = table.column("expected_num").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ok = np.where(
+                (exp == 0) | np.isnan(exp),
+                dev == 0,
+                np.abs(dev / exp) <= self.tolerance,
+            )
+        return kind & np.nan_to_num(ok, nan=False).astype(bool)
 
     def accepts(self, diff, key=None):
         if not isinstance(diff, Deviation):
@@ -354,6 +467,8 @@ class AcceptedCount(BaseAcceptance):
     def __init__(self, number: int):
         self.number = number
         self._left = number
+
+    stateless = False
 
     def start(self):
         self._left = self.number

@@ -155,3 +155,56 @@ def test_non_validation_errors_propagate():
     with pytest.raises(ZeroDivisionError):
         with accepted(Missing):
             1 / 0
+
+
+def test_stateless_dataset_filter(ray_session):
+    # lazy map_batches path for stateless acceptances (scale path for
+    # huge violation sets); parity with the collected-table filter
+    import ray.data as rd
+
+    t = violations_table(
+        4, check_id="c", kind=["deviation", "deviation", "extra", "deviation"],
+        value=["12", "13", "q", "8"], value_num=[12.0, 13.0, None, 8.0],
+        expected="10", expected_num=10.0,
+        deviation=[2.0, 3.0, None, -2.0],
+    )
+    vds = rd.from_arrow(t)
+    acc = accepted.tolerance(2) | accepted(Extra)
+    assert acc.stateless
+    left_lazy = acc.filter_violations_dataset(vds).to_pandas()
+    left_table = acc.filter_violations(t)
+    assert sorted(left_lazy["value"]) == sorted(
+        left_table.column("value").to_pylist()
+    ) == ["13"]
+
+    pct = accepted.percent(0.25)
+    left = pct.filter_violations_dataset(vds).to_pandas()
+    assert sorted(left["value"]) == ["13", "q"]  # 3.0/10 > 0.25; extra kept
+
+    # quota-bearing forms refuse to stream
+    for acc in (accepted.count(1), accepted([Extra("q")]),
+                accepted.count(1) | accepted(Extra)):
+        assert not acc.stateless
+        with pytest.raises(TypeError):
+            acc.filter_violations_dataset(vds)
+
+
+def test_accepts_mask_matches_per_row():
+    import numpy as np
+
+    t = violations_table(
+        3, check_id="c", kind=["deviation", "invalid", "missing"],
+        key=["k1", "k2", "k1"],
+        value=["5", "x", "m"], value_num=[5.0, None, None],
+        expected="4", expected_num=4.0, deviation=[1.0, None, None],
+    )
+    for acc in (accepted.tolerance(1), accepted.percent(0.5),
+                accepted(Missing), accepted.keys("k1"),
+                accepted(Missing) | accepted.tolerance(1),
+                accepted(Missing) & accepted.keys("k1")):
+        mask = acc.accepts_mask(t)
+        acc.start()
+        want = np.array([acc.accepts(d, key=k) for d, k in zip(
+            __import__("datatest_ray").differences_from_table(t),
+            t.column("key").to_pylist())])
+        assert (mask == want).all(), type(acc).__name__
