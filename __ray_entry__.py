@@ -89,7 +89,12 @@ def entry() -> Any:
         ],
         RunContext(),
     )
-    violations = suite.run(lineitem).violations
+    violations = suite.run(
+        lineitem,
+        reader=lambda cols: rd.read_parquet(
+            f"{SF_SMOKE}/lineitem.parquet", columns=cols
+        ),
+    ).violations
     fk = SubsetCheck("c_nationkey", (nation, "n_nationkey")).violations(
         customer, RunContext()
     )

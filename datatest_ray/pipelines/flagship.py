@@ -78,9 +78,15 @@ def flagship_checks(
 
 
 def run_flagship(ds, reference_seed: Optional[int] = None,
-                 shuffle_partitions: Optional[int] = None, **kwargs) -> ValidationResult:
+                 shuffle_partitions: Optional[int] = None,
+                 reader=None, **kwargs) -> ValidationResult:
+    """``reader``: optional per-branch pruned-read factory
+    (``callable(columns) -> Dataset`` — see CheckSuite.run); pass
+    ``lambda cols: ray.data.read_parquet(files, columns=cols)`` so each
+    branch scans only its columns (Ray Data does not push
+    ``select_columns`` into the parquet read)."""
     import dataclasses
 
     ctx = dataclasses.replace(IMAGE_CTX, shuffle_partitions=shuffle_partitions)
     suite = CheckSuite(flagship_checks(reference_seed=reference_seed, **kwargs), ctx)
-    return suite.run(ds)
+    return suite.run(ds, reader=reader)

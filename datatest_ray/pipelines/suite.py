@@ -192,7 +192,18 @@ class CheckSuite:
             return None
         return sorted(cols)
 
-    def run(self, ds) -> ValidationResult:
+    def run(self, ds, reader=None) -> ValidationResult:
+        """Run every check over ``ds``.
+
+        ``reader``: optional ``callable(columns: list[str]) -> Dataset``
+        building a READ-LEVEL-pruned dataset over the same input (e.g.
+        ``lambda cols: ray.data.read_parquet(files, columns=cols)``).
+        Ray Data does not push ``select_columns`` into the parquet scan,
+        so without a reader every branch decompresses every column —
+        including the wide ``bytes`` payload branches that never touch
+        it (measured 2.3x slower for a metadata-only branch).  With a
+        reader, each branch scans only its own columns.
+        """
         import ray.data as rd
 
         fused, solo = self._split()
@@ -218,7 +229,12 @@ class CheckSuite:
         piece_pool = []
         if fused:
             cols = self._pruned_columns(ds, fused)
-            fused_input = ds.select_columns(cols) if cols else ds
+            if cols and reader is not None:
+                fused_input = reader(cols)
+            elif cols:
+                fused_input = ds.select_columns(cols)
+            else:
+                fused_input = ds
             checks = list(fused)
 
             def run_fused(batch: pa.Table) -> pa.Table:
@@ -235,7 +251,12 @@ class CheckSuite:
             )
             piece_pool.append(False)
         for c in solo:
-            pieces.append(c.violations(ds, ctx))
+            c_input = ds
+            if reader is not None:
+                c_cols = c.input_columns(ctx, have)
+                if c_cols:
+                    c_input = reader(c_cols)
+            pieces.append(c.violations(c_input, ctx))
             piece_pool.append(bool(getattr(c, "actor_pool", False)))
         if not pieces:
             violations = rd.from_arrow(empty_violations())

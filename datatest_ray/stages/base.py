@@ -79,6 +79,32 @@ class Check:
         checks get a default implementation via ``kernel``."""
         raise NotImplementedError
 
+    def input_columns(self, ctx: "RunContext", names) -> Optional[list]:
+        """Columns this check reads, or None for 'all' — lets the suite
+        hand the check a READ-LEVEL-pruned dataset
+        (``read_parquet(columns=...)``): Ray Data does NOT push a
+        ``select_columns`` projection into the parquet read, so without
+        this every branch decompresses every column (including a wide
+        ``bytes`` payload) it never looks at."""
+        if getattr(self, "needs_all_columns", False):
+            return None
+        cols = set()
+        for attr in ("column", "id_column", "pos_col"):
+            v = getattr(self, attr, None)
+            if isinstance(v, str):
+                cols.add(v)
+        cols.update(getattr(self, "columns", []) or [])
+        cols.update(
+            c for c in (getattr(self, "optional_columns", []) or [])
+            if c in names
+        )
+        for c in (ctx.partition_col, ctx.row_ref_col):
+            if c and c in names:
+                cols.add(c)
+        if not cols or not cols.issubset(set(names)):
+            return None
+        return sorted(cols)
+
     def __repr__(self):
         return f"<{type(self).__name__} {self.check_id}>"
 

@@ -72,6 +72,7 @@ class DriftCheck(Check):
         self.alpha = alpha
         self.min_stat = min_stat
         self.check_id = check_id or f"drift({','.join(s.label for s in self.specs)})"
+        self.columns = sorted({s.column for s in self.specs})
 
     def violations(self, ds, ctx: RunContext):
         specs = self.specs

@@ -407,6 +407,9 @@ class SchemaCheck(StatelessCheck):
     }
 
     fuseable = False  # runs once on ds.schema(), not per batch
+    # must see the FULL schema (a pruned-read view would make it report
+    # real columns as missing); it reads zero data anyway
+    needs_all_columns = True
 
     def __init__(self, expected: dict, exact: bool = False,
                  check_id: Optional[str] = None):
