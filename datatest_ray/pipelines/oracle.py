@@ -1008,6 +1008,235 @@ SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered window functions (stages/winfunc.py)
+# ---------------------------------------------------------------------------
+
+
+def q_lag_user_gap(sf_dir: str):
+    """lag() OVER (PARTITION BY user ORDER BY ts): per-event gap to the
+    user's previous event."""
+    from ..stages.winfunc import lag_diff
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return _materialize(
+        lag_diff(ds, by="user_id", order_col="ts", id_col="event_id")
+    )
+
+
+SQL_LAG_USER_GAP = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap
+FROM events
+"""
+
+
+def q_rolling_avg_order(sf_dir: str):
+    """Trailing 3-row mean per customer (frame window aggregate)."""
+    from ..stages.winfunc import rolling_agg
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    return _materialize(rolling_agg(
+        ds, by="o_custkey", order_col="o_orderdate",
+        value_col="o_totalprice", id_col="o_orderkey", window=3))
+
+
+SQL_ROLLING_AVG_ORDER = """
+SELECT o_orderkey, o_custkey,
+       avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational composition: semi/anti join, set ops, pivot, outer join
+# (stages/relational.py)
+# ---------------------------------------------------------------------------
+
+
+def q_semi_join_big_orders(sf_dir: str):
+    """Semi join (SQL EXISTS): customers with at least one order over
+    400k — the right side reduces to distinct keys before the hash
+    join."""
+    from ..stages.relational import semi_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000"
+    )
+    return _materialize(
+        semi_join(cust, big, on="c_custkey", right_on="o_custkey")
+    )
+
+
+SQL_SEMI_JOIN_BIG_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def q_anti_join_big_orders(sf_dir: str):
+    """Anti join (SQL NOT EXISTS): customers with NO order over 400k."""
+    from ..stages.relational import anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(
+        expr="o_totalprice > 400000"
+    )
+    return _materialize(
+        anti_join(cust, big, on="c_custkey", right_on="o_custkey")
+    )
+
+
+SQL_ANTI_JOIN_BIG_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+
+def q_setop_except_status(sf_dir: str):
+    """EXCEPT over distinct keys: customers with a finished order but
+    no open one."""
+    from ..stages.relational import except_distinct
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    f = orders.filter(expr="o_orderstatus == 'F'")
+    o = orders.filter(expr="o_orderstatus == 'O'")
+    return _materialize(except_distinct(f, o, col="o_custkey"))
+
+
+SQL_SETOP_EXCEPT_STATUS = """
+SELECT CAST(o_custkey AS BIGINT) AS v FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT CAST(o_custkey AS BIGINT) AS v FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_setop_intersect_status(sf_dir: str):
+    """INTERSECT over distinct keys: customers with both statuses."""
+    from ..stages.relational import intersect_distinct
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    f = orders.filter(expr="o_orderstatus == 'F'")
+    o = orders.filter(expr="o_orderstatus == 'O'")
+    return _materialize(intersect_distinct(f, o, col="o_custkey"))
+
+
+SQL_SETOP_INTERSECT_STATUS = """
+SELECT CAST(o_custkey AS BIGINT) AS v FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT CAST(o_custkey AS BIGINT) AS v FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_pivot_user_events(sf_dir: str):
+    """Pivot event_type into per-user count columns."""
+    from ..stages.relational import pivot_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return _materialize(pivot_counts(
+        ev, by="user_id", pivot_col="event_type",
+        values=["click", "error", "purchase", "signup", "view"]))
+
+
+SQL_PIVOT_USER_EVENTS = """
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_left_join_orders_poorcust(sf_dir: str):
+    """Left outer hash join with a filtered right side (nulls for the
+    ~91% of orders whose customer has a non-negative balance)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    poor = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal"]).filter(
+        expr="c_acctbal < 0"
+    )
+    j = orders.join(poor, join_type="left_outer", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",))
+    return _materialize(j.select_columns(["o_orderkey", "c_name"]))
+
+
+SQL_LEFT_JOIN_ORDERS_POORCUST = """
+SELECT o_orderkey, c_name
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal < 0) c
+  ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text corpus ops: repetition, normalization, JSON projection
+# (stages/text.py)
+# ---------------------------------------------------------------------------
+
+
+def q_text_repetition(sf_dir: str):
+    from ..stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(repetition_stats(ds, "text", "doc_id"))
+
+
+SQL_TEXT_REPETITION = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+  FROM documents)
+SELECT doc_id,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(ts) = 0 THEN 0.0
+            ELSE 1.0 - len(list_distinct(ts)) / len(ts) END AS dup_frac
+FROM toks
+"""
+
+
+def q_text_normalized_fp(sf_dir: str):
+    from ..stages.text import normalize_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(normalize_fingerprint(ds, "text", "doc_id"))
+
+
+SQL_TEXT_NORMALIZED_FP = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[.,;:!?]', '', 'g'), '\\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id, CAST(length(t) AS BIGINT) AS norm_len, md5(t) AS norm_fp
+FROM norm
+"""
+
+
+def q_json_props_k(sf_dir: str):
+    from ..stages.text import json_extract_int
+
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return _materialize(json_extract_int(ds, "props", "event_id", key="k"))
+
+
+SQL_JSON_PROPS_K = """
+SELECT event_id,
+       CAST(NULLIF(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), '')
+            AS BIGINT) AS val
+FROM events
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -1055,6 +1284,17 @@ def queries() -> Dict[str, Callable]:
         "text_vocab": q_text_vocab,
         "grouped_median_price": q_grouped_median_price,
         "emb_label_centroids": q_emb_label_centroids,
+        "lag_user_gap": q_lag_user_gap,
+        "rolling_avg_order": q_rolling_avg_order,
+        "semi_join_big_orders": q_semi_join_big_orders,
+        "anti_join_big_orders": q_anti_join_big_orders,
+        "setop_except_status": q_setop_except_status,
+        "setop_intersect_status": q_setop_intersect_status,
+        "pivot_user_events": q_pivot_user_events,
+        "left_join_orders_poorcust": q_left_join_orders_poorcust,
+        "text_repetition": q_text_repetition,
+        "text_normalized_fp": q_text_normalized_fp,
+        "json_props_k": q_json_props_k,
     }
 
 
@@ -1098,4 +1338,15 @@ def oracle_sql() -> Dict[str, str]:
         "text_vocab": SQL_TEXT_VOCAB,
         "grouped_median_price": SQL_GROUPED_MEDIAN_PRICE,
         "emb_label_centroids": SQL_EMB_LABEL_CENTROIDS,
+        "lag_user_gap": SQL_LAG_USER_GAP,
+        "rolling_avg_order": SQL_ROLLING_AVG_ORDER,
+        "semi_join_big_orders": SQL_SEMI_JOIN_BIG_ORDERS,
+        "anti_join_big_orders": SQL_ANTI_JOIN_BIG_ORDERS,
+        "setop_except_status": SQL_SETOP_EXCEPT_STATUS,
+        "setop_intersect_status": SQL_SETOP_INTERSECT_STATUS,
+        "pivot_user_events": SQL_PIVOT_USER_EVENTS,
+        "left_join_orders_poorcust": SQL_LEFT_JOIN_ORDERS_POORCUST,
+        "text_repetition": SQL_TEXT_REPETITION,
+        "text_normalized_fp": SQL_TEXT_NORMALIZED_FP,
+        "json_props_k": SQL_JSON_PROPS_K,
     }

@@ -203,6 +203,8 @@ def _tagged_union_diff(data_distinct, ref_distinct, *, want: str):
 
     want='extra'   -> values present in data but not in reference
     want='missing' -> values present in reference but not in data
+    want='both'    -> values present on BOTH sides (SQL INTERSECT;
+                      used by stages/relational.py set ops)
     ONE hash shuffle on a bounded coarse key (hash(v) % 256) followed by
     a fully vectorized per-group set-difference — not a groupby with one
     tiny group per distinct value.
@@ -223,7 +225,8 @@ def _tagged_union_diff(data_distinct, ref_distinct, *, want: str):
     d = data_distinct.map_batches(tag(1), batch_format="pyarrow")
     r = ref_distinct.map_batches(tag(0), batch_format="pyarrow")
 
-    keep_data = want == "extra"
+    if want not in ("extra", "missing", "both"):
+        raise ValueError(f"unknown want: {want!r}")
 
     def diff_group(group: pa.Table) -> pa.Table:
         # fully vectorized set difference: dictionary-encode the values
@@ -239,7 +242,12 @@ def _tagged_union_diff(data_distinct, ref_distinct, *, want: str):
         has_r = np.zeros(n_slots, dtype=bool)
         has_d[codes[flags == 1]] = True
         has_r[codes[flags == 0]] = True
-        wanted = (has_d & ~has_r) if keep_data else (has_r & ~has_d)
+        if want == "extra":
+            wanted = has_d & ~has_r
+        elif want == "missing":
+            wanted = has_r & ~has_d
+        else:
+            wanted = has_d & has_r
         # one row per value, straight from the dictionary
         return pa.table({"v": enc.dictionary.filter(pa.array(wanted))})
 

@@ -1,0 +1,154 @@
+"""Relational composition operators: semi/anti join, distinct set
+operations, pivot.
+
+Engine extensions (SURVEY.md §2.H "joins/lookups"; the reference is a
+single-table validator).  All are Ray-Data-native:
+
+- semi/anti join: right side first reduces to DISTINCT KEYS via a
+  ``groupby`` (so the join input is bounded by right-key cardinality,
+  not right row count), then ONE distributed hash join
+  (``Dataset.join``); anti = left_outer + null-marker filter.
+- set ops (EXCEPT/INTERSECT over distinct values): the same
+  tagged-union coarse-bucket plan as the subset/superset checks
+  (stages/global_checks.py) — ONE shuffle on ``hash(v) % 256``,
+  fully vectorized per-bucket membership via dictionary-encode
+  scatters.
+- pivot: per-batch COMBINER (vectorized bincount over
+  ``key_code * n_vals + val_idx``) so the shuffle moves one row per
+  (key, block) with all pivot counts as columns, then ONE
+  ``groupby(key).sum``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["semi_join", "anti_join", "except_distinct",
+           "intersect_distinct", "pivot_counts"]
+
+_MARK = "__dtr_semi_mark"
+
+
+def _distinct_right(right_ds, right_on: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    keys = (
+        right_ds.select_columns([right_on])
+        .groupby(right_on)
+        .aggregate(Count(alias_name=_MARK))
+    )
+    # Sentinel row with a NULL key (null keys never match in a hash
+    # join): Ray Data's join breaks when the build side contributes no
+    # non-empty block at all (a fully-empty right side loses its schema
+    # through the shuffle and Acero can't resolve the key FieldRef), so
+    # guarantee one schema-carrying block.
+    sch = right_ds.schema()
+    key_type = (
+        getattr(sch, "base_schema", sch).field(right_on).type
+        if sch is not None else pa.int64()
+    )
+    sentinel = rd.from_arrow(pa.table({
+        right_on: pa.array([None], key_type),
+        _MARK: pa.array([1], pa.int64()),
+    }))
+    return sentinel.union(keys)
+
+
+def semi_join(left_ds, right_ds, *, on: str, right_on: str,
+              num_partitions: int = 8):
+    """Rows of ``left`` whose ``on`` key appears in ``right`` (SQL
+    EXISTS).  Left columns pass through unchanged."""
+    keys = _distinct_right(right_ds, right_on)
+    joined = left_ds.join(keys, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=(on,), right_on=(right_on,))
+    drop = [c for c in (_MARK, right_on) if c != on]
+    cols = [c for c in joined.schema().names if c not in drop]
+    return joined.select_columns(cols)
+
+
+def anti_join(left_ds, right_ds, *, on: str, right_on: str,
+              num_partitions: int = 8):
+    """Rows of ``left`` whose ``on`` key does NOT appear in ``right``
+    (SQL NOT EXISTS)."""
+    keys = _distinct_right(right_ds, right_on)
+    joined = left_ds.join(keys, join_type="left_outer",
+                          num_partitions=num_partitions,
+                          on=(on,), right_on=(right_on,))
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column(_MARK)))
+
+    missing = joined.map_batches(keep_unmatched, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    drop = [c for c in (_MARK, right_on) if c != on]
+    cols = [c for c in missing.schema().names if c not in drop]
+    return missing.select_columns(cols)
+
+
+def _set_op(a_ds, b_ds, col_a: str, col_b: str, want: str):
+    from .global_checks import _distinct_partials, _tagged_union_diff
+
+    a = _distinct_partials(a_ds.select_columns([col_a]), col_a)
+    b = _distinct_partials(b_ds.select_columns([col_b]), col_b)
+    return _tagged_union_diff(a, b, want=want)
+
+
+def except_distinct(a_ds, b_ds, *, col: str, col_b: str = None):
+    """DISTINCT values of ``a.col`` not present in ``b.col_b`` (SQL
+    EXCEPT).  Output column: ``v``."""
+    return _set_op(a_ds, b_ds, col, col_b or col, "extra")
+
+
+def intersect_distinct(a_ds, b_ds, *, col: str, col_b: str = None):
+    """DISTINCT values present in both sides (SQL INTERSECT).  Output
+    column: ``v``."""
+    return _set_op(a_ds, b_ds, col, col_b or col, "both")
+
+
+def pivot_counts(ds, *, by: str, pivot_col: str, values: Sequence[str],
+                 prefix: str = "n_"):
+    """Pivot ``pivot_col`` into count columns per ``by`` key:
+    (by, prefix+v1, ..., prefix+vk) — SQL
+    ``sum(CASE WHEN pivot = v THEN 1 ELSE 0 END)``.
+
+    ``values`` is the (bounded, known) pivot domain; rows with other
+    values are ignored.  The per-batch combiner means the shuffle
+    carries one row per (key, block), never per input row.
+    """
+    from ray.data.aggregate import Sum
+
+    vals = list(values)
+    names: List[str] = [f"{prefix}{v}" for v in vals]
+    value_set = pa.array(vals)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        enc = pc.dictionary_encode(keys)
+        kcode = np.asarray(enc.indices)
+        vidx = pc.index_in(batch.column(pivot_col), value_set=value_set)
+        vcode = vidx.to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(vcode.astype(np.float64)) if vcode.dtype.kind == "f" \
+            else vidx.is_valid().to_numpy(zero_copy_only=False)
+        k = len(vals)
+        n_keys = len(enc.dictionary)
+        counts = np.bincount(
+            kcode[ok].astype(np.int64) * k + vcode[ok].astype(np.int64),
+            minlength=n_keys * k,
+        ).reshape(n_keys, k)
+        cols = {by: enc.dictionary}
+        for j, name in enumerate(names):
+            cols[name] = pa.array(counts[:, j], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.select_columns([by, pivot_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    aggs = [Sum(name, alias_name=name) for name in names]
+    return partials.groupby(by).aggregate(*aggs)

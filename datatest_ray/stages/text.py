@@ -32,6 +32,9 @@ __all__ = [
     "lang_id",
     "fingerprints",
     "vocab_topk",
+    "repetition_stats",
+    "normalize_fingerprint",
+    "json_extract_int",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -204,6 +207,96 @@ def vocab_topk(ds, text_col: str, *, k: int = 20):
     )
     totals = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
     return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def repetition_stats(ds, text_col: str, id_col: str):
+    """Intra-document repetition: (id, n_tokens, n_distinct, dup_frac)
+    with ``dup_frac = 1 - n_distinct / n_tokens`` (0.0 for empty docs).
+
+    The boilerplate/low-quality signal LLM corpus filters key on.
+    Fully vectorized: one dictionary-encode of the flat token array,
+    distinct-per-row via a (row, code) lexsort dedup — no Python loop,
+    no shuffle.  SQL: ``len(list_distinct(string_split_regex(...)))``.
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        n_rows = len(counts)
+        if len(flat) == 0:
+            distinct = np.zeros(n_rows, dtype=np.int64)
+        else:
+            enc = pc.dictionary_encode(flat)
+            codes = np.asarray(enc.indices, dtype=np.int64)
+            parents = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+            order = np.lexsort((codes, parents))
+            ps, cs = parents[order], codes[order]
+            keep = np.ones(len(cs), dtype=bool)
+            keep[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
+            distinct = np.bincount(ps[keep], minlength=n_rows).astype(np.int64)
+        dup_frac = np.where(
+            counts > 0, 1.0 - distinct / np.maximum(counts, 1), 0.0
+        )
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(counts),
+            "n_distinct": pa.array(distinct),
+            "dup_frac": pa.array(dup_frac),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def normalize_fingerprint(ds, text_col: str, id_col: str):
+    """Canonicalizing normalization before dedup: lowercase, strip
+    sentence punctuation, collapse runs of whitespace, trim — then the
+    md5 of the normalized text (md5 so DuckDB recomputes it exactly).
+    Output: (id, norm_len, norm_fp)."""
+    import hashlib
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch.column(text_col))
+        t = pc.replace_substring_regex(t, _PUNCT_RE, "")
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        texts = t.to_pylist()
+        fp = [hashlib.md5(("" if s is None else s).encode("utf-8")).hexdigest()
+              for s in texts]
+        return pa.table({
+            id_col: batch.column(id_col),
+            "norm_len": pc.utf8_length(t).cast(pa.int64()),
+            "norm_fp": pa.array(fp),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def json_extract_int(ds, col: str, id_col: str, *, key: str,
+                     out: str = "val"):
+    """Extract an integer field from a flat JSON-object string column
+    (``{"k": 69}`` -> 69), vectorized via ``pc.extract_regex`` — the
+    hot-path projection for semi-structured event payloads.  Null when
+    the key is absent or non-integer.  SQL: ``json_extract`` cast to
+    BIGINT."""
+    import re
+
+    pattern = r'"' + re.escape(key) + r'"\s*:\s*(?P<v>-?\d+)'
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column(col), pattern)
+        vals = pc.struct_field(m, "v")
+        return pa.table({
+            id_col: batch.column(id_col),
+            out: pc.cast(vals, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def shingle_hash_sets(

@@ -1,0 +1,139 @@
+"""Per-key ORDERED window functions (lag / rolling frame aggregates).
+
+Engine extension (the reference has no window operators — SURVEY.md
+§2.H); these are the SQL ``... OVER (PARTITION BY k ORDER BY o)``
+primitives a feature/training-data pipeline needs (inter-event gaps,
+trailing averages).
+
+Plan: ONE shuffle on a bounded coarse key (``hash(k) % n_buckets``) —
+never a groupby with one tiny group per key — then a fully vectorized
+per-bucket kernel: one Arrow sort by (key, order, tie) and numpy
+segment arithmetic (boundary masks / cumulative sums), no Python loop
+over rows or keys.  Partitioning assumption: one BUCKET (not one key)
+fits in a task's heap; raise ``n_buckets`` for bigger corpora.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.aggregates import hash64
+
+__all__ = ["lag_diff", "rolling_agg"]
+
+
+def _bucketed(ds, need, key: str, n_buckets: int):
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(key)) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return batch.select(need).append_column(
+            "coarse", pa.array(coarse)
+        )
+
+    return ds.select_columns(need).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse")
+
+
+def _segments(keys: np.ndarray) -> np.ndarray:
+    """Boolean new-segment mask over a SORTED key array."""
+    new = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        new[1:] = keys[1:] != keys[:-1]
+    return new
+
+
+def lag_diff(ds, *, by: str, order_col: str, id_col: str,
+             n_buckets: int = 256):
+    """SQL ``x - lag(x) OVER (PARTITION BY by ORDER BY order, id)``
+    for a timestamp/numeric order column.
+
+    Output: (id_col, by, gap) — ``gap`` is the delta to the previous
+    row of the same key in epoch-µs for timestamps (int64, null on each
+    key's first row).
+    """
+    need = [id_col, by, order_col]
+
+    def to_int(col):
+        if pa.types.is_timestamp(col.type):
+            return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        return pc.cast(col, pa.int64())
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: group.column(id_col),
+            by: group.column(by),
+            "_o": to_int(group.column(order_col)),
+        }).sort_by([(by, "ascending"), ("_o", "ascending"),
+                    (id_col, "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        o = t.column("_o").to_numpy(zero_copy_only=False)
+        first = _segments(keys)
+        gap = np.empty(len(o), dtype=np.int64)
+        gap[0:] = 0
+        if len(o) > 1:
+            gap[1:] = o[1:] - o[:-1]
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "gap": pa.array(gap, type=pa.int64(), mask=first),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "gap"])
+
+
+def rolling_agg(ds, *, by: str, order_col: str, value_col: str,
+                id_col: str, window: int = 3, agg: str = "mean",
+                n_buckets: int = 256):
+    """SQL ``agg(v) OVER (PARTITION BY by ORDER BY order, id
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Output: (id_col, by, roll) with ``roll`` float64.  Vectorized via
+    per-segment cumulative sums: for global row i in a segment starting
+    at s, the frame start is j = max(s, i-window+1) and the frame sum
+    is cs[i] - cs[j-1].
+    """
+    if agg not in ("mean", "sum"):
+        raise ValueError("agg must be 'mean' or 'sum'")
+    need = list(dict.fromkeys([id_col, by, order_col, value_col]))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.select(need).sort_by(
+            [(by, "ascending"), (order_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n = len(v)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col), by: t.column(by),
+                             "roll": pa.array([], pa.float64())})
+        new = _segments(keys)
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)  # segment start index per segment
+        i = np.arange(n, dtype=np.int64)
+        j = np.maximum(starts[seg], i - window + 1)
+        cs = np.cumsum(v)
+        frame_sum = cs[i] - np.where(j > 0, cs[j - 1], 0.0)
+        if agg == "mean":
+            out = frame_sum / (i - j + 1)
+        else:
+            out = frame_sum
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "roll": pa.array(out),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "roll"])

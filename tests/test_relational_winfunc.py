@@ -1,0 +1,149 @@
+"""Edge semantics for the relational (semi/anti/set-op/pivot) and
+ordered-window (lag/rolling) operators — cases the sf0.001 oracle data
+never exercises (empty right side, unseen pivot values, empty text,
+missing JSON keys, frame shorter than the window)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(table: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(table))
+
+
+def _rows(ds, cols=None):
+    t = pa.Table.from_pandas(ds.to_pandas())
+    if cols:
+        t = t.select(cols)
+    return sorted(map(tuple, t.to_pylist() and [
+        tuple(r.values()) for r in t.to_pylist()
+    ]))
+
+
+class TestSemiAnti:
+    def test_semi_keeps_only_matched(self, ray_session):
+        from datatest_ray.stages.relational import semi_join
+
+        left = _ds({"k": [1, 2, 3, 4], "x": ["a", "b", "c", "d"]})
+        right = _ds({"rk": [2, 2, 4, 9]})
+        out = semi_join(left, right, on="k", right_on="rk").to_pandas()
+        assert sorted(out["k"].tolist()) == [2, 4]
+        assert set(out.columns) == {"k", "x"}
+
+    def test_anti_empty_right_keeps_everything(self, ray_session):
+        from datatest_ray.stages.relational import anti_join
+
+        left = _ds({"k": [1, 2], "x": ["a", "b"]})
+        right = _ds({"rk": [7]}).filter(expr="rk < 0")  # empty
+        out = anti_join(left, right, on="k", right_on="rk").to_pandas()
+        assert sorted(out["k"].tolist()) == [1, 2]
+
+    def test_anti_drops_matched(self, ray_session):
+        from datatest_ray.stages.relational import anti_join
+
+        left = _ds({"k": [1, 2, 3], "x": ["a", "b", "c"]})
+        right = _ds({"rk": [1, 3, 3]})
+        out = anti_join(left, right, on="k", right_on="rk").to_pandas()
+        assert out["k"].tolist() == [2]
+        assert set(out.columns) == {"k", "x"}
+
+
+class TestSetOps:
+    def test_except_and_intersect(self, ray_session):
+        from datatest_ray.stages.relational import (
+            except_distinct, intersect_distinct)
+
+        a = _ds({"v": [1, 1, 2, 3]})
+        b = _ds({"w": [2, 4]})
+        ex = except_distinct(a, b, col="v", col_b="w").to_pandas()
+        assert sorted(ex["v"].tolist()) == [1, 3]
+        inter = intersect_distinct(a, b, col="v", col_b="w").to_pandas()
+        assert inter["v"].tolist() == [2]
+
+
+class TestPivot:
+    def test_counts_and_unlisted_values_ignored(self, ray_session):
+        from datatest_ray.stages.relational import pivot_counts
+
+        ds = _ds({"u": [1, 1, 1, 2, 2],
+                  "t": ["a", "a", "b", "b", "zzz"]})
+        out = pivot_counts(ds, by="u", pivot_col="t",
+                           values=["a", "b"]).to_pandas()
+        out = out.sort_values("u").reset_index(drop=True)
+        assert out["n_a"].tolist() == [2, 0]
+        assert out["n_b"].tolist() == [1, 1]  # 'zzz' ignored
+
+
+class TestLag:
+    def test_gap_null_on_first_per_key(self, ray_session):
+        from datatest_ray.stages.winfunc import lag_diff
+
+        ds = _ds({
+            "id": [1, 2, 3, 4],
+            "u": [10, 10, 10, 20],
+            "o": pa.array([100, 250, 400, 7], pa.int64()),
+        })
+        out = lag_diff(ds, by="u", order_col="o", id_col="id").to_pandas()
+        got = {r.id: r.gap for r in out.itertuples()}
+        assert np.isnan(got[1]) and np.isnan(got[4])
+        assert got[2] == 150 and got[3] == 150
+
+
+class TestRolling:
+    def test_short_frames_and_key_reset(self, ray_session):
+        from datatest_ray.stages.winfunc import rolling_agg
+
+        ds = _ds({
+            "id": [1, 2, 3, 4, 5],
+            "u": [1, 1, 1, 1, 2],
+            "o": pa.array([1, 2, 3, 4, 1], pa.int64()),
+            "v": [10.0, 20.0, 30.0, 40.0, 99.0],
+        })
+        out = rolling_agg(ds, by="u", order_col="o", value_col="v",
+                          id_col="id", window=3).to_pandas()
+        got = {r.id: r.roll for r in out.itertuples()}
+        assert got[1] == 10.0            # frame of 1
+        assert got[2] == 15.0            # frame of 2
+        assert got[3] == 20.0            # full frame 10,20,30
+        assert got[4] == 30.0            # slides to 20,30,40
+        assert got[5] == 99.0            # new key resets the frame
+
+
+class TestTextOps:
+    def test_repetition_empty_and_dup(self, ray_session):
+        from datatest_ray.stages.text import repetition_stats
+
+        ds = _ds({"doc_id": [1, 2, 3],
+                  "text": ["a a b", "x y z", "   "]})
+        out = repetition_stats(ds, "text", "doc_id").to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        assert out["n_tokens"].tolist() == [3, 3, 0]
+        assert out["n_distinct"].tolist() == [2, 3, 0]
+        assert out["dup_frac"].tolist() == pytest.approx([1 / 3, 0.0, 0.0])
+
+    def test_normalize_fingerprint_matches_manual_md5(self, ray_session):
+        import hashlib
+
+        from datatest_ray.stages.text import normalize_fingerprint
+
+        ds = _ds({"doc_id": [1], "text": ["  Hello,  WORLD!  again "]})
+        out = normalize_fingerprint(ds, "text", "doc_id").to_pandas()
+        norm = "hello world again"
+        assert out["norm_len"].tolist() == [len(norm)]
+        assert out["norm_fp"].tolist() == [
+            hashlib.md5(norm.encode()).hexdigest()]
+
+    def test_json_extract_missing_key_is_null(self, ray_session):
+        from datatest_ray.stages.text import json_extract_int
+
+        ds = _ds({"id": [1, 2, 3],
+                  "p": ['{"k": 42}', '{"other": 1}', '{"k": -7}']})
+        out = json_extract_int(ds, "p", "id", key="k").to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        assert out["val"][0] == 42
+        assert pa.compute.is_null(pa.array([out["val"][1]]))[0].as_py() or \
+            out["val"].isna()[1]
+        assert out["val"][2] == -7
