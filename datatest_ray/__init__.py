@@ -58,17 +58,27 @@ from .stages.order import OrderCheck  # noqa: F401
 from .stages.window import grouped_topk, tumbling_window  # noqa: F401
 from .stages.joins import asof_join_latest  # noqa: F401
 from .stages.sessions import sessionize  # noqa: F401
+from .stages.winfunc import lag_diff, rolling_agg  # noqa: F401
+from .stages.relational import (  # noqa: F401
+    anti_join,
+    except_distinct,
+    intersect_distinct,
+    pivot_counts,
+    semi_join,
+)
 from .stages.salting import (  # noqa: F401
     add_salt_column,
     salted_distinct_count,
     salted_group_map,
 )
 from .stages.transforms import (  # noqa: F401
+    extract_audio_features,
     extract_image_features,
     resize_images,
     sample_frames,
 )
 from .stages import dedup, similarity, text  # noqa: F401
+from .pipelines.corpus import corpus_prep  # noqa: F401
 from .pipelines.suite import CheckSuite, ValidationResult  # noqa: F401
 from .pipelines.validate import valid, validate  # noqa: F401
 from .pipelines.acceptance import accepted  # noqa: F401

@@ -1237,6 +1237,49 @@ FROM events
 """
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed corpus-prep pipeline: one fused text scan (quality +
+    md5 + lang-ID), vectorized quality filter, keep-first exact dedup,
+    per-language rollup — all in one lazy streaming plan."""
+    from .corpus import corpus_prep
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(corpus_prep(ds, min_quality=0.45))
+
+
+SQL_CORPUS_PREP = f"""
+WITH b AS (SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+           FROM documents),
+s AS (SELECT doc_id, md5(text) AS fp,
+        0.5*(least(len(ts),100)/100.0)
+        + 0.3*(len(list_filter(ts, t -> list_contains([{_EN}], t)))::DOUBLE
+               / greatest(len(ts),1))
+        + 0.2*(1 - length(regexp_replace(text,'[^.,;:!?]','','g'))::DOUBLE
+               / greatest(length(text),1)) AS quality,
+        len(list_filter(ts, t -> list_contains([{_EN}], t))) AS s_en,
+        len(list_filter(ts, t -> list_contains([{_DE}], t))) AS s_de,
+        len(list_filter(ts, t -> list_contains([{_FR}], t))) AS s_fr,
+        len(list_filter(ts, t -> list_contains([{_ES}], t))) AS s_es,
+        len(list_filter(ts, t -> list_contains([{_ZH}], t))) AS s_zh
+      FROM b),
+l AS (SELECT doc_id, fp, quality,
+        CASE WHEN s_en+s_de+s_fr+s_es+s_zh = 0 THEN 'unknown'
+             WHEN s_en >= greatest(s_de,s_fr,s_es,s_zh) THEN 'en'
+             WHEN s_de >= greatest(s_fr,s_es,s_zh) THEN 'de'
+             WHEN s_fr >= greatest(s_es,s_zh) THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS lang_pred
+      FROM s WHERE quality >= 0.45),
+g AS (SELECT fp, count(*) AS n, min(quality) AS quality,
+             min(lang_pred) AS lang_pred FROM l GROUP BY fp)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_total,
+       avg(quality) AS mean_quality
+FROM g GROUP BY lang_pred
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -1295,6 +1338,7 @@ def queries() -> Dict[str, Callable]:
         "text_repetition": q_text_repetition,
         "text_normalized_fp": q_text_normalized_fp,
         "json_props_k": q_json_props_k,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -1349,4 +1393,5 @@ def oracle_sql() -> Dict[str, str]:
         "text_repetition": SQL_TEXT_REPETITION,
         "text_normalized_fp": SQL_TEXT_NORMALIZED_FP,
         "json_props_k": SQL_JSON_PROPS_K,
+        "corpus_prep": SQL_CORPUS_PREP,
     }

@@ -24,7 +24,9 @@ import pyarrow as pa
 from ..functions.png import decode_image, png_encode
 
 __all__ = ["ImageResizer", "ImageFeatureExtractor", "FrameSampler",
-           "resize_images", "extract_image_features", "sample_frames"]
+           "AudioFeatureExtractor", "resize_images",
+           "extract_image_features", "sample_frames",
+           "extract_audio_features"]
 
 
 def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -158,6 +160,58 @@ class FrameSampler:
         )
 
 
+class AudioFeatureExtractor:
+    """Actor-pool callable for AUDIO payloads: decode PCM and emit
+    fixed-size per-clip features (duration, RMS energy per band-window).
+    No audio codec exists in this sandbox, so the real decoder is a
+    clearly-marked stub; ``fake=True`` substitutes a deterministic
+    synthetic PCM decoder so the plumbing (schema, framing arithmetic,
+    actor signature, output layout) is real and testable."""
+
+    def __init__(self, n_windows: int = 8, sample_rate: int = 16000,
+                 id_col: str = "audio_id", bytes_col: str = "bytes",
+                 fake: bool = False):
+        self.n_windows = n_windows
+        self.sample_rate = sample_rate
+        self.id_col, self.bytes_col = id_col, bytes_col
+        self.fake = fake
+
+    def _decode_pcm(self, payload: bytes) -> np.ndarray:
+        if self.fake:
+            rng = np.random.RandomState(len(payload) % (2**31))
+            n = 4000 + (len(payload) % 4000)
+            return (rng.standard_normal(n) * 0.1).astype(np.float32)
+        raise NotImplementedError(
+            "audio decode requires a codec library not present in this "
+            "environment; plug a decoder in here (payload -> float32 PCM)"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        out_id, out_dur, out_rms = [], [], []
+        for i, payload in enumerate(batch.column(self.bytes_col).to_pylist()):
+            pcm = self._decode_pcm(payload)
+            out_id.append(ids[i])
+            out_dur.append(len(pcm) / float(self.sample_rate))
+            # RMS energy over n_windows equal slices (pad the tail)
+            w = int(np.ceil(len(pcm) / self.n_windows))
+            padded = np.zeros(w * self.n_windows, dtype=np.float64)
+            padded[: len(pcm)] = pcm
+            rms = np.sqrt(
+                (padded.reshape(self.n_windows, w) ** 2).mean(axis=1)
+            )
+            out_rms.append(rms.astype(np.float32).tolist())
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "duration_s": pa.array(out_dur, pa.float64()),
+                "rms": pa.array(
+                    out_rms, pa.list_(pa.float32(), self.n_windows)
+                ),
+            }
+        )
+
+
 def _actor_stage(ds, cls, columns, *, concurrency=4, batch_size=128, **kw):
     return ds.select_columns(columns).map_batches(
         cls, fn_constructor_kwargs=kw, batch_format="pyarrow",
@@ -187,3 +241,12 @@ def sample_frames(ds, n_frames: int = 4, *, id_col="video_id",
                         concurrency=concurrency, batch_size=batch_size,
                         n_frames=n_frames, id_col=id_col,
                         bytes_col=bytes_col, fake=fake)
+
+
+def extract_audio_features(ds, *, n_windows=8, sample_rate=16000,
+                           id_col="audio_id", bytes_col="bytes",
+                           fake=False, concurrency=4, batch_size=64):
+    return _actor_stage(ds, AudioFeatureExtractor, [id_col, bytes_col],
+                        concurrency=concurrency, batch_size=batch_size,
+                        n_windows=n_windows, sample_rate=sample_rate,
+                        id_col=id_col, bytes_col=bytes_col, fake=fake)

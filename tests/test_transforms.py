@@ -80,6 +80,36 @@ def test_frame_sampler_fake_and_stub(ray_session):
         }))
 
 
+def test_audio_features_fake_and_stub(ray_session):
+    import ray.data as rd
+
+    from datatest_ray import extract_audio_features
+    from datatest_ray.stages.transforms import AudioFeatureExtractor
+
+    ds = rd.from_arrow(pa.table({
+        "audio_id": ["a0", "a1"],
+        "bytes": pa.array([b"x" * 100, b"y" * 5000], pa.binary()),
+    }))
+    out = extract_audio_features(ds, n_windows=8, fake=True,
+                                 concurrency=2).to_pandas()
+    assert len(out) == 2
+    assert set(out["audio_id"]) == {"a0", "a1"}
+    assert (out["duration_s"] > 0).all()
+    assert all(len(r) == 8 for r in out["rms"])
+    # deterministic fake: same payload -> same features
+    again = extract_audio_features(ds, n_windows=8, fake=True,
+                                   concurrency=2).to_pandas()
+    m = out.sort_values("audio_id").reset_index(drop=True)
+    n = again.sort_values("audio_id").reset_index(drop=True)
+    assert (m["duration_s"] == n["duration_s"]).all()
+
+    # the real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        AudioFeatureExtractor(fake=False)(pa.table({
+            "audio_id": ["a"], "bytes": pa.array([b"zz"], pa.binary()),
+        }))
+
+
 def test_read_table_source(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
