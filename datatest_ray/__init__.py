@@ -58,12 +58,13 @@ from .stages.order import OrderCheck  # noqa: F401
 from .stages.window import grouped_topk, tumbling_window  # noqa: F401
 from .stages.joins import asof_join_latest  # noqa: F401
 from .stages.sessions import sessionize  # noqa: F401
-from .stages.winfunc import lag_diff, rolling_agg  # noqa: F401
+from .stages.winfunc import cume_dist, lag_diff, rolling_agg  # noqa: F401
 from .stages.relational import (  # noqa: F401
     anti_join,
     except_distinct,
     intersect_distinct,
     pivot_counts,
+    rollup_counts,
     semi_join,
 )
 from .stages.salting import (  # noqa: F401

@@ -1237,6 +1237,56 @@ FROM events
 """
 
 
+def q_unnest_tokens(sf_dir: str):
+    """Row explosion (SQL unnest): one row per token occurrence."""
+    from ..stages.text import unnest_tokens
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(unnest_tokens(ds, "text", "doc_id"))
+
+
+SQL_UNNEST_TOKENS = """
+SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
+                           ELSE string_split_regex(trim(lower(text)), '\\s+')
+                      END) AS token
+FROM documents
+"""
+
+
+def q_cume_dist_price(sf_dir: str):
+    """cume_dist() OVER (PARTITION BY priority ORDER BY totalprice)."""
+    from ..stages.winfunc import cume_dist
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return _materialize(cume_dist(
+        ds, by="o_orderpriority", value_col="o_totalprice",
+        id_col="o_orderkey"))
+
+
+SQL_CUME_DIST_PRICE = """
+SELECT o_orderkey, o_orderpriority,
+       cume_dist() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice) AS cd
+FROM orders
+"""
+
+
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status) counts with subtotal rows."""
+    from ..stages.relational import rollup_counts
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return _materialize(rollup_counts(
+        ds, cols=["o_orderpriority", "o_orderstatus"]))
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """Composed corpus-prep pipeline: one fused text scan (quality +
     md5 + lang-ID), vectorized quality filter, keep-first exact dedup,
@@ -1339,6 +1389,9 @@ def queries() -> Dict[str, Callable]:
         "text_normalized_fp": q_text_normalized_fp,
         "json_props_k": q_json_props_k,
         "corpus_prep": q_corpus_prep,
+        "unnest_tokens": q_unnest_tokens,
+        "cume_dist_price": q_cume_dist_price,
+        "rollup_orders": q_rollup_orders,
     }
 
 
@@ -1394,4 +1447,7 @@ def oracle_sql() -> Dict[str, str]:
         "text_normalized_fp": SQL_TEXT_NORMALIZED_FP,
         "json_props_k": SQL_JSON_PROPS_K,
         "corpus_prep": SQL_CORPUS_PREP,
+        "unnest_tokens": SQL_UNNEST_TOKENS,
+        "cume_dist_price": SQL_CUME_DIST_PRICE,
+        "rollup_orders": SQL_ROLLUP_ORDERS,
     }

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["semi_join", "anti_join", "except_distinct",
-           "intersect_distinct", "pivot_counts"]
+           "intersect_distinct", "pivot_counts", "rollup_counts"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -109,6 +109,50 @@ def intersect_distinct(a_ds, b_ds, *, col: str, col_b: str = None):
     """DISTINCT values present in both sides (SQL INTERSECT).  Output
     column: ``v``."""
     return _set_op(a_ds, b_ds, col, col_b or col, "both")
+
+
+def rollup_counts(ds, *, cols: Sequence[str]):
+    """SQL ``GROUP BY ROLLUP(a, b)`` counts: (a, b, n) plus per-a
+    subtotals (b NULL) and the grand total (both NULL).
+
+    ONE shuffle: the (a, b) groupby; the finest level is then
+    materialized (it is already aggregated — |a|x|b| rows, tiny by
+    construction) and the coarser levels re-aggregate it driver-free
+    via two more tiny groupbys over that small dataset.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    if len(cols) != 2:
+        raise ValueError("rollup_counts currently supports exactly 2 cols")
+    a, b = cols
+    finest = (
+        ds.select_columns([a, b])
+        .groupby([a, b])
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
+
+    sch = finest.schema()
+    sch = getattr(sch, "base_schema", sch)
+    a_type, b_type = sch.field(a).type, sch.field(b).type
+
+    sub = finest.groupby(a).aggregate(Sum("n", alias_name="n"))
+    sub_t = sub.map_batches(
+        lambda t: pa.table({
+            a: t.column(a),
+            b: pa.nulls(t.num_rows, b_type),
+            "n": t.column("n"),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    total = int(finest.sum("n") or 0)
+    grand = rd.from_arrow(pa.table({
+        a: pa.nulls(1, a_type),
+        b: pa.nulls(1, b_type),
+        "n": pa.array([total], pa.int64()),
+    }))
+    return finest.union(sub_t).union(grand)
 
 
 def pivot_counts(ds, *, by: str, pivot_col: str, values: Sequence[str],

@@ -35,6 +35,7 @@ __all__ = [
     "repetition_stats",
     "normalize_fingerprint",
     "json_extract_int",
+    "unnest_tokens",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -207,6 +208,30 @@ def vocab_topk(ds, text_col: str, *, k: int = 20):
     )
     totals = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
     return totals.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def unnest_tokens(ds, text_col: str, id_col: str):
+    """Row explosion (SQL ``unnest``): one output row per token
+    OCCURRENCE, (id, token) — the flat_map primitive tokenized corpora
+    feed into downstream count/index builds.  Pure per-batch Arrow
+    (flat token array + vectorized id repeat): the expansion factor is
+    the only data amplification, no shuffle, no Python loop."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        ids = batch.column(id_col)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        take = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), _row_counts(offsets)
+        )
+        return pa.table({
+            id_col: ids.take(pa.array(take)),
+            "token": flat,
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 def repetition_stats(ds, text_col: str, id_col: str):

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from ..functions.aggregates import hash64
 
-__all__ = ["lag_diff", "rolling_agg"]
+__all__ = ["lag_diff", "rolling_agg", "cume_dist"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -87,6 +87,52 @@ def lag_diff(ds, *, by: str, order_col: str, id_col: str,
     return _bucketed(ds, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "gap"])
+
+
+def cume_dist(ds, *, by: str, value_col: str, id_col: str,
+              n_buckets: int = 256):
+    """SQL ``cume_dist() OVER (PARTITION BY by ORDER BY value)``:
+    fraction of the key's rows with value <= the current row's value.
+    Tie-immune by definition (depends on the VALUE, not row order).
+
+    Output: (id_col, by, cd) with ``cd`` float64.  Vectorized: one sort
+    by (key, value), run-length ends per equal-value run, integer ratio
+    per row — identical IEEE division on both engines.
+    """
+    need = list(dict.fromkeys([id_col, by, value_col]))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.select(need).sort_by(
+            [(by, "ascending"), (value_col, "ascending")]
+        )
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(v)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col), by: t.column(by),
+                             "cd": pa.array([], pa.float64())})
+        new_seg = _segments(keys)
+        seg = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)[seg]
+        seg_len = np.bincount(seg)[seg]
+        # equal-value runs within a segment
+        new_run = new_seg.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        run = np.cumsum(new_run) - 1
+        run_starts = np.flatnonzero(new_run)
+        run_ends = np.empty(len(run_starts), dtype=np.int64)
+        run_ends[:-1] = run_starts[1:] - 1
+        run_ends[-1] = n - 1
+        cd = (run_ends[run] - seg_start + 1).astype(np.float64) / seg_len
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "cd": pa.array(cd),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "cd"])
 
 
 def rolling_agg(ds, *, by: str, order_col: str, value_col: str,

@@ -112,6 +112,44 @@ class TestRolling:
         assert got[5] == 99.0            # new key resets the frame
 
 
+class TestCumeDist:
+    def test_ties_share_the_run_end(self, ray_session):
+        from datatest_ray.stages.winfunc import cume_dist
+
+        ds = _ds({"id": [1, 2, 3, 4, 5],
+                  "k": [1, 1, 1, 1, 2],
+                  "v": [5.0, 5.0, 7.0, 9.0, 3.0]})
+        out = cume_dist(ds, by="k", value_col="v", id_col="id").to_pandas()
+        got = {r.id: r.cd for r in out.itertuples()}
+        assert got[1] == got[2] == 0.5  # both ties count through the run
+        assert got[3] == 0.75 and got[4] == 1.0
+        assert got[5] == 1.0            # singleton partition
+
+
+class TestRollup:
+    def test_levels_and_totals(self, ray_session):
+        from datatest_ray.stages.relational import rollup_counts
+
+        ds = _ds({"a": ["x", "x", "y"], "b": ["p", "q", "p"]})
+        out = rollup_counts(ds, cols=["a", "b"]).to_pandas()
+        finest = out[out.a.notna() & out.b.notna()]
+        subs = out[out.a.notna() & out.b.isna()]
+        grand = out[out.a.isna() & out.b.isna()]
+        assert len(finest) == 3 and finest["n"].sum() == 3
+        assert {(r.a, r.n) for r in subs.itertuples()} == {("x", 2), ("y", 1)}
+        assert grand["n"].tolist() == [3]
+
+
+class TestUnnest:
+    def test_explodes_and_skips_empty(self, ray_session):
+        from datatest_ray.stages.text import unnest_tokens
+
+        ds = _ds({"doc_id": [1, 2, 3], "text": ["a  b", "", "c"]})
+        out = unnest_tokens(ds, "text", "doc_id").to_pandas()
+        assert sorted(zip(out["doc_id"], out["token"])) == [
+            (1, "a"), (1, "b"), (3, "c")]
+
+
 class TestTextOps:
     def test_repetition_empty_and_dup(self, ray_session):
         from datatest_ray.stages.text import repetition_stats
