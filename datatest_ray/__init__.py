@@ -58,6 +58,10 @@ from .stages.order import OrderCheck  # noqa: F401
 from .stages.window import grouped_topk, tumbling_window  # noqa: F401
 from .stages.joins import asof_join_latest  # noqa: F401
 from .stages.sessions import sessionize  # noqa: F401
+from .stages.sampling import (  # noqa: F401
+    hash_sample,
+    stratified_hash_sample,
+)
 from .stages.winfunc import cume_dist, lag_diff, rolling_agg  # noqa: F401
 from .stages.relational import (  # noqa: F401
     anti_join,

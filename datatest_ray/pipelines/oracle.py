@@ -1287,6 +1287,40 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic md5-keyed Bernoulli sample (reproducible across
+    runs/cluster sizes — not random_sample)."""
+    from ..stages.sampling import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return _materialize(hash_sample(ds, id_col="doc_id", rate=0.2))
+
+
+SQL_SAMPLE_DOCS = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < 0.2 * 4294967296
+"""
+
+
+def q_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling: downsample 'en' docs to 10%,
+    keep 50% of the rest (corpus balancing primitive)."""
+    from ..stages.sampling import stratified_hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return _materialize(stratified_hash_sample(
+        ds, id_col="doc_id", strata_col="lang",
+        rates={"en": 0.1}, default_rate=0.5))
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < (CASE WHEN lang = 'en' THEN 0.1 ELSE 0.5 END) * 4294967296
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """Composed corpus-prep pipeline: one fused text scan (quality +
     md5 + lang-ID), vectorized quality filter, keep-first exact dedup,
@@ -1392,6 +1426,8 @@ def queries() -> Dict[str, Callable]:
         "unnest_tokens": q_unnest_tokens,
         "cume_dist_price": q_cume_dist_price,
         "rollup_orders": q_rollup_orders,
+        "sample_docs": q_sample_docs,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1450,4 +1486,6 @@ def oracle_sql() -> Dict[str, str]:
         "unnest_tokens": SQL_UNNEST_TOKENS,
         "cume_dist_price": SQL_CUME_DIST_PRICE,
         "rollup_orders": SQL_ROLLUP_ORDERS,
+        "sample_docs": SQL_SAMPLE_DOCS,
+        "sample_stratified": SQL_SAMPLE_STRATIFIED,
     }

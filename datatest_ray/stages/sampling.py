@@ -1,0 +1,68 @@
+"""Deterministic (hash-based) sampling for training-data pipelines.
+
+Engine extension (the reference has no sampling).  Unlike
+``Dataset.random_sample``, selection here is a pure function of the ROW
+KEY — re-runs, retries, and different cluster sizes pick the identical
+sample, which is what corpus curation needs (and what makes the op
+SQL-oracle-able: DuckDB recomputes the same md5 decision).
+
+Selection rule: keep a row iff the first 8 hex digits of
+``md5(str(key))`` read as an integer are < rate * 16^8.  The md5 loop
+is the same documented per-row-Python exception as the fingerprint op
+(md5 IS the cross-engine contract); everything else is a vectorized
+filter, no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["hash_sample", "stratified_hash_sample"]
+
+_SCALE = 16 ** 8
+
+
+def _key_units(arr: pa.ChunkedArray) -> np.ndarray:
+    """md5-derived uniform [0, 1) value per key."""
+    vals = arr.to_pylist()
+    return np.array(
+        [int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
+         for v in vals],
+        dtype=np.float64,
+    ) / _SCALE
+
+
+def hash_sample(ds, *, id_col: str, rate: float):
+    """Bernoulli(rate) sample, deterministic in ``id_col``.  Keeps all
+    input columns."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(id_col))
+        return batch.filter(pa.array(u < rate))
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def stratified_hash_sample(ds, *, id_col: str, strata_col: str,
+                           rates: Dict[str, float],
+                           default_rate: float = 0.0):
+    """Per-stratum deterministic sampling: row keeps with the rate of
+    its ``strata_col`` value (``default_rate`` for unlisted strata).
+    The downsample-overrepresented-sources primitive of corpus
+    balancing."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(id_col))
+        strata = batch.column(strata_col).to_pylist()
+        thresh = np.array(
+            [rates.get(s, default_rate) for s in strata], dtype=np.float64
+        )
+        return batch.filter(pa.array(u < thresh))
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -150,6 +150,34 @@ class TestUnnest:
             (1, "a"), (1, "b"), (3, "c")]
 
 
+class TestSampling:
+    def test_deterministic_and_rate(self, ray_session):
+        from datatest_ray.stages.sampling import hash_sample
+
+        ds = _ds({"id": list(range(2000)), "x": [0] * 2000})
+        a = hash_sample(ds, id_col="id", rate=0.3).to_pandas()
+        b = hash_sample(ds, id_col="id", rate=0.3).to_pandas()
+        assert sorted(a["id"]) == sorted(b["id"])  # same sample every run
+        assert 0.2 < len(a) / 2000 < 0.4
+        # nested property: the 10% sample is a subset of the 30% one
+        small = hash_sample(ds, id_col="id", rate=0.1).to_pandas()
+        assert set(small["id"]) <= set(a["id"])
+
+    def test_stratified_rates(self, ray_session):
+        from datatest_ray.stages.sampling import stratified_hash_sample
+
+        n = 2000
+        ds = _ds({"id": list(range(n)),
+                  "s": ["a" if i % 2 else "b" for i in range(n)]})
+        out = stratified_hash_sample(
+            ds, id_col="id", strata_col="s",
+            rates={"a": 0.5}, default_rate=0.05).to_pandas()
+        frac_a = (out["s"] == "a").sum() / (n / 2)
+        frac_b = (out["s"] == "b").sum() / (n / 2)
+        assert 0.4 < frac_a < 0.6
+        assert frac_b < 0.12
+
+
 class TestTextOps:
     def test_repetition_empty_and_dup(self, ray_session):
         from datatest_ray.stages.text import repetition_stats
