@@ -55,7 +55,12 @@ from .stages.global_checks import (  # noqa: F401
 )
 from .stages.mapping import GroupAggCheck  # noqa: F401
 from .stages.order import OrderCheck  # noqa: F401
-from .stages.window import grouped_topk, tumbling_window  # noqa: F401
+from .stages.window import (  # noqa: F401
+    grouped_concat,
+    grouped_corr,
+    grouped_topk,
+    tumbling_window,
+)
 from .stages.joins import asof_join_latest  # noqa: F401
 from .stages.sessions import sessionize  # noqa: F401
 from .stages.sampling import (  # noqa: F401

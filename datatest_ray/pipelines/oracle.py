@@ -1287,6 +1287,38 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_corr_qty_price(sf_dir: str):
+    """Per-group Pearson correlation via sufficient-statistics
+    combiners (six numbers per key per block through the shuffle)."""
+    from ..stages.window import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return _materialize(grouped_corr(
+        ds, by="l_returnflag", x="l_quantity", y="l_extendedprice"))
+
+
+SQL_CORR_QTY_PRICE = """
+SELECT l_returnflag, corr(l_quantity, l_extendedprice) AS corr
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_concat_nations(sf_dir: str):
+    """Ordered string aggregation per region (SQL string_agg)."""
+    from ..stages.window import grouped_concat
+
+    ds = _read(sf_dir, "nation", ["n_regionkey", "n_name"])
+    return _materialize(grouped_concat(
+        ds, by="n_regionkey", col="n_name", sep=","))
+
+
+SQL_CONCAT_NATIONS = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS agg
+FROM nation GROUP BY n_regionkey
+"""
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic md5-keyed Bernoulli sample (reproducible across
     runs/cluster sizes — not random_sample)."""
@@ -1428,6 +1460,8 @@ def queries() -> Dict[str, Callable]:
         "rollup_orders": q_rollup_orders,
         "sample_docs": q_sample_docs,
         "sample_stratified": q_sample_stratified,
+        "corr_qty_price": q_corr_qty_price,
+        "concat_nations": q_concat_nations,
     }
 
 
@@ -1488,4 +1522,6 @@ def oracle_sql() -> Dict[str, str]:
         "rollup_orders": SQL_ROLLUP_ORDERS,
         "sample_docs": SQL_SAMPLE_DOCS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
+        "corr_qty_price": SQL_CORR_QTY_PRICE,
+        "concat_nations": SQL_CONCAT_NATIONS,
     }

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "grouped_quantile",
-           "grouped_topk"]
+           "grouped_topk", "grouped_corr", "grouped_concat"]
 
 _UNITS = {"minute", "hour", "day", "week", "month"}
 
@@ -128,6 +128,89 @@ def grouped_quantile(ds, *, by: str, col: str, q: float = 0.5,
     return ds.select_columns([by, col]).groupby(by).map_groups(
         kernel, batch_format="pyarrow"
     )
+
+
+def grouped_corr(ds, *, by: str, x: str, y: str, alias: str = "corr"):
+    """Per-group sample Pearson correlation (SQL ``corr(x, y)``) via
+    SUFFICIENT-STATISTICS combiners: each batch reduces to
+    (n, sx, sy, sxx, syy, sxy) per key — vectorized bincount sums, one
+    row per (key, block) — so the ONE ``groupby(by).sum`` shuffle moves
+    six numbers per key per block, never the data.  The finalize kernel
+    is the closed-form corr on the merged moments.  NULL (None) when a
+    group has <2 rows or zero variance, matching SQL."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        enc = pc.dictionary_encode(keys)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        xv = batch.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = batch.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(xv) | np.isnan(yv))
+        code, xv, yv = code[ok], xv[ok], yv[ok]
+        m = len(enc.dictionary)
+        return pa.table({
+            by: enc.dictionary,
+            "n": pa.array(np.bincount(code, minlength=m).astype(np.float64)),
+            "sx": pa.array(np.bincount(code, weights=xv, minlength=m)),
+            "sy": pa.array(np.bincount(code, weights=yv, minlength=m)),
+            "sxx": pa.array(np.bincount(code, weights=xv * xv, minlength=m)),
+            "syy": pa.array(np.bincount(code, weights=yv * yv, minlength=m)),
+            "sxy": pa.array(np.bincount(code, weights=xv * yv, minlength=m)),
+        })
+
+    merged = (
+        ds.select_columns([by, x, y])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(by)
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        ok = (n > 1) & (vx > 0) & (vy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (n * sxy - sx * sy) / np.sqrt(vx * vy)
+        return pa.table({
+            by: t.column(by),
+            alias: pa.array(np.where(ok, r, np.nan), pa.float64(),
+                            mask=~ok),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def grouped_concat(ds, *, by: str, col: str, order_col: Optional[str] = None,
+                   sep: str = ",", alias: str = "agg"):
+    """Per-group ordered string aggregation (SQL
+    ``string_agg(col, sep ORDER BY order)``).  Intended for BOUNDED
+    group contents (labels, names per region) — the output row holds
+    the whole group's strings by definition."""
+
+    order = order_col or col
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(order, "ascending")])
+        vals = [v for v in t.column(col).to_pylist() if v is not None]
+        return pa.table({
+            by: group.column(by)[:1],
+            alias: pa.array([sep.join(vals)]),
+        })
+
+    return ds.select_columns(
+        list(dict.fromkeys([by, col, order]))
+    ).groupby(by).map_groups(kernel, batch_format="pyarrow")
 
 
 def grouped_topk(ds, *, by: str, order_col: str, k: int = 3,

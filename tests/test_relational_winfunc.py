@@ -178,6 +178,35 @@ class TestSampling:
         assert frac_b < 0.12
 
 
+class TestGroupedCorr:
+    def test_matches_numpy_and_degenerate_groups(self, ray_session):
+        from datatest_ray.stages.window import grouped_corr
+
+        rng = np.random.RandomState(7)
+        xs = rng.standard_normal(50)
+        ys = 2 * xs + rng.standard_normal(50) * 0.5
+        ds = _ds({
+            "g": ["a"] * 50 + ["single"] + ["flat", "flat"],
+            "x": list(xs) + [1.0, 3.0, 3.0],
+            "y": list(ys) + [2.0, 5.0, 5.0],
+        })
+        out = grouped_corr(ds, by="g", x="x", y="y").to_pandas()
+        got = {r.g: r.corr for r in out.itertuples()}
+        assert got["a"] == pytest.approx(np.corrcoef(xs, ys)[0, 1], rel=1e-9)
+        assert np.isnan(got["single"])   # n < 2 -> NULL
+        assert np.isnan(got["flat"])     # zero variance -> NULL
+
+
+class TestGroupedConcat:
+    def test_ordered_join(self, ray_session):
+        from datatest_ray.stages.window import grouped_concat
+
+        ds = _ds({"g": [1, 1, 1, 2], "s": ["b", "a", "c", "z"]})
+        out = grouped_concat(ds, by="g", col="s", sep="|").to_pandas()
+        got = {r.g: r.agg for r in out.itertuples()}
+        assert got[1] == "a|b|c" and got[2] == "z"
+
+
 class TestTextOps:
     def test_repetition_empty_and_dup(self, ray_session):
         from datatest_ray.stages.text import repetition_stats
