@@ -29,6 +29,7 @@ import pyarrow as pa
 __all__ = [
     "hash64",
     "HyperLogLog",
+    "BloomFilter",
     "CountMinSketch",
     "MinHashSignature",
     "TDigest",
@@ -96,6 +97,60 @@ class HyperLogLog:
         if raw <= 2.5 * m and zeros > 0:
             return m * math.log(m / zeros)  # linear counting
         return float(raw)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (approximate membership — no false negatives)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Bit-array Bloom filter; double hashing h1 + i*h2 across k probe
+    positions (same scheme as the Count-Min rows).  Merge = bitwise OR,
+    so per-block partials combine associatively through a shuffle and
+    the finished filter is a compact broadcastable membership oracle —
+    the 100 TB pre-filter for referential (subset/anti-join) checks:
+    ship ~m/8 bytes once via ``ray.put`` instead of the full key set,
+    drop every definitely-absent probe locally, and verify only the
+    (no-false-negative) survivors exactly."""
+
+    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 7):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = np.zeros(n_bits // 8 + (n_bits % 8 > 0), dtype=np.uint8)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h1 = h
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd
+        rows = []
+        for i in range(self.n_hashes):
+            rows.append(
+                ((h1 + np.uint64(i) * h2) % np.uint64(self.n_bits)).astype(
+                    np.int64
+                )
+            )
+        return np.concatenate(rows)
+
+    def update(self, values) -> "BloomFilter":
+        pos = self._positions(hash64(values))
+        np.bitwise_or.at(
+            self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8)
+        )
+        return self
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self.bits |= other.bits
+        return self
+
+    def might_contain(self, values) -> np.ndarray:
+        """Vectorized membership: False is definite, True is probable."""
+        h = hash64(values)
+        pos = self._positions(h).reshape(self.n_hashes, len(h))
+        hit = np.ones(len(h), dtype=bool)
+        for i in range(self.n_hashes):
+            p = pos[i]
+            hit &= (self.bits[p // 8] >> (p % 8).astype(np.uint8)) & 1 == 1
+        return hit
 
 
 # ---------------------------------------------------------------------------

@@ -157,3 +157,59 @@ def test_cms_never_underestimates(seed):
     est = cms.query(uniq)
     assert (est >= counts).all()          # CMS never undercounts
     assert (est - counts).max() <= 3000 * 5 / 2048 * 4  # loose CM bound
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_bloom_no_false_negatives_and_low_fp(seed):
+    from datatest_ray.functions.aggregates import BloomFilter
+
+    rng = np.random.RandomState(seed)
+    members = rng.randint(0, 10**9, size=2000).astype(np.int64)
+    others = rng.randint(10**9, 2 * 10**9, size=2000).astype(np.int64)
+    bf = BloomFilter(n_bits=1 << 16, n_hashes=7)
+    bf.update(members)
+    assert bf.might_contain(members).all()  # never a false negative
+    # ~2k keys in 64Kbit with 7 hashes -> theoretical fp ~1%, allow 5%
+    assert bf.might_contain(others).mean() < 0.05
+
+
+def test_bloom_merge_equals_bulk_build():
+    from datatest_ray.functions.aggregates import BloomFilter
+
+    a = np.arange(0, 1000, dtype=np.int64)
+    b = np.arange(1000, 2000, dtype=np.int64)
+    merged = BloomFilter(1 << 14, 5).update(a).merge(
+        BloomFilter(1 << 14, 5).update(b))
+    bulk = BloomFilter(1 << 14, 5).update(np.arange(0, 2000, dtype=np.int64))
+    assert (merged.bits == bulk.bits).all()
+
+
+def test_bloom_distributed_prefilter(ray_session):
+    """The 100 TB referential-check pattern: build the filter as a
+    mergeable aggregate over the reference Dataset, broadcast it, drop
+    definitely-absent probes locally, verify survivors exactly."""
+    import ray
+    import ray.data as rd
+
+    from datatest_ray.functions.aggregates import BloomFilter, SketchAggregate
+
+    ref = rd.from_arrow(pa.table({"k": list(range(0, 3000, 3))}))
+    built = ref.aggregate(SketchAggregate(
+        "k", lambda: BloomFilter(1 << 16, 7), alias_name="bloom"))
+    bf = built["bloom"]
+    handle = ray.put(bf)
+
+    probes = rd.from_arrow(pa.table({"k": list(range(2995, 3010))}))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        f = ray.get(handle)
+        return t.filter(pa.array(f.might_contain(t.column("k"))))
+
+    kept = probes.map_batches(
+        prefilter, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    # every true member survives (no false negatives)
+    assert {2997} <= set(kept["k"])
+    # most non-members are dropped before any exact verification
+    assert len(kept) <= 4
