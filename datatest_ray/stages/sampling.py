@@ -6,11 +6,14 @@ KEY — re-runs, retries, and different cluster sizes pick the identical
 sample, which is what corpus curation needs (and what makes the op
 SQL-oracle-able: DuckDB recomputes the same md5 decision).
 
-Selection rule: keep a row iff the first 8 hex digits of
-``md5(str(key))`` read as an integer are < rate * 16^8.  The md5 loop
-is the same documented per-row-Python exception as the fingerprint op
-(md5 IS the cross-engine contract); everything else is a vectorized
-filter, no shuffle.
+Selection rule (``method="md5"``, the default): keep a row iff the
+first 8 hex digits of ``md5(str(key))`` read as an integer are
+< rate * 16^8.  The md5 loop is the same documented per-row-Python
+exception as the fingerprint op (md5 IS the cross-engine contract that
+lets DuckDB recompute the decision).  ``method="fast"`` swaps in the
+fully-vectorized ``hash64`` decision — same determinism and
+nested-sample property, no per-row Python — for the 100 TB hot path
+where no SQL engine needs to reproduce the choice.
 """
 
 from __future__ import annotations
@@ -21,13 +24,19 @@ from typing import Dict
 import numpy as np
 import pyarrow as pa
 
+from ..functions.aggregates import hash64
+
 __all__ = ["hash_sample", "stratified_hash_sample"]
 
 _SCALE = 16 ** 8
 
 
-def _key_units(arr: pa.ChunkedArray) -> np.ndarray:
-    """md5-derived uniform [0, 1) value per key."""
+def _key_units(arr: pa.ChunkedArray, method: str) -> np.ndarray:
+    """Deterministic uniform [0, 1) value per key."""
+    if method == "fast":
+        return hash64(arr).astype(np.float64) / float(2 ** 64)
+    if method != "md5":
+        raise ValueError(f"unknown method {method!r}")
     vals = arr.to_pylist()
     return np.array(
         [int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
@@ -36,12 +45,12 @@ def _key_units(arr: pa.ChunkedArray) -> np.ndarray:
     ) / _SCALE
 
 
-def hash_sample(ds, *, id_col: str, rate: float):
+def hash_sample(ds, *, id_col: str, rate: float, method: str = "md5"):
     """Bernoulli(rate) sample, deterministic in ``id_col``.  Keeps all
     input columns."""
 
     def kernel(batch: pa.Table) -> pa.Table:
-        u = _key_units(batch.column(id_col))
+        u = _key_units(batch.column(id_col), method)
         return batch.filter(pa.array(u < rate))
 
     return ds.map_batches(kernel, batch_format="pyarrow",
@@ -50,14 +59,15 @@ def hash_sample(ds, *, id_col: str, rate: float):
 
 def stratified_hash_sample(ds, *, id_col: str, strata_col: str,
                            rates: Dict[str, float],
-                           default_rate: float = 0.0):
+                           default_rate: float = 0.0,
+                           method: str = "md5"):
     """Per-stratum deterministic sampling: row keeps with the rate of
     its ``strata_col`` value (``default_rate`` for unlisted strata).
     The downsample-overrepresented-sources primitive of corpus
     balancing."""
 
     def kernel(batch: pa.Table) -> pa.Table:
-        u = _key_units(batch.column(id_col))
+        u = _key_units(batch.column(id_col), method)
         strata = batch.column(strata_col).to_pylist()
         thresh = np.array(
             [rates.get(s, default_rate) for s in strata], dtype=np.float64

@@ -163,6 +163,18 @@ class TestSampling:
         small = hash_sample(ds, id_col="id", rate=0.1).to_pandas()
         assert set(small["id"]) <= set(a["id"])
 
+    def test_fast_method_deterministic(self, ray_session):
+        from datatest_ray.stages.sampling import hash_sample
+
+        ds = _ds({"id": list(range(2000)), "x": [0] * 2000})
+        a = hash_sample(ds, id_col="id", rate=0.3, method="fast").to_pandas()
+        b = hash_sample(ds, id_col="id", rate=0.3, method="fast").to_pandas()
+        assert sorted(a["id"]) == sorted(b["id"])
+        assert 0.2 < len(a) / 2000 < 0.4
+        small = hash_sample(ds, id_col="id", rate=0.1,
+                            method="fast").to_pandas()
+        assert set(small["id"]) <= set(a["id"])  # nested samples
+
     def test_stratified_rates(self, ray_session):
         from datatest_ray.stages.sampling import stratified_hash_sample
 
