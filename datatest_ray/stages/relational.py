@@ -33,6 +33,15 @@ __all__ = ["semi_join", "anti_join", "except_distinct",
 _MARK = "__dtr_semi_mark"
 
 
+def _left_cols(left_ds) -> list:
+    """Semi/anti output = the LEFT columns, derived from the left
+    schema (metadata-only for reads) — calling ``.schema()`` on the
+    JOIN would execute the join once just to list columns, then
+    ``select_columns`` would run it again (measured 2x)."""
+    sch = left_ds.schema()
+    return list(getattr(sch, "names", sch))
+
+
 def _distinct_right(right_ds, right_on: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -67,9 +76,7 @@ def semi_join(left_ds, right_ds, *, on: str, right_on: str,
     joined = left_ds.join(keys, join_type="inner",
                           num_partitions=num_partitions,
                           on=(on,), right_on=(right_on,))
-    drop = [c for c in (_MARK, right_on) if c != on]
-    cols = [c for c in joined.schema().names if c not in drop]
-    return joined.select_columns(cols)
+    return joined.select_columns(_left_cols(left_ds))
 
 
 def anti_join(left_ds, right_ds, *, on: str, right_on: str,
@@ -86,9 +93,7 @@ def anti_join(left_ds, right_ds, *, on: str, right_on: str,
 
     missing = joined.map_batches(keep_unmatched, batch_format="pyarrow",
                                  zero_copy_batch=True)
-    drop = [c for c in (_MARK, right_on) if c != on]
-    cols = [c for c in missing.schema().names if c not in drop]
-    return missing.select_columns(cols)
+    return missing.select_columns(_left_cols(left_ds))
 
 
 def _set_op(a_ds, b_ds, col_a: str, col_b: str, want: str):
