@@ -63,6 +63,7 @@ from .stages.window import (  # noqa: F401
 )
 from .stages.joins import asof_join_latest  # noqa: F401
 from .stages.sessions import sessionize  # noqa: F401
+from .stages.profile import profile_columns  # noqa: F401
 from .stages.sampling import (  # noqa: F401
     hash_sample,
     stratified_hash_sample,

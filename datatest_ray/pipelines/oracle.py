@@ -1287,6 +1287,34 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_profile_lineitem(sf_dir: str):
+    """One-pass column profiler: per-batch (n, n_null, sum, min, max)
+    partials, one tiny groupby(col) merge."""
+    from ..stages.profile import profile_columns
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # decimals=2: fixed-point money/rate columns -> exact integer-cent
+    # sums so the mean never differs from the oracle in the last ulps
+    return _materialize(profile_columns(
+        _read(sf_dir, "lineitem", cols), cols, decimals=2))
+
+
+def _profile_sql_one(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(min({c}) AS DOUBLE) AS min, CAST(max({c}) AS DOUBLE) AS max,
+       CAST(sum(CAST(round({c} * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           / count({c}) AS mean
+FROM lineitem"""
+
+
+SQL_PROFILE_LINEITEM = " UNION ALL ".join(
+    _profile_sql_one(c)
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+
+
 def q_corr_qty_price(sf_dir: str):
     """Per-group Pearson correlation via sufficient-statistics
     combiners (six numbers per key per block through the shuffle)."""
@@ -1462,6 +1490,7 @@ def queries() -> Dict[str, Callable]:
         "sample_stratified": q_sample_stratified,
         "corr_qty_price": q_corr_qty_price,
         "concat_nations": q_concat_nations,
+        "profile_lineitem": q_profile_lineitem,
     }
 
 
@@ -1524,4 +1553,5 @@ def oracle_sql() -> Dict[str, str]:
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "corr_qty_price": SQL_CORR_QTY_PRICE,
         "concat_nations": SQL_CONCAT_NATIONS,
+        "profile_lineitem": SQL_PROFILE_LINEITEM,
     }

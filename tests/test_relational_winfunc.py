@@ -219,6 +219,23 @@ class TestGroupedConcat:
         assert got[1] == "a|b|c" and got[2] == "z"
 
 
+class TestProfile:
+    def test_nulls_and_all_null_column(self, ray_session):
+        from datatest_ray.stages.profile import profile_columns
+
+        ds = _ds({
+            "x": pa.array([1.0, None, 3.0, None], pa.float64()),
+            "y": pa.array([None, None, None, None], pa.float64()),
+        })
+        out = profile_columns(ds, ["x", "y"]).to_pandas()
+        got = {r.col: r for r in out.itertuples()}
+        assert got["x"].n == 4 and got["x"].n_null == 2
+        assert got["x"].min == 1.0 and got["x"].max == 3.0
+        assert got["x"].mean == 2.0
+        assert got["y"].n_null == 4
+        assert np.isnan(got["y"].mean)
+
+
 class TestTextOps:
     def test_repetition_empty_and_dup(self, ray_session):
         from datatest_ray.stages.text import repetition_stats
