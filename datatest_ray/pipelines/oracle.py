@@ -1287,6 +1287,24 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_broadcast_join_orders(sf_dir: str):
+    """Map-side dimension lookup: customer broadcast once via ray.put,
+    orders stream through a vectorized index_in attach — no shuffle."""
+    from ..stages.relational import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return _materialize(broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        right_cols=["c_mktsegment"]))
+
+
+SQL_BROADCAST_JOIN_ORDERS = """
+SELECT o_orderkey, o_custkey, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def q_profile_lineitem(sf_dir: str):
     """One-pass column profiler: per-batch (n, n_null, sum, min, max)
     partials, one tiny groupby(col) merge."""
@@ -1491,6 +1509,7 @@ def queries() -> Dict[str, Callable]:
         "corr_qty_price": q_corr_qty_price,
         "concat_nations": q_concat_nations,
         "profile_lineitem": q_profile_lineitem,
+        "broadcast_join_orders": q_broadcast_join_orders,
     }
 
 
@@ -1554,4 +1573,5 @@ def oracle_sql() -> Dict[str, str]:
         "corr_qty_price": SQL_CORR_QTY_PRICE,
         "concat_nations": SQL_CONCAT_NATIONS,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
+        "broadcast_join_orders": SQL_BROADCAST_JOIN_ORDERS,
     }

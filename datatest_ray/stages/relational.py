@@ -28,7 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["semi_join", "anti_join", "except_distinct",
-           "intersect_distinct", "pivot_counts", "rollup_counts"]
+           "intersect_distinct", "pivot_counts", "rollup_counts",
+           "broadcast_join"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -114,6 +115,57 @@ def intersect_distinct(a_ds, b_ds, *, col: str, col_b: str = None):
     """DISTINCT values present in both sides (SQL INTERSECT).  Output
     column: ``v``."""
     return _set_op(a_ds, b_ds, col, col_b or col, "both")
+
+
+def broadcast_join(left_ds, right_ds, *, on: str, right_on: str,
+                   right_cols: Sequence[str], how: str = "left"):
+    """Map-side hash join against a SMALL right side: the right table
+    is collected once, ``ray.put`` into the object store, and every
+    ``map_batches`` task attaches the right columns by a vectorized
+    ``pc.index_in`` + ``take`` — NO shuffle, the left side streams
+    untouched.  This is the scale pattern for dimension lookups
+    (orders -> customer/nation): at 100 TB a shuffle join moves the
+    fact table; this moves the dimension table once per node.
+
+    Partitioning assumption (caller's contract): the right side's
+    DISTINCT keys + ``right_cols`` fit in worker memory.  Duplicate
+    right keys keep the FIRST occurrence (dimension tables are unique
+    by key; deduping here keeps the semantics defined).
+    ``how='left'`` emits nulls for unmatched left rows; ``how='inner'``
+    drops them.
+    """
+    import ray
+
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    need = list(dict.fromkeys([right_on] + list(right_cols)))
+    small = pa.Table.from_pandas(
+        right_ds.select_columns(need).to_pandas(), preserve_index=False
+    )
+    # keep-first per key, deterministically
+    keys = small.column(right_on)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    enc = pc.dictionary_encode(keys)
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    first = np.full(len(enc.dictionary), len(codes), dtype=np.int64)
+    np.minimum.at(first, codes, np.arange(len(codes), dtype=np.int64))
+    small = small.take(pa.array(np.sort(first))).combine_chunks()
+    handle = ray.put(small)
+    out_cols = [c for c in right_cols if c != right_on]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dim = ray.get(handle)
+        idx = pc.index_in(batch.column(on), value_set=dim.column(right_on))
+        if how == "inner":
+            keep = idx.is_valid()
+            batch = batch.filter(keep)
+            idx = idx.filter(keep)
+        for c in out_cols:
+            batch = batch.append_column(c, dim.column(c).take(idx))
+        return batch
+
+    return left_ds.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def rollup_counts(ds, *, cols: Sequence[str]):

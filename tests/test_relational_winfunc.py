@@ -51,6 +51,24 @@ class TestSemiAnti:
         assert set(out.columns) == {"k", "x"}
 
 
+class TestBroadcastJoin:
+    def test_left_nulls_inner_drops_and_keep_first(self, ray_session):
+        from datatest_ray.stages.relational import broadcast_join
+
+        left = _ds({"k": [1, 2, 3], "x": ["a", "b", "c"]})
+        # duplicate right key 1: first occurrence ('one') must win
+        right = _ds({"rk": [1, 1, 2], "name": ["one", "uno", "two"]})
+        out = broadcast_join(left, right, on="k", right_on="rk",
+                             right_cols=["name"]).to_pandas()
+        got = dict(zip(out["k"], out["name"]))
+        assert got[1] == "one" and got[2] == "two"
+        assert got[3] is None or got[3] != got[3]  # null for no match
+
+        inner = broadcast_join(left, right, on="k", right_on="rk",
+                               right_cols=["name"], how="inner").to_pandas()
+        assert sorted(inner["k"]) == [1, 2]
+
+
 class TestSetOps:
     def test_except_and_intersect(self, ray_session):
         from datatest_ray.stages.relational import (
