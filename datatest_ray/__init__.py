@@ -71,6 +71,7 @@ from .stages.sampling import (  # noqa: F401
 from .stages.winfunc import cume_dist, lag_diff, rolling_agg  # noqa: F401
 from .stages.relational import (  # noqa: F401
     anti_join,
+    broadcast_join,
     except_distinct,
     intersect_distinct,
     pivot_counts,

@@ -1287,6 +1287,26 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def q_zscore_order_price(sf_dir: str):
+    """Per-group standardization: tiny moment aggregate broadcast back
+    onto the streaming rows — the data itself is never shuffled."""
+    from ..stages.winfunc import group_zscore
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return _materialize(group_zscore(
+        ds, by="o_orderpriority", value_col="o_totalprice",
+        id_col="o_orderkey"))
+
+
+SQL_ZSCORE_ORDER_PRICE = """
+SELECT o_orderkey, o_orderpriority,
+       (o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority))
+       / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderpriority) AS z
+FROM orders
+"""
+
+
 def q_broadcast_join_orders(sf_dir: str):
     """Map-side dimension lookup: customer broadcast once via ray.put,
     orders stream through a vectorized index_in attach — no shuffle."""
@@ -1510,6 +1530,7 @@ def queries() -> Dict[str, Callable]:
         "concat_nations": q_concat_nations,
         "profile_lineitem": q_profile_lineitem,
         "broadcast_join_orders": q_broadcast_join_orders,
+        "zscore_order_price": q_zscore_order_price,
     }
 
 
@@ -1574,4 +1595,5 @@ def oracle_sql() -> Dict[str, str]:
         "concat_nations": SQL_CONCAT_NATIONS,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "broadcast_join_orders": SQL_BROADCAST_JOIN_ORDERS,
+        "zscore_order_price": SQL_ZSCORE_ORDER_PRICE,
     }

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from ..functions.aggregates import hash64
 
-__all__ = ["lag_diff", "rolling_agg", "cume_dist"]
+__all__ = ["lag_diff", "rolling_agg", "cume_dist", "group_zscore"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -87,6 +87,79 @@ def lag_diff(ds, *, by: str, order_col: str, id_col: str,
     return _bucketed(ds, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "gap"])
+
+
+def group_zscore(ds, *, by: str, value_col: str, id_col: str):
+    """Per-group standardization: ``(v - mean_g) / stddev_samp_g``
+    (SQL window ``avg/stddev_samp OVER (PARTITION BY g)``), the feature
+    normalization step of tabular training pipelines.
+
+    Plan: ONE tiny ``groupby(by)`` over per-batch moment partials
+    (n, sum, sumsq — same sufficient-statistics shape as
+    ``grouped_corr``), the per-key stats broadcast back via ``ray.put``,
+    and the row pass attaches z via vectorized ``index_in`` — the data
+    itself is never shuffled.  NULL z for groups with <2 rows or zero
+    variance.  Assumption: #groups fits in memory (it is an aggregate).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        enc = pc.dictionary_encode(keys)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        ok = ~np.isnan(v)
+        m = len(enc.dictionary)
+        return pa.table({
+            by: enc.dictionary,
+            "n": pa.array(
+                np.bincount(code[ok], minlength=m).astype(np.float64)),
+            "s": pa.array(np.bincount(code[ok], weights=v[ok], minlength=m)),
+            "ss": pa.array(
+                np.bincount(code[ok], weights=v[ok] * v[ok], minlength=m)),
+        })
+
+    stats = (
+        ds.select_columns([by, value_col])
+        .map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(by)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "s", "ss")])
+    )
+    stat_t = pa.Table.from_pandas(stats.to_pandas(), preserve_index=False)
+    keys = stat_t.column(by)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    n = stat_t.column("n").to_numpy(zero_copy_only=False)
+    s = stat_t.column("s").to_numpy(zero_copy_only=False)
+    ss = stat_t.column("ss").to_numpy(zero_copy_only=False)
+    mean = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+    var = np.where(
+        n > 1, (ss - s * s / np.maximum(n, 1)) / np.maximum(n - 1, 1), np.nan
+    )
+    std = np.sqrt(np.where(var > 0, var, np.nan))
+    handle = ray.put((keys, mean, std))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        k, mu, sd = ray.get(handle)
+        idx = pc.index_in(batch.column(by), value_set=k)
+        pos = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.where(np.isnan(pos), 0, pos).astype(np.int64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        z = (v - mu[pos]) / sd[pos]
+        return pa.table({
+            id_col: batch.column(id_col),
+            by: batch.column(by),
+            "z": pa.array(z, pa.float64(), mask=np.isnan(z)),
+        })
+
+    return ds.select_columns(
+        list(dict.fromkeys([id_col, by, value_col]))
+    ).map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def cume_dist(ds, *, by: str, value_col: str, id_col: str,

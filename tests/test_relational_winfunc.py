@@ -110,6 +110,25 @@ class TestLag:
         assert got[2] == 150 and got[3] == 150
 
 
+class TestZScore:
+    def test_standardizes_and_degenerate_groups(self, ray_session):
+        from datatest_ray.stages.winfunc import group_zscore
+
+        ds = _ds({
+            "id": [1, 2, 3, 4, 5, 6],
+            "g": ["a", "a", "a", "lone", "flat", "flat"],
+            "v": [1.0, 2.0, 3.0, 9.0, 5.0, 5.0],
+        })
+        out = group_zscore(ds, by="g", value_col="v",
+                           id_col="id").to_pandas()
+        got = {r.id: r.z for r in out.itertuples()}
+        assert got[1] == pytest.approx(-1.0)
+        assert got[2] == pytest.approx(0.0)
+        assert got[3] == pytest.approx(1.0)
+        assert np.isnan(got[4])  # n < 2
+        assert np.isnan(got[5]) and np.isnan(got[6])  # zero variance
+
+
 class TestRolling:
     def test_short_frames_and_key_reset(self, ray_session):
         from datatest_ray.stages.winfunc import rolling_agg
