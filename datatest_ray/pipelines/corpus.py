@@ -35,7 +35,48 @@ from ..stages.text import (
     tokens_and_offsets,
 )
 
-__all__ = ["corpus_prep"]
+__all__ = ["corpus_prep", "embedding_hygiene"]
+
+
+def embedding_hygiene(emb_ds, *, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      label_col: str = "label",
+                      threshold: float = 0.4):
+    """Embedding-corpus hygiene as one composed plan: exact cosine
+    near-dup detection (blocked grid join — the scale path), drop the
+    GREATER id of every near-dup pair (deterministic keep-first rule,
+    no transitive chasing), then per-label survivor counts.
+
+    The drop set is bounded by the duplicate count, so it is collected
+    once and broadcast via ``ray.put``; the corpus itself streams
+    through a vectorized is_in filter.  Output: (label, n_kept).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.similarity import neardup_cosine_pairs
+
+    pairs = neardup_cosine_pairs(
+        emb_ds.select_columns([id_col, vec_col]),
+        id_col=id_col, vec_col=vec_col, threshold=threshold,
+        mode="blocked",
+    )
+    drop = pc.unique(
+        pa.Table.from_pandas(
+            pairs.select_columns(["b"]).to_pandas(), preserve_index=False
+        ).column("b").combine_chunks()
+    )
+    handle = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(handle)
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
+        return batch.filter(mask)
+
+    kept = emb_ds.select_columns([id_col, label_col]).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return kept.groupby(label_col).aggregate(Count(alias_name="n_kept"))
 
 
 def corpus_prep(ds, *, text_col: str = "text", id_col: str = "doc_id",

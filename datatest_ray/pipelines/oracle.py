@@ -1419,6 +1419,28 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+def q_emb_hygiene(sf_dir: str):
+    """Composed embedding pipeline: blocked cosine near-dup pairs ->
+    drop the greater id per pair (broadcast drop set) -> per-label
+    survivor counts."""
+    from .corpus import embedding_hygiene
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return _materialize(embedding_hygiene(emb, threshold=0.4))
+
+
+SQL_EMB_HYGIENE = """
+WITH pairs AS (
+  SELECT b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4)
+SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_kept
+FROM embeddings WHERE vec_id NOT IN (SELECT b FROM pairs)
+GROUP BY label
+"""
+
+
 def q_corpus_prep(sf_dir: str):
     """Composed corpus-prep pipeline: one fused text scan (quality +
     md5 + lang-ID), vectorized quality filter, keep-first exact dedup,
@@ -1531,6 +1553,7 @@ def queries() -> Dict[str, Callable]:
         "profile_lineitem": q_profile_lineitem,
         "broadcast_join_orders": q_broadcast_join_orders,
         "zscore_order_price": q_zscore_order_price,
+        "emb_hygiene": q_emb_hygiene,
     }
 
 
@@ -1596,4 +1619,5 @@ def oracle_sql() -> Dict[str, str]:
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "broadcast_join_orders": SQL_BROADCAST_JOIN_ORDERS,
         "zscore_order_price": SQL_ZSCORE_ORDER_PRICE,
+        "emb_hygiene": SQL_EMB_HYGIENE,
     }

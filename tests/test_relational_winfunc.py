@@ -273,6 +273,25 @@ class TestProfile:
         assert np.isnan(got["y"].mean)
 
 
+class TestEmbeddingHygiene:
+    def test_drops_greater_id_of_near_dup_pair(self, ray_session):
+        from datatest_ray.pipelines.corpus import embedding_hygiene
+
+        # vectors 1 and 3 are identical (cos=1); 2 is orthogonal
+        ds = _ds({
+            "vec_id": [1, 2, 3],
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]],
+                pa.list_(pa.float32())),
+            "label": [7, 7, 8],
+        })
+        out = embedding_hygiene(ds, threshold=0.9).to_pandas()
+        got = dict(zip(out["label"], out["n_kept"]))
+        # id 3 (greater of pair 1-3) dropped -> label 8 vanishes
+        assert got.get(7) == 2
+        assert 8 not in got
+
+
 class TestTextOps:
     def test_repetition_empty_and_dup(self, ray_session):
         from datatest_ray.stages.text import repetition_stats
