@@ -201,3 +201,37 @@ def test_flagship_end_to_end(ray_session):
 
 
 CAPTION_RE = r"^[A-Za-z0-9 ,.'-]+$"
+
+
+def test_flagship_reader_pruning_parity(ray_session, tmp_path):
+    """A reader-pruned run (read_parquet(columns=...) per branch) must
+    produce the identical violation multiset as the unpruned run —
+    guards the Check.input_columns declarations (a check that forgets a
+    column it reads would silently change results)."""
+    import os
+
+    import ray.data as rd
+
+    from datatest_ray.pipelines.flagship import run_flagship
+    from datatest_ray.sources.images import materialize_fixture
+
+    spec = ImageFixtureSpec(
+        n_rows=400, rows_per_part=100, p_dup_id=0.02, p_corrupt=0.02,
+        p_oob_w=0.02, p_bad_fmt=0.02, p_bad_cap=0.02, p_phash_dup=0.02,
+    )
+    path = materialize_fixture(str(tmp_path / "tbl"), spec)
+    files = [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet")]
+
+    def run(reader):
+        res = run_flagship(rd.read_parquet(files),
+                           reference_seed=spec.seed, parity_concurrency=2,
+                           reader=reader)
+        t = res.to_table()
+        return sorted(zip(t.column("check_id").to_pylist(),
+                          t.column("row_ref").to_pylist(),
+                          t.column("kind").to_pylist()))
+
+    plain = run(None)
+    pruned = run(lambda cols: rd.read_parquet(files, columns=cols))
+    assert plain == pruned and len(plain) > 0
