@@ -180,6 +180,12 @@ def scaling() -> None:
     trials = 3
     if "--trials" in sys.argv:
         trials = int(sys.argv[sys.argv.index("--trials") + 1])
+    # N and 4N are configurable (north_rule says "N and 4N nodes", e.g.
+    # 4->16): at 16 procs this box's memory-bandwidth ceiling bites far
+    # less than at 32, so a low-N run isolates ENGINE scaling from the
+    # shared-host hardware ceiling documented in BASELINE.md
+    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_n = 4 * lo_n
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
@@ -196,24 +202,26 @@ def scaling() -> None:
     # one side a calm window and the other a storm)
     lo_runs, hi_runs = [], []
     for _ in range(trials):
-        lo_runs.append(run(8))
-        hi_runs.append(run(32))
+        lo_runs.append(run(lo_n))
+        hi_runs.append(run(hi_n))
     lo = max(lo_runs, key=lambda r: r["images_per_sec"])
     hi = max(hi_runs, key=lambda r: r["images_per_sec"])
     tp_lo = lo["images_per_sec"]
     tp_hi = hi["images_per_sec"]
     eff = tp_hi / (4.0 * tp_lo)
     print(json.dumps({
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "images_per_sec_8": tp_lo,
-        "images_per_sec_32": tp_hi,
+        "n_cpus_lo": lo_n,
+        "n_cpus_hi": hi_n,
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"images_per_sec_{lo_n}": tp_lo,
+        f"images_per_sec_{hi_n}": tp_hi,
         "scaling_efficiency": round(eff, 3),
         "sf": lo["sf"],
         "n_images": lo["n_images"],
         "protocol": f"best of {trials} fresh-process trials per CPU count",
-        "trials_8": [r["images_per_sec"] for r in lo_runs],
-        "trials_32": [r["images_per_sec"] for r in hi_runs],
+        f"trials_{lo_n}": [r["images_per_sec"] for r in lo_runs],
+        f"trials_{hi_n}": [r["images_per_sec"] for r in hi_runs],
     }))
 
 
