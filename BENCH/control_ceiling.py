@@ -80,13 +80,15 @@ def measure(n_procs: int) -> dict:
 
 
 def main() -> None:
-    lo = measure(8)
-    hi = measure(32)
+    # probe the same N/4N pair bench.py --scaling uses
+    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    lo = measure(lo_n)
+    hi = measure(4 * lo_n)
     eff = hi["images_per_sec"] / (4.0 * lo["images_per_sec"])
     out = {
         "control": "no-Ray mp.Pool zlib+numpy decode/PSNR loop",
-        "run_8": lo,
-        "run_32": hi,
+        f"run_{lo_n}": lo,
+        f"run_{4 * lo_n}": hi,
         "hardware_ceiling_efficiency": round(eff, 3),
         "note": (
             "upper bound for ANY 8->32-proc scaling on this one box; "
@@ -94,8 +96,9 @@ def main() -> None:
             "not to the multi-node 0.8 criterion directly"
         ),
     }
+    suffix = "" if lo_n == 8 else f"_{lo_n}x4"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "control_r2.json")
+                        f"control_r2{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

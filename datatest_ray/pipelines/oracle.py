@@ -587,6 +587,42 @@ def q_dedup_minhash_lsh(sf_dir: str):
         n=3, threshold=0.8, shuffle_partitions=8))
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: the jaccard pair list (which chains: (a,b),
+    (b,c) → one cluster {a,b,c}) resolved to per-document canonical
+    labels via distributed hash-to-min connected components
+    (stages/graph.py) — the operation a dedup pipeline actually keys
+    its keep-one-per-cluster filter on."""
+    from ..stages.dedup import jaccard_pairs_exact
+    from ..stages.graph import connected_components
+
+    pairs = jaccard_pairs_exact(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        n=3, threshold=0.8, shuffle_partitions=8)
+    return _materialize(connected_components(
+        pairs, a_col="a", b_col="b", shuffle_partitions=8))
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
+         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s,b.s))::DOUBLE
+        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     # no SQL oracle (SimHash is not SQL-expressible); rows-only contract,
     # brute-force parity asserted in tests/test_dedup.py
@@ -1509,6 +1545,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_jaccard_ngram": q_dedup_jaccard_ngram,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "sim_neardup_cosine": q_sim_neardup_cosine,
         "sim_topk_cosine": q_sim_topk_cosine,
@@ -1582,6 +1619,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
         "dedup_jaccard_ngram": _SQL_JACCARD_PAIRS,
         "dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "sim_neardup_cosine": SQL_SIM_NEARDUP_COSINE,
         "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
         "window_hourly": SQL_WINDOW_HOURLY,

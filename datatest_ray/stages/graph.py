@@ -1,0 +1,146 @@
+"""Distributed connected components over a duplicate-pair edge list.
+
+At corpus scale, near-dup detection (MinHash/SimHash/Jaccard — see
+``stages/dedup.py``) emits PAIRS, but the thing a training-data pipeline
+actually needs is the CLUSTER: every document labeled with one canonical
+representative so the pipeline can keep exactly one row per cluster.
+Pairs chain ((a,b), (b,c) → {a,b,c}), so this is connected components.
+
+Algorithm: **hash-to-min** (Rastogi et al., "Finding Connected
+Components in Map-Reduce in Logarithmic Rounds") — a groupby-only
+formulation, no joins:
+
+* state = (v, u) rows meaning "u is a known member of v's neighborhood"
+  (initialized to the symmetric edge list + self-loops);
+* one round = group state by v (via a coarse bucket key so the shuffle
+  has a bounded number of near-uniform groups), per node compute
+  ``m = min(members)`` and emit ``(m, x)`` and ``(x, m)`` for every
+  member x;
+* per-node min labels are monotone nonincreasing, so the iteration has
+  converged exactly when ``sum(min)`` over all nodes stops changing.
+
+Rounds are O(log n) in the component size; each round shuffles only the
+current state, whose size is bounded by the dedup-pair output (orders of
+magnitude below the corpus — pairs are the SMALL end of the pipeline).
+The per-round ``materialize()`` is therefore bounded, and keeps the
+lineage from re-executing the whole prefix every round.
+
+No analogue exists in the reference (upstream datatest validates flat
+values only); this is part of the §2.I dedup extension family.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _N_COARSE, _concat_ranges_np
+
+__all__ = ["connected_components"]
+
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
+
+
+def _coarse(v: np.ndarray) -> pa.Array:
+    C = np.uint64(0x9E3779B97F4A7C15)
+    return pa.array(
+        ((v.astype(np.uint64) * C) % np.uint64(_N_COARSE)).astype(np.int64)
+    )
+
+
+def _segments(v_sorted: np.ndarray) -> np.ndarray:
+    """Row counts of consecutive equal-v segments of a sorted array."""
+    new = np.ones(len(v_sorted), dtype=bool)
+    new[1:] = v_sorted[1:] != v_sorted[:-1]
+    return np.diff(np.append(np.flatnonzero(new), len(v_sorted)))
+
+
+def _hash_to_min_round(group: pa.Table) -> pa.Table:
+    """One hash-to-min round over every node hashed into this coarse
+    bucket — fully vectorized: sort, segment, per-segment min via
+    minimum.reduceat, then two repeat/concat emissions."""
+    t = group.sort_by([("v", "ascending"), ("u", "ascending")])
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    u = t.column("u").to_numpy(zero_copy_only=False)
+    if len(v) == 0:
+        return pa.table({"coarse": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.int64()),
+                         "u": pa.array([], pa.int64())})
+    # drop exact (v, u) duplicates so state growth stays bounded
+    keep = np.ones(len(v), dtype=bool)
+    keep[1:] = (v[1:] != v[:-1]) | (u[1:] != u[:-1])
+    v, u = v[keep], u[keep]
+    counts = _segments(v)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # u is sorted within each segment → per-node min member is u[start];
+    # self-loops are maintained by the emission rule, so min(u) ≤ v holds
+    m = np.minimum(u[starts], v[starts])
+    m_rep = np.repeat(m, counts)
+    out_v = np.concatenate([m_rep, u])
+    out_u = np.concatenate([u, m_rep])
+    return pa.table({"coarse": _coarse(out_v),
+                     "v": pa.array(out_v), "u": pa.array(out_u)})
+
+
+def _min_labels(group: pa.Table) -> pa.Table:
+    t = group.sort_by([("v", "ascending"), ("u", "ascending")])
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    u = t.column("u").to_numpy(zero_copy_only=False)
+    if len(v) == 0:
+        return _LABEL_SCHEMA.empty_table()
+    counts = _segments(v)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    node = v[starts]
+    return pa.table({"node": pa.array(node),
+                     "cluster_id": pa.array(np.minimum(u[starts], node))})
+
+
+def connected_components(
+    pairs_ds,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 32,
+    shuffle_partitions: Optional[int] = None,
+):
+    """Label every node in the pair list with its component's minimum
+    node id.  Returns a Dataset with columns ``(node, cluster_id)`` —
+    one row per distinct node.  Node ids must be integers (dedup pair
+    ids are; hash string ids upstream if needed)."""
+    import ray.data
+
+    def init(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.concatenate([a, b, a, b])
+        u = np.concatenate([b, a, a, b])
+        return pa.table({"coarse": _coarse(v), "v": pa.array(v), "u": pa.array(u)})
+
+    state = pairs_ds.select_columns([a_col, b_col]).map_batches(
+        init, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if shuffle_partitions:
+        state = state.repartition(shuffle_partitions)
+    state = state.materialize()
+    if state.count() == 0:
+        return ray.data.from_arrow(_LABEL_SCHEMA.empty_table())
+
+    prev_sum = None
+    for _ in range(max_iters):
+        state = state.groupby("coarse").map_groups(
+            _hash_to_min_round, batch_format="pyarrow"
+        ).materialize()
+        labels = state.groupby("coarse").map_groups(
+            _min_labels, batch_format="pyarrow"
+        ).materialize()
+        cur_sum = labels.sum("cluster_id")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    extras = [c for c in labels.schema().names
+              if c not in ("node", "cluster_id")]
+    return labels.drop_columns(extras) if extras else labels

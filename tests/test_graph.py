@@ -1,0 +1,60 @@
+"""Connected components over dup-pair edge lists (stages/graph.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from datatest_ray.stages.graph import connected_components
+
+
+def _uf_min_labels(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+def _run(pairs, **kw):
+    import ray.data as rd
+
+    t = pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                  "b": pa.array([p[1] for p in pairs], pa.int64())})
+    out = connected_components(rd.from_arrow(t), **kw)
+    return {r["node"]: r["cluster_id"] for r in out.take_all()}
+
+
+def test_chain_collapses_to_one_cluster(ray_session):
+    # (1,2),(2,3),...,(9,10): transitivity must label everything 1 —
+    # the case pairwise dedup output alone gets wrong
+    pairs = [(i, i + 1) for i in range(1, 10)]
+    got = _run(pairs, shuffle_partitions=2)
+    assert got == {i: 1 for i in range(1, 11)}
+
+
+def test_matches_union_find_on_random_graph(ray_session):
+    rng = np.random.RandomState(7)
+    pairs = [tuple(sorted(p)) for p in rng.randint(0, 300, (200, 2)) if p[0] != p[1]]
+    got = _run(pairs, shuffle_partitions=4)
+    assert got == _uf_min_labels(pairs)
+
+
+def test_empty_pairs(ray_session):
+    got = _run([], shuffle_partitions=2)
+    assert got == {}
