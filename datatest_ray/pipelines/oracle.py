@@ -1218,6 +1218,41 @@ FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal < 0) c
 # ---------------------------------------------------------------------------
 
 
+def q_range_join_priceband(sf_dir: str):
+    """Broadcast range (interval) join: every lineitem row labeled with
+    its price band — bands validated + sorted once, broadcast via
+    ray.put, resolved per batch with one np.searchsorted (no shuffle;
+    the fact side streams)."""
+    from ..stages.relational import range_join_broadcast
+
+    bands = pa.table({
+        "band": ["low", "mid", "high", "lux"],
+        "lo": [0.0, 20000.0, 50000.0, 80000.0],
+        "hi": [20000.0, 50000.0, 80000.0, 1e12],
+    })
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    out = range_join_broadcast(ds, bands, value_col="l_extendedprice",
+                               band_cols=["band", "lo"], how="inner")
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.select(["l_orderkey", "l_linenumber", "band", "lo"]) \
+                .rename_columns(["l_orderkey", "l_linenumber", "band", "band_lo"])
+
+    return _materialize(out.map_batches(rename, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
+SQL_RANGE_JOIN_PRICEBAND = """
+WITH bands(band, lo, hi) AS (VALUES
+  ('low', 0.0, 20000.0), ('mid', 20000.0, 50000.0),
+  ('high', 50000.0, 80000.0), ('lux', 80000.0, 1e12))
+SELECT l.l_orderkey, l.l_linenumber, b.band, b.lo AS band_lo
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+"""
+
+
 def q_text_repetition(sf_dir: str):
     from ..stages.text import repetition_stats
 
@@ -1589,6 +1624,7 @@ def queries() -> Dict[str, Callable]:
         "concat_nations": q_concat_nations,
         "profile_lineitem": q_profile_lineitem,
         "broadcast_join_orders": q_broadcast_join_orders,
+        "range_join_priceband": q_range_join_priceband,
         "zscore_order_price": q_zscore_order_price,
         "emb_hygiene": q_emb_hygiene,
     }
@@ -1656,6 +1692,7 @@ def oracle_sql() -> Dict[str, str]:
         "concat_nations": SQL_CONCAT_NATIONS,
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "broadcast_join_orders": SQL_BROADCAST_JOIN_ORDERS,
+        "range_join_priceband": SQL_RANGE_JOIN_PRICEBAND,
         "zscore_order_price": SQL_ZSCORE_ORDER_PRICE,
         "emb_hygiene": SQL_EMB_HYGIENE,
     }

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 __all__ = ["semi_join", "anti_join", "except_distinct",
            "intersect_distinct", "pivot_counts", "rollup_counts",
-           "broadcast_join"]
+           "broadcast_join", "range_join_broadcast"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -162,6 +162,68 @@ def broadcast_join(left_ds, right_ds, *, on: str, right_on: str,
             idx = idx.filter(keep)
         for c in out_cols:
             batch = batch.append_column(c, dim.column(c).take(idx))
+        return batch
+
+    return left_ds.map_batches(attach, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def range_join_broadcast(left_ds, bands: pa.Table, *, value_col: str,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         band_cols: Sequence[str] = None,
+                         how: str = "inner"):
+    """Range (interval) join of a streaming fact table against a SMALL
+    band table: each left row matches the band with ``lo <= value <
+    hi``.  The reference has no join at all (subset/superset are its
+    only referential forms); a range join is the standard shape for
+    price bands, latency buckets, date epochs, SLA tiers.
+
+    Scale design: bands are validated + sorted ONCE on the driver and
+    broadcast via ``ray.put``; every ``map_batches`` task resolves the
+    band per row with one vectorized ``np.searchsorted`` against the
+    sorted ``lo`` edges (O(n log b) per batch, no shuffle — the fact
+    side streams).  A shuffle-based interval join would move the fact
+    table; this moves the band table once per node.
+
+    Partitioning assumption (caller's contract): bands are
+    NON-OVERLAPPING half-open intervals ``[lo, hi)`` and fit in worker
+    memory (validated here — overlap raises).  ``how='inner'`` drops
+    left rows matching no band; ``how='left'`` keeps them with null
+    band columns.
+    """
+    import ray
+
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    if hasattr(bands, "to_pandas") and not isinstance(bands, pa.Table):
+        bands = pa.Table.from_pandas(bands.to_pandas(), preserve_index=False)
+    order = pc.sort_indices(bands.column(lo_col))
+    bands = bands.take(order).combine_chunks()
+    lo = bands.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = bands.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if np.any(hi <= lo):
+        raise ValueError("each band needs hi > lo")
+    if np.any(lo[1:] < hi[:-1]):
+        raise ValueError("bands overlap; range_join_broadcast requires "
+                         "disjoint [lo, hi) intervals")
+    out_cols = list(band_cols) if band_cols is not None else [
+        c for c in bands.column_names if c not in (lo_col, hi_col)
+    ]
+    handle = ray.put((lo, hi, bands.select(out_cols)))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lo_a, hi_a, dim = ray.get(handle)
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(lo_a, x, side="right") - 1
+        ok = (idx >= 0) & (x < hi_a[np.maximum(idx, 0)])
+        if how == "inner":
+            batch = batch.filter(pa.array(ok))
+            take = pa.array(idx[ok])
+        else:
+            take = pa.array(np.where(ok, idx, -1), pa.int64())
+            take = pc.if_else(pa.array(ok), take, pa.nulls(len(ok), pa.int64()))
+        for c in dim.column_names:
+            batch = batch.append_column(c, dim.column(c).take(take))
         return batch
 
     return left_ds.map_batches(attach, batch_format="pyarrow",

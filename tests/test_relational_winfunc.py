@@ -327,3 +327,40 @@ class TestTextOps:
         assert pa.compute.is_null(pa.array([out["val"][1]]))[0].as_py() or \
             out["val"].isna()[1]
         assert out["val"][2] == -7
+
+
+class TestRangeJoin:
+    def _bands(self):
+        return pa.table({"band": ["a", "b"],
+                         "lo": [0.0, 10.0], "hi": [10.0, 20.0]})
+
+    def test_inner_drops_out_of_range(self, ray_session):
+        from datatest_ray.stages.relational import range_join_broadcast
+
+        left = _ds({"id": [1, 2, 3, 4], "v": [5.0, 15.0, 25.0, -1.0]})
+        out = range_join_broadcast(left, self._bands(), value_col="v",
+                                   how="inner").to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        assert out["id"].tolist() == [1, 2]
+        assert out["band"].tolist() == ["a", "b"]
+
+    def test_left_emits_nulls_and_boundaries_half_open(self, ray_session):
+        from datatest_ray.stages.relational import range_join_broadcast
+
+        # lo is inclusive, hi exclusive: 10.0 lands in band b, 20.0 nowhere
+        left = _ds({"id": [1, 2, 3], "v": [10.0, 20.0, 0.0]})
+        out = range_join_broadcast(left, self._bands(), value_col="v",
+                                   how="left").to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        assert out["band"].tolist()[0] == "b"
+        assert out["band"].isna()[1]
+        assert out["band"].tolist()[2] == "a"
+
+    def test_overlapping_bands_rejected(self, ray_session):
+        from datatest_ray.stages.relational import range_join_broadcast
+
+        bad = pa.table({"band": ["a", "b"], "lo": [0.0, 5.0],
+                        "hi": [10.0, 20.0]})
+        left = _ds({"id": [1], "v": [1.0]})
+        with pytest.raises(ValueError, match="overlap"):
+            range_join_broadcast(left, bad, value_col="v")
