@@ -1218,6 +1218,60 @@ FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal < 0) c
 # ---------------------------------------------------------------------------
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def q_text_redact(sf_dir: str):
+    """PII-style scrub (stages/text.py::redact): the synthetic corpus
+    has no PII, so — like dedup_exact's duplicate inject — a dirty
+    column is built DETERMINISTICALLY from doc_id (an email and a
+    numeric id appended to the first words) in both the engine and the
+    SQL, then emails and digit runs are redacted sequentially.  Counts
+    vary per row (doc_id digit length), so the query exercises real
+    hits, not a 0-hit no-op."""
+    from ..stages.text import redact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def dirty(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        head = pc.utf8_slice_codeunits(t.column("text"), 0, 40)
+        sid = pc.cast(ids, pa.string())
+        mail = pc.binary_join_element_wise(
+            "user", sid, "@example.com", "")
+        num = pc.cast(pc.multiply(ids, 7), pa.string())
+        s = pc.binary_join_element_wise(
+            head, " contact ", mail, " ref ", num, "")
+        return pa.table({"doc_id": ids, "dirty": s})
+
+    dirty_ds = ds.map_batches(dirty, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _materialize(redact(
+        dirty_ds, "dirty", "doc_id",
+        rules=[("email", _EMAIL_RE, "<EMAIL>"),
+               ("num", "[0-9]+", "<NUM>")]))
+
+
+SQL_TEXT_REDACT = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' contact user' || doc_id ||
+         '@example.com ref ' || (doc_id * 7) AS s
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(s, '{_EMAIL_RE}')) AS n_email,
+         regexp_replace(s, '{_EMAIL_RE}', '<EMAIL>', 'g') AS s1
+  FROM dirty
+)
+SELECT doc_id, n_email,
+       len(regexp_extract_all(s1, '[0-9]+')) AS n_num,
+       regexp_replace(s1, '[0-9]+', '<NUM>', 'g') AS redacted
+FROM e
+"""
+
+
 def q_range_join_priceband(sf_dir: str):
     """Broadcast range (interval) join: every lineitem row labeled with
     its price band — bands validated + sorted once, broadcast via
@@ -1625,6 +1679,7 @@ def queries() -> Dict[str, Callable]:
         "profile_lineitem": q_profile_lineitem,
         "broadcast_join_orders": q_broadcast_join_orders,
         "range_join_priceband": q_range_join_priceband,
+        "text_redact": q_text_redact,
         "zscore_order_price": q_zscore_order_price,
         "emb_hygiene": q_emb_hygiene,
     }
@@ -1693,6 +1748,7 @@ def oracle_sql() -> Dict[str, str]:
         "profile_lineitem": SQL_PROFILE_LINEITEM,
         "broadcast_join_orders": SQL_BROADCAST_JOIN_ORDERS,
         "range_join_priceband": SQL_RANGE_JOIN_PRICEBAND,
+        "text_redact": SQL_TEXT_REDACT,
         "zscore_order_price": SQL_ZSCORE_ORDER_PRICE,
         "emb_hygiene": SQL_EMB_HYGIENE,
     }

@@ -36,6 +36,7 @@ __all__ = [
     "normalize_fingerprint",
     "json_extract_int",
     "unnest_tokens",
+    "redact",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -177,6 +178,36 @@ def fingerprints(ds, text_col: str, id_col: str):
         texts = batch.column(text_col).to_pylist()
         fp = [hashlib.md5(("" if t is None else t).encode("utf-8")).hexdigest() for t in texts]
         return pa.table({id_col: batch.column(id_col), "fingerprint": pa.array(fp)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def redact(ds, text_col: str, id_col: str, rules):
+    """PII-style scrubbing: apply ``rules`` — an ordered list of
+    ``(name, regex, replacement)`` — SEQUENTIALLY to every document.
+    Output: ``id_col``, ``redacted`` (final text), and one ``n_<name>``
+    count per rule, counted against the text state the rule saw (so an
+    email redacted by rule 1 no longer feeds rule 2's number count —
+    the semantics a scrub pipeline wants, and the one an oracle can
+    mirror with nested regexp_replace).
+
+    Fully vectorized: Arrow's RE2 kernels (count_substring_regex /
+    replace_substring_regex) per batch, no per-row Python; patterns are
+    RE2 on both Arrow and DuckDB, so oracle parity is exact."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col)
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        cols = {id_col: batch.column(id_col)}
+        for name, pattern, replacement in rules:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(s, pattern=pattern), pa.int64())
+            s = pc.replace_substring_regex(
+                s, pattern=pattern, replacement=replacement)
+        cols["redacted"] = s
+        return pa.table(cols)
 
     return ds.select_columns([id_col, text_col]).map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True

@@ -485,3 +485,26 @@ def test_label_centroids(ray_session):
     want0 = m[::2].astype(np.float32).astype(np.float64).mean(axis=0)
     got0 = out[out["label"] == 0].sort_values("dim")["val"].to_numpy()
     assert np.allclose(got0, np.round(want0, 6), atol=1e-6)
+
+
+def test_redact_sequential_rules(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.text import redact
+
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3],
+        "t": ["mail a@b.com and 123 456", "no hits here", "9 9 9"],
+    }))
+    out = redact(
+        ds, "t", "id",
+        rules=[("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>"), ("num", "[0-9]+", "<NUM>")],
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["redacted"].tolist() == [
+        "mail <EMAIL> and <NUM> <NUM>", "no hits here",
+        "<NUM> <NUM> <NUM>"]
+    assert out["n_email"].tolist() == [1, 0, 0]
+    # the email is gone before the number rule runs: its digits and the
+    # 'b' TLD chars are not counted as numbers
+    assert out["n_num"].tolist() == [2, 0, 3]
