@@ -1609,6 +1609,47 @@ FROM g GROUP BY lang_pred
 """
 
 
+# ---------------------------------------------------------------------------
+# PSI drift (§2.I family): Population Stability Index between two slices
+# ---------------------------------------------------------------------------
+
+
+def q_psi_price_drift(sf_dir: str):
+    """PSI of l_extendedprice: returnflag 'A' population vs the rest.
+    Exercises stages.drift.psi — per-batch bincount partials, one
+    tiny groupby over ≤10 bin keys, in-plan finalize."""
+    from ..stages.drift import psi
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_returnflag"])
+    return psi(
+        ds, "l_extendedprice", split_col="l_returnflag", ref_value="A",
+        lo=900.0, hi=105000.0, bins=10,
+    )
+
+
+SQL_PSI_PRICE_DRIFT = """
+WITH binned AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 10410.0), 0), 9) AS BIGINT) AS bin,
+         (l_returnflag = 'A') AS is_ref
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+),
+counts AS (
+  SELECT bin,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nref,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ncmp
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(nref) AS tref, SUM(ncmp) AS tcmp FROM counts)
+SELECT bin,
+       ROUND((nref + 0.5) / (tref + 5.0), 6) AS p,
+       ROUND((ncmp + 0.5) / (tcmp + 5.0), 6) AS q,
+       ROUND(((nref + 0.5) / (tref + 5.0) - (ncmp + 0.5) / (tcmp + 5.0))
+             * LN(((nref + 0.5) / (tref + 5.0)) / ((ncmp + 0.5) / (tcmp + 5.0))), 6) AS psi
+FROM counts, tot
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -1682,6 +1723,7 @@ def queries() -> Dict[str, Callable]:
         "text_redact": q_text_redact,
         "zscore_order_price": q_zscore_order_price,
         "emb_hygiene": q_emb_hygiene,
+        "psi_price_drift": q_psi_price_drift,
     }
 
 
@@ -1751,4 +1793,5 @@ def oracle_sql() -> Dict[str, str]:
         "text_redact": SQL_TEXT_REDACT,
         "zscore_order_price": SQL_ZSCORE_ORDER_PRICE,
         "emb_hygiene": SQL_EMB_HYGIENE,
+        "psi_price_drift": SQL_PSI_PRICE_DRIFT,
     }

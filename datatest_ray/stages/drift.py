@@ -39,7 +39,83 @@ from ..differences import empty_violations, violations_table
 from ..functions.aggregates import ks_statistic_from_histograms, ks_threshold
 from .base import Check, RunContext
 
-__all__ = ["DriftCheck", "BinSpec"]
+__all__ = ["DriftCheck", "BinSpec", "psi"]
+
+
+def psi(ds, value_col: str, *, split_col: str, ref_value,
+        lo: float, hi: float, bins: int = 10):
+    """Population Stability Index between two slices of one dataset:
+    rows where ``split_col == ref_value`` (the reference side) vs all
+    other rows.  The standard production drift metric next to
+    DriftCheck's KS (same §2.I family; PSI is the one that is exactly
+    SQL-expressible, so it carries the family's oracle pairing).
+
+    Per bin ``i`` (fixed-width over [lo, hi), edge bins clamped):
+    ``p_i = (nref_i + 0.5) / (Nref + 0.5*bins)`` (Laplace-smoothed so
+    empty bins stay finite), ``q_i`` likewise for the comparison side,
+    contribution ``(p_i - q_i) * ln(p_i / q_i)``; total PSI is the sum.
+
+    Plan: per-batch bincount partials (2 x bins ints per batch — the
+    shuffle moves counts, never rows) → one ``groupby(bin).sum`` over a
+    key space of at most ``bins`` values → a single-block finalize that
+    computes totals + contributions in-plan.  Returns a lazy Dataset
+    with columns (bin, p, q, psi); bins empty on BOTH sides are
+    omitted."""
+    from ray.data.aggregate import Sum
+
+    width = (float(hi) - float(lo)) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(
+            batch.column(value_col).combine_chunks()
+            .cast(pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+        )
+        is_ref = pc.equal(batch.column(split_col), ref_value)
+        r = is_ref.combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+        ok = ~np.isnan(v)
+        idx = np.clip(
+            np.floor((v[ok] - lo) / width).astype(np.int64), 0, bins - 1
+        )
+        rr = r[ok]
+        nref = np.bincount(idx[rr], minlength=bins)
+        ncmp = np.bincount(idx[~rr], minlength=bins)
+        keep = (nref + ncmp) > 0
+        return pa.table({
+            "bin": pa.array(np.flatnonzero(keep), pa.int64()),
+            "nref": pa.array(nref[keep], pa.int64()),
+            "ncmp": pa.array(ncmp[keep], pa.int64()),
+        })
+
+    counts = (
+        ds.select_columns([value_col, split_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("nref", alias_name="nref"),
+                   Sum("ncmp", alias_name="ncmp"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.float64()),
+                             "q": pa.array([], pa.float64()),
+                             "psi": pa.array([], pa.float64())})
+        nref = t.column("nref").to_numpy(zero_copy_only=False).astype(np.float64)
+        ncmp = t.column("ncmp").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (nref + 0.5) / (nref.sum() + 0.5 * bins)
+        q = (ncmp + 0.5) / (ncmp.sum() + 0.5 * bins)
+        contrib = (p - q) * np.log(p / q)
+        return pa.table({
+            "bin": t.column("bin"),
+            "p": pa.array(np.round(p, 6)),
+            "q": pa.array(np.round(q, 6)),
+            "psi": pa.array(np.round(contrib, 6)),
+        })
+
+    # ≤ bins rows reach the finalize: one block, computed in-plan
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
 
 
 @dataclass(frozen=True)

@@ -177,6 +177,49 @@ def test_drift_check_flags_drifted_partition(ray_session):
     assert flagged == {"part_00003"}  # exactly the drifted partition
 
 
+def test_psi_matches_numpy_reference(ray_session):
+    """stages.drift.psi == the textbook smoothed-PSI formula computed
+    in one numpy pass, and a shifted comparison slice scores higher
+    than an identically-distributed one."""
+    import ray.data as rd
+
+    from datatest_ray.stages.drift import psi
+
+    rng = np.random.RandomState(7)
+    n = 4000
+    ref = rng.uniform(0.0, 10.0, n)
+    same = rng.uniform(0.0, 10.0, n)
+    shifted = rng.uniform(3.0, 13.0, n)
+
+    def run(cmp_vals):
+        ds = rd.from_arrow(pa.table({
+            "v": np.concatenate([ref, cmp_vals]),
+            "side": ["r"] * n + ["c"] * n,
+        })).repartition(4)
+        out = psi(ds, "v", split_col="side", ref_value="r",
+                  lo=0.0, hi=13.0, bins=13).to_pandas()
+        return out.sort_values("bin").reset_index(drop=True)
+
+    def expect(cmp_vals, bins=13, lo=0.0, hi=13.0):
+        w = (hi - lo) / bins
+        i_r = np.clip(np.floor((ref - lo) / w).astype(int), 0, bins - 1)
+        i_c = np.clip(np.floor((cmp_vals - lo) / w).astype(int), 0, bins - 1)
+        nr = np.bincount(i_r, minlength=bins)
+        nc = np.bincount(i_c, minlength=bins)
+        keep = (nr + nc) > 0
+        p = (nr[keep] + 0.5) / (nr[keep].sum() + 0.5 * bins)
+        q = (nc[keep] + 0.5) / (nc[keep].sum() + 0.5 * bins)
+        return np.flatnonzero(keep), (p - q) * np.log(p / q)
+
+    got_same = run(same)
+    bins_e, contrib_e = expect(same)
+    assert list(got_same["bin"]) == list(bins_e)
+    np.testing.assert_allclose(got_same["psi"], np.round(contrib_e, 6), atol=1e-6)
+
+    got_shift = run(shifted)
+    assert got_shift["psi"].sum() > 10 * max(got_same["psi"].sum(), 1e-9)
+
+
 def test_flagship_end_to_end(ray_session):
     from datatest_ray.pipelines.flagship import run_flagship
 
