@@ -38,6 +38,7 @@ __all__ = [
     "HLLDistinct",
     "TDigestQuantile",
     "SketchAggregate",
+    "sketch_loads",
 ]
 
 
@@ -358,6 +359,7 @@ def ks_threshold(n1: float, n2: float, alpha: float = 0.01) -> float:
 # AggregateFnV2 adapters
 # ---------------------------------------------------------------------------
 
+from ray import cloudpickle  # noqa: E402
 from ray.data.aggregate import AggregateFnV2  # noqa: E402
 from ray.data.block import BlockAccessor  # noqa: E402
 
@@ -438,7 +440,15 @@ class TDigestQuantile(AggregateFnV2):
 
 
 class SketchAggregate(AggregateFnV2):
-    """Generic adapter: any object with update(column)/merge(other)."""
+    """Generic adapter: any object with update(column)/merge(other).
+
+    Accumulators cross block boundaries as cloudpickled ``bytes`` so
+    Ray can store them in a native Arrow binary column — returning the
+    raw Python object would hit Arrow type inference, raise, and fall
+    back to object-pickled blocks (noisy worker tracebacks, same bytes
+    on the wire but via the exception path).  cloudpickle, not stdlib
+    pickle: the driver ships this package to workers by value, so the
+    class is not importable by name there."""
 
     def __init__(self, on: str, factory, finalize_fn=None,
                  alias_name: Optional[str] = None):
@@ -446,19 +456,30 @@ class SketchAggregate(AggregateFnV2):
         self._finalize_fn = finalize_fn
         super().__init__(
             alias_name or f"sketch({on})",
-            zero_factory=factory,
+            zero_factory=lambda: cloudpickle.dumps(factory()),
             on=on,
             ignore_nulls=True,
         )
 
     def aggregate_block(self, block):
         col = _column_from_block(block, self.get_target_column())
-        return self._factory().update(col.drop_null())
+        return cloudpickle.dumps(self._factory().update(col.drop_null()))
 
     def combine(self, current, new):
-        return current.merge(new)
+        return cloudpickle.dumps(
+            cloudpickle.loads(current).merge(cloudpickle.loads(new))
+        )
 
     def finalize(self, accumulator):
         if self._finalize_fn is None:
+            # Leave the sketch serialized: the finalized value lands in
+            # an Arrow block too, and bytes keep that block native.
+            # Callers recover the object with ``sketch_loads``.
             return accumulator
-        return self._finalize_fn(accumulator)
+        return self._finalize_fn(cloudpickle.loads(accumulator))
+
+
+def sketch_loads(raw: bytes):
+    """Recover the sketch object from a ``SketchAggregate`` result
+    produced without a ``finalize_fn``."""
+    return cloudpickle.loads(raw)

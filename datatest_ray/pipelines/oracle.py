@@ -886,7 +886,9 @@ def q_cms_event_counts(sf_dir: str):
     oracle (the sketch path itself is what's under test)."""
     import numpy as np
 
-    from ..functions.aggregates import CountMinSketch, SketchAggregate
+    from ..functions.aggregates import (
+        CountMinSketch, SketchAggregate, sketch_loads,
+    )
 
     ds = _read(sf_dir, "events", ["event_type"])
     row = ds.aggregate(
@@ -894,7 +896,7 @@ def q_cms_event_counts(sf_dir: str):
                         factory=lambda: CountMinSketch(width=2048, depth=5),
                         alias_name="cms")
     )
-    cms = row["cms"]
+    cms = sketch_loads(row["cms"])
     keys = sorted(
         ds.groupby("event_type").count().to_pandas()["event_type"].tolist()
     )

@@ -192,12 +192,14 @@ def test_bloom_distributed_prefilter(ray_session):
     import ray
     import ray.data as rd
 
-    from datatest_ray.functions.aggregates import BloomFilter, SketchAggregate
+    from datatest_ray.functions.aggregates import (
+        BloomFilter, SketchAggregate, sketch_loads,
+    )
 
     ref = rd.from_arrow(pa.table({"k": list(range(0, 3000, 3))}))
     built = ref.aggregate(SketchAggregate(
         "k", lambda: BloomFilter(1 << 16, 7), alias_name="bloom"))
-    bf = built["bloom"]
+    bf = sketch_loads(built["bloom"])
     handle = ray.put(bf)
 
     probes = rd.from_arrow(pa.table({"k": list(range(2995, 3010))}))
