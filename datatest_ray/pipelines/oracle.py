@@ -1399,6 +1399,148 @@ FROM orders
 """
 
 
+def q_rank_orders(sf_dir: str):
+    """rank / dense_rank / row_number / ntile(4) per priority class,
+    ordered by totalprice DESC (ties on orderkey for the total-order
+    pair)."""
+    from ..stages.winfunc import rank_window
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return _materialize(rank_window(
+        ds, by="o_orderpriority", value_col="o_totalprice",
+        id_col="o_orderkey", descending=True, ntile=4))
+
+
+SQL_RANK_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+       rank()        OVER w  AS rnk,
+       dense_rank()  OVER w  AS drnk,
+       row_number()  OVER wt AS rn,
+       ntile(4)      OVER wt AS tile
+FROM orders
+WINDOW w  AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
+       wt AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_tfidf_lang(sf_dir: str):
+    """Top-5 tf-idf terms per language over documents."""
+    from ..stages.text import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return _materialize(tfidf_top_terms(ds, "text", "doc_id",
+                                        group_col="lang", k=5))
+
+
+SQL_TFIDF_LANG = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE string_split_regex(trim(lower(text)), '\\s+')
+                END) AS term
+  FROM documents
+),
+tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+s AS (
+  SELECT lang, term, tf, df, tf * LN(nd / df) AS score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY tf * LN(nd / df) DESC, term) AS rn
+  FROM tf JOIN df USING (term), n
+)
+SELECT lang, term, tf, df, score FROM s WHERE rn <= 5
+"""
+
+
+def q_lev_neardup(sf_dir: str):
+    """Character-level near-dups: doc pairs (same lang block) whose
+    32-char prefixes are within 12 edits — pair-vectorized DP kernel."""
+    from ..stages.dedup import levenshtein_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return _materialize(levenshtein_pairs(
+        ds, "text", "doc_id", block_col="lang", prefix=32, max_dist=12))
+
+
+SQL_LEV_NEARDUP = """
+WITH d AS (SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.p, b.p) AS dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 12
+"""
+
+
+def q_moments_quantity(sf_dir: str):
+    """Distribution-shape profile per returnflag: mean / stddev_samp /
+    skewness / kurtosis from merged power sums (SQL bias corrections)."""
+    from ..stages.window import grouped_moments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return _materialize(grouped_moments(ds, by="l_returnflag",
+                                        col="l_quantity"))
+
+
+SQL_MOMENTS_QUANTITY = """
+SELECT l_returnflag,
+       avg(l_quantity)         AS mean,
+       stddev_samp(l_quantity) AS sd,
+       skewness(l_quantity)    AS skew,
+       kurtosis(l_quantity)    AS kurt
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_entropy_status(sf_dir: str):
+    """Shannon entropy (nats) of the order-status mix per priority."""
+    from ..stages.window import grouped_entropy
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return _materialize(grouped_entropy(ds, by="o_orderpriority",
+                                        col="o_orderstatus"))
+
+
+SQL_ENTROPY_STATUS = """
+WITH c AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+t AS (
+  SELECT o_orderpriority, SUM(n) AS tot FROM c GROUP BY o_orderpriority
+)
+SELECT c.o_orderpriority,
+       SUM(-(n / tot) * LN(n / tot)) AS entropy
+FROM c JOIN t USING (o_orderpriority)
+GROUP BY c.o_orderpriority
+"""
+
+
+def q_mode_event(sf_dir: str):
+    """Most frequent event_type per user (ties -> smallest value)."""
+    from ..stages.window import grouped_mode
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return _materialize(grouped_mode(ds, by="user_id", col="event_type"))
+
+
+SQL_MODE_EVENT = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode, n AS n_mode FROM r WHERE rn = 1
+"""
+
+
 def q_rollup_orders(sf_dir: str):
     """GROUP BY ROLLUP(priority, status) counts with subtotal rows."""
     from ..stages.relational import rollup_counts
@@ -1714,6 +1856,12 @@ def queries() -> Dict[str, Callable]:
         "corpus_prep": q_corpus_prep,
         "unnest_tokens": q_unnest_tokens,
         "cume_dist_price": q_cume_dist_price,
+        "rank_orders": q_rank_orders,
+        "moments_quantity": q_moments_quantity,
+        "entropy_status": q_entropy_status,
+        "mode_event": q_mode_event,
+        "lev_neardup": q_lev_neardup,
+        "tfidf_lang": q_tfidf_lang,
         "rollup_orders": q_rollup_orders,
         "sample_docs": q_sample_docs,
         "sample_stratified": q_sample_stratified,
@@ -1784,6 +1932,12 @@ def oracle_sql() -> Dict[str, str]:
         "corpus_prep": SQL_CORPUS_PREP,
         "unnest_tokens": SQL_UNNEST_TOKENS,
         "cume_dist_price": SQL_CUME_DIST_PRICE,
+        "rank_orders": SQL_RANK_ORDERS,
+        "moments_quantity": SQL_MOMENTS_QUANTITY,
+        "entropy_status": SQL_ENTROPY_STATUS,
+        "mode_event": SQL_MODE_EVENT,
+        "lev_neardup": SQL_LEV_NEARDUP,
+        "tfidf_lang": SQL_TFIDF_LANG,
         "rollup_orders": SQL_ROLLUP_ORDERS,
         "sample_docs": SQL_SAMPLE_DOCS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -37,6 +37,7 @@ __all__ = [
     "json_extract_int",
     "unnest_tokens",
     "redact",
+    "tfidf_top_terms",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -405,3 +406,77 @@ def _concat_ranges(counts: np.ndarray) -> np.ndarray:
     offs = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=offs[1:])
     return ids - np.repeat(offs, counts)
+
+
+def tfidf_top_terms(ds, text_col: str, id_col: str, *, group_col: str,
+                    k: int = 5):
+    """Top-k terms per group by tf-idf: ``score = tf * ln(N / df)``
+    with tf = term occurrences inside the group, df = number of docs
+    (corpus-wide) containing the term, N = total docs — the
+    keyword-profile / topic-drift probe of a corpus pipeline.
+
+    Plan: two count pipelines that never shuffle tokens —
+    (1) per-batch (group, term) occurrence counts → ONE
+    ``groupby(group, term).sum``; (2) per-batch per-doc DISTINCT terms
+    (docs never span batches, so per-batch dedup is exact) →
+    ``groupby(term).sum`` = df.  The df table is vocabulary-sized and
+    broadcast once via ``ray.put``; score attach + per-group top-k are
+    vectorized.  Ties break (score DESC, term ASC).  Assumption: the
+    VOCABULARY (not the corpus) fits a worker's heap."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        groups = batch.column(group_col)
+        groups = (groups.combine_chunks()
+                  if isinstance(groups, pa.ChunkedArray) else groups)
+        parents = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            _row_counts(offsets))
+        t = pa.table({"g": groups.take(pa.array(parents)), "term": flat})
+        c = t.group_by(["g", "term"]).aggregate([([], "count_all")])
+        return c.rename_columns([group_col, "term", "tf"])
+
+    tf = (
+        ds.select_columns([group_col, text_col])
+        .map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "term"])
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        parents = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            _row_counts(offsets))
+        t = pa.table({"d": pa.array(parents), "term": flat})
+        dt = t.group_by(["d", "term"]).aggregate([])  # distinct (doc, term)
+        vc = pc.value_counts(dt.column("term").combine_chunks())
+        return pa.table({"term": vc.field("values"),
+                         "df": vc.field("counts").cast(pa.int64())})
+
+    df = (
+        ds.select_columns([text_col])
+        .map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    df_t = pa.Table.from_pandas(df.to_pandas(), preserve_index=False)
+    handle = ray.put((df_t.column("term").combine_chunks(),
+                      df_t.column("df").to_numpy(zero_copy_only=False)))
+
+    def topk(group: pa.Table) -> pa.Table:
+        terms, dfs = ray.get(handle)
+        idx = pc.index_in(group.column("term"), value_set=terms)
+        pos = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        tfv = group.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        dfv = dfs[pos].astype(np.float64)
+        score = tfv * np.log(n_docs / dfv)
+        t = group.append_column("score", pa.array(score)).append_column(
+            "df", pa.array(dfv.astype(np.int64)))
+        t = t.sort_by([("score", "descending"), ("term", "ascending")])
+        return t.select([group_col, "term", "tf", "df", "score"]).slice(0, k)
+
+    return tf.groupby(group_col).map_groups(topk, batch_format="pyarrow")

@@ -16,7 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "grouped_quantile",
-           "grouped_topk", "grouped_corr", "grouped_concat"]
+           "grouped_topk", "grouped_corr", "grouped_concat",
+           "grouped_moments", "grouped_entropy", "grouped_mode"]
 
 _UNITS = {"minute", "hour", "day", "week", "month"}
 
@@ -189,6 +190,149 @@ def grouped_corr(ds, *, by: str, x: str, y: str, alias: str = "corr"):
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def grouped_moments(ds, *, by: str, col: str):
+    """Per-group mean / sample stddev / sample skewness / sample excess
+    kurtosis with SQL's bias corrections (DuckDB ``skewness``/
+    ``kurtosis`` parity, validated numerically) — the distribution-
+    shape profile a drift monitor keeps per slice.
+
+    Same plan as ``grouped_corr``: per-batch power sums (n, s1..s4) per
+    key via bincount, ONE ``groupby(by).sum`` over five numbers per key
+    per block, closed-form finalize.  skew NULL when n<3 or zero
+    variance; kurt NULL when n<4."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        enc = pc.dictionary_encode(keys)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        code, v = code[ok], v[ok]
+        m = len(enc.dictionary)
+        v2 = v * v
+        return pa.table({
+            by: enc.dictionary,
+            "n": pa.array(np.bincount(code, minlength=m).astype(np.float64)),
+            "s1": pa.array(np.bincount(code, weights=v, minlength=m)),
+            "s2": pa.array(np.bincount(code, weights=v2, minlength=m)),
+            "s3": pa.array(np.bincount(code, weights=v2 * v, minlength=m)),
+            "s4": pa.array(np.bincount(code, weights=v2 * v2, minlength=m)),
+        })
+
+    merged = (
+        ds.select_columns([by, col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(by)
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "s1", "s2", "s3", "s4")])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        s3 = t.column("s3").to_numpy(zero_copy_only=False)
+        s4 = t.column("s4").to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s1 / n
+            m2 = s2 / n - mean ** 2
+            m3 = s3 / n - 3 * mean * s2 / n + 2 * mean ** 3
+            m4 = (s4 / n - 4 * mean * s3 / n
+                  + 6 * mean ** 2 * s2 / n - 3 * mean ** 4)
+            std = np.sqrt(n * m2 / np.maximum(n - 1, 1))
+            g1 = m3 / m2 ** 1.5
+            g2 = m4 / m2 ** 2 - 3
+            skew = np.sqrt(n * (n - 1)) / (n - 2) * g1
+            kurt = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
+        ok_sd = n > 1
+        ok_sk = (n > 2) & (m2 > 0)
+        ok_ku = (n > 3) & (m2 > 0)
+        return pa.table({
+            by: t.column(by),
+            "mean": pa.array(mean, pa.float64()),
+            "sd": pa.array(np.where(ok_sd, std, 0), pa.float64(), mask=~ok_sd),
+            "skew": pa.array(np.where(ok_sk, skew, 0), pa.float64(), mask=~ok_sk),
+            "kurt": pa.array(np.where(ok_ku, kurt, 0), pa.float64(), mask=~ok_ku),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def grouped_entropy(ds, *, by: str, col: str, alias: str = "entropy"):
+    """Per-group Shannon entropy (nats) of ``col``'s value distribution
+    — the label/slice-diversity audit of a training-data pipeline.
+
+    Plan: per-batch (by, col) pair counts → ONE ``groupby(by, col).sum``
+    over counts (never rows) → per-``by`` vectorized
+    ``-Σ p ln p`` finalize on the (small) distinct-pair table."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        t = batch.select([by, col]).group_by([by, col]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns([by, col, "n"])
+
+    counts = (
+        ds.select_columns([by, col])
+        .map_batches(pair_counts, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby([by, col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = n / n.sum()
+        ent = float(-(p * np.log(p)).sum())
+        return pa.table({
+            by: group.column(by)[:1],
+            alias: pa.array([ent], pa.float64()),
+        })
+
+    return counts.groupby(by).map_groups(kernel, batch_format="pyarrow")
+
+
+def grouped_mode(ds, *, by: str, col: str, alias: str = "mode"):
+    """Per-group most frequent value of ``col``; ties break on the
+    smallest value so the result is deterministic (mirror
+    ``ORDER BY cnt DESC, value ASC`` in any oracle).
+
+    Plan: same counted-pairs shuffle as ``grouped_entropy``, then a
+    vectorized per-group argmax (sort + first-row-per-segment)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        t = batch.select([by, col]).group_by([by, col]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns([by, col, "n"])
+
+    counts = (
+        ds.select_columns([by, col])
+        .map_batches(pair_counts, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby([by, col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("n", "descending"), (col, "ascending")])
+        return pa.table({
+            by: t.column(by)[:1],
+            alias: t.column(col)[:1],
+            "n_mode": t.column("n")[:1],
+        })
+
+    return counts.groupby(by).map_groups(kernel, batch_format="pyarrow")
 
 
 def grouped_concat(ds, *, by: str, col: str, order_col: Optional[str] = None,

@@ -23,7 +23,8 @@ import pyarrow.compute as pc
 
 from ..functions.aggregates import hash64
 
-__all__ = ["lag_diff", "rolling_agg", "cume_dist", "group_zscore"]
+__all__ = ["lag_diff", "rolling_agg", "cume_dist", "group_zscore",
+           "rank_window"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -206,6 +207,76 @@ def cume_dist(ds, *, by: str, value_col: str, id_col: str,
     return _bucketed(ds, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "cd"])
+
+
+def rank_window(ds, *, by: str, value_col: str, id_col: str,
+                descending: bool = True, ntile: int = 4,
+                n_buckets: int = 256):
+    """The SQL ranking-window family in one vectorized pass:
+
+    - ``rnk``  = ``rank()        OVER (PARTITION BY by ORDER BY v)``
+    - ``drnk`` = ``dense_rank()  OVER (PARTITION BY by ORDER BY v)``
+    - ``rn``   = ``row_number()  OVER (PARTITION BY by ORDER BY v, id)``
+    - ``tile`` = ``ntile(k)      OVER (PARTITION BY by ORDER BY v, id)``
+
+    rank/dense_rank are tie-aware on the VALUE alone; row_number/ntile
+    need a total order, so ties break on ``id_col`` (mirror the same
+    tie-break in any oracle SQL).  Same plan as the rest of this
+    module: one coarse-bucket shuffle, then per-bucket Arrow sort +
+    numpy segment arithmetic — no Python loop over rows or keys.
+    """
+    need = list(dict.fromkeys([id_col, by, value_col]))
+    vdir = "descending" if descending else "ascending"
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.select(need).sort_by(
+            [(by, "ascending"), (value_col, vdir), (id_col, "ascending")]
+        )
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(v)
+        if n == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({id_col: t.column(id_col), by: t.column(by),
+                             "rnk": e, "drnk": e, "rn": e, "tile": e})
+        new_seg = _segments(keys)
+        seg = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)[seg]
+        i = np.arange(n, dtype=np.int64)
+        rn = i - seg_start + 1
+        # equal-value runs within a segment drive rank/dense_rank
+        new_run = new_seg.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        run = np.cumsum(new_run) - 1
+        run_start = np.flatnonzero(new_run)[run]
+        rnk = run_start - seg_start + 1
+        run_at_seg_start = run[seg_start]
+        drnk = run - run_at_seg_start + 1
+        # ntile(k): the first n%k tiles get one extra row (SQL standard)
+        seg_len = np.bincount(seg)[seg]
+        k = ntile
+        rn0 = rn - 1
+        small = seg_len // k
+        big = seg_len % k  # number of (small+1)-sized leading tiles
+        cut = big * (small + 1)
+        in_big = rn0 < cut
+        tile = np.where(
+            in_big,
+            rn0 // np.maximum(small + 1, 1),
+            big + (rn0 - cut) // np.maximum(small, 1),
+        ) + 1
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "rnk": pa.array(rnk, pa.int64()),
+            "drnk": pa.array(drnk, pa.int64()),
+            "rn": pa.array(rn, pa.int64()),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "rnk", "drnk", "rn", "tile"])
 
 
 def rolling_agg(ds, *, by: str, order_col: str, value_col: str,
