@@ -1425,6 +1425,54 @@ WINDOW w  AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
 """
 
 
+def q_benford_price(sf_dir: str):
+    """First-digit (Benford) distribution of o_totalprice in cents,
+    with per-digit chi-square contributions."""
+    from ..stages.drift import benford
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return benford(ds, "o_totalprice", scale=100)
+
+
+SQL_BENFORD_PRICE = """
+WITH v AS (
+  SELECT CAST(ROUND(ABS(o_totalprice) * 100) AS BIGINT) AS iv
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+d AS (
+  SELECT CAST(substr(CAST(iv AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM v WHERE iv > 0
+),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit, n,
+       n / total AS p,
+       LOG10(1 + 1.0 / digit) AS q,
+       total * POWER(n / total - LOG10(1 + 1.0 / digit), 2)
+             / LOG10(1 + 1.0 / digit) AS chi2
+FROM c, t
+"""
+
+
+def q_regr_discount(sf_dir: str):
+    """Per-returnflag OLS of extendedprice on quantity."""
+    from ..stages.window import grouped_regression
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return _materialize(grouped_regression(
+        ds, by="l_returnflag", x="l_quantity", y="l_extendedprice"))
+
+
+SQL_REGR_DISCOUNT = """
+SELECT l_returnflag,
+       regr_slope(l_extendedprice, l_quantity)     AS slope,
+       regr_intercept(l_extendedprice, l_quantity) AS icept,
+       regr_r2(l_extendedprice, l_quantity)        AS r2
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_tfidf_lang(sf_dir: str):
     """Top-5 tf-idf terms per language over documents."""
     from ..stages.text import tfidf_top_terms
@@ -1456,20 +1504,40 @@ SELECT lang, term, tf, df, score FROM s WHERE rn <= 5
 
 
 def q_lev_neardup(sf_dir: str):
-    """Character-level near-dups: doc pairs (same lang block) whose
-    32-char prefixes are within 12 edits — pair-vectorized DP kernel."""
+    """Character-level near-dups: doc pairs in the same
+    (lang, length-band) block whose 32-char prefixes are within 12
+    edits — chunked pair-vectorized DP kernel.  The length band is the
+    blocking key that keeps block pair counts bounded as the corpus
+    grows (near-dups have near-equal lengths)."""
     from ..stages.dedup import levenshtein_pairs
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+
+    def add_band(t: pa.Table) -> pa.Table:
+        band = pc.cast(
+            pc.floor(pc.divide(pc.cast(t.column("n_chars"), pa.float64()),
+                               64.0)),
+            pa.int64(),
+        )
+        return t.append_column("band", band)
+
+    ds = ds.map_batches(add_band, batch_format="pyarrow",
+                        zero_copy_batch=True)
     return _materialize(levenshtein_pairs(
-        ds, "text", "doc_id", block_col="lang", prefix=32, max_dist=12))
+        ds, "text", "doc_id", block_cols=["lang", "band"],
+        prefix=32, max_dist=12))
 
 
 SQL_LEV_NEARDUP = """
-WITH d AS (SELECT doc_id, lang, substr(text, 1, 32) AS p FROM documents)
+WITH d AS (
+  SELECT doc_id, lang, CAST(FLOOR(n_chars / 64.0) AS BIGINT) AS band,
+         substr(text, 1, 32) AS p
+  FROM documents
+)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        levenshtein(a.p, b.p) AS dist
-FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 12
 """
 
@@ -1862,6 +1930,8 @@ def queries() -> Dict[str, Callable]:
         "mode_event": q_mode_event,
         "lev_neardup": q_lev_neardup,
         "tfidf_lang": q_tfidf_lang,
+        "regr_price_qty": q_regr_discount,
+        "benford_price": q_benford_price,
         "rollup_orders": q_rollup_orders,
         "sample_docs": q_sample_docs,
         "sample_stratified": q_sample_stratified,
@@ -1938,6 +2008,8 @@ def oracle_sql() -> Dict[str, str]:
         "mode_event": SQL_MODE_EVENT,
         "lev_neardup": SQL_LEV_NEARDUP,
         "tfidf_lang": SQL_TFIDF_LANG,
+        "regr_price_qty": SQL_REGR_DISCOUNT,
+        "benford_price": SQL_BENFORD_PRICE,
         "rollup_orders": SQL_ROLLUP_ORDERS,
         "sample_docs": SQL_SAMPLE_DOCS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,

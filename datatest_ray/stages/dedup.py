@@ -587,35 +587,64 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, n: int = 3,
 # ---------------------------------------------------------------------------
 
 
-def levenshtein_pairs(ds, text_col: str, id_col: str, *, block_col: str,
-                      prefix: int = 32, max_dist: int = 12):
+def levenshtein_pairs(ds, text_col: str, id_col: str, *, block_cols,
+                      prefix: int = 32, max_dist: int = 12,
+                      pair_chunk: int = 1 << 17):
     """Pairs of docs whose first ``prefix`` characters are within
-    ``max_dist`` edits, blocked by ``block_col`` — the character-level
-    near-dup verifier (catches OCR noise / small edits that token-set
-    Jaccard misses).
+    ``max_dist`` edits, blocked by ``block_cols`` (str or list) — the
+    character-level near-dup verifier (catches OCR noise / small edits
+    that token-set Jaccard misses).
 
-    Plan: ONE ``groupby(block_col)`` shuffle of (id, prefix) — never
+    Plan: ONE ``groupby(block_cols)`` shuffle of (id, prefix) — never
     the full text — then a per-block kernel that runs the classic
-    Levenshtein DP **vectorized across all candidate pairs at once**:
-    strings become UTF-32 code-point matrices (P x L), the DP walks the
-    L x L lattice with P-length numpy vectors, and each pair's distance
-    is read off the row matching its left length.  O(P * L^2) element
-    ops, zero Python per pair.
+    Levenshtein DP **vectorized across candidate pairs**: strings
+    become UTF-32 code-point matrices, the DP walks the L x L lattice
+    with pair-length numpy vectors in chunks of ``pair_chunk`` (bounds
+    peak memory to ~chunk x prefix x 4 bytes regardless of block size;
+    DP cells are int16 — distances never exceed ``prefix``), and each
+    pair's distance is read off the row matching its left length.
+    O(pairs * L^2) element ops, zero Python per pair.
 
-    Partitioning assumption: a BLOCK's pair count fits a task's heap
-    (all-pairs within block).  At 100 TB the block key must come from a
-    blocking stage (LSH band, simhash band, length+fingerprint), not a
-    low-cardinality label — this operator is the verify step, like
+    Partitioning assumption: a BLOCK's pair count fits a task's WORK
+    budget (all-pairs within block) — block on a real blocking key
+    (lang + length band here; LSH band / simhash band / fingerprint
+    prefix at 100 TB).  This operator is the verify step, like
     ``jaccard_pairs_exact`` for MinHash.
     """
+    blocks = [block_cols] if isinstance(block_cols, str) else list(block_cols)
 
     def project(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: batch.column(id_col),
-            block_col: batch.column(block_col),
-            "prefix": pc.utf8_slice_codeunits(
-                batch.column(text_col), 0, prefix),
-        })
+        cols = {id_col: batch.column(id_col)}
+        for c in blocks:
+            cols[c] = batch.column(c)
+        cols["prefix"] = pc.utf8_slice_codeunits(
+            batch.column(text_col), 0, prefix)
+        return pa.table(cols)
+
+    def _dp_chunk(A, B, la, lb, L):
+        """Distances for one chunk of pairs; A/B int32 (P, L), int16 DP."""
+        P = len(la)
+        dist = np.zeros(P, dtype=np.int64)
+        row = np.broadcast_to(
+            np.arange(L + 1, dtype=np.int16), (P, L + 1)
+        ).copy()
+        take0 = la == 0  # empty left side: distance = lb
+        dist[take0] = lb[take0]
+        one = np.int16(1)
+        for i in range(1, L + 1):
+            prev = row
+            row = np.empty_like(prev)
+            row[:, 0] = i
+            ai = A[:, i - 1][:, None]  # (P, 1)
+            sub = prev[:, :-1] + (ai != B)  # substitution costs, (P, L)
+            up = prev[:, 1:] + one  # deletion
+            best = np.minimum(sub, up)
+            for j in range(1, L + 1):
+                row[:, j] = np.minimum(best[:, j - 1], row[:, j - 1] + one)
+            take = la == i
+            if take.any():
+                dist[take] = row[take, lb[take]]
+        return dist
 
     def kernel(group: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -630,7 +659,7 @@ def levenshtein_pairs(ds, text_col: str, id_col: str, *, block_col: str,
         texts = group.column("prefix").to_pylist()
         L = prefix
         # code-point matrix, -1 padding (never matches a real char)
-        mat = np.full((n, L), -1, dtype=np.int64)
+        mat = np.full((n, L), -1, dtype=np.int32)
         lens = np.empty(n, dtype=np.int64)
         for r, s in enumerate(texts):
             cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[:L]
@@ -640,38 +669,29 @@ def levenshtein_pairs(ds, text_col: str, id_col: str, *, block_col: str,
         # canonical (smaller id, larger id) orientation
         swap = ids[ii] > ids[jj]
         ii, jj = np.where(swap, jj, ii), np.where(swap, ii, jj)
-        A, B = mat[ii], mat[jj]
-        la, lb = lens[ii], lens[jj]
-        P = len(ii)
-        dist = np.zeros(P, dtype=np.int64)
-        row = np.broadcast_to(
-            np.arange(L + 1, dtype=np.int64), (P, L + 1)
-        ).copy()
-        take0 = la == 0  # empty left side: distance = lb
-        dist[take0] = lb[take0]
-        for i in range(1, L + 1):
-            prev = row
-            row = np.empty_like(prev)
-            row[:, 0] = i
-            ai = A[:, i - 1][:, None]  # (P, 1)
-            sub = prev[:, :-1] + (ai != B)  # substitution costs, (P, L)
-            up = prev[:, 1:] + 1  # deletion
-            best = np.minimum(sub, up)
-            for j in range(1, L + 1):
-                row[:, j] = np.minimum(best[:, j - 1], row[:, j - 1] + 1)
-            take = la == i
-            if take.any():
-                dist[take] = row[take, lb[take]]
-        keep = dist <= max_dist
+        # length prefilter: lev >= |la - lb|
+        lens_ok = np.abs(lens[ii] - lens[jj]) <= max_dist
+        ii, jj = ii[lens_ok], jj[lens_ok]
+        out_a, out_b, out_d = [], [], []
+        for s0 in range(0, len(ii), pair_chunk):
+            ci = ii[s0 : s0 + pair_chunk]
+            cj = jj[s0 : s0 + pair_chunk]
+            d = _dp_chunk(mat[ci], mat[cj], lens[ci], lens[cj], L)
+            keep = d <= max_dist
+            out_a.append(ids[ci][keep].astype(np.int64))
+            out_b.append(ids[cj][keep].astype(np.int64))
+            out_d.append(d[keep])
+        if not out_a:
+            return empty
         return pa.table({
-            "a_id": pa.array(ids[ii][keep].astype(np.int64)),
-            "b_id": pa.array(ids[jj][keep].astype(np.int64)),
-            "dist": pa.array(dist[keep]),
+            "a_id": pa.array(np.concatenate(out_a)),
+            "b_id": pa.array(np.concatenate(out_b)),
+            "dist": pa.array(np.concatenate(out_d)),
         })
 
     return (
-        ds.select_columns([id_col, block_col, text_col])
+        ds.select_columns(list(dict.fromkeys([id_col, *blocks, text_col])))
         .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(block_col)
+        .groupby(blocks)
         .map_groups(kernel, batch_format="pyarrow")
     )

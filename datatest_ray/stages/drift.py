@@ -39,7 +39,74 @@ from ..differences import empty_violations, violations_table
 from ..functions.aggregates import ks_statistic_from_histograms, ks_threshold
 from .base import Check, RunContext
 
-__all__ = ["DriftCheck", "BinSpec", "psi"]
+__all__ = ["DriftCheck", "BinSpec", "psi", "benford"]
+
+
+def benford(ds, value_col: str, *, scale: int = 100):
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/synthetic-data detector for financial-style
+    columns.  Values are converted to integer units (``round(v *
+    scale)``, e.g. cents) and the first digit is extracted with EXACT
+    int64 threshold comparisons — no float ``log10`` whose libm
+    rounding could disagree with an oracle at 10^k boundaries.
+
+    Per digit d in 1..9: observed share ``p``, Benford share
+    ``q = log10(1 + 1/d)``, and the chi-square contribution
+    ``n_total * (p - q)^2 / q``.  Plan: per-batch 9-lane bincount
+    partials → ONE ``groupby(digit).sum`` over counts → single-block
+    finalize (same shape as :func:`psi`)."""
+    from ray.data.aggregate import Sum
+
+    pow10 = 10 ** np.arange(1, 19, dtype=np.int64)  # exact thresholds
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(
+            batch.column(value_col).combine_chunks()
+            .cast(pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+        )
+        v = v[~np.isnan(v)]
+        iv = np.rint(np.abs(v) * scale).astype(np.int64)
+        iv = iv[iv > 0]
+        ndig = np.searchsorted(pow10, iv, side="right")  # #digits - 1
+        first = iv // pow10[np.maximum(ndig - 1, 0)]
+        first = np.where(ndig == 0, iv, first)
+        cnt = np.bincount(first, minlength=10)[1:10]
+        keep = cnt > 0
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10)[keep], pa.int64()),
+            "n": pa.array(cnt[keep], pa.int64()),
+        })
+
+    counts = (
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            f = pa.array([], pa.float64())
+            return pa.table({"digit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "p": f, "q": f, "chi2": f})
+        d = t.column("digit").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        total = n.sum()
+        p = n / total
+        q = np.log10(1.0 + 1.0 / d)
+        chi2 = total * (p - q) ** 2 / q
+        return pa.table({
+            "digit": t.column("digit"),
+            "n": t.column("n"),
+            "p": pa.array(p),
+            "q": pa.array(q),
+            "chi2": pa.array(chi2),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
 
 
 def psi(ds, value_col: str, *, split_col: str, ref_value,

@@ -98,6 +98,14 @@ class ImageParityChecker:
             if "caption" in batch.column_names
             else None
         )
+        decl_w = (
+            batch.column("w").to_numpy(zero_copy_only=False)
+            if "w" in batch.column_names else None
+        )
+        decl_h = (
+            batch.column("h").to_numpy(zero_copy_only=False)
+            if "h" in batch.column_names else None
+        )
         parts = (
             batch.column(self.partition_col).to_pylist()
             if self.partition_col and self.partition_col in batch.column_names
@@ -122,6 +130,19 @@ class ImageParityChecker:
             except Exception as err:
                 emit(i, "invalid", value=f"decode_error:{type(err).__name__}")
                 continue
+            # declared-vs-decoded dimension consistency (w/h columns
+            # are metadata; the payload is the truth).  Null declared
+            # dims (NaN after to_numpy) are the SchemaCheck's problem,
+            # not a mismatch.
+            if decl_w is not None and decl_h is not None:
+                vw, vh = decl_w[i], decl_h[i]
+                if vw == vw and vh == vh:
+                    dh, dw = img.shape[:2]
+                    if dw != int(vw) or dh != int(vh):
+                        emit(
+                            i, "invalid", value=f"decoded={dw}x{dh}",
+                            expected=f"declared={int(vw)}x{int(vh)}",
+                        )
             # phash-recompute consistency (payload vs phash column)
             ph = phash64(img)
             dist = int(hamming64(ph, np.int64(phashes[i])))
@@ -186,14 +207,16 @@ class ImageParityCheck(Check):
         self.concurrency = concurrency
         self.batch_size = batch_size
         self.columns = ["image_id", "bytes", "phash"]
-        # caption parity is checked only when the column exists
-        self.optional_columns = ["caption"]
+        # caption/dimension parity is checked only when the columns exist
+        self.optional_columns = ["caption", "w", "h"]
 
     def violations(self, ds, ctx: RunContext):
         cols = ["image_id", "bytes", "phash"]
         names = ds.schema().names
         if "caption" in names:
             cols.append("caption")
+        if "w" in names and "h" in names:
+            cols += ["w", "h"]
         part_col = ctx.partition_col
         if part_col and part_col in names:
             cols.append(part_col)

@@ -17,7 +17,8 @@ import pyarrow.compute as pc
 
 __all__ = ["tumbling_window", "hopping_window", "grouped_quantile",
            "grouped_topk", "grouped_corr", "grouped_concat",
-           "grouped_moments", "grouped_entropy", "grouped_mode"]
+           "grouped_moments", "grouped_entropy", "grouped_mode",
+           "grouped_regression"]
 
 _UNITS = {"minute", "hour", "day", "week", "month"}
 
@@ -186,6 +187,70 @@ def grouped_corr(ds, *, by: str, x: str, y: str, alias: str = "corr"):
             by: t.column(by),
             alias: pa.array(np.where(ok, r, np.nan), pa.float64(),
                             mask=~ok),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def grouped_regression(ds, *, by: str, x: str, y: str):
+    """Per-group simple OLS (SQL ``regr_slope/regr_intercept/regr_r2``,
+    DuckDB parity validated numerically): trend-per-slice for drift
+    monitoring.  Same sufficient-statistics plan as ``grouped_corr`` —
+    the ONE shuffle moves six numbers per key per block.  NULLs when
+    the group has <2 rows or zero x-variance (r2 additionally NULL on
+    zero y-variance)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        enc = pc.dictionary_encode(keys)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        xv = batch.column(x).to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = batch.column(y).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(xv) | np.isnan(yv))
+        code, xv, yv = code[ok], xv[ok], yv[ok]
+        m = len(enc.dictionary)
+        return pa.table({
+            by: enc.dictionary,
+            "n": pa.array(np.bincount(code, minlength=m).astype(np.float64)),
+            "sx": pa.array(np.bincount(code, weights=xv, minlength=m)),
+            "sy": pa.array(np.bincount(code, weights=yv, minlength=m)),
+            "sxx": pa.array(np.bincount(code, weights=xv * xv, minlength=m)),
+            "syy": pa.array(np.bincount(code, weights=yv * yv, minlength=m)),
+            "sxy": pa.array(np.bincount(code, weights=xv * yv, minlength=m)),
+        })
+
+    merged = (
+        ds.select_columns([by, x, y])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(by)
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        ok = (n > 1) & (vx > 0)
+        ok2 = ok & (vy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = (n * sxy - sx * sy) / vx
+            inter = sy / n - slope * sx / n
+            r2 = (n * sxy - sx * sy) ** 2 / (vx * vy)
+        return pa.table({
+            by: t.column(by),
+            "slope": pa.array(np.where(ok, slope, 0), pa.float64(), mask=~ok),
+            "icept": pa.array(np.where(ok, inter, 0), pa.float64(), mask=~ok),
+            "r2": pa.array(np.where(ok2, r2, 0), pa.float64(), mask=~ok2),
         })
 
     return merged.map_batches(finalize, batch_format="pyarrow",

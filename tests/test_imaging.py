@@ -131,6 +131,32 @@ def test_parity_check_catches_corruption_and_bad_lossy(ray_session):
     assert "psnr=" in vals
 
 
+def test_parity_check_catches_dimension_mismatch(ray_session, clean_spec):
+    """Declared w/h that disagree with the decoded payload are flagged;
+    null declared dims are skipped (SchemaCheck's job)."""
+    import ray.data as rd
+
+    from datatest_ray.pipelines.flagship import IMAGE_CTX
+    from datatest_ray.pipelines.suite import CheckSuite
+    from datatest_ray.stages.imaging import ImageParityCheck
+
+    t = generate_batch(np.arange(clean_spec.n_rows), clean_spec)
+    w = t.column("w").to_pylist()
+    w[3] = w[3] + 7          # mismatch -> violation
+    w[5] = None              # null -> skipped
+    t = t.set_column(t.schema.get_field_index("w"), "w",
+                     pa.array(w, pa.int32()))
+    res = CheckSuite(
+        [ImageParityCheck(reference_seed=clean_spec.seed, concurrency=2)],
+        IMAGE_CTX,
+    ).run(rd.from_arrow(t))
+    out = res.to_table()
+    assert out.num_rows == 1
+    assert out.column("row_ref")[0].as_py() == "img_000000000003"
+    assert "decoded=" in out.column("value")[0].as_py()
+    assert "declared=" in out.column("expected")[0].as_py()
+
+
 def test_near_dup_check(ray_session):
     from datatest_ray.pipelines.flagship import IMAGE_CTX
     from datatest_ray.pipelines.suite import CheckSuite
