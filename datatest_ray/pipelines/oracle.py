@@ -1425,6 +1425,47 @@ WINDOW w  AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
 """
 
 
+def q_funnel_click_purchase(sf_dir: str):
+    """Two-step funnel per user: clicks followed by a purchase within
+    one hour (counts + smallest qualifying gap)."""
+    from ..stages.sessions import funnel_conversion
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return _materialize(funnel_conversion(
+        ds, by="user_id", ts="ts", type_col="event_type",
+        from_type="click", to_type="purchase", within_s=3600.0))
+
+
+SQL_FUNNEL_CLICK_PURCHASE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+base AS (
+  SELECT user_id,
+         count(*) FILTER (WHERE event_type = 'click')    AS n_from,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n_to
+  FROM e GROUP BY user_id
+),
+per_click AS (
+  SELECT c.user_id, c.event_id, MIN(p.t - c.t) AS gap
+  FROM (SELECT * FROM e WHERE event_type = 'click') c
+  JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id
+   AND p.t >= c.t AND p.t <= c.t + 3600000000
+  GROUP BY c.user_id, c.event_id
+),
+conv AS (
+  SELECT user_id, count(*) AS n_conv, MIN(gap) AS min_gap_us
+  FROM per_click GROUP BY user_id
+)
+SELECT b.user_id, b.n_from, b.n_to,
+       COALESCE(conv.n_conv, 0) AS n_conv,
+       conv.min_gap_us
+FROM base b LEFT JOIN conv USING (user_id)
+"""
+
+
 def q_benford_price(sf_dir: str):
     """First-digit (Benford) distribution of o_totalprice in cents,
     with per-digit chi-square contributions."""
@@ -1606,6 +1647,22 @@ r AS (
   FROM c
 )
 SELECT user_id, event_type AS mode, n AS n_mode FROM r WHERE rn = 1
+"""
+
+
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(priority, status) counts — rollup + per-status
+    subtotals."""
+    from ..stages.relational import cube_counts
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return _materialize(cube_counts(
+        ds, cols=["o_orderpriority", "o_orderstatus"]))
+
+
+SQL_CUBE_ORDERS = """
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
 """
 
 
@@ -1932,6 +1989,8 @@ def queries() -> Dict[str, Callable]:
         "tfidf_lang": q_tfidf_lang,
         "regr_price_qty": q_regr_discount,
         "benford_price": q_benford_price,
+        "funnel_click_purchase": q_funnel_click_purchase,
+        "cube_orders": q_cube_orders,
         "rollup_orders": q_rollup_orders,
         "sample_docs": q_sample_docs,
         "sample_stratified": q_sample_stratified,
@@ -2010,6 +2069,8 @@ def oracle_sql() -> Dict[str, str]:
         "tfidf_lang": SQL_TFIDF_LANG,
         "regr_price_qty": SQL_REGR_DISCOUNT,
         "benford_price": SQL_BENFORD_PRICE,
+        "funnel_click_purchase": SQL_FUNNEL_CLICK_PURCHASE,
+        "cube_orders": SQL_CUBE_ORDERS,
         "rollup_orders": SQL_ROLLUP_ORDERS,
         "sample_docs": SQL_SAMPLE_DOCS,
         "sample_stratified": SQL_SAMPLE_STRATIFIED,

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["semi_join", "anti_join", "except_distinct",
-           "intersect_distinct", "pivot_counts", "rollup_counts",
+           "intersect_distinct", "pivot_counts", "rollup_counts", "cube_counts",
            "broadcast_join", "range_join_broadcast"]
 
 _MARK = "__dtr_semi_mark"
@@ -272,6 +272,42 @@ def rollup_counts(ds, *, cols: Sequence[str]):
         "n": pa.array([total], pa.int64()),
     }))
     return finest.union(sub_t).union(grand)
+
+
+def cube_counts(ds, *, cols: Sequence[str]):
+    """SQL ``GROUP BY CUBE(a, b)`` counts: the rollup levels plus the
+    per-b subtotals (a NULL).  Same plan as :func:`rollup_counts` —
+    ONE row-level shuffle builds the finest level; every coarser level
+    re-aggregates that tiny materialized table."""
+    from ray.data.aggregate import Sum
+
+    if len(cols) != 2:
+        raise ValueError("cube_counts currently supports exactly 2 cols")
+    a, b = cols
+    with_rollup = rollup_counts(ds, cols=cols)
+
+    # the one grouping set ROLLUP lacks: per-b subtotals (a NULL).
+    # rollup's output already contains the finest level; re-aggregate
+    # the (a, b, n) rows (a NOT NULL, b NOT NULL) by b.
+    def drop_subtotals(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column(a)),
+                                pc.is_valid(t.column(b))))
+
+    finest = with_rollup.map_batches(
+        drop_subtotals, batch_format="pyarrow", zero_copy_batch=True)
+    sch = ds.schema()  # input schema: metadata-only for file reads
+    sch = getattr(sch, "base_schema", sch)
+    a_type = sch.field(a).type
+    sub_b = finest.groupby(b).aggregate(Sum("n", alias_name="n"))
+    sub_b_t = sub_b.map_batches(
+        lambda t: pa.table({
+            a: pa.nulls(t.num_rows, a_type),
+            b: t.column(b),
+            "n": t.column("n"),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return with_rollup.union(sub_b_t)
 
 
 def pivot_counts(ds, *, by: str, pivot_col: str, values: Sequence[str],

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sessionize"]
+__all__ = ["sessionize", "funnel_conversion"]
 
 
 def sessionize(ds, *, by: str, ts: str, gap_s: float = 1800.0):
@@ -56,3 +56,81 @@ def sessionize(ds, *, by: str, ts: str, gap_s: float = 1800.0):
         project, batch_format="pyarrow", zero_copy_batch=True
     )
     return projected.groupby(by).map_groups(merge, batch_format="pyarrow")
+
+
+def funnel_conversion(ds, *, by: str, ts: str, type_col: str,
+                      from_type: str, to_type: str,
+                      within_s: float = 3600.0, n_buckets: int = 256):
+    """Two-step funnel: per key, how many ``from_type`` events were
+    followed by a ``to_type`` event within ``within_s`` seconds —
+    (key, n_from, n_to, n_conv, min_gap_us) with min_gap_us the
+    smallest qualifying gap (null when no conversion).  The conversion
+    primitive of clickstream / training-data event pipelines.
+
+    Plan: rows filtered to the two step types at the scan, ONE
+    coarse-bucket shuffle (``hash(key) % n_buckets`` — never one tiny
+    group per key), then a fully vectorized kernel: sort by (key, ts,
+    step) putting same-timestamp targets AFTER sources, find each
+    source's next target with one ``searchsorted`` over target
+    positions (first target at ts >= source ts within the key's
+    contiguous run), then per-key bincounts.  A source's FIRST
+    following target has the minimal gap, so "first within the window"
+    equals SQL's "EXISTS target in [t, t+w]"."""
+    from ..functions.aggregates import hash64
+
+    win_us = int(within_s * 1_000_000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(type_col),
+                     value_set=pa.array([from_type, to_type]))
+        t = batch.filter(m)
+        coarse = (hash64(t.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: t.column(by),
+            "ts_us": pc.cast(
+                pc.cast(t.column(ts), pa.timestamp("us")), pa.int64()),
+            "isp": pc.cast(
+                pc.equal(t.column(type_col), to_type), pa.int8()),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        isp = group.column("isp").to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((isp, t, keys))
+        keys, t, isp = keys[order], t[order], isp[order]
+        uniq, code = np.unique(keys, return_inverse=True)
+        m = len(uniq)
+        n_to = np.bincount(code[isp], minlength=m)
+        n_from = np.bincount(code[~isp], minlength=m)
+        P = np.flatnonzero(isp)  # target positions, ascending
+        C = np.flatnonzero(~isp)
+        n_conv = np.zeros(m, dtype=np.int64)
+        min_gap = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+        if len(P) and len(C):
+            nxt = np.searchsorted(P, C, side="left")
+            has = nxt < len(P)
+            np_pos = P[np.minimum(nxt, len(P) - 1)]
+            gap = t[np_pos] - t[C]
+            ok = has & (code[np_pos] == code[C]) & (gap <= win_us)
+            n_conv = np.bincount(code[C][ok], minlength=m)
+            np.minimum.at(min_gap, code[C][ok], gap[ok])
+        no_conv = n_conv == 0
+        return pa.table({
+            by: pa.array(uniq),
+            "n_from": pa.array(n_from.astype(np.int64)),
+            "n_to": pa.array(n_to.astype(np.int64)),
+            "n_conv": pa.array(n_conv.astype(np.int64)),
+            "min_gap_us": pa.array(
+                np.where(no_conv, 0, min_gap), pa.int64(), mask=no_conv),
+        })
+
+    return (
+        ds.select_columns([by, ts, type_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(kernel, batch_format="pyarrow")
+        .select_columns([by, "n_from", "n_to", "n_conv", "min_gap_us"])
+    )
