@@ -89,7 +89,7 @@ from .stages.transforms import (  # noqa: F401
     resize_images,
     sample_frames,
 )
-from .stages import dedup, similarity, text  # noqa: F401
+from .stages import basket, dedup, robust, seq, similarity, text  # noqa: F401
 from .pipelines.corpus import corpus_prep  # noqa: F401
 from .pipelines.suite import CheckSuite, ValidationResult  # noqa: F401
 from .pipelines.validate import valid, validate  # noqa: F401

@@ -1919,6 +1919,410 @@ FROM counts, tot
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-sequence operators (stages/seq.py): first/last touch, transitions,
+# EWMA, out-of-order validation, day streaks
+# ---------------------------------------------------------------------------
+
+
+def q_first_last_event(sf_dir: str):
+    """First/last-touch attribution per user over the (ts, event_id)
+    ordered stream."""
+    from ..stages.seq import first_last_by
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    return _materialize(first_last_by(
+        ds, by="user_id", ts="ts", value_col="event_type",
+        id_col="event_id"))
+
+
+SQL_FIRST_LAST_EVENT = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, max(n) AS n_events,
+       max(CASE WHEN rn = 1 THEN event_type END) AS first_value,
+       max(CASE WHEN rn = n THEN event_type END) AS last_value
+FROM o GROUP BY user_id
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types per
+    user (pre-counted per bucket; the groupby moves pair rows)."""
+    from ..stages.seq import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    return _materialize(transition_counts(
+        ds, by="user_id", ts="ts", type_col="event_type",
+        id_col="event_id"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+FROM o WHERE nxt IS NOT NULL
+GROUP BY event_type, nxt
+"""
+
+
+def q_ewma_user_value(sf_dir: str):
+    """Final EWMA (alpha=0.3) of the event value per user — closed-form
+    weighted sum, identical on both engines."""
+    from ..stages.seq import ewma_last
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+    return _materialize(ewma_last(
+        ds, by="user_id", ts="ts", value_col="value", id_col="event_id",
+        alpha=0.3))
+
+
+SQL_EWMA_USER_VALUE = """
+WITH o AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, max(n) AS n_events,
+       round(sum(value * CASE WHEN rn = 1 THEN power(0.7, n - rn)
+                              ELSE 0.3 * power(0.7, n - rn) END), 6) AS ewma
+FROM o GROUP BY user_id
+"""
+
+
+def q_inversions_events(sf_dir: str):
+    """Out-of-order-delivery validation: per user, events whose ts runs
+    backwards in event_id (ingest) order."""
+    from ..stages.seq import inversion_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return _materialize(inversion_counts(
+        ds, by="user_id", seq_col="event_id", ts="ts"))
+
+
+SQL_INVERSIONS_EVENTS = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS pts
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       coalesce(count(*) FILTER (WHERE ts < pts), 0) AS n_inversions
+FROM o GROUP BY user_id
+"""
+
+
+def q_streak_days_user(sf_dir: str):
+    """Longest consecutive-day activity streak per user
+    (gaps-and-islands)."""
+    from ..stages.seq import day_streaks
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return _materialize(day_streaks(ds, by="user_id", ts="ts"))
+
+
+SQL_STREAK_DAYS_USER = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+s AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY user_id, grp)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_days, max(len) AS max_streak
+FROM s GROUP BY user_id
+"""
+
+
+def q_cooccur_parts(sf_dir: str):
+    """Top-100 co-ordered part pairs (market basket over lineitem,
+    shift-join pair generation, pre-counted per bucket)."""
+    from ..stages.basket import cooccur_pairs
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return _materialize(cooccur_pairs(
+        ds, by="l_orderkey", item_col="l_partkey", top=100))
+
+
+SQL_COOCCUR_PARTS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT item_a, item_b, count(*) AS n
+FROM p GROUP BY item_a, item_b
+ORDER BY n DESC, item_a, item_b LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group statistics (stages/robust.py): Tukey fences, MAD
+# ---------------------------------------------------------------------------
+
+
+def q_iqr_outliers_price(sf_dir: str):
+    """Per-priority Tukey-fence outlier count on o_totalprice
+    (quartiles rounded to 6 dp on both sides before the fences)."""
+    from ..stages.robust import iqr_outliers
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return _materialize(iqr_outliers(
+        ds, by="o_orderpriority", col="o_totalprice", k=1.5))
+
+
+SQL_IQR_OUTLIERS_PRICE = """
+WITH q AS (
+  SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+         round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority, q.q1, q.q3,
+       coalesce(count(*) FILTER (
+         WHERE o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)), 0) AS n_out
+FROM orders o JOIN q USING (o_orderpriority)
+GROUP BY o.o_orderpriority, q.q1, q.q3
+"""
+
+
+def q_mad_price_brand(sf_dir: str):
+    """Median absolute deviation of p_retailprice per brand."""
+    from ..stages.robust import grouped_mad
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+    return _materialize(grouped_mad(ds, by="p_brand", col="p_retailprice"))
+
+
+SQL_MAD_PRICE_BRAND = """
+WITH med AS (
+  SELECT p_brand, round(quantile_cont(p_retailprice, 0.5), 6) AS med
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_brand, med.med,
+       round(quantile_cont(abs(p.p_retailprice - med.med), 0.5), 6) AS mad
+FROM part p JOIN med USING (p_brand)
+GROUP BY p.p_brand, med.med
+"""
+
+
+# ---------------------------------------------------------------------------
+# Categorical / symmetric drift metrics (stages/drift.py)
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_flag_status(sf_dir: str):
+    """Chi-square independence of l_returnflag × l_linestatus (full
+    grid including zero cells)."""
+    from ..stages.drift import chi2_independence
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return _materialize(chi2_independence(ds, "l_returnflag",
+                                          "l_linestatus"))
+
+
+SQL_CHI2_FLAG_STATUS = """
+WITH c AS (
+  SELECT l_returnflag AS a, l_linestatus AS b, count(*) AS n
+  FROM lineitem GROUP BY a, b
+),
+ra AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+cb AS (SELECT b, sum(n) AS nb FROM c GROUP BY b),
+tot AS (SELECT sum(n) AS t FROM c),
+grid AS (
+  SELECT ra.a, cb.b, ra.na * cb.nb / tot.t AS e,
+         coalesce(c.n, 0) AS o
+  FROM ra CROSS JOIN cb CROSS JOIN tot
+  LEFT JOIN c ON c.a = ra.a AND c.b = cb.b
+)
+SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       (SELECT (count(*) - 1) FROM ra) * (SELECT (count(*) - 1) FROM cb)
+         AS dof,
+       (SELECT CAST(t AS BIGINT) FROM tot) AS n
+FROM grid
+"""
+
+
+def q_jsd_price_drift(sf_dir: str):
+    """Jensen–Shannon divergence of l_extendedprice: returnflag 'A'
+    vs the rest (same smoothed histogram frame as PSI)."""
+    from ..stages.drift import jsd
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_returnflag"])
+    return jsd(
+        ds, "l_extendedprice", split_col="l_returnflag", ref_value="A",
+        lo=900.0, hi=105000.0, bins=10,
+    )
+
+
+SQL_JSD_PRICE_DRIFT = """
+WITH binned AS (
+  SELECT CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 10410.0), 0), 9) AS BIGINT) AS bin,
+         (l_returnflag = 'A') AS is_ref
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+),
+counts AS (
+  SELECT bin,
+         SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS nref,
+         SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS ncmp
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(nref) AS tref, SUM(ncmp) AS tcmp FROM counts),
+pq AS (
+  SELECT bin,
+         (nref + 0.5) / (tref + 5.0) AS p,
+         (ncmp + 0.5) / (tcmp + 5.0) AS q
+  FROM counts, tot
+)
+SELECT bin, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+       ROUND(0.5 * p * LN(p / ((p + q) / 2))
+             + 0.5 * q * LN(q / ((p + q) / 2)), 6) AS jsd
+FROM pq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Small grouped aggregates: calendar rollup, weighted mean, geometric mean
+# ---------------------------------------------------------------------------
+
+
+def q_dow_orders(sf_dir: str):
+    """Orders per ISO day-of-week: count + order-independent
+    integer-cents revenue sum (same stabilization as agg_returnflag)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(t.column("o_orderdate"),
+                             count_from_zero=False, week_start=1)
+        return pa.table({
+            "dow": pc.cast(dow, pa.int64()),
+            "price_c": pc.cast(
+                pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                pa.int64()),
+        })
+
+    agg = ds.map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    agg = agg.groupby("dow").aggregate(
+        Count(alias_name="n"), Sum("price_c", alias_name="sum_c"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dow": t.column("dow"),
+            "n": t.column("n"),
+            "sum_price": pc.divide(
+                pc.cast(t.column("sum_c"), pa.float64()), 100.0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_DOW_ORDERS = """
+SELECT isodow(o_orderdate) AS dow, count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price
+FROM orders GROUP BY dow
+"""
+
+
+def q_wavg_discount(sf_dir: str):
+    """Quantity-weighted mean discount per returnflag (ratio of two
+    distributed sums; division normalizes the association error)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_discount", "l_quantity"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "dq": pc.multiply(t.column("l_discount"), t.column("l_quantity")),
+            "q": t.column("l_quantity"),
+        })
+
+    agg = ds.map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby(
+        "l_returnflag").aggregate(
+        Sum("dq", alias_name="sdq"), Sum("q", alias_name="sq"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "wavg_discount": pc.round(
+                pc.divide(t.column("sdq"), t.column("sq")), ndigits=6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_WAVG_DISCOUNT = """
+SELECT l_returnflag,
+       round(sum(l_discount * l_quantity) / sum(l_quantity), 6)
+         AS wavg_discount
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_geomean_price_brand(sf_dir: str):
+    """Geometric mean retail price per brand: exp(mean(ln x)) from
+    (n, sum ln) partials."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t.column("p_brand"),
+            "lnp": pc.ln(pc.cast(t.column("p_retailprice"), pa.float64())),
+        })
+
+    agg = ds.map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("p_brand").aggregate(
+        Sum("lnp", alias_name="slnp"), Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("slnp").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(float)
+        return pa.table({
+            "p_brand": t.column("p_brand"),
+            "n": t.column("n"),
+            "geomean": pa.array(np.round(np.exp(s / n), 6)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_GEOMEAN_PRICE_BRAND = """
+SELECT p_brand, count(*) AS n,
+       round(exp(avg(ln(p_retailprice))), 6) AS geomean
+FROM part GROUP BY p_brand
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -2003,6 +2407,19 @@ def queries() -> Dict[str, Callable]:
         "zscore_order_price": q_zscore_order_price,
         "emb_hygiene": q_emb_hygiene,
         "psi_price_drift": q_psi_price_drift,
+        "first_last_event": q_first_last_event,
+        "event_transitions": q_event_transitions,
+        "ewma_user_value": q_ewma_user_value,
+        "inversions_events": q_inversions_events,
+        "streak_days_user": q_streak_days_user,
+        "cooccur_parts": q_cooccur_parts,
+        "iqr_outliers_price": q_iqr_outliers_price,
+        "mad_price_brand": q_mad_price_brand,
+        "chi2_flag_status": q_chi2_flag_status,
+        "jsd_price_drift": q_jsd_price_drift,
+        "dow_orders": q_dow_orders,
+        "wavg_discount": q_wavg_discount,
+        "geomean_price_brand": q_geomean_price_brand,
     }
 
 
@@ -2083,4 +2500,17 @@ def oracle_sql() -> Dict[str, str]:
         "zscore_order_price": SQL_ZSCORE_ORDER_PRICE,
         "emb_hygiene": SQL_EMB_HYGIENE,
         "psi_price_drift": SQL_PSI_PRICE_DRIFT,
+        "first_last_event": SQL_FIRST_LAST_EVENT,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
+        "ewma_user_value": SQL_EWMA_USER_VALUE,
+        "inversions_events": SQL_INVERSIONS_EVENTS,
+        "streak_days_user": SQL_STREAK_DAYS_USER,
+        "cooccur_parts": SQL_COOCCUR_PARTS,
+        "iqr_outliers_price": SQL_IQR_OUTLIERS_PRICE,
+        "mad_price_brand": SQL_MAD_PRICE_BRAND,
+        "chi2_flag_status": SQL_CHI2_FLAG_STATUS,
+        "jsd_price_drift": SQL_JSD_PRICE_DRIFT,
+        "dow_orders": SQL_DOW_ORDERS,
+        "wavg_discount": SQL_WAVG_DISCOUNT,
+        "geomean_price_brand": SQL_GEOMEAN_PRICE_BRAND,
     }

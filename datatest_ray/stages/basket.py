@@ -1,0 +1,100 @@
+"""Market-basket co-occurrence: item pairs within a grouping key.
+
+Engine extension (SURVEY.md §2.H family): the frequent-itemset /
+co-purchase primitive — for every unordered pair of distinct items
+appearing under the same key (parts within an order, tags within a
+document), count the keys containing both.
+
+Plan: ONE shuffle on the bounded coarse key (``hash(group) % n_buckets``),
+then a vectorized per-bucket kernel: sort by (key, item), dedupe
+consecutive duplicates, and generate pairs with the SHIFT-JOIN trick —
+for each distance ``d`` in ``1..max_basket-1``, rows ``i`` and ``i+d``
+form a pair iff they share a key (sorted, so equal keys ⇒ same
+segment).  ``d`` is bounded by the largest basket in the bucket, so the
+work is Σ len·(len−1)/2 pair slots with NO Python loop over baskets.
+Pairs are pre-counted per bucket (codes → bincount) before the final
+small ``groupby(pair).sum``; the shuffle moves one row per distinct
+pair per bucket, never per pair occurrence.
+
+Partitioning assumption: baskets are small (bounded per-key fan-in,
+e.g. line items per order).  A viral key with millions of items would
+need a frequency cap upstream — same caveat the reference-style dedup
+paths document.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.aggregates import hash64
+
+__all__ = ["cooccur_pairs"]
+
+
+def cooccur_pairs(ds, *, by: str, item_col: str, top: int = 100,
+                  n_buckets: int = 64):
+    """Top-``top`` co-occurring item pairs: (item_a, item_b, n) with
+    item_a < item_b, ordered by (n DESC, item_a, item_b) — a total
+    order, so the cut is deterministic on both engines."""
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_it": pc.cast(batch.column(item_col), pa.int64()),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        it = group.column("_it").to_numpy(zero_copy_only=False)
+        order = np.lexsort((it, keys))
+        keys, it = keys[order], it[order]
+        keep = np.ones(len(keys), dtype=bool)  # distinct (key, item)
+        if len(keys) > 1:
+            keep[1:] = (keys[1:] != keys[:-1]) | (it[1:] != it[:-1])
+        keys, it = keys[keep], it[keep]
+        empty = pa.table({"item_a": pa.array([], pa.int64()),
+                          "item_b": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        n = len(keys)
+        if n < 2:
+            return empty
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        max_len = int(np.bincount(np.cumsum(new) - 1).max())
+        a_parts, b_parts = [], []
+        for d in range(1, max_len):
+            same = keys[:-d] == keys[d:]
+            if same.any():
+                a_parts.append(it[:-d][same])
+                b_parts.append(it[d:][same])
+        if not a_parts:
+            return empty
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        # pre-count within the bucket: code pairs, bincount
+        uniq, inv = np.unique(np.stack([a, b]), return_inverse=True)
+        inv = inv.reshape(2, -1)
+        m = len(uniq)
+        pair = inv[0] * m + inv[1]
+        cnt = np.bincount(pair)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "item_a": pa.array(uniq[nz // m], pa.int64()),
+            "item_b": pa.array(uniq[nz % m], pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    partials = ds.select_columns([by, item_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(kernel, batch_format="pyarrow")
+    counted = partials.groupby(["item_a", "item_b"]).aggregate(
+        Sum("n", alias_name="n"))
+    return counted.sort(
+        ["n", "item_a", "item_b"], descending=[True, False, False]
+    ).limit(top)

@@ -185,6 +185,126 @@ def psi(ds, value_col: str, *, split_col: str, ref_value,
     )
 
 
+def jsd(ds, value_col: str, *, split_col: str, ref_value,
+        lo: float, hi: float, bins: int = 10):
+    """Jensen–Shannon divergence between two slices of one dataset —
+    the SYMMETRIC, bounded ([0, ln 2]) companion to :func:`psi` (same
+    §2.I drift family, same Laplace-smoothed fixed-width histograms, so
+    it shares PSI's exact SQL oracle form).
+
+    Per bin: ``m_i = (p_i + q_i)/2``, contribution
+    ``0.5·p_i·ln(p_i/m_i) + 0.5·q_i·ln(q_i/m_i)``; the total JSD is
+    the sum over bins.
+
+    Same plan as psi: per-batch bincount partials → one
+    ``groupby(bin).sum`` over ≤ ``bins`` keys → single-block finalize.
+    Returns a lazy Dataset (bin, p, q, jsd)."""
+    from ray.data.aggregate import Sum
+
+    width = (float(hi) - float(lo)) / bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(
+            batch.column(value_col).combine_chunks()
+            .cast(pa.float64(), safe=False).to_numpy(zero_copy_only=False)
+        )
+        is_ref = pc.equal(batch.column(split_col), ref_value)
+        r = is_ref.combine_chunks().to_numpy(zero_copy_only=False).astype(bool)
+        ok = ~np.isnan(v)
+        idx = np.clip(
+            np.floor((v[ok] - lo) / width).astype(np.int64), 0, bins - 1
+        )
+        rr = r[ok]
+        nref = np.bincount(idx[rr], minlength=bins)
+        ncmp = np.bincount(idx[~rr], minlength=bins)
+        keep = (nref + ncmp) > 0
+        return pa.table({
+            "bin": pa.array(np.flatnonzero(keep), pa.int64()),
+            "nref": pa.array(nref[keep], pa.int64()),
+            "ncmp": pa.array(ncmp[keep], pa.int64()),
+        })
+
+    counts = (
+        ds.select_columns([value_col, split_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("nref", alias_name="nref"),
+                   Sum("ncmp", alias_name="ncmp"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.float64()),
+                             "q": pa.array([], pa.float64()),
+                             "jsd": pa.array([], pa.float64())})
+        nref = t.column("nref").to_numpy(zero_copy_only=False).astype(np.float64)
+        ncmp = t.column("ncmp").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = (nref + 0.5) / (nref.sum() + 0.5 * bins)
+        q = (ncmp + 0.5) / (ncmp.sum() + 0.5 * bins)
+        m = 0.5 * (p + q)
+        contrib = 0.5 * p * np.log(p / m) + 0.5 * q * np.log(q / m)
+        return pa.table({
+            "bin": t.column("bin"),
+            "p": pa.array(np.round(p, 6)),
+            "q": pa.array(np.round(q, 6)),
+            "jsd": pa.array(np.round(contrib, 6)),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def chi2_independence(ds, a: str, b: str):
+    """Pearson chi-square test of independence between two categorical
+    columns — the categorical companion to the numeric drift metrics
+    (KS / PSI / JSD) in this §2.I family.
+
+    ``chi2 = Σ_cells (observed − expected)² / expected`` over the FULL
+    r×c grid (zero-observed cells contribute their expected count),
+    ``dof = (r−1)(c−1)``.
+
+    Plan: one tiny ``groupby([a, b]).count()`` (the shuffle moves one
+    row per distinct pair), then a single-block finalize that rebuilds
+    the dense grid from the observed marginals in numpy.  Returns a
+    lazy Dataset with ONE row (chi2, dof, n)."""
+    from ray.data.aggregate import Count
+
+    counts = ds.select_columns([a, b]).groupby([a, b]).aggregate(
+        Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"chi2": pa.array([], pa.float64()),
+                             "dof": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ea = pc.dictionary_encode(t.column(a).combine_chunks()
+                                  if isinstance(t.column(a), pa.ChunkedArray)
+                                  else t.column(a))
+        eb = pc.dictionary_encode(t.column(b).combine_chunks()
+                                  if isinstance(t.column(b), pa.ChunkedArray)
+                                  else t.column(b))
+        ia = np.asarray(ea.indices, dtype=np.int64)
+        ib = np.asarray(eb.indices, dtype=np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        r, c = len(ea.dictionary), len(eb.dictionary)
+        obs = np.zeros((r, c), dtype=np.float64)
+        obs[ia, ib] = n
+        total = obs.sum()
+        exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / total
+        chi2 = float(((obs - exp) ** 2 / exp).sum())
+        return pa.table({
+            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "dof": pa.array([(r - 1) * (c - 1)], pa.int64()),
+            "n": pa.array([int(total)], pa.int64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
 @dataclass(frozen=True)
 class BinSpec:
     """Fixed-range binning for one column.  ``source='binary_length'``

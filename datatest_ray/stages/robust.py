@@ -1,0 +1,155 @@
+"""Robust per-group statistics: IQR outlier fences and MAD.
+
+Engine extensions (SURVEY.md §2.H / §2.I family): the robust
+data-quality screens a validation engine runs next to mean/stddev —
+Tukey-fence outlier counting (1.5·IQR beyond the quartiles) and the
+median absolute deviation.
+
+Plan (both operators): TWO passes, no data shuffle.
+Pass 1 computes the per-group order statistics (exact np.quantile ==
+SQL ``quantile_cont``, the same kernel `window.grouped_quantile`
+proved against DuckDB) via one ``groupby(by)`` over the (small)
+projected columns; the resulting per-group table is broadcast back
+with ``ray.put``.  Pass 2 is a streaming ``map_batches`` that compares
+each row against its group's broadcast statistic — partials reduced by
+one tiny ``groupby(by).sum`` (outlier counting) or a second grouped
+quantile over the absolute deviations (MAD).
+
+Partitioning assumption: pass 1 materializes one quantile row per
+group — #groups must fit on the driver (it is an aggregate result).
+For huge row-per-group counts the exact in-group sort is the
+small/verify path; the scale path is the mergeable t-digest sketch
+(functions/aggregates.py :: TDigestQuantile).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["iqr_outliers", "grouped_mad"]
+
+
+def _grouped_quantiles(ds, by: str, col: str, qs):
+    """One groupby pass → pa.Table (by, q_0..q_{len(qs)-1}), exact
+    linear-interpolation quantiles per group."""
+    def kernel(group: pa.Table) -> pa.Table:
+        v = group.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[~np.isnan(v)]
+        cols = {by: group.column(by)[:1]}
+        for j, q in enumerate(qs):
+            val = float(np.quantile(v, q)) if len(v) else float("nan")
+            cols[f"q{j}"] = pa.array([val], pa.float64())
+        return pa.table(cols)
+
+    out = ds.select_columns([by, col]).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    if batches:
+        return pa.concat_tables(batches)
+    return pa.schema(
+        [(by, pa.string())] +
+        [(f"q{j}", pa.float64()) for j in range(len(qs))]
+    ).empty_table()
+
+
+def iqr_outliers(ds, *, by: str, col: str, k: float = 1.5):
+    """Per-group Tukey-fence outlier count: rows outside
+    ``[q1 − k·IQR, q3 + k·IQR]``.
+
+    Output: (by, q1, q3, n_out) — quartiles rounded to 6 dp (both
+    engines pin the float repr the same way).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    stats = _grouped_quantiles(ds, by, col, (0.25, 0.75))
+    q1 = np.round(stats.column("q0").to_numpy(zero_copy_only=False), 6)
+    q3 = np.round(stats.column("q1").to_numpy(zero_copy_only=False), 6)
+    keys = stats.column(by)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    lo = q1 - k * (q3 - q1)
+    hi = q3 + k * (q3 - q1)
+    handle = ray.put((keys, lo, hi))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kk, lo_, hi_ = ray.get(handle)
+        idx = pc.index_in(batch.column(by), value_set=kk)
+        pos = idx.to_numpy(zero_copy_only=False)
+        pos = np.where(np.isnan(pos.astype(np.float64)), 0,
+                       pos).astype(np.int64)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        out = ((v < lo_[pos]) | (v > hi_[pos])).astype(np.int64)
+        enc = pc.dictionary_encode(
+            batch.column(by).combine_chunks()
+            if isinstance(batch.column(by), pa.ChunkedArray)
+            else batch.column(by))
+        code = np.asarray(enc.indices, dtype=np.int64)
+        m = len(enc.dictionary)
+        return pa.table({
+            by: enc.dictionary,
+            "n_out": pa.array(np.bincount(code, weights=out,
+                                          minlength=m).astype(np.int64)),
+        })
+
+    counts = ds.select_columns([by, col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(by).aggregate(Sum("n_out", alias_name="n_out"))
+
+    qtab = pa.table({by: keys, "q1": pa.array(q1), "q3": pa.array(q3)})
+
+    def attach(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column(by), value_set=qtab.column(by))
+        return pa.table({
+            by: t.column(by),
+            "q1": pc.take(qtab.column("q1"), idx),
+            "q3": pc.take(qtab.column("q3"), idx),
+            "n_out": t.column("n_out"),
+        })
+
+    return counts.map_batches(attach, batch_format="pyarrow")
+
+
+def grouped_mad(ds, *, by: str, col: str):
+    """Per-group median absolute deviation:
+    ``median(|x − median_g(x)|)`` (SQL: two ``quantile_cont`` CTEs).
+
+    Output: (by, med, mad) rounded to 6 dp.
+    """
+    import ray
+
+    stats = _grouped_quantiles(ds, by, col, (0.5,))
+    med = np.round(stats.column("q0").to_numpy(zero_copy_only=False), 6)
+    keys = stats.column(by)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    handle = ray.put((keys, med))
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        kk, md = ray.get(handle)
+        idx = pc.index_in(batch.column(by), value_set=kk)
+        pos = idx.to_numpy(zero_copy_only=False)
+        pos = np.where(np.isnan(pos.astype(np.float64)), 0,
+                       pos).astype(np.int64)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            by: batch.column(by),
+            "_ad": pa.array(np.abs(v - md[pos])),
+        })
+
+    devs = ds.select_columns([by, col]).map_batches(
+        absdev, batch_format="pyarrow", zero_copy_batch=True)
+    mad_t = _grouped_quantiles(devs, by, "_ad", (0.5,))
+    mad = np.round(mad_t.column("q0").to_numpy(zero_copy_only=False), 6)
+    mkeys = mad_t.column(by)
+    mkeys = mkeys.combine_chunks() if isinstance(mkeys, pa.ChunkedArray) \
+        else mkeys
+    idx = pc.index_in(mkeys, value_set=keys)
+    return pa.table({
+        by: mkeys,
+        "med": pc.take(pa.array(med), idx),
+        "mad": pa.array(mad),
+    })

@@ -1,0 +1,324 @@
+"""Ordered event-sequence operators (first/last, transitions, EWMA,
+monotonicity, streaks).
+
+Engine extensions (the reference has no sequence operators — SURVEY.md
+§2.H); these are the per-key ORDERED primitives a clickstream /
+training-data pipeline needs beyond sessionization: endpoint
+attribution (first/last touch), Markov transition counts, recency
+weighting (EWMA), ingest-order monotonicity validation, and
+consecutive-day streaks.
+
+Plan (shared by every operator here): ONE shuffle on a bounded coarse
+key (``hash(key) % n_buckets`` — never a groupby with one tiny group
+per key), then a fully vectorized per-bucket kernel: one
+``np.lexsort`` by (key, order, tie), boundary masks / bincounts per
+segment, no Python loop over rows or keys.  Partitioning assumption:
+one BUCKET (not one key) fits in a task's heap; raise ``n_buckets``
+for bigger corpora.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.aggregates import hash64
+
+__all__ = ["first_last_by", "transition_counts", "ewma_last",
+           "inversion_counts", "day_streaks"]
+
+
+def _ts_us(col):
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
+def _bucketed(ds, project, n_buckets: int):
+    return ds.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse")
+
+
+def _seg_first(keys: np.ndarray) -> np.ndarray:
+    new = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        new[1:] = keys[1:] != keys[:-1]
+    return new
+
+
+def first_last_by(ds, *, by: str, ts: str, value_col: str, id_col: str,
+                  n_buckets: int = 256):
+    """First/last-touch attribution: per key the value of the earliest
+    and latest row ordered by (ts, id) — SQL's
+    ``row_number() OVER (... ORDER BY ts, id) = 1 / = n``.
+
+    Output: (by, n_events, first_value, last_value).
+    """
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_t": _ts_us(batch.column(ts)),
+            "_i": pc.cast(batch.column(id_col), pa.int64()),
+            "_v": batch.column(value_col),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        i = group.column("_i").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, keys))
+        keys = keys[order]
+        first = _seg_first(keys)
+        starts = np.flatnonzero(first)
+        ends = np.concatenate([starts[1:] - 1, [len(keys) - 1]]) \
+            if len(keys) else np.array([], dtype=np.int64)
+        n = (ends - starts + 1).astype(np.int64)
+        vals = group.column("_v")
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) \
+            else vals
+        idx = pa.array(order, pa.int64())
+        sorted_vals = pc.take(vals, idx)
+        kcol = group.column(by)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        return pa.table({
+            by: pc.take(kcol, pa.array(order[starts], pa.int64())),
+            "n_events": pa.array(n),
+            "first_value": pc.take(sorted_vals, pa.array(starts, pa.int64())),
+            "last_value": pc.take(sorted_vals, pa.array(ends, pa.int64())),
+        })
+
+    return _bucketed(ds.select_columns(
+        list(dict.fromkeys([by, ts, value_col, id_col]))), project,
+        n_buckets).map_groups(kernel, batch_format="pyarrow"
+    ).select_columns([by, "n_events", "first_value", "last_value"])
+
+
+def transition_counts(ds, *, by: str, ts: str, type_col: str, id_col: str,
+                      n_buckets: int = 256):
+    """Markov transition matrix over event types: count of consecutive
+    (from → to) pairs within a key's (ts, id)-ordered stream — SQL's
+    ``lead() OVER (PARTITION BY key ORDER BY ts, id)`` + group count.
+
+    Output: (from_type, to_type, n).  The per-bucket kernel
+    PRE-COUNTS pairs (dictionary codes → bincount), so the final
+    ``groupby([from,to])`` shuffle moves one row per distinct pair per
+    bucket, never one row per event pair.
+    """
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_t": _ts_us(batch.column(ts)),
+            "_i": pc.cast(batch.column(id_col), pa.int64()),
+            "_y": batch.column(type_col),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        i = group.column("_i").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, keys))
+        keys = keys[order]
+        ycol = group.column("_y")
+        ycol = ycol.combine_chunks() if isinstance(ycol, pa.ChunkedArray) \
+            else ycol
+        enc = pc.dictionary_encode(pc.take(ycol, pa.array(order, pa.int64())))
+        code = np.asarray(enc.indices, dtype=np.int64)
+        k = len(enc.dictionary)
+        empty = pa.table({
+            "from_type": pa.array([], enc.dictionary.type),
+            "to_type": pa.array([], enc.dictionary.type),
+            "n": pa.array([], pa.int64()),
+        })
+        if len(keys) < 2:
+            return empty
+        same = keys[1:] == keys[:-1]
+        frm = code[:-1][same]
+        to = code[1:][same]
+        if not len(frm):
+            return empty
+        pair = frm * k + to
+        cnt = np.bincount(pair, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "from_type": pc.take(enc.dictionary,
+                                 pa.array(nz // k, pa.int64())),
+            "to_type": pc.take(enc.dictionary, pa.array(nz % k, pa.int64())),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    partials = _bucketed(ds.select_columns(
+        list(dict.fromkeys([by, ts, type_col, id_col]))), project,
+        n_buckets).map_groups(kernel, batch_format="pyarrow")
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def ewma_last(ds, *, by: str, ts: str, value_col: str, id_col: str,
+              alpha: float = 0.3, n_buckets: int = 256):
+    """Per-key exponentially-weighted moving average of ``value_col``
+    over the (ts, id)-ordered stream, reporting the FINAL (most recent)
+    EWMA — the recency-weighted feature of behavioral pipelines.
+
+    Closed form (matches the recurrence ``y_i = a·x_i + (1-a)·y_{i-1}``
+    with ``y_1 = x_1``):  ``y_n = (1-a)^{n-1}·x_1 +
+    a·Σ_{i=2..n} (1-a)^{n-i}·x_i`` — one weighted bincount per bucket,
+    identical to the SQL ``sum(x * CASE ...)`` oracle form.
+
+    Output: (by, n_events, ewma) with ewma rounded to 6 dp (both sides
+    compute the same closed form; rounding pins the float repr).
+    """
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_t": _ts_us(batch.column(ts)),
+            "_i": pc.cast(batch.column(id_col), pa.int64()),
+            "_v": pc.cast(batch.column(value_col), pa.float64()),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        i = group.column("_i").to_numpy(zero_copy_only=False)
+        v = group.column("_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, keys))
+        keys, v = keys[order], v[order]
+        first = _seg_first(keys)
+        seg = np.cumsum(first) - 1
+        m = int(seg[-1]) + 1 if len(seg) else 0
+        starts = np.flatnonzero(first)
+        n = np.bincount(seg, minlength=m)
+        rn = np.arange(len(keys)) - starts[seg] + 1  # 1-based row number
+        w = alpha * np.power(1.0 - alpha, (n[seg] - rn).astype(np.float64))
+        w[first] = np.power(1.0 - alpha, (n[seg] - rn).astype(np.float64))[first]
+        y = np.bincount(seg, weights=v * w, minlength=m)
+        kcol = group.column(by)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        return pa.table({
+            by: pc.take(kcol, pa.array(order[starts], pa.int64())),
+            "n_events": pa.array(n.astype(np.int64)),
+            "ewma": pa.array(np.round(y, 6)),
+        })
+
+    return _bucketed(ds.select_columns(
+        list(dict.fromkeys([by, ts, value_col, id_col]))), project,
+        n_buckets).map_groups(kernel, batch_format="pyarrow"
+    ).select_columns([by, "n_events", "ewma"])
+
+
+def inversion_counts(ds, *, by: str, seq_col: str, ts: str,
+                     n_buckets: int = 256):
+    """Ingest-order monotonicity check: per key, how many rows arrive
+    with a timestamp STRICTLY BEFORE their predecessor's when ordered
+    by ``seq_col`` (ingest sequence) — the out-of-order-delivery
+    validation of event pipelines (SQL: ``ts < lag(ts) OVER
+    (PARTITION BY key ORDER BY seq)``).
+
+    Output: (by, n_events, n_inversions).
+    """
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_s": pc.cast(batch.column(seq_col), pa.int64()),
+            "_t": _ts_us(batch.column(ts)),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        s = group.column("_s").to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, keys))
+        keys, t = keys[order], t[order]
+        first = _seg_first(keys)
+        seg = np.cumsum(first) - 1
+        m = int(seg[-1]) + 1 if len(seg) else 0
+        inv = np.zeros(len(keys), dtype=bool)
+        if len(keys) > 1:
+            inv[1:] = (~first[1:]) & (t[1:] < t[:-1])
+        starts = np.flatnonzero(first)
+        kcol = group.column(by)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        return pa.table({
+            by: pc.take(kcol, pa.array(order[starts], pa.int64())),
+            "n_events": pa.array(np.bincount(seg, minlength=m).astype(
+                np.int64)),
+            "n_inversions": pa.array(
+                np.bincount(seg[inv], minlength=m).astype(np.int64)),
+        })
+
+    return _bucketed(ds.select_columns(
+        list(dict.fromkeys([by, seq_col, ts]))), project,
+        n_buckets).map_groups(kernel, batch_format="pyarrow"
+    ).select_columns([by, "n_events", "n_inversions"])
+
+
+def day_streaks(ds, *, by: str, ts: str, n_buckets: int = 256):
+    """Longest consecutive-day streak per key (gaps-and-islands):
+    distinct UTC days per key, longest run where successive days differ
+    by exactly 1.
+
+    Output: (by, n_days, max_streak).
+    """
+    DAY_US = 86_400_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        day = pc.divide(_ts_us(batch.column(ts)), DAY_US)
+        return pa.table({
+            by: batch.column(by),
+            "_d": day,
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        d = group.column("_d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, keys))
+        keys, d = keys[order], d[order]
+        keep = np.ones(len(keys), dtype=bool)  # distinct (key, day)
+        if len(keys) > 1:
+            keep[1:] = (keys[1:] != keys[:-1]) | (d[1:] != d[:-1])
+        keys, d, order = keys[keep], d[keep], order[keep]
+        first = _seg_first(keys)
+        seg = np.cumsum(first) - 1
+        m = int(seg[-1]) + 1 if len(seg) else 0
+        # island id: bump wherever a new key starts or the day gap != 1
+        new_island = first.copy()
+        if len(keys) > 1:
+            new_island[1:] |= d[1:] != d[:-1] + 1
+        isl = np.cumsum(new_island) - 1
+        isl_len = np.bincount(isl)
+        isl_seg = seg[np.flatnonzero(new_island)]
+        max_streak = np.zeros(m, dtype=np.int64)
+        np.maximum.at(max_streak, isl_seg, isl_len)
+        starts = np.flatnonzero(first)
+        kcol = group.column(by)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        return pa.table({
+            by: pc.take(kcol, pa.array(order[starts], pa.int64())),
+            "n_days": pa.array(np.bincount(seg, minlength=m).astype(
+                np.int64)),
+            "max_streak": pa.array(max_streak),
+        })
+
+    return _bucketed(ds.select_columns([by, ts]), project,
+                     n_buckets).map_groups(kernel, batch_format="pyarrow"
+    ).select_columns([by, "n_days", "max_streak"])

@@ -1,0 +1,181 @@
+"""Edge semantics for the event-sequence (seq.py), market-basket
+(basket.py), robust-stats (robust.py) and categorical/JSD drift
+operators — cases the sf0.001 oracle data never exercises (single-row
+keys, timestamp ties, out-of-order delivery, streak gaps, singleton
+baskets, zero-variance groups, zero-observed chi-square cells)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(table: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(table))
+
+
+TS = pa.timestamp("us")
+
+
+def _t(us):
+    return pa.array(np.asarray(us, dtype=np.int64), pa.int64()).cast(TS)
+
+
+class TestFirstLast:
+    def test_order_and_tie_break(self, ray_session):
+        from datatest_ray.stages.seq import first_last_by
+
+        # user 1: tie on ts at the start — event_id breaks it
+        ds = _ds({
+            "u": [1, 1, 1, 2],
+            "ts": _t([100, 100, 500, 7]),
+            "v": ["b", "a", "c", "solo"],
+            "eid": [11, 10, 12, 1],
+        })
+        out = first_last_by(ds, by="u", ts="ts", value_col="v",
+                            id_col="eid").to_pandas()
+        row1 = out[out.u == 1].iloc[0]
+        assert (row1.first_value, row1.last_value, row1.n_events) == \
+            ("a", "c", 3)
+        row2 = out[out.u == 2].iloc[0]
+        assert (row2.first_value, row2.last_value, row2.n_events) == \
+            ("solo", "solo", 1)
+
+
+class TestTransitions:
+    def test_counts_within_key_only(self, ray_session):
+        from datatest_ray.stages.seq import transition_counts
+
+        ds = _ds({
+            "u": [1, 1, 1, 2, 2, 3],
+            "ts": _t([1, 2, 3, 1, 2, 1]),
+            "y": ["a", "b", "a", "a", "b", "z"],
+            "eid": [1, 2, 3, 4, 5, 6],
+        })
+        out = transition_counts(ds, by="u", ts="ts", type_col="y",
+                                id_col="eid").to_pandas()
+        got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+        # a→b twice (u1, u2), b→a once (u1); no cross-user z pair
+        assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+class TestEwma:
+    def test_matches_recurrence(self, ray_session):
+        from datatest_ray.stages.seq import ewma_last
+
+        xs = [3.0, 7.0, 1.0, 4.0]
+        a = 0.3
+        y = xs[0]
+        for x in xs[1:]:
+            y = a * x + (1 - a) * y
+        ds = _ds({"u": [1] * 4, "ts": _t([1, 2, 3, 4]),
+                  "v": xs, "eid": [1, 2, 3, 4]})
+        out = ewma_last(ds, by="u", ts="ts", value_col="v",
+                        id_col="eid", alpha=a).to_pandas()
+        assert out.n_events.iloc[0] == 4
+        assert abs(out.ewma.iloc[0] - round(y, 6)) < 1e-9
+
+
+class TestInversions:
+    def test_counts_strict_backwards_steps(self, ray_session):
+        from datatest_ray.stages.seq import inversion_counts
+
+        # seq order 1,2,3,4 has ts 10, 5, 5, 20 → one strict inversion
+        ds = _ds({"u": [1] * 4, "s": [1, 2, 3, 4],
+                  "ts": _t([10, 5, 5, 20])})
+        out = inversion_counts(ds, by="u", seq_col="s",
+                               ts="ts").to_pandas()
+        assert (out.n_events.iloc[0], out.n_inversions.iloc[0]) == (4, 1)
+
+
+class TestStreaks:
+    def test_gaps_and_duplicate_days(self, ray_session):
+        from datatest_ray.stages.seq import day_streaks
+
+        DAY = 86_400_000_000
+        # days 0,1,1,2 then gap then 5,6 → max streak 3, 5 distinct days
+        ds = _ds({"u": [1] * 6,
+                  "ts": _t([0, DAY, DAY + 5, 2 * DAY, 5 * DAY, 6 * DAY])})
+        out = day_streaks(ds, by="u", ts="ts").to_pandas()
+        assert (out.n_days.iloc[0], out.max_streak.iloc[0]) == (5, 3)
+
+
+class TestBasket:
+    def test_pairs_dedupe_and_count(self, ray_session):
+        from datatest_ray.stages.basket import cooccur_pairs
+
+        # basket 1: {10, 20, 20, 30}; basket 2: {10, 20}; basket 3: {99}
+        ds = _ds({"o": [1, 1, 1, 1, 2, 2, 3],
+                  "it": [10, 20, 20, 30, 20, 10, 99]})
+        out = cooccur_pairs(ds, by="o", item_col="it", top=10).to_pandas()
+        got = {(r.item_a, r.item_b): r.n for r in out.itertuples()}
+        assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+        # deterministic order: n DESC, then item_a, item_b
+        assert list(map(tuple, out[["item_a", "item_b"]].values)) == \
+            [(10, 20), (10, 30), (20, 30)]
+
+
+class TestRobust:
+    def test_iqr_counts_tukey_outliers(self, ray_session):
+        from datatest_ray.stages.robust import iqr_outliers
+
+        vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+        ds = _ds({"g": ["a"] * 5, "v": vals})
+        out = iqr_outliers(ds, by="g", col="v", k=1.5).to_pandas()
+        q1, q3 = np.quantile(vals, 0.25), np.quantile(vals, 0.75)
+        assert abs(out.q1.iloc[0] - round(q1, 6)) < 1e-9
+        assert abs(out.q3.iloc[0] - round(q3, 6)) < 1e-9
+        assert out.n_out.iloc[0] == 1  # only the 100.0
+
+    def test_mad_zero_for_constant_group(self, ray_session):
+        from datatest_ray.stages.robust import grouped_mad
+
+        ds = _ds({"g": ["a", "a", "a", "b", "b"],
+                  "v": [5.0, 5.0, 5.0, 1.0, 3.0]})
+        out = grouped_mad(ds, by="g", col="v").to_pandas()
+        a = out[out.g == "a"].iloc[0]
+        b = out[out.g == "b"].iloc[0]
+        assert (a.med, a.mad) == (5.0, 0.0)
+        assert (b.med, b.mad) == (2.0, 1.0)
+
+
+class TestChi2:
+    def test_independent_counts_give_zero(self, ray_session):
+        from datatest_ray.stages.drift import chi2_independence
+
+        # perfectly independent 2x2: chi2 == 0, dof == 1
+        ds = _ds({"a": ["x"] * 4 + ["y"] * 4,
+                  "b": ["p", "p", "q", "q"] * 2})
+        out = chi2_independence(ds, "a", "b").to_pandas()
+        assert (out.chi2.iloc[0], out.dof.iloc[0], out.n.iloc[0]) == \
+            (0.0, 1, 8)
+
+    def test_zero_observed_cell_contributes_expected(self, ray_session):
+        from datatest_ray.stages.drift import chi2_independence
+
+        # cell (y, q) never observed → expected still in the sum
+        ds = _ds({"a": ["x", "x", "y"], "b": ["p", "q", "p"]})
+        out = chi2_independence(ds, "a", "b").to_pandas()
+        obs = np.array([[1.0, 1.0], [1.0, 0.0]])
+        exp = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+        want = ((obs - exp) ** 2 / exp).sum()
+        assert abs(out.chi2.iloc[0] - round(want, 6)) < 1e-9
+
+
+class TestJsd:
+    def test_identical_slices_near_zero_and_bounded(self, ray_session):
+        from datatest_ray.stages.drift import jsd
+
+        v = [1.0, 2.0, 3.0, 4.0] * 2
+        s = ["r"] * 4 + ["c"] * 4
+        out = jsd(_ds({"v": v, "s": s}), "v", split_col="s", ref_value="r",
+                  lo=0.0, hi=5.0, bins=5).to_pandas()
+        total = out.jsd.sum()
+        assert abs(total) < 1e-6
+        # disjoint slices → strictly positive, ≤ ln 2
+        out2 = jsd(_ds({"v": [1.0, 1.0, 4.0, 4.0],
+                        "s": ["r", "r", "c", "c"]}),
+                   "v", split_col="s", ref_value="r",
+                   lo=0.0, hi=5.0, bins=5).to_pandas()
+        assert 0 < out2.jsd.sum() <= np.log(2) + 1e-9
