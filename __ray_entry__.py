@@ -69,7 +69,8 @@ def entry() -> Any:
     spec = ImageFixtureSpec(n_rows=1000, seed=42, rows_per_part=250)
     images = generate_dataset(spec)
     image_violations = run_flagship(
-        images, reference_seed=spec.seed, parity_concurrency=2
+        images, reference_seed=spec.seed, parity_concurrency=2,
+        with_integrity=True,
     ).violations
 
     # (b) TPC-H-ish validation suite over the driver's smoke tables

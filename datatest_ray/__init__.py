@@ -90,6 +90,11 @@ from .stages.transforms import (  # noqa: F401
     sample_frames,
 )
 from .stages import basket, dedup, robust, seq, similarity, text  # noqa: F401
+from .stages.imaging import (  # noqa: F401
+    ImageIntegrityCheck,
+    ImageParityCheck,
+    PhashNearDupCheck,
+)
 from .pipelines.corpus import corpus_prep  # noqa: F401
 from .pipelines.suite import CheckSuite, ValidationResult  # noqa: F401
 from .pipelines.validate import valid, validate  # noqa: F401

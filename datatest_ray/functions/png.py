@@ -32,6 +32,7 @@ __all__ = [
     "webp_encode",
     "webp_decode",
     "decode_image",
+    "container_scan",
     "psnr",
     "phash64",
     "hamming64",
@@ -251,3 +252,54 @@ def hamming64(a, b) -> np.ndarray:
     x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
     with np.errstate(over="ignore"):  # uint64 wraparound is the algorithm
         return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def container_scan(data: bytes):
+    """Cheap STRUCTURAL validation without pixel decode: verify the
+    container magic, chunk framing and (for PNG) per-chunk CRCs, and
+    read the header-declared dimensions.  Orders of magnitude cheaper
+    than ``decode_image`` (no inflate, no filter reconstruction) — the
+    first-line corruption screen a 10^12-image validation run applies
+    before spending decode cycles.
+
+    Returns ``(fmt, w, h, err)``: detected container name (or None),
+    header dims (or None), and an error string (None when sound).
+    """
+    if len(data) < 10:
+        return None, None, None, "truncated:header"
+    if data[:8] == _PNG_SIG:
+        pos = 8
+        w = h = None
+        saw_end = False
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos:pos + 4])
+            tag = data[pos + 4:pos + 8]
+            end = pos + 8 + length
+            if end + 4 > len(data):
+                return "png", w, h, "truncated:chunk"
+            payload = data[pos + 8:end]
+            (crc,) = struct.unpack(">I", data[end:end + 4])
+            if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+                return "png", w, h, f"bad_crc:{tag.decode('latin1')}"
+            if tag == b"IHDR":
+                w, h = struct.unpack(">II", payload[:8])
+            if tag == b"IEND":
+                saw_end = True
+                break
+            pos = end + 4
+        if w is None:
+            return "png", None, None, "missing:IHDR"
+        if not saw_end:
+            return "png", w, h, "missing:IEND"
+        return "png", int(w), int(h), None
+    if data[:4] == b"SJPG":
+        if len(data) < 11:
+            return "jpeg", None, None, "truncated:header"
+        _, _ver, _ndim, w, h, _q = struct.unpack(">4sBBHHB", data[:11])
+        return "jpeg", int(w), int(h), None
+    if data[:4] == b"SWBP":
+        if len(data) < 10:
+            return "webp", None, None, "truncated:header"
+        _, _ver, _ndim, w, h = struct.unpack(">4sBBHH", data[:10])
+        return "webp", int(w), int(h), None
+    return None, None, None, "bad_magic"

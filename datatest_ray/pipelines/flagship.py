@@ -26,7 +26,8 @@ import pyarrow as pa
 from ..stages.base import RunContext
 from ..stages.drift import BinSpec, DriftCheck
 from ..stages.global_checks import UniqueCheck
-from ..stages.imaging import ImageParityCheck, PhashNearDupCheck
+from ..stages.imaging import (ImageIntegrityCheck, ImageParityCheck,
+                              PhashNearDupCheck)
 from ..stages.row_checks import DomainCheck, IntervalCheck, RegexCheck, SchemaCheck
 from .suite import CheckSuite, ValidationResult
 
@@ -41,6 +42,7 @@ FMT_DOMAIN = {"jpeg", "png", "webp"}
 def flagship_checks(
     reference_seed: Optional[int] = None,
     with_parity: bool = True,
+    with_integrity: bool = False,
     with_drift: bool = True,
     with_near_dup: bool = True,
     parity_concurrency=(2, 8),
@@ -60,6 +62,11 @@ def flagship_checks(
         RegexCheck("caption", CAPTION_RE),
         UniqueCheck("image_id"),
     ]
+    if with_integrity:
+        # structural screen (magic/CRC/framing, no decode) — cheap
+        # enough to run everywhere; off by default so the benched
+        # flagship profile stays comparable across rounds
+        checks.append(ImageIntegrityCheck())
     if with_parity:
         checks.append(ImageParityCheck(
             reference_seed=reference_seed,

@@ -2323,6 +2323,404 @@ FROM part GROUP BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# One-pass correlation matrix, equi-depth histogram, quantile_disc,
+# regex-structured extraction, lexical richness, cross-table consistency
+# ---------------------------------------------------------------------------
+
+
+def q_corr_matrix_lineitem(sf_dir: str):
+    """Pairwise Pearson correlations over four lineitem measures in one
+    sufficient-statistics pass."""
+    from ..stages.profile import corr_matrix
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return corr_matrix(_read(sf_dir, "lineitem", cols), cols)
+
+
+SQL_CORR_MATRIX_LINEITEM = """
+SELECT 'l_quantity' AS x, 'l_extendedprice' AS y,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_discount',
+       round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_tax',
+       round(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_discount',
+       round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_tax',
+       round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_tax',
+       round(corr(l_discount, l_tax), 6) FROM lineitem
+"""
+
+
+def q_qhist_price(sf_dir: str):
+    """Equi-depth decile histogram of l_extendedprice (edges = exact
+    global quantiles, rounded to 6 dp on both engines)."""
+    from ..stages.profile import quantile_histogram
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return _materialize(quantile_histogram(ds, "l_extendedprice",
+                                           n_bins=10))
+
+
+SQL_QHIST_PRICE = """
+WITH e AS (
+  SELECT round(unnest(quantile_cont(l_extendedprice,
+    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])), 6) AS edge
+  FROM lineitem
+)
+SELECT (SELECT count(*) FROM e WHERE e.edge <= l.l_extendedprice) AS bin,
+       count(*) AS n
+FROM lineitem l GROUP BY bin
+"""
+
+
+def q_p90_disc_price(sf_dir: str):
+    """Per-priority discrete 90th percentile (quantile_disc parity:
+    smallest value whose cumulative rank reaches q)."""
+    from ..stages.window import grouped_quantile
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return _materialize(grouped_quantile(
+        ds, by="o_orderpriority", col="o_totalprice", q=0.9,
+        alias="p90", method="disc"))
+
+
+SQL_P90_DISC_PRICE = """
+SELECT o_orderpriority, quantile_disc(o_totalprice, 0.9) AS p90
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_brand_id_extract(sf_dir: str):
+    """Regex-structured extraction: numeric id out of 'Brand#NN' via
+    pc.extract_regex, then a count per id — the parse-a-schema-from-a-
+    string primitive."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "part", ["p_brand"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        st = pc.extract_regex(t.column("p_brand"), r"Brand#(?P<id>\d+)")
+        return pa.table({
+            "brand_id": pc.cast(pc.struct_field(st, "id"), pa.int64()),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby(
+        "brand_id").aggregate(Count(alias_name="n"))
+
+
+SQL_BRAND_ID_EXTRACT = """
+SELECT CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT)
+         AS brand_id,
+       count(*) AS n
+FROM part GROUP BY brand_id
+"""
+
+
+def q_lexical_lang(sf_dir: str):
+    """Per-language lexical richness: occurrences, types, hapax,
+    type-token ratio."""
+    from ..stages.text import lexical_richness
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return _materialize(lexical_richness(ds, "text", group_col="lang"))
+
+
+SQL_LEXICAL_LANG = """
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+tc AS (
+  SELECT lang, token, count(*) AS c
+  FROM toks WHERE token <> '' GROUP BY lang, token
+)
+SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+       coalesce(count(*) FILTER (WHERE c = 1), 0) AS hapax,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+FROM tc GROUP BY lang
+"""
+
+
+def q_ship_consistency(sf_dir: str):
+    """Cross-table temporal consistency: line items shipped BEFORE
+    their order date, counted per order status (distributed hash join
+    + per-batch partial counts)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(
+            t.column("o_orderstatus").combine_chunks()
+            if isinstance(t.column("o_orderstatus"), pa.ChunkedArray)
+            else t.column("o_orderstatus"))
+        import numpy as np
+
+        code = np.asarray(enc.indices, dtype=np.int64)
+        bad = pc.less(t.column("l_shipdate"), t.column("o_orderdate"))
+        b = bad.combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64) if isinstance(bad, pa.ChunkedArray) else \
+            bad.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(enc.dictionary)
+        return pa.table({
+            "o_orderstatus": enc.dictionary,
+            "n": pa.array(np.bincount(code, minlength=m).astype("int64")),
+            "n_bad": pa.array(np.bincount(code, weights=b,
+                                          minlength=m).astype("int64")),
+        })
+
+    return j.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_orderstatus").aggregate(Sum("n", alias_name="n"),
+                                   Sum("n_bad", alias_name="n_bad"))
+
+
+SQL_SHIP_CONSISTENCY = """
+SELECT o_orderstatus, count(*) AS n,
+       coalesce(count(*) FILTER (WHERE l_shipdate < o_orderdate), 0)
+         AS n_bad
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Share-of-total, cumulative series, FK fan-out, day-level anomaly,
+# composed lag+quantile
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_share(sf_dir: str):
+    """Percent-of-total revenue per priority: integer-cents group sums,
+    share = group / grand total (one groupby, finalize on one block)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "c": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                              100.0)), pa.int64()),
+        })
+
+    agg = ds.map_batches(to_cents, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby(
+        "o_orderpriority").aggregate(Sum("c", alias_name="c"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = float(c.sum())
+        return pa.table({
+            "o_orderpriority": t.column("o_orderpriority"),
+            "revenue": pa.array(c / 100.0),
+            "share": pa.array(np.round(c / total, 6)),
+        })
+
+    # ≤ #priorities rows reach the finalize: one block
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+SQL_REVENUE_SHARE = """
+WITH g AS (
+  SELECT o_orderpriority,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, c / 100.0 AS revenue,
+       round(c / (SELECT CAST(sum(c) AS DOUBLE) FROM g), 6) AS share
+FROM g
+"""
+
+
+def q_monthly_cumulative(sf_dir: str):
+    """Monthly revenue + running cumulative (months are few, so the
+    cumulative scan happens in one finalize block after the groupby)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("o_orderdate"), pa.timestamp("s"))
+        return pa.table({
+            "ym": pc.strftime(ts, format="%Y-%m"),
+            "c": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                              100.0)), pa.int64()),
+        })
+
+    agg = ds.map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("ym").aggregate(
+        Sum("c", alias_name="c"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.sort_by("ym")
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ym": t.column("ym"),
+            "revenue": pa.array(c / 100.0),
+            "cum_revenue": pa.array(np.cumsum(c) / 100.0),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+SQL_MONTHLY_CUMULATIVE = """
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY ym
+)
+SELECT ym, c / 100.0 AS revenue,
+       CAST(sum(c) OVER (ORDER BY ym) AS BIGINT) / 100.0 AS cum_revenue
+FROM g
+"""
+
+
+def q_fanout_stats(sf_dir: str):
+    """Referential fan-out profile: orders-per-customer distribution
+    per market segment, customers with zero orders included (left
+    join)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    counts = orders.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    j = cust.join(counts, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def project(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t.column("n"), pa.scalar(0, pa.int64()))
+        return pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "n": pc.cast(n, pa.int64()),
+        })
+
+    agg = j.map_batches(project, batch_format="pyarrow").groupby(
+        "c_mktsegment").aggregate(
+        Count(alias_name="n_cust"),
+        Sum("n", alias_name="s"),
+        Max("n", alias_name="max_orders"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = t.column("n_cust").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            "c_mktsegment": t.column("c_mktsegment"),
+            "n_cust": t.column("n_cust"),
+            "mean_orders": pa.array(np.round(s / nc, 6)),
+            "max_orders": t.column("max_orders"),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+SQL_FANOUT_STATS = """
+WITH cnt AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
+SELECT c_mktsegment, count(*) AS n_cust,
+       round(sum(coalesce(n, 0)) / CAST(count(*) AS DOUBLE), 6)
+         AS mean_orders,
+       max(coalesce(n, 0)) AS max_orders
+FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_daily_anomaly(sf_dir: str):
+    """Day-level volume anomaly screen: daily event counts flagged when
+    |z| > 2 against the all-days mean/stddev (monitoring primitive)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({"day": pc.divide(us, 86_400_000_000)})
+
+    agg = ds.map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("day").aggregate(
+        Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = n.mean()
+        sd = n.std(ddof=1) if len(n) > 1 else float("nan")
+        z = (n - mu) / sd
+        return pa.table({
+            "day": t.column("day"),
+            "n": t.column("n"),
+            "z": pa.array(np.round(z, 6)),
+            "is_anom": pa.array(np.abs(n - mu) > 2 * sd),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DAILY_ANOMALY = """
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         count(*) AS n
+  FROM events GROUP BY day
+),
+s AS (SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM d)
+SELECT day, n, round((n - mu) / sd, 6) AS z,
+       (abs(n - mu) > 2 * sd) AS is_anom
+FROM d, s
+"""
+
+
+def q_median_gap_user(sf_dir: str):
+    """Composition: lag_diff (inter-event gaps) feeding grouped_quantile
+    (median gap per user) — two engine stages chained lazily."""
+    from ..stages.window import grouped_quantile
+    from ..stages.winfunc import lag_diff
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gaps = lag_diff(ds, by="user_id", order_col="ts", id_col="event_id")
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("gap")))
+
+    gaps = gaps.map_batches(drop_null, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _materialize(grouped_quantile(
+        gaps, by="user_id", col="gap", q=0.5, alias="med_gap"))
+
+
+SQL_MEDIAN_GAP_USER = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id, round(quantile_cont(gap, 0.5), 6) AS med_gap
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -2420,6 +2818,17 @@ def queries() -> Dict[str, Callable]:
         "dow_orders": q_dow_orders,
         "wavg_discount": q_wavg_discount,
         "geomean_price_brand": q_geomean_price_brand,
+        "corr_matrix_lineitem": q_corr_matrix_lineitem,
+        "qhist_price": q_qhist_price,
+        "p90_disc_price": q_p90_disc_price,
+        "brand_id_extract": q_brand_id_extract,
+        "lexical_lang": q_lexical_lang,
+        "ship_consistency": q_ship_consistency,
+        "revenue_share": q_revenue_share,
+        "monthly_cumulative": q_monthly_cumulative,
+        "fanout_stats": q_fanout_stats,
+        "daily_anomaly": q_daily_anomaly,
+        "median_gap_user": q_median_gap_user,
     }
 
 
@@ -2513,4 +2922,15 @@ def oracle_sql() -> Dict[str, str]:
         "dow_orders": SQL_DOW_ORDERS,
         "wavg_discount": SQL_WAVG_DISCOUNT,
         "geomean_price_brand": SQL_GEOMEAN_PRICE_BRAND,
+        "corr_matrix_lineitem": SQL_CORR_MATRIX_LINEITEM,
+        "qhist_price": SQL_QHIST_PRICE,
+        "p90_disc_price": SQL_P90_DISC_PRICE,
+        "brand_id_extract": SQL_BRAND_ID_EXTRACT,
+        "lexical_lang": SQL_LEXICAL_LANG,
+        "ship_consistency": SQL_SHIP_CONSISTENCY,
+        "revenue_share": SQL_REVENUE_SHARE,
+        "monthly_cumulative": SQL_MONTHLY_CUMULATIVE,
+        "fanout_stats": SQL_FANOUT_STATS,
+        "daily_anomaly": SQL_DAILY_ANOMALY,
+        "median_gap_user": SQL_MEDIAN_GAP_USER,
     }

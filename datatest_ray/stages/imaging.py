@@ -24,14 +24,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..differences import empty_violations, violations_table
-from ..functions.png import decode_image, hamming64, phash64, psnr
+from ..functions.png import container_scan, decode_image, hamming64, phash64, psnr
 # imported at module top (NOT lazily inside methods): worker processes may
 # only have this code via cloudpickle by-value shipping, where runtime
 # imports of the package would fail
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "PhashNearDupCheck", "fixture_reference_provider"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider"]
 
 
 class FixtureReference:
@@ -416,3 +416,101 @@ class PhashNearDupCheck(Check):
             )
 
         return deduped.map_batches(to_violations, batch_format="pyarrow")
+
+
+class ImageIntegrityChecker:
+    """Per-batch structural scan (see ``png.container_scan``): no
+    inflate, no pixel work — validates container magic, PNG chunk CRC
+    framing, header dims vs the declared w/h columns, and the declared
+    fmt vs the actual container."""
+
+    def __init__(self, check_id: str = "image_integrity",
+                 partition_col: Optional[str] = "partition_id",
+                 row_ref_col: str = "image_id"):
+        self.check_id = check_id
+        self.partition_col = partition_col
+        self.row_ref_col = row_ref_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column(self.row_ref_col).to_pylist()
+        payloads = batch.column("bytes").to_pylist()
+        fmts = (batch.column("fmt").to_pylist()
+                if "fmt" in batch.column_names else None)
+        decl_w = (batch.column("w").to_numpy(zero_copy_only=False)
+                  if "w" in batch.column_names else None)
+        decl_h = (batch.column("h").to_numpy(zero_copy_only=False)
+                  if "h" in batch.column_names else None)
+        parts = (batch.column(self.partition_col).to_pylist()
+                 if self.partition_col
+                 and self.partition_col in batch.column_names
+                 else [""] * n)
+        rows: dict = {k: [] for k in
+                      ("row_ref", "part", "kind", "value", "expected")}
+
+        def emit(i, kind, value=None, expected=None):
+            rows["row_ref"].append(ids[i])
+            rows["part"].append(parts[i])
+            rows["kind"].append(kind)
+            rows["value"].append(value)
+            rows["expected"].append(expected)
+
+        for i in range(n):
+            fmt, w, h, err = container_scan(payloads[i])
+            if err is not None:
+                emit(i, "corrupt", value=err, expected="sound container")
+                continue
+            if fmts is not None and fmts[i] != fmt:
+                emit(i, "invalid", value=fmts[i], expected=fmt)
+            if decl_w is not None and w is not None and (
+                    int(decl_w[i]) != w or int(decl_h[i]) != h):
+                emit(i, "deviation",
+                     value=f"{int(decl_w[i])}x{int(decl_h[i])}",
+                     expected=f"{w}x{h}")
+        if not rows["row_ref"]:
+            return empty_violations()
+        return violations_table(
+            len(rows["row_ref"]), check_id=self.check_id,
+            kind=rows["kind"], partition_id=rows["part"],
+            row_ref=rows["row_ref"], value=rows["value"],
+            expected=rows["expected"],
+        )
+
+
+class ImageIntegrityCheck(Check):
+    """Structural container validation (magic / CRC / framing /
+    header-vs-declared metadata) WITHOUT decoding pixels — the cheap
+    first-line screen that runs before :class:`ImageParityCheck`'s
+    decode at 10^12-image scale.  Stateless per row, so it runs as
+    plain ``map_batches`` tasks (no actor pool needed)."""
+
+    def __init__(self, check_id: str = "image_integrity",
+                 batch_size: int = 256):
+        self.check_id = check_id
+        self.batch_size = batch_size
+        self.columns = ["image_id", "bytes"]
+        self.optional_columns = ["fmt", "w", "h"]
+
+    def violations(self, ds, ctx: RunContext):
+        cols = ["image_id", "bytes"]
+        names = ds.schema().names
+        for c in ("fmt",):
+            if c in names:
+                cols.append(c)
+        if "w" in names and "h" in names:
+            cols += ["w", "h"]
+        part_col = ctx.partition_col
+        if part_col and part_col in names:
+            cols.append(part_col)
+        # stateless: a bound instance ships as a plain task function
+        # (no actor pool to spin up, unlike the decode-parity checker)
+        fn = ImageIntegrityChecker(
+            check_id=self.check_id,
+            partition_col=part_col,
+            row_ref_col=ctx.row_ref_col or "image_id",
+        )
+        return ds.select_columns(cols).map_batches(
+            fn,
+            batch_format="pyarrow",
+            batch_size=self.batch_size,
+        )

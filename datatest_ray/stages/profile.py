@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["profile_columns"]
+__all__ = ["profile_columns", "corr_matrix", "quantile_histogram"]
 
 
 def profile_columns(ds, cols: Sequence[str], *, decimals: int = None):
@@ -106,3 +106,116 @@ def profile_columns(ds, cols: Sequence[str], *, decimals: int = None):
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def corr_matrix(ds, cols: Sequence[str]):
+    """Pairwise Pearson correlations over k numeric columns in ONE
+    pass: each batch reduces to a single row of sufficient statistics
+    (n, k sums, k(k+1)/2 upper-triangle cross-products — vectorized
+    ``X.T @ X``), the global ``Sum`` merge moves one short vector per
+    block, and a closed-form finalize emits the (x, y, corr) pairs.
+    Same combiner shape as ``window.grouped_corr``, lifted to the full
+    k×k matrix.
+
+    Output: one row per unordered pair (x, y, corr), corr rounded to
+    6 dp; null when either column has zero variance."""
+    from ray.data.aggregate import Sum
+
+    cols = list(cols)
+    k = len(cols)
+    iu = np.triu_indices(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols
+        ])
+        ok = ~np.isnan(X).any(axis=1)
+        X = X[ok]
+        xtx = (X.T @ X)[iu]
+        out = {"n": pa.array([float(len(X))])}
+        for j, c in enumerate(cols):
+            out[f"s{j}"] = pa.array([float(X[:, j].sum())])
+        for idx in range(len(iu[0])):
+            out[f"x{idx}"] = pa.array([float(xtx[idx])])
+        return pa.table(out)
+
+    agg_cols = (["n"] + [f"s{j}" for j in range(k)]
+                + [f"x{i}" for i in range(len(iu[0]))])
+    merged = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(*[Sum(c, alias_name=c) for c in agg_cols])
+
+    n = merged["n"]
+    s = np.array([merged[f"s{j}"] for j in range(k)])
+    xtx = np.zeros((k, k))
+    xtx[iu] = [merged[f"x{i}"] for i in range(len(iu[0]))]
+    xtx = xtx + xtx.T - np.diag(np.diag(xtx))
+    xs, ys, cs = [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            vx = n * xtx[i, i] - s[i] * s[i]
+            vy = n * xtx[j, j] - s[j] * s[j]
+            if n > 1 and vx > 0 and vy > 0:
+                r = round((n * xtx[i, j] - s[i] * s[j])
+                          / float(np.sqrt(vx * vy)), 6)
+            else:
+                r = None
+            xs.append(cols[i]); ys.append(cols[j]); cs.append(r)
+    return pa.table({"x": pa.array(xs), "y": pa.array(ys),
+                     "corr": pa.array(cs, pa.float64())})
+
+
+def quantile_histogram(ds, col: str, *, n_bins: int = 10):
+    """Equi-DEPTH histogram: bin edges are the global
+    ``i/n_bins``-quantiles (exact, linear interpolation ==
+    ``quantile_cont``), bin id = number of edges <= value
+    (``searchsorted(side='right')``), counts per bin from per-batch
+    bincount partials.
+
+    Pass 1 computes the 9 (for deciles) exact edges by collecting the
+    column into ONE kernel — the documented exact/verify path; the
+    scale path for the edges is the mergeable t-digest sketch
+    (functions/aggregates.py :: TDigestQuantile).  Edges are rounded
+    to 6 dp on both engines before binning so boundary rows land
+    identically.  Pass 2 streams.
+
+    Output: (bin, n)."""
+    from ray.data.aggregate import Sum
+
+    def edges_kernel(group: pa.Table) -> pa.Table:
+        v = group.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[~np.isnan(v)]
+        qs = np.arange(1, n_bins) / n_bins
+        e = np.round(np.quantile(v, qs), 6) if len(v) else np.full(
+            n_bins - 1, np.nan)
+        return pa.table({"edge": pa.array(e)})
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_k": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            col: batch.column(col),
+        })
+
+    edges_t = ds.select_columns([col]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_k").map_groups(edges_kernel, batch_format="pyarrow")
+    batches = list(edges_t.iter_batches(batch_format="pyarrow"))
+    edges = (pa.concat_tables(batches).column("edge")
+             .to_numpy(zero_copy_only=False) if batches
+             else np.array([]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[~np.isnan(v)]
+        b = np.searchsorted(edges, v, side="right")
+        cnt = np.bincount(b, minlength=n_bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    return ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bin").aggregate(Sum("n", alias_name="n"))

@@ -480,3 +480,81 @@ def tfidf_top_terms(ds, text_col: str, id_col: str, *, group_col: str,
         return t.select([group_col, "term", "tf", "df", "score"]).slice(0, k)
 
     return tf.groupby(group_col).map_groups(topk, batch_format="pyarrow")
+
+
+def lexical_richness(ds, text_col: str, *, group_col: str):
+    """Per-group lexical-richness profile: token occurrences, distinct
+    types, hapax legomena (types seen exactly once in the group) and
+    type–token ratio — the vocabulary-health screen of corpus QA.
+
+    Plan: per-batch (group, token) pre-counts via dictionary-code
+    bincount (the combiner — the first shuffle moves one row per
+    distinct (group, token) per block, never per occurrence), ONE
+    ``groupby([group, token]).sum`` to merge counts, then a second
+    TINY ``groupby(group)`` over per-type rows reduced to
+    (n_tokens, n_types, hapax).  Output: (group, n_tokens, n_types,
+    hapax, ttr) with ``ttr = round(n_types / n_tokens, 6)``."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gcol = batch.column(group_col)
+        gcol = gcol.combine_chunks() if isinstance(gcol, pa.ChunkedArray) \
+            else gcol
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        if len(flat) == 0:
+            return pa.table({group_col: pa.array([], gcol.type),
+                             "token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        parents = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            _row_counts(offsets))
+        genc = pc.dictionary_encode(gcol)
+        gcode = np.asarray(genc.indices, dtype=np.int64)[parents]
+        tenc = pc.dictionary_encode(flat)
+        tcode = np.asarray(tenc.indices, dtype=np.int64)
+        V = len(tenc.dictionary)
+        pair = gcode * V + tcode
+        cnt = np.bincount(pair)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            group_col: pc.take(genc.dictionary,
+                               pa.array(nz // V, pa.int64())),
+            "token": pc.take(tenc.dictionary, pa.array(nz % V, pa.int64())),
+            "c": pa.array(cnt[nz], pa.int64()),
+        })
+
+    tc = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby([group_col, "token"]).aggregate(Sum("c", alias_name="c"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({
+            group_col: t.column(group_col),
+            "c": t.column("c"),
+            "h": pa.array((c == 1).astype(np.int64)),
+        })
+
+    agg = tc.map_batches(mark, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby(group_col).aggregate(
+        Sum("c", alias_name="n_tokens"),
+        Count(alias_name="n_types"),
+        Sum("h", alias_name="hapax"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ty = t.column("n_types").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ttr = np.round(ty / nt, 6)
+        return pa.table({
+            group_col: t.column(group_col),
+            "n_tokens": t.column("n_tokens"),
+            "n_types": t.column("n_types"),
+            "hapax": t.column("hapax"),
+            "ttr": pa.array(ttr, pa.float64(), mask=nt == 0),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

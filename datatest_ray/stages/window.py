@@ -112,18 +112,27 @@ def hopping_window(ds, ts_col: str, *, size_s: int, hop_s: int,
 
 
 def grouped_quantile(ds, *, by: str, col: str, q: float = 0.5,
-                     alias: str = "quantile"):
-    """Exact per-group quantile (linear interpolation, = SQL
-    ``quantile_cont``): (by, alias).  Sorts each group's values in one
-    numpy pass — the EXACT small/verify path; the scale path for huge
-    groups is the mergeable t-digest sketch
-    (functions/aggregates.py :: TDigestQuantile)."""
+                     alias: str = "quantile", method: str = "cont"):
+    """Exact per-group quantile: (by, alias).  ``method='cont'`` is
+    linear interpolation (= SQL ``quantile_cont``); ``method='disc'``
+    picks the smallest data value whose cumulative rank reaches q
+    (= SQL ``quantile_disc``: element ``ceil(q·n)−1`` of the sorted
+    group).  Sorts each group's values in one numpy pass — the EXACT
+    small/verify path; the scale path for huge groups is the mergeable
+    t-digest sketch (functions/aggregates.py :: TDigestQuantile)."""
     import numpy as np
 
     def kernel(group: pa.Table) -> pa.Table:
         v = group.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
         v = v[~np.isnan(v)]
-        val = float(np.quantile(v, q)) if len(v) else float("nan")
+        if not len(v):
+            val = float("nan")
+        elif method == "disc":
+            v = np.sort(v)
+            val = float(v[min(int(np.ceil(q * len(v))) - 1, len(v) - 1)]) \
+                if q > 0 else float(v[0])
+        else:
+            val = float(np.quantile(v, q))
         return pa.table({by: group.column(by)[:1],
                          alias: pa.array([val], pa.float64())})
 

@@ -304,3 +304,55 @@ def test_flagship_reader_pruning_parity(ray_session, tmp_path):
     plain = run(None)
     pruned = run(lambda cols: rd.read_parquet(files, columns=cols))
     assert plain == pruned and len(plain) > 0
+
+
+class TestContainerScan:
+    def test_sound_containers(self):
+        from datatest_ray.functions.png import (container_scan,
+                                                webp_encode)
+
+        img = np.zeros((6, 9), dtype=np.uint8)
+        assert container_scan(png_encode(img)) == ("png", 9, 6, None)
+        assert container_scan(lossy_encode(img)) == ("jpeg", 9, 6, None)
+        assert container_scan(webp_encode(img)) == ("webp", 9, 6, None)
+
+    def test_corruption_classes(self):
+        from datatest_ray.functions.png import container_scan
+
+        b = png_encode(np.zeros((4, 5), dtype=np.uint8))
+        assert container_scan(b"NOTANIMG" * 4)[3] == "bad_magic"
+        assert container_scan(b[:20])[3] == "truncated:chunk"
+        flipped = bytearray(b)
+        flipped[30] ^= 0xFF
+        assert container_scan(bytes(flipped))[3].startswith("bad_crc")
+        assert container_scan(b"12")[3] == "truncated:header"
+
+
+class TestImageIntegrityCheck:
+    def test_detects_injected_corruption(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.base import RunContext
+        from datatest_ray.stages.imaging import ImageIntegrityCheck
+
+        img = np.zeros((8, 8), dtype=np.uint8)
+        sound = png_encode(img)
+        flipped = bytearray(sound)
+        flipped[30] ^= 0xFF
+        t = pa.table({
+            "image_id": ["ok", "crc", "trunc", "dims", "fmtbad"],
+            "bytes": [sound, bytes(flipped), sound[:20], sound, sound],
+            "fmt": ["png", "png", "png", "png", "webp"],
+            "w": pa.array([8, 8, 8, 9, 8], pa.int32()),
+            "h": pa.array([8, 8, 8, 8, 8], pa.int32()),
+        })
+        out = ImageIntegrityCheck().violations(
+            rd.from_arrow(t), RunContext()).to_pandas()
+        kinds = dict(zip(out.row_ref, out.kind))
+        assert "ok" not in kinds
+        assert kinds["crc"] == "corrupt" and kinds["trunc"] == "corrupt"
+        assert kinds["dims"] == "deviation"
+        assert kinds["fmtbad"] == "invalid"
+        # declared-vs-header dim mismatch reports both sides
+        dims_row = out[out.row_ref == "dims"].iloc[0]
+        assert (dims_row.value, dims_row.expected) == ("9x8", "8x8")

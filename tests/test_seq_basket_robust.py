@@ -179,3 +179,51 @@ class TestJsd:
                    "v", split_col="s", ref_value="r",
                    lo=0.0, hi=5.0, bins=5).to_pandas()
         assert 0 < out2.jsd.sum() <= np.log(2) + 1e-9
+
+
+class TestCorrMatrix:
+    def test_zero_variance_is_null(self, ray_session):
+        from datatest_ray.stages.profile import corr_matrix
+
+        t = corr_matrix(_ds({"a": [1.0, 2.0, 3.0], "b": [2.0, 4.0, 6.0],
+                             "c": [5.0, 5.0, 5.0]}), ["a", "b", "c"])
+        got = {(r["x"], r["y"]): r["corr"] for r in t.to_pylist()}
+        assert got[("a", "b")] == 1.0
+        assert got[("a", "c")] is None and got[("b", "c")] is None
+
+
+class TestQuantileHistogram:
+    def test_equi_depth_bins(self, ray_session):
+        from datatest_ray.stages.profile import quantile_histogram
+
+        v = [float(i) for i in range(1, 101)]
+        out = quantile_histogram(_ds({"v": v}), "v", n_bins=10).to_pandas()
+        assert out.n.sum() == 100
+        # deciles of 1..100 split into 10 equal-ish bins
+        assert out.n.min() >= 9 and out.n.max() <= 11
+
+
+class TestQuantileDisc:
+    def test_disc_picks_data_value(self, ray_session):
+        from datatest_ray.stages.window import grouped_quantile
+
+        ds = _ds({"g": ["a"] * 4, "v": [10.0, 20.0, 30.0, 40.0]})
+        out = grouped_quantile(ds, by="g", col="v", q=0.5, alias="m",
+                               method="disc").to_pandas()
+        # ceil(0.5*4)-1 = 1 → 20.0 (quantile_cont would give 25.0)
+        assert out.m.iloc[0] == 20.0
+
+
+class TestLexicalRichness:
+    def test_counts_types_and_hapax(self, ray_session):
+        from datatest_ray.stages.text import lexical_richness
+
+        ds = _ds({"g": ["x", "x", "y"],
+                  "t": ["a b a", "b c", "  "]})
+        out = lexical_richness(ds, "t", group_col="g").to_pandas()
+        x = out[out.g == "x"].iloc[0]
+        # tokens: a,b,a,b,c → 5; types a,b,c → 3; hapax: c
+        assert (x.n_tokens, x.n_types, x.hapax) == (5, 3, 1)
+        assert abs(x.ttr - round(3 / 5, 6)) < 1e-9
+        # whitespace-only doc contributes nothing: group y absent
+        assert "y" not in set(out.g)
