@@ -2721,6 +2721,148 @@ FROM g WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Behavioral analytics: transition probabilities, activity matrix,
+# D1 retention, session durations
+# ---------------------------------------------------------------------------
+
+
+def q_transition_probs(sf_dir: str):
+    """Markov transition PROBABILITIES: transition_counts (small) →
+    one-block finalize normalizing per from_type."""
+    from ..stages.seq import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    counts = transition_counts(ds, by="user_id", ts="ts",
+                               type_col="event_type", id_col="event_id")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        enc = pc.dictionary_encode(
+            t.column("from_type").combine_chunks()
+            if isinstance(t.column("from_type"), pa.ChunkedArray)
+            else t.column("from_type"))
+        code = np.asarray(enc.indices, dtype=np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = np.bincount(code, weights=n)
+        return pa.table({
+            "from_type": t.column("from_type"),
+            "to_type": t.column("to_type"),
+            "n": t.column("n"),
+            "p": pa.array(np.round(n / tot[code], 6)),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+SQL_TRANSITION_PROBS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+  FROM o WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS p
+FROM c
+"""
+
+
+def q_activity_matrix(sf_dir: str):
+    """Distinct active users and event volume per (day, event_type) —
+    COUNT(DISTINCT) via a dedupe groupby feeding a count groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def project(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table({
+            "day": pc.divide(us, 86_400_000_000),
+            "event_type": t.column("event_type"),
+            "user_id": t.column("user_id"),
+        })
+
+    per_user = ds.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True).groupby(
+        ["day", "event_type", "user_id"]).aggregate(Count(alias_name="n"))
+    return per_user.groupby(["day", "event_type"]).aggregate(
+        Count(alias_name="n_users"), Sum("n", alias_name="n"))
+
+
+SQL_ACTIVITY_MATRIX = """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, event_type,
+       count(DISTINCT user_id) AS n_users, count(*) AS n
+FROM events GROUP BY day, event_type
+"""
+
+
+def q_retention_daily(sf_dir: str):
+    """D1 retention: per day, active users who return the next day."""
+    from ..stages.seq import next_day_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return _materialize(next_day_retention(ds, by="user_id", ts="ts"))
+
+
+SQL_RETENTION_DAILY = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+)
+SELECT a.day, count(*) AS n_active,
+       coalesce(count(*) FILTER (WHERE b.user_id IS NOT NULL), 0)
+         AS n_retained
+FROM d a LEFT JOIN d b
+  ON a.user_id = b.user_id AND b.day = a.day + 1
+GROUP BY a.day
+"""
+
+
+def q_session_durations_users(sf_dir: str):
+    """Per-user session duration stats (same 30-min gap rule as
+    sessionize_users)."""
+    from ..stages.sessions import session_durations
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return _materialize(session_durations(ds, by="user_id", ts="ts",
+                                          gap_s=1800.0))
+
+
+SQL_SESSION_DURATIONS_USERS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+o AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+s AS (
+  SELECT user_id, t,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+g AS (
+  SELECT user_id, sid, max(t) - min(t) AS dur
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(dur) AS BIGINT) AS total_dur_us,
+       max(dur) AS max_dur_us
+FROM g GROUP BY user_id
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -2829,6 +2971,10 @@ def queries() -> Dict[str, Callable]:
         "fanout_stats": q_fanout_stats,
         "daily_anomaly": q_daily_anomaly,
         "median_gap_user": q_median_gap_user,
+        "transition_probs": q_transition_probs,
+        "activity_matrix": q_activity_matrix,
+        "retention_daily": q_retention_daily,
+        "session_durations_users": q_session_durations_users,
     }
 
 
@@ -2933,4 +3079,8 @@ def oracle_sql() -> Dict[str, str]:
         "fanout_stats": SQL_FANOUT_STATS,
         "daily_anomaly": SQL_DAILY_ANOMALY,
         "median_gap_user": SQL_MEDIAN_GAP_USER,
+        "transition_probs": SQL_TRANSITION_PROBS,
+        "activity_matrix": SQL_ACTIVITY_MATRIX,
+        "retention_daily": SQL_RETENTION_DAILY,
+        "session_durations_users": SQL_SESSION_DURATIONS_USERS,
     }

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 from ..functions.aggregates import hash64
 
 __all__ = ["first_last_by", "transition_counts", "ewma_last",
-           "inversion_counts", "day_streaks"]
+           "inversion_counts", "day_streaks", "next_day_retention"]
 
 
 def _ts_us(col):
@@ -322,3 +322,57 @@ def day_streaks(ds, *, by: str, ts: str, n_buckets: int = 256):
     return _bucketed(ds.select_columns([by, ts]), project,
                      n_buckets).map_groups(kernel, batch_format="pyarrow"
     ).select_columns([by, "n_days", "max_streak"])
+
+
+def next_day_retention(ds, *, by: str, ts: str, n_buckets: int = 256):
+    """Classic D1 retention: for each UTC day, how many active keys
+    were ALSO active the next day.  Output: (day, n_active,
+    n_retained).
+
+    Plan: the standard coarse-bucket shuffle on the key, then a
+    vectorized kernel over distinct (key, day) pairs — same-key
+    consecutive day-diff == 1 marks retention — emitting per-day
+    partial counts; one final tiny ``groupby(day).sum``."""
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_d": pc.divide(_ts_us(batch.column(ts)), DAY_US),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        d = group.column("_d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, keys))
+        keys, d = keys[order], d[order]
+        keep = np.ones(len(keys), dtype=bool)
+        if len(keys) > 1:
+            keep[1:] = (keys[1:] != keys[:-1]) | (d[1:] != d[:-1])
+        keys, d = keys[keep], d[keep]
+        if not len(keys):
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n_active": pa.array([], pa.int64()),
+                             "n_retained": pa.array([], pa.int64())})
+        ret = np.zeros(len(keys), dtype=bool)
+        if len(keys) > 1:
+            ret[:-1] = (keys[1:] == keys[:-1]) & (d[1:] == d[:-1] + 1)
+        days, inv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "day": pa.array(days, pa.int64()),
+            "n_active": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_retained": pa.array(
+                np.bincount(inv[ret], minlength=len(days)).astype(np.int64)),
+        })
+
+    partials = _bucketed(ds.select_columns([by, ts]), project,
+                         n_buckets).map_groups(kernel,
+                                               batch_format="pyarrow")
+    return partials.groupby("day").aggregate(
+        Sum("n_active", alias_name="n_active"),
+        Sum("n_retained", alias_name="n_retained"))

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sessionize", "funnel_conversion"]
+__all__ = ["sessionize", "session_durations", "funnel_conversion"]
 
 
 def sessionize(ds, *, by: str, ts: str, gap_s: float = 1800.0):
@@ -134,3 +134,45 @@ def funnel_conversion(ds, *, by: str, ts: str, type_col: str,
         .map_groups(kernel, batch_format="pyarrow")
         .select_columns([by, "n_from", "n_to", "n_conv", "min_gap_us"])
     )
+
+
+def session_durations(ds, *, by: str, ts: str, gap_s: float = 1800.0):
+    """Per-key session DURATION stats: (key, n_sessions, total_dur_us,
+    max_dur_us) where a session's duration is last-event − first-event
+    (0 for singleton sessions).  Same gap rule and single
+    ``groupby(key)`` plan as :func:`sessionize`; the kernel reads
+    durations off the sorted timestamp array's break edges."""
+    gap_us = int(gap_s * 1_000_000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            by: batch.column(by),
+            "ts_us": pc.cast(
+                pc.cast(batch.column(ts), pa.timestamp("us")), pa.int64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
+        n = len(t)
+        if not n:
+            return pa.table({
+                by: group.column(by).slice(0, 1),
+                "n_sessions": pa.array([0], pa.int64()),
+                "total_dur_us": pa.array([0], pa.int64()),
+                "max_dur_us": pa.array([0], pa.int64()),
+            })
+        breaks = np.diff(t) > gap_us
+        starts = np.concatenate([[0], np.flatnonzero(breaks) + 1])
+        ends = np.concatenate([np.flatnonzero(breaks), [n - 1]])
+        dur = t[ends] - t[starts]
+        return pa.table({
+            by: group.column(by).slice(0, 1),
+            "n_sessions": pa.array([len(starts)], pa.int64()),
+            "total_dur_us": pa.array([int(dur.sum())], pa.int64()),
+            "max_dur_us": pa.array([int(dur.max())], pa.int64()),
+        })
+
+    projected = ds.select_columns([by, ts]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return projected.groupby(by).map_groups(merge, batch_format="pyarrow")

@@ -227,3 +227,31 @@ class TestLexicalRichness:
         assert abs(x.ttr - round(3 / 5, 6)) < 1e-9
         # whitespace-only doc contributes nothing: group y absent
         assert "y" not in set(out.g)
+
+
+class TestRetention:
+    def test_next_day_pairs(self, ray_session):
+        from datatest_ray.stages.seq import next_day_retention
+
+        DAY = 86_400_000_000
+        # u1 active d0,d1,d3; u2 active d0 only → d0: 2 active 1 retained
+        ds = _ds({"u": [1, 1, 1, 1, 2],
+                  "ts": _t([0, 10, DAY, 3 * DAY, 5])})
+        out = next_day_retention(ds, by="u", ts="ts").to_pandas()
+        got = {r.day: (r.n_active, r.n_retained) for r in out.itertuples()}
+        assert got == {0: (2, 1), 1: (1, 0), 3: (1, 0)}
+
+
+class TestSessionDurations:
+    def test_durations_per_session(self, ray_session):
+        from datatest_ray.stages.sessions import session_durations
+
+        M = 60_000_000  # one minute in µs
+        # sessions (gap 30 min): [0, 10m], [60m], singleton duration 0
+        ds = _ds({"u": [1, 1, 1],
+                  "ts": _t([0, 10 * M, 60 * M])})
+        out = session_durations(ds, by="u", ts="ts",
+                                gap_s=1800.0).to_pandas()
+        r = out.iloc[0]
+        assert (r.n_sessions, r.total_dur_us, r.max_dur_us) == \
+            (2, 10 * M, 10 * M)
