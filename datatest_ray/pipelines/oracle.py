@@ -2863,6 +2863,55 @@ FROM g GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Shuffle-planning skew diagnostic + PPS weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def q_skew_suppkey(sf_dir: str):
+    """Key-skew report for l_suppkey — the measurement that decides
+    whether a prospective shuffle key needs salting."""
+    from ..stages.profile import key_skew_report
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey"])
+    return _materialize(key_skew_report(ds, "l_suppkey", top=10))
+
+
+SQL_SKEW_SUPPKEY = """
+WITH c AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY k),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, count(*) AS nk FROM c),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, k) AS rn FROM c)
+SELECT (SELECT nk FROM t) AS n_keys,
+       (SELECT CAST(tot AS BIGINT) FROM t) AS n_rows,
+       round((SELECT max(n) FROM c) / (SELECT tot FROM t), 6)
+         AS top1_share,
+       round((SELECT sum(n) FROM r WHERE rn <= 10) / (SELECT tot FROM t), 6)
+         AS topk_share,
+       round(-(SELECT sum((n / tot) * ln(n / tot)) FROM c, t)
+             / ln((SELECT nk FROM t)), 6) AS entropy
+"""
+
+
+def q_sample_weighted(sf_dir: str):
+    """Probability-proportional-to-size sampling: orders kept with
+    probability o_totalprice / 500000 (clamped), deterministic in
+    o_orderkey — DuckDB recomputes the identical md5 decision."""
+    from ..stages.sampling import weighted_hash_sample
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return _materialize(weighted_hash_sample(
+        ds, id_col="o_orderkey", weight_col="o_totalprice",
+        rate_per_unit=1.0 / 500000.0))
+
+
+SQL_SAMPLE_WEIGHTED = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0
+      < LEAST(o_totalprice / 500000.0, 1.0)
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -2975,6 +3024,8 @@ def queries() -> Dict[str, Callable]:
         "activity_matrix": q_activity_matrix,
         "retention_daily": q_retention_daily,
         "session_durations_users": q_session_durations_users,
+        "skew_suppkey": q_skew_suppkey,
+        "sample_weighted": q_sample_weighted,
     }
 
 
@@ -3083,4 +3134,6 @@ def oracle_sql() -> Dict[str, str]:
         "activity_matrix": SQL_ACTIVITY_MATRIX,
         "retention_daily": SQL_RETENTION_DAILY,
         "session_durations_users": SQL_SESSION_DURATIONS_USERS,
+        "skew_suppkey": SQL_SKEW_SUPPKEY,
+        "sample_weighted": SQL_SAMPLE_WEIGHTED,
     }

@@ -93,8 +93,48 @@ def cooccur_pairs(ds, *, by: str, item_col: str, top: int = 100,
     partials = ds.select_columns([by, item_col]).map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("coarse").map_groups(kernel, batch_format="pyarrow")
-    counted = partials.groupby(["item_a", "item_b"]).aggregate(
-        Sum("n", alias_name="n"))
-    return counted.sort(
+
+    # Merge partial pair counts on a COARSE pair-hash key, not a
+    # groupby over the raw (item_a, item_b) space — distinct pairs are
+    # nearly as numerous as pair occurrences, so one-tiny-group-per-pair
+    # is the classic many-tiny-groups shuffle.  Every occurrence of a
+    # pair lands in ONE pair bucket, so a per-bucket top-`top` is a
+    # superset of the global top-`top`; the final sort+limit runs over
+    # ≤ n_buckets·top rows.
+    def add_pair_coarse(t: pa.Table) -> pa.Table:
+        a = t.column("item_a").to_numpy(zero_copy_only=False)
+        b = t.column("item_b").to_numpy(zero_copy_only=False)
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             ^ b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column(
+            "pc", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def combine_topk(group: pa.Table) -> pa.Table:
+        a = group.column("item_a").to_numpy(zero_copy_only=False)
+        b = group.column("item_b").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(np.stack([a, b]), return_inverse=True)
+        inv = inv.reshape(2, -1)
+        m = len(uniq)
+        pair = inv[0] * m + inv[1]
+        order = np.argsort(pair, kind="stable")
+        pair_s, n_s = pair[order], n[order]
+        new = np.ones(len(pair_s), dtype=bool)
+        new[1:] = pair_s[1:] != pair_s[:-1]
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=n_s).astype(np.int64)
+        firsts = pair_s[new]
+        aa, bb = uniq[firsts // m], uniq[firsts % m]
+        keep = np.lexsort((bb, aa, -tot))[:top]
+        return pa.table({
+            "item_a": pa.array(aa[keep], pa.int64()),
+            "item_b": pa.array(bb[keep], pa.int64()),
+            "n": pa.array(tot[keep], pa.int64()),
+        })
+
+    merged = partials.map_batches(
+        add_pair_coarse, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("pc").map_groups(combine_topk, batch_format="pyarrow")
+    return merged.sort(
         ["n", "item_a", "item_b"], descending=[True, False, False]
     ).limit(top)

@@ -17,7 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["profile_columns", "corr_matrix", "quantile_histogram"]
+__all__ = ["profile_columns", "corr_matrix", "quantile_histogram",
+           "key_skew_report"]
 
 
 def profile_columns(ds, cols: Sequence[str], *, decimals: int = None):
@@ -219,3 +220,47 @@ def quantile_histogram(ds, col: str, *, n_bins: int = 10):
     return ds.select_columns([col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("bin").aggregate(Sum("n", alias_name="n"))
+
+
+def key_skew_report(ds, col: str, *, top: int = 10):
+    """Shuffle-planning skew diagnostic for a prospective partition
+    key: distinct-key count, total rows, the heaviest key's share,
+    the top-``top`` keys' combined share, and the normalized Shannon
+    entropy of the key distribution (1.0 = perfectly uniform).  This is
+    the measurement that decides whether a key needs salting
+    (stages/salting.py) before a groupby at scale.
+
+    Plan: one ``groupby(col).count()`` (bounded by the key cardinality)
+    → single-block finalize.  Output: ONE row (n_keys, n_rows,
+    top1_share, topk_share, entropy) with shares/entropy rounded to
+    6 dp."""
+    from ray.data.aggregate import Count
+
+    counts = ds.select_columns([col]).groupby(col).aggregate(
+        Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "n_keys": pa.array([], pa.int64()),
+                "n_rows": pa.array([], pa.int64()),
+                "top1_share": pa.array([], pa.float64()),
+                "topk_share": pa.array([], pa.float64()),
+                "entropy": pa.array([], pa.float64()),
+            })
+        n = np.sort(t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64))[::-1]
+        tot = n.sum()
+        p = n / tot
+        k = len(n)
+        ent = float(-(p * np.log(p)).sum() / np.log(k)) if k > 1 else 1.0
+        return pa.table({
+            "n_keys": pa.array([k], pa.int64()),
+            "n_rows": pa.array([int(tot)], pa.int64()),
+            "top1_share": pa.array([round(float(p[0]), 6)]),
+            "topk_share": pa.array([round(float(p[:top].sum()), 6)]),
+            "entropy": pa.array([round(ent, 6)]),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

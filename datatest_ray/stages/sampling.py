@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from ..functions.aggregates import hash64
 
-__all__ = ["hash_sample", "stratified_hash_sample"]
+__all__ = ["hash_sample", "stratified_hash_sample", "weighted_hash_sample"]
 
 _SCALE = 16 ** 8
 
@@ -73,6 +73,26 @@ def stratified_hash_sample(ds, *, id_col: str, strata_col: str,
             [rates.get(s, default_rate) for s in strata], dtype=np.float64
         )
         return batch.filter(pa.array(u < thresh))
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def weighted_hash_sample(ds, *, id_col: str, weight_col: str,
+                         rate_per_unit: float, method: str = "md5"):
+    """Probability-proportional-to-size sampling, deterministic in
+    ``id_col``: a row keeps iff ``u(id) < weight * rate_per_unit``
+    (clamped to 1) — big documents / heavy orders are kept more often,
+    the standard PPS primitive for cost-aware corpus subsampling.
+    Same md5/hash64 unit-interval contract as :func:`hash_sample`, so
+    the SQL oracle recomputes the identical decision."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(id_col), method)
+        w = batch.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return batch.filter(pa.array(u < np.minimum(
+            w * rate_per_unit, 1.0)))
 
     return ds.map_batches(kernel, batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -255,3 +255,28 @@ class TestSessionDurations:
         r = out.iloc[0]
         assert (r.n_sessions, r.total_dur_us, r.max_dur_us) == \
             (2, 10 * M, 10 * M)
+
+
+class TestSkewReport:
+    def test_uniform_vs_skewed(self, ray_session):
+        from datatest_ray.stages.profile import key_skew_report
+
+        uni = key_skew_report(_ds({"k": [1, 2, 3, 4] * 5}),
+                              "k").to_pandas().iloc[0]
+        assert (uni.n_keys, uni.n_rows) == (4, 20)
+        assert uni.entropy == 1.0 and uni.top1_share == 0.25
+        skew = key_skew_report(_ds({"k": [7] * 19 + [8]}),
+                               "k").to_pandas().iloc[0]
+        assert skew.top1_share == 0.95 and skew.entropy < 0.3
+
+
+class TestWeightedSample:
+    def test_weight_zero_and_saturated(self, ray_session):
+        from datatest_ray.stages.sampling import weighted_hash_sample
+
+        ds = _ds({"id": list(range(100)),
+                  "w": [0.0] * 50 + [1e9] * 50})
+        out = weighted_hash_sample(ds, id_col="id", weight_col="w",
+                                   rate_per_unit=1e-6).to_pandas()
+        # zero weight never kept; saturated weight (p clamps to 1) always
+        assert sorted(out.id.tolist()) == list(range(50, 100))
