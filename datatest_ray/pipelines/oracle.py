@@ -2912,6 +2912,63 @@ WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
 """
 
 
+def q_text_bigrams(sf_dir: str):
+    """Top-20 consecutive token pairs across the corpus (combiner
+    pre-counts per batch; vocabulary-bounded exchange)."""
+    from ..stages.text import bigram_topk
+
+    return _materialize(bigram_topk(
+        _read(sf_dir, "documents", ["text"]), "text", k=20))
+
+
+SQL_TEXT_BIGRAMS = """
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents WHERE trim(text) <> ''
+),
+b AS (
+  SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM t
+)
+SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+FROM b WHERE p[1] <> '' AND p[2] <> ''
+GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 20
+"""
+
+
+def q_emb_confusion(sf_dir: str):
+    """Pairwise cosine between label centroids (label-confusion
+    screen), computed from the 6-dp-rounded centroids on both engines."""
+    from ..stages.similarity import centroid_confusion
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return centroid_confusion(ds, label_col="label", vec_col="embedding")
+
+
+SQL_EMB_CONFUSION = """
+WITH u AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS e
+  FROM embeddings
+),
+c AS (
+  SELECT CAST(label AS BIGINT) AS label, dim, ROUND(avg(e), 6) AS v
+  FROM u GROUP BY label, dim
+),
+n AS (SELECT label, sqrt(sum(v * v)) AS nrm FROM c GROUP BY label),
+d AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.v * b.v) AS dot
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       round(dot / (na.nrm * nb.nrm), 6) AS cos
+FROM d
+JOIN n na ON label_a = na.label
+JOIN n nb ON label_b = nb.label
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -3026,6 +3083,8 @@ def queries() -> Dict[str, Callable]:
         "session_durations_users": q_session_durations_users,
         "skew_suppkey": q_skew_suppkey,
         "sample_weighted": q_sample_weighted,
+        "text_bigrams": q_text_bigrams,
+        "emb_confusion": q_emb_confusion,
     }
 
 
@@ -3136,4 +3195,6 @@ def oracle_sql() -> Dict[str, str]:
         "session_durations_users": SQL_SESSION_DURATIONS_USERS,
         "skew_suppkey": SQL_SKEW_SUPPKEY,
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
+        "text_bigrams": SQL_TEXT_BIGRAMS,
+        "emb_confusion": SQL_EMB_CONFUSION,
     }

@@ -25,7 +25,8 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs",
-           "ann_lsh_topk", "ivf_topk", "label_centroids"]
+           "ann_lsh_topk", "ivf_topk", "label_centroids",
+           "centroid_confusion"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -504,3 +505,44 @@ def ivf_topk(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
     )
     return partials.groupby("query_id").map_groups(merge_topk,
                                                    batch_format="pyarrow")
+
+
+def centroid_confusion(ds, *, label_col: str, vec_col: str,
+                       round_to: int = 6):
+    """Label-confusion screen: pairwise cosine similarity between
+    per-label embedding centroids — near-1 off-diagonal entries mean
+    two labels are indistinguishable in embedding space (a labeling or
+    feature-collapse red flag).
+
+    Builds on :func:`label_centroids` (sum-vector combiners; the only
+    shuffle).  The centroid table is #labels × dim rows — tiny — so the
+    pairwise cosine happens in one finalize pass over the collected
+    centroids, from the ROUNDED values so the SQL oracle reproduces it
+    bit-for-bit.  Output: (label_a, label_b, cos) for label_a <
+    label_b, rounded to ``round_to``."""
+    cent = label_centroids(ds, label_col=label_col, vec_col=vec_col,
+                           round_to=round_to)
+    batches = list(cent.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"label_a": pa.array([], pa.int64()),
+                         "label_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    t = pa.concat_tables(batches)
+    labs = t.column(label_col).to_numpy(zero_copy_only=False)
+    dims = t.column("dim").to_numpy(zero_copy_only=False)
+    vals = t.column("val").to_numpy(zero_copy_only=False)
+    uniq = np.unique(labs)
+    D = int(dims.max()) + 1
+    M = np.zeros((len(uniq), D))
+    li = np.searchsorted(uniq, labs)
+    M[li, dims] = vals
+    nrm = np.linalg.norm(M, axis=1)
+    la, lb, cs = [], [], []
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            la.append(int(uniq[i])); lb.append(int(uniq[j]))
+            cs.append(round(float(M[i] @ M[j] / (nrm[i] * nrm[j])),
+                            round_to))
+    return pa.table({"label_a": pa.array(la, pa.int64()),
+                     "label_b": pa.array(lb, pa.int64()),
+                     "cos": pa.array(cs, pa.float64())})

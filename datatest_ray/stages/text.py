@@ -66,8 +66,15 @@ def tokens_and_offsets(text_col: pa.ChunkedArray):
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     # Arrow's split emits empty strings at leading/trailing/consecutive
     # whitespace; drop them so semantics equal `trim(text)` + split on
-    # \s+ (the SQL-oracle definition)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # \s+ (the SQL-oracle definition).  Filter on trim != '' rather than
+    # != '': a token is by definition a maximal non-whitespace run, so
+    # any whitespace-only output is a split artifact — observed once as
+    # a literal ' ' token from utf8_split_whitespace on a warm Ray
+    # worker (heap-state-dependent kernel quirk); trimming makes the
+    # tokenizer immune to that class of artifact.
+    nonempty = pc.not_equal(
+        pc.utf8_trim_whitespace(flat), ""
+    ).to_numpy(zero_copy_only=False)
     if not nonempty.all():
         n_rows = len(offsets) - 1
         parents = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offsets))
@@ -558,3 +565,46 @@ def lexical_richness(ds, text_col: str, *, group_col: str):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def bigram_topk(ds, text_col: str, *, k: int = 20):
+    """Corpus bigram top-k: the k most frequent consecutive lowercase
+    token pairs, (w1, w2, n), ties broken by (w1, w2) ascending.
+
+    Same combiner discipline as :func:`vocab_topk`: per-batch
+    dictionary-code bincount pre-counts pairs (the shuffle moves one
+    row per distinct bigram per block, never per occurrence), one
+    ``groupby([w1, w2]).sum`` — key space bounded by the observed
+    bigram vocabulary, not the corpus — then a k-row sort+limit."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        parents = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                            _row_counts(offsets))
+        enc = pc.dictionary_encode(flat)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        same = parents[1:] == parents[:-1]
+        if not same.any():
+            return empty
+        V = len(enc.dictionary)
+        pair = code[:-1][same] * V + code[1:][same]
+        cnt = np.bincount(pair)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "w1": pc.take(enc.dictionary, pa.array(nz // V, pa.int64())),
+            "w2": pc.take(enc.dictionary, pa.array(nz % V, pa.int64())),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    partials = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    totals = partials.groupby(["w1", "w2"]).aggregate(
+        Sum("n", alias_name="n"))
+    return totals.sort(["n", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)

@@ -280,3 +280,35 @@ class TestWeightedSample:
                                    rate_per_unit=1e-6).to_pandas()
         # zero weight never kept; saturated weight (p clamps to 1) always
         assert sorted(out.id.tolist()) == list(range(50, 100))
+
+
+class TestBigrams:
+    def test_pairs_within_rows_only(self, ray_session):
+        from datatest_ray.stages.text import bigram_topk
+
+        ds = _ds({"t": ["a b c", "b  c", "x"]})
+        out = bigram_topk(ds, "t", k=10).to_pandas()
+        got = {(r.w1, r.w2): r.n for r in out.itertuples()}
+        # "a b","b c" from doc1, "b c" from doc2 (double space folds);
+        # no pair crosses documents, singleton doc contributes none
+        assert got == {("b", "c"): 2, ("a", "b"): 1}
+
+
+class TestCentroidConfusion:
+    def test_identical_labels_cos_one(self, ray_session):
+        from datatest_ray.stages.similarity import centroid_confusion
+
+        emb = [[1.0, 0.0], [1.0, 0.0], [0.0, 2.0], [1.0, 0.0]]
+        lab = [0, 0, 1, 2]
+        t = pa.table({
+            "label": pa.array(lab, pa.int32()),
+            "embedding": pa.array(emb, pa.list_(pa.float32())),
+        })
+        import ray.data as rd
+
+        out = centroid_confusion(rd.from_arrow(t), label_col="label",
+                                 vec_col="embedding").to_pandas()
+        got = {(r.label_a, r.label_b): r.cos for r in out.itertuples()}
+        assert got[(0, 2)] == 1.0      # same direction
+        assert got[(0, 1)] == 0.0      # orthogonal
+        assert got[(1, 2)] == 0.0
