@@ -2969,6 +2969,129 @@ JOIN n nb ON label_b = nb.label
 """
 
 
+def q_mom_change(sf_dir: str):
+    """Month-over-month revenue change: monthly integer-cents sums →
+    one-block finalize computing pct change vs the previous month."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("o_orderdate"), pa.timestamp("s"))
+        return pa.table({
+            "ym": pc.strftime(ts, format="%Y-%m"),
+            "c": pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                              100.0)), pa.int64()),
+        })
+
+    agg = ds.map_batches(project, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby("ym").aggregate(
+        Sum("c", alias_name="c"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.sort_by("ym")
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        prev = np.empty_like(c)
+        prev[0] = np.nan
+        prev[1:] = c[:-1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pct = np.round((c - prev) / prev, 6)
+        return pa.table({
+            "ym": t.column("ym"),
+            "revenue": pa.array(c / 100.0),
+            "mom_pct": pa.array(pct, pa.float64(), mask=np.isnan(pct)),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+SQL_MOM_CHANGE = """
+WITH g AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY ym
+)
+SELECT ym, c / 100.0 AS revenue,
+       round((c - lag(c) OVER (ORDER BY ym))
+             / CAST(lag(c) OVER (ORDER BY ym) AS DOUBLE), 6) AS mom_pct
+FROM g
+"""
+
+
+def q_wau_rolling(sf_dir: str):
+    """Rolling 7-day active users per day: each distinct (user, day)
+    pair is credited to days d..d+6, then distinct users per credited
+    day — a bounded 7x expansion of the DEDUPED pair stream, never of
+    raw events."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def project(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "day": pc.divide(us, 86_400_000_000),
+        })
+
+    pairs = ds.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby(
+        ["user_id", "day"]).aggregate(Count(alias_name="_n"))
+
+    def credit(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        n = len(u)
+        rep_u = np.repeat(u, 7)
+        rep_d = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), n)
+        return pa.table({"user_id": pa.array(rep_u),
+                         "day": pa.array(rep_d)})
+
+    credited = pairs.map_batches(credit, batch_format="pyarrow")
+    # a user active on several days inside one window is credited to
+    # the same day more than once — dedupe before the per-day count
+    dedup = credited.groupby(["day", "user_id"]).aggregate(
+        Count(alias_name="_n"))
+    out = dedup.groupby("day").aggregate(Count(alias_name="wau"))
+
+    # drop the 6 warm-up days credited past each real day only when no
+    # real activity happened there: keep days that exist in the data
+    days = pairs.groupby("day").aggregate(Count(alias_name="_d"))
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table({"day": t.column("day")})
+
+    real_days = _materialize(days.map_batches(
+        mark, batch_format="pyarrow")).column("day")
+
+    def keep_real(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column("day"), value_set=real_days)
+        return t.filter(m)
+
+    return out.map_batches(keep_real, batch_format="pyarrow")
+
+
+SQL_WAU_ROLLING = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM d)
+SELECT g.day, count(DISTINCT d.user_id) AS wau
+FROM days g JOIN d ON d.day BETWEEN g.day - 6 AND g.day
+GROUP BY g.day
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -3085,6 +3208,8 @@ def queries() -> Dict[str, Callable]:
         "sample_weighted": q_sample_weighted,
         "text_bigrams": q_text_bigrams,
         "emb_confusion": q_emb_confusion,
+        "mom_change": q_mom_change,
+        "wau_rolling": q_wau_rolling,
     }
 
 
@@ -3197,4 +3322,6 @@ def oracle_sql() -> Dict[str, str]:
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
         "text_bigrams": SQL_TEXT_BIGRAMS,
         "emb_confusion": SQL_EMB_CONFUSION,
+        "mom_change": SQL_MOM_CHANGE,
+        "wau_rolling": SQL_WAU_ROLLING,
     }
