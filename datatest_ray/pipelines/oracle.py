@@ -843,10 +843,12 @@ def q_tdigest_price_quantiles(sf_dir: str):
     )
 
 
-def _materialize(result):
+def _materialize(result, empty_schema: pa.Schema | None = None):
     """Collect a (small) result into a pa.Table, preserving the schema
     even when there are zero rows (to_pandas() on an empty Dataset loses
-    columns — the driver compare needs them)."""
+    columns — the driver compare needs them).  ``empty_schema`` covers
+    the fully-empty case where even ``Dataset.schema()`` is None (e.g. a
+    groupby whose input was filtered to zero rows)."""
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
@@ -854,6 +856,12 @@ def _materialize(result):
         if batches:
             return pa.concat_tables(batches)
         schema = result.schema()
+        if schema is None:
+            if empty_schema is None:
+                raise ValueError(
+                    "empty Dataset with unknown schema; pass empty_schema"
+                )
+            return empty_schema.empty_table()
         base = getattr(schema, "base_schema", schema)
         return base.empty_table()
     if isinstance(result, dict):  # Dataset.aggregate returns a row dict
@@ -1842,7 +1850,13 @@ def q_corpus_prep(sf_dir: str):
     from .corpus import corpus_prep
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return _materialize(corpus_prep(ds, min_quality=0.45))
+    return _materialize(
+        corpus_prep(ds, min_quality=0.45),
+        empty_schema=pa.schema([
+            ("lang_pred", pa.string()), ("n_docs", pa.int64()),
+            ("n_total", pa.int64()), ("mean_quality", pa.float64()),
+        ]),
+    )
 
 
 SQL_CORPUS_PREP = f"""
