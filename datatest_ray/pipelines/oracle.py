@@ -587,6 +587,23 @@ def q_dedup_minhash_lsh(sf_dir: str):
         n=3, threshold=0.8, shuffle_partitions=8))
 
 
+def q_dedup_minhash_join(sf_dir: str):
+    """MinHash LSH with the fully-distributed exact verify: candidate
+    pairs never touch the driver — semi-join selects candidate docs,
+    two hash joins attach shingle sets, a vectorized kernel computes
+    exact j.  Same oracle as the collected-verify variant."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return _materialize(
+        minhash_lsh_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]), "text",
+            "doc_id", n=3, threshold=0.8, shuffle_partitions=8,
+            verify="join"),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("j", pa.float64())]),
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: the jaccard pair list (which chains: (a,b),
     (b,c) → one cluster {a,b,c}) resolved to per-document canonical
@@ -1925,8 +1942,8 @@ counts AS (
 ),
 tot AS (SELECT SUM(nref) AS tref, SUM(ncmp) AS tcmp FROM counts)
 SELECT bin,
-       ROUND((nref + 0.5) / (tref + 5.0), 6) AS p,
-       ROUND((ncmp + 0.5) / (tcmp + 5.0), 6) AS q,
+       (nref + 0.5) / (tref + 5.0) AS p,
+       (ncmp + 0.5) / (tcmp + 5.0) AS q,
        ROUND(((nref + 0.5) / (tref + 5.0) - (ncmp + 0.5) / (tcmp + 5.0))
              * LN(((nref + 0.5) / (tref + 5.0)) / ((ncmp + 0.5) / (tcmp + 5.0))), 6) AS psi
 FROM counts, tot
@@ -2206,7 +2223,7 @@ pq AS (
          (ncmp + 0.5) / (tcmp + 5.0) AS q
   FROM counts, tot
 )
-SELECT bin, ROUND(p, 6) AS p, ROUND(q, 6) AS q,
+SELECT bin, p, q,
        ROUND(0.5 * p * LN(p / ((p + q) / 2))
              + 0.5 * q * LN(q / ((p + q) / 2)), 6) AS jsd
 FROM pq
@@ -2455,7 +2472,7 @@ tc AS (
 )
 SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
        coalesce(count(*) FILTER (WHERE c = 1), 0) AS hapax,
-       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+       count(*) / CAST(sum(c) AS DOUBLE) AS ttr
 FROM tc GROUP BY lang
 """
 
@@ -2538,7 +2555,7 @@ def q_revenue_share(sf_dir: str):
         return pa.table({
             "o_orderpriority": t.column("o_orderpriority"),
             "revenue": pa.array(c / 100.0),
-            "share": pa.array(np.round(c / total, 6)),
+            "share": pa.array(c / total),
         })
 
     # ≤ #priorities rows reach the finalize: one block
@@ -2553,7 +2570,7 @@ WITH g AS (
   FROM orders GROUP BY o_orderpriority
 )
 SELECT o_orderpriority, c / 100.0 AS revenue,
-       round(c / (SELECT CAST(sum(c) AS DOUBLE) FROM g), 6) AS share
+       c / (SELECT CAST(sum(c) AS DOUBLE) FROM g) AS share
 FROM g
 """
 
@@ -2639,7 +2656,7 @@ def q_fanout_stats(sf_dir: str):
         return pa.table({
             "c_mktsegment": t.column("c_mktsegment"),
             "n_cust": t.column("n_cust"),
-            "mean_orders": pa.array(np.round(s / nc, 6)),
+            "mean_orders": pa.array(s / nc),
             "max_orders": t.column("max_orders"),
         })
 
@@ -2650,8 +2667,7 @@ def q_fanout_stats(sf_dir: str):
 SQL_FANOUT_STATS = """
 WITH cnt AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)
 SELECT c_mktsegment, count(*) AS n_cust,
-       round(sum(coalesce(n, 0)) / CAST(count(*) AS DOUBLE), 6)
-         AS mean_orders,
+       sum(coalesce(n, 0)) / CAST(count(*) AS DOUBLE) AS mean_orders,
        max(coalesce(n, 0)) AS max_orders
 FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
 GROUP BY c_mktsegment
@@ -2760,11 +2776,16 @@ def q_transition_probs(sf_dir: str):
         code = np.asarray(enc.indices, dtype=np.int64)
         n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
         tot = np.bincount(code, weights=n)
+        # NO query-side rounding: both engines compute the identical
+        # exact float64 quotient (integer counts), and np.round
+        # (half-even) vs DuckDB round (half-away) disagree when the
+        # quotient lands exactly on a 6dp half (e.g. 1/128).  The
+        # driver's canonicalization rounds both sides with ONE function.
         return pa.table({
             "from_type": t.column("from_type"),
             "to_type": t.column("to_type"),
             "n": t.column("n"),
-            "p": pa.array(np.round(n / tot[code], 6)),
+            "p": pa.array(n / tot[code]),
         })
 
     return counts.repartition(1).map_batches(
@@ -2783,8 +2804,7 @@ c AS (
   FROM o WHERE nxt IS NOT NULL GROUP BY event_type, nxt
 )
 SELECT from_type, to_type, n,
-       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
-         AS p
+       n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
 FROM c
 """
 
@@ -2897,9 +2917,8 @@ t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, count(*) AS nk FROM c),
 r AS (SELECT n, row_number() OVER (ORDER BY n DESC, k) AS rn FROM c)
 SELECT (SELECT nk FROM t) AS n_keys,
        (SELECT CAST(tot AS BIGINT) FROM t) AS n_rows,
-       round((SELECT max(n) FROM c) / (SELECT tot FROM t), 6)
-         AS top1_share,
-       round((SELECT sum(n) FROM r WHERE rn <= 10) / (SELECT tot FROM t), 6)
+       (SELECT max(n) FROM c) / (SELECT tot FROM t) AS top1_share,
+       (SELECT sum(n) FROM r WHERE rn <= 10) / (SELECT tot FROM t)
          AS topk_share,
        round(-(SELECT sum((n / tot) * ln(n / tot)) FROM c, t)
              / ln((SELECT nk FROM t)), 6) AS entropy
@@ -3010,8 +3029,10 @@ def q_mom_change(sf_dir: str):
         prev = np.empty_like(c)
         prev[0] = np.nan
         prev[1:] = c[:-1]
+        # exact integer-cent arithmetic → bitwise-equal quotient on both
+        # engines; no query-side rounding (6dp-half split hazard)
         with np.errstate(invalid="ignore", divide="ignore"):
-            pct = np.round((c - prev) / prev, 6)
+            pct = (c - prev) / prev
         return pa.table({
             "ym": t.column("ym"),
             "revenue": pa.array(c / 100.0),
@@ -3029,8 +3050,8 @@ WITH g AS (
   FROM orders GROUP BY ym
 )
 SELECT ym, c / 100.0 AS revenue,
-       round((c - lag(c) OVER (ORDER BY ym))
-             / CAST(lag(c) OVER (ORDER BY ym) AS DOUBLE), 6) AS mom_pct
+       (c - lag(c) OVER (ORDER BY ym))
+         / CAST(lag(c) OVER (ORDER BY ym) AS DOUBLE) AS mom_pct
 FROM g
 """
 
@@ -3131,6 +3152,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_jaccard_ngram": q_dedup_jaccard_ngram,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_join": q_dedup_minhash_join,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "sim_neardup_cosine": q_sim_neardup_cosine,
@@ -3252,6 +3274,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
         "dedup_jaccard_ngram": _SQL_JACCARD_PAIRS,
         "dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
+        "dedup_minhash_join": _SQL_JACCARD_PAIRS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "sim_neardup_cosine": SQL_SIM_NEARDUP_COSINE,
         "sim_topk_cosine": SQL_SIM_TOPK_COSINE,

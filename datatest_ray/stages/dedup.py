@@ -380,6 +380,12 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, n: int = 3,
        LSH survivor set, so materializing them is bounded by design.
        ``verify='signature'`` skips the re-join and emits the estimate
        (fully streaming; for pipelines that tolerate +/-0.06 on j).
+       ``verify='join'`` computes the SAME exact j with NO driver
+       materialization at all: candidates stay a Dataset, candidate
+       docs are selected by a distributed semi-join, and two hash
+       joins attach each side's shingle set before a vectorized
+       per-pair intersection kernel — the 100 TB path when even the
+       survivor set is too big for one process.
 
     Recall at j >= 0.8 with 16 bands x 4 rows is ~1 - 6e-4."""
     from ray.data.aggregate import Max
@@ -425,6 +431,10 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, n: int = 3,
     pairs = buckets.groupby("coarse").map_groups(coarse_pairs, batch_format="pyarrow")
     # a pair can match in several bands — dedupe
     pairs = pairs.groupby(["a", "b"]).aggregate(Max("j", alias_name="j"))
+    if verify == "join":
+        return _join_exact_verify(ds, pairs, text_col, id_col, n=n,
+                                  threshold=threshold,
+                                  num_partitions=shuffle_partitions or 16)
     if verify != "exact":
         return pairs
 
@@ -484,6 +494,134 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, n: int = 3,
     keep = j >= threshold
     return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                      "j": pa.array(j[keep])})
+
+
+def _join_exact_verify(ds, pairs, text_col: str, id_col: str, *, n: int,
+                       threshold: float, num_partitions: int = 16):
+    """Distributed exact-Jaccard verify of LSH candidate pairs.
+
+    Plan (every step a Dataset op — the driver never sees a row):
+    1. semi-join the corpus against the pairs' id set → candidate docs;
+    2. per batch, shingle each candidate doc into a list column;
+    3. hash-join pairs→sets on ``a`` then on ``b`` (the shuffled
+       payload is candidate shingle sets only, bounded by the LSH
+       survivor count, not the corpus);
+    4. vectorized per-pair intersection: concat both sets tagged by
+       row, one lexsort, adjacent-duplicate count = |a ∩ b| (shingle
+       sets are dedup'd per doc, so dups across the pair are exactly
+       the intersection).
+    """
+    import ray.data as rd
+
+    from .relational import semi_join
+
+    def pair_id_rows(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([
+            t.column("a").to_numpy(zero_copy_only=False),
+            t.column("b").to_numpy(zero_copy_only=False),
+        ])
+        return pa.table({"doc": pa.array(np.unique(ids).astype(np.int64))})
+
+    need = pairs.map_batches(pair_id_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cand = semi_join(ds.select_columns([id_col, text_col]), need,
+                     on=id_col, right_on="doc",
+                     num_partitions=num_partitions)
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        # the set travels as a BINARY blob of raw int64 hashes: Acero's
+        # hash join rejects list-typed payload columns, and binary
+        # round-trips with zero per-row Python on both ends
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        sh, sh_off = shingle_hash_sets(flat, offsets, n=n)
+        byte_off = (np.asarray(sh_off, dtype=np.int64) * 8).astype(np.int32)
+        shset = pa.Array.from_buffers(
+            pa.binary(), batch.num_rows,
+            [None, pa.py_buffer(byte_off.tobytes()),
+             pa.py_buffer(sh.view(np.int64).tobytes())],
+        )
+        return pa.table({
+            "doc": pc.cast(batch.column(id_col), pa.int64()),
+            "shset": shset,
+        })
+
+    sets = cand.map_batches(to_sets, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # Null-key sentinels: Ray's hash join breaks when either side
+    # contributes zero non-empty blocks (no candidates at all); null
+    # keys never match, so a sentinel row only carries the schema.
+    sentinel = rd.from_arrow(pa.table({
+        "doc": pa.array([None], pa.int64()),
+        "shset": pa.array([None], pa.binary()),
+    }))
+    sets = sentinel.union(sets)
+    pair_sentinel = rd.from_arrow(pa.table({
+        "a": pa.array([None], pa.int64()),
+        "b": pa.array([None], pa.int64()),
+        "j": pa.array([None], pa.float64()),
+    }))
+    pairs = pair_sentinel.union(pairs)
+
+    # left_outer (not inner) so the pair sentinel survives join 1 and
+    # keeps join 2's left side schema-carrying when there are zero
+    # candidates; every REAL pair matches both sides by construction,
+    # and the sentinel's null id is dropped in the final kernel.
+    j1 = pairs.join(sets, join_type="left_outer",
+                    num_partitions=num_partitions,
+                    on=("a",), right_on=("doc",))
+    j1 = j1.select_columns(["a", "b", "shset"]).rename_columns(
+        {"shset": "sh_a"})
+    # Ray's hash-join aggregator emits SCHEMA-LESS empty blocks for
+    # empty partitions; feeding those straight into a second join makes
+    # Acero fail to resolve the key FieldRef.  A repartition rebuilds
+    # well-formed blocks between the two joins.
+    j1 = j1.repartition(num_partitions)
+    j2 = j1.join(sets, join_type="left_outer",
+                 num_partitions=num_partitions,
+                 on=("b",), right_on=("doc",))
+    j2 = j2.select_columns(["a", "b", "sh_a", "shset"]).rename_columns(
+        {"shset": "sh_b"})
+
+    def exact_pair_j(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("a")),
+                             pc.is_valid(t.column("b"))))
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.float64())})
+        def unpack(col):
+            arr = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            bufs = arr.buffers()
+            o = np.frombuffer(bufs[1], np.int32)[
+                arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+            data = np.frombuffer(bufs[2], np.int64)
+            starts = o[:-1] // 8
+            lens = (o[1:] - o[:-1]) // 8
+            gather = np.repeat(starts, lens) + _concat_ranges_np(lens)
+            return data[gather], lens
+
+        va, la = unpack(t.column("sh_a"))
+        vb, lb = unpack(t.column("sh_b"))
+        rows = np.arange(t.num_rows, dtype=np.int64)
+        rid = np.concatenate([np.repeat(rows, la), np.repeat(rows, lb)])
+        flat = np.concatenate([va, vb])
+        order = np.lexsort((flat, rid))
+        s, r = flat[order], rid[order]
+        dup = (s[1:] == s[:-1]) & (r[1:] == r[:-1])
+        inter = np.bincount(r[1:][dup], minlength=t.num_rows)
+        union = la + lb - inter
+        j = inter / np.maximum(union, 1)
+        keep = j >= threshold
+        sub = t.select(["a", "b"]).filter(pa.array(keep))
+        return pa.table({
+            "a": pc.cast(sub.column("a"), pa.int64()),
+            "b": pc.cast(sub.column("b"), pa.int64()),
+            "j": pa.array(j[keep]),
+        })
+
+    return j2.map_batches(exact_pair_j, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -172,10 +172,12 @@ def psi(ds, value_col: str, *, split_col: str, ref_value,
         p = (nref + 0.5) / (nref.sum() + 0.5 * bins)
         q = (ncmp + 0.5) / (ncmp.sum() + 0.5 * bins)
         contrib = (p - q) * np.log(p / q)
+        # p/q are single divisions of exact operands -> bitwise-equal on
+        # both engines; only the log-sum contribution keeps the 6dp pin
         return pa.table({
             "bin": t.column("bin"),
-            "p": pa.array(np.round(p, 6)),
-            "q": pa.array(np.round(q, 6)),
+            "p": pa.array(p),
+            "q": pa.array(q),
             "psi": pa.array(np.round(contrib, 6)),
         })
 
@@ -246,8 +248,8 @@ def jsd(ds, value_col: str, *, split_col: str, ref_value,
         contrib = 0.5 * p * np.log(p / m) + 0.5 * q * np.log(q / m)
         return pa.table({
             "bin": t.column("bin"),
-            "p": pa.array(np.round(p, 6)),
-            "q": pa.array(np.round(q, 6)),
+            "p": pa.array(p),
+            "q": pa.array(q),
             "jsd": pa.array(np.round(contrib, 6)),
         })
 

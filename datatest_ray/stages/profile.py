@@ -248,17 +248,23 @@ def key_skew_report(ds, col: str, *, top: int = 10):
                 "topk_share": pa.array([], pa.float64()),
                 "entropy": pa.array([], pa.float64()),
             })
-        n = np.sort(t.column("n").to_numpy(zero_copy_only=False).astype(
-            np.float64))[::-1]
-        tot = n.sum()
-        p = n / tot
-        k = len(n)
+        ni = np.sort(t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64))[::-1]
+        toti = int(ni.sum())
+        tot = float(toti)
+        p = ni / tot
+        k = len(ni)
         ent = float(-(p * np.log(p)).sum() / np.log(k)) if k > 1 else 1.0
+        # shares: ONE exact integer-sum / total division (mirrors the
+        # SQL `sum(n)/tot` association bitwise); no query-side rounding
+        # on the exact quotients — Python round (half-even) vs SQL
+        # round (half-away) split on exact 6dp halves.  Entropy keeps
+        # the 6dp pin: its log-sum association genuinely differs.
         return pa.table({
             "n_keys": pa.array([k], pa.int64()),
-            "n_rows": pa.array([int(tot)], pa.int64()),
-            "top1_share": pa.array([round(float(p[0]), 6)]),
-            "topk_share": pa.array([round(float(p[:top].sum()), 6)]),
+            "n_rows": pa.array([toti], pa.int64()),
+            "top1_share": pa.array([float(ni[0]) / tot]),
+            "topk_share": pa.array([float(ni[:top].sum()) / tot]),
             "entropy": pa.array([round(ent, 6)]),
         })
 

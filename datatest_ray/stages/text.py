@@ -553,8 +553,11 @@ def lexical_richness(ds, text_col: str, *, group_col: str):
             np.float64)
         ty = t.column("n_types").to_numpy(zero_copy_only=False).astype(
             np.float64)
+        # exact integer quotient → bitwise-equal on both engines; no
+        # query-side rounding (np half-even vs SQL half-away diverge
+        # when the quotient lands exactly on a 6dp half)
         with np.errstate(invalid="ignore", divide="ignore"):
-            ttr = np.round(ty / nt, 6)
+            ttr = ty / nt
         return pa.table({
             group_col: t.column(group_col),
             "n_tokens": t.column("n_tokens"),

@@ -73,6 +73,44 @@ def test_jaccard_and_minhash_find_near_dups(ray_session):
         assert abs(je[k] - jm[k]) < 1e-12
 
 
+def test_minhash_join_verify_matches_collected_verify(ray_session):
+    """verify='join' (fully distributed, no driver materialization)
+    emits the identical exact-Jaccard pairs as verify='exact'."""
+    from datatest_ray.stages.dedup import minhash_lsh_pairs
+
+    exact = minhash_lsh_pairs(
+        _docs_ds(), "text", "doc_id", n=3, threshold=0.5,
+        shuffle_partitions=2
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    joined = minhash_lsh_pairs(
+        _docs_ds(), "text", "doc_id", n=3, threshold=0.5,
+        shuffle_partitions=2, verify="join"
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    assert list(zip(exact["a"], exact["b"])) == list(
+        zip(joined["a"], joined["b"]))
+    assert np.allclose(exact["j"].to_numpy(), joined["j"].to_numpy(),
+                       atol=0, rtol=0)
+
+
+def test_minhash_join_verify_empty_candidates(ray_session):
+    """No near-dups at a high threshold → the join path must survive
+    an empty build side (null-key sentinel) and return zero rows."""
+    import ray.data as rd
+
+    from datatest_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.from_items([
+        {"doc_id": i, "text": t} for i, t in enumerate([
+            "alpha beta gamma delta epsilon zeta eta",
+            "one two three four five six seven eight",
+            "red orange yellow green blue indigo violet",
+        ])
+    ])
+    out = minhash_lsh_pairs(ds, "text", "doc_id", n=3, threshold=0.9,
+                            shuffle_partitions=2, verify="join")
+    assert out.count() == 0
+
+
 def test_simhash_pairs_match_bruteforce(ray_session):
     from datatest_ray.stages.dedup import _popcount64, simhash64, simhash_pairs
     from datatest_ray.stages.text import shingle_hash_sets, tokens_and_offsets
