@@ -750,8 +750,10 @@ def q_join_orders_customer(sf_dir: str):
     'joins/lookups'): orders x customer on custkey."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
-    j = orders.join(cust, join_type="inner", num_partitions=8,
-                    on=("o_custkey",), right_on=("c_custkey",))
+    from ..stages.relational import safe_join
+
+    j = safe_join(orders, cust, join_type="inner", num_partitions=8,
+                  on=("o_custkey",), right_on=("c_custkey",))
     return _materialize(j.select_columns(["o_orderkey", "c_name", "c_nationkey"]))
 
 
@@ -1227,8 +1229,10 @@ def q_left_join_orders_poorcust(sf_dir: str):
                  ["c_custkey", "c_name", "c_acctbal"]).filter(
         expr="c_acctbal < 0"
     )
-    j = orders.join(poor, join_type="left_outer", num_partitions=8,
-                    on=("o_custkey",), right_on=("c_custkey",))
+    from ..stages.relational import safe_join
+
+    j = safe_join(orders, poor, join_type="left_outer", num_partitions=8,
+                  on=("o_custkey",), right_on=("c_custkey",))
     return _materialize(j.select_columns(["o_orderkey", "c_name"]))
 
 
@@ -1605,6 +1609,37 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM d a JOIN d b
   ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 12
+"""
+
+
+def q_jw_neardup(sf_dir: str):
+    """Name-matching near-dups: part pairs in the same brand block
+    whose lowercased 32-char name prefixes have Jaro-Winkler
+    similarity >= 0.85 (pair-vectorized greedy window-match kernel,
+    bit-identical to DuckDB's jaro_winkler_similarity)."""
+    from ..stages.dedup import jaro_winkler_pairs
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_name"])
+    return _materialize(
+        jaro_winkler_pairs(ds, "p_name", "p_partkey",
+                           block_cols="p_brand", prefix=32,
+                           threshold=0.85),
+        empty_schema=pa.schema([("a_id", pa.int64()),
+                                ("b_id", pa.int64()),
+                                ("jw", pa.float64())]),
+    )
+
+
+SQL_JW_NEARDUP = """
+WITH d AS (
+  SELECT p_partkey, p_brand, substr(lower(p_name), 1, 32) AS s
+  FROM part
+)
+SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+       jaro_winkler_similarity(a.s, b.s) AS jw
+FROM d a JOIN d b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE jaro_winkler_similarity(a.s, b.s) >= 0.85
 """
 
 
@@ -2486,8 +2521,10 @@ def q_ship_consistency(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_orderdate", "o_orderstatus"])
-    j = li.join(orders, join_type="inner", num_partitions=8,
-                on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..stages.relational import safe_join
+
+    j = safe_join(li, orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(t: pa.Table) -> pa.Table:
         enc = pc.dictionary_encode(
@@ -2630,7 +2667,9 @@ def q_fanout_stats(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     counts = orders.groupby("o_custkey").aggregate(Count(alias_name="n"))
-    j = cust.join(counts, join_type="left_outer", num_partitions=8,
+    from ..stages.relational import safe_join
+
+    j = safe_join(cust, counts, join_type="left_outer", num_partitions=8,
                   on=("c_custkey",), right_on=("o_custkey",))
 
     def project(t: pa.Table) -> pa.Table:
@@ -2945,6 +2984,77 @@ WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
 """
 
 
+def q_fd_brand_type(sf_dir: str):
+    """Functional-dependency audit: brands whose p_type is not
+    determined by p_brand (count of distinct dependent values per
+    violating determinant)."""
+    from ..stages.mlprep import fd_violations
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_type"])
+    return _materialize(
+        fd_violations(ds, det_col="p_brand", dep_col="p_type"),
+        empty_schema=pa.schema([("p_brand", pa.string()),
+                                ("n_vals", pa.int64())]),
+    )
+
+
+SQL_FD_BRAND_TYPE = """
+SELECT p_brand, CAST(count(DISTINCT p_type) AS BIGINT) AS n_vals
+FROM part GROUP BY p_brand HAVING count(DISTINCT p_type) > 1
+"""
+
+
+def q_target_encode_segment(sf_dir: str):
+    """Target encoding: per-market-segment mean account balance
+    attached to every customer row (integer-cents stats broadcast via
+    ray.put; the fact table streams with no shuffle)."""
+    from ..stages.mlprep import target_encode
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_mktsegment", "c_acctbal"])
+    return _materialize(target_encode(
+        ds, cat_col="c_mktsegment", target_col="c_acctbal",
+        id_col="c_custkey"))
+
+
+SQL_TARGET_ENCODE_SEGMENT = """
+WITH g AS (
+  SELECT c_mktsegment,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_custkey, c.c_mktsegment,
+       (CAST(s AS DOUBLE) / 100.0) / n AS te
+FROM customer c JOIN g USING (c_mktsegment)
+"""
+
+
+def q_split_balance_orders(sf_dir: str):
+    """Deterministic md5-keyed train/val/test split of orders with the
+    per-(split, status) class-balance matrix."""
+    from ..stages.mlprep import split_balance
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return _materialize(split_balance(
+        ds, id_col="o_orderkey", class_col="o_orderstatus",
+        train=0.8, val=0.1))
+
+
+SQL_SPLIT_BALANCE_ORDERS = """
+WITH u AS (
+  SELECT o_orderstatus,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM orders
+)
+SELECT CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       o_orderstatus, CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY 1, 2
+"""
+
+
 def q_text_bigrams(sf_dir: str):
     """Top-20 consecutive token pairs across the corpus (combiner
     pre-counts per batch; vocabulary-bounded exchange)."""
@@ -3195,6 +3305,7 @@ def queries() -> Dict[str, Callable]:
         "entropy_status": q_entropy_status,
         "mode_event": q_mode_event,
         "lev_neardup": q_lev_neardup,
+        "jw_neardup": q_jw_neardup,
         "tfidf_lang": q_tfidf_lang,
         "regr_price_qty": q_regr_discount,
         "benford_price": q_benford_price,
@@ -3242,6 +3353,9 @@ def queries() -> Dict[str, Callable]:
         "session_durations_users": q_session_durations_users,
         "skew_suppkey": q_skew_suppkey,
         "sample_weighted": q_sample_weighted,
+        "fd_brand_type": q_fd_brand_type,
+        "target_encode_segment": q_target_encode_segment,
+        "split_balance_orders": q_split_balance_orders,
         "text_bigrams": q_text_bigrams,
         "emb_confusion": q_emb_confusion,
         "mom_change": q_mom_change,
@@ -3310,6 +3424,7 @@ def oracle_sql() -> Dict[str, str]:
         "entropy_status": SQL_ENTROPY_STATUS,
         "mode_event": SQL_MODE_EVENT,
         "lev_neardup": SQL_LEV_NEARDUP,
+        "jw_neardup": SQL_JW_NEARDUP,
         "tfidf_lang": SQL_TFIDF_LANG,
         "regr_price_qty": SQL_REGR_DISCOUNT,
         "benford_price": SQL_BENFORD_PRICE,
@@ -3357,6 +3472,9 @@ def oracle_sql() -> Dict[str, str]:
         "session_durations_users": SQL_SESSION_DURATIONS_USERS,
         "skew_suppkey": SQL_SKEW_SUPPKEY,
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
+        "fd_brand_type": SQL_FD_BRAND_TYPE,
+        "target_encode_segment": SQL_TARGET_ENCODE_SEGMENT,
+        "split_balance_orders": SQL_SPLIT_BALANCE_ORDERS,
         "text_bigrams": SQL_TEXT_BIGRAMS,
         "emb_confusion": SQL_EMB_CONFUSION,
         "mom_change": SQL_MOM_CHANGE,

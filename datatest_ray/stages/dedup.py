@@ -41,6 +41,7 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "levenshtein_pairs",
+    "jaro_winkler_pairs",
 ]
 
 
@@ -511,9 +512,25 @@ def _join_exact_verify(ds, pairs, text_col: str, id_col: str, *, n: int,
        sets are dedup'd per doc, so dups across the pair are exactly
        the intersection).
     """
+    import ray
     import ray.data as rd
 
     from .relational import semi_join
+
+    # The streaming executor instantiates EVERY operator's aggregator
+    # actor pool up front, so a plan with two JoinOperators holds
+    # 2 x num_partitions aggregators alive at once — at small CPU
+    # counts (unit tests, laptops) an uncapped pool deadlocks the plan
+    # before a single task runs.  Cap so both pools fit the cluster.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(num_partitions, cpus // 2))
+
+    # Pin the candidate pairs in the object store: they feed THREE
+    # consumers (the id-set branch, the join probe side, and a schema
+    # probe) and would otherwise re-execute the whole LSH lineage once
+    # per consumer.  The survivor set is bounded by design, and this is
+    # a cluster-side materialize — nothing reaches the driver.
+    pairs = pairs.materialize()
 
     def pair_id_rows(t: pa.Table) -> pa.Table:
         ids = np.concatenate([
@@ -825,6 +842,143 @@ def levenshtein_pairs(ds, text_col: str, id_col: str, *, block_cols,
             "a_id": pa.array(np.concatenate(out_a)),
             "b_id": pa.array(np.concatenate(out_b)),
             "dist": pa.array(np.concatenate(out_d)),
+        })
+
+    return (
+        ds.select_columns(list(dict.fromkeys([id_col, *blocks, text_col])))
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(blocks)
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler near-dup — the short-string / name-matching verifier
+# ---------------------------------------------------------------------------
+
+
+def _jw_chunk(A: np.ndarray, B: np.ndarray, la: np.ndarray,
+              lb: np.ndarray) -> np.ndarray:
+    """Jaro-Winkler similarity for one chunk of string pairs,
+    vectorized ACROSS pairs (standard variant: prefix<=4, p=0.1, boost
+    only when jaro > 0.7 — matches DuckDB's jaro_winkler_similarity).
+
+    A/B are (P, L) int32 code-point matrices padded with distinct
+    negative sentinels so padding never matches.  The greedy window
+    match walks the L x L position lattice once with (P,)-vector masks
+    — O(P * L^2) elementwise ops, zero Python per pair.
+    """
+    P, L = A.shape
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    used_b = np.zeros((P, L), dtype=bool)
+    aseq = np.full((P, L), -1, dtype=np.int32)
+    acnt = np.zeros(P, dtype=np.int64)
+    for i in range(L):
+        ai = A[:, i]
+        open_ = i < la
+        if not open_.any():
+            break
+        lo = np.maximum(i - w, 0)
+        hi = np.minimum(i + w + 1, lb)
+        found = np.zeros(P, dtype=bool)
+        for j in range(L):
+            cand = ((~found) & open_ & (j >= lo) & (j < hi)
+                    & (~used_b[:, j]) & (B[:, j] == ai))
+            if cand.any():
+                rows = np.flatnonzero(cand)
+                used_b[rows, j] = True
+                aseq[rows, acnt[rows]] = ai[rows]
+                acnt[rows] += 1
+                found |= cand
+    m = acnt
+    bseq = np.full((P, L), -1, dtype=np.int32)
+    bcnt = np.zeros(P, dtype=np.int64)
+    for j in range(L):
+        rows = np.flatnonzero(used_b[:, j])
+        if len(rows):
+            bseq[rows, bcnt[rows]] = B[rows, j]
+            bcnt[rows] += 1
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    t = (((aseq != bseq) & (pos < m[:, None])).sum(axis=1) // 2)
+    mf = m.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jaro = (mf / la + mf / lb + (mf - t) / mf) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    k = min(4, L)
+    pref_eq = (A[:, :k] == B[:, :k]) & (
+        np.arange(k, dtype=np.int64)[None, :]
+        < np.minimum(la, lb)[:, None])
+    lpref = np.cumprod(pref_eq, axis=1).sum(axis=1).astype(np.float64)
+    return np.where(jaro > 0.7, jaro + lpref * 0.1 * (1.0 - jaro), jaro)
+
+
+def jaro_winkler_pairs(ds, text_col: str, id_col: str, *, block_cols,
+                       prefix: int = 32, threshold: float = 0.85,
+                       lowercase: bool = True,
+                       pair_chunk: int = 1 << 16):
+    """Pairs of rows in the same block whose (lowercased, truncated)
+    strings have Jaro-Winkler similarity >= ``threshold`` — the
+    name/title-matching near-dup family (entity resolution, catalog
+    dedup), complementing the token-set (Jaccard) and edit-distance
+    (Levenshtein) verifiers.
+
+    Same scale plan as :func:`levenshtein_pairs`: ONE
+    ``groupby(block_cols)`` shuffle of (id, prefix); within each block
+    the all-pairs JW kernel runs vectorized across ``pair_chunk``-sized
+    pair chunks.  Output: (a_id, b_id, jw).
+    """
+    blocks = [block_cols] if isinstance(block_cols, str) else list(block_cols)
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col)
+        if lowercase:
+            s = pc.utf8_lower(s)
+        cols = {id_col: batch.column(id_col)}
+        for c in blocks:
+            cols[c] = batch.column(c)
+        cols["prefix"] = pc.utf8_slice_codeunits(s, 0, prefix)
+        return pa.table(cols)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "jw": pa.array([], pa.float64()),
+        })
+        n = group.num_rows
+        if n < 2:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        texts = group.column("prefix").to_pylist()
+        L = prefix
+        mat = np.full((n, L), -1, dtype=np.int32)
+        lens = np.empty(n, dtype=np.int64)
+        for r, s in enumerate(texts):
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[:L]
+            mat[r, : len(cp)] = cp
+            lens[r] = len(cp)
+        ii, jj = np.triu_indices(n, k=1)
+        swap = ids[ii] > ids[jj]
+        ii, jj = np.where(swap, jj, ii), np.where(swap, ii, jj)
+        out_a, out_b, out_j = [], [], []
+        for s0 in range(0, len(ii), pair_chunk):
+            ci = ii[s0: s0 + pair_chunk]
+            cj = jj[s0: s0 + pair_chunk]
+            # padding sentinels must differ between the two sides, or
+            # pad-vs-pad positions would "match"
+            Bm = mat[cj].copy()
+            Bm[Bm == -1] = -2
+            jw = _jw_chunk(mat[ci], Bm, lens[ci], lens[cj])
+            keep = jw >= threshold
+            out_a.append(ids[ci][keep].astype(np.int64))
+            out_b.append(ids[cj][keep].astype(np.int64))
+            out_j.append(jw[keep])
+        if not out_a:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(out_a)),
+            "b_id": pa.array(np.concatenate(out_b)),
+            "jw": pa.array(np.concatenate(out_j)),
         })
 
     return (

@@ -1,0 +1,158 @@
+"""ML-prep operators: functional-dependency validation, target
+encoding, deterministic dataset splits with class-balance reports.
+
+Engine extensions (the datatest reference validates single tables; a
+training-data pipeline also needs the feature-prep primitives wired to
+the same distributed discipline):
+
+* ``fd_violations`` — the classic data-quality check "does column A
+  functionally determine column B?"  Violating determinant values are
+  exactly the keys a uniqueness/consistency audit reports.
+* ``target_encode`` — per-category mean of a numeric target attached
+  back onto every row (the leakage-prone encoder that needs a
+  deterministic, auditable implementation).
+* ``split_balance`` — deterministic md5-keyed train/val/test
+  assignment plus the per-(split, class) count matrix used to audit
+  stratification drift between splits.
+
+Scale notes: ``fd_violations`` pre-distincts (det, dep) pairs per
+batch, so the shuffle moves one row per distinct pair per block, never
+one per input row.  ``target_encode`` broadcasts the per-category
+stats (bounded by category cardinality) via ``ray.put`` — the fact
+table streams through a vectorized ``pc.index_in`` lookup with no
+shuffle.  ``split_balance`` is one groupby over (split, class) partial
+counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sampling import _key_units
+
+__all__ = ["fd_violations", "target_encode", "split_balance"]
+
+
+def fd_violations(ds, *, det_col: str, dep_col: str):
+    """Determinant values that break the functional dependency
+    ``det_col -> dep_col``: output ``(det_col, n_vals)`` with
+    ``n_vals = count(DISTINCT dep)`` for every determinant mapping to
+    MORE than one dependent value.
+
+    Plan: per-batch distinct (det, dep) pairs (vectorized dictionary
+    encode — the combiner), ONE groupby over the pair to global
+    distinct, then a count groupby over the determinant.
+    """
+    from ray.data.aggregate import Count
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        det = batch.column(det_col)
+        det = det.combine_chunks() if isinstance(det, pa.ChunkedArray) else det
+        dep = batch.column(dep_col)
+        dep = dep.combine_chunks() if isinstance(dep, pa.ChunkedArray) else dep
+        d1 = pc.dictionary_encode(det)
+        d2 = pc.dictionary_encode(dep)
+        c1 = np.asarray(d1.indices, dtype=np.int64)
+        c2 = np.asarray(d2.indices, dtype=np.int64)
+        pair = c1 * max(len(d2.dictionary), 1) + c2
+        _, first = np.unique(pair, return_index=True)
+        idx = pa.array(np.sort(first), pa.int64())
+        return pa.table({
+            det_col: pc.take(det, idx),
+            dep_col: pc.take(dep, idx),
+        })
+
+    pairs = ds.select_columns([det_col, dep_col]).map_batches(
+        distinct_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_pair = pairs.groupby([det_col, dep_col]).aggregate(
+        Count(alias_name="_n"))
+    per_det = per_pair.groupby(det_col).aggregate(
+        Count(alias_name="n_vals"))
+    return per_det.filter(expr="n_vals > 1")
+
+
+def target_encode(ds, *, cat_col: str, target_col: str, id_col: str,
+                  cents_scale: float = 100.0):
+    """Attach the per-category mean of ``target_col`` to every row:
+    output ``(id_col, cat_col, te)``.
+
+    The category stats aggregate in INTEGER units (``target *
+    cents_scale`` rounded) so the sum is order-independent and the
+    final mean is the bitwise-identical two-step division
+    ``(s / cents_scale) / n`` any SQL engine reproduces.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table({
+            cat_col: t.column(cat_col),
+            "_u": pc.cast(pc.round(pc.multiply(
+                t.column(target_col), cents_scale)), pa.int64()),
+        })
+
+    stats = (
+        ds.select_columns([cat_col, target_col])
+        .map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cat_col)
+        .aggregate(Sum("_u", alias_name="s"), Count(alias_name="n"))
+    )
+    small = pa.concat_tables(list(stats.iter_batches(
+        batch_format="pyarrow", batch_size=65536)))
+    s = small.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+    n = small.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    te = (s / cents_scale) / n
+    cats = small.column(cat_col)
+    cats = cats.combine_chunks() if isinstance(cats, pa.ChunkedArray) else cats
+    lookup = ray.put(pa.table({cat_col: cats, "te": pa.array(te)}))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        dim = ray.get(lookup)
+        idx = pc.index_in(batch.column(cat_col), value_set=dim.column(cat_col))
+        return pa.table({
+            id_col: batch.column(id_col),
+            cat_col: batch.column(cat_col),
+            "te": dim.column("te").take(idx),
+        })
+
+    return ds.select_columns([id_col, cat_col]).map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_balance(ds, *, id_col: str, class_col: str,
+                  train: float = 0.8, val: float = 0.1,
+                  method: str = "md5"):
+    """Deterministic train/val/test assignment (md5-keyed, like
+    :func:`hash_sample` — reruns and other cluster sizes produce the
+    identical split) plus the per-(split, class) count matrix:
+    output ``(split, class_col, n)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(id_col), method)
+        split = np.where(u < train, "train",
+                         np.where(u < train + val, "val", "test"))
+        cls = batch.column(class_col)
+        cls = cls.combine_chunks() if isinstance(cls, pa.ChunkedArray) else cls
+        enc_c = pc.dictionary_encode(cls)
+        cc = np.asarray(enc_c.indices, dtype=np.int64)
+        enc_s = pc.dictionary_encode(pa.array(split))
+        sc = np.asarray(enc_s.indices, dtype=np.int64)
+        k = len(enc_c.dictionary)
+        flat = sc * k + cc
+        cnt = np.bincount(flat, minlength=len(enc_s.dictionary) * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "split": pc.take(enc_s.dictionary, pa.array(nz // k, pa.int64())),
+            class_col: pc.take(enc_c.dictionary, pa.array(nz % k, pa.int64())),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    partials = ds.select_columns([id_col, class_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["split", class_col]).aggregate(
+        Sum("n", alias_name="n"))

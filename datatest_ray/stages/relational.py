@@ -27,11 +27,56 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["semi_join", "anti_join", "except_distinct",
+__all__ = ["safe_join", "semi_join", "anti_join", "except_distinct",
            "intersect_distinct", "pivot_counts", "rollup_counts", "cube_counts",
            "broadcast_join", "range_join_broadcast"]
 
 _MARK = "__dtr_semi_mark"
+
+
+def _null_sentinel_like(ds):
+    """One-row Dataset with ``ds``'s schema, every value null.
+
+    Ray 2.49's hash-join aggregator crashes (ArrowInvalid FieldRef)
+    when a join partition materializes one side as a schema-less empty
+    table — observed whenever a side contributes zero non-empty blocks,
+    and data-dependently when a sparse filtered side leaves some hash
+    partitions without schema-carrying slices.  A null-key row never
+    matches anything, so unioning it onto the BUILD side guarantees a
+    schema-carrying block with zero effect on join semantics.
+    """
+    import ray.data as rd
+
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    return rd.from_arrow(pa.table({
+        f.name: pa.array([None], f.type) for f in sch
+    }))
+
+
+def safe_join(left_ds, right_ds, *, join_type: str, num_partitions: int,
+              on, right_on=None):
+    """``Dataset.join`` hardened against the empty/sparse-side crashes
+    (see :func:`_null_sentinel_like`).  The right side always gets a
+    null-key sentinel; the left side gets one only for INNER joins
+    (where an unmatched sentinel can never reach the output — an outer
+    join would emit it)."""
+    import ray
+
+    on = (on,) if isinstance(on, str) else tuple(on)
+    right_on = on if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on))
+    # cap the aggregator pool to the cluster (the executor holds every
+    # join's actor pool alive for the whole plan — an oversized pool
+    # deadlocks small-CPU sessions before any task runs)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(num_partitions, cpus))
+    right_ds = _null_sentinel_like(right_ds).union(right_ds)
+    if join_type == "inner":
+        left_ds = _null_sentinel_like(left_ds).union(left_ds)
+    return left_ds.join(right_ds, join_type=join_type,
+                        num_partitions=num_partitions,
+                        on=on, right_on=right_on)
 
 
 def _left_cols(left_ds) -> list:

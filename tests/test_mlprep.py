@@ -1,0 +1,69 @@
+"""Unit tests for stages/mlprep.py: FD validation, target encoding,
+deterministic split balance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_fd_violations_flags_only_broken_determinants(ray_session):
+    from datatest_ray.stages.mlprep import fd_violations
+
+    ds = _ds([
+        {"k": "a", "v": 1}, {"k": "a", "v": 1},          # intact
+        {"k": "b", "v": 1}, {"k": "b", "v": 2},          # broken (2)
+        {"k": "c", "v": 3}, {"k": "c", "v": 4}, {"k": "c", "v": 5},
+    ])
+    out = fd_violations(ds, det_col="k", dep_col="v").to_pandas()
+    got = dict(zip(out["k"], out["n_vals"]))
+    assert got == {"b": 2, "c": 3}
+
+
+def test_fd_violations_empty_when_fd_holds(ray_session):
+    from datatest_ray.stages.mlprep import fd_violations
+
+    ds = _ds([{"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "a", "v": 1}])
+    assert fd_violations(ds, det_col="k", dep_col="v").count() == 0
+
+
+def test_target_encode_attaches_category_mean(ray_session):
+    from datatest_ray.stages.mlprep import target_encode
+
+    ds = _ds([
+        {"id": 1, "cat": "x", "t": 10.0},
+        {"id": 2, "cat": "x", "t": 20.0},
+        {"id": 3, "cat": "y", "t": 5.0},
+    ])
+    out = target_encode(ds, cat_col="cat", target_col="t",
+                        id_col="id").to_pandas().set_index("id")
+    assert out.loc[1, "te"] == pytest.approx(15.0)
+    assert out.loc[2, "te"] == pytest.approx(15.0)
+    assert out.loc[3, "te"] == pytest.approx(5.0)
+    assert len(out) == 3
+
+
+def test_split_balance_counts_every_row_once(ray_session):
+    from datatest_ray.stages.mlprep import split_balance
+
+    n = 500
+    ds = _ds([{"id": i, "cls": "even" if i % 2 == 0 else "odd"}
+              for i in range(n)])
+    out = split_balance(ds, id_col="id", class_col="cls",
+                        train=0.8, val=0.1).to_pandas()
+    assert out["n"].sum() == n
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # md5-keyed: a rerun gives the identical matrix
+    out2 = split_balance(ds, id_col="id", class_col="cls",
+                         train=0.8, val=0.1).to_pandas()
+    a = out.sort_values(["split", "cls"]).reset_index(drop=True)
+    b = out2.sort_values(["split", "cls"]).reset_index(drop=True)
+    assert a.equals(b)
+    # roughly stratified: train holds the bulk
+    tr = out[out["split"] == "train"]["n"].sum()
+    assert tr > 0.7 * n

@@ -364,3 +364,43 @@ class TestRangeJoin:
         left = _ds({"id": [1], "v": [1.0]})
         with pytest.raises(ValueError, match="overlap"):
             range_join_broadcast(left, bad, value_col="v")
+
+
+class TestSafeJoin:
+    """safe_join must survive the Ray 2.49 hash-join crash shapes:
+    sparse filtered build sides whose hash partitions lack
+    schema-carrying slices, and fully-empty sides."""
+
+    def test_left_outer_sparse_right(self, ray_session):
+        from datatest_ray.stages.relational import safe_join
+
+        left = _ds({"k": list(range(1, 201)), "lv": list(range(201, 401))})
+        # sparse right spread over many mostly-empty blocks, like a
+        # selective filter over a multi-block read
+        right = _ds({"rk": [3, 50, 120, 199, 250, 260],
+                     "rv": ["a", "b", "c", "d", "e", "f"]}).repartition(16)
+        out = safe_join(left, right, join_type="left_outer",
+                        num_partitions=8, on="k",
+                        right_on="rk").to_pandas()
+        assert len(out) == 200
+        matched = out[out["rv"].notna()]
+        assert sorted(matched["k"]) == [3, 50, 120, 199]
+
+    def test_inner_and_empty_sides(self, ray_session):
+        from datatest_ray.stages.relational import safe_join
+
+        left = _ds({"k": [1, 2, 3], "lv": [10, 20, 30]})
+        empty = _ds({"rk": pa.array([], pa.int64()),
+                     "rv": pa.array([], pa.string())})
+        out = safe_join(left, empty, join_type="left_outer",
+                        num_partitions=8, on="k", right_on="rk").to_pandas()
+        assert len(out) == 3 and out["rv"].isna().all()
+        out2 = safe_join(left, empty, join_type="inner",
+                         num_partitions=8, on="k", right_on="rk")
+        assert out2.count() == 0
+        empty_left = _ds({"k": pa.array([], pa.int64()),
+                          "lv": pa.array([], pa.int64())})
+        right = _ds({"rk": [1], "rv": ["x"]})
+        out3 = safe_join(empty_left, right, join_type="inner",
+                         num_partitions=8, on="k", right_on="rk")
+        assert out3.count() == 0

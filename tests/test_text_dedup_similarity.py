@@ -111,6 +111,26 @@ def test_minhash_join_verify_empty_candidates(ray_session):
     assert out.count() == 0
 
 
+def test_jaro_winkler_pairs_blocked(ray_session):
+    """Distributed JW pairs: textbook values, blocking respected,
+    sub-threshold pairs dropped."""
+    import ray.data as rd
+
+    from datatest_ray.stages.dedup import jaro_winkler_pairs
+
+    ds = rd.from_items([
+        {"id": 1, "blk": "x", "name": "martha"},
+        {"id": 2, "blk": "x", "name": "marhta"},     # jw 0.961111
+        {"id": 3, "blk": "x", "name": "zzzzzz"},     # unrelated
+        {"id": 4, "blk": "y", "name": "martha"},     # other block
+    ])
+    out = jaro_winkler_pairs(ds, "name", "id", block_cols="blk",
+                             threshold=0.9).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["a_id"], out.iloc[0]["b_id"]) == (1, 2)
+    assert abs(out.iloc[0]["jw"] - 0.9611111111111111) < 1e-9
+
+
 def test_simhash_pairs_match_bruteforce(ray_session):
     from datatest_ray.stages.dedup import _popcount64, simhash64, simhash_pairs
     from datatest_ray.stages.text import shingle_hash_sets, tokens_and_offsets
