@@ -2984,6 +2984,69 @@ WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
 """
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means (k=4, 2 iterations) — the iterative
+    broadcast-small-state pattern: per iteration the corpus streams
+    through one assignment+partial-sum map_batches and a tiny groupby;
+    integer-unit centroid updates make the whole run bitwise
+    SQL-reproducible (verified atol=0 vs DuckDB at sf0.001)."""
+    from ..stages.similarity import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans(ds, id_col="vec_id", vec_col="embedding", k=4, iters=2)
+
+
+SQL_KMEANS_EMBEDDINGS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS dim),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+  FROM e ORDER BY vec_id LIMIT 4
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, i.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, i.v), i.cid) AS rn
+    FROM e CROSS JOIN init i) t WHERE rn = 1
+),
+s1 AS (
+  SELECT a1.cid, d.dim,
+         sum(CAST(round(e.v[d.dim + 1] * 1000000.0) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM a1 JOIN e USING (vec_id) CROSS JOIN dims d
+  GROUP BY a1.cid, d.dim
+),
+c1 AS (
+  SELECT i.cid, d.dim,
+         CASE WHEN s1.n IS NULL THEN i.v[d.dim + 1]
+              ELSE (CAST(s1.s AS DOUBLE) / 1000000.0) / s1.n END AS c
+  FROM init i CROSS JOIN dims d
+  LEFT JOIN s1 ON s1.cid = i.cid AND s1.dim = d.dim
+),
+c1v AS (SELECT cid, list(c ORDER BY dim) AS v FROM c1 GROUP BY cid),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, cv.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, cv.v), cv.cid) AS rn
+    FROM e CROSS JOIN c1v cv) t WHERE rn = 1
+),
+s2 AS (
+  SELECT a2.cid, d.dim,
+         sum(CAST(round(e.v[d.dim + 1] * 1000000.0) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM a2 JOIN e USING (vec_id) CROSS JOIN dims d
+  GROUP BY a2.cid, d.dim
+)
+SELECT c1.cid, c1.dim,
+       CASE WHEN s2.n IS NULL THEN c1.c
+            ELSE (CAST(s2.s AS DOUBLE) / 1000000.0) / s2.n END AS c,
+       COALESCE(s2.n, 0) AS n
+FROM c1 LEFT JOIN s2 ON s2.cid = c1.cid AND s2.dim = c1.dim
+"""
+
+
 def q_fd_brand_type(sf_dir: str):
     """Functional-dependency audit: brands whose p_type is not
     determined by p_brand (count of distinct dependent values per
@@ -3353,6 +3416,7 @@ def queries() -> Dict[str, Callable]:
         "session_durations_users": q_session_durations_users,
         "skew_suppkey": q_skew_suppkey,
         "sample_weighted": q_sample_weighted,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "fd_brand_type": q_fd_brand_type,
         "target_encode_segment": q_target_encode_segment,
         "split_balance_orders": q_split_balance_orders,
@@ -3472,6 +3536,7 @@ def oracle_sql() -> Dict[str, str]:
         "session_durations_users": SQL_SESSION_DURATIONS_USERS,
         "skew_suppkey": SQL_SKEW_SUPPKEY,
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
+        "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
         "fd_brand_type": SQL_FD_BRAND_TYPE,
         "target_encode_segment": SQL_TARGET_ENCODE_SEGMENT,
         "split_balance_orders": SQL_SPLIT_BALANCE_ORDERS,

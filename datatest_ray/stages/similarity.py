@@ -26,7 +26,7 @@ import pyarrow as pa
 
 __all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs",
            "ann_lsh_topk", "ivf_topk", "label_centroids",
-           "centroid_confusion"]
+           "centroid_confusion", "kmeans"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -546,3 +546,85 @@ def centroid_confusion(ds, *, label_col: str, vec_col: str,
     return pa.table({"label_a": pa.array(la, pa.int64()),
                      "label_b": pa.array(lb, pa.int64()),
                      "cos": pa.array(cs, pa.float64())})
+
+
+def kmeans(ds, *, id_col: str, vec_col: str, k: int = 4, iters: int = 2,
+           unit: float = 1_000_000.0):
+    """Distributed Lloyd's k-means over an embedding column — the
+    canonical ITERATIVE algorithm pattern: per iteration the data
+    streams through ONE ``map_batches`` (assignment + per-cluster
+    integer partial sums) and one tiny ``groupby``; only the k x d
+    centroid matrix lives on the driver and is re-broadcast via
+    ``ray.put``.
+
+    Every step is deterministic and SQL-reproducible (the oracle can
+    replay the exact run):
+
+    * init: the k lowest-id vectors;
+    * assignment: squared-L2 argmin, exact ties to the LOWER cluster id;
+    * update: per-dimension sums in integer ``unit``s
+      (order-independent), centroid = ``(s / unit) / n`` — the same
+      two-step float64 division any SQL engine produces bitwise;
+      an empty cluster keeps its previous centroid.
+
+    Output: (cid, dim, c, n) — k*d rows with the final centroids and
+    cluster sizes.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    init_tbl = pa.concat_tables(list(
+        ds.select_columns([id_col, vec_col]).sort(id_col).limit(k)
+        .iter_batches(batch_format="pyarrow", batch_size=max(k, 1))
+    ))
+    C = _batch_matrix(init_tbl, vec_col)
+    d = C.shape[1]
+    n_final = np.zeros(k, dtype=np.int64)
+
+    for _ in range(iters):
+        handle = ray.put(C)
+
+        def partial(batch: pa.Table, _h=handle) -> pa.Table:
+            cen = ray.get(_h)
+            X = _batch_matrix(batch, vec_col)
+            d2 = ((X[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)  # first (lowest) cid wins ties
+            u = np.round(X * unit).astype(np.int64)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, cid, u)
+            counts = np.bincount(cid, minlength=k).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+                "n_": pa.array(np.repeat(counts, d)),
+            })
+
+        agg = (
+            ds.select_columns([vec_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n_", alias_name="n"))
+        )
+        small = pa.concat_tables(list(agg.iter_batches(
+            batch_format="pyarrow", batch_size=65536)))
+        cid = small.column("cid").to_numpy(zero_copy_only=False)
+        dim = small.column("dim").to_numpy(zero_copy_only=False)
+        s = small.column("s").to_numpy(zero_copy_only=False)
+        n = small.column("n").to_numpy(zero_copy_only=False)
+        S = np.zeros((k, d), dtype=np.int64)
+        N = np.zeros(k, dtype=np.int64)
+        S[cid, dim] = s
+        N[cid] = n  # identical across dims of a cid
+        newC = C.copy()
+        nz = N > 0
+        newC[nz] = (S[nz] / unit) / N[nz][:, None]
+        C, n_final = newC, N
+
+    return pa.table({
+        "cid": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+        "c": pa.array(C.ravel()),
+        "n": pa.array(np.repeat(n_final, d)),
+    })

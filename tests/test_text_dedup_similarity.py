@@ -566,3 +566,34 @@ def test_redact_sequential_rules(ray_session):
     # the email is gone before the number rule runs: its digits and the
     # 'b' TLD chars are not counted as numbers
     assert out["n_num"].tolist() == [2, 0, 3]
+
+
+def test_kmeans_converges_and_is_deterministic(ray_session):
+    """Three well-separated blobs: after 2 iterations every centroid
+    sits inside its blob and reruns give the identical table."""
+    import ray.data as rd
+
+    from datatest_ray.stages.similarity import kmeans
+
+    rng = np.random.RandomState(5)
+    centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    # interleave blobs so the deterministic lowest-id init picks one
+    # seed per blob (ids 0,1,2 land in different blobs)
+    blobs = [c + 0.5 * rng.randn(30, 2) for c in centers]
+    pts = np.stack(blobs, axis=1).reshape(-1, 2)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(90, dtype=np.int64)),
+        "v": pa.array(list(pts.astype(np.float32)),
+                      pa.list_(pa.float32())),
+    }))
+    out = kmeans(ds, id_col="id", vec_col="v", k=3, iters=3).to_pandas()
+    assert len(out) == 6  # 3 clusters x 2 dims
+    sizes = out.groupby("cid")["n"].first()
+    assert sorted(sizes) == [30, 30, 30] or sizes.sum() == 90
+    # every final centroid is near one of the true centers
+    C = out.pivot(index="cid", columns="dim", values="c").to_numpy()
+    for row in C:
+        assert min(np.linalg.norm(row - c) for c in centers) < 1.0
+    out2 = kmeans(ds, id_col="id", vec_col="v", k=3, iters=3).to_pandas()
+    assert out.sort_values(["cid", "dim"]).reset_index(drop=True).equals(
+        out2.sort_values(["cid", "dim"]).reset_index(drop=True))
