@@ -2984,6 +2984,40 @@ WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
 """
 
 
+def q_dup_degree_hist(sf_dir: str):
+    """Degree distribution of the near-dup pair graph (jaccard >= 0.8
+    pairs over documents): (degree, n_nodes)."""
+    from ..stages.dedup import jaccard_pairs_exact
+    from ..stages.graph import degree_histogram
+
+    pairs = jaccard_pairs_exact(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        n=3, threshold=0.8, shuffle_partitions=8)
+    return _materialize(
+        degree_histogram(pairs, a_col="a", b_col="b"),
+        empty_schema=pa.schema([("degree", pa.int64()),
+                                ("n_nodes", pa.int64())]),
+    )
+
+
+SQL_DUP_DEGREE_HIST = """
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
+         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s,b.s))::DOUBLE
+        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs) t
+  GROUP BY node
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd's k-means (k=4, 2 iterations) — the iterative
     broadcast-small-state pattern: per iteration the corpus streams
@@ -3417,6 +3451,7 @@ def queries() -> Dict[str, Callable]:
         "skew_suppkey": q_skew_suppkey,
         "sample_weighted": q_sample_weighted,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "dup_degree_hist": q_dup_degree_hist,
         "fd_brand_type": q_fd_brand_type,
         "target_encode_segment": q_target_encode_segment,
         "split_balance_orders": q_split_balance_orders,
@@ -3537,6 +3572,7 @@ def oracle_sql() -> Dict[str, str]:
         "skew_suppkey": SQL_SKEW_SUPPKEY,
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
         "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
+        "dup_degree_hist": SQL_DUP_DEGREE_HIST,
         "fd_brand_type": SQL_FD_BRAND_TYPE,
         "target_encode_segment": SQL_TARGET_ENCODE_SEGMENT,
         "split_balance_orders": SQL_SPLIT_BALANCE_ORDERS,

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 from .dedup import _N_COARSE, _concat_ranges_np
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "degree_histogram"]
 
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
@@ -144,3 +144,32 @@ def connected_components(
     extras = [c for c in labels.schema().names
               if c not in ("node", "cluster_id")]
     return labels.drop_columns(extras) if extras else labels
+
+
+def degree_histogram(pairs_ds, *, a_col: str = "a", b_col: str = "b"):
+    """Degree distribution of the (undirected) dup-pair graph:
+    ``(degree, n_nodes)`` — the shape diagnostic that tells a dedup
+    pipeline whether its pair graph is sparse matches or a hub
+    explosion (one template document matching everything).
+
+    Plan: per-batch both-direction degree partials (bincount over
+    dictionary codes), ONE groupby(node) sum, then a tiny
+    groupby(degree) count.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False)
+        b = t.column(b_col).to_numpy(zero_copy_only=False)
+        nodes = np.concatenate([a, b]).astype(np.int64)
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    deg = (
+        pairs_ds.select_columns([a_col, b_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("d", alias_name="degree"))
+    )
+    return deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))

@@ -58,3 +58,19 @@ def test_matches_union_find_on_random_graph(ray_session):
 def test_empty_pairs(ray_session):
     got = _run([], shuffle_partitions=2)
     assert got == {}
+
+
+def test_degree_histogram(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.graph import degree_histogram
+
+    # star: 1-2, 1-3, 1-4  plus isolated pair 5-6
+    pairs = rd.from_items([
+        {"a": 1, "b": 2}, {"a": 1, "b": 3}, {"a": 1, "b": 4},
+        {"a": 5, "b": 6},
+    ])
+    out = degree_histogram(pairs).to_pandas()
+    got = dict(zip(out["degree"], out["n_nodes"]))
+    # node 1 has degree 3; nodes 2,3,4,5,6 have degree 1
+    assert got == {3: 1, 1: 5}
