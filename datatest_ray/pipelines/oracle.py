@@ -888,6 +888,19 @@ def _materialize(result, empty_schema: pa.Schema | None = None):
     return result
 
 
+def q_hll_group_supp(sf_dir: str):
+    """GROUPED approximate distinct: HyperLogLog as an AggregateFnV2
+    inside groupby — per-group register arrays merge lane-wise through
+    the shuffle, so the exchange moves 4 KiB per (group, block)
+    regardless of row count.  Approximate → rows-only (tests pin the
+    error bound against exact counts)."""
+    from ..functions.aggregates import HLLDistinct
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_suppkey"])
+    return _materialize(ds.groupby("l_returnflag").aggregate(
+        HLLDistinct(on="l_suppkey", alias_name="n_approx")))
+
+
 def q_salted_distinct_supp(sf_dir: str):
     # skew handling: l_returnflag has 3 values over the whole table; the
     # two-stage value-hash salt spreads each hot key over 32 reducers
@@ -2984,6 +2997,40 @@ WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
 """
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 quantization audit of the embedding corpus: per-dim
+    (vmin, vmax, scale, mse of round-trip reconstruction).  The SQL
+    side uses round_even() so both engines apply the identical
+    banker's rounding to the code assignment."""
+    from ..stages.mlprep import quantize_report
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return _materialize(quantize_report(ds, vec_col="embedding",
+                                        levels=255))
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dims AS (SELECT CAST(unnest(range(64)) AS BIGINT) AS dim),
+x AS (SELECT d.dim, e.v[d.dim + 1] AS val FROM e CROSS JOIN dims d),
+mm AS (SELECT dim, min(val) AS vmin, max(val) AS vmax FROM x GROUP BY dim),
+q AS (
+  SELECT x.dim, x.val, mm.vmin, mm.vmax,
+         (mm.vmax - mm.vmin) / 255.0 AS scale
+  FROM x JOIN mm USING (dim)
+),
+r AS (
+  SELECT dim, vmin, vmax, scale,
+         CASE WHEN scale = 0 THEN 0.0
+              ELSE val - (vmin + round_even((val - vmin) / scale, 0)
+                          * scale) END AS err
+  FROM q
+)
+SELECT dim, vmin, vmax, scale, avg(err * err) AS mse
+FROM r GROUP BY dim, vmin, vmax, scale
+"""
+
+
 def q_dup_degree_hist(sf_dir: str):
     """Degree distribution of the near-dup pair graph (jaccard >= 0.8
     pairs over documents): (degree, n_nodes)."""
@@ -3452,6 +3499,8 @@ def queries() -> Dict[str, Callable]:
         "sample_weighted": q_sample_weighted,
         "kmeans_embeddings": q_kmeans_embeddings,
         "dup_degree_hist": q_dup_degree_hist,
+        "hll_group_supp": q_hll_group_supp,
+        "quantize_embeddings": q_quantize_embeddings,
         "fd_brand_type": q_fd_brand_type,
         "target_encode_segment": q_target_encode_segment,
         "split_balance_orders": q_split_balance_orders,
@@ -3573,6 +3622,7 @@ def oracle_sql() -> Dict[str, str]:
         "sample_weighted": SQL_SAMPLE_WEIGHTED,
         "kmeans_embeddings": SQL_KMEANS_EMBEDDINGS,
         "dup_degree_hist": SQL_DUP_DEGREE_HIST,
+        "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
         "fd_brand_type": SQL_FD_BRAND_TYPE,
         "target_encode_segment": SQL_TARGET_ENCODE_SEGMENT,
         "split_balance_orders": SQL_SPLIT_BALANCE_ORDERS,

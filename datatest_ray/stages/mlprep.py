@@ -32,7 +32,8 @@ import pyarrow.compute as pc
 
 from .sampling import _key_units
 
-__all__ = ["fd_violations", "target_encode", "split_balance"]
+__all__ = ["fd_violations", "target_encode", "split_balance",
+           "quantize_report"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -156,3 +157,80 @@ def split_balance(ds, *, id_col: str, class_col: str,
         kernel, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(["split", class_col]).aggregate(
         Sum("n", alias_name="n"))
+
+
+def quantize_report(ds, *, vec_col: str, levels: int = 255):
+    """Uniform int8-style quantization audit for an embedding column:
+    per-dimension ``(dim, vmin, vmax, scale, mse)`` with ``scale =
+    (vmax - vmin) / levels`` and ``mse`` the mean squared
+    reconstruction error of ``round((v - vmin) / scale)`` codes — the
+    decision table for whether a corpus can ship quantized.
+
+    Two streaming passes: per-dim min/max partials + groupby (pass 1,
+    the only exchange moves d rows per block), then the d-vector
+    (vmin, scale) broadcasts via ``ray.put`` and error partials
+    aggregate the same way.  Constant dimensions (scale 0) quantize
+    losslessly by definition.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .similarity import _batch_matrix
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        X = _batch_matrix(batch, vec_col)
+        d = X.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(X.min(axis=0)),
+            "mx": pa.array(X.max(axis=0)),
+        })
+
+    mm = (
+        ds.select_columns([vec_col])
+        .map_batches(mm_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="vmin"), Max("mx", alias_name="vmax"))
+    )
+    small = pa.concat_tables(list(mm.iter_batches(
+        batch_format="pyarrow", batch_size=65536))).sort_by("dim")
+    vmin = small.column("vmin").to_numpy(zero_copy_only=False)
+    vmax = small.column("vmax").to_numpy(zero_copy_only=False)
+    scale = (vmax - vmin) / float(levels)
+    handle = ray.put((vmin, scale))
+
+    def err_partial(batch: pa.Table) -> pa.Table:
+        mn, sc = ray.get(handle)
+        X = _batch_matrix(batch, vec_col)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = np.round((X - mn) / sc)
+            err = np.where(sc == 0, 0.0, X - (mn + q * sc))
+        d = X.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "sse": pa.array((err * err).sum(axis=0)),
+            "n": pa.array(np.full(d, X.shape[0], dtype=np.int64)),
+        })
+
+    agg = (
+        ds.select_columns([vec_col])
+        .map_batches(err_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("sse", alias_name="sse"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by("dim")
+        dim = t.column("dim").to_numpy(zero_copy_only=False)
+        sse = t.column("sse").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "dim": pa.array(dim),
+            "vmin": pa.array(vmin[dim]),
+            "vmax": pa.array(vmax[dim]),
+            "scale": pa.array(scale[dim]),
+            "mse": pa.array(sse / n),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -67,3 +67,25 @@ def test_split_balance_counts_every_row_once(ray_session):
     # roughly stratified: train holds the bulk
     tr = out[out["split"] == "train"]["n"].sum()
     assert tr > 0.7 * n
+
+
+def test_quantize_report_error_bound_and_constant_dim(ray_session):
+    """Round-trip MSE is bounded by scale^2/4 per dim; a constant
+    dimension reports scale 0 and mse 0."""
+    import ray.data as rd
+
+    from datatest_ray.stages.mlprep import quantize_report
+
+    rng = np.random.RandomState(9)
+    m = rng.standard_normal((500, 8)).astype(np.float32)
+    m[:, 3] = 1.5  # constant dim
+    ds = rd.from_arrow(pa.table({
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+    }))
+    out = quantize_report(ds, vec_col="embedding",
+                          levels=255).to_pandas().set_index("dim")
+    assert len(out) == 8
+    assert out.loc[3, "scale"] == 0.0 and out.loc[3, "mse"] == 0.0
+    active = out.drop(index=3)
+    assert (active["mse"] <= (active["scale"] ** 2) / 4 + 1e-12).all()
+    assert (active["mse"] > 0).all()

@@ -215,3 +215,30 @@ def test_bloom_distributed_prefilter(ray_session):
     assert {2997} <= set(kept["k"])
     # most non-members are dropped before any exact verification
     assert len(kept) <= 4
+
+
+def test_grouped_hll_within_bound(ray_session):
+    """HLL composes with groupby: per-group estimates land within the
+    p=12 error envelope of the exact distinct counts."""
+    import ray.data as rd
+
+    from datatest_ray.functions.aggregates import HLLDistinct
+
+    rng = np.random.RandomState(11)
+    n = 20000
+    g = rng.choice(["a", "b", "c"], n)
+    # distinct cardinality differs per group
+    v = np.where(g == "a", rng.randint(0, 50, n),
+                 np.where(g == "b", rng.randint(0, 500, n),
+                          rng.randint(0, 5000, n)))
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.table({"g": g, "v": v}))
+    out = ds.groupby("g").aggregate(
+        HLLDistinct(on="v", alias_name="est")).to_pandas()
+    import pandas as pd
+
+    exact = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
+    for _, row in out.iterrows():
+        true = exact[row["g"]]
+        assert abs(row["est"] - true) / true < 0.08
