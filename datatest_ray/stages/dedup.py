@@ -572,73 +572,109 @@ def _join_exact_verify(ds, pairs, text_col: str, id_col: str, *, n: int,
         "shset": pa.array([None], pa.binary()),
     }))
     sets = sentinel.union(sets)
-    pair_sentinel = rd.from_arrow(pa.table({
+
+    # Pair probes: TWO rows per pair keyed by the doc whose set each
+    # side needs; the pair identity (a, b) rides along so ONE coarse
+    # groupby reunites the sides after a SINGLE hash join — one join
+    # pool instead of a chained a-join/b-join (which also needed a
+    # block-rebuilding repartition between them).
+    def pair_probes(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(a)
+        return pa.table({
+            "a": pa.array(np.concatenate([a, a])),
+            "b": pa.array(np.concatenate([b, b])),
+            "side": pa.array(np.concatenate([
+                np.zeros(m, np.int64), np.ones(m, np.int64)])),
+            "doc": pa.array(np.concatenate([a, b])),
+        })
+
+    probes = pairs.map_batches(pair_probes, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    probe_sentinel = rd.from_arrow(pa.table({
         "a": pa.array([None], pa.int64()),
         "b": pa.array([None], pa.int64()),
-        "j": pa.array([None], pa.float64()),
+        "side": pa.array([None], pa.int64()),
+        "doc": pa.array([None], pa.int64()),
     }))
-    pairs = pair_sentinel.union(pairs)
+    # left_outer so the probe sentinel survives and keeps downstream
+    # blocks schema-carrying when there are zero candidates
+    joined = probe_sentinel.union(probes).join(
+        sets, join_type="left_outer", num_partitions=num_partitions,
+        on=("doc",), right_on=("doc",))
 
-    # left_outer (not inner) so the pair sentinel survives join 1 and
-    # keeps join 2's left side schema-carrying when there are zero
-    # candidates; every REAL pair matches both sides by construction,
-    # and the sentinel's null id is dropped in the final kernel.
-    j1 = pairs.join(sets, join_type="left_outer",
-                    num_partitions=num_partitions,
-                    on=("a",), right_on=("doc",))
-    j1 = j1.select_columns(["a", "b", "shset"]).rename_columns(
-        {"shset": "sh_a"})
-    # Ray's hash-join aggregator emits SCHEMA-LESS empty blocks for
-    # empty partitions; feeding those straight into a second join makes
-    # Acero fail to resolve the key FieldRef.  A repartition rebuilds
-    # well-formed blocks between the two joins.
-    j1 = j1.repartition(num_partitions)
-    j2 = j1.join(sets, join_type="left_outer",
-                 num_partitions=num_partitions,
-                 on=("b",), right_on=("doc",))
-    j2 = j2.select_columns(["a", "b", "sh_a", "shset"]).rename_columns(
-        {"shset": "sh_b"})
-
-    def exact_pair_j(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t.column("a")),
-                             pc.is_valid(t.column("b"))))
+    def post(t: pa.Table) -> pa.Table:
+        """Drop the sentinel, attach the coarse pair-bucket key, and
+        rebuild well-formed blocks (the join aggregator emits
+        schema-less empties for empty partitions)."""
+        empty = pa.table({
+            "coarse": pa.array([], pa.int64()),
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int64()),
+            "shset": pa.array([], pa.binary()),
+        })
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty
+        t = t.filter(pc.is_valid(t.column("a")))
         if t.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "j": pa.array([], pa.float64())})
-        def unpack(col):
-            arr = col.combine_chunks() if isinstance(
-                col, pa.ChunkedArray) else col
-            bufs = arr.buffers()
-            o = np.frombuffer(bufs[1], np.int32)[
-                arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
-            data = np.frombuffer(bufs[2], np.int64)
-            starts = o[:-1] // 8
-            lens = (o[1:] - o[:-1]) // 8
-            gather = np.repeat(starts, lens) + _concat_ranges_np(lens)
-            return data[gather], lens
+            return empty
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        coarse = (_pair_key(a, b) % np.uint64(_N_COARSE)).astype(np.int64)
+        return pa.table({
+            "coarse": pa.array(coarse),
+            "a": pc.cast(t.column("a"), pa.int64()),
+            "b": pc.cast(t.column("b"), pa.int64()),
+            "side": pc.cast(t.column("side"), pa.int64()),
+            "shset": t.column("shset"),
+        })
 
-        va, la = unpack(t.column("sh_a"))
-        vb, lb = unpack(t.column("sh_b"))
-        rows = np.arange(t.num_rows, dtype=np.int64)
-        rid = np.concatenate([np.repeat(rows, la), np.repeat(rows, lb)])
-        flat = np.concatenate([va, vb])
-        order = np.lexsort((flat, rid))
-        s, r = flat[order], rid[order]
+    tagged = joined.map_batches(post, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def exact_pair_j(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.float64())})
+        if group.num_rows == 0:
+            return empty
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, b, a))
+        a, b = a[order], b[order]
+        arr = group.column("shset")
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        arr = arr.take(pa.array(order, pa.int64()))
+        bufs = arr.buffers()
+        o = np.frombuffer(bufs[1], np.int32)[
+            arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], np.int64)
+        starts, lens = o[:-1] // 8, (o[1:] - o[:-1]) // 8
+        gather = np.repeat(starts, lens) + _concat_ranges_np(lens)
+        flat = data[gather]
+        # each pair = exactly two adjacent rows (side 0 then side 1)
+        npairs = len(a) // 2
+        pair_of_row = np.repeat(np.arange(npairs, dtype=np.int64), 2)
+        rid = np.repeat(pair_of_row, lens)
+        order2 = np.lexsort((flat, rid))
+        s, r = flat[order2], rid[order2]
         dup = (s[1:] == s[:-1]) & (r[1:] == r[:-1])
-        inter = np.bincount(r[1:][dup], minlength=t.num_rows)
+        inter = np.bincount(r[1:][dup], minlength=npairs)
+        la, lb = lens[0::2], lens[1::2]
         union = la + lb - inter
         j = inter / np.maximum(union, 1)
         keep = j >= threshold
-        sub = t.select(["a", "b"]).filter(pa.array(keep))
         return pa.table({
-            "a": pc.cast(sub.column("a"), pa.int64()),
-            "b": pc.cast(sub.column("b"), pa.int64()),
+            "a": pa.array(a[0::2][keep].astype(np.int64)),
+            "b": pa.array(b[0::2][keep].astype(np.int64)),
             "j": pa.array(j[keep]),
         })
 
-    return j2.map_batches(exact_pair_j, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return tagged.groupby("coarse").map_groups(
+        exact_pair_j, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
