@@ -54,13 +54,18 @@ def _null_sentinel_like(ds):
     }))
 
 
+_REAL = "__dtr_real_row"
+
+
 def safe_join(left_ds, right_ds, *, join_type: str, num_partitions: int,
               on, right_on=None):
     """``Dataset.join`` hardened against the empty/sparse-side crashes
-    (see :func:`_null_sentinel_like`).  The right side always gets a
-    null-key sentinel; the left side gets one only for INNER joins
-    (where an unmatched sentinel can never reach the output — an outer
-    join would emit it)."""
+    (see :func:`_null_sentinel_like`).  Both sides get a null-key
+    sentinel.  For INNER joins an unmatched sentinel can never reach
+    the output; for LEFT OUTER joins the join WOULD emit the left
+    sentinel, so real left rows carry a marker column (one fused
+    vectorized append — no extra pass) and a post-filter drops the
+    sentinel without touching legitimate null-key left rows."""
     import ray
 
     on = (on,) if isinstance(on, str) else tuple(on)
@@ -74,9 +79,38 @@ def safe_join(left_ds, right_ds, *, join_type: str, num_partitions: int,
     right_ds = _null_sentinel_like(right_ds).union(right_ds)
     if join_type == "inner":
         left_ds = _null_sentinel_like(left_ds).union(left_ds)
-    return left_ds.join(right_ds, join_type=join_type,
-                        num_partitions=num_partitions,
-                        on=on, right_on=right_on)
+        return left_ds.join(right_ds, join_type=join_type,
+                            num_partitions=num_partitions,
+                            on=on, right_on=right_on)
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            _REAL, pa.array(np.ones(t.num_rows, dtype=bool)))
+
+    marked = left_ds.map_batches(mark, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    # sentinel schema from the ORIGINAL left (a fully-empty mapped
+    # dataset reports no schema at all) + the marker field
+    import ray.data as rd
+
+    lsch = left_ds.schema()
+    lsch = getattr(lsch, "base_schema", lsch)
+    sent = rd.from_arrow(pa.table(
+        {f.name: pa.array([None], f.type) for f in lsch}
+        | {_REAL: pa.array([None], pa.bool_())}))
+    marked = sent.union(marked)
+    joined = marked.join(right_ds, join_type=join_type,
+                         num_partitions=num_partitions,
+                         on=on, right_on=right_on)
+
+    def unmark(t: pa.Table) -> pa.Table:
+        if _REAL not in t.column_names:
+            return t
+        t = t.filter(pc.is_valid(t.column(_REAL)))
+        return t.drop_columns([_REAL])
+
+    return joined.map_batches(unmark, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def _left_cols(left_ds) -> list:

@@ -404,3 +404,21 @@ class TestSafeJoin:
         out3 = safe_join(empty_left, right, join_type="inner",
                          num_partitions=8, on="k", right_on="rk")
         assert out3.count() == 0
+        out4 = safe_join(empty_left, right, join_type="left_outer",
+                         num_partitions=8, on="k", right_on="rk")
+        assert out4.count() == 0
+
+    def test_left_outer_keeps_legit_null_key_rows(self, ray_session):
+        """SQL semantics: a REAL left row with a null key survives a
+        left outer join (only the internal sentinel is dropped)."""
+        from datatest_ray.stages.relational import safe_join
+
+        left = _ds({"k": pa.array([1, None, 3], pa.int64()),
+                    "lv": [10, 20, 30]})
+        right = _ds({"rk": [1], "rv": ["x"]})
+        out = safe_join(left, right, join_type="left_outer",
+                        num_partitions=4, on="k",
+                        right_on="rk").to_pandas()
+        assert len(out) == 3
+        assert sorted(out["lv"]) == [10, 20, 30]
+        assert out[out["lv"] == 20]["rv"].isna().all()
