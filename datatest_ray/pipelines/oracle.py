@@ -973,6 +973,29 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
 """
 
 
+def q_asof_next_purchase(sf_dir: str):
+    """Forward as-of join: every click joined to the user's EARLIEST
+    following purchase (inclusive) — the time-to-conversion lookup."""
+    from ..stages.joins import asof_join_next
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    out = asof_join_next(clicks, purchases, by="user_id", ts="ts",
+                         left_id="event_id")
+    return _materialize(out.select_columns(["left_id", "next_ts_us", "gap_us"]))
+
+
+SQL_ASOF_NEXT_PURCHASE = """
+SELECT a.event_id AS left_id,
+       epoch_us(b.ts) AS next_ts_us,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND a.ts <= b.ts
+"""
+
+
 def q_sessionize_users(sf_dir: str):
     from ..stages.sessions import sessionize
 
@@ -3418,6 +3441,7 @@ def queries() -> Dict[str, Callable]:
         "salted_distinct_supp": q_salted_distinct_supp,
         "cms_event_counts": q_cms_event_counts,
         "asof_click_purchase": q_asof_click_purchase,
+        "asof_next_purchase": q_asof_next_purchase,
         "sessionize_users": q_sessionize_users,
         "accepted_tolerance_quantity": q_accepted_tolerance_quantity,
         "order_region": q_order_region,
@@ -3544,6 +3568,7 @@ def oracle_sql() -> Dict[str, str]:
         "salted_distinct_supp": SQL_SALTED_DISTINCT_SUPP,
         "cms_event_counts": SQL_CMS_EVENT_COUNTS,
         "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+        "asof_next_purchase": SQL_ASOF_NEXT_PURCHASE,
         "sessionize_users": SQL_SESSIONIZE_USERS,
         "accepted_tolerance_quantity": SQL_ACCEPTED_TOLERANCE_QUANTITY,
         "grouped_topk_orders": SQL_GROUPED_TOPK_ORDERS,

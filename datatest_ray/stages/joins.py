@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["asof_join_latest"]
+__all__ = ["asof_join_latest", "asof_join_next"]
 
 
 def _project(ds, by: str, ts: str, id_col: str, side: int):
@@ -79,6 +79,42 @@ def asof_join_latest(left_ds, right_ds, *, by: str, ts: str,
         gap_arr = pa.array(l_ts - prior, type=pa.int64(), mask=~has)
         return pa.table(
             {"left_id": lid, "k": key, "prior_ts_us": prior_arr,
+             "gap_us": gap_arr}
+        )
+
+    return tagged.groupby("k").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join_next(left_ds, right_ds, *, by: str, ts: str,
+                   left_id: str):
+    """Forward as-of: for every left row, the EARLIEST right row of the
+    same key with ``right.ts >= left.ts`` (inclusive).  Output
+    (left_id, k, next_ts_us, gap_us); nulls when nothing follows.
+    Same one-shuffle plan and tie-immune output as
+    :func:`asof_join_latest`."""
+    tagged = _project(left_ds, by, ts, left_id, side=1).union(
+        _project(right_ds, by, ts, left_id, side=0)
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        ts_us = group.column("ts_us").to_numpy(zero_copy_only=False)
+        lmask = side == 1
+        l_ts = ts_us[lmask]
+        r_ts = np.sort(ts_us[~lmask])
+        lid = group.column("left_id").filter(pa.array(lmask))
+        key = group.column("k").filter(pa.array(lmask))
+        nxt = np.zeros_like(l_ts)
+        if r_ts.size:
+            idx = np.searchsorted(r_ts, l_ts, side="left")
+            has = idx < r_ts.size
+            nxt[has] = r_ts[idx[has]]
+        else:
+            has = np.zeros(l_ts.shape, dtype=bool)
+        nxt_arr = pa.array(nxt, type=pa.int64(), mask=~has)
+        gap_arr = pa.array(nxt - l_ts, type=pa.int64(), mask=~has)
+        return pa.table(
+            {"left_id": lid, "k": key, "next_ts_us": nxt_arr,
              "gap_us": gap_arr}
         )
 

@@ -422,3 +422,23 @@ class TestSafeJoin:
         assert len(out) == 3
         assert sorted(out["lv"]) == [10, 20, 30]
         assert out[out["lv"] == 20]["rv"].isna().all()
+
+
+class TestAsofNext:
+    def test_forward_inclusive_and_empty_right(self, ray_session):
+        from datatest_ray.stages.joins import asof_join_next
+
+        left = _ds({"eid": [1, 2, 3, 4],
+                    "u": ["a", "a", "a", "b"],
+                    "t": pa.array([10, 25, 99, 5], pa.int64()).cast(
+                        pa.timestamp("us"))})
+        right = _ds({"u": ["a", "a", "a"],
+                     "t": pa.array([20, 25, 30], pa.int64()).cast(
+                         pa.timestamp("us"))})
+        out = asof_join_next(left, right, by="u", ts="t",
+                             left_id="eid").to_pandas().set_index("left_id")
+        assert out.loc[1, "next_ts_us"] == 20
+        assert out.loc[2, "next_ts_us"] == 25  # inclusive >=
+        assert out.loc[2, "gap_us"] == 0
+        assert np.isnan(out.loc[3, "next_ts_us"])  # nothing follows
+        assert np.isnan(out.loc[4, "next_ts_us"])  # key with no right
