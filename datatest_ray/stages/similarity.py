@@ -573,10 +573,21 @@ def kmeans(ds, *, id_col: str, vec_col: str, k: int = 4, iters: int = 2,
     import ray
     from ray.data.aggregate import Sum
 
-    init_tbl = pa.concat_tables(list(
-        ds.select_columns([id_col, vec_col]).sort(id_col).limit(k)
-        .iter_batches(batch_format="pyarrow", batch_size=max(k, 1))
+    # init = the k lowest-id vectors WITHOUT a global sort (a full
+    # shuffle just to pick k rows): per-batch k-smallest partials, tiny
+    # driver-side merge (k rows per block)
+    def kmin(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        idx = np.sort(np.argsort(ids, kind="stable")[:k])
+        return batch.select([id_col, vec_col]).take(
+            pa.array(idx, pa.int64()))
+
+    parts = pa.concat_tables(list(
+        ds.select_columns([id_col, vec_col])
+        .map_batches(kmin, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=65536)
     ))
+    init_tbl = parts.sort_by(id_col).slice(0, k)
     C = _batch_matrix(init_tbl, vec_col)
     d = C.shape[1]
     n_final = np.zeros(k, dtype=np.int64)
