@@ -3404,6 +3404,134 @@ GROUP BY g.day
 """
 
 
+def q_rolling_median_value(sf_dir: str):
+    """Trailing 7-row median of event value per user (robust rolling
+    statistic — spike-immune counterpart of rolling_avg_order)."""
+    from ..stages.winfunc import rolling_median
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return rolling_median(ds, by="user_id", order_col="ts",
+                          value_col="value", id_col="event_id", window=7)
+
+
+SQL_ROLLING_MEDIAN_VALUE = """
+SELECT event_id, user_id,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rmed
+FROM events
+"""
+
+
+def q_interval_islands(sf_dir: str):
+    """Gaps-and-islands over per-supplier shipping windows
+    [shipday, shipday + 2·linenumber]: overlapping-or-touching windows
+    merge; islands and total covered days per supplier."""
+    from ..stages.seq import interval_islands
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_linenumber", "l_shipdate"])
+
+    def mk(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(pc.cast(batch.column("l_shipdate"), pa.timestamp("us")),
+                    pa.int64()),
+            86400000000,
+        )
+        end = pc.add(day, pc.multiply(
+            pc.cast(batch.column("l_linenumber"), pa.int64()), 2))
+        return pa.table({
+            "supp": batch.column("l_suppkey"),
+            "s": day,
+            "e": end,
+        })
+
+    iv = ds.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    return interval_islands(iv, by="supp", start_col="s", end_col="e")
+
+
+SQL_INTERVAL_ISLANDS = """
+WITH iv AS (
+  SELECT l_suppkey AS supp,
+         CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS s,
+         CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)
+           + 2 * l_linenumber AS e
+  FROM lineitem
+), m AS (
+  SELECT supp, s, e,
+         max(e) OVER (PARTITION BY supp ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pmax
+  FROM iv
+), f AS (
+  SELECT supp, s, e,
+         CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS isl_start
+  FROM m
+), g AS (
+  SELECT supp, s, e,
+         sum(isl_start) OVER (PARTITION BY supp ORDER BY s, e) AS isl
+  FROM f
+), isl AS (
+  SELECT supp, isl, min(s) AS istart, max(e) AS iend
+  FROM g GROUP BY supp, isl
+)
+SELECT supp, count(*) AS n_islands,
+       CAST(sum(iend - istart) AS BIGINT) AS covered
+FROM isl GROUP BY supp
+"""
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted lower median of extended price per return
+    flag (order statistics with per-row multiplicity; integer-exact
+    cutover)."""
+    from ..stages.robust import weighted_median
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+    return weighted_median(ds, by="l_returnflag", col="l_extendedprice",
+                           weight_col="l_quantity")
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH agg AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+), c AS (
+  SELECT l_returnflag, v,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM agg
+)
+SELECT l_returnflag, min(v) AS wmedian
+FROM c WHERE 2 * cw >= tw GROUP BY l_returnflag
+"""
+
+
+def q_winsorize_brand(sf_dir: str):
+    """Per-brand winsorization of retail price at [p05, p95]
+    (quantile_cont bounds broadcast; rows never shuffled)."""
+    from ..stages.robust import winsorize
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    return winsorize(ds, by="p_brand", col="p_retailprice",
+                     id_col="p_partkey", p_lo=0.05, p_hi=0.95)
+
+
+SQL_WINSORIZE_BRAND = """
+WITH b AS (
+  SELECT p_brand, round(quantile_cont(p_retailprice, 0.05), 6) AS lo,
+         round(quantile_cont(p_retailprice, 0.95), 6) AS hi
+  FROM part GROUP BY p_brand
+)
+SELECT p_partkey, p.p_brand,
+       CASE WHEN p_retailprice < lo THEN lo
+            WHEN p_retailprice > hi THEN hi
+            ELSE p_retailprice END AS clipped
+FROM part p JOIN b ON p.p_brand = b.p_brand
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -3532,6 +3660,10 @@ def queries() -> Dict[str, Callable]:
         "emb_confusion": q_emb_confusion,
         "mom_change": q_mom_change,
         "wau_rolling": q_wau_rolling,
+        "rolling_median_value": q_rolling_median_value,
+        "interval_islands_supp": q_interval_islands,
+        "weighted_median_price": q_weighted_median_price,
+        "winsorize_brand": q_winsorize_brand,
     }
 
 
@@ -3655,4 +3787,8 @@ def oracle_sql() -> Dict[str, str]:
         "emb_confusion": SQL_EMB_CONFUSION,
         "mom_change": SQL_MOM_CHANGE,
         "wau_rolling": SQL_WAU_ROLLING,
+        "rolling_median_value": SQL_ROLLING_MEDIAN_VALUE,
+        "interval_islands_supp": SQL_INTERVAL_ISLANDS,
+        "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
+        "winsorize_brand": SQL_WINSORIZE_BRAND,
     }

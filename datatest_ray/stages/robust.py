@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["iqr_outliers", "grouped_mad"]
+__all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median"]
 
 
 def _grouped_quantiles(ds, by: str, col: str, qs):
@@ -153,3 +153,136 @@ def grouped_mad(ds, *, by: str, col: str):
         "med": pc.take(pa.array(med), idx),
         "mad": pa.array(mad),
     })
+
+
+def winsorize(ds, *, by: str, col: str, id_col: str,
+              p_lo: float = 0.05, p_hi: float = 0.95):
+    """Per-group winsorization: clip ``col`` to the group's
+    ``[quantile(p_lo), quantile(p_hi)]`` — the standard outlier-taming
+    step before training a regressor on heavy-tailed features.
+
+    Output: (id_col, by, clipped) with ``clipped`` float64.  Same
+    two-pass no-data-shuffle plan as the fences above: pass 1 computes
+    per-group ``quantile_cont`` bounds (rounded to 6 dp so both engines
+    pin the same float repr) and broadcasts them via ``ray.put``;
+    pass 2 is a streaming row pass that clips against the broadcast
+    bounds — the rows themselves never move.
+    """
+    import ray
+
+    stats = _grouped_quantiles(ds, by, col, (p_lo, p_hi))
+    lo = np.round(stats.column("q0").to_numpy(zero_copy_only=False), 6)
+    hi = np.round(stats.column("q1").to_numpy(zero_copy_only=False), 6)
+    keys = stats.column(by)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    handle = ray.put((keys, lo, hi))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        kk, lo_, hi_ = ray.get(handle)
+        idx = pc.index_in(batch.column(by), value_set=kk)
+        pos = idx.to_numpy(zero_copy_only=False)
+        pos = np.where(np.isnan(pos.astype(np.float64)), 0,
+                       pos).astype(np.int64)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        out = np.minimum(np.maximum(v, lo_[pos]), hi_[pos])
+        return pa.table({
+            id_col: batch.column(id_col),
+            by: batch.column(by),
+            "clipped": pa.array(out),
+        })
+
+    return ds.select_columns(
+        list(dict.fromkeys([id_col, by, col]))
+    ).map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_median(ds, *, by: str, col: str, weight_col: str,
+                    n_buckets: int = 64):
+    """Per-group LOWER weighted median: the smallest value v such that
+    the cumulative weight of rows with value <= v reaches half the
+    group's total weight (2·cumw >= totw) — order-statistics with
+    per-row multiplicity (e.g. price weighted by quantity).
+
+    Output: (by, wmedian float64).  Plan: per-batch combiner collapses
+    rows to distinct (by, value) pairs with int64 weight sums
+    (dictionary-encode + bincount — weights are cast to integer units
+    so the cutover comparison is EXACT, never a float-association
+    coin flip), one coarse-bucket shuffle of those small partials, and
+    a vectorized per-bucket kernel: sort by (key, value), per-run
+    weight sums via ``np.add.reduceat``, integer cumsum, first index
+    with ``2·cumw >= totw``.  Shuffle volume is O(distinct values), not
+    O(rows).
+    """
+    from ..functions.aggregates import hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(by)
+        k = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        w = batch.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(k)
+        kc = np.asarray(enc.indices, dtype=np.int64)
+        # pair-encode (key, value) so the per-batch combine is one pass
+        uv, vc = np.unique(v, return_inverse=True)
+        pair = kc * len(uv) + vc
+        up, pc_inv = np.unique(pair, return_inverse=True)
+        wsum = np.bincount(pc_inv, weights=w).astype(np.int64)
+        kidx = (up // len(uv)).astype(np.int64)
+        vidx = (up % len(uv)).astype(np.int64)
+        kd = pc.take(enc.dictionary, pa.array(kidx))
+        coarse = (hash64(kd) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            by: kd,
+            "_v": pa.array(uv[vidx]),
+            "_w": pa.array(wsum),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), ("_v", "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        v = t.column("_v").to_numpy(zero_copy_only=False)
+        w = t.column("_w").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        if n == 0:
+            return pa.table({by: t.column(by),
+                             "wmedian": pa.array([], pa.float64())})
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        # merge duplicate (key, value) partials from different batches
+        newv = new.copy()
+        newv[1:] |= v[1:] != v[:-1]
+        runs = np.flatnonzero(newv)
+        wrun = np.add.reduceat(w, runs)
+        krun = keys[runs]
+        vrun = v[runs]
+        firstk = np.ones(len(runs), dtype=bool)
+        firstk[1:] = krun[1:] != krun[:-1]
+        seg = np.cumsum(firstk) - 1
+        totw = np.bincount(seg, weights=wrun).astype(np.int64)
+        cumw = np.cumsum(wrun)
+        base = np.zeros(len(runs), dtype=np.int64)
+        segstart = np.flatnonzero(firstk)
+        base[segstart[1:]] = cumw[segstart[1:] - 1]
+        cumw_in = cumw - np.maximum.accumulate(base)
+        hit = 2 * cumw_in >= totw[seg]
+        # first hit per segment: arg of min index among hits
+        order = np.where(hit, np.arange(len(runs)), len(runs))
+        first_hit = np.minimum.reduceat(order, segstart)
+        out_k = krun[segstart]
+        out_v = vrun[first_hit]
+        return pa.table({
+            by: pa.array(out_k),
+            "wmedian": pa.array(out_v.astype(np.float64)),
+        })
+
+    return ds.select_columns(
+        list(dict.fromkeys([by, col, weight_col]))
+    ).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([by, "wmedian"])

@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 from ..functions.aggregates import hash64
 
 __all__ = ["first_last_by", "transition_counts", "ewma_last",
-           "inversion_counts", "day_streaks", "next_day_retention"]
+           "inversion_counts", "day_streaks", "next_day_retention",
+           "interval_islands"]
 
 
 def _ts_us(col):
@@ -376,3 +377,72 @@ def next_day_retention(ds, *, by: str, ts: str, n_buckets: int = 256):
     return partials.groupby("day").aggregate(
         Sum("n_active", alias_name="n_active"),
         Sum("n_retained", alias_name="n_retained"))
+
+
+def interval_islands(ds, *, by: str, start_col: str, end_col: str,
+                     n_buckets: int = 256):
+    """Gaps-and-islands: merge each key's overlapping-or-touching
+    [start, end] intervals into maximal islands (next.start <= running
+    max end joins the island) and report per key the island count and
+    total covered span — the coverage/fragmentation audit for shipping
+    windows, session spans, on-call rotations.
+
+    Output: (by, n_islands int64, covered int64 = Σ(island_end −
+    island_start)).  Inputs are int64 units (e.g. epoch days).
+
+    Vectorized island detection without a per-key loop: after one sort
+    by (key, start, end), the per-segment running max of ``end`` is one
+    global ``np.maximum.accumulate`` over ``end + K·segid`` (K > max
+    end, so a later segment's floor always exceeds an earlier segment's
+    ceiling — the accumulate can never leak a previous key's max
+    forward).  An island starts where the segment starts or where
+    ``start > running_max_end`` of the rows before it.
+    """
+    need = [by, start_col, end_col]
+
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return batch.select(need).append_column("coarse", pa.array(coarse))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), (start_col, "ascending"),
+                           (end_col, "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        s = t.column(start_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        e = t.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(s)
+        if n == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({by: t.column(by), "n_islands": empty,
+                             "covered": empty})
+        new = _seg_first(keys)
+        seg = np.cumsum(new) - 1
+        K = np.int64(e.max() + 1 - min(e.min(), 0))
+        cummax = np.maximum.accumulate(e + K * seg) - K * seg
+        isl_start = new.copy()
+        isl_start[1:] |= s[1:] > cummax[:-1]
+        isl = np.cumsum(isl_start) - 1
+        isl_s = s[np.flatnonzero(isl_start)]
+        # island end = running max at the island's last row
+        isl_last = np.empty(isl_start.sum(), dtype=np.int64)
+        isl_last[:-1] = np.flatnonzero(isl_start)[1:] - 1
+        isl_last[-1] = n - 1
+        isl_e = cummax[isl_last]
+        isl_seg = seg[np.flatnonzero(isl_start)]
+        n_isl = np.bincount(isl_seg)
+        covered = np.bincount(isl_seg, weights=isl_e - isl_s).astype(
+            np.int64)
+        segstart = np.flatnonzero(new)
+        return pa.table({
+            by: pc.take(t.column(by), pa.array(segstart)),
+            "n_islands": pa.array(n_isl.astype(np.int64)),
+            "covered": pa.array(covered),
+        })
+
+    return ds.select_columns(need).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([by, "n_islands", "covered"])

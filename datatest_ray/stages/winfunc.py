@@ -23,8 +23,8 @@ import pyarrow.compute as pc
 
 from ..functions.aggregates import hash64
 
-__all__ = ["lag_diff", "rolling_agg", "cume_dist", "group_zscore",
-           "rank_window"]
+__all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
+           "group_zscore", "rank_window"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -327,3 +327,55 @@ def rolling_agg(ds, *, by: str, order_col: str, value_col: str,
     return _bucketed(ds, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "roll"])
+
+
+def rolling_median(ds, *, by: str, order_col: str, value_col: str,
+                   id_col: str, window: int = 7, n_buckets: int = 256):
+    """SQL ``median(v) OVER (PARTITION BY by ORDER BY order, id
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)`` — the robust
+    trailing statistic (spike-immune, unlike ``rolling_agg('mean')``).
+
+    Output: (id_col, by, rmed) with ``rmed`` float64.  Vectorized with
+    no per-row Python: each bucket builds an (n × window) strided view
+    of the sorted value array, masks positions before the row's segment
+    start to NaN, and takes one ``np.nanmedian(axis=1)`` — O(n·window)
+    and exactly DuckDB's interpolation (mean of the two middle values
+    for even frame sizes).  ``window`` is a small constant (trailing
+    frames), so the matrix stays a few× the bucket size.
+    """
+    need = list(dict.fromkeys([id_col, by, order_col, value_col]))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.select(need).sort_by(
+            [(by, "ascending"), (order_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        n = len(v)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col), by: t.column(by),
+                             "rmed": pa.array([], pa.float64())})
+        new = _segments(keys)
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        i = np.arange(n, dtype=np.int64)
+        lo = np.maximum(starts[seg], i - window + 1)
+        # frame matrix: column j holds v[i - (window-1) + j]
+        offs = np.arange(window, dtype=np.int64) - (window - 1)
+        idx = i[:, None] + offs[None, :]
+        valid = idx >= lo[:, None]
+        vals = v[np.maximum(idx, 0)]
+        vals[~valid] = np.nan
+        out = np.nanmedian(vals, axis=1)
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "rmed": pa.array(out),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "rmed"])

@@ -442,3 +442,24 @@ class TestAsofNext:
         assert out.loc[2, "gap_us"] == 0
         assert np.isnan(out.loc[3, "next_ts_us"])  # nothing follows
         assert np.isnan(out.loc[4, "next_ts_us"])  # key with no right
+
+
+class TestRollingMedian:
+    def test_frame_and_segment_reset(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.winfunc import rolling_median
+
+        ts = pa.array([1, 2, 3, 4, 1, 2], pa.int64())
+        ds = rd.from_arrow(pa.table({
+            "k": ["a"] * 4 + ["b"] * 2,
+            "o": ts,
+            "v": [1.0, 100.0, 3.0, 5.0, 7.0, 9.0],
+            "i": [0, 1, 2, 3, 4, 5],
+        }))
+        out = rolling_median(ds, by="k", order_col="o", value_col="v",
+                             id_col="i", window=3).to_pandas()
+        got = dict(zip(out.i, out.rmed))
+        # a: [1]=1, [1,100]=50.5, [1,100,3]=3, [100,3,5]=5
+        # b restarts: [7]=7, [7,9]=8
+        assert got == {0: 1.0, 1: 50.5, 2: 3.0, 3: 5.0, 4: 7.0, 5: 8.0}

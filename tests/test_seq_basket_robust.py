@@ -312,3 +312,84 @@ class TestCentroidConfusion:
         assert got[(0, 2)] == 1.0      # same direction
         assert got[(0, 1)] == 0.0      # orthogonal
         assert got[(1, 2)] == 0.0
+
+
+class TestIntervalIslands:
+    def test_merge_touch_and_gap(self, ray_session):
+        from datatest_ray.stages.seq import interval_islands
+
+        # key 1: [0,5] + [3,4] (contained) + [5,9] (touching) merge into
+        # one island [0,9]; [12,13] is its own island.
+        # key 2: one interval. No leakage of key 1's running max.
+        ds = _ds({
+            "k": [1, 1, 1, 1, 2],
+            "s": [0, 3, 5, 12, 1],
+            "e": [5, 4, 9, 13, 2],
+        })
+        out = interval_islands(ds, by="k", start_col="s",
+                               end_col="e").to_pandas()
+        r1 = out[out.k == 1].iloc[0]
+        assert (r1.n_islands, r1.covered) == (2, 10)
+        r2 = out[out.k == 2].iloc[0]
+        assert (r2.n_islands, r2.covered) == (1, 1)
+
+    def test_no_cross_key_leak_on_sorted_adjacency(self, ray_session):
+        from datatest_ray.stages.seq import interval_islands
+
+        # key 10 ends at 100; key 20 starts below that — must still be
+        # a fresh island (the K-offset accumulate resets per segment).
+        ds = _ds({"k": [10, 20], "s": [0, 50], "e": [100, 60]})
+        out = interval_islands(ds, by="k", start_col="s",
+                               end_col="e").to_pandas()
+        assert sorted(out.n_islands) == [1, 1]
+        assert sorted(out.covered) == [10, 100]
+
+
+class TestWeightedMedian:
+    def test_lower_median_integer_cutover(self, ray_session):
+        from datatest_ray.stages.robust import weighted_median
+
+        # group A: values 1 (w=1), 2 (w=1), 3 (w=2); tot=4, half=2 →
+        # first v with 2*cumw >= 4 is v=2 (cumw 2). Lower median.
+        # group B: single value dominates.
+        ds = _ds({
+            "g": ["A", "A", "A", "A", "B", "B"],
+            "v": [3.0, 1.0, 2.0, 3.0, 9.0, 1.0],
+            "w": [1, 1, 1, 1, 5, 1],
+        })
+        out = weighted_median(ds, by="g", col="v",
+                              weight_col="w").to_pandas()
+        got = dict(zip(out.g, out.wmedian))
+        assert got == {"A": 2.0, "B": 9.0}
+
+    def test_cross_batch_partials_merge(self, ray_session):
+        import ray.data as rd
+        from datatest_ray.stages.robust import weighted_median
+
+        # same (key, value) arriving in different blocks must merge
+        # weights before the cutover scan
+        t1 = pa.table({"g": ["X"], "v": [5.0], "w": [1]})
+        t2 = pa.table({"g": ["X", "X"], "v": [5.0, 1.0], "w": [1, 1]})
+        ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+        out = weighted_median(ds, by="g", col="v",
+                              weight_col="w").to_pandas()
+        assert dict(zip(out.g, out.wmedian)) == {"X": 5.0}
+
+
+class TestWinsorize:
+    def test_clip_bounds_per_group(self, ray_session):
+        from datatest_ray.stages.robust import winsorize
+
+        vals = list(map(float, range(1, 101)))
+        ds = _ds({
+            "g": ["a"] * 100,
+            "v": vals,
+            "i": list(range(100)),
+        })
+        out = winsorize(ds, by="g", col="v", id_col="i",
+                        p_lo=0.05, p_hi=0.95).to_pandas()
+        lo = float(np.round(np.quantile(vals, 0.05), 6))
+        hi = float(np.round(np.quantile(vals, 0.95), 6))
+        assert out.clipped.min() == lo and out.clipped.max() == hi
+        mid = out[(out.i >= 10) & (out.i <= 90)]
+        assert (mid.clipped == mid.i + 1).all()
