@@ -3532,6 +3532,127 @@ FROM part p JOIN b ON p.p_brand = b.p_brand
 """
 
 
+def q_feature_hash_lang(sf_dir: str):
+    """Hashing-trick token features per language: md5(token) % 16
+    bucket counts (unbounded-vocab encoder, md5 contract)."""
+    from ..stages.text import feature_hash
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return feature_hash(ds, "text", by="lang", n_buckets=16)
+
+
+SQL_FEATURE_HASH_LANG = """
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT lang,
+       CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM toks WHERE trim(tok) <> ''
+GROUP BY lang, bucket
+"""
+
+
+def q_impute_discount(sf_dir: str):
+    """Deterministic-mask null imputation: rows whose md5 key falls
+    below 10% are 'missing' and repaired with the per-returnflag median
+    of the surviving rows."""
+    from ..stages.mlprep import impute_group_median
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_discount"])
+    return impute_group_median(
+        ds, id_cols=["l_orderkey", "l_linenumber"], by="l_returnflag",
+        col="l_discount", miss_rate=0.1)
+
+
+SQL_IMPUTE_DISCOUNT = """
+WITH m AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_discount,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                  CAST(l_linenumber AS VARCHAR)), 1, 8))
+              AS BIGINT) < 0.1 * 4294967296 AS miss
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, round(quantile_cont(l_discount, 0.5), 6) AS med
+  FROM m WHERE NOT miss GROUP BY l_returnflag
+)
+SELECT m.l_orderkey, m.l_linenumber,
+       CASE WHEN m.miss THEN med.med ELSE m.l_discount END AS imputed
+FROM m JOIN med ON m.l_returnflag = med.l_returnflag
+"""
+
+
+def q_snm_partnames(sf_dir: str):
+    """Sorted-neighborhood linkage over part names: window-5 neighbor
+    pairs in (3-char-block, sorted-key) order scored with DuckDB-exact
+    Jaro-Winkler."""
+    from ..stages.dedup import sorted_neighborhood_pairs
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return sorted_neighborhood_pairs(
+        ds, "p_name", "p_partkey", block_chars=3, window=5,
+        prefix=32, threshold=0.88)
+
+
+SQL_SNM_PARTNAMES = """
+WITH k AS (
+  SELECT p_partkey AS id, substr(lower(p_name), 1, 32) AS key,
+         substr(lower(p_name), 1, 3) AS blk
+  FROM part
+), r AS (
+  SELECT id, key, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY key, id) AS rn
+  FROM k
+)
+SELECT least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,
+       jaro_winkler_similarity(a.key, b.key) AS jw
+FROM r a JOIN r b ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
+WHERE jaro_winkler_similarity(a.key, b.key) >= 0.88
+"""
+
+
+def q_wasserstein_price(sf_dir: str):
+    """Earth-mover drift of extended price, returnflag 'A' vs rest:
+    per-bin CDFs over a fixed 20-bin grid (integer cumsums, one IEEE
+    division per bin on both engines)."""
+    from ..stages.drift import wasserstein
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_returnflag"])
+    return wasserstein(ds, "l_extendedprice", split_col="l_returnflag",
+                       ref_value="A", lo=900.0, hi=105000.0, bins=20)
+
+
+SQL_WASSERSTEIN_PRICE = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor((l_extendedprice - 900.0) / 5205.0),
+                             0), 19) AS BIGINT) AS bin,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS is_ref
+  FROM lineitem
+), c AS (
+  SELECT bin, CAST(sum(is_ref) AS BIGINT) AS nref,
+         CAST(sum(1 - is_ref) AS BIGINT) AS ncmp
+  FROM b GROUP BY bin
+), grid AS (
+  SELECT unnest(generate_series(0, 19)) AS bin
+), f AS (
+  SELECT grid.bin, coalesce(c.nref, 0) AS nref, coalesce(c.ncmp, 0) AS ncmp
+  FROM grid LEFT JOIN c ON grid.bin = c.bin
+), cdf AS (
+  SELECT bin,
+         CAST(sum(nref) OVER (ORDER BY bin) AS DOUBLE)
+           / greatest(sum(nref) OVER (), 1) AS cdf_ref,
+         CAST(sum(ncmp) OVER (ORDER BY bin) AS DOUBLE)
+           / greatest(sum(ncmp) OVER (), 1) AS cdf_cmp
+  FROM f
+)
+SELECT bin, cdf_ref, cdf_cmp, abs(cdf_ref - cdf_cmp) AS dcdf FROM cdf
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -3664,6 +3785,10 @@ def queries() -> Dict[str, Callable]:
         "interval_islands_supp": q_interval_islands,
         "weighted_median_price": q_weighted_median_price,
         "winsorize_brand": q_winsorize_brand,
+        "feature_hash_lang": q_feature_hash_lang,
+        "impute_discount": q_impute_discount,
+        "snm_partnames": q_snm_partnames,
+        "wasserstein_price": q_wasserstein_price,
     }
 
 
@@ -3791,4 +3916,8 @@ def oracle_sql() -> Dict[str, str]:
         "interval_islands_supp": SQL_INTERVAL_ISLANDS,
         "weighted_median_price": SQL_WEIGHTED_MEDIAN_PRICE,
         "winsorize_brand": SQL_WINSORIZE_BRAND,
+        "feature_hash_lang": SQL_FEATURE_HASH_LANG,
+        "impute_discount": SQL_IMPUTE_DISCOUNT,
+        "snm_partnames": SQL_SNM_PARTNAMES,
+        "wasserstein_price": SQL_WASSERSTEIN_PRICE,
     }

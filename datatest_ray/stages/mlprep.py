@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from .sampling import _key_units
 
 __all__ = ["fd_violations", "target_encode", "split_balance",
-           "quantize_report"]
+           "quantize_report", "impute_group_median"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -234,3 +234,68 @@ def quantize_report(ds, *, vec_col: str, levels: int = 255):
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def impute_group_median(ds, *, id_cols, by: str, col: str,
+                        miss_rate: float = 0.1):
+    """Null-imputation with per-group medians, with a DETERMINISTIC
+    missingness mask so the whole repair is SQL-auditable: a row is
+    treated as missing iff the md5 of its key (same ``_key_units``
+    contract as the sampling family) falls below ``miss_rate``; missing
+    values are replaced by the exact median (``quantile_cont(0.5)``,
+    rounded to 6 dp) of the NON-missing rows in the row's ``by`` group.
+
+    Output: (*id_cols, imputed float64).  Plan: pass 1 computes the
+    per-group medians over the non-missing subset (one groupby over
+    projected columns — #groups bounded); pass 2 streams rows against
+    the broadcast medians.  The md5 loop is the documented per-row
+    cross-engine hash contract (sampling.py), not a hot-path kernel.
+    """
+    import ray
+
+    from .robust import _grouped_quantiles
+    from .sampling import _key_units
+
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    need = list(dict.fromkeys([*ids, by, col]))
+
+    def keyed(batch: pa.Table):
+        parts = []
+        for i, c in enumerate(ids):
+            if i:
+                parts.append("-")
+            parts.append(pc.cast(batch.column(c), pa.string()))
+        key = parts[0] if len(parts) == 1 else \
+            pc.binary_join_element_wise(*parts, "")
+        return _key_units(key.combine_chunks()
+                          if isinstance(key, pa.ChunkedArray) else key,
+                          "md5")
+
+    def nonmiss(batch: pa.Table) -> pa.Table:
+        u = keyed(batch)
+        return batch.select([by, col]).filter(pa.array(u >= miss_rate))
+
+    clean = ds.select_columns(need).map_batches(
+        nonmiss, batch_format="pyarrow", zero_copy_batch=True)
+    stats = _grouped_quantiles(clean, by, col, (0.5,))
+    med = np.round(stats.column("q0").to_numpy(zero_copy_only=False), 6)
+    keys = stats.column(by)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    handle = ray.put((keys, med))
+
+    def impute(batch: pa.Table) -> pa.Table:
+        kk, md = ray.get(handle)
+        u = keyed(batch)
+        idx = pc.index_in(batch.column(by), value_set=kk)
+        pos = idx.to_numpy(zero_copy_only=False)
+        pos = np.where(np.isnan(pos.astype(np.float64)), 0,
+                       pos).astype(np.int64)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        out = np.where(u < miss_rate, md[pos], v)
+        cols = {c: batch.column(c) for c in ids}
+        cols["imputed"] = pa.array(out)
+        return pa.table(cols)
+
+    return ds.select_columns(need).map_batches(
+        impute, batch_format="pyarrow", zero_copy_batch=True)

@@ -27,6 +27,7 @@ __all__ = [
     "STOPWORDS",
     "LANG_ORDER",
     "tokens_and_offsets",
+    "feature_hash",
     "token_counts",
     "text_stats",
     "lang_id",
@@ -611,3 +612,55 @@ def bigram_topk(ds, text_col: str, *, k: int = 20):
         Sum("n", alias_name="n"))
     return totals.sort(["n", "w1", "w2"],
                        descending=[True, False, False]).limit(k)
+
+
+def feature_hash(ds, text_col: str, *, by: str, n_buckets: int = 16):
+    """Hashing-trick token features: per ``by`` group, token
+    occurrences folded into a fixed ``n_buckets``-wide count vector via
+    ``md5(token) % n_buckets`` — the unbounded-vocabulary encoder
+    (Weinberger et al.'s feature hashing) that needs no vocab build or
+    second pass.
+
+    Output: (by, bucket int64, n int64), one row per non-empty
+    (group, bucket) cell.  Plan: per-batch combiner hashes only the
+    batch's DISTINCT tokens (dictionary-encode first — the md5 loop
+    runs over the block vocabulary, not token occurrences), scatters
+    counts with one bincount over ``group_code·n_buckets + bucket``,
+    and ships ≤ groups×n_buckets partial rows into ONE tiny groupby
+    sum.  md5 (not hash64) IS the cross-engine contract: DuckDB
+    recomputes the identical bucket assignment.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        g = batch.column(by)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        genc = pc.dictionary_encode(g)
+        gcode = np.asarray(genc.indices, dtype=np.int64)
+        row_of_tok = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), _row_counts(offsets)
+        )
+        tenc = pc.dictionary_encode(flat)
+        tcode = np.asarray(tenc.indices, dtype=np.int64)
+        vocab = tenc.dictionary.to_pylist()
+        tb = np.array(
+            [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+             % n_buckets for t in vocab],
+            dtype=np.int64,
+        ) if vocab else np.empty(0, dtype=np.int64)
+        cell = gcode[row_of_tok] * n_buckets + tb[tcode]
+        m = len(genc.dictionary) * n_buckets
+        cnt = np.bincount(cell, minlength=m).astype(np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            by: pc.take(genc.dictionary, pa.array(keep // n_buckets)),
+            "bucket": pa.array(keep % n_buckets),
+            "n": pa.array(cnt[keep]),
+        })
+
+    return ds.select_columns([by, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby([by, "bucket"]).aggregate(Sum("n", alias_name="n"))

@@ -89,3 +89,34 @@ def test_quantize_report_error_bound_and_constant_dim(ray_session):
     active = out.drop(index=3)
     assert (active["mse"] <= (active["scale"] ** 2) / 4 + 1e-12).all()
     assert (active["mse"] > 0).all()
+
+
+class TestImputeGroupMedian:
+    def test_mask_and_median(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.mlprep import impute_group_median
+
+        ids = list(range(1, 41))
+        vals = [float(i % 7) for i in ids]
+        ds = rd.from_arrow(pa.table({
+            "id": ids, "g": ["x"] * 40, "v": vals,
+        }))
+        out = impute_group_median(
+            ds, id_cols="id", by="g", col="v", miss_rate=0.25
+        ).to_pandas().set_index("id")
+
+        def unit(k):
+            return int(hashlib.md5(str(k).encode()).hexdigest()[:8],
+                       16) / 2 ** 32
+
+        import numpy as np
+        miss = {i for i in ids if unit(i) < 0.25}
+        assert miss, "test needs at least one masked row"
+        clean = [v for i, v in zip(ids, vals) if i not in miss]
+        med = round(float(np.quantile(clean, 0.5)), 6)
+        for i in ids:
+            expect = med if i in miss else vals[i - 1]
+            assert out.loc[i, "imputed"] == expect

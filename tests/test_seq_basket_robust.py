@@ -393,3 +393,32 @@ class TestWinsorize:
         assert out.clipped.min() == lo and out.clipped.max() == hi
         mid = out[(out.i >= 10) & (out.i <= 90)]
         assert (mid.clipped == mid.i + 1).all()
+
+
+class TestWasserstein:
+    def test_identical_slices_zero(self, ray_session):
+        from datatest_ray.stages.drift import wasserstein
+
+        # same distribution on both sides -> every dcdf 0
+        ds = _ds({
+            "v": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+            "s": ["a", "a", "a", "b", "b", "b"],
+        })
+        out = wasserstein(ds, "v", split_col="s", ref_value="a",
+                          lo=0.0, hi=4.0, bins=4).to_pandas()
+        assert len(out) == 4
+        assert (out.dcdf == 0).all()
+
+    def test_full_shift_is_max_mass(self, ray_session):
+        from datatest_ray.stages.drift import wasserstein
+
+        # ref mass all in bin 0, cmp mass all in bin 3:
+        # dcdf = 1 for bins 0..2, 0 at bin 3 -> W1 = 3 * width
+        ds = _ds({
+            "v": [0.5, 0.5, 3.5, 3.5],
+            "s": ["r", "r", "c", "c"],
+        })
+        out = wasserstein(ds, "v", split_col="s", ref_value="r",
+                          lo=0.0, hi=4.0, bins=4).to_pandas()
+        got = dict(zip(out.bin, out.dcdf))
+        assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 0.0}

@@ -597,3 +597,49 @@ def test_kmeans_converges_and_is_deterministic(ray_session):
     out2 = kmeans(ds, id_col="id", vec_col="v", k=3, iters=3).to_pandas()
     assert out.sort_values(["cid", "dim"]).reset_index(drop=True).equals(
         out2.sort_values(["cid", "dim"]).reset_index(drop=True))
+
+
+class TestFeatureHash:
+    def test_bucket_counts_md5_contract(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.text import feature_hash
+
+        ds = rd.from_arrow(pa.table({
+            "g": ["en", "en", "de"],
+            "text": ["Foo bar foo", "bar", ""],
+        }))
+        out = feature_hash(ds, "text", by="g", n_buckets=16).to_pandas()
+
+        def b(tok):
+            return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16
+
+        got = {(r.g, r.bucket): r.n for r in out.itertuples()}
+        want = {}
+        for tok, cnt in (("foo", 2), ("bar", 2)):
+            want[("en", b(tok))] = want.get(("en", b(tok)), 0) + cnt
+        assert got == want  # empty doc contributes nothing
+
+
+class TestSortedNeighborhood:
+    def test_window_pairs_only(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.dedup import sorted_neighborhood_pairs
+
+        # 'zzz*' block: near-identical neighbors pair; the far-away
+        # 'aaa*' block never pairs with them (prefix blocking)
+        ds = rd.from_arrow(pa.table({
+            "id": [1, 2, 3, 4],
+            "name": ["zzz apple pie", "zzz apple pia",
+                     "aaa something", "zzz apple pix"],
+        }))
+        out = sorted_neighborhood_pairs(
+            ds, "name", "id", block_chars=3, window=5,
+            threshold=0.9).to_pandas()
+        pairs = {tuple(sorted((a, b))) for a, b in zip(out.a_id, out.b_id)}
+        assert pairs == {(1, 2), (1, 4), (2, 4)}
+        assert (out.a_id < out.b_id).all()
+        assert (out.jw >= 0.9).all()
