@@ -395,7 +395,10 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, *, n: int = 3,
     to_buckets = _make_minhash_bucket_kernel(
         text_col, id_col, n=n, num_perm=num_perm, bands=bands, seed=seed
     )
-    cut = threshold - est_margin if verify == "exact" else threshold
+    # any mode that re-verifies exactly must widen the estimate cut by
+    # the signature error margin, or true-positive pairs whose 64-perm
+    # estimate lands just under the threshold die before the verify
+    cut = threshold - est_margin if verify in ("exact", "join") else threshold
 
     def coarse_pairs(group: pa.Table) -> pa.Table:
         """Segment by exact band bucket; signature-Jaccard estimate for

@@ -643,3 +643,43 @@ class TestSortedNeighborhood:
         assert pairs == {(1, 2), (1, 4), (2, 4)}
         assert (out.a_id < out.b_id).all()
         assert (out.jw >= 0.9).all()
+
+
+def test_minhash_join_verify_borderline_estimates(ray_session):
+    """Regression: verify='join' must widen the signature-estimate cut
+    by est_margin exactly like verify='exact' — pairs whose true j sits
+    just above the threshold but whose 64-perm estimate lands slightly
+    under it must still reach (and pass) the exact verify.  The corpus
+    is built as mutated-copy pairs with exact j clustered at 0.78-0.87,
+    razor-edge against threshold=0.78."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from datatest_ray.stages.dedup import minhash_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    texts, ids = [], []
+    for d in range(12):
+        base = [vocab[(d * 17 + i) % 400] for i in range(60)]
+        texts.append(" ".join(base))
+        ids.append(2 * d)
+        mut = list(base)
+        for _ in range(rng.randint(2, 5)):
+            mut[rng.randint(len(mut))] = vocab[rng.randint(len(vocab))]
+        texts.append(" ".join(mut))
+        ids.append(2 * d + 1)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+
+    kw = dict(n=3, threshold=0.78, shuffle_partitions=2)
+    exact = minhash_lsh_pairs(ds, "text", "doc_id", **kw) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    joined = minhash_lsh_pairs(ds, "text", "doc_id", verify="join", **kw) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    # the corpus pins 7 true pairs >= 0.78 (4x j=0.8125, 3x j=0.871,
+    # plus the 0.7846 pair) — all must survive BOTH verify paths
+    assert len(exact) >= 7
+    assert list(zip(exact["a"], exact["b"])) == list(
+        zip(joined["a"], joined["b"]))
+    assert np.allclose(exact["j"].to_numpy(), joined["j"].to_numpy(),
+                       atol=0, rtol=0)
