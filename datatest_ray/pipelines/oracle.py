@@ -3653,6 +3653,90 @@ SELECT bin, cdf_ref, cdf_cmp, abs(cdf_ref - cdf_cmp) AS dcdf FROM cdf
 """
 
 
+def q_mi_flag_status(sf_dir: str):
+    """Mutual information between returnflag and linestatus: per-cell
+    p_xy and contribution (integer-count divisions, one ln per cell)."""
+    from ..stages.drift import mutual_information
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    return mutual_information(ds, "l_returnflag", "l_linestatus")
+
+
+SQL_MI_FLAG_STATUS = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+), t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+mx AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS nx FROM c GROUP BY 1),
+my AS (SELECT l_linestatus, CAST(sum(n) AS BIGINT) AS ny FROM c GROUP BY 1)
+SELECT c.l_returnflag, c.l_linestatus,
+       CAST(c.n AS DOUBLE) / tot AS pxy,
+       round((CAST(c.n AS DOUBLE) / tot) *
+             ln((CAST(c.n AS DOUBLE) / tot) /
+                ((CAST(nx AS DOUBLE) / tot) *
+                 (CAST(ny AS DOUBLE) / tot))), 6) AS mi
+FROM c CROSS JOIN t
+JOIN mx ON c.l_returnflag = mx.l_returnflag
+JOIN my ON c.l_linestatus = my.l_linestatus
+"""
+
+
+def q_pareto_parts(sf_dir: str):
+    """2-D Pareto frontier of parts: cheapest price vs largest size,
+    local-skyline combiner then one exact pass over survivors."""
+    from ..stages.relational import pareto_front
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+    return pareto_front(ds, min_col="p_retailprice", max_col="p_size",
+                        id_col="p_partkey")
+
+
+SQL_PARETO_PARTS = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+def q_er_part_clusters(sf_dir: str):
+    """Composed entity-resolution audit: SNM candidate pairs at
+    JW >= 0.94 → connected components → cluster-size histogram."""
+    from ..stages.graph import er_cluster_sizes
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return er_cluster_sizes(ds, "p_name", "p_partkey", block_chars=3,
+                            window=5, threshold=0.94)
+
+
+SQL_ER_PART_CLUSTERS = """
+WITH RECURSIVE k AS (
+  SELECT p_partkey AS id, substr(lower(p_name), 1, 32) AS key,
+         substr(lower(p_name), 1, 3) AS blk
+  FROM part
+), rr AS (
+  SELECT id, key, blk,
+         row_number() OVER (PARTITION BY blk ORDER BY key, id) AS rn
+  FROM k
+), p AS (
+  SELECT least(a.id, b.id) AS a, greatest(a.id, b.id) AS b
+  FROM rr a JOIN rr b ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
+  WHERE jaro_winkler_similarity(a.key, b.key) >= 0.94
+), edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v AS node, r2.lbl FROM reach r2 JOIN edges e ON e.u = r2.node
+),
+comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY cid)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM sz GROUP BY size
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -3789,6 +3873,9 @@ def queries() -> Dict[str, Callable]:
         "impute_discount": q_impute_discount,
         "snm_partnames": q_snm_partnames,
         "wasserstein_price": q_wasserstein_price,
+        "mi_flag_status": q_mi_flag_status,
+        "pareto_parts": q_pareto_parts,
+        "er_part_clusters": q_er_part_clusters,
     }
 
 
@@ -3920,4 +4007,7 @@ def oracle_sql() -> Dict[str, str]:
         "impute_discount": SQL_IMPUTE_DISCOUNT,
         "snm_partnames": SQL_SNM_PARTNAMES,
         "wasserstein_price": SQL_WASSERSTEIN_PRICE,
+        "mi_flag_status": SQL_MI_FLAG_STATUS,
+        "pareto_parts": SQL_PARETO_PARTS,
+        "er_part_clusters": SQL_ER_PART_CLUSTERS,
     }

@@ -39,7 +39,8 @@ from ..differences import empty_violations, violations_table
 from ..functions.aggregates import ks_statistic_from_histograms, ks_threshold
 from .base import Check, RunContext
 
-__all__ = ["DriftCheck", "BinSpec", "psi", "benford", "wasserstein"]
+__all__ = ["DriftCheck", "BinSpec", "psi", "benford", "wasserstein",
+           "mutual_information"]
 
 
 def benford(ds, value_col: str, *, scale: int = 100):
@@ -513,6 +514,85 @@ def wasserstein(ds, value_col: str, *, split_col: str, ref_value,
             "cdf_ref": pa.array(cdf_ref),
             "cdf_cmp": pa.array(cdf_cmp),
             "dcdf": pa.array(np.abs(cdf_ref - cdf_cmp)),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def mutual_information(ds, x_col: str, y_col: str):
+    """Mutual information between two categorical columns — the
+    dependence screen that catches associations chi-square's p-value
+    saturates on: MI = Σ_xy p_xy · ln(p_xy / (p_x · p_y)).
+
+    Output: one row per observed (x, y) cell with (x, y, pxy, mi);
+    the scalar MI is Σ mi.  Plan mirrors :func:`chi2_independence`:
+    per-batch contingency partials via one dictionary-encode +
+    bincount, ONE tiny ``groupby(x, y).sum`` (key space = observed
+    cells), single-block finalize that forms marginals and per-cell
+    contributions.  Every probability is one integer/total division
+    and the contribution one ln — identical IEEE ops on both engines,
+    pinned at 6 dp.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col)
+        x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+        y = batch.column(y_col)
+        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        xe = pc.dictionary_encode(x)
+        ye = pc.dictionary_encode(y)
+        xc = np.asarray(xe.indices, dtype=np.int64)
+        yc = np.asarray(ye.indices, dtype=np.int64)
+        ny = len(ye.dictionary)
+        cell = xc * ny + yc
+        cnt = np.bincount(cell, minlength=len(xe.dictionary) * ny)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            x_col: pc.take(xe.dictionary, pa.array(keep // ny)),
+            y_col: pc.take(ye.dictionary, pa.array(keep % ny)),
+            "n": pa.array(cnt[keep].astype(np.int64)),
+        })
+
+    counts = (
+        ds.select_columns([x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([x_col, y_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            x_col: pa.array([], pa.string()),
+            y_col: pa.array([], pa.string()),
+            "pxy": pa.array([], pa.float64()),
+            "mi": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = n.sum()
+        x = t.column(x_col)
+        x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+        y = t.column(y_col)
+        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        xe = pc.dictionary_encode(x)
+        ye = pc.dictionary_encode(y)
+        xc = np.asarray(xe.indices, dtype=np.int64)
+        yc = np.asarray(ye.indices, dtype=np.int64)
+        nx = np.bincount(xc, weights=n).astype(np.int64)
+        nyv = np.bincount(yc, weights=n).astype(np.int64)
+        pxy = n / tot
+        px = nx / tot
+        py = nyv / tot
+        mi = pxy * np.log(pxy / (px[xc] * py[yc]))
+        return pa.table({
+            x_col: x,
+            y_col: y,
+            "pxy": pa.array(pxy),
+            "mi": pa.array(np.round(mi, 6)),
         })
 
     return counts.repartition(1).map_batches(

@@ -38,7 +38,7 @@ import pyarrow as pa
 
 from .dedup import _N_COARSE, _concat_ranges_np
 
-__all__ = ["connected_components", "degree_histogram"]
+__all__ = ["connected_components", "degree_histogram", "er_cluster_sizes"]
 
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
@@ -173,3 +173,30 @@ def degree_histogram(pairs_ds, *, a_col: str = "a", b_col: str = "b"):
         .aggregate(Sum("d", alias_name="degree"))
     )
     return deg.groupby("degree").aggregate(Count(alias_name="n_nodes"))
+
+
+def er_cluster_sizes(ds, text_col: str, id_col: str, *,
+                     block_chars: int = 3, window: int = 5,
+                     threshold: float = 0.94, prefix: int = 32):
+    """Composed entity-resolution pipeline: sorted-neighborhood
+    candidate pairs (``dedup.sorted_neighborhood_pairs``) → connected
+    components over the match graph → cluster-size histogram
+    (size, n_clusters) — the end-to-end dedup audit ("how many entity
+    groups of each size did linkage find?").
+
+    Every stage is the already-distributed operator; the composition
+    adds two tiny groupbys (per-cluster count, per-size count) whose
+    key spaces are bounded by cluster count and max cluster size.
+    """
+    from ray.data.aggregate import Count
+
+    from .dedup import sorted_neighborhood_pairs
+
+    pairs = sorted_neighborhood_pairs(
+        ds, text_col, id_col, block_chars=block_chars, window=window,
+        prefix=prefix, threshold=threshold)
+    comp = connected_components(pairs, a_col="a_id", b_col="b_id")
+    sizes = comp.groupby("cluster_id").aggregate(
+        Count(alias_name="size"))
+    return sizes.groupby("size").aggregate(
+        Count(alias_name="n_clusters"))

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 __all__ = ["safe_join", "semi_join", "anti_join", "except_distinct",
            "intersect_distinct", "pivot_counts", "rollup_counts", "cube_counts",
-           "broadcast_join", "range_join_broadcast"]
+           "broadcast_join", "range_join_broadcast", "pareto_front"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -430,3 +430,46 @@ def pivot_counts(ds, *, by: str, pivot_col: str, values: Sequence[str],
     )
     aggs = [Sum(name, alias_name=name) for name in names]
     return partials.groupby(by).aggregate(*aggs)
+
+
+def pareto_front(ds, *, min_col: str, max_col: str, id_col: str):
+    """Distributed 2-D Pareto skyline: rows not dominated by any other
+    row (dominator has ``min_col`` <= and ``max_col`` >= with at least
+    one strict) — the cheapest-and-best frontier query (price/quality,
+    latency/accuracy).  Ties on BOTH dimensions are mutually
+    non-dominating, so exact duplicates all stay on the front.
+
+    Classic two-level plan: the per-block LOCAL skyline is a combiner
+    (a block's dominated rows can never enter the global front, so the
+    survivor set — O(frontier) per block, typically logarithmic in the
+    block for non-degenerate data — is all that moves), then ONE final
+    exact pass over the gathered survivors.  The kernel is a sort +
+    per-price-group prefix-max scan, no Python loop over rows.
+    """
+    need = [id_col, min_col, max_col]
+
+    def skyline(t: pa.Table) -> pa.Table:
+        t = t.select(need)
+        if t.num_rows == 0:
+            return t
+        t = t.sort_by([(min_col, "ascending"), (max_col, "descending")])
+        lo = t.column(min_col).to_numpy(zero_copy_only=False)
+        hi = t.column(max_col).to_numpy(zero_copy_only=False)
+        n = len(lo)
+        newg = np.ones(n, dtype=bool)
+        newg[1:] = lo[1:] != lo[:-1]
+        grp = np.cumsum(newg) - 1
+        gstart = np.flatnonzero(newg)
+        gmax = hi[gstart]                      # per-group max (sorted desc)
+        prefmax = np.maximum.accumulate(gmax)  # running max over groups
+        # max over STRICTLY cheaper groups (none for the first group)
+        prev = np.full(len(gmax), -np.inf)
+        prev[1:] = prefmax[:-1]
+        keep = (hi == gmax[grp]) & (hi > prev[grp])
+        return t.filter(pa.array(keep))
+
+    local = ds.select_columns(need).map_batches(
+        skyline, batch_format="pyarrow", zero_copy_batch=True)
+    # survivors are tiny by construction: one exact global pass
+    return local.repartition(1).map_batches(
+        skyline, batch_format="pyarrow", batch_size=None)

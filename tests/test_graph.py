@@ -74,3 +74,24 @@ def test_degree_histogram(ray_session):
     got = dict(zip(out["degree"], out["n_nodes"]))
     # node 1 has degree 3; nodes 2,3,4,5,6 have degree 1
     assert got == {3: 1, 1: 5}
+
+
+class TestErClusterSizes:
+    def test_two_clusters_histogram(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.graph import er_cluster_sizes
+
+        # three near-identical 'acme' variants + two 'zenith' variants
+        # + one singleton that matches nothing (singletons don't appear:
+        # they have no pairs, hence no component rows)
+        ds = rd.from_arrow(pa.table({
+            "id": [1, 2, 3, 4, 5, 6],
+            "name": ["acme corporation ltd", "acme corporation ltd.",
+                     "acme corporation limited", "zenith widgets inc",
+                     "zenith widgets incorporated", "unrelated name here"],
+        }))
+        out = er_cluster_sizes(ds, "name", "id", block_chars=3,
+                               window=5, threshold=0.9).to_pandas()
+        got = dict(zip(out["size"], out.n_clusters))
+        assert got == {3: 1, 2: 1}

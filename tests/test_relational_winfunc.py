@@ -463,3 +463,45 @@ class TestRollingMedian:
         # a: [1]=1, [1,100]=50.5, [1,100,3]=3, [100,3,5]=5
         # b restarts: [7]=7, [7,9]=8
         assert got == {0: 1.0, 1: 50.5, 2: 3.0, 3: 5.0, 4: 7.0, 5: 8.0}
+
+
+class TestParetoFront:
+    def test_dominance_and_ties(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.relational import pareto_front
+
+        # (price, size): frontier is (1,5), (2,9); (1,5)-dup kept;
+        # (2,5) dominated by (1,5) [strict price]; (3,9) dominated by
+        # (2,9); (2,4) dominated by (1,5) strictly both
+        ds = rd.from_arrow(pa.table({
+            "id": [1, 2, 3, 4, 5, 6],
+            "price": [1.0, 2.0, 2.0, 3.0, 1.0, 2.0],
+            "size": [5, 9, 5, 9, 5, 4],
+        }))
+        out = pareto_front(ds, min_col="price", max_col="size",
+                           id_col="id").to_pandas()
+        assert sorted(out.id) == [1, 2, 5]
+
+    def test_local_prune_never_drops_frontier(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.relational import pareto_front
+
+        rng = np.random.RandomState(3)
+        price = rng.uniform(0, 100, 500)
+        size = rng.randint(0, 1000, 500)
+        ds = rd.from_arrow(pa.table({
+            "id": np.arange(500), "price": price, "size": size,
+        })).repartition(8)  # force multi-block local pruning
+        out = pareto_front(ds, min_col="price", max_col="size",
+                           id_col="id").to_pandas()
+        # brute-force oracle
+        keep = []
+        for i in range(500):
+            dom = ((price <= price[i]) & (size >= size[i]) &
+                   ((price < price[i]) | (size > size[i]))).any()
+            if not dom:
+                keep.append(i)
+        assert sorted(out.id) == keep

@@ -422,3 +422,21 @@ class TestWasserstein:
                           lo=0.0, hi=4.0, bins=4).to_pandas()
         got = dict(zip(out.bin, out.dcdf))
         assert got == {0: 1.0, 1: 1.0, 2: 1.0, 3: 0.0}
+
+
+class TestMutualInformation:
+    def test_independent_is_zero_and_identical_is_entropy(self, ray_session):
+        import numpy as np
+        from datatest_ray.stages.drift import mutual_information
+
+        # perfectly dependent: y == x over 2 symbols, uniform
+        ds = _ds({"x": ["a", "b"] * 50, "y": ["a", "b"] * 50})
+        out = mutual_information(ds, "x", "y").to_pandas()
+        assert abs(out.mi.sum() - np.log(2)) < 1e-6
+
+        # independent uniform 2x2
+        ds2 = _ds({"x": ["a", "a", "b", "b"] * 25,
+                   "y": ["u", "v", "u", "v"] * 25})
+        out2 = mutual_information(ds2, "x", "y").to_pandas()
+        assert abs(out2.mi.sum()) < 1e-9
+        assert len(out2) == 4
