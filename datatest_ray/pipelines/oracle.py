@@ -3737,6 +3737,32 @@ SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM sz GROUP BY size
 """
 
 
+def q_image_dup_clusters(sf_dir: str):
+    """Image near-dup cluster audit over the deterministic seeded
+    image+caption fixture (FIXTURES.md F1; the sf dirname sets the row
+    count): phash LSH pairs → connected components → cluster-size
+    histogram.  rows-only by design: phash banding is not
+    SQL-expressible; brute-force Hamming parity is pinned in
+    tests/test_imaging.py."""
+    import os
+
+    from ..sources.images import ImageFixtureSpec, generate_dataset
+    from ..stages.imaging import image_dup_clusters
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.001
+    spec = ImageFixtureSpec(n_rows=max(1000, int(1_000_000 * sf)),
+                            seed=42, rows_per_part=2048)
+    return _materialize(
+        image_dup_clusters(generate_dataset(spec), threshold=4,
+                           mode="sampled"),
+        empty_schema=pa.schema([("size", pa.int64()),
+                                ("n_clusters", pa.int64())]))
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -3876,6 +3902,7 @@ def queries() -> Dict[str, Callable]:
         "mi_flag_status": q_mi_flag_status,
         "pareto_parts": q_pareto_parts,
         "er_part_clusters": q_er_part_clusters,
+        "image_dup_clusters": q_image_dup_clusters,
     }
 
 

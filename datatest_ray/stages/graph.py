@@ -38,7 +38,8 @@ import pyarrow as pa
 
 from .dedup import _N_COARSE, _concat_ranges_np
 
-__all__ = ["connected_components", "degree_histogram", "er_cluster_sizes"]
+__all__ = ["connected_components", "degree_histogram", "er_cluster_sizes",
+           "cluster_size_histogram"]
 
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
@@ -188,14 +189,24 @@ def er_cluster_sizes(ds, text_col: str, id_col: str, *,
     adds two tiny groupbys (per-cluster count, per-size count) whose
     key spaces are bounded by cluster count and max cluster size.
     """
-    from ray.data.aggregate import Count
-
     from .dedup import sorted_neighborhood_pairs
 
     pairs = sorted_neighborhood_pairs(
         ds, text_col, id_col, block_chars=block_chars, window=window,
         prefix=prefix, threshold=threshold)
-    comp = connected_components(pairs, a_col="a_id", b_col="b_id")
+    return cluster_size_histogram(pairs, a_col="a_id", b_col="b_id")
+
+
+def cluster_size_histogram(pairs_ds, *, a_col: str = "a",
+                           b_col: str = "b"):
+    """Connected components over a pair stream → (size, n_clusters)
+    histogram; the shared tail of every "how big are my duplicate
+    groups?" audit (text ER, image phash near-dup).  Two tiny groupbys
+    past the components loop — key spaces bounded by cluster count and
+    max cluster size."""
+    from ray.data.aggregate import Count
+
+    comp = connected_components(pairs_ds, a_col=a_col, b_col=b_col)
     sizes = comp.groupby("cluster_id").aggregate(
         Count(alias_name="size"))
     return sizes.groupby("size").aggregate(

@@ -31,7 +31,7 @@ from ..functions.png import container_scan, decode_image, hamming64, phash64, ps
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters"]
 
 
 class FixtureReference:
@@ -276,7 +276,10 @@ class PhashNearDupCheck(Check):
         self.seed = seed
         self.check_id = check_id or f"phash_near_dup(<={threshold})"
 
-    def violations(self, ds, ctx: RunContext):
+    def pairs(self, ds, ctx: RunContext):
+        """The deduped near-dup pair stream (a, b, d) — a < b string
+        ids, d = exact Hamming — before violation formatting; the
+        building block :func:`image_dup_clusters` composes on."""
         from ray.data.aggregate import Min
 
         from .base import coalesced
@@ -398,9 +401,13 @@ class PhashNearDupCheck(Check):
         # a pair may collide in several bands: dedup on (a, b).  The
         # pairs stream is tiny (near-dup hits only) — cap the coalesce so
         # this second exchange is a handful of blocks, not P x P
-        deduped = coalesced(pairs, ctx, cap=4).groupby(["a", "b"]).aggregate(
+        return coalesced(pairs, ctx, cap=4).groupby(["a", "b"]).aggregate(
             Min("d", alias_name="d")
         )
+
+    def violations(self, ds, ctx: RunContext):
+        check_id = self.check_id
+        deduped = self.pairs(ds, ctx)
         default_part = ctx.default_partition
 
         def to_violations(batch: pa.Table) -> pa.Table:
@@ -514,3 +521,33 @@ class ImageIntegrityCheck(Check):
             batch_format="pyarrow",
             batch_size=self.batch_size,
         )
+
+
+def image_dup_clusters(ds, *, threshold: int = 4, mode: str = "sampled",
+                       id_prefix_len: int = 4, **check_kwargs):
+    """Composed image near-dup audit: phash LSH pairs (the same
+    candidate/verify plan as :class:`PhashNearDupCheck`) → connected
+    components → cluster-size histogram (size, n_clusters) — "how many
+    visually-identical groups of each size does the corpus hold?".
+
+    ``id_prefix_len`` strips the fixture's ``img_`` prefix so the
+    numeric id suffix feeds the integer-keyed components loop.
+    """
+    from .base import RunContext
+    from .graph import cluster_size_histogram
+
+    check = PhashNearDupCheck(threshold=threshold, mode=mode,
+                              **check_kwargs)
+    pairs = check.pairs(ds, RunContext())
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pc.cast(pc.utf8_slice_codeunits(
+                batch.column("a"), id_prefix_len, 64), pa.int64()),
+            "b": pc.cast(pc.utf8_slice_codeunits(
+                batch.column("b"), id_prefix_len, 64), pa.int64()),
+        })
+
+    int_pairs = pairs.map_batches(to_int, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return cluster_size_histogram(int_pairs, a_col="a", b_col="b")

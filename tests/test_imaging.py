@@ -356,3 +356,45 @@ class TestImageIntegrityCheck:
         # declared-vs-header dim mismatch reports both sides
         dims_row = out[out.row_ref == "dims"].iloc[0]
         assert (dims_row.value, dims_row.expected) == ("9x8", "8x8")
+
+
+class TestImageDupClusters:
+    def test_histogram_matches_bruteforce_components(self, ray_session):
+        import numpy as np
+        from datatest_ray.functions.png import hamming64
+        from datatest_ray.sources.images import (ImageFixtureSpec,
+                                                 generate_dataset)
+        from datatest_ray.stages.imaging import image_dup_clusters
+
+        spec = ImageFixtureSpec(n_rows=600, seed=42, rows_per_part=200,
+                                p_phash_dup=0.05)
+        ds = generate_dataset(spec)
+        # exact-mode pigeonhole recall 1.0 at threshold < n_bands
+        out = image_dup_clusters(
+            ds, threshold=4, mode="exact").to_pandas()
+        got = dict(zip(out["size"], out.n_clusters))
+
+        # brute-force union-find over all Hamming<=4 pairs
+        tbl = generate_dataset(spec).to_pandas()
+        ph = tbl.phash.to_numpy().astype(np.int64)
+        ids = np.array([int(s.split("_")[-1]) for s in tbl.image_id])
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        n = len(ph)
+        ii, jj = np.triu_indices(n, k=1)
+        d = hamming64(ph[ii], ph[jj])
+        close = (d <= 4) & (ids[ii] != ids[jj])
+        for i, j in zip(ii[close], jj[close]):
+            ri, rj = find(int(ids[i])), find(int(ids[j]))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        from collections import Counter
+        comp = Counter(find(x) for x in parent)
+        want = Counter(comp.values())
+        assert got == dict(want)
