@@ -35,6 +35,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _N_COARSE, _concat_ranges_np
 
@@ -61,14 +62,18 @@ def _segments(v_sorted: np.ndarray) -> np.ndarray:
 def _hash_to_min_round(group: pa.Table) -> pa.Table:
     """One hash-to-min round over every node hashed into this coarse
     bucket — fully vectorized: sort, segment, per-segment min via
-    minimum.reduceat, then two repeat/concat emissions."""
+    the sorted segment start, then two repeat/concat emissions.
+
+    Output carries a tag column ``t``: t=0 rows are the next round's
+    state; t=1 rows are this round's per-node min label (node in ``v``,
+    label in ``u``) — the label pass rides the SAME shuffle instead of
+    a second groupby over the state (fused-round plan)."""
     t = group.sort_by([("v", "ascending"), ("u", "ascending")])
     v = t.column("v").to_numpy(zero_copy_only=False)
     u = t.column("u").to_numpy(zero_copy_only=False)
     if len(v) == 0:
-        return pa.table({"coarse": pa.array([], pa.int64()),
-                         "v": pa.array([], pa.int64()),
-                         "u": pa.array([], pa.int64())})
+        e = pa.array([], pa.int64())
+        return pa.table({"coarse": e, "v": e, "u": e, "t": e})
     # drop exact (v, u) duplicates so state growth stays bounded
     keep = np.ones(len(v), dtype=bool)
     keep[1:] = (v[1:] != v[:-1]) | (u[1:] != u[:-1])
@@ -78,26 +83,16 @@ def _hash_to_min_round(group: pa.Table) -> pa.Table:
     np.cumsum(counts[:-1], out=starts[1:])
     # u is sorted within each segment → per-node min member is u[start];
     # self-loops are maintained by the emission rule, so min(u) ≤ v holds
-    m = np.minimum(u[starts], v[starts])
-    m_rep = np.repeat(m, counts)
-    out_v = np.concatenate([m_rep, u])
-    out_u = np.concatenate([u, m_rep])
-    return pa.table({"coarse": _coarse(out_v),
-                     "v": pa.array(out_v), "u": pa.array(out_u)})
-
-
-def _min_labels(group: pa.Table) -> pa.Table:
-    t = group.sort_by([("v", "ascending"), ("u", "ascending")])
-    v = t.column("v").to_numpy(zero_copy_only=False)
-    u = t.column("u").to_numpy(zero_copy_only=False)
-    if len(v) == 0:
-        return _LABEL_SCHEMA.empty_table()
-    counts = _segments(v)
-    starts = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
     node = v[starts]
-    return pa.table({"node": pa.array(node),
-                     "cluster_id": pa.array(np.minimum(u[starts], node))})
+    m = np.minimum(u[starts], node)
+    m_rep = np.repeat(m, counts)
+    out_v = np.concatenate([m_rep, u, node])
+    out_u = np.concatenate([u, m_rep, m])
+    tag = np.zeros(len(out_v), dtype=np.int64)
+    tag[-len(node):] = 1
+    return pa.table({"coarse": _coarse(out_v),
+                     "v": pa.array(out_v), "u": pa.array(out_u),
+                     "t": pa.array(tag)})
 
 
 def connected_components(
@@ -130,14 +125,29 @@ def connected_components(
     if state.count() == 0:
         return ray.data.from_arrow(_LABEL_SCHEMA.empty_table())
 
+    def take_state(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("t"), 0)).select(
+            ["coarse", "v", "u"])
+
+    def take_labels(t: pa.Table) -> pa.Table:
+        lab = t.filter(pc.equal(t.column("t"), 1))
+        return pa.table({"node": lab.column("v"),
+                         "cluster_id": lab.column("u")})
+
+    # fused-round loop: ONE shuffle per round (state update and the
+    # per-node min labels come out of the same map_groups, split by a
+    # cheap tag filter over the materialized blocks); convergence when
+    # the monotone-nonincreasing label sum stops changing
     prev_sum = None
+    labels = None
     for _ in range(max_iters):
-        state = state.groupby("coarse").map_groups(
+        fused = state.groupby("coarse").map_groups(
             _hash_to_min_round, batch_format="pyarrow"
         ).materialize()
-        labels = state.groupby("coarse").map_groups(
-            _min_labels, batch_format="pyarrow"
-        ).materialize()
+        state = fused.map_batches(take_state, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        labels = fused.map_batches(take_labels, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
         cur_sum = labels.sum("cluster_id")
         if cur_sum == prev_sum:
             break
