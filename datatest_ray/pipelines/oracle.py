@@ -3756,9 +3756,11 @@ def q_image_dup_clusters(sf_dir: str):
         sf = 0.001
     spec = ImageFixtureSpec(n_rows=max(1000, int(1_000_000 * sf)),
                             seed=42, rows_per_part=2048)
+    # source-level pruning: the audit touches only (image_id, phash),
+    # so payload encode and caption synthesis never run
+    images = generate_dataset(spec, columns={"image_id", "phash"})
     return _materialize(
-        image_dup_clusters(generate_dataset(spec), threshold=4,
-                           mode="sampled"),
+        image_dup_clusters(images, threshold=4, mode="sampled"),
         empty_schema=pa.schema([("size", pa.int64()),
                                 ("n_clusters", pa.int64())]))
 

@@ -126,8 +126,24 @@ def reference_caption(seed: int, i: int) -> str:
     return _caption(np.random.RandomState((seed * 3_000_017 + i) % (2**32)))
 
 
-def generate_batch(indices: np.ndarray, spec: ImageFixtureSpec) -> pa.Table:
-    """Generate rows for the given global indices (deterministic)."""
+def generate_batch(indices: np.ndarray, spec: ImageFixtureSpec,
+                   columns=None) -> pa.Table:
+    """Generate rows for the given global indices (deterministic).
+
+    ``columns`` prunes generation work at the SOURCE (read-level
+    pruning for a synthetic source): payload encode and caption text
+    are skipped when not requested — but every draw on the row RNG
+    still happens in the same order, so pruned and full generation
+    emit bitwise-identical values for the shared columns (pinned by
+    test_transforms.py).  Pixel synthesis is kept whenever ``bytes``
+    or ``phash`` is needed."""
+    want = set(columns) if columns is not None else None
+
+    def need(c):
+        return want is None or c in want
+
+    want_bytes = need("bytes")
+    want_pixels = want_bytes or need("phash")
     seed = spec.seed
     drift_part = spec.n_parts - 1 if spec.drift_last_partition else -1
     ids, payloads, ws, hs, fmts, caps, phashes, parts = [], [], [], [], [], [], [], []
@@ -169,21 +185,26 @@ def generate_batch(indices: np.ndarray, spec: ImageFixtureSpec) -> pa.Table:
         else:
             fmt = "webp"
         stored = pixels  # what a decoder will actually reconstruct
+        payload = b""
         if fmt == "jpeg":
             q = 16 if rng.rand() < spec.p_lossy_bad else 4
-            payload = lossy_encode(pixels, q)
-            stored = ((pixels.astype(np.int32) + q // 2) // q * q).clip(0, 255).astype(np.uint8)
+            if want_bytes:
+                payload = lossy_encode(pixels, q)
+            if want_pixels:
+                stored = ((pixels.astype(np.int32) + q // 2) // q * q).clip(0, 255).astype(np.uint8)
         elif fmt == "png":
-            payload = png_encode(pixels)
+            if want_bytes:
+                payload = png_encode(pixels)
         else:
-            payload = webp_encode(pixels)
+            if want_bytes:
+                payload = webp_encode(pixels)
 
         if rng.rand() < spec.p_corrupt:
             mode = rng.randint(3)
             if mode == 0:
                 payload = payload[: max(8, len(payload) // 2)]  # truncate
             elif mode == 1:
-                payload = b"CORRUPTED" + payload[9:]
+                payload = b"CORRUPTED" + payload[9:] if payload else payload
             else:
                 payload = payload[:16] + b"\x00\x00\x00\x00" + payload[20:]
 
@@ -200,9 +221,13 @@ def generate_batch(indices: np.ndarray, spec: ImageFixtureSpec) -> pa.Table:
         if rng.rand() < spec.p_bad_fmt:
             fmt = str(rng.choice(["jpg ", "JPEG", ""]))
 
-        cap = reference_caption(seed, i)
+        # caption text rides its own counter-based stream — skipping it
+        # cannot shift the row RNG; the p_bad_cap draw still happens
+        cap = reference_caption(seed, i) if need("caption") else ""
         if rng.rand() < spec.p_bad_cap:
-            cap = str(rng.choice(["", "bad\x01caption", "naughty\ttab"]))
+            bad = rng.choice(["", "bad\x01caption", "naughty\ttab"])
+            if need("caption"):
+                cap = str(bad)
 
         ids.append(image_id)
         payloads.append(payload)
@@ -210,29 +235,37 @@ def generate_batch(indices: np.ndarray, spec: ImageFixtureSpec) -> pa.Table:
         hs.append(h)
         fmts.append(fmt)
         caps.append(cap)
-        phashes.append(int(phash64(stored)))  # phash of the STORED image
+        # phash of the STORED image; skipped only when neither bytes
+        # nor phash is requested (pixel synthesis itself always runs —
+        # the near-dup jitter draw depends on the pixel shape)
+        phashes.append(int(phash64(stored)) if want_pixels else 0)
         parts.append(f"part_{part:05d}")
 
-    return pa.table(
-        {
-            "image_id": pa.array(ids, pa.string()),
-            "bytes": pa.array(payloads, pa.binary()),
-            "w": pa.array(ws, pa.int32()),
-            "h": pa.array(hs, pa.int32()),
-            "fmt": pa.array(fmts, pa.string()),
-            "caption": pa.array(caps, pa.string()),
-            "phash": pa.array(phashes, pa.int64()),
-            "partition_id": pa.array(parts, pa.string()),
-        }
-    )
+    full = {
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(payloads, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "fmt": pa.array(fmts, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(phashes, pa.int64()),
+        "partition_id": pa.array(parts, pa.string()),
+    }
+    if want is not None:
+        full = {k: v for k, v in full.items() if k in want}
+    return pa.table(full)
 
 
-def generate_dataset(spec: ImageFixtureSpec, parallelism: int = -1):
-    """Distributed fixture generation as a Ray Data pipeline."""
+def generate_dataset(spec: ImageFixtureSpec, parallelism: int = -1,
+                     columns=None):
+    """Distributed fixture generation as a Ray Data pipeline.
+    ``columns`` prunes generation work at the source (see
+    :func:`generate_batch`)."""
     import ray.data as rd
 
     def gen(batch: pa.Table) -> pa.Table:
-        return generate_batch(batch.column("id").to_numpy(), spec)
+        return generate_batch(batch.column("id").to_numpy(), spec,
+                              columns=columns)
 
     ds = rd.range(spec.n_rows, override_num_blocks=parallelism if parallelism > 0 else None)
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=512)

@@ -191,3 +191,22 @@ def test_read_table_csv(ray_session, tmp_path):
     with pytest.raises(ValidationError) as e:
         validate.interval(ds2, min=1, max=10, columns=["qty"])
     assert len(e.value.differences) == 1
+
+
+class TestFixtureColumnPruning:
+    def test_pruned_generation_bitwise_equals_full(self, ray_session):
+        import numpy as np
+        from datatest_ray.sources.images import (ImageFixtureSpec,
+                                                 generate_batch)
+
+        # pruning skips payload encode + caption text but must keep
+        # every row-RNG draw in order: shared columns are bitwise equal
+        spec = ImageFixtureSpec(n_rows=400, seed=42, rows_per_part=100,
+                                p_phash_dup=0.05)
+        idx = np.arange(400)
+        full = generate_batch(idx, spec)
+        pruned = generate_batch(idx, spec,
+                                columns={"image_id", "phash", "fmt", "w"})
+        assert set(pruned.column_names) == {"image_id", "phash", "fmt", "w"}
+        assert full.select(pruned.column_names).equals(
+            pruned.select(pruned.column_names))
