@@ -3707,8 +3707,11 @@ def q_er_part_clusters(sf_dir: str):
     from ..stages.graph import er_cluster_sizes
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    return er_cluster_sizes(ds, "p_name", "p_partkey", block_chars=3,
-                            window=5, threshold=0.94)
+    return _materialize(
+        er_cluster_sizes(ds, "p_name", "p_partkey", block_chars=3,
+                         window=5, threshold=0.94),
+        empty_schema=pa.schema([("size", pa.int64()),
+                                ("n_clusters", pa.int64())]))
 
 
 SQL_ER_PART_CLUSTERS = """
@@ -3763,6 +3766,49 @@ def q_image_dup_clusters(sf_dir: str):
         image_dup_clusters(images, threshold=4, mode="sampled"),
         empty_schema=pa.schema([("size", pa.int64()),
                                 ("n_clusters", pa.int64())]))
+
+
+def q_tfidf_pairs(sf_dir: str):
+    """TF-IDF cosine near-dup pairs over the top-64 df vocabulary:
+    vectorize → exact block-pair grid join (no corpus broadcast)."""
+    from ..stages.text import tfidf_cosine_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(
+        tfidf_cosine_pairs(ds, "text", "doc_id", vocab_k=64,
+                           threshold=0.9),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("sim", pa.float64())]))
+
+
+SQL_TFIDF_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE trim(tok) <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+vocab AS (
+  SELECT tok, df FROM dfreq ORDER BY df DESC, tok ASC LIMIT 64
+), w AS (
+  SELECT tf.doc_id, tf.tok, tf.tf * ln(CAST(n AS DOUBLE) / df) AS w
+  FROM tf JOIN vocab USING (tok) CROSS JOIN nn
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT dots.a, dots.b, round(dot / (na.nrm * nb.nrm), 6) AS sim
+FROM dots
+JOIN nrm na ON dots.a = na.doc_id
+JOIN nrm nb ON dots.b = nb.doc_id
+WHERE dot / (na.nrm * nb.nrm) >= 0.9
+"""
 
 
 def queries() -> Dict[str, Callable]:
@@ -3905,6 +3951,7 @@ def queries() -> Dict[str, Callable]:
         "pareto_parts": q_pareto_parts,
         "er_part_clusters": q_er_part_clusters,
         "image_dup_clusters": q_image_dup_clusters,
+        "tfidf_pairs": q_tfidf_pairs,
     }
 
 
@@ -4039,4 +4086,5 @@ def oracle_sql() -> Dict[str, str]:
         "mi_flag_status": SQL_MI_FLAG_STATUS,
         "pareto_parts": SQL_PARETO_PARTS,
         "er_part_clusters": SQL_ER_PART_CLUSTERS,
+        "tfidf_pairs": SQL_TFIDF_PAIRS,
     }

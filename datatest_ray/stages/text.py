@@ -28,6 +28,7 @@ __all__ = [
     "LANG_ORDER",
     "tokens_and_offsets",
     "feature_hash",
+    "tfidf_cosine_pairs",
     "token_counts",
     "text_stats",
     "lang_id",
@@ -664,3 +665,84 @@ def feature_hash(ds, text_col: str, *, by: str, n_buckets: int = 16):
     return ds.select_columns([by, text_col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).groupby([by, "bucket"]).aggregate(Sum("n", alias_name="n"))
+
+
+def tfidf_cosine_pairs(ds, text_col: str, id_col: str, *,
+                       vocab_k: int = 64, threshold: float = 0.9,
+                       n_blocks: int = 8):
+    """Sparse-text near-dup by TF-IDF cosine: all document pairs whose
+    tf-idf vectors over the corpus's top-``vocab_k`` tokens (by df,
+    ties token-ascending) have cosine >= ``threshold`` — the
+    profile-similarity complement to shingle Jaccard (it matches
+    reworded documents with the same vocabulary mix, which share few
+    3-gram shingles).
+
+    Plan: (1) one groupby(token) df pass over per-doc DISTINCT token
+    partials; top-k vocabulary + ln(N/df) idf broadcast via ``ray.put``
+    (assumption: the CUT vocabulary is small by construction —
+    ``vocab_k`` rows).  (2) a streaming per-batch vectorize: each doc
+    becomes a dense vocab_k-wide tf·idf vector (one bincount per
+    batch — no per-row Python).  (3) the existing exact block-pair
+    grid join (``similarity.neardup_cosine_pairs(mode='blocked')``) —
+    no whole-corpus broadcast, no O(N²) GEMM in one task.  Output:
+    (a, b, sim rounded 6dp).  Docs with no vocabulary token (zero
+    norm) drop out, mirroring the SQL oracle's inner joins.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .similarity import neardup_cosine_pairs
+
+    n_docs = ds.count()
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        row = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        _row_counts(offsets))
+        enc = pc.dictionary_encode(flat)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        pair = np.unique(row * len(enc.dictionary) + code)
+        return pa.table({
+            "token": pc.take(enc.dictionary,
+                             pa.array(pair % len(enc.dictionary))),
+        })
+
+    df_tbl = (
+        ds.select_columns([text_col])
+        .map_batches(distinct_tokens, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("token").aggregate(Count(alias_name="df"))
+        .sort(["df", "token"], descending=[True, False]).limit(vocab_k)
+    ).to_pandas()
+    vocab = list(df_tbl["token"])
+    idf = np.log(float(n_docs) / df_tbl["df"].to_numpy().astype(np.float64))
+    handle = ray.put((vocab, idf))
+
+    def vectorize(batch: pa.Table) -> pa.Table:
+        voc, idf_ = ray.get(handle)
+        V = len(voc)
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        row = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        _row_counts(offsets))
+        pos = pc.index_in(flat, value_set=pa.array(voc, pa.string()))
+        posn = pos.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(posn)
+        cell = row[ok] * V + posn[ok].astype(np.int64)
+        tf = np.bincount(cell, minlength=batch.num_rows * V).astype(
+            np.float64).reshape(batch.num_rows, V)
+        w = tf * idf_[None, :]
+        norm = np.sqrt((w * w).sum(axis=1))
+        keep = norm > 0
+        w = w[keep]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[keep]
+        return pa.table({
+            id_col: pa.array(ids),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(w.ravel(), pa.float64()), V),
+        })
+
+    vecs = ds.select_columns([id_col, text_col]).map_batches(
+        vectorize, batch_format="pyarrow", zero_copy_batch=True)
+    return neardup_cosine_pairs(vecs, id_col=id_col, vec_col="vec",
+                                threshold=threshold, mode="blocked",
+                                n_blocks=n_blocks)

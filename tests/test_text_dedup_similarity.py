@@ -683,3 +683,48 @@ def test_minhash_join_verify_borderline_estimates(ray_session):
         zip(joined["a"], joined["b"]))
     assert np.allclose(exact["j"].to_numpy(), joined["j"].to_numpy(),
                        atol=0, rtol=0)
+
+
+class TestTfidfCosinePairs:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from collections import Counter
+        from datatest_ray.stages.text import tfidf_cosine_pairs
+
+        texts = [
+            "apple banana apple cherry",
+            "apple banana apple cherry date",
+            "cherry cherry date egg",
+            "fig grape honey",          # disjoint-ish profile
+            "apple banana cherry",
+            "",                          # zero-norm: must drop out
+        ]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": list(range(6)), "text": texts}))
+        out = tfidf_cosine_pairs(ds, "text", "doc_id", vocab_k=8,
+                                 threshold=0.5).to_pandas()
+
+        # numpy oracle over the same top-8 vocab (df desc, token asc)
+        tf = [Counter(t.lower().split()) for t in texts]
+        df = Counter()
+        for c in tf:
+            df.update(set(c))
+        vocab = sorted(df, key=lambda t: (-df[t], t))[:8]
+        idf = np.log(len(texts) / np.array([df[t] for t in vocab]))
+        W = np.array([[c[t] for t in vocab] for c in tf], float) * idf
+        nrm = np.sqrt((W * W).sum(1))
+        want = {}
+        for i in range(6):
+            for j in range(i + 1, 6):
+                if nrm[i] > 0 and nrm[j] > 0:
+                    cos = float(W[i] @ W[j] / (nrm[i] * nrm[j]))
+                    if cos >= 0.5:
+                        want[(i, j)] = round(cos, 6)
+        got = {(a, b): s for a, b, s in
+               out[["a", "b", "sim"]].itertuples(index=False)}
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-6
+        assert all(5 not in k for k in got)
