@@ -3811,6 +3811,37 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.9
 """
 
 
+def q_overlap_pairs(sf_dir: str):
+    """Containment near-dup: shingle overlap coefficient
+    |A∩B| / min(|A|,|B|) >= 0.9 — the excerpt/quote detector (a short
+    doc fully contained in a long one scores ~1.0 here, near-zero on
+    Jaccard)."""
+    from ..stages.dedup import jaccard_pairs_exact
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(
+        jaccard_pairs_exact(ds, "text", "doc_id", n=3, threshold=0.9,
+                            shuffle_partitions=8, metric="overlap"),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("j", pa.float64())]))
+
+
+SQL_OVERLAP_PAIRS = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM documents WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM tok WHERE len(ts) >= 3
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       len(list_intersect(a.s, b.s))::DOUBLE / least(len(a.s), len(b.s)) AS j
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE / least(len(a.s), len(b.s)) >= 0.9
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -3952,6 +3983,7 @@ def queries() -> Dict[str, Callable]:
         "er_part_clusters": q_er_part_clusters,
         "image_dup_clusters": q_image_dup_clusters,
         "tfidf_pairs": q_tfidf_pairs,
+        "overlap_pairs": q_overlap_pairs,
     }
 
 
@@ -4087,4 +4119,5 @@ def oracle_sql() -> Dict[str, str]:
         "pareto_parts": SQL_PARETO_PARTS,
         "er_part_clusters": SQL_ER_PART_CLUSTERS,
         "tfidf_pairs": SQL_TFIDF_PAIRS,
+        "overlap_pairs": SQL_OVERLAP_PAIRS,
     }

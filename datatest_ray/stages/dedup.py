@@ -207,15 +207,25 @@ def _emit_pairs_from_coarse_group(group: pa.Table) -> pa.Table:
 
 def jaccard_pairs_exact(ds, text_col: str, id_col: str, *, n: int = 3,
                         threshold: float = 0.8,
-                        shuffle_partitions: int | None = None):
-    """Every document pair with n-token-shingle Jaccard >= threshold:
+                        shuffle_partitions: int | None = None,
+                        metric: str = "jaccard"):
+    """Every document pair with n-token-shingle similarity >= threshold:
     (a, b, j).  Exact — matches the DuckDB all-pairs oracle.  Cost is
     sum over shingles of df² pair emissions, so this is the small/verify
     path; minhash_lsh_pairs is the scale path.
 
+    ``metric='jaccard'`` scores |A∩B| / |A∪B|; ``metric='overlap'``
+    scores the Szymkiewicz–Simpson overlap coefficient
+    |A∩B| / min(|A|, |B|) — the CONTAINMENT detector: a short excerpt
+    fully quoted inside a long document scores ~1.0 on overlap while
+    its Jaccard stays near |A|/|B| (tiny).  Same plan either way; only
+    the finalize denominator differs.
+
     Both shuffles group on a bounded coarse key (shingle-hash buckets,
     then pair-hash buckets) with fully vectorized per-group combines —
     never a groupby over millions of tiny (a, b) groups."""
+    if metric not in ("jaccard", "overlap"):
+        raise ValueError(f"unknown metric {metric!r}")
     inv = _shingle_rows(ds, text_col, id_col, n)
     if shuffle_partitions:
         # small/medium inputs: coalesce before the all-to-all so the
@@ -242,7 +252,10 @@ def jaccard_pairs_exact(ds, text_col: str, id_col: str, *, n: int = 3,
         csum = np.bincount(seg, weights=c)
         first = np.flatnonzero(new)
         af, bf = a[first], b[first]
-        j = csum / (na[first].astype(np.float64) + nb[first] - csum)
+        if metric == "overlap":
+            j = csum / np.minimum(na[first], nb[first]).astype(np.float64)
+        else:
+            j = csum / (na[first].astype(np.float64) + nb[first] - csum)
         keep = j >= threshold
         return pa.table(
             {"a": pa.array(af[keep]), "b": pa.array(bf[keep]),

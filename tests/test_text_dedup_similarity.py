@@ -728,3 +728,27 @@ class TestTfidfCosinePairs:
         for k in want:
             assert abs(got[k] - want[k]) < 1e-6
         assert all(5 not in k for k in got)
+
+
+class TestOverlapContainment:
+    def test_excerpt_scores_high_on_overlap_low_on_jaccard(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.dedup import jaccard_pairs_exact
+
+        long_doc = " ".join(f"w{i}" for i in range(40))
+        excerpt = " ".join(f"w{i}" for i in range(10, 18))  # 8 tokens ⊂ long
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [1, 2, 3],
+            "text": [long_doc, excerpt, "completely different words here"],
+        }))
+        ov = jaccard_pairs_exact(ds, "text", "doc_id", n=3, threshold=0.9,
+                                 metric="overlap").to_pandas()
+        assert set(zip(ov.a, ov.b)) == {(1, 2)}
+        assert abs(float(ov.j.iloc[0]) - 1.0) < 1e-12  # fully contained
+        jc = jaccard_pairs_exact(ds, "text", "doc_id", n=3,
+                                 threshold=0.1).to_pandas()
+        jmap = {(a, b): j for a, b, j in
+                jc[["a", "b", "j"]].itertuples(index=False)}
+        # same pair scores ~0.16 on jaccard: any >=0.5 cut misses it
+        assert jmap[(1, 2)] < 0.2
