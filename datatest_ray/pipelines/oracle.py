@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -3842,6 +3843,86 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE / least(len(a.s), len(b.s)) >= 0.9
 """
 
 
+def q_pagerank_custsupp(sf_dir: str):
+    """Distributed PageRank (3 rounds, d=0.85) over the symmetrized
+    customer–supplier bipartite graph from orders⋈lineitem — the
+    iterative-JOIN pattern (rank state stays a Dataset; one hash join
+    + one groupby per round).  Node ids namespaced even=cust·2,
+    odd=supp·2+1; every node's rank is emitted (no top-k tie risk)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import pagerank
+    from ..stages.relational import safe_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    j = safe_join(li, orders, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        u = np.unique(c * (1 << 32) + s)
+        return pa.table({
+            "c": pa.array((u >> 32).astype(np.int64)),
+            "s": pa.array((u & 0xFFFFFFFF).astype(np.int64)),
+        })
+
+    e0 = j.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True).groupby(["c", "s"]).aggregate(
+        Count(alias_name="_n"))
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        src = np.concatenate([c * 2, s * 2 + 1])
+        dst = np.concatenate([s * 2 + 1, c * 2])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = e0.map_batches(symmetrize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return _materialize(
+        pagerank(edges, iters=3),
+        empty_schema=pa.schema([("node", pa.int64()),
+                                ("pr", pa.float64())]))
+
+
+def _sql_pagerank() -> str:
+    step = """
+r{K} AS (
+  SELECT e.dst AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn) +
+         0.85 * sum(r{P}.r / deg.deg) AS r
+  FROM edges e
+  JOIN r{P} ON e.src = r{P}.node
+  JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+)"""
+    iters = "".join(
+        "," + step.format(K=k, P=k - 1) for k in range(1, 4))
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+  UNION ALL
+  SELECT s * 2 + 1, c * 2 FROM e0
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (
+  SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg
+){iters}
+SELECT node, r AS pr FROM r3
+"""
+
+
+SQL_PAGERANK_CUSTSUPP = _sql_pagerank()
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -3984,6 +4065,7 @@ def queries() -> Dict[str, Callable]:
         "image_dup_clusters": q_image_dup_clusters,
         "tfidf_pairs": q_tfidf_pairs,
         "overlap_pairs": q_overlap_pairs,
+        "pagerank_custsupp": q_pagerank_custsupp,
     }
 
 
@@ -4120,4 +4202,5 @@ def oracle_sql() -> Dict[str, str]:
         "er_part_clusters": SQL_ER_PART_CLUSTERS,
         "tfidf_pairs": SQL_TFIDF_PAIRS,
         "overlap_pairs": SQL_OVERLAP_PAIRS,
+        "pagerank_custsupp": SQL_PAGERANK_CUSTSUPP,
     }

@@ -40,7 +40,7 @@ import pyarrow.compute as pc
 from .dedup import _N_COARSE, _concat_ranges_np
 
 __all__ = ["connected_components", "degree_histogram", "er_cluster_sizes",
-           "cluster_size_histogram"]
+           "cluster_size_histogram", "pagerank"]
 
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
@@ -221,3 +221,79 @@ def cluster_size_histogram(pairs_ds, *, a_col: str = "a",
         Count(alias_name="size"))
     return sizes.groupby("size").aggregate(
         Count(alias_name="n_clusters"))
+
+
+def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
+             iters: int = 3, damping: float = 0.85,
+             num_partitions: int = 8):
+    """Distributed PageRank over a DIRECTED edge list (symmetrize
+    upstream for undirected graphs), the iterative-JOIN counterpart of
+    the broadcast-iterative k-means: each round is one hash join
+    (edges ⋈ ranks on src) plus one groupby(dst) sum — rank state
+    stays a Dataset end to end, nothing node-sized is ever broadcast
+    or collected, so the node set can exceed single-machine memory.
+
+    r_{k+1}(v) = (1-d)/N + d · Σ_{u→v} r_k(u)/outdeg(u).
+
+    Assumes no dangling nodes (every node has an out-edge — true for
+    symmetrized graphs).  Rounds materialize between iterations: the
+    join output re-blocks before feeding the next plan (Ray 2.49's
+    join aggregator emits schema-less empties that poison a chained
+    join — see stages/relational.py), and lineage stays one round
+    deep.  Output: (node, pr) for EVERY node, iters rounds deep.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import safe_join
+
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+    deg = edges.groupby(src_col).aggregate(
+        Count(alias_name="deg")).materialize()
+    n_nodes = deg.count()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column(src_col),
+            "r": pa.array(np.full(t.num_rows, 1.0 / n_nodes)),
+        })
+
+    ranks = deg.map_batches(init_rank, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    ew = safe_join(edges, deg, join_type="inner",
+                   num_partitions=num_partitions,
+                   on=(src_col,), right_on=(src_col,)).materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        dg = t.column("deg").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            dst_col: t.column(dst_col),
+            "c": pa.array(r / dg),
+        })
+
+    base = (1.0 - damping) / n_nodes
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": t.column(dst_col),
+            "r": pa.array(base + damping * s),
+        })
+
+    for _ in range(iters):
+        joined = safe_join(
+            ew, ranks, join_type="inner", num_partitions=num_partitions,
+            on=(src_col,), right_on=("node",))
+        sums = joined.map_batches(
+            contrib, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby(dst_col).aggregate(Sum("c", alias_name="c"))
+        ranks = sums.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        ).repartition(num_partitions).materialize()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("node"), "pr": t.column("r")})
+
+    return ranks.map_batches(rename, batch_format="pyarrow",
+                             zero_copy_batch=True)

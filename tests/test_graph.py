@@ -95,3 +95,34 @@ class TestErClusterSizes:
                                window=5, threshold=0.9).to_pandas()
         got = dict(zip(out["size"], out.n_clusters))
         assert got == {3: 1, 2: 1}
+
+
+class TestPagerank:
+    def test_matches_numpy_power_iteration(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.graph import pagerank
+
+        # directed triangle + a two-node cycle, symmetrized by hand
+        raw = [(0, 1), (1, 2), (2, 0), (3, 4)]
+        src = [a for a, b in raw] + [b for a, b in raw]
+        dst = [b for a, b in raw] + [a for a, b in raw]
+        ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+        out = pagerank(ds, iters=3).to_pandas().set_index("node")
+
+        nodes = sorted(set(src))
+        idx = {v: i for i, v in enumerate(nodes)}
+        deg = np.zeros(len(nodes))
+        for a in src:
+            deg[idx[a]] += 1
+        r = np.full(len(nodes), 1 / len(nodes))
+        for _ in range(3):
+            nr = np.full(len(nodes), 0.15 / len(nodes))
+            for a, b in zip(src, dst):
+                nr[idx[b]] += 0.85 * r[idx[a]] / deg[idx[a]]
+            r = nr
+        for v in nodes:
+            assert abs(out.loc[v, "pr"] - r[idx[v]]) < 1e-9
+        # probability mass conserved (no dangling nodes)
+        assert abs(out.pr.sum() - 1.0) < 1e-9
