@@ -3923,6 +3923,39 @@ SELECT node, r AS pr FROM r3
 SQL_PAGERANK_CUSTSUPP = _sql_pagerank()
 
 
+def q_qnorm_brand_price(sf_dir: str):
+    """Quantile normalization of retail price across brand 'batches':
+    per-brand percent-rank mapped through a 101-point global
+    quantile_cont grid (batch-effect correction)."""
+    from ..stages.mlprep import quantile_normalize
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    return quantile_normalize(ds, by="p_brand", col="p_retailprice",
+                              id_col="p_partkey", grid_k=101)
+
+
+_QGRID = ", ".join(f"{i}/100.0" for i in range(101))
+
+SQL_QNORM_BRAND_PRICE = f"""
+WITH g AS (
+  SELECT quantile_cont(p_retailprice, [{_QGRID}]) AS gl FROM part
+), r AS (
+  SELECT p_partkey, p_brand,
+         percent_rank() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice, p_partkey) AS pr
+  FROM part
+), xx AS (
+  SELECT p_partkey, p_brand, pr * 100.0 AS x FROM r
+)
+SELECT p_partkey, p_brand,
+       gl[CAST(least(floor(x), 99) AS INT) + 1]
+         * (1.0 - (x - least(floor(x), 99)))
+     + gl[CAST(least(floor(x), 99) AS INT) + 2]
+         * (x - least(floor(x), 99)) AS qn
+FROM xx CROSS JOIN g
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -4066,6 +4099,7 @@ def queries() -> Dict[str, Callable]:
         "tfidf_pairs": q_tfidf_pairs,
         "overlap_pairs": q_overlap_pairs,
         "pagerank_custsupp": q_pagerank_custsupp,
+        "qnorm_brand_price": q_qnorm_brand_price,
     }
 
 
@@ -4203,4 +4237,5 @@ def oracle_sql() -> Dict[str, str]:
         "tfidf_pairs": SQL_TFIDF_PAIRS,
         "overlap_pairs": SQL_OVERLAP_PAIRS,
         "pagerank_custsupp": SQL_PAGERANK_CUSTSUPP,
+        "qnorm_brand_price": SQL_QNORM_BRAND_PRICE,
     }

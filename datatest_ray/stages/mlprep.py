@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 from .sampling import _key_units
 
 __all__ = ["fd_violations", "target_encode", "split_balance",
-           "quantize_report", "impute_group_median"]
+           "quantize_report", "impute_group_median", "quantile_normalize"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -299,3 +299,84 @@ def impute_group_median(ds, *, id_cols, by: str, col: str,
 
     return ds.select_columns(need).map_batches(
         impute, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantile_normalize(ds, *, by: str, col: str, id_col: str,
+                       grid_k: int = 101, n_buckets: int = 64):
+    """Quantile normalization (batch-effect correction): each value is
+    replaced by the GLOBAL distribution's quantile at the value's
+    within-group percent-rank — after the transform every group has
+    (up to grid resolution) the same marginal distribution, the
+    standard fix when one labeling batch / data source runs hot.
+
+    Output: (id_col, by, qn float64).  Deterministic and SQL-auditable:
+    percent_rank uses the (value, id) total order; the global quantile
+    function is a ``grid_k``-point ``quantile_cont`` grid, linearly
+    interpolated — both engines compute ``q[floor(p·(k−1))]`` blends
+    with identical IEEE ops.
+
+    Plan: the grid is computed exactly in ONE in-plan task over the
+    projected column (small/verify path — the scale path swaps in the
+    mergeable t-digest sketch, functions/aggregates.py) and broadcast;
+    ranks come from the same coarse-bucket + sorted-segment kernel as
+    the window family; the grid lookup is a vectorized gather.
+    """
+    import ray
+
+    from ..functions.aggregates import hash64
+
+    qs = np.arange(grid_k) / float(grid_k - 1)
+
+    def grid_kernel(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        g = np.quantile(v, qs) if len(v) else np.full(grid_k, np.nan)
+        return pa.table({"g": pa.array(g)})
+
+    grid_t = pa.concat_tables(list(
+        ds.select_columns([col]).repartition(1).map_batches(
+            grid_kernel, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    ))
+    grid = grid_t.column("g").to_numpy(zero_copy_only=False)
+    handle = ray.put(grid)
+
+    need = list(dict.fromkeys([id_col, by, col]))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return batch.select(need).append_column("coarse", pa.array(coarse))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = ray.get(handle)
+        t = group.sort_by([(by, "ascending"), (col, "ascending"),
+                           (id_col, "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col), by: t.column(by),
+                             "qn": pa.array([], pa.float64())})
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        seg_len = np.bincount(seg)
+        rn = np.arange(n, dtype=np.int64) - starts[seg]
+        denom = np.maximum(seg_len[seg] - 1, 1).astype(np.float64)
+        pr = rn / denom  # percent_rank; single-row groups -> 0
+        x = pr * (len(g) - 1)
+        i0 = np.minimum(np.floor(x), len(g) - 2).astype(np.int64)
+        frac = x - i0
+        qn = g[i0] * (1.0 - frac) + g[i0 + 1] * frac
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "qn": pa.array(qn),
+        })
+
+    return ds.select_columns(need).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "qn"])

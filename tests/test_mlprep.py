@@ -120,3 +120,46 @@ class TestImputeGroupMedian:
         for i in ids:
             expect = med if i in miss else vals[i - 1]
             assert out.loc[i, "imputed"] == expect
+
+
+class TestQuantileNormalize:
+    def test_groups_converge_to_global_marginal(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.mlprep import quantile_normalize
+
+        # group 'hot' runs 10x hotter than 'cold'; after normalization
+        # both must land on the same (global) value grid
+        rng = np.random.RandomState(5)
+        cold = rng.uniform(0, 1, 200)
+        hot = rng.uniform(0, 10, 200)
+        ds = rd.from_arrow(pa.table({
+            "id": list(range(400)),
+            "g": ["cold"] * 200 + ["hot"] * 200,
+            "v": np.concatenate([cold, hot]),
+        }))
+        out = quantile_normalize(ds, by="g", col="v", id_col="id",
+                                 grid_k=101).to_pandas()
+        qc = np.sort(out[out.g == "cold"].qn.to_numpy())
+        qh = np.sort(out[out.g == "hot"].qn.to_numpy())
+        # same size groups + same grid -> identical normalized samples
+        assert np.allclose(qc, qh, atol=1e-12)
+        # percent_rank 0 and 1 map to global min / max
+        allv = np.concatenate([cold, hot])
+        assert abs(qc[0] - allv.min()) < 1e-12
+        assert abs(qc[-1] - allv.max()) < 1e-12
+
+    def test_single_row_group_maps_to_global_min(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.mlprep import quantile_normalize
+
+        ds = rd.from_arrow(pa.table({
+            "id": [1, 2, 3], "g": ["a", "a", "solo"],
+            "v": [5.0, 7.0, 100.0],
+        }))
+        out = quantile_normalize(ds, by="g", col="v",
+                                 id_col="id").to_pandas()
+        # solo group's only row has percent_rank 0 -> global minimum
+        assert float(out[out.id == 3].qn.iloc[0]) == 5.0
