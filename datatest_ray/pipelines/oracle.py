@@ -3956,6 +3956,45 @@ FROM xx CROSS JOIN g
 """
 
 
+def q_cusum_events(sf_dir: str):
+    """CUSUM change-point alarm over daily event counts (sustained
+    mean-shift detector; clamped recursion replayed by the oracle's
+    recursive CTE)."""
+    from ..stages.drift import cusum_daily
+
+    ds = _read(sf_dir, "events", ["ts"])
+    return cusum_daily(ds, "ts", k=0.5, h=4.0)
+
+
+SQL_CUSUM_EVENTS = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), st AS (
+  SELECT avg(n) AS mu, stddev_samp(n) AS sd FROM daily
+), o AS (
+  SELECT day, n, row_number() OVER (ORDER BY day) AS rn FROM daily
+), z AS (
+  SELECT rn, day,
+         CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0.0
+              ELSE (n - st.mu) / st.sd END AS z
+  FROM o CROSS JOIN st
+), c(rn, day, cp, cn) AS (
+  SELECT rn, day, greatest(0.0, z - 0.5), least(0.0, z + 0.5)
+  FROM z WHERE rn = 1
+  UNION ALL
+  SELECT nz.rn, nz.day,
+         greatest(0.0, c.cp + nz.z - 0.5),
+         least(0.0, c.cn + nz.z + 0.5)
+  FROM c JOIN z nz ON nz.rn = c.rn + 1
+)
+SELECT day, round(cp, 6) AS cp, round(cn, 6) AS cn,
+       (cp > 4.0 OR cn < -4.0) AS alarm
+FROM c
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -4100,6 +4139,7 @@ def queries() -> Dict[str, Callable]:
         "overlap_pairs": q_overlap_pairs,
         "pagerank_custsupp": q_pagerank_custsupp,
         "qnorm_brand_price": q_qnorm_brand_price,
+        "cusum_events": q_cusum_events,
     }
 
 
@@ -4238,4 +4278,5 @@ def oracle_sql() -> Dict[str, str]:
         "overlap_pairs": SQL_OVERLAP_PAIRS,
         "pagerank_custsupp": SQL_PAGERANK_CUSTSUPP,
         "qnorm_brand_price": SQL_QNORM_BRAND_PRICE,
+        "cusum_events": SQL_CUSUM_EVENTS,
     }

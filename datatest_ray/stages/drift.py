@@ -40,7 +40,7 @@ from ..functions.aggregates import ks_statistic_from_histograms, ks_threshold
 from .base import Check, RunContext
 
 __all__ = ["DriftCheck", "BinSpec", "psi", "benford", "wasserstein",
-           "mutual_information"]
+           "mutual_information", "cusum_daily"]
 
 
 def benford(ds, value_col: str, *, scale: int = 100):
@@ -596,5 +596,81 @@ def mutual_information(ds, x_col: str, y_col: str):
         })
 
     return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+def cusum_daily(ds, ts_col: str, *, k: float = 0.5, h: float = 4.0):
+    """CUSUM change-point detection over the daily event-count series:
+    the sequential drift alarm that fires on a sustained mean shift
+    (where a per-day z-score check only flags single outliers).
+
+    Per day (ordered): ``z_d = (n_d − mean) / stddev_samp`` over all
+    days, then the clamped recursions ``cp_d = max(0, cp_{d−1} + z_d −
+    k)`` and ``cn_d = min(0, cn_{d−1} + z_d + k)``; alarm when
+    ``cp > h`` or ``cn < −h``.  Output: (day, cp, cn, alarm) for every
+    day.
+
+    Plan: ONE groupby(day) count over per-batch day partials (the
+    shuffle moves day counts, never events), then a single-block
+    finalize that runs the O(#days) recursion — the state is
+    inherently sequential and the day axis is tiny by construction
+    (#days ≪ #events), the same bounded-driver-state class as the
+    histogram finalizes above.  The SQL oracle replays the recursion
+    with a recursive CTE.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.divide(ts, 86400000000)
+        vc = pc.value_counts(day.combine_chunks()
+                             if isinstance(day, pa.ChunkedArray) else day)
+        return pa.table({
+            "day": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    daily = (
+        ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day").aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "day": pa.array([], pa.int64()),
+            "cp": pa.array([], pa.float64()),
+            "cn": pa.array([], pa.float64()),
+            "alarm": pa.array([], pa.bool_()),
+        })
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by([("day", "ascending")])
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = n.mean()
+        sd = n.std(ddof=1) if len(n) > 1 else 0.0
+        if sd == 0:
+            z = np.zeros(len(n))
+        else:
+            z = (n - mu) / sd
+        cp = np.empty(len(n))
+        cn = np.empty(len(n))
+        p = c = 0.0
+        for i, zi in enumerate(z):  # O(#days): bounded, sequential
+            p = max(0.0, p + zi - k)
+            c = min(0.0, c + zi + k)
+            cp[i] = p
+            cn[i] = c
+        return pa.table({
+            "day": pa.array(day),
+            "cp": pa.array(np.round(cp, 6)),
+            "cn": pa.array(np.round(cn, 6)),
+            "alarm": pa.array((cp > h) | (cn < -h)),
+        })
+
+    return daily.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )

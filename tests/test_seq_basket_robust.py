@@ -440,3 +440,31 @@ class TestMutualInformation:
         out2 = mutual_information(ds2, "x", "y").to_pandas()
         assert abs(out2.mi.sum()) < 1e-9
         assert len(out2) == 4
+
+
+class TestCusum:
+    def test_sustained_shift_alarms_spike_does_not(self, ray_session):
+        import numpy as np
+        from datatest_ray.stages.drift import cusum_daily
+
+        # 20 calm days at ~100/day, then 10 days shifted to ~130/day:
+        # CUSUM must alarm inside the shifted block.  A series with one
+        # single-day spike must NOT alarm at the same h.
+        def mk(counts):
+            us, day = [], 0
+            for c in counts:
+                base = day * 86_400_000_000
+                us.extend(base + np.arange(c, dtype=np.int64) * 1000)
+                day += 1
+            return _ds({"ts": _t(us)})
+
+        base = [100 + (i % 11) - 5 for i in range(20)]  # 95..105 noise
+        shift = base + [115 + (i % 11) - 5 for i in range(10)]
+        out = cusum_daily(mk(shift), "ts", k=0.5, h=4.0).to_pandas()
+        assert len(out) == 30
+        assert out[out.day >= 24].alarm.any()
+        assert not out[out.day < 20].alarm.any()
+
+        spike = base + [100 + (i % 11) - 5 for i in range(9)] + [115]
+        out2 = cusum_daily(mk(spike), "ts", k=0.5, h=4.0).to_pandas()
+        assert not out2.alarm.any()
