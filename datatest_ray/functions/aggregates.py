@@ -25,6 +25,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = [
     "hash64",
@@ -54,6 +55,25 @@ def hash64(values) -> np.ndarray:
     else:
         np_vals = np.asarray(values)
     return pd.util.hash_array(np_vals, categorize=False).astype(np.uint64)
+
+
+def dict_encode_keep_null(arr):
+    """``dictionary_encode`` where NULL gets its own (last) code instead
+    of a null index — ``np.asarray`` on null indices silently yields
+    INT64_MIN, which poisons any ``code*K + other`` cell arithmetic.
+    Returns (codes int64 ndarray, dictionary with a trailing null when
+    the input had one) so ``pc.take(dictionary, codes)`` round-trips
+    nulls and null categories aggregate as their own group, exactly
+    like SQL GROUP BY."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = pc.dictionary_encode(arr)
+    d = enc.dictionary
+    idx = enc.indices
+    if idx.null_count:
+        idx = idx.fill_null(len(d))
+        d = pa.concat_arrays([d, pa.array([None], d.type)])
+    return np.asarray(idx, dtype=np.int64), d
 
 
 # ---------------------------------------------------------------------------

@@ -3753,11 +3753,11 @@ def q_image_dup_clusters(sf_dir: str):
     from ..sources.images import ImageFixtureSpec, generate_dataset
     from ..stages.imaging import image_dup_clusters
 
+    import re
+
     base = os.path.basename(os.path.normpath(sf_dir))
-    try:
-        sf = float(base.replace("sf", ""))
-    except ValueError:
-        sf = 0.001
+    m = re.search(r"sf(\d+(?:\.\d+)?)", base)
+    sf = float(m.group(1)) if m else 0.001
     spec = ImageFixtureSpec(n_rows=max(1000, int(1_000_000 * sf)),
                             seed=42, rows_per_part=2048)
     # source-level pruning: the audit touches only (image_id, phash),

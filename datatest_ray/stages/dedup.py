@@ -965,6 +965,53 @@ def _jw_chunk(A: np.ndarray, B: np.ndarray, la: np.ndarray,
     return np.where(jaro > 0.7, jaro + lpref * 0.1 * (1.0 - jaro), jaro)
 
 
+def _codepoint_matrix(texts, L: int):
+    """(n, L) int32 code-point matrix padded with -1 + true lengths —
+    the shared input layout of the chunked JW kernel."""
+    n = len(texts)
+    mat = np.full((n, L), -1, dtype=np.int32)
+    lens = np.empty(n, dtype=np.int64)
+    for r, s in enumerate(texts):
+        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[:L]
+        mat[r, : len(cp)] = cp
+        lens[r] = len(cp)
+    return mat, lens
+
+
+def _jw_score_pairs(mat, lens, ids, ii, jj, *, threshold: float,
+                    pair_chunk: int):
+    """Score candidate index pairs (ii, jj) with the chunked JW kernel,
+    keep >= threshold, orient ids a < b.  Shared by the blocked
+    all-pairs and sorted-neighborhood operators — the pad sentinel
+    rewrite (-1 vs -2 so pad never matches pad) lives in ONE place."""
+    out_a, out_b, out_j = [], [], []
+    for s0 in range(0, len(ii), pair_chunk):
+        ci = ii[s0: s0 + pair_chunk]
+        cj = jj[s0: s0 + pair_chunk]
+        Bm = mat[cj].copy()
+        Bm[Bm == -1] = -2
+        jw = _jw_chunk(mat[ci], Bm, lens[ci], lens[cj])
+        keep = jw >= threshold
+        a = ids[ci][keep].astype(np.int64)
+        b = ids[cj][keep].astype(np.int64)
+        swap = a > b
+        out_a.append(np.where(swap, b, a))
+        out_b.append(np.where(swap, a, b))
+        out_j.append(jw[keep])
+    if not out_a:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64))
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_j))
+
+
+_JW_EMPTY = pa.table({
+    "a_id": pa.array([], pa.int64()),
+    "b_id": pa.array([], pa.int64()),
+    "jw": pa.array([], pa.float64()),
+})
+
+
 def jaro_winkler_pairs(ds, text_col: str, id_col: str, *, block_cols,
                        prefix: int = 32, threshold: float = 0.85,
                        lowercase: bool = True,
@@ -993,46 +1040,18 @@ def jaro_winkler_pairs(ds, text_col: str, id_col: str, *, block_cols,
         return pa.table(cols)
 
     def kernel(group: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "a_id": pa.array([], pa.int64()),
-            "b_id": pa.array([], pa.int64()),
-            "jw": pa.array([], pa.float64()),
-        })
         n = group.num_rows
         if n < 2:
-            return empty
+            return _JW_EMPTY
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        texts = group.column("prefix").to_pylist()
-        L = prefix
-        mat = np.full((n, L), -1, dtype=np.int32)
-        lens = np.empty(n, dtype=np.int64)
-        for r, s in enumerate(texts):
-            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[:L]
-            mat[r, : len(cp)] = cp
-            lens[r] = len(cp)
+        mat, lens = _codepoint_matrix(group.column("prefix").to_pylist(),
+                                      prefix)
         ii, jj = np.triu_indices(n, k=1)
-        swap = ids[ii] > ids[jj]
-        ii, jj = np.where(swap, jj, ii), np.where(swap, ii, jj)
-        out_a, out_b, out_j = [], [], []
-        for s0 in range(0, len(ii), pair_chunk):
-            ci = ii[s0: s0 + pair_chunk]
-            cj = jj[s0: s0 + pair_chunk]
-            # padding sentinels must differ between the two sides, or
-            # pad-vs-pad positions would "match"
-            Bm = mat[cj].copy()
-            Bm[Bm == -1] = -2
-            jw = _jw_chunk(mat[ci], Bm, lens[ci], lens[cj])
-            keep = jw >= threshold
-            out_a.append(ids[ci][keep].astype(np.int64))
-            out_b.append(ids[cj][keep].astype(np.int64))
-            out_j.append(jw[keep])
-        if not out_a:
-            return empty
-        return pa.table({
-            "a_id": pa.array(np.concatenate(out_a)),
-            "b_id": pa.array(np.concatenate(out_b)),
-            "jw": pa.array(np.concatenate(out_j)),
-        })
+        a, b, jw = _jw_score_pairs(mat, lens, ids, ii, jj,
+                                   threshold=threshold,
+                                   pair_chunk=pair_chunk)
+        return pa.table({"a_id": pa.array(a), "b_id": pa.array(b),
+                         "jw": pa.array(jw)})
 
     return (
         ds.select_columns(list(dict.fromkeys([id_col, *blocks, text_col])))
@@ -1072,51 +1091,23 @@ def sorted_neighborhood_pairs(ds, text_col: str, id_col: str, *,
         })
 
     def kernel(group: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "a_id": pa.array([], pa.int64()),
-            "b_id": pa.array([], pa.int64()),
-            "jw": pa.array([], pa.float64()),
-        })
         n = group.num_rows
         if n < 2:
-            return empty
+            return _JW_EMPTY
         t = group.sort_by([("key", "ascending"), (id_col, "ascending")])
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        texts = t.column("key").to_pylist()
-        L = prefix
-        mat = np.full((n, L), -1, dtype=np.int32)
-        lens = np.empty(n, dtype=np.int64)
-        for r, s in enumerate(texts):
-            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)[:L]
-            mat[r, : len(cp)] = cp
-            lens[r] = len(cp)
+        mat, lens = _codepoint_matrix(t.column("key").to_pylist(), prefix)
         ii_parts, jj_parts = [], []
         for d in range(1, min(window, n - 1) + 1):
             ii_parts.append(np.arange(n - d, dtype=np.int64))
             jj_parts.append(np.arange(d, n, dtype=np.int64))
         ii = np.concatenate(ii_parts)
         jj = np.concatenate(jj_parts)
-        out_a, out_b, out_j = [], [], []
-        for s0 in range(0, len(ii), pair_chunk):
-            ci = ii[s0: s0 + pair_chunk]
-            cj = jj[s0: s0 + pair_chunk]
-            Bm = mat[cj].copy()
-            Bm[Bm == -1] = -2
-            jw = _jw_chunk(mat[ci], Bm, lens[ci], lens[cj])
-            keep = jw >= threshold
-            a = ids[ci][keep].astype(np.int64)
-            b = ids[cj][keep].astype(np.int64)
-            swap = a > b
-            out_a.append(np.where(swap, b, a))
-            out_b.append(np.where(swap, a, b))
-            out_j.append(jw[keep])
-        if not out_a:
-            return empty
-        return pa.table({
-            "a_id": pa.array(np.concatenate(out_a)),
-            "b_id": pa.array(np.concatenate(out_b)),
-            "jw": pa.array(np.concatenate(out_j)),
-        })
+        a, b, jw = _jw_score_pairs(mat, lens, ids, ii, jj,
+                                   threshold=threshold,
+                                   pair_chunk=pair_chunk)
+        return pa.table({"a_id": pa.array(a), "b_id": pa.array(b),
+                         "jw": pa.array(jw)})
 
     return (
         ds.select_columns([id_col, text_col])

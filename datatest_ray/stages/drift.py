@@ -537,22 +537,18 @@ def mutual_information(ds, x_col: str, y_col: str):
     """
     from ray.data.aggregate import Sum
 
+    from ..functions.aggregates import dict_encode_keep_null
+
     def partial(batch: pa.Table) -> pa.Table:
-        x = batch.column(x_col)
-        x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
-        y = batch.column(y_col)
-        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
-        xe = pc.dictionary_encode(x)
-        ye = pc.dictionary_encode(y)
-        xc = np.asarray(xe.indices, dtype=np.int64)
-        yc = np.asarray(ye.indices, dtype=np.int64)
-        ny = len(ye.dictionary)
+        xc, xd = dict_encode_keep_null(batch.column(x_col))
+        yc, yd = dict_encode_keep_null(batch.column(y_col))
+        ny = len(yd)
         cell = xc * ny + yc
-        cnt = np.bincount(cell, minlength=len(xe.dictionary) * ny)
+        cnt = np.bincount(cell, minlength=len(xd) * ny)
         keep = np.flatnonzero(cnt)
         return pa.table({
-            x_col: pc.take(xe.dictionary, pa.array(keep // ny)),
-            y_col: pc.take(ye.dictionary, pa.array(keep % ny)),
+            x_col: pc.take(xd, pa.array(keep // ny)),
+            y_col: pc.take(yd, pa.array(keep % ny)),
             "n": pa.array(cnt[keep].astype(np.int64)),
         })
 
@@ -578,10 +574,8 @@ def mutual_information(ds, x_col: str, y_col: str):
         x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
         y = t.column(y_col)
         y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
-        xe = pc.dictionary_encode(x)
-        ye = pc.dictionary_encode(y)
-        xc = np.asarray(xe.indices, dtype=np.int64)
-        yc = np.asarray(ye.indices, dtype=np.int64)
+        xc, _ = dict_encode_keep_null(x)
+        yc, _ = dict_encode_keep_null(y)
         nx = np.bincount(xc, weights=n).astype(np.int64)
         nyv = np.bincount(yc, weights=n).astype(np.int64)
         pxy = n / tot

@@ -253,7 +253,7 @@ def impute_group_median(ds, *, id_cols, by: str, col: str,
     """
     import ray
 
-    from .robust import _grouped_quantiles
+    from .robust import _group_positions, _grouped_quantiles
     from .sampling import _key_units
 
     ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
@@ -286,15 +286,16 @@ def impute_group_median(ds, *, id_cols, by: str, col: str,
     def impute(batch: pa.Table) -> pa.Table:
         kk, md = ray.get(handle)
         u = keyed(batch)
-        idx = pc.index_in(batch.column(by), value_set=kk)
-        pos = idx.to_numpy(zero_copy_only=False)
-        pos = np.where(np.isnan(pos.astype(np.float64)), 0,
-                       pos).astype(np.int64)
+        # a group whose EVERY row was masked has no median: drop its
+        # rows, mirroring the SQL oracle's inner join against `med`
+        pos, valid = _group_positions(batch.column(by), kk)
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(
             np.float64)
-        out = np.where(u < miss_rate, md[pos], v)
-        cols = {c: batch.column(c) for c in ids}
-        cols["imputed"] = pa.array(out)
+        fill = md[pos] if len(md) else np.zeros(len(pos))
+        out = np.where(u < miss_rate, fill, v)
+        keep = pa.array(valid)
+        cols = {c: batch.column(c).filter(keep) for c in ids}
+        cols["imputed"] = pa.array(out[valid])
         return pa.table(cols)
 
     return ds.select_columns(need).map_batches(

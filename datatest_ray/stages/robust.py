@@ -31,6 +31,18 @@ import pyarrow.compute as pc
 __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median"]
 
 
+def _group_positions(col, keys):
+    """Positions of each row's group key in the broadcast key array +
+    validity mask (False = group absent from the broadcast — callers
+    whose pass 1 covers every group may ignore it; callers with truly
+    missing groups must drop or special-case those rows).  The shared
+    scaffold of every broadcast-stats row pass here and in mlprep."""
+    idx = pc.index_in(col, value_set=keys)
+    posf = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+    valid = ~np.isnan(posf)
+    return np.where(valid, posf, 0).astype(np.int64), valid
+
+
 def _grouped_quantiles(ds, by: str, col: str, qs):
     """One groupby pass → pa.Table (by, q_0..q_{len(qs)-1}), exact
     linear-interpolation quantiles per group."""
@@ -76,10 +88,7 @@ def iqr_outliers(ds, *, by: str, col: str, k: float = 1.5):
 
     def partial(batch: pa.Table) -> pa.Table:
         kk, lo_, hi_ = ray.get(handle)
-        idx = pc.index_in(batch.column(by), value_set=kk)
-        pos = idx.to_numpy(zero_copy_only=False)
-        pos = np.where(np.isnan(pos.astype(np.float64)), 0,
-                       pos).astype(np.int64)
+        pos, _ = _group_positions(batch.column(by), kk)
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(
             np.float64)
         out = ((v < lo_[pos]) | (v > hi_[pos])).astype(np.int64)
@@ -129,10 +138,7 @@ def grouped_mad(ds, *, by: str, col: str):
 
     def absdev(batch: pa.Table) -> pa.Table:
         kk, md = ray.get(handle)
-        idx = pc.index_in(batch.column(by), value_set=kk)
-        pos = idx.to_numpy(zero_copy_only=False)
-        pos = np.where(np.isnan(pos.astype(np.float64)), 0,
-                       pos).astype(np.int64)
+        pos, _ = _group_positions(batch.column(by), kk)
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(
             np.float64)
         return pa.table({
@@ -179,10 +185,7 @@ def winsorize(ds, *, by: str, col: str, id_col: str,
 
     def clip(batch: pa.Table) -> pa.Table:
         kk, lo_, hi_ = ray.get(handle)
-        idx = pc.index_in(batch.column(by), value_set=kk)
-        pos = idx.to_numpy(zero_copy_only=False)
-        pos = np.where(np.isnan(pos.astype(np.float64)), 0,
-                       pos).astype(np.int64)
+        pos, _ = _group_positions(batch.column(by), kk)
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(
             np.float64)
         out = np.minimum(np.maximum(v, lo_[pos]), hi_[pos])
@@ -214,17 +217,19 @@ def weighted_median(ds, *, by: str, col: str, weight_col: str,
     with ``2·cumw >= totw``.  Shuffle volume is O(distinct values), not
     O(rows).
     """
-    from ..functions.aggregates import hash64
+    from ..functions.aggregates import dict_encode_keep_null, hash64
 
     def partial(batch: pa.Table) -> pa.Table:
-        k = batch.column(by)
-        k = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
         v = batch.column(col).to_numpy(zero_copy_only=False).astype(
             np.float64)
-        w = batch.column(weight_col).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        enc = pc.dictionary_encode(k)
-        kc = np.asarray(enc.indices, dtype=np.int64)
+        wf = batch.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # integer units via round-half-AWAY (nonnegative weights),
+        # matching the oracle's CAST(x AS BIGINT) (numpy's .astype
+        # would truncate and np.round would round half-even — both
+        # diverge on x.5)
+        w = np.floor(wf + 0.5).astype(np.int64)
+        kc, kdict = dict_encode_keep_null(batch.column(by))
         # pair-encode (key, value) so the per-batch combine is one pass
         uv, vc = np.unique(v, return_inverse=True)
         pair = kc * len(uv) + vc
@@ -232,7 +237,7 @@ def weighted_median(ds, *, by: str, col: str, weight_col: str,
         wsum = np.bincount(pc_inv, weights=w).astype(np.int64)
         kidx = (up // len(uv)).astype(np.int64)
         vidx = (up % len(uv)).astype(np.int64)
-        kd = pc.take(enc.dictionary, pa.array(kidx))
+        kd = pc.take(kdict, pa.array(kidx))
         coarse = (hash64(kd) % np.uint64(n_buckets)).astype(np.int64)
         return pa.table({
             by: kd,

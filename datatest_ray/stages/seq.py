@@ -419,8 +419,23 @@ def interval_islands(ds, *, by: str, start_col: str, end_col: str,
                              "covered": empty})
         new = _seg_first(keys)
         seg = np.cumsum(new) - 1
-        K = np.int64(e.max() + 1 - min(e.min(), 0))
-        cummax = np.maximum.accumulate(e + K * seg) - K * seg
+        nseg = int(seg[-1]) + 1
+        # normalize so the offset trick works on the value RANGE, not
+        # the absolute magnitude (epoch-µs ends would overflow int64)
+        base_v = min(int(s.min()), int(e.min()))
+        e2 = e - base_v
+        K = int(e2.max()) + 1
+        if K * nseg < (1 << 62):
+            cummax = (np.maximum.accumulate(e2 + K * seg)
+                      - K * seg + base_v)
+        else:
+            # astronomically wide value range × many keys: exact
+            # per-segment accumulate (loop over segments, vectorized
+            # within each — the documented fallback, never over rows)
+            cummax = np.empty_like(e)
+            starts_all = np.append(np.flatnonzero(new), n)
+            for a, b in zip(starts_all[:-1], starts_all[1:]):
+                cummax[a:b] = np.maximum.accumulate(e[a:b])
         isl_start = new.copy()
         isl_start[1:] |= s[1:] > cummax[:-1]
         isl = np.cumsum(isl_start) - 1

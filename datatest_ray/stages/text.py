@@ -635,12 +635,11 @@ def feature_hash(ds, text_col: str, *, by: str, n_buckets: int = 16):
 
     from ray.data.aggregate import Sum
 
+    from ..functions.aggregates import dict_encode_keep_null
+
     def partial(batch: pa.Table) -> pa.Table:
         flat, offsets = tokens_and_offsets(batch.column(text_col))
-        g = batch.column(by)
-        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
-        genc = pc.dictionary_encode(g)
-        gcode = np.asarray(genc.indices, dtype=np.int64)
+        gcode, gdict = dict_encode_keep_null(batch.column(by))
         row_of_tok = np.repeat(
             np.arange(batch.num_rows, dtype=np.int64), _row_counts(offsets)
         )
@@ -653,11 +652,11 @@ def feature_hash(ds, text_col: str, *, by: str, n_buckets: int = 16):
             dtype=np.int64,
         ) if vocab else np.empty(0, dtype=np.int64)
         cell = gcode[row_of_tok] * n_buckets + tb[tcode]
-        m = len(genc.dictionary) * n_buckets
+        m = len(gdict) * n_buckets
         cnt = np.bincount(cell, minlength=m).astype(np.int64)
         keep = np.flatnonzero(cnt)
         return pa.table({
-            by: pc.take(genc.dictionary, pa.array(keep // n_buckets)),
+            by: pc.take(gdict, pa.array(keep // n_buckets)),
             "bucket": pa.array(keep % n_buckets),
             "n": pa.array(cnt[keep]),
         })
@@ -693,6 +692,7 @@ def tfidf_cosine_pairs(ds, text_col: str, id_col: str, *,
 
     from .similarity import neardup_cosine_pairs
 
+    # metadata-only count on a parquet-backed projection (no data pass)
     n_docs = ds.count()
 
     def distinct_tokens(batch: pa.Table) -> pa.Table:

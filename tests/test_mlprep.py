@@ -163,3 +163,34 @@ class TestQuantileNormalize:
                                  id_col="id").to_pandas()
         # solo group's only row has percent_rank 0 -> global minimum
         assert float(out[out.id == 3].qn.iloc[0]) == 5.0
+
+
+class TestImputeFullyMaskedGroup:
+    def test_rows_of_medianless_group_are_dropped(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.mlprep import impute_group_median
+
+        def unit(k):
+            return int(hashlib.md5(str(k).encode()).hexdigest()[:8],
+                       16) / 2 ** 32
+
+        # pick ids whose md5 unit < 0.5 for the doomed group
+        masked_ids = [i for i in range(1, 200) if unit(i) < 0.5][:3]
+        alive_ids = [i for i in range(200, 400) if unit(i) >= 0.5][:3]
+        ids = masked_ids + alive_ids
+        ds = rd.from_arrow(pa.table({
+            "id": ids,
+            "g": ["dead"] * 3 + ["alive"] * 3,
+            "v": [1.0, 2.0, 3.0, 10.0, 20.0, 30.0],
+        }))
+        out = impute_group_median(
+            ds, id_cols="id", by="g", col="v", miss_rate=0.5
+        ).to_pandas()
+        # every 'dead' row was masked -> group has no median -> rows
+        # dropped (mirrors the oracle's inner join); 'alive' rows keep
+        # their values
+        assert set(out.id) == set(alive_ids)
+        assert sorted(out.imputed) == [10.0, 20.0, 30.0]
