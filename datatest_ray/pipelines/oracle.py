@@ -3995,6 +3995,57 @@ FROM c
 """
 
 
+def q_cap_per_source(sf_dir: str):
+    """Domain capping: at most 20 docs per source, picked by
+    deterministic md5 rank (C4-style per-host balancing; reruns keep
+    the identical subset)."""
+    from ..stages.sampling import cap_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    return cap_per_group(ds, by="source", id_col="doc_id", cap=20)
+
+
+SQL_CAP_PER_SOURCE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS BIGINT),
+                    doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
+def q_late_events(sf_dir: str):
+    """Watermark audit: events arriving >60s behind the running max
+    timestamp of earlier arrivals (ingest order = event_id)."""
+    from ..stages.seq import late_events
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return late_events(ds, by="user_id", ts="ts", seq_col="event_id",
+                       lateness_us=60_000_000)
+
+
+SQL_LATE_EVENTS = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+), l AS (
+  SELECT user_id, coalesce(wm - t, 0) AS lateness FROM o
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN lateness > 60000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(greatest(max(lateness), 0) AS BIGINT) AS max_lateness_us
+FROM l GROUP BY user_id
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -4140,6 +4191,8 @@ def queries() -> Dict[str, Callable]:
         "pagerank_custsupp": q_pagerank_custsupp,
         "qnorm_brand_price": q_qnorm_brand_price,
         "cusum_events": q_cusum_events,
+        "cap_per_source": q_cap_per_source,
+        "late_events_users": q_late_events,
     }
 
 
@@ -4279,4 +4332,6 @@ def oracle_sql() -> Dict[str, str]:
         "pagerank_custsupp": SQL_PAGERANK_CUSTSUPP,
         "qnorm_brand_price": SQL_QNORM_BRAND_PRICE,
         "cusum_events": SQL_CUSUM_EVENTS,
+        "cap_per_source": SQL_CAP_PER_SOURCE,
+        "late_events_users": SQL_LATE_EVENTS,
     }

@@ -26,7 +26,8 @@ import pyarrow as pa
 
 from ..functions.aggregates import hash64
 
-__all__ = ["hash_sample", "stratified_hash_sample", "weighted_hash_sample"]
+__all__ = ["hash_sample", "stratified_hash_sample", "weighted_hash_sample",
+           "cap_per_group"]
 
 _SCALE = 16 ** 8
 
@@ -96,3 +97,52 @@ def weighted_hash_sample(ds, *, id_col: str, weight_col: str,
 
     return ds.map_batches(kernel, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def cap_per_group(ds, *, by: str, id_col: str, cap: int,
+                  method: str = "md5", n_buckets: int = 256):
+    """Domain capping: keep at most ``cap`` rows per ``by`` group,
+    chosen DETERMINISTICALLY as the rows with the smallest
+    ``(hash(id), id)`` rank — the corpus-balancing step that stops one
+    domain/source from dominating a web-scale training mix (C4-style
+    per-host caps).  Pure function of the row key: re-runs and other
+    cluster sizes keep the identical subset, and DuckDB replays the
+    decision (``row_number() OVER (PARTITION BY by ORDER BY md5key,
+    id) <= cap``).
+
+    Output: (id_col, by) of the survivors.  Plan: one coarse-bucket
+    shuffle of (id, key-units, by) — never one tiny group per domain —
+    then a vectorized per-bucket sort + segment-rank filter.
+    """
+    need = [id_col, by]
+
+    def project(batch: pa.Table) -> pa.Table:
+        u = _key_units(batch.column(id_col), method)
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            by: batch.column(by),
+            "_u": pa.array(u),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), ("_u", "ascending"),
+                           (id_col, "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return t.select(need)
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        return t.filter(pa.array(rank < cap)).select(need)
+
+    return ds.select_columns(need).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns(need)

@@ -27,7 +27,7 @@ from ..functions.aggregates import hash64
 
 __all__ = ["first_last_by", "transition_counts", "ewma_last",
            "inversion_counts", "day_streaks", "next_day_retention",
-           "interval_islands"]
+           "interval_islands", "late_events"]
 
 
 def _ts_us(col):
@@ -45,6 +45,32 @@ def _seg_first(keys: np.ndarray) -> np.ndarray:
     if len(keys) > 1:
         new[1:] = keys[1:] != keys[:-1]
     return new
+
+
+def _seg_cummax(v: np.ndarray, seg: np.ndarray,
+                new: np.ndarray) -> np.ndarray:
+    """Per-segment running max over a segment-sorted int64 array.
+
+    One global ``np.maximum.accumulate`` over ``(v - base) + K·segid``
+    (K > value range, so a later segment's floor always exceeds an
+    earlier segment's ceiling — no cross-segment leak).  Values are
+    normalized to their RANGE first: epoch-µs magnitudes would
+    otherwise overflow int64 at a handful of segments.  Falls back to
+    an exact per-segment accumulate (loop over segments, vectorized
+    within each — never over rows) when range × #segments still
+    cannot fit."""
+    n = len(v)
+    nseg = int(seg[-1]) + 1
+    base = int(v.min())
+    v2 = v - base
+    K = int(v2.max()) + 1
+    if K * nseg < (1 << 62):
+        return np.maximum.accumulate(v2 + K * seg) - K * seg + base
+    out = np.empty_like(v)
+    starts_all = np.append(np.flatnonzero(new), n)
+    for a, b in zip(starts_all[:-1], starts_all[1:]):
+        out[a:b] = np.maximum.accumulate(v[a:b])
+    return out
 
 
 def first_last_by(ds, *, by: str, ts: str, value_col: str, id_col: str,
@@ -419,23 +445,7 @@ def interval_islands(ds, *, by: str, start_col: str, end_col: str,
                              "covered": empty})
         new = _seg_first(keys)
         seg = np.cumsum(new) - 1
-        nseg = int(seg[-1]) + 1
-        # normalize so the offset trick works on the value RANGE, not
-        # the absolute magnitude (epoch-µs ends would overflow int64)
-        base_v = min(int(s.min()), int(e.min()))
-        e2 = e - base_v
-        K = int(e2.max()) + 1
-        if K * nseg < (1 << 62):
-            cummax = (np.maximum.accumulate(e2 + K * seg)
-                      - K * seg + base_v)
-        else:
-            # astronomically wide value range × many keys: exact
-            # per-segment accumulate (loop over segments, vectorized
-            # within each — the documented fallback, never over rows)
-            cummax = np.empty_like(e)
-            starts_all = np.append(np.flatnonzero(new), n)
-            for a, b in zip(starts_all[:-1], starts_all[1:]):
-                cummax[a:b] = np.maximum.accumulate(e[a:b])
+        cummax = _seg_cummax(e, seg, new)
         isl_start = new.copy()
         isl_start[1:] |= s[1:] > cummax[:-1]
         isl = np.cumsum(isl_start) - 1
@@ -461,3 +471,63 @@ def interval_islands(ds, *, by: str, start_col: str, end_col: str,
     ).groupby("coarse").map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([by, "n_islands", "covered"])
+
+
+def late_events(ds, *, by: str, ts: str, seq_col: str,
+                lateness_us: int, n_buckets: int = 256):
+    """Watermark audit: per key, how many events arrived LATE — event
+    timestamp more than ``lateness_us`` behind the running maximum
+    timestamp of earlier arrivals (``seq_col`` is the ingest order) —
+    the streaming-ingestion health metric that decides watermark delay
+    and late-data policy.
+
+    Output: (by, n_events, n_late, max_lateness_us).  Same one-shuffle
+    sorted-segment plan as the rest of the module; the running max is
+    the overflow-safe ``_seg_cummax``.
+    """
+    need = [by, seq_col, ts]
+
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            seq_col: batch.column(seq_col),
+            "_t": _ts_us(batch.column(ts)),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), (seq_col, "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        tv = t.column("_t").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({by: t.column(by), "n_events": e,
+                             "n_late": e, "max_lateness_us": e})
+        new = _seg_first(keys)
+        seg = np.cumsum(new) - 1
+        cm = _seg_cummax(tv, seg, new)
+        # lateness vs the watermark BEFORE this arrival (prev cummax)
+        lateness = np.zeros(n, dtype=np.int64)
+        lateness[1:] = cm[:-1] - tv[1:]
+        lateness[new] = 0  # each key's first arrival is never late
+        late = lateness > lateness_us
+        segstart = np.flatnonzero(new)
+        n_ev = np.bincount(seg)
+        n_late = np.bincount(seg, weights=late).astype(np.int64)
+        maxl = np.maximum(np.zeros(len(segstart), dtype=np.int64),
+                          np.maximum.reduceat(lateness, segstart))
+        return pa.table({
+            by: pc.take(t.column(by), pa.array(segstart)),
+            "n_events": pa.array(n_ev.astype(np.int64)),
+            "n_late": pa.array(n_late),
+            "max_lateness_us": pa.array(maxl),
+        })
+
+    return ds.select_columns(need).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([by, "n_events", "n_late", "max_lateness_us"])

@@ -552,3 +552,40 @@ class TestReviewRegressions:
         got = {(None if g is None or g != g else g): m
                for g, m in zip(out2.g, out2.wmedian)}
         assert got == {None: 2.0, "z": 7.0}
+
+
+class TestLateEvents:
+    def test_watermark_counts_and_first_arrival_exemption(self, ray_session):
+        from datatest_ray.stages.seq import late_events
+
+        M = 1_000_000
+        # user 1 arrivals (by eid): ts 100s, 40s (60s late vs wm=100s:
+        # NOT >60s), 250s, 100s (150s late -> LATE), 260s
+        ds = _ds({
+            "u": [1, 1, 1, 1, 1, 2],
+            "eid": [1, 2, 3, 4, 5, 6],
+            "ts": _t([100 * M, 40 * M, 250 * M, 100 * M, 260 * M, 5 * M]),
+        })
+        out = late_events(ds, by="u", ts="ts", seq_col="eid",
+                          lateness_us=60 * M).to_pandas()
+        r1 = out[out.u == 1].iloc[0]
+        assert (r1.n_events, r1.n_late, r1.max_lateness_us) == \
+            (5, 1, 150 * M)
+        r2 = out[out.u == 2].iloc[0]
+        assert (r2.n_events, r2.n_late, r2.max_lateness_us) == (1, 0, 0)
+
+
+class TestCapPerGroup:
+    def test_cap_is_deterministic_subset(self, ray_session):
+        from datatest_ray.stages.sampling import cap_per_group
+
+        ds = _ds({"id": list(range(100)),
+                  "g": ["a"] * 70 + ["b"] * 25 + ["c"] * 5})
+        out = cap_per_group(ds, by="g", id_col="id", cap=10).to_pandas()
+        sizes = out.groupby("g").size().to_dict()
+        assert sizes == {"a": 10, "b": 10, "c": 5}
+        # rerun picks the identical subset (pure function of keys)
+        out2 = cap_per_group(_ds({"id": list(range(100)),
+                                  "g": ["a"] * 70 + ["b"] * 25 + ["c"] * 5}),
+                             by="g", id_col="id", cap=10).to_pandas()
+        assert sorted(out.id) == sorted(out2.id)
