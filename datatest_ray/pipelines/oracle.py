@@ -3849,42 +3849,41 @@ def q_pagerank_custsupp(sf_dir: str):
     iterative-JOIN pattern (rank state stays a Dataset; one hash join
     + one groupby per round).  Node ids namespaced even=cust·2,
     odd=supp·2+1; every node's rank is emitted (no top-k tie risk)."""
-    from ray.data.aggregate import Count
-
     from ..stages.graph import pagerank
     from ..stages.relational import safe_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    j = safe_join(li, orders, join_type="inner", num_partitions=8,
+    j = safe_join(li, orders, join_type="inner", num_partitions=16,
                   on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pair_partial(t: pa.Table) -> pa.Table:
+        # per-batch distinct + coarse PAIR-hash bucket: the global
+        # distinct is one groupby over ≤256 buckets with a vectorized
+        # np.unique kernel — never one tiny group per (cust, supp) pair
         c = t.column("o_custkey").to_numpy(zero_copy_only=False).astype(
             np.int64)
         s = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(
             np.int64)
         u = np.unique(c * (1 << 32) + s)
-        return pa.table({
-            "c": pa.array((u >> 32).astype(np.int64)),
-            "s": pa.array((u & 0xFFFFFFFF).astype(np.int64)),
-        })
+        coarse = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(256)).astype(np.int64)
+        return pa.table({"p": pa.array(u), "coarse": pa.array(coarse)})
 
-    e0 = j.map_batches(pair_partial, batch_format="pyarrow",
-                       zero_copy_batch=True).groupby(["c", "s"]).aggregate(
-        Count(alias_name="_n"))
-
-    def symmetrize(t: pa.Table) -> pa.Table:
-        c = t.column("c").to_numpy(zero_copy_only=False)
-        s = t.column("s").to_numpy(zero_copy_only=False)
+    def symmetrize_bucket(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("p").to_numpy(zero_copy_only=False))
+        c = (u >> 32).astype(np.int64)
+        s = (u & 0xFFFFFFFF).astype(np.int64)
         src = np.concatenate([c * 2, s * 2 + 1])
         dst = np.concatenate([s * 2 + 1, c * 2])
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
-    edges = e0.map_batches(symmetrize, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    edges = j.map_batches(
+        pair_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(symmetrize_bucket,
+                                   batch_format="pyarrow")
     return _materialize(
-        pagerank(edges, iters=3),
+        pagerank(edges, iters=3, num_partitions=4),
         empty_schema=pa.schema([("node", pa.int64()),
                                 ("pr", pa.float64())]))
 

@@ -242,7 +242,7 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
     join — see stages/relational.py), and lineage stays one round
     deep.  Output: (node, pr) for EVERY node, iters rounds deep.
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count, Max, Sum
 
     from .relational import safe_join
 
@@ -251,25 +251,37 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         Count(alias_name="deg")).materialize()
     n_nodes = deg.count()
 
-    def init_rank(t: pa.Table) -> pa.Table:
+    # state = (node, r, deg): the static out-degree RIDES INSIDE the
+    # rank state instead of being hash-joined onto the edge list — one
+    # join per round total.  Each round's groupby(node) reunites the
+    # inbound contributions with a zero-contribution "carrier" row per
+    # node that transports deg (Max) — adding the carrier's 0.0 to the
+    # IEEE sum is exact, so the oracle's plain SUM is reproduced.
+    def init_state(t: pa.Table) -> pa.Table:
         return pa.table({
             "node": t.column(src_col),
             "r": pa.array(np.full(t.num_rows, 1.0 / n_nodes)),
+            "deg": t.column("deg"),
         })
 
-    ranks = deg.map_batches(init_rank, batch_format="pyarrow",
+    state = deg.map_batches(init_state, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
-    ew = safe_join(edges, deg, join_type="inner",
-                   num_partitions=num_partitions,
-                   on=(src_col,), right_on=(src_col,)).materialize()
 
     def contrib(t: pa.Table) -> pa.Table:
         r = t.column("r").to_numpy(zero_copy_only=False)
         dg = t.column("deg").to_numpy(zero_copy_only=False).astype(
             np.float64)
         return pa.table({
-            dst_col: t.column(dst_col),
+            "node": t.column(dst_col),
             "c": pa.array(r / dg),
+            "d": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    def carrier(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "c": pa.array(np.zeros(t.num_rows)),
+            "d": t.column("deg"),
         })
 
     base = (1.0 - damping) / n_nodes
@@ -277,23 +289,28 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
     def finish(t: pa.Table) -> pa.Table:
         s = t.column("c").to_numpy(zero_copy_only=False)
         return pa.table({
-            "node": t.column(dst_col),
+            "node": t.column("node"),
             "r": pa.array(base + damping * s),
+            "deg": t.column("d"),
         })
 
     for _ in range(iters):
         joined = safe_join(
-            ew, ranks, join_type="inner", num_partitions=num_partitions,
+            edges, state, join_type="inner",
+            num_partitions=num_partitions,
             on=(src_col,), right_on=("node",))
-        sums = joined.map_batches(
-            contrib, batch_format="pyarrow", zero_copy_batch=True
-        ).groupby(dst_col).aggregate(Sum("c", alias_name="c"))
-        ranks = sums.map_batches(
+        c = joined.map_batches(contrib, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        k = state.map_batches(carrier, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        sums = k.union(c).groupby("node").aggregate(
+            Sum("c", alias_name="c"), Max("d", alias_name="d"))
+        state = sums.map_batches(
             finish, batch_format="pyarrow", zero_copy_batch=True
         ).repartition(num_partitions).materialize()
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node"), "pr": t.column("r")})
 
-    return ranks.map_batches(rename, batch_format="pyarrow",
+    return state.map_batches(rename, batch_format="pyarrow",
                              zero_copy_batch=True)
