@@ -4045,6 +4045,46 @@ FROM l GROUP BY user_id
 """
 
 
+def q_decontaminate(sf_dir: str):
+    """Train/eval decontamination: training docs sharing >=2 distinct
+    3-token shingles with the deterministic 5% held-out set (md5
+    contract; neither side is broadcast — both stream through one
+    shingle-bucket shuffle)."""
+    from ..stages.dedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(
+        decontaminate(ds, "text", "doc_id", eval_rate=0.05, n=3,
+                      min_shared=2),
+        empty_schema=pa.schema([("doc_id", pa.int64()),
+                                ("n_shared", pa.int64())]))
+
+
+SQL_DECONTAMINATE = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) < 0.05 * 4294967296 AS is_eval
+  FROM documents
+), tok AS (
+  SELECT doc_id, is_eval,
+         string_split_regex(trim(lower(text)), '\\s+') AS ts
+  FROM t WHERE trim(text) <> ''
+), sh AS (
+  SELECT doc_id, is_eval,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(ts) - 2),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS s
+  FROM tok WHERE len(ts) >= 3
+), dirty AS (SELECT DISTINCT s FROM sh WHERE is_eval)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh JOIN dirty USING (s)
+WHERE NOT sh.is_eval
+GROUP BY sh.doc_id
+HAVING count(*) >= 2
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -4192,6 +4232,7 @@ def queries() -> Dict[str, Callable]:
         "cusum_events": q_cusum_events,
         "cap_per_source": q_cap_per_source,
         "late_events_users": q_late_events,
+        "decontaminate_docs": q_decontaminate,
     }
 
 
@@ -4333,4 +4374,5 @@ def oracle_sql() -> Dict[str, str]:
         "cusum_events": SQL_CUSUM_EVENTS,
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "late_events_users": SQL_LATE_EVENTS,
+        "decontaminate_docs": SQL_DECONTAMINATE,
     }

@@ -43,6 +43,7 @@ __all__ = [
     "levenshtein_pairs",
     "jaro_winkler_pairs",
     "sorted_neighborhood_pairs",
+    "decontaminate",
 ]
 
 
@@ -1116,3 +1117,79 @@ def sorted_neighborhood_pairs(ds, text_col: str, id_col: str, *,
         .map_groups(kernel, batch_format="pyarrow")
         .select_columns(["a_id", "b_id", "jw"])
     )
+
+
+def decontaminate(ds, text_col: str, id_col: str, *,
+                  eval_rate: float = 0.05, n: int = 3,
+                  min_shared: int = 2):
+    """Train/eval decontamination: flag training documents sharing at
+    least ``min_shared`` distinct n-token shingles with ANY document of
+    the held-out set — the benchmark-leakage scan every LLM corpus
+    needs before training.  The eval membership is the deterministic
+    md5 contract (``hash_sample`` rule at ``eval_rate``), so the whole
+    audit is SQL-replayable.
+
+    Output: (id_col, n_shared) for contaminated TRAIN docs only.
+
+    Plan: shingle rows carry an is-eval flag; ONE groupby over bounded
+    shingle-hash buckets marks each shingle value "dirty" when any
+    eval doc contains it and emits per-train-doc dirty counts (a
+    shingle lives in exactly one bucket and per-doc shingles are
+    distinct, so bucket partials SUM exactly); one tiny groupby(doc)
+    finishes.  The eval side is never broadcast or collected — both
+    sides stream through the same shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sampling import _key_units
+
+    def shingle_side_rows(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        sh, sh_off = shingle_hash_sets(flat, offsets, n=n)
+        counts = np.diff(sh_off)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ev = _key_units(batch.column(id_col), "md5") < eval_rate
+        return pa.table({
+            "coarse": pa.array((sh % np.uint64(_N_COARSE)).astype(np.int64)),
+            "sh": pa.array(sh.view(np.int64)),
+            "doc": pa.array(np.repeat(ids, counts).astype(np.int64)),
+            "ev": pa.array(np.repeat(ev, counts)),
+        })
+
+    def bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc": pa.array([], pa.int64()),
+                          "k": pa.array([], pa.int64())})
+        m = group.num_rows
+        if m == 0:
+            return empty
+        sh = group.column("sh").to_numpy(zero_copy_only=False)
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        ev = group.column("ev").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc, ev = sh[order], doc[order], ev[order]
+        new = np.ones(m, dtype=bool)
+        new[1:] = sh[1:] != sh[:-1]
+        run = np.cumsum(new) - 1
+        dirty_run = np.bincount(run, weights=ev) > 0
+        hit = dirty_run[run] & ~ev
+        if not hit.any():
+            return empty
+        d, c = np.unique(doc[hit], return_counts=True)
+        return pa.table({"doc": pa.array(d),
+                         "k": pa.array(c.astype(np.int64))})
+
+    hits = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(shingle_side_rows, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("coarse").map_groups(bucket, batch_format="pyarrow")
+        .groupby("doc").aggregate(Sum("k", alias_name="n_shared"))
+        .filter(expr=f"n_shared >= {int(min_shared)}")
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column("doc"),
+                         "n_shared": t.column("n_shared")})
+
+    return hits.map_batches(rename, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -752,3 +752,25 @@ class TestOverlapContainment:
                 jc[["a", "b", "j"]].itertuples(index=False)}
         # same pair scores ~0.16 on jaccard: any >=0.5 cut misses it
         assert jmap[(1, 2)] < 0.2
+
+
+class TestDecontaminate:
+    def test_shared_shingle_threshold(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.dedup import decontaminate
+
+        # md5-unit membership: id 27 is eval (<0.05); 1,2,3 are train
+        bench = "alpha beta gamma delta epsilon zeta"
+        ds = rd.from_arrow(pa.table({
+            "doc_id": [27, 1, 2, 3],
+            "text": [
+                bench,                                  # eval doc
+                "alpha beta gamma delta qq rr",         # 2 shared shingles
+                "xx alpha beta gamma yy zz",            # 1 shared shingle
+                "totally different words entirely here",  # 0 shared
+            ],
+        }))
+        out = decontaminate(ds, "text", "doc_id", eval_rate=0.05,
+                            n=3, min_shared=2).to_pandas()
+        assert dict(zip(out.doc_id, out.n_shared)) == {1: 2}
