@@ -4085,6 +4085,42 @@ HAVING count(*) >= 2
 """
 
 
+def q_lm_score(sf_dir: str):
+    """CCNet-style statistical quality score: per-doc mean add-one
+    bigram log-likelihood under the corpus's own bigram model."""
+    from ..stages.text import lm_bigram_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(
+        lm_bigram_score(ds, "text", "doc_id"),
+        empty_schema=pa.schema([("doc_id", pa.int64()),
+                                ("lm", pa.float64())]))
+
+
+SQL_LM_SCORE = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
+  FROM documents WHERE trim(text) <> ''
+), uni AS (SELECT unnest(l) AS w FROM tok),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
+vv AS (SELECT CAST(count(*) AS BIGINT) AS V FROM uc),
+bg AS (
+  SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+  FROM tok WHERE len(l) >= 2
+), bc AS (
+  SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM bg GROUP BY 1, 2
+), sc AS (
+  SELECT bg.doc_id, ln((bc.c12 + 1.0) / (uc.c1 + vv.V)) AS lp
+  FROM bg
+  JOIN bc ON bg.p[1] = bc.w1 AND bg.p[2] = bc.w2
+  JOIN uc ON bg.p[1] = uc.w
+  CROSS JOIN vv
+)
+SELECT doc_id, avg(lp) AS lm FROM sc GROUP BY doc_id
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -4233,6 +4269,7 @@ def queries() -> Dict[str, Callable]:
         "cap_per_source": q_cap_per_source,
         "late_events_users": q_late_events,
         "decontaminate_docs": q_decontaminate,
+        "lm_score_docs": q_lm_score,
     }
 
 
@@ -4375,4 +4412,5 @@ def oracle_sql() -> Dict[str, str]:
         "cap_per_source": SQL_CAP_PER_SOURCE,
         "late_events_users": SQL_LATE_EVENTS,
         "decontaminate_docs": SQL_DECONTAMINATE,
+        "lm_score_docs": SQL_LM_SCORE,
     }

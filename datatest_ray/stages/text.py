@@ -29,6 +29,7 @@ __all__ = [
     "tokens_and_offsets",
     "feature_hash",
     "tfidf_cosine_pairs",
+    "lm_bigram_score",
     "token_counts",
     "text_stats",
     "lang_id",
@@ -746,3 +747,117 @@ def tfidf_cosine_pairs(ds, text_col: str, id_col: str, *,
     return neardup_cosine_pairs(vecs, id_col=id_col, vec_col="vec",
                                 threshold=threshold, mode="blocked",
                                 n_blocks=n_blocks)
+
+
+def lm_bigram_score(ds, text_col: str, id_col: str):
+    """Per-document average bigram log-likelihood under the corpus's
+    OWN add-one-smoothed bigram model — the CCNet-style statistical
+    quality filter (gibberish and boilerplate score far from the
+    corpus mode): score(d) = mean over consecutive token pairs of
+    ``ln((c12 + 1) / (c1 + V))``.
+
+    Output: (id_col, lm float64); docs with <2 tokens drop out.
+
+    Plan: unigram and bigram corpus counts aggregate through the same
+    one-row-per-distinct-ngram combiners as :func:`vocab_topk` /
+    :func:`bigram_topk`, then the fitted model (vocab, c1, sorted
+    bigram keys) broadcasts via ``ray.put`` — the standard n-gram-LM
+    assumption (the MODEL fits in memory; the corpus does not) — and
+    the scoring pass streams with one ``searchsorted`` lookup per
+    batch.  No shuffle touches document text beyond the count passes.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_and_offsets(batch.column(text_col))
+        vc = pc.value_counts(flat)
+        return pa.table({"w": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    uni = pa.concat_tables(list(
+        ds.select_columns([text_col])
+        .map_batches(uni_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("w").aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    ))
+    vocab = uni.column("w")
+    vocab = vocab.combine_chunks() if isinstance(vocab, pa.ChunkedArray) \
+        else vocab
+    c1 = uni.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    V = len(c1)
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        parents = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                            _row_counts(offsets))
+        enc = pc.dictionary_encode(flat)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        same = parents[1:] == parents[:-1]
+        if not same.any():
+            return empty
+        k = len(enc.dictionary)
+        pair = code[:-1][same] * k + code[1:][same]
+        cnt = np.bincount(pair)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "w1": pc.take(enc.dictionary, pa.array(nz // k, pa.int64())),
+            "w2": pc.take(enc.dictionary, pa.array(nz % k, pa.int64())),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    bi = pa.concat_tables(list(
+        ds.select_columns([text_col])
+        .map_batches(bi_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+        .iter_batches(batch_format="pyarrow")
+    ))
+    i1 = pc.index_in(bi.column("w1"), value_set=vocab).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    i2 = pc.index_in(bi.column("w2"), value_set=vocab).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    bkey = i1 * V + i2
+    bcnt = bi.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(bkey)
+    handle = ray.put((vocab, c1, bkey[order], bcnt[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, c1_, bk, bn = ray.get(handle)
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        n_rows = batch.num_rows
+        ids = batch.column(id_col)
+        empty = pa.table({id_col: pa.array([], ids.type),
+                          "lm": pa.array([], pa.float64())})
+        if len(flat) < 2:
+            return empty
+        parents = np.repeat(np.arange(n_rows, dtype=np.int64),
+                            _row_counts(offsets))
+        pos = pc.index_in(flat, value_set=voc).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        same = parents[1:] == parents[:-1]
+        if not same.any():
+            return empty
+        key = pos[:-1][same] * len(c1_) + pos[1:][same]
+        row = parents[:-1][same]
+        loc = np.searchsorted(bk, key)
+        loc = np.minimum(loc, len(bk) - 1)
+        c12 = np.where(bk[loc] == key, bn[loc], 0)
+        lp = np.log((c12 + 1.0) / (c1_[pos[:-1][same]] + len(c1_)))
+        s = np.bincount(row, weights=lp, minlength=n_rows)
+        cnt = np.bincount(row, minlength=n_rows)
+        keep = cnt > 0
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        return pa.table({
+            id_col: ids.filter(pa.array(keep)),
+            "lm": pa.array(s[keep] / cnt[keep]),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)

@@ -774,3 +774,32 @@ class TestDecontaminate:
         out = decontaminate(ds, "text", "doc_id", eval_rate=0.05,
                             n=3, min_shared=2).to_pandas()
         assert dict(zip(out.doc_id, out.n_shared)) == {1: 2}
+
+
+class TestLmBigramScore:
+    def test_matches_numpy_model(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from collections import Counter
+        from datatest_ray.stages.text import lm_bigram_score
+
+        texts = ["a b a b c", "a b", "c c c", "xyz", ""]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": list(range(5)), "text": texts}))
+        out = lm_bigram_score(ds, "text", "doc_id").to_pandas()
+
+        toks = [t.split() for t in texts]
+        uni = Counter(w for ws in toks for w in ws)
+        V = len(uni)
+        bi = Counter((a, b) for ws in toks for a, b in zip(ws, ws[1:]))
+        want = {}
+        for d, ws in enumerate(toks):
+            lps = [np.log((bi[(a, b)] + 1.0) / (uni[a] + V))
+                   for a, b in zip(ws, ws[1:])]
+            if lps:
+                want[d] = float(np.mean(lps))
+        got = dict(zip(out.doc_id, out.lm))
+        assert set(got) == set(want)  # <2-token docs drop out
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9
