@@ -4121,6 +4121,38 @@ SELECT doc_id, avg(lp) AS lm FROM sc GROUP BY doc_id
 """
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: each query's top-5 nearest neighbors
+    restricted to OTHER labels (contrastive-training pair source)."""
+    from ..stages.similarity import hard_negatives
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    queries_ds = emb.filter(expr="vec_id < 8")
+    return _materialize(
+        hard_negatives(emb, queries_ds, id_col="vec_id",
+                       vec_col="embedding", label_col="label", k=5),
+        empty_schema=pa.schema([("query_id", pa.int64()),
+                                ("neighbor_id", pa.int64()),
+                                ("sim", pa.float64())]))
+
+
+SQL_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id < 8)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                 CAST(e.embedding AS DOUBLE[])), 6) AS sim,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) DESC,
+               e.vec_id) AS rk
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label <> q.label) t
+WHERE rk <= 5
+"""
+
+
 def queries() -> Dict[str, Callable]:
     return {
         "interval_quantity": q_interval_quantity,
@@ -4270,6 +4302,7 @@ def queries() -> Dict[str, Callable]:
         "late_events_users": q_late_events,
         "decontaminate_docs": q_decontaminate,
         "lm_score_docs": q_lm_score,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -4413,4 +4446,5 @@ def oracle_sql() -> Dict[str, str]:
         "late_events_users": SQL_LATE_EVENTS,
         "decontaminate_docs": SQL_DECONTAMINATE,
         "lm_score_docs": SQL_LM_SCORE,
+        "hard_negatives": SQL_HARD_NEGATIVES,
     }

@@ -24,7 +24,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["embedding_matrix", "topk_cosine", "neardup_cosine_pairs",
+__all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
+           "neardup_cosine_pairs",
            "ann_lsh_topk", "ivf_topk", "label_centroids",
            "centroid_confusion", "kmeans"]
 
@@ -117,20 +118,39 @@ def label_centroids(ds, *, label_col: str, vec_col: str,
 
 
 def topk_cosine(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
-                exclude_self: bool = True):
+                exclude_self: bool = True,
+                exclude_label_col: Optional[str] = None):
     """Exact top-k cosine neighbors for each query vector:
     (query_id, neighbor_id, sim) with sim rounded to 6 decimals and ties
     broken by ascending neighbor id (deterministic, matches the SQL
-    window oracle)."""
+    window oracle).
+
+    ``exclude_label_col``: when set (both sides must carry it), rows
+    sharing the query's label are masked out — the HARD-NEGATIVE
+    mining mode (:func:`hard_negatives`): nearest neighbors from a
+    DIFFERENT class, the contrastive-training pair source."""
     import ray
 
     q_ids, q_mat = embedding_matrix(queries_ds, id_col, vec_col)
-    q_ref = ray.put((q_ids, q_mat.T))  # broadcast once
+    q_labels = None
+    if exclude_label_col is not None:
+        qt = pa.concat_tables(list(
+            queries_ds.select_columns([id_col, exclude_label_col])
+            .iter_batches(batch_format="pyarrow", batch_size=4096)))
+        # align label order to embedding_matrix's collection order
+        lab = dict(zip(
+            qt.column(id_col).to_pylist(),
+            qt.column(exclude_label_col).to_pylist()))
+        q_labels = np.asarray([lab[i] for i in q_ids], dtype=object)
+    q_ref = ray.put((q_ids, q_mat.T, q_labels))  # broadcast once
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        q_ids_l, q_t = ray.get(q_ref)
+        q_ids_l, q_t, q_lab = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         mat = _normalize_rows(_batch_matrix(batch, vec_col))
+        labels = (batch.column(exclude_label_col).to_numpy(
+            zero_copy_only=False) if exclude_label_col is not None
+            else None)
         sims = mat @ q_t  # (B, Q)
         out_q, out_n, out_s = [], [], []
         kk = min(k, sims.shape[0])
@@ -138,6 +158,8 @@ def topk_cosine(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
             col = sims[:, qi]
             if exclude_self:
                 col = np.where(ids == q_ids_l[qi], -np.inf, col)
+            if labels is not None:
+                col = np.where(labels == q_lab[qi], -np.inf, col)
             # partial top-k inside the batch, by the SAME (sim desc,
             # neighbor-id asc) criterion as the global merge so a tie on
             # the k-th place can never select a different winner
@@ -171,10 +193,23 @@ def topk_cosine(ds, queries_ds, *, id_col: str, vec_col: str, k: int = 5,
             }
         )
 
-    partials = ds.select_columns([id_col, vec_col]).map_batches(
+    need = [id_col, vec_col] + (
+        [exclude_label_col] if exclude_label_col is not None else [])
+    partials = ds.select_columns(need).map_batches(
         partial_topk, batch_format="pyarrow", zero_copy_batch=True
     )
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def hard_negatives(ds, queries_ds, *, id_col: str, vec_col: str,
+                   label_col: str, k: int = 5):
+    """Hard-negative mining for contrastive training: each query's
+    top-k nearest neighbors restricted to OTHER labels (the
+    most-confusable out-of-class examples).  Same exact broadcast +
+    per-batch GEMM + tie-exact merge plan as :func:`topk_cosine`."""
+    return topk_cosine(ds, queries_ds, id_col=id_col, vec_col=vec_col,
+                       k=k, exclude_self=True,
+                       exclude_label_col=label_col)
 
 
 def neardup_cosine_pairs(ds, *, id_col: str, vec_col: str,

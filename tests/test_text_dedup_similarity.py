@@ -803,3 +803,41 @@ class TestLmBigramScore:
         assert set(got) == set(want)  # <2-token docs drop out
         for k in want:
             assert abs(got[k] - want[k]) < 1e-9
+
+
+class TestHardNegatives:
+    def test_same_label_never_returned(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.similarity import hard_negatives
+
+        rng = np.random.RandomState(11)
+        n, d = 40, 8
+        m = rng.standard_normal((n, d))
+        labels = [f"l{i % 4}" for i in range(n)]
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.astype(np.float64) for r in m],
+                                  pa.list_(pa.float64())),
+            "label": labels,
+        }))
+        q = ds.filter(expr="vec_id < 4")
+        out = hard_negatives(ds, q, id_col="vec_id", vec_col="embedding",
+                             label_col="label", k=3).to_pandas()
+        lab = dict(enumerate(labels))
+        assert len(out) == 12
+        for r in out.itertuples():
+            assert lab[r.query_id] != lab[r.neighbor_id]
+        # numpy parity on the actual ranking
+        mm = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mm @ mm.T
+        for qid in range(4):
+            col = sims[qid].copy()
+            mask = np.array([lab[j] == lab[qid] for j in range(n)])
+            col[mask] = -np.inf
+            want = np.lexsort((np.arange(n), -col))[:3]
+            got = out[out.query_id == qid].sort_values(
+                ["sim", "neighbor_id"], ascending=[False, True]
+            ).neighbor_id.tolist()
+            assert got == list(want)
