@@ -245,6 +245,66 @@ WHERE v NOT IN (SELECT DISTINCT lang FROM documents)
 
 
 # ---------------------------------------------------------------------------
+# Composed validation report (§2.A/B + §3.1): FIVE checks in ONE CheckSuite
+# pass — stateless checks fused into a single input scan, global checks as
+# pre-aggregated shuffle branches — reduced to per-(check, kind) counts.
+# This is the engine's headline call shape (validate() over a whole table).
+# ---------------------------------------------------------------------------
+
+
+def q_validation_report(sf_dir: str):
+    from ..stages.base import RunContext
+    from ..stages.global_checks import SetCheck, UniqueCheck
+    from ..stages.row_checks import DomainCheck, IntervalCheck
+    from .suite import CheckSuite
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_quantity", "l_discount",
+                "l_returnflag", "l_linestatus"])
+    suite = CheckSuite([
+        IntervalCheck("l_quantity", min=1, max=30),
+        IntervalCheck("l_discount", min=0.0, max=0.05),
+        DomainCheck("l_returnflag", {"A", "N"}),
+        UniqueCheck("l_orderkey"),
+        SetCheck("l_linestatus", {"O", "F", "X"}),
+    ], RunContext())
+    t = suite.run(ds).to_table()
+    agg = t.group_by(["check_id", "kind"]).aggregate([("kind", "count")])
+    return pa.table({
+        "check_id": agg.column("check_id"),
+        "kind": agg.column("kind"),
+        "n_violations": agg.column("kind_count"),
+    }).sort_by([("check_id", "ascending"), ("kind", "ascending")])
+
+
+SQL_VALIDATION_REPORT = """
+WITH v(check_id, kind, n) AS (
+  SELECT 'interval(l_quantity,1,30)', 'deviation', count(*)
+  FROM lineitem WHERE l_quantity < 1 OR l_quantity > 30
+  UNION ALL
+  SELECT 'interval(l_discount,0.0,0.05)', 'deviation', count(*)
+  FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.05
+  UNION ALL
+  SELECT 'domain(l_returnflag,2 allowed)', 'extra', count(*)
+  FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')
+  UNION ALL
+  SELECT 'unique(l_orderkey)', 'extra', count(*)
+  FROM (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'set(l_linestatus,3)', 'extra', count(*)
+  FROM (SELECT DISTINCT l_linestatus FROM lineitem
+        WHERE l_linestatus NOT IN ('O', 'F', 'X'))
+  UNION ALL
+  SELECT 'set(l_linestatus,3)', 'missing', count(*)
+  FROM (SELECT v FROM (VALUES ('O'),('F'),('X')) req(v)
+        WHERE v NOT IN (SELECT DISTINCT l_linestatus FROM lineitem))
+)
+SELECT check_id, kind, CAST(n AS BIGINT) AS n_violations
+FROM v WHERE n > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
 
@@ -4160,6 +4220,7 @@ def queries() -> Dict[str, Callable]:
         "regex_lang": q_regex_lang,
         "set_region": q_set_region,
         "unique_orderkey": q_unique_orderkey,
+        "validation_report": q_validation_report,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4313,6 +4374,7 @@ def oracle_sql() -> Dict[str, str]:
         "regex_lang": SQL_REGEX_LANG,
         "set_region": SQL_SET_REGION,
         "unique_orderkey": SQL_UNIQUE_ORDERKEY,
+        "validation_report": SQL_VALIDATION_REPORT,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,
