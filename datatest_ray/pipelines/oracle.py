@@ -304,6 +304,44 @@ FROM v WHERE n > 0
 """
 
 
+def q_rare_categories(sf_dir: str):
+    """RareCategoryCheck over a category column with a deterministically
+    planted rare value (orderkey % 997 -> 'PRIORITY-GLITCH', ~0.1%
+    share at every scale), so the below-min-share path is exercised
+    with non-empty output regardless of sf."""
+    from ..stages.base import RunContext
+    from ..stages.global_checks import RareCategoryCheck
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        glitch = pa.array(key % 997 == 0)
+        cat = pc.if_else(glitch, pa.scalar("PRIORITY-GLITCH"),
+                         t.column("o_orderpriority").combine_chunks())
+        return pa.table({"cat": cat})
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    check = RareCategoryCheck("cat", min_share=0.01)
+    return _run_check(check, ds, ["value", "value_num", "deviation", "kind"])
+
+
+SQL_RARE_CATEGORIES = """
+WITH d AS (
+  SELECT CASE WHEN o_orderkey % 997 = 0 THEN 'PRIORITY-GLITCH'
+              ELSE o_orderpriority END AS cat
+  FROM orders
+), c AS (
+  SELECT cat, count(*) AS n FROM d GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c
+)
+SELECT cat AS value, CAST(n AS DOUBLE) AS value_num,
+       n / tot - 0.01 AS deviation, 'invalid' AS kind
+FROM c, t WHERE n / tot < 0.01
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
@@ -4221,6 +4259,7 @@ def queries() -> Dict[str, Callable]:
         "set_region": q_set_region,
         "unique_orderkey": q_unique_orderkey,
         "validation_report": q_validation_report,
+        "rare_categories": q_rare_categories,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4375,6 +4414,7 @@ def oracle_sql() -> Dict[str, str]:
         "set_region": SQL_SET_REGION,
         "unique_orderkey": SQL_UNIQUE_ORDERKEY,
         "validation_report": SQL_VALIDATION_REPORT,
+        "rare_categories": SQL_RARE_CATEGORIES,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,

@@ -400,3 +400,102 @@ class SetCheck(Check):
         extra = SubsetCheck(self.column, self.required, check_id=self.check_id)
         missing = SupersetCheck(self.column, self.required, check_id=self.check_id)
         return extra.violations(ds, ctx).union(missing.violations(ds, ctx))
+
+
+class RareCategoryCheck(Check):
+    """Categories whose share of rows falls below ``min_share`` are
+    flagged ``Invalid`` — the classic typo/corrupted-enum detector
+    (reference analogue: a ``validate.set`` over an *unknown* domain;
+    here the domain is learned from the data itself).
+
+    Plan: per-batch ``pc.value_counts`` partials -> ONE coarse-key
+    shuffle with a vectorized segment combine (same shape as
+    UniqueCheck) -> the per-category count table is materialized (it is
+    bounded by the categorical cardinality, not the row count), the
+    grand total reduced from it, and violations emitted per rare
+    category with ``deviation = share - min_share`` (negative).
+    """
+
+    def __init__(self, column: str, min_share: float = 0.01,
+                 check_id: Optional[str] = None):
+        self.column = column
+        self.min_share = float(min_share)
+        self.check_id = check_id or f"rare({column},{min_share})"
+
+    def violations(self, ds, ctx: RunContext):
+        import ray.data as rd
+
+        from ..functions.aggregates import hash64
+        from .base import coalesced
+
+        col = self.column
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vc = pc.value_counts(_cast_key(batch.column(col)))
+            return pa.table({"v": vc.field("values"),
+                             "n": vc.field("counts").cast(pa.int64())})
+
+        partials = coalesced(
+            ds.select_columns([col]).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ctx,
+        )
+
+        def add_coarse(batch: pa.Table) -> pa.Table:
+            h = hash64(batch.column("v")) % np.uint64(256)
+            return batch.append_column("coarse", pa.array(h.astype(np.int64)))
+
+        partials = partials.map_batches(
+            add_coarse, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def combine_counts(group: pa.Table) -> pa.Table:
+            values = group.column("v").combine_chunks()
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            v_np = values.to_numpy(zero_copy_only=False)
+            order = np.argsort(v_np, kind="stable")
+            v_np, n = v_np[order], n[order]
+            new_seg = np.ones(len(v_np), dtype=bool)
+            if len(v_np):
+                new_seg[1:] = v_np[1:] != v_np[:-1]
+            seg = np.cumsum(new_seg) - 1
+            totals = np.bincount(seg, weights=n).astype(np.int64)
+            first = np.flatnonzero(new_seg)
+            return pa.table({
+                "v": values.take(pa.array(order[first])),
+                "n": pa.array(totals),
+            })
+
+        counts = partials.groupby("coarse").map_groups(
+            combine_counts, batch_format="pyarrow"
+        )
+        # Bounded by categorical cardinality (one row per distinct
+        # value), NOT by input rows — safe to pin so the plan is read
+        # once for both the total and the filter.
+        counts = counts.materialize()
+        total = counts.sum("n") or 0
+
+        check_id, ms = self.check_id, self.min_share
+        default_part = ctx.default_partition
+        tot = float(total)
+
+        def emit(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or tot <= 0:
+                return empty_violations()
+            n = batch.column("n").to_numpy(zero_copy_only=False)
+            share = n / tot
+            rare = share < ms
+            if not rare.any():
+                return empty_violations()
+            values = batch.column("v").combine_chunks().filter(pa.array(rare))
+            return violations_table(
+                int(rare.sum()), check_id=check_id, kind="invalid",
+                partition_id=default_part, value=values,
+                value_num=pa.array(n[rare].astype(np.float64)),
+                deviation=pa.array(share[rare] - ms),
+            )
+
+        return counts.map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        )

@@ -246,3 +246,26 @@ def test_callable_returning_difference_objects(ray_session):
     assert len(rows) == 2
     assert rows[("invalid", "-2")] == ("'non-negative'", None)
     assert rows[("deviation", "13")][1] == 3.0
+
+
+def test_rare_category_check(ray_session):
+    from datatest_ray import RareCategoryCheck
+
+    # 'zz' has 1/21 ≈ 4.8% share; threshold 10% flags it, 60/21 each for
+    # the two common categories keeps them clear.
+    ds = ds_of(c=["x"] * 10 + ["y"] * 10 + ["zz"])
+    result = CheckSuite([RareCategoryCheck("c", min_share=0.10)]).run(ds)
+    t = result.to_table()
+    assert t.column("value").to_pylist() == ["zz"]
+    assert t.column("kind").to_pylist() == ["invalid"]
+    assert t.column("value_num").to_pylist() == [1.0]
+    dev = t.column("deviation").to_pylist()[0]
+    assert abs(dev - (1 / 21 - 0.10)) < 1e-12
+
+
+def test_rare_category_check_none_rare(ray_session):
+    from datatest_ray import RareCategoryCheck
+
+    ds = ds_of(c=["x", "y"] * 5)
+    result = CheckSuite([RareCategoryCheck("c", min_share=0.10)]).run(ds)
+    assert result.to_table().num_rows == 0
