@@ -342,6 +342,35 @@ FROM c, t WHERE n / tot < 0.01
 """
 
 
+def q_pack_contexts(sf_dir: str):
+    from ..stages.text import pack_contexts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return _materialize(
+        pack_contexts(ds, "text", "doc_id", group_col="lang", budget=512)
+    )
+
+
+SQL_PACK_CONTEXTS = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_bin,
+       CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+                 ELSE (cum - 1) // 512 END AS BIGINT) AS last_bin
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
@@ -4260,6 +4289,7 @@ def queries() -> Dict[str, Callable]:
         "unique_orderkey": q_unique_orderkey,
         "validation_report": q_validation_report,
         "rare_categories": q_rare_categories,
+        "pack_contexts": q_pack_contexts,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4415,6 +4445,7 @@ def oracle_sql() -> Dict[str, str]:
         "unique_orderkey": SQL_UNIQUE_ORDERKEY,
         "validation_report": SQL_VALIDATION_REPORT,
         "rare_categories": SQL_RARE_CATEGORIES,
+        "pack_contexts": SQL_PACK_CONTEXTS,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,

@@ -861,3 +861,49 @@ def lm_bigram_score(ds, text_col: str, id_col: str):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_contexts(ds, text_col: str, id_col: str, *, group_col: str,
+                  budget: int = 512):
+    """Concat-and-split context packing (pretraining style): within each
+    group, docs ordered by id form one conceptual token stream cut into
+    fixed ``budget``-token windows; each doc reports the window range
+    [first_bin, last_bin] it lands in (spanning >1 bin = split doc).
+
+    Plan: ONE fused tokenize pass -> tiny (group, id, n_tokens) rows ->
+    ``groupby(group).map_groups`` ordered prefix-sum.  Group count is
+    the grouping-key cardinality (languages: small); a huge single
+    group would two-phase the same kernel as per-block partial sums +
+    offset broadcast — same documented assumption as sessionize.
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        _, offsets = tokens_and_offsets(batch.column(text_col))
+        return pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            "n_tokens": pa.array(_row_counts(offsets)),
+        })
+
+    counts = ds.select_columns([id_col, group_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column(id_col))
+        g = group.take(order)
+        n = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n)
+        prev = cum - n
+        first = prev // budget
+        # a zero-token doc occupies no span: pin it to the boundary bin
+        last = np.where(n > 0, (cum - 1) // budget, first)
+        return pa.table({
+            id_col: g.column(id_col),
+            group_col: g.column(group_col),
+            "n_tokens": pa.array(n),
+            "first_bin": pa.array(first.astype(np.int64)),
+            "last_bin": pa.array(last.astype(np.int64)),
+        })
+
+    return counts.groupby(group_col).map_groups(pack, batch_format="pyarrow")

@@ -841,3 +841,26 @@ class TestHardNegatives:
                 ["sim", "neighbor_id"], ascending=[False, True]
             ).neighbor_id.tolist()
             assert got == list(want)
+
+
+def test_pack_contexts_split_and_empty(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from datatest_ray.stages.text import pack_contexts
+
+    # budget=4: d1 has 3 tokens (bin 0), d2 has 3 tokens -> spans bins
+    # 0..1 (split doc), d3 empty -> zero-span at the boundary, d4 has 2
+    # tokens filling bin 1.
+    t = pa.table({
+        "doc_id": ["d1", "d2", "d3", "d4"],
+        "lang": ["en"] * 4,
+        "text": ["a b c", "d e f", "   ", "g h"],
+    })
+    got = (
+        pack_contexts(rd.from_arrow(t), "text", "doc_id",
+                      group_col="lang", budget=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == [3, 3, 0, 2]
+    assert got["first_bin"].tolist() == [0, 0, 1, 1]
+    assert got["last_bin"].tolist() == [0, 1, 1, 1]
