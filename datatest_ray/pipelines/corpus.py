@@ -139,3 +139,53 @@ def corpus_prep(ds, *, text_col: str = "text", id_col: str = "doc_id",
         Sum("n", alias_name="n_total"),
         Mean("quality", alias_name="mean_quality"),
     )
+
+
+def mixture_weights(ds, *, text_col: str = "text", group_col: str = "lang"):
+    """Data-mixing weights: per-group token counts -> inverse-share
+    sampling weight normalized to sum 1 (uniform target mixture), the
+    standard corpus-rebalancing step before pretraining sampling.
+
+    Plan: one fused tokenize pass emits (group, n_tokens) partials,
+    a groupby(group) Sum reduces them (shuffle moves one row per group
+    per block), and the normalization runs on the materialized per-group
+    table — bounded by group cardinality, never by corpus size.
+    Zero-token groups get a NULL weight and are excluded from the
+    normalizing sum.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import _row_counts, tokens_and_offsets
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        _, offsets = tokens_and_offsets(batch.column(text_col))
+        return pa.table({
+            group_col: batch.column(group_col),
+            "n": pa.array(_row_counts(offsets)),
+        })
+
+    counts = ds.select_columns([group_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(group_col).aggregate(Sum("n", alias_name="n_tokens"))
+
+    batches = list(counts.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536))
+    t = pa.concat_tables(batches) if batches else pa.table(
+        {group_col: pa.array([], pa.string()),
+         "n_tokens": pa.array([], pa.int64())})
+    t = t.sort_by([(group_col, "ascending")])
+    n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    tot = n.sum()
+    share = np.divide(n, tot, out=np.zeros_like(n), where=tot > 0)
+    inv = np.divide(tot, n, out=np.zeros_like(n), where=n > 0)
+    inv_sum = inv.sum()
+    weight = np.divide(inv, inv_sum, out=np.zeros_like(n), where=inv_sum > 0)
+    nz = n > 0
+    return pa.table({
+        group_col: t.column(group_col),
+        "n_tokens": t.column("n_tokens"),
+        "share": pa.array(share, pa.float64(), mask=~nz),
+        "weight": pa.array(weight, pa.float64(), mask=~nz),
+    })

@@ -371,6 +371,36 @@ FROM c
 """
 
 
+def q_mix_weights(sf_dir: str):
+    from ..pipelines.corpus import mixture_weights
+
+    return mixture_weights(_read(sf_dir, "documents", ["lang", "text"]),
+                           text_col="text", group_col="lang")
+
+
+SQL_MIX_WEIGHTS = r"""
+WITH tok AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+  FROM documents
+), c AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM tok GROUP BY 1
+), s AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         sum(CASE WHEN n_tokens > 0
+                  THEN (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM c) / n_tokens
+             END) AS inv_sum
+  FROM c
+)
+SELECT lang, n_tokens,
+       CASE WHEN n_tokens = 0 THEN NULL ELSE n_tokens / tot END AS share,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE (tot / n_tokens) / inv_sum END AS weight
+FROM c, s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
@@ -4290,6 +4320,7 @@ def queries() -> Dict[str, Callable]:
         "validation_report": q_validation_report,
         "rare_categories": q_rare_categories,
         "pack_contexts": q_pack_contexts,
+        "mix_weights": q_mix_weights,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4446,6 +4477,7 @@ def oracle_sql() -> Dict[str, str]:
         "validation_report": SQL_VALIDATION_REPORT,
         "rare_categories": SQL_RARE_CATEGORIES,
         "pack_contexts": SQL_PACK_CONTEXTS,
+        "mix_weights": SQL_MIX_WEIGHTS,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,

@@ -864,3 +864,23 @@ def test_pack_contexts_split_and_empty(ray_session):
     assert got["n_tokens"].tolist() == [3, 3, 0, 2]
     assert got["first_bin"].tolist() == [0, 0, 1, 1]
     assert got["last_bin"].tolist() == [0, 1, 1, 1]
+
+
+def test_mixture_weights_zero_token_group(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from datatest_ray.pipelines.corpus import mixture_weights
+
+    t = pa.table({
+        "lang": ["en", "en", "de", "xx"],
+        "text": ["a b c d e f", "g h", "i j", "   "],
+    })
+    got = mixture_weights(rd.from_arrow(t)).to_pandas()
+    got = got.set_index("lang")
+    assert got.loc["en", "n_tokens"] == 8
+    assert got.loc["de", "n_tokens"] == 2
+    assert got.loc["xx", "n_tokens"] == 0
+    assert got.loc["xx", ["share", "weight"]].isna().all()
+    # inverse-share: de (rarer) gets the larger weight; weights sum to 1
+    assert got.loc["de", "weight"] > got.loc["en", "weight"]
+    assert abs(got["weight"].dropna().sum() - 1.0) < 1e-12
