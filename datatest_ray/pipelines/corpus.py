@@ -189,3 +189,69 @@ def mixture_weights(ds, *, text_col: str = "text", group_col: str = "lang"):
         "share": pa.array(share, pa.float64(), mask=~nz),
         "weight": pa.array(weight, pa.float64(), mask=~nz),
     })
+
+
+def quality_funnel(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   min_tokens: int = 20, max_tokens: int = 90,
+                   min_stop_ratio: float = 0.03,
+                   min_quality: float = 0.55):
+    """C4/Gopher-style filter-funnel report: rules applied IN ORDER,
+    each row = (stage, rule, n_dropped among docs surviving the earlier
+    rules, n_remaining after it).
+
+    Plan: ONE fused feature pass per batch reduces to a 5-int partial
+    (total + first-failing-rule counts); ``Dataset.sum`` combines the
+    partials — the shuffle moves one tiny row per block, never docs.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.text import (STOPWORDS, _PUNCT_RE, _per_row_hits,
+                               _row_counts, tokens_and_offsets)
+
+    en_words = STOPWORDS["en"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        flat, offsets = tokens_and_offsets(text)
+        n_tok = _row_counts(offsets).astype(np.float64)
+        n_chars = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        punct = pc.count_substring_regex(text, _PUNCT_RE).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        stop = _per_row_hits(flat, offsets, en_words).astype(np.float64)
+        ratio = stop / np.maximum(n_tok, 1.0)
+        quality = (
+            0.5 * (np.minimum(n_tok, 100.0) / 100.0)
+            + 0.3 * ratio
+            + 0.2 * (1.0 - punct / np.maximum(n_chars, 1.0))
+        )
+        f1 = n_tok < min_tokens
+        f2 = ~f1 & (n_tok > max_tokens)
+        f3 = ~f1 & ~f2 & (ratio < min_stop_ratio)
+        f4 = ~f1 & ~f2 & ~f3 & (quality < min_quality)
+        return pa.table({
+            "total": pa.array([batch.num_rows], pa.int64()),
+            "d1": pa.array([int(f1.sum())], pa.int64()),
+            "d2": pa.array([int(f2.sum())], pa.int64()),
+            "d3": pa.array([int(f3.sum())], pa.int64()),
+            "d4": pa.array([int(f4.sum())], pa.int64()),
+        })
+
+    sums = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["total", "d1", "d2", "d3", "d4"])
+    sums = sums or {f"sum({c})": 0 for c in ("total", "d1", "d2", "d3", "d4")}
+    total = sums["sum(total)"]
+    drops = [sums[f"sum(d{i})"] for i in (1, 2, 3, 4)]
+    rules = ["too_short", "too_long", "low_stopword", "low_quality"]
+    remaining, rem = [], total
+    for d in drops:
+        rem -= d
+        remaining.append(rem)
+    return pa.table({
+        "stage": pa.array([1, 2, 3, 4], pa.int64()),
+        "rule": pa.array(rules),
+        "n_dropped": pa.array(drops, pa.int64()),
+        "n_remaining": pa.array(remaining, pa.int64()),
+    })

@@ -20,6 +20,7 @@ import pyarrow.compute as pc
 
 REGION_NAMES = {"AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
 LANGS = {"en", "de", "zh", "fr", "es"}
+_EN = "'the','and','of','to','a','in','is','it','that','for'"
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -401,6 +402,44 @@ FROM c, s
 """
 
 
+def q_quality_funnel(sf_dir: str):
+    from ..pipelines.corpus import quality_funnel
+
+    return quality_funnel(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_QUALITY_FUNNEL = f"""
+WITH b AS (SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+           FROM documents),
+s AS (SELECT len(ts) AS n_tokens, length(text) AS n_chars,
+       length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+       len(list_filter(ts, t -> list_contains([{_EN}], t))) AS stop_hits
+      FROM b),
+f AS (SELECT CASE
+        WHEN n_tokens < 20 THEN 1
+        WHEN n_tokens > 90 THEN 2
+        WHEN stop_hits::DOUBLE / greatest(n_tokens, 1) < 0.03 THEN 3
+        WHEN 0.5*(least(n_tokens,100)/100.0)
+             + 0.3*(stop_hits::DOUBLE/greatest(n_tokens,1))
+             + 0.2*(1 - punct::DOUBLE/greatest(n_chars,1)) < 0.55 THEN 4
+        ELSE 0 END AS fail
+      FROM s),
+c AS (SELECT fail, count(*) AS n FROM f GROUP BY 1),
+t AS (SELECT count(*) AS total FROM f)
+SELECT CAST(st.stage AS BIGINT) AS stage, st.rule,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_dropped,
+       CAST(t.total - (SELECT coalesce(sum(n), 0) FROM c
+                       WHERE fail BETWEEN 1 AND st.stage) AS BIGINT)
+         AS n_remaining
+FROM (VALUES (1, 'too_short'), (2, 'too_long'),
+             (3, 'low_stopword'), (4, 'low_quality')) st(stage, rule)
+LEFT JOIN c ON c.fail = st.stage
+CROSS JOIN t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
@@ -585,7 +624,6 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 # Text analysis (engine extensions; stages/text.py)
 # ---------------------------------------------------------------------------
 
-_EN = "'the','and','of','to','a','in','is','it','that','for'"
 _DE = "'der','die','das','und','ist','nicht','mit','ein','zu','den'"
 _FR = "'le','la','les','et','est','une','dans','pour','que','au'"
 _ES = "'el','los','las','y','es','una','en','para','por','con'"
@@ -4321,6 +4359,7 @@ def queries() -> Dict[str, Callable]:
         "rare_categories": q_rare_categories,
         "pack_contexts": q_pack_contexts,
         "mix_weights": q_mix_weights,
+        "quality_funnel": q_quality_funnel,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4478,6 +4517,7 @@ def oracle_sql() -> Dict[str, str]:
         "rare_categories": SQL_RARE_CATEGORIES,
         "pack_contexts": SQL_PACK_CONTEXTS,
         "mix_weights": SQL_MIX_WEIGHTS,
+        "quality_funnel": SQL_QUALITY_FUNNEL,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,

@@ -884,3 +884,28 @@ def test_mixture_weights_zero_token_group(ray_session):
     # inverse-share: de (rarer) gets the larger weight; weights sum to 1
     assert got.loc["de", "weight"] > got.loc["en", "weight"]
     assert abs(got["weight"].dropna().sum() - 1.0) < 1e-12
+
+
+def test_quality_funnel_sequential_semantics(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from datatest_ray.pipelines.corpus import quality_funnel
+
+    # one doc fails each rule; failing rule 1 must NOT also count under
+    # later rules (sequential funnel, not independent counts)
+    docs = {
+        "short": "a b",                                     # <3 tokens
+        "long": " ".join(["x"] * 30),                       # >25 tokens
+        "nostop": " ".join(["zig zag"] * 6),                # no stopwords
+        "ok": "the cat sat on the mat and it is fine here today",
+    }
+    t = pa.table({"doc_id": list(docs), "text": list(docs.values())})
+    got = quality_funnel(
+        rd.from_arrow(t), min_tokens=3, max_tokens=25,
+        min_stop_ratio=0.05, min_quality=0.0,
+    ).to_pandas().set_index("rule")
+    assert got.loc["too_short", "n_dropped"] == 1
+    assert got.loc["too_long", "n_dropped"] == 1
+    assert got.loc["low_stopword", "n_dropped"] == 1
+    assert got.loc["low_quality", "n_dropped"] == 0
+    assert got["n_remaining"].tolist() == [3, 2, 1, 1]
