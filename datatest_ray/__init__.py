@@ -48,6 +48,7 @@ from .stages.row_checks import (  # noqa: F401
     TupleCheck,
 )
 from .stages.global_checks import (  # noqa: F401
+    CompletenessCheck,
     RareCategoryCheck,
     SetCheck,
     SubsetCheck,

@@ -440,6 +440,49 @@ CROSS JOIN t
 """
 
 
+def q_completeness_events(sf_dir: str):
+    """CompletenessCheck over columns with deterministically planted
+    nulls (click events / small values nulled), plus one fully-present
+    column that must NOT be flagged."""
+    from ..stages.base import RunContext
+    from ..stages.global_checks import CompletenessCheck
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").combine_chunks()
+        val = t.column("value").combine_chunks()
+        return pa.table({
+            "et": pc.if_else(pc.equal(et, "click"), pa.scalar(None, pa.string()), et),
+            "v": pc.if_else(pc.less(val, 10.0), pa.scalar(None, pa.float64()), val),
+            "u": t.column("user_id"),
+        })
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    check = CompletenessCheck(["et", "v", "u"], max_null_share=0.05)
+    return _run_check(check, ds, ["key", "value_num", "deviation", "kind"])
+
+
+SQL_COMPLETENESS_EVENTS = """
+WITH d AS (
+  SELECT NULLIF(event_type, 'click') AS et,
+         CASE WHEN value < 10 THEN NULL ELSE value END AS v,
+         user_id AS u
+  FROM events
+), c(key, n_null, total) AS (
+  SELECT 'et', count(*) - count(et), count(*) FROM d
+  UNION ALL
+  SELECT 'v', count(*) - count(v), count(*) FROM d
+  UNION ALL
+  SELECT 'u', count(*) - count(u), count(*) FROM d
+)
+SELECT key, CAST(n_null AS DOUBLE) AS value_num,
+       CAST(n_null AS DOUBLE) / total - 0.05 AS deviation,
+       'missing' AS kind
+FROM c WHERE CAST(n_null AS DOUBLE) / total > 0.05
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
@@ -4360,6 +4403,7 @@ def queries() -> Dict[str, Callable]:
         "pack_contexts": q_pack_contexts,
         "mix_weights": q_mix_weights,
         "quality_funnel": q_quality_funnel,
+        "completeness_events": q_completeness_events,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4518,6 +4562,7 @@ def oracle_sql() -> Dict[str, str]:
         "pack_contexts": SQL_PACK_CONTEXTS,
         "mix_weights": SQL_MIX_WEIGHTS,
         "quality_funnel": SQL_QUALITY_FUNNEL,
+        "completeness_events": SQL_COMPLETENESS_EVENTS,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,

@@ -499,3 +499,64 @@ class RareCategoryCheck(Check):
         return counts.map_batches(
             emit, batch_format="pyarrow", zero_copy_batch=True
         )
+
+
+class CompletenessCheck(Check):
+    """Per-column completeness: a column whose NULL share exceeds
+    ``max_null_share`` fails (reference analogue: a required-value
+    predicate over every row; the canonical 'column went dark upstream'
+    detector).
+
+    Plan: each batch reduces to ONE row of per-column null counts +
+    row count; ``Dataset.sum`` combines the partials (shuffle moves one
+    tiny row per block).  One ``Missing`` violation per failing column:
+    ``key`` = column name, ``value_num`` = null count, ``deviation`` =
+    null share - max_null_share (positive).
+    """
+
+    def __init__(self, columns, max_null_share: float = 0.0,
+                 check_id: Optional[str] = None):
+        self.columns = list(columns)
+        self.max_null_share = float(max_null_share)
+        self.check_id = check_id or (
+            f"completeness({','.join(self.columns)},{max_null_share})"
+        )
+
+    def violations(self, ds, ctx: RunContext):
+        import ray.data as rd
+
+        cols = self.columns
+
+        def partial(batch: pa.Table) -> pa.Table:
+            out = {"rows": pa.array([batch.num_rows], pa.int64())}
+            for c in cols:
+                out[f"nulls_{c}"] = pa.array(
+                    [batch.column(c).null_count], pa.int64()
+                )
+            return pa.table(out)
+
+        sums = ds.select_columns(cols).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).sum(["rows"] + [f"nulls_{c}" for c in cols])
+        sums = sums or {}
+        total = sums.get("sum(rows)", 0) or 0
+
+        bad_cols, bad_nulls, bad_dev = [], [], []
+        if total > 0:
+            for c in cols:
+                n_null = sums.get(f"sum(nulls_{c})", 0) or 0
+                share = n_null / total
+                if share > self.max_null_share:
+                    bad_cols.append(c)
+                    bad_nulls.append(float(n_null))
+                    bad_dev.append(share - self.max_null_share)
+        if not bad_cols:
+            return rd.from_arrow(empty_violations())
+        table = violations_table(
+            len(bad_cols), check_id=self.check_id, kind="missing",
+            partition_id=ctx.default_partition,
+            key=pa.array(bad_cols),
+            value_num=pa.array(bad_nulls),
+            deviation=pa.array(bad_dev),
+        )
+        return rd.from_arrow(table)

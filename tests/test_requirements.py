@@ -269,3 +269,23 @@ def test_rare_category_check_none_rare(ray_session):
     ds = ds_of(c=["x", "y"] * 5)
     result = CheckSuite([RareCategoryCheck("c", min_share=0.10)]).run(ds)
     assert result.to_table().num_rows == 0
+
+
+def test_completeness_check(ray_session):
+    from datatest_ray import CompletenessCheck
+
+    ds = ds_of(a=[1, None, None, 4], b=[1, 2, 3, 4])
+    result = CheckSuite([CompletenessCheck(["a", "b"], max_null_share=0.25)]).run(ds)
+    t = result.to_table()
+    assert t.column("key").to_pylist() == ["a"]
+    assert t.column("kind").to_pylist() == ["missing"]
+    assert t.column("value_num").to_pylist() == [2.0]
+    assert abs(t.column("deviation").to_pylist()[0] - 0.25) < 1e-12
+
+
+def test_completeness_check_all_present(ray_session):
+    from datatest_ray import CompletenessCheck
+
+    ds = ds_of(a=[1, 2, 3])
+    result = CheckSuite([CompletenessCheck(["a"])]).run(ds)
+    assert result.to_table().num_rows == 0
