@@ -483,6 +483,39 @@ FROM c WHERE CAST(n_null AS DOUBLE) / total > 0.05
 """
 
 
+def q_zipf_slope(sf_dir: str):
+    from ..stages.text import zipf_slope
+
+    return _materialize(
+        zipf_slope(_read(sf_dir, "documents", ["lang", "text"]),
+                   "text", group_col="lang")
+    )
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(CASE WHEN trim(text) = '' THEN []
+                     ELSE string_split_regex(trim(lower(text)), '\s+')
+                END) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+), r AS (
+  SELECT lang, ln(n) AS y,
+         ln(row_number() OVER (PARTITION BY lang
+                               ORDER BY n DESC, token)) AS x
+  FROM c
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+       CASE WHEN count(*) > 1
+            THEN (sum(x*y) - sum(x)*sum(y)/count(*))
+                 / NULLIF(sum(x*x) - sum(x)*sum(x)/count(*), 0)
+       END AS slope
+FROM r GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
@@ -4404,6 +4437,7 @@ def queries() -> Dict[str, Callable]:
         "mix_weights": q_mix_weights,
         "quality_funnel": q_quality_funnel,
         "completeness_events": q_completeness_events,
+        "zipf_lang": q_zipf_slope,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4563,6 +4597,7 @@ def oracle_sql() -> Dict[str, str]:
         "mix_weights": SQL_MIX_WEIGHTS,
         "quality_funnel": SQL_QUALITY_FUNNEL,
         "completeness_events": SQL_COMPLETENESS_EVENTS,
+        "zipf_lang": SQL_ZIPF_SLOPE,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,

@@ -907,3 +907,60 @@ def pack_contexts(ds, text_col: str, id_col: str, *, group_col: str,
         })
 
     return counts.groupby(group_col).map_groups(pack, batch_format="pyarrow")
+
+
+def zipf_slope(ds, text_col: str, *, group_col: str):
+    """Per-group Zipf exponent: OLS slope of ln(freq) ~ ln(rank) over
+    the group's token vocabulary (rank by count desc, token asc) — the
+    corpus-statistics sanity check that a text source follows the
+    expected power law (slope ~ -1 for natural language).
+
+    Plan: per-batch (group, token) value-count COMBINER -> ONE
+    ``groupby(group, token).sum`` exchange bounded by blocks x per-block
+    vocabulary -> per-group vectorized rank + closed-form OLS in
+    ``map_groups`` (a group holds one row per DISTINCT token, not per
+    occurrence).  Groups with vocabulary < 2 get a NULL slope.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        take = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), _row_counts(offsets)
+        )
+        occ = pa.table({group_col: g.take(pa.array(take)), "token": flat})
+        counts = occ.group_by([group_col, "token"]).aggregate(
+            [("token", "count")]
+        )
+        return pa.table({
+            group_col: counts.column(group_col),
+            "token": counts.column("token"),
+            "n": counts.column("token_count").cast(pa.int64()),
+        })
+
+    totals = ds.select_columns([group_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby([group_col, "token"]).aggregate(Sum("n", alias_name="n"))
+
+    def slope(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        tok = group.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -n))
+        y = np.log(n[order].astype(np.float64))
+        x = np.log(np.arange(1, len(y) + 1, dtype=np.float64))
+        v = float(len(y))
+        denom = float((x * x).sum() - x.sum() * x.sum() / v) if v > 1 else 0.0
+        s = (
+            float(((x * y).sum() - x.sum() * y.sum() / v) / denom)
+            if denom > 0 else None
+        )
+        gval = group.column(group_col)[0]
+        return pa.table({
+            group_col: pa.array([gval.as_py()]),
+            "vocab": pa.array([len(y)], pa.int64()),
+            "slope": pa.array([s], pa.float64()),
+        })
+
+    return totals.groupby(group_col).map_groups(slope, batch_format="pyarrow")

@@ -909,3 +909,28 @@ def test_quality_funnel_sequential_semantics(ray_session):
     assert got.loc["low_stopword", "n_dropped"] == 1
     assert got.loc["low_quality", "n_dropped"] == 0
     assert got["n_remaining"].tolist() == [3, 2, 1, 1]
+
+
+def test_zipf_slope_power_law(ray_session):
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+    from datatest_ray.stages.text import zipf_slope
+
+    # construct a corpus with exact Zipf counts: token t_r appears
+    # round(64 / r) times -> slope should be close to -1
+    words = []
+    for r in range(1, 9):
+        words += [f"w{r:02d}"] * round(64 / r)
+    rng = np.random.default_rng(7)
+    rng.shuffle(words)
+    docs = [" ".join(words[i::4]) for i in range(4)]
+    t = pa.table({"lang": ["en"] * 4, "text": docs})
+    got = zipf_slope(rd.from_arrow(t), "text", group_col="lang").to_pandas()
+    assert got["vocab"].tolist() == [8]
+    assert abs(got["slope"].iloc[0] + 1.0) < 0.05
+
+    # vocabulary of 1 -> NULL slope
+    t1 = pa.table({"lang": ["xx"], "text": ["solo solo solo"]})
+    got1 = zipf_slope(rd.from_arrow(t1), "text", group_col="lang").to_pandas()
+    assert got1["slope"].isna().all() and got1["vocab"].tolist() == [1]
