@@ -516,6 +516,43 @@ FROM r GROUP BY lang
 """
 
 
+def q_pack_greedy(sf_dir: str):
+    from ..stages.text import pack_greedy
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return _materialize(
+        pack_greedy(ds, "text", "doc_id", group_col="lang", budget=256)
+    )
+
+
+SQL_PACK_GREEDY = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM tok
+), p AS (
+  SELECT doc_id, lang, n_tokens, rn,
+         0 AS bin, n_tokens AS filled
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.lang, o.n_tokens, o.rn,
+         CASE WHEN p.filled + o.n_tokens > 256 AND p.filled > 0
+              THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.filled + o.n_tokens > 256 AND p.filled > 0
+              THEN o.n_tokens ELSE p.filled + o.n_tokens END
+  FROM o JOIN p ON o.lang = p.lang AND o.rn = p.rn + 1
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bin AS BIGINT) AS bin
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
@@ -4438,6 +4475,7 @@ def queries() -> Dict[str, Callable]:
         "quality_funnel": q_quality_funnel,
         "completeness_events": q_completeness_events,
         "zipf_lang": q_zipf_slope,
+        "pack_greedy": q_pack_greedy,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4598,6 +4636,7 @@ def oracle_sql() -> Dict[str, str]:
         "quality_funnel": SQL_QUALITY_FUNNEL,
         "completeness_events": SQL_COMPLETENESS_EVENTS,
         "zipf_lang": SQL_ZIPF_SLOPE,
+        "pack_greedy": SQL_PACK_GREEDY,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,

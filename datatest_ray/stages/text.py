@@ -964,3 +964,59 @@ def zipf_slope(ds, text_col: str, *, group_col: str):
         })
 
     return totals.groupby(group_col).map_groups(slope, batch_format="pyarrow")
+
+
+def pack_greedy(ds, text_col: str, id_col: str, *, group_col: str,
+                budget: int = 512):
+    """Whole-document next-fit packing: within each group, docs ordered
+    by id are placed into the current bin while its token total stays
+    <= ``budget``; an overflowing doc starts a new bin (an oversized doc
+    sits alone in its own bin).  No doc is split — the instruction-
+    tuning-style packing counterpart to ``pack_contexts``.
+
+    Plan: same fused tokenize -> tiny (group, id, n_tokens) rows ->
+    ``groupby(group).map_groups``.  The per-group kernel gallops with
+    ``np.searchsorted`` over the token prefix-sum — one step per BIN,
+    not per doc (the recursion is inherently sequential; same
+    documented per-group assumption as sessionize/cusum).
+    """
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        _, offsets = tokens_and_offsets(batch.column(text_col))
+        return pa.table({
+            id_col: batch.column(id_col),
+            group_col: batch.column(group_col),
+            "n_tokens": pa.array(_row_counts(offsets)),
+        })
+
+    counts = ds.select_columns([id_col, group_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pack(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group.column(id_col))
+        g = group.take(order)
+        n = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        cum = np.cumsum(n)
+        bins = np.empty(len(n), dtype=np.int64)
+        start, b, base = 0, 0, 0
+        while start < len(n):
+            j = int(np.searchsorted(cum, base + budget, side="right"))
+            if j <= start:            # single doc over budget: take it alone
+                j = start + 1
+            elif j < len(n) and cum[j - 1] == base:
+                # bin holds only zero-token docs so far (filled == 0):
+                # the overflowing doc still joins this bin — mirrors the
+                # `filled > 0` guard in the next-fit recursion
+                j += 1
+            bins[start:j] = b
+            base = int(cum[j - 1])
+            start, b = j, b + 1
+        return pa.table({
+            id_col: g.column(id_col),
+            group_col: g.column(group_col),
+            "n_tokens": pa.array(n),
+            "bin": pa.array(bins),
+        })
+
+    return counts.groupby(group_col).map_groups(pack, batch_format="pyarrow")

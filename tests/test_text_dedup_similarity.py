@@ -934,3 +934,26 @@ def test_zipf_slope_power_law(ray_session):
     t1 = pa.table({"lang": ["xx"], "text": ["solo solo solo"]})
     got1 = zipf_slope(rd.from_arrow(t1), "text", group_col="lang").to_pandas()
     assert got1["slope"].isna().all() and got1["vocab"].tolist() == [1]
+
+
+def test_pack_greedy_nextfit_semantics(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from datatest_ray.stages.text import pack_greedy
+
+    # budget=4: [3,3] -> bins 0,1 (no split); oversized 6-token doc sits
+    # alone; a zero-token doc then an oversized doc SHARE a bin (the
+    # filled==0 rule); trailing 2-token doc starts fresh.
+    t = pa.table({
+        "doc_id": [f"d{i}" for i in range(6)],
+        "lang": ["en"] * 6,
+        "text": ["a b c", "d e f", "q w e r t y", "   ",
+                 "u v w x y z", "g h"],
+    })
+    got = (
+        pack_greedy(rd.from_arrow(t), "text", "doc_id",
+                    group_col="lang", budget=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == [3, 3, 6, 0, 6, 2]
+    assert got["bin"].tolist() == [0, 1, 2, 3, 3, 4]
