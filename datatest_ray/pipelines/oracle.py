@@ -553,6 +553,32 @@ FROM p
 """
 
 
+def q_boilerplate_ngrams(sf_dir: str):
+    from ..stages.text import boilerplate_ngrams
+
+    return _materialize(
+        boilerplate_ngrams(_read(sf_dir, "documents", ["text"]), "text",
+                           n=5, k=20)
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = r"""
+WITH b AS (
+  SELECT CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+  FROM documents
+), g AS (
+  SELECT array_to_string(ts[i:i+4], ' ') AS gram
+  FROM (SELECT ts, unnest(range(1, len(ts) - 3)) AS i
+        FROM b WHERE len(ts) >= 5)
+), c AS (
+  SELECT gram, count(*) AS n FROM g GROUP BY 1
+)
+SELECT gram, CAST(n AS BIGINT) AS n
+FROM c ORDER BY n DESC, gram LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregation (§2.H): shuffle groupby with built-in aggregates
 # ---------------------------------------------------------------------------
@@ -4476,6 +4502,7 @@ def queries() -> Dict[str, Callable]:
         "completeness_events": q_completeness_events,
         "zipf_lang": q_zipf_slope,
         "pack_greedy": q_pack_greedy,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,
@@ -4637,6 +4664,7 @@ def oracle_sql() -> Dict[str, str]:
         "completeness_events": SQL_COMPLETENESS_EVENTS,
         "zipf_lang": SQL_ZIPF_SLOPE,
         "pack_greedy": SQL_PACK_GREEDY,
+        "boilerplate_ngrams": SQL_BOILERPLATE_NGRAMS,
         "subset_nationkey_region": SQL_SUBSET_NATIONKEY_REGION,
         "subset_fk_customer_nation": SQL_SUBSET_FK_CUSTOMER_NATION,
         "superset_lang": SQL_SUPERSET_LANG,

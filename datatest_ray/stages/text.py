@@ -1020,3 +1020,41 @@ def pack_greedy(ds, text_col: str, id_col: str, *, group_col: str,
         })
 
     return counts.groupby(group_col).map_groups(pack, batch_format="pyarrow")
+
+
+def boilerplate_ngrams(ds, text_col: str, *, n: int = 5, k: int = 20):
+    """Top-k most repeated token n-grams across the corpus — the
+    boilerplate/template detector (repeated banners, headers, license
+    blurbs) that feeds a remove-list for corpus cleaning.
+
+    Plan: n-gram STRINGS are built per batch fully vectorized
+    (flat token array + window masks + ``binary_join_element_wise``),
+    reduced by per-batch ``value_counts`` (combiner), then ONE
+    ``groupby(gram).sum`` exchange and a k-row sort — shuffle volume is
+    bounded by per-block distinct n-grams, never occurrences.  Ties
+    break (count desc, gram asc) for a total order.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        base = np.arange(len(flat), dtype=np.int64)
+        valid = base + (n - 1) < offsets[1:][row_of] if len(flat) else base
+        idx = base[valid] if len(flat) else base
+        if len(idx) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        parts = [flat.take(pa.array(idx + j)) for j in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        vc = pc.value_counts(grams)
+        return pa.table({
+            "gram": vc.field("values"),
+            "n": vc.field("counts").cast(pa.int64()),
+        })
+
+    totals = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("gram").aggregate(Sum("n", alias_name="n"))
+    return totals.sort(["n", "gram"], descending=[True, False]).limit(k)

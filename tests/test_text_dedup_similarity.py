@@ -957,3 +957,22 @@ def test_pack_greedy_nextfit_semantics(ray_session):
     )
     assert got["n_tokens"].tolist() == [3, 3, 6, 0, 6, 2]
     assert got["bin"].tolist() == [0, 1, 2, 3, 3, 4]
+
+
+def test_boilerplate_ngrams_counts(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from datatest_ray.stages.text import boilerplate_ngrams
+
+    banner = "all rights reserved by example corp"
+    t = pa.table({"text": [
+        f"intro words here {banner}",
+        f"{banner} and unrelated tail content",
+        "short doc",                # < 5 tokens -> no grams
+        banner,
+    ]})
+    got = boilerplate_ngrams(rd.from_arrow(t), "text", n=5, k=3).to_pandas()
+    # the banner has two 5-grams, each appearing in 3 docs
+    assert got["n"].tolist()[:2] == [3, 3]
+    assert got["gram"].tolist()[0] == "all rights reserved by example"
+    assert got["gram"].tolist()[1] == "rights reserved by example corp"
