@@ -4103,6 +4103,30 @@ def q_image_dup_clusters(sf_dir: str):
                                 ("n_clusters", pa.int64())]))
 
 
+def q_image_channel_profile(sf_dir: str):
+    """Per-partition decoded-pixel profile over the seeded image
+    fixture (actor-pool decode -> mean/std stats -> one row per
+    partition).  rows-only by design: the pure-python codec is not
+    SQL-expressible; per-image stat parity vs a brute-force numpy
+    decode is pinned in tests/test_imaging.py."""
+    import os
+    import re
+
+    from ..sources.images import ImageFixtureSpec, generate_dataset
+    from ..stages.imaging import channel_profile
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    m = re.search(r"sf(\d+(?:\.\d+)?)", base)
+    sf = float(m.group(1)) if m else 0.001
+    # decode-heavy: cap the audited rows (profile quality needs
+    # partitions, not the full corpus)
+    spec = ImageFixtureSpec(n_rows=min(20_000, max(1000, int(1_000_000 * sf))),
+                            seed=42, rows_per_part=2048)
+    images = generate_dataset(
+        spec, columns={"image_id", "bytes", "fmt", "partition_id"})
+    return _materialize(channel_profile(images))
+
+
 def q_tfidf_pairs(sf_dir: str):
     """TF-IDF cosine near-dup pairs over the top-64 df vocabulary:
     vectorize → exact block-pair grid join (no corpus broadcast)."""
@@ -4503,6 +4527,7 @@ def queries() -> Dict[str, Callable]:
         "zipf_lang": q_zipf_slope,
         "pack_greedy": q_pack_greedy,
         "boilerplate_ngrams": q_boilerplate_ngrams,
+        "image_channel_profile": q_image_channel_profile,
         "subset_nationkey_region": q_subset_nationkey_region,
         "subset_fk_customer_nation": q_subset_fk_customer_nation,
         "superset_lang": q_superset_lang,

@@ -31,7 +31,7 @@ from ..functions.png import container_scan, decode_image, hamming64, phash64, ps
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile"]
 
 
 class FixtureReference:
@@ -551,3 +551,100 @@ def image_dup_clusters(ds, *, threshold: int = 4, mode: str = "sampled",
     int_pairs = pairs.map_batches(to_int, batch_format="pyarrow",
                                   zero_copy_batch=True)
     return cluster_size_histogram(int_pairs, a_col="a", b_col="b")
+
+
+class ChannelStatsExtractor:
+    """Actor-pool callable: decode every payload and emit per-image
+    pixel statistics (mean, std, channel count) — the decoded-CONTENT
+    counterpart to the metadata drift histograms (w/h/byte-size).
+    Codec tables are built once per actor; decode failures emit NULL
+    stats (corruption reporting belongs to the integrity/parity
+    checks, not here)."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt",
+                 partition_col: Optional[str] = "partition_id"):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.partition_col = partition_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (
+            batch.column(self.fmt_col).to_pylist()
+            if self.fmt_col in batch.column_names else [None] * n
+        )
+        mean = np.full(n, np.nan)
+        std = np.full(n, np.nan)
+        chans = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                img = decode_image(data, fmt)
+            except Exception:
+                continue
+            px = img.astype(np.float64)
+            mean[i] = px.mean()
+            std[i] = px.std()
+            chans[i] = img.shape[2] if img.ndim == 3 else 1
+            ok[i] = True
+        out = {self.id_col: batch.column(self.id_col)}
+        if self.partition_col and self.partition_col in batch.column_names:
+            out[self.partition_col] = batch.column(self.partition_col)
+        out["mean_px"] = pa.array(mean, pa.float64(), mask=~ok)
+        out["std_px"] = pa.array(std, pa.float64(), mask=~ok)
+        out["n_channels"] = pa.array(chans, mask=~ok)
+        return pa.table(out)
+
+
+def channel_stats(ds, *, concurrency=(2, 8), batch_size: int = 128,
+                  partition_col: Optional[str] = "partition_id",
+                  fmt_col: str = "fmt"):
+    """Per-image decoded-pixel stats as a Dataset (actor-pool decode).
+
+    Feed the result into :class:`~.drift.DriftCheck` with a
+    ``BinSpec('mean_px', 0, 255, ...)`` for per-partition
+    brightness-drift verdicts on decoded CONTENT, or aggregate it into
+    a per-partition profile (``channel_profile``)."""
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    if partition_col and partition_col in names:
+        cols.append(partition_col)
+    return ds.select_columns(cols).map_batches(
+        ChannelStatsExtractor,
+        fn_constructor_kwargs=dict(partition_col=partition_col,
+                                   fmt_col=fmt_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def channel_profile(ds, **kwargs):
+    """Per-partition decoded-content profile: (partition_id, n_images,
+    n_decode_failures, avg_mean_px, avg_std_px) — always one row per
+    partition, so lineage dashboards see every partition even when no
+    drift fires."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    stats = channel_stats(ds, **kwargs)
+
+    def mark_failed(batch: pa.Table) -> pa.Table:
+        failed = pc.cast(pc.is_null(batch.column("mean_px")), pa.int64())
+        return batch.append_column("failed", failed)
+
+    marked = stats.map_batches(mark_failed, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = marked.groupby("partition_id").aggregate(
+        Count(alias_name="n_images"),
+        Sum("failed", alias_name="n_decode_failures"),
+        Mean("mean_px", alias_name="avg_mean_px"),
+        Mean("std_px", alias_name="avg_std_px"),
+    )
+    return agg.sort("partition_id")

