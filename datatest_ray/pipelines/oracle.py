@@ -4512,7 +4512,9 @@ WHERE rk <= 5
 
 
 def queries() -> Dict[str, Callable]:
-    return {
+    from .oracle2 import QUERIES2
+
+    return QUERIES2 | {
         "interval_quantity": q_interval_quantity,
         "interval_discount": q_interval_discount,
         "regex_lang": q_regex_lang,
@@ -4675,7 +4677,9 @@ def queries() -> Dict[str, Callable]:
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {
+    from .oracle2 import SQL2
+
+    return SQL2 | {
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,

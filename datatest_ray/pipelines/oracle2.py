@@ -1,0 +1,184 @@
+"""Oracle-paired driver queries, continuation of ``oracle.py`` (that
+module holds the first ~150 entries; this one takes new additions so the
+registration dicts stay navigable).  Same contract: every query returns
+a collected ``pa.Table`` whose column NAMES and value representations
+match the paired DuckDB SQL exactly (driver canon: sort columns by name,
+round floats, sort rows, hash)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .oracle import _materialize, _read, _run_check
+
+# ---------------------------------------------------------------------------
+# Temporal validation checks (stages/temporal.py)
+# ---------------------------------------------------------------------------
+
+
+def q_monotonic_user_value(sf_dir: str):
+    """Per-user event ``value`` must be non-decreasing over time — every
+    backward step is one deviation row (MonotonicCheck; ties on ts break
+    by event_id, mirrored in the oracle's lag ORDER BY)."""
+    from ..stages.temporal import MonotonicCheck
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return _run_check(
+        MonotonicCheck("user_id", "ts", "value", "event_id"), ds,
+        ["key", "row_ref", "value_num", "expected_num", "deviation"],
+    )
+
+
+SQL_MONOTONIC_USER_VALUE = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(event_id AS VARCHAR) AS row_ref,
+       value AS value_num,
+       prev AS expected_num,
+       value - prev AS deviation
+FROM w WHERE value < prev
+"""
+
+
+def q_freshness_users(sf_dir: str):
+    """Stale-entity audit: users whose newest event lags the global
+    newest event by more than 24h (FreshnessCheck; shuffle payload is
+    one (user, max_ts) row per user, never the event rows)."""
+    from ..stages.temporal import FreshnessCheck
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return _run_check(
+        FreshnessCheck("user_id", "ts", max_lag_s=24 * 3600.0), ds,
+        ["key", "value", "value_num", "expected_num", "deviation"],
+    )
+
+
+SQL_FRESHNESS_USERS = """
+WITH m AS (
+  SELECT user_id,
+         max(ts) AS mt,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS mt_us
+  FROM events GROUP BY user_id
+), g AS (SELECT max(mt_us) AS gm_us FROM m)
+SELECT CAST(user_id AS VARCHAR) AS key,
+       strftime(date_trunc('second', mt), '%Y-%m-%d %H:%M:%S') AS value,
+       (gm_us - mt_us) / 1e6 AS value_num,
+       CAST(86400 AS DOUBLE) AS expected_num,
+       (gm_us - mt_us) / 1e6 - 86400 AS deviation
+FROM m, g
+WHERE (gm_us - mt_us) / 1e6 > 86400
+"""
+
+
+def q_unique_composite_events(sf_dir: str):
+    """Composite-key uniqueness: each (user_id, event_type) pair should
+    occur once; duplicated pairs emit one Extra row with the surplus
+    count (UniqueCheck with a column LIST — the '|'-joined key is
+    mirrored verbatim in the SQL)."""
+    from ..stages.global_checks import UniqueCheck
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return _run_check(
+        UniqueCheck(["user_id", "event_type"]), ds,
+        ["value", "deviation", "kind"],
+    )
+
+
+SQL_UNIQUE_COMPOSITE_EVENTS = """
+SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS value,
+       CAST(count(*) - 1 AS DOUBLE) AS deviation,
+       'extra' AS kind
+FROM events
+GROUP BY user_id, event_type
+HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full-outer join (stages/relational.py :: safe_join)
+# ---------------------------------------------------------------------------
+
+
+def q_full_outer_nation_activity(sf_dir: str):
+    """Two sparse per-nation aggregates stitched with a FULL OUTER
+    join: nations with high-balance AUTOMOBILE customers vs nations
+    with high-balance suppliers — unmatched sides surface as null
+    counts on exactly one side (safe_join's dual-marker sentinel path)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.relational import safe_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_nationkey", "c_mktsegment", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def lfilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t.column("c_mktsegment"), "AUTOMOBILE"),
+                    pc.greater(t.column("c_acctbal"), 9200.0))
+        return t.filter(m).select(["c_nationkey"])
+
+    def rfilter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("s_acctbal"), 7000.0)).select(
+            ["s_nationkey"])
+
+    l = cust.map_batches(lfilter, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby(
+        "c_nationkey").aggregate(Count(alias_name="c_cnt"))
+    r = supp.map_batches(rfilter, batch_format="pyarrow",
+                         zero_copy_batch=True).groupby(
+        "s_nationkey").aggregate(Count(alias_name="s_cnt"))
+    joined = safe_join(l, r, join_type="full_outer", num_partitions=8,
+                       on="c_nationkey", right_on="s_nationkey")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # Ray's hash join coalesces the key pair into the LEFT name, so
+        # c_nationkey already carries the right key on right-only rows
+        return pa.table({
+            "nationkey": t.column("c_nationkey").cast(pa.int64()),
+            "c_cnt": t.column("c_cnt").cast(pa.int64()),
+            "s_cnt": t.column("s_cnt").cast(pa.int64()),
+        })
+
+    return _materialize(
+        joined.map_batches(finalize, batch_format="pyarrow"),
+        empty_schema=pa.schema([("nationkey", pa.int64()),
+                                ("c_cnt", pa.int64()),
+                                ("s_cnt", pa.int64())]))
+
+
+SQL_FULL_OUTER_NATION_ACTIVITY = """
+WITH l AS (
+  SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS c_cnt
+  FROM customer
+  WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9200
+  GROUP BY 1
+), r AS (
+  SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS s_cnt
+  FROM supplier WHERE s_acctbal > 7000 GROUP BY 1
+)
+SELECT CAST(coalesce(l.k, r.k) AS BIGINT) AS nationkey, c_cnt, s_cnt
+FROM l FULL OUTER JOIN r ON l.k = r.k
+"""
+
+
+QUERIES2: Dict[str, Callable] = {
+    "monotonic_user_value": q_monotonic_user_value,
+    "freshness_users": q_freshness_users,
+    "unique_composite_events": q_unique_composite_events,
+    "full_outer_nation_activity": q_full_outer_nation_activity,
+}
+
+SQL2: Dict[str, str] = {
+    "monotonic_user_value": SQL_MONOTONIC_USER_VALUE,
+    "freshness_users": SQL_FRESHNESS_USERS,
+    "unique_composite_events": SQL_UNIQUE_COMPOSITE_EVENTS,
+    "full_outer_nation_activity": SQL_FULL_OUTER_NATION_ACTIVITY,
+}

@@ -69,22 +69,44 @@ class UniqueCheck(Check):
     count - 1`` (number of surplus occurrences).  ``emit=
     'per_occurrence'`` expands to count-1 identical ``Extra`` rows for
     exact reference-multiset parity (bounded data only).
+
+    ``column`` may be a list/tuple of columns for a COMPOSITE key
+    (reference ``validate.unique`` over zipped columns): the key is the
+    ``'|'``-joined string cast of the parts, so a SQL oracle mirrors it
+    with ``CAST(a AS VARCHAR) || '|' || CAST(b AS VARCHAR)``.  Composite
+    parts should be integers/strings (float string-casts are
+    locale-fragile).
     """
 
-    def __init__(self, column: str, emit: str = "per_value",
+    def __init__(self, column, emit: str = "per_value",
                  check_id: Optional[str] = None):
         assert emit in ("per_value", "per_occurrence")
-        self.column = column
+        if isinstance(column, (list, tuple)):
+            self.columns = list(column)
+            self.column = None
+            name = ",".join(self.columns)
+        else:
+            self.columns = [column]
+            self.column = column
+            name = column
         self.emit = emit
-        self.check_id = check_id or f"unique({column})"
+        self.check_id = check_id or f"unique({name})"
+
+    def _key_array(self, batch: pa.Table) -> pa.Array:
+        if self.column is not None:
+            return _cast_key(batch.column(self.column))
+        parts = [pc.cast(batch.column(c), pa.string())
+                 for c in self.columns]
+        return pc.binary_join_element_wise(*parts, "|").combine_chunks()
 
     def violations(self, ds, ctx: RunContext):
         from ray.data.aggregate import Sum
 
-        col = self.column
+        cols = list(self.columns)
+        key_array = self._key_array
 
         def partial(batch: pa.Table) -> pa.Table:
-            vc = pc.value_counts(_cast_key(batch.column(col)))
+            vc = pc.value_counts(key_array(batch))
             return pa.table({"v": vc.field("values"),
                              "n": vc.field("counts").cast(pa.int64())})
 
@@ -92,7 +114,7 @@ class UniqueCheck(Check):
         from ..functions.aggregates import hash64
 
         partials = coalesced(
-            ds.select_columns([col]).map_batches(
+            ds.select_columns(cols).map_batches(
                 partial, batch_format="pyarrow", zero_copy_batch=True
             ),
             ctx,

@@ -55,6 +55,7 @@ def _null_sentinel_like(ds):
 
 
 _REAL = "__dtr_real_row"
+_REAL_R = "__dtr_real_row_r"
 
 
 def safe_join(left_ds, right_ds, *, join_type: str, num_partitions: int,
@@ -76,38 +77,58 @@ def safe_join(left_ds, right_ds, *, join_type: str, num_partitions: int,
     # deadlocks small-CPU sessions before any task runs)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     num_partitions = max(2, min(num_partitions, cpus))
-    right_ds = _null_sentinel_like(right_ds).union(right_ds)
     if join_type == "inner":
+        right_ds = _null_sentinel_like(right_ds).union(right_ds)
         left_ds = _null_sentinel_like(left_ds).union(left_ds)
         return left_ds.join(right_ds, join_type=join_type,
                             num_partitions=num_partitions,
                             on=on, right_on=right_on)
 
-    def mark(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            _REAL, pa.array(np.ones(t.num_rows, dtype=bool)))
-
-    marked = left_ds.map_batches(mark, batch_format="pyarrow",
-                                 zero_copy_batch=True)
-    # sentinel schema from the ORIGINAL left (a fully-empty mapped
-    # dataset reports no schema at all) + the marker field
     import ray.data as rd
 
-    lsch = left_ds.schema()
-    lsch = getattr(lsch, "base_schema", lsch)
-    sent = rd.from_arrow(pa.table(
-        {f.name: pa.array([None], f.type) for f in lsch}
-        | {_REAL: pa.array([None], pa.bool_())}))
-    marked = sent.union(marked)
+    def _marked(side_ds, marker: str):
+        """Real rows carry ``marker=True``; a null-key sentinel row
+        (marker NULL) is unioned so the side never reaches the hash
+        aggregator with zero non-empty blocks.  Sentinel schema comes
+        from the ORIGINAL side (a fully-empty mapped dataset reports no
+        schema at all)."""
+        def mark(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                marker, pa.array(np.ones(t.num_rows, dtype=bool)))
+
+        sch = side_ds.schema()
+        sch = getattr(sch, "base_schema", sch)
+        sent = rd.from_arrow(pa.table(
+            {f.name: pa.array([None], f.type) for f in sch}
+            | {marker: pa.array([None], pa.bool_())}))
+        return sent.union(side_ds.map_batches(
+            mark, batch_format="pyarrow", zero_copy_batch=True))
+
+    marked = _marked(left_ds, _REAL)
+    if join_type == "full_outer":
+        # a full-outer join emits each side's unmatched sentinel as a
+        # half-null row; one marker per side distinguishes those from
+        # legitimate unmatched rows of the OTHER side
+        right_ds = _marked(right_ds, _REAL_R)
+    else:
+        # left/right outer: only the build-side sentinel is needed (it
+        # can never reach a LEFT OUTER output as a left row)
+        right_ds = _null_sentinel_like(right_ds).union(right_ds)
     joined = marked.join(right_ds, join_type=join_type,
                          num_partitions=num_partitions,
                          on=on, right_on=right_on)
 
     def unmark(t: pa.Table) -> pa.Table:
-        if _REAL not in t.column_names:
+        keep = None
+        drop = []
+        for m in (_REAL, _REAL_R):
+            if m in t.column_names:
+                valid = pc.is_valid(t.column(m))
+                keep = valid if keep is None else pc.or_(keep, valid)
+                drop.append(m)
+        if keep is None:
             return t
-        t = t.filter(pc.is_valid(t.column(_REAL)))
-        return t.drop_columns([_REAL])
+        return t.filter(keep).drop_columns(drop)
 
     return joined.map_batches(unmark, batch_format="pyarrow",
                               zero_copy_batch=True)

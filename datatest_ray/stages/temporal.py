@@ -1,0 +1,189 @@
+"""Temporal / sequence validation checks (SURVEY.md §2 ext).
+
+Two production-suite invariants the upstream reference can only express
+as hand-written predicates over pre-sorted rows (``datatest/validation.py
+:: validate`` with a callable requirement; SURVEY.md §2.A2):
+
+* :class:`MonotonicCheck` — a value column must be non-decreasing (or
+  non-increasing) within each group when rows are ordered by an order
+  column.  Distributed plan: one coarse-bucket shuffle on the group key
+  (same plan family as ``stages/winfunc.py``), then a per-bucket Arrow
+  sort + vectorized shift compare — no Python loop over rows or keys.
+* :class:`FreshnessCheck` — every group's newest timestamp must be
+  within ``max_lag_s`` seconds of the table-wide newest timestamp (the
+  "stale partition" test).  Plan: per-batch ``(group, max_ts)`` partials
+  -> one tiny groupby-max shuffle (one row per group) -> single-block
+  finalize that knows the global max.  The shuffle payload is O(groups),
+  never O(rows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..differences import empty_violations, violations_table
+from .base import Check, RunContext
+
+__all__ = ["MonotonicCheck", "FreshnessCheck"]
+
+
+class MonotonicCheck(Check):
+    """``value_col`` ordered by ``(order_col, id_col)`` within each
+    ``by`` group must be monotonic; every step in the wrong direction
+    emits one ``deviation`` violation row (``value_num`` = offending
+    value, ``expected_num`` = its predecessor, ``deviation`` = the
+    signed step).
+
+    Ties on ``order_col`` are broken by ``id_col`` so a SQL oracle's
+    ``lag(v) OVER (PARTITION BY by ORDER BY order_col, id_col)``
+    reproduces the exact same predecessor.
+    """
+
+    def __init__(self, by: str, order_col: str, value_col: str,
+                 id_col: str, *, direction: str = "non_decreasing",
+                 n_buckets: int = 256, check_id: Optional[str] = None):
+        assert direction in ("non_decreasing", "non_increasing")
+        self.by = by
+        self.order_col = order_col
+        self.value_col = value_col
+        self.id_col = id_col
+        self.direction = direction
+        self.n_buckets = n_buckets
+        self.check_id = check_id or (
+            f"monotonic({value_col} by {by} over {order_col})")
+        self.columns = [by, order_col, value_col, id_col]
+
+    def violations(self, ds, ctx: RunContext):
+        from ..functions.aggregates import hash64
+        from .base import coalesced
+
+        by, order_col = self.by, self.order_col
+        value_col, id_col = self.value_col, self.id_col
+        decreasing = self.direction == "non_increasing"
+        check_id = self.check_id
+        default_part = ctx.default_partition
+        need = list(dict.fromkeys(
+            [by, order_col, value_col, id_col]))
+        n_buckets = np.uint64(self.n_buckets)
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            coarse = (hash64(batch.column(by)) % n_buckets).astype(np.int64)
+            return batch.select(need).append_column(
+                "coarse", pa.array(coarse))
+
+        def kernel(group: pa.Table) -> pa.Table:
+            t = group.sort_by([(by, "ascending"),
+                               (order_col, "ascending"),
+                               (id_col, "ascending")])
+            keys = t.column(by).to_numpy(zero_copy_only=False)
+            v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            n = len(v)
+            if n == 0:
+                return empty_violations()
+            new_seg = np.ones(n, dtype=bool)
+            new_seg[1:] = keys[1:] != keys[:-1]
+            prev = np.empty(n, dtype=np.float64)
+            prev[0] = np.nan
+            prev[1:] = v[:-1]
+            step = v - prev
+            bad = (~new_seg) & ((step < 0) if not decreasing else (step > 0))
+            if not bad.any():
+                return empty_violations()
+            idx = np.flatnonzero(bad)
+            ids = t.column(id_col).take(pa.array(idx))
+            return violations_table(
+                len(idx), check_id=check_id, kind="deviation",
+                partition_id=default_part,
+                key=pc.cast(pa.array(keys[idx]), pa.string()),
+                row_ref=pc.cast(ids, pa.string()),
+                value_num=pa.array(v[idx]),
+                expected_num=pa.array(prev[idx]),
+                deviation=pa.array(step[idx]),
+            )
+
+        bucketed = coalesced(
+            ds.select_columns(need).map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True),
+            ctx,
+        )
+        return bucketed.groupby("coarse").map_groups(
+            kernel, batch_format="pyarrow")
+
+
+class FreshnessCheck(Check):
+    """Every ``group_col`` group's ``max(ts_col)`` must be within
+    ``max_lag_s`` seconds of the global ``max(ts_col)``.  Stale groups
+    emit one ``deviation`` row each: ``key`` = group, ``value`` = the
+    group's newest timestamp (ISO seconds), ``value_num`` = lag in
+    seconds, ``expected_num`` = ``max_lag_s``, ``deviation`` = lag −
+    allowance.
+
+    The single-block finalize sees one row per group (bounded by group
+    cardinality, not row count) — the same "tiny aggregate output"
+    shape as the sketch finalizers in ``functions/aggregates.py``.
+    """
+
+    def __init__(self, group_col: str, ts_col: str, max_lag_s: float,
+                 check_id: Optional[str] = None):
+        self.group_col = group_col
+        self.ts_col = ts_col
+        self.max_lag_s = float(max_lag_s)
+        self.check_id = check_id or (
+            f"freshness({ts_col} by {group_col} <= {max_lag_s}s)")
+        self.columns = [group_col, ts_col]
+
+    def violations(self, ds, ctx: RunContext):
+        from ray.data.aggregate import Max
+
+        from .base import coalesced
+
+        group_col, ts_col = self.group_col, self.ts_col
+        max_lag_s, check_id = self.max_lag_s, self.check_id
+        default_part = ctx.default_partition
+
+        def partial(batch: pa.Table) -> pa.Table:
+            # epoch micros as int64: Ray's Max aggregate is
+            # numeric-only, and micros round-trip exactly
+            us = batch.column(ts_col).cast(pa.int64())
+            t = pa.table({group_col: batch.column(group_col), "us": us})
+            g = t.group_by(group_col).aggregate([("us", "max")])
+            return pa.table({group_col: g.column(group_col),
+                             "us": g.column("us_max")})
+
+        partials = coalesced(
+            ds.select_columns([group_col, ts_col]).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True),
+            ctx, cap=4,
+        )
+        merged = partials.groupby(group_col).aggregate(
+            Max("us", alias_name="us"))
+
+        def finalize(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty_violations()
+            us = t.column("us").to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            lag_s = (us.max() - us) / 1e6
+            stale = lag_s > max_lag_s
+            if not stale.any():
+                return empty_violations()
+            idx = np.flatnonzero(stale)
+            groups = t.column(group_col).take(pa.array(idx))
+            newest = pa.array(us[idx] // 1_000_000).cast(pa.timestamp("s"))
+            return violations_table(
+                len(idx), check_id=check_id, kind="deviation",
+                partition_id=default_part,
+                key=pc.cast(groups, pa.string()),
+                value=pc.strftime(newest, "%Y-%m-%d %H:%M:%S"),
+                value_num=pa.array(lag_s[idx]),
+                expected_num=max_lag_s,
+                deviation=pa.array(lag_s[idx] - max_lag_s),
+            )
+
+        return merged.repartition(1).map_batches(
+            finalize, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,156 @@
+"""MonotonicCheck / FreshnessCheck (stages/temporal.py), composite-key
+UniqueCheck, and safe_join full_outer."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from datatest_ray.stages.base import RunContext
+
+
+def _ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(table))
+
+
+def _collect(ds):
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return None
+    return pa.concat_tables(batches)
+
+
+class TestMonotonicCheck:
+    def test_flags_backward_steps_per_group(self, ray_session):
+        from datatest_ray.stages.temporal import MonotonicCheck
+
+        ds = _ds({
+            "g": [1, 1, 1, 2, 2, 2],
+            "o": [10, 20, 30, 10, 20, 30],
+            "v": [1.0, 3.0, 2.0, 5.0, 5.0, 4.0],
+            "id": [1, 2, 3, 4, 5, 6],
+        })
+        t = _collect(
+            MonotonicCheck("g", "o", "v", "id").violations(ds, RunContext())
+        ).sort_by("row_ref")
+        assert t.column("row_ref").to_pylist() == ["3", "6"]
+        assert t.column("value_num").to_pylist() == [2.0, 4.0]
+        assert t.column("expected_num").to_pylist() == [3.0, 5.0]
+        assert t.column("deviation").to_pylist() == [-1.0, -1.0]
+        assert set(t.column("kind").to_pylist()) == {"deviation"}
+
+    def test_group_boundary_never_compares_across_groups(self, ray_session):
+        from datatest_ray.stages.temporal import MonotonicCheck
+
+        # group 2 starts below group 1's last value — not a violation
+        ds = _ds({"g": [1, 1, 2, 2], "o": [1, 2, 1, 2],
+                  "v": [1.0, 9.0, 0.5, 0.7], "id": [1, 2, 3, 4]})
+        t = _collect(
+            MonotonicCheck("g", "o", "v", "id").violations(ds, RunContext()))
+        assert t is None or t.num_rows == 0
+
+    def test_ties_on_order_break_by_id(self, ray_session):
+        from datatest_ray.stages.temporal import MonotonicCheck
+
+        # same o=10: order is id 1 (v=5) then id 2 (v=3) -> one violation
+        ds = _ds({"g": [1, 1], "o": [10, 10], "v": [5.0, 3.0], "id": [1, 2]})
+        t = _collect(
+            MonotonicCheck("g", "o", "v", "id").violations(ds, RunContext()))
+        assert t.column("row_ref").to_pylist() == ["2"]
+
+    def test_non_increasing_direction(self, ray_session):
+        from datatest_ray.stages.temporal import MonotonicCheck
+
+        ds = _ds({"g": [1, 1, 1], "o": [1, 2, 3],
+                  "v": [3.0, 2.0, 4.0], "id": [1, 2, 3]})
+        t = _collect(MonotonicCheck(
+            "g", "o", "v", "id", direction="non_increasing"
+        ).violations(ds, RunContext()))
+        assert t.column("row_ref").to_pylist() == ["3"]
+        assert t.column("deviation").to_pylist() == [2.0]
+
+
+class TestFreshnessCheck:
+    def _events(self):
+        base = np.datetime64("2024-01-10T00:00:00", "us")
+        hours = np.array([0, 1, 2, -30, -40, 1], dtype="timedelta64[h]")
+        return _ds({
+            "g": [1, 1, 2, 2, 3, 4],
+            "ts": pa.array(base + hours.astype("timedelta64[us]")),
+        })
+
+    def test_stale_groups_flagged_with_lag_seconds(self, ray_session):
+        from datatest_ray.stages.temporal import FreshnessCheck
+
+        # global max = base+2h; group 2 max = base+2h (fresh); group 3
+        # max = base-40h (38h stale); group 4 = base+1h (1h, fresh)
+        t = _collect(FreshnessCheck("g", "ts", max_lag_s=2 * 3600.0)
+                     .violations(self._events(), RunContext()))
+        assert t.column("key").to_pylist() == ["3"]
+        assert t.column("value_num").to_pylist() == [42 * 3600.0]
+        assert t.column("deviation").to_pylist() == [40 * 3600.0]
+        assert t.column("value").to_pylist() == ["2024-01-08 08:00:00"]
+
+    def test_all_fresh_is_empty_with_schema(self, ray_session):
+        from datatest_ray.differences import VIOLATION_SCHEMA
+        from datatest_ray.stages.temporal import FreshnessCheck
+
+        out = FreshnessCheck("g", "ts", max_lag_s=100 * 3600.0).violations(
+            self._events(), RunContext())
+        t = _collect(out)
+        assert t is None or t.num_rows == 0
+        sch = out.schema()
+        assert list(getattr(sch, "names", [])) == VIOLATION_SCHEMA.names
+
+
+class TestCompositeUnique:
+    def test_composite_key_duplicates(self, ray_session):
+        from datatest_ray.stages.global_checks import UniqueCheck
+
+        ds = _ds({"a": [1, 1, 1, 2, 2], "b": ["x", "x", "y", "x", "x"]})
+        t = _collect(UniqueCheck(["a", "b"]).violations(ds, RunContext()))
+        t = t.sort_by("value")
+        assert t.column("value").to_pylist() == ["1|x", "2|x"]
+        assert t.column("deviation").to_pylist() == [1.0, 1.0]
+        assert set(t.column("kind").to_pylist()) == {"extra"}
+
+    def test_single_column_path_unchanged(self, ray_session):
+        from datatest_ray.stages.global_checks import UniqueCheck
+
+        ds = _ds({"a": [1, 2, 2, 3, 3, 3]})
+        t = _collect(UniqueCheck("a").violations(ds, RunContext()))
+        t = t.sort_by("value")
+        assert t.column("value").to_pylist() == ["2", "3"]
+        assert t.column("deviation").to_pylist() == [1.0, 2.0]
+
+
+class TestFullOuterJoin:
+    def test_unmatched_rows_survive_both_sides(self, ray_session):
+        from datatest_ray.stages.relational import safe_join
+
+        l = _ds({"lk": [1, 2, 3], "lv": [10, 20, 30]})
+        r = _ds({"rk": [2, 3, 4], "rv": [200, 300, 400]})
+        t = _collect(safe_join(l, r, join_type="full_outer",
+                               num_partitions=4, on="lk", right_on="rk"))
+        t = t.sort_by("lk")
+        assert t.column("lk").to_pylist() == [1, 2, 3, 4]
+        assert t.column("lv").to_pylist() == [10, 20, 30, None]
+        assert t.column("rv").to_pylist() == [None, 200, 300, 400]
+
+    def test_empty_right_side(self, ray_session):
+        import pyarrow.compute as pc
+
+        from datatest_ray.stages.relational import safe_join
+
+        l = _ds({"lk": [1, 2], "lv": [10, 20]})
+        r_tbl = pa.table({"rk": pa.array([], pa.int64()),
+                          "rv": pa.array([], pa.int64())})
+        import ray.data as rd
+
+        t = _collect(safe_join(l, rd.from_arrow(r_tbl),
+                               join_type="full_outer",
+                               num_partitions=4, on="lk", right_on="rk"))
+        t = t.sort_by("lk")
+        assert t.column("lk").to_pylist() == [1, 2]
+        assert pc.all(pc.is_null(t.column("rv"))).as_py() in (True, None)
