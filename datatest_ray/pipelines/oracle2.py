@@ -169,11 +169,132 @@ FROM l FULL OUTER JOIN r ON l.k = r.k
 """
 
 
+# ---------------------------------------------------------------------------
+# Keep-best-per-cluster dedup (stages/dedup.py :: cluster_representatives)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_best_rep(sf_dir: str):
+    """Quality-keyed near-dup resolution: jaccard pairs -> connected
+    components -> per cluster keep the longest document (ties: lowest
+    doc_id).  One row per clustered doc with its cluster, representative
+    and keep decision."""
+    from ..stages.dedup import cluster_representatives
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    return _materialize(
+        cluster_representatives(ds, "text", "doc_id",
+                                quality_col="n_chars", n=3, threshold=0.8,
+                                shuffle_partitions=8),
+        empty_schema=pa.schema([("doc_id", pa.int64()),
+                                ("cluster_id", pa.int64()),
+                                ("rep_id", pa.int64()),
+                                ("keep", pa.bool_())]))
+
+
+SQL_DEDUP_BEST_REP = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
+         i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s,b.s))::DOUBLE
+        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.8),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+q AS (SELECT c.node, c.cluster_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.node),
+rep AS (
+  SELECT cluster_id, node AS rep_id FROM (
+    SELECT cluster_id, node,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, node ASC) AS rn
+    FROM q) WHERE rn = 1
+)
+SELECT q.node AS doc_id, q.cluster_id, rep.rep_id,
+       q.node = rep.rep_id AS keep
+FROM q JOIN rep ON q.cluster_id = rep.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Charset / encoding-hygiene profile (stages/text.py :: charset_profile)
+# ---------------------------------------------------------------------------
+
+
+def q_text_charset(sf_dir: str):
+    from ..stages.text import charset_profile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(charset_profile(ds, "text", "doc_id"))
+
+
+SQL_TEXT_CHARSET = r"""
+SELECT doc_id,
+       length(text) AS n_chars_total,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         AS n_digit,
+       length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+         AS n_upper,
+       length(text) - length(regexp_replace(text,
+         '[\x21-\x2F\x3A-\x40\x5B-\x60\x7B-\x7E]', '', 'g')) AS n_punct,
+       length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+         AS n_nonascii
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (stages/drift.py :: cramers_v)
+# ---------------------------------------------------------------------------
+
+
+def q_cramers_v_orders(sf_dir: str):
+    from ..stages.drift import cramers_v
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return _materialize(cramers_v(ds, "o_orderstatus", "o_orderpriority"))
+
+
+SQL_CRAMERS_V_ORDERS = """
+WITH c AS (
+  SELECT o_orderstatus AS a, o_orderpriority AS b, count(*) AS n
+  FROM orders GROUP BY a, b
+),
+ra AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+cb AS (SELECT b, sum(n) AS nb FROM c GROUP BY b),
+tot AS (SELECT sum(n) AS t FROM c),
+grid AS (
+  SELECT ra.a, cb.b, ra.na * cb.nb / tot.t AS e,
+         coalesce(c.n, 0) AS o
+  FROM ra CROSS JOIN cb CROSS JOIN tot
+  LEFT JOIN c ON c.a = ra.a AND c.b = cb.b
+),
+agg AS (SELECT sum((o - e) * (o - e) / e) AS chi2 FROM grid)
+SELECT sqrt(agg.chi2 / ((SELECT t FROM tot) *
+        (least((SELECT count(*) FROM ra),
+               (SELECT count(*) FROM cb)) - 1))) AS v,
+       agg.chi2 AS chi2,
+       (SELECT CAST(t AS BIGINT) FROM tot) AS n
+FROM agg
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
     "unique_composite_events": q_unique_composite_events,
     "full_outer_nation_activity": q_full_outer_nation_activity,
+    "dedup_best_rep": q_dedup_best_rep,
+    "text_charset": q_text_charset,
+    "cramers_v_orders": q_cramers_v_orders,
 }
 
 SQL2: Dict[str, str] = {
@@ -181,4 +302,7 @@ SQL2: Dict[str, str] = {
     "freshness_users": SQL_FRESHNESS_USERS,
     "unique_composite_events": SQL_UNIQUE_COMPOSITE_EVENTS,
     "full_outer_nation_activity": SQL_FULL_OUTER_NATION_ACTIVITY,
+    "dedup_best_rep": SQL_DEDUP_BEST_REP,
+    "text_charset": SQL_TEXT_CHARSET,
+    "cramers_v_orders": SQL_CRAMERS_V_ORDERS,
 }

@@ -1193,3 +1193,72 @@ def decontaminate(ds, text_col: str, id_col: str, *,
 
     return hits.map_batches(rename, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def cluster_representatives(ds, text_col: str, id_col: str, *,
+                            quality_col: str, n: int = 3,
+                            threshold: float = 0.8,
+                            shuffle_partitions: int | None = None):
+    """Keep-BEST-per-cluster selection: near-dup pairs (exact n-gram
+    Jaccard) -> connected components -> within each cluster the document
+    with the highest ``quality_col`` (ties: lowest id) becomes the
+    representative.  This is the dedup decision a training-data pipeline
+    actually applies — keep-first (``dedup.py::keep_first``) keys on
+    arrival order; this keys on a quality signal.
+
+    Output: one row per CLUSTERED document
+    ``(id_col, cluster_id, rep_id, keep)``; singletons (never in any
+    pair) are implicitly kept and not emitted.
+
+    Plan: the pair/CC shuffles are the dominant cost (see
+    ``jaccard_pairs_exact`` / ``graph.connected_components``); the
+    representative pick is one more coarse-bucket shuffle on
+    ``cluster_id`` with a vectorized segment argmax — never a groupby
+    with one tiny group per cluster."""
+    from .graph import connected_components
+    from .relational import safe_join
+
+    pairs = jaccard_pairs_exact(
+        ds.select_columns([id_col, text_col]), text_col, id_col, n=n,
+        threshold=threshold, shuffle_partitions=shuffle_partitions)
+    labels = connected_components(
+        pairs, a_col="a", b_col="b",
+        shuffle_partitions=shuffle_partitions)
+    quality = ds.select_columns([id_col, quality_col])
+    # join key coalesces into the left name 'node'
+    joined = safe_join(labels, quality, join_type="inner",
+                       num_partitions=shuffle_partitions or 8,
+                       on="node", right_on=id_col)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        coarse = (hash64(t.column("cluster_id")) % np.uint64(256)).astype(
+            np.int64)
+        return t.append_column("coarse", pa.array(coarse))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("cluster_id", "ascending"),
+                           (quality_col, "descending"),
+                           ("node", "ascending")])
+        cid = t.column("cluster_id").to_numpy(zero_copy_only=False)
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        m = len(cid)
+        if m == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        new_seg = np.ones(m, dtype=bool)
+        new_seg[1:] = cid[1:] != cid[:-1]
+        seg = np.cumsum(new_seg) - 1
+        first = np.flatnonzero(new_seg)
+        rep = node[first[seg]]
+        return pa.table({id_col: pa.array(node),
+                         "cluster_id": pa.array(cid),
+                         "rep_id": pa.array(rep),
+                         "keep": pa.array(node == rep)})
+
+    return joined.map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, "cluster_id", "rep_id", "keep"])

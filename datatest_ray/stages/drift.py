@@ -668,3 +668,47 @@ def cusum_daily(ds, ts_col: str, *, k: float = 0.5, h: float = 4.0):
     return daily.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def cramers_v(ds, a: str, b: str):
+    """Cramér's V — the [0, 1]-normalized effect size of the chi-square
+    independence test (``V = sqrt(chi2 / (n * (min(r, c) - 1)))``), the
+    number a drift monitor actually thresholds on (chi2 grows with n;
+    V does not).  Same one-tiny-shuffle plan as
+    :func:`chi2_independence`; the value is NOT pre-rounded so the
+    driver's single canon rounding applies to both engine and SQL."""
+    from ray.data.aggregate import Count
+
+    counts = ds.select_columns([a, b]).groupby([a, b]).aggregate(
+        Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.float64()),
+                             "chi2": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        ea = pc.dictionary_encode(t.column(a).combine_chunks()
+                                  if isinstance(t.column(a), pa.ChunkedArray)
+                                  else t.column(a))
+        eb = pc.dictionary_encode(t.column(b).combine_chunks()
+                                  if isinstance(t.column(b), pa.ChunkedArray)
+                                  else t.column(b))
+        ia = np.asarray(ea.indices, dtype=np.int64)
+        ib = np.asarray(eb.indices, dtype=np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        r, c = len(ea.dictionary), len(eb.dictionary)
+        obs = np.zeros((r, c), dtype=np.float64)
+        obs[ia, ib] = n
+        total = obs.sum()
+        exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / total
+        chi2 = float(((obs - exp) ** 2 / exp).sum())
+        k = min(r, c) - 1
+        v = float(np.sqrt(chi2 / (total * k))) if k > 0 else 0.0
+        return pa.table({
+            "v": pa.array([v], pa.float64()),
+            "chi2": pa.array([chi2], pa.float64()),
+            "n": pa.array([int(total)], pa.int64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -1058,3 +1058,32 @@ def boilerplate_ngrams(ds, text_col: str, *, n: int = 5, k: int = 20):
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("gram").aggregate(Sum("n", alias_name="n"))
     return totals.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
+CHARSET_CLASSES = (
+    # identical RE2 class strings run on both the Arrow and DuckDB side;
+    # \xNN escapes avoid any quoting/metachar divergence between engines
+    ("n_digit", r"[0-9]"),
+    ("n_upper", r"[A-Z]"),
+    ("n_punct", r"[\x21-\x2F\x3A-\x40\x5B-\x60\x7B-\x7E]"),
+    ("n_nonascii", r"[^\x00-\x7F]"),
+)
+
+
+def charset_profile(ds, text_col: str, id_col: str):
+    """Per-document character-class profile — the encoding-hygiene
+    signal of a web-scale text pipeline (mojibake shows up as a
+    non-ascii spike, scraped tables as a punct/digit spike).  One
+    zero-copy pass; each class is a single vectorized RE2 count
+    (``pc.count_substring_regex``), no per-row Python."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        cols = {id_col: batch.column(id_col),
+                "n_chars_total": pc.utf8_length(txt).cast(pa.int64())}
+        for name, pat in CHARSET_CLASSES:
+            cols[name] = pc.count_substring_regex(txt, pat).cast(pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,114 @@
+"""cluster_representatives (keep-best dedup), charset_profile,
+cramers_v."""
+
+import numpy as np
+import pyarrow as pa
+
+from datatest_ray.stages.base import RunContext
+
+
+def _ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(table))
+
+
+def _collect(ds):
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else None
+
+
+class TestClusterRepresentatives:
+    def test_picks_highest_quality_with_id_tiebreak(self, ray_session):
+        from datatest_ray.stages.dedup import cluster_representatives
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        ds = _ds({
+            "doc_id": [1, 2, 3, 4, 5],
+            # docs 1/2/3 share shingles (near-dups); 4/5 unrelated
+            "text": [base, base, base + " iota",
+                     "one two three four five six",
+                     "unrelated words entirely different tokens here"],
+            "q": [10, 30, 30, 5, 5],
+        })
+        t = _collect(cluster_representatives(
+            ds, "text", "doc_id", quality_col="q", n=3, threshold=0.5,
+            shuffle_partitions=4)).sort_by("doc_id")
+        assert t.column("doc_id").to_pylist() == [1, 2, 3]
+        # q ties between 2 and 3 -> lowest id (2) wins
+        assert t.column("rep_id").to_pylist() == [2, 2, 2]
+        assert t.column("keep").to_pylist() == [False, True, False]
+        assert t.column("cluster_id").to_pylist() == [1, 1, 1]
+
+    def test_no_pairs_yields_empty(self, ray_session):
+        from datatest_ray.stages.dedup import cluster_representatives
+
+        ds = _ds({
+            "doc_id": [1, 2],
+            "text": ["aa bb cc dd ee", "ff gg hh ii jj"],
+            "q": [1, 2],
+        })
+        t = _collect(cluster_representatives(
+            ds, "text", "doc_id", quality_col="q", threshold=0.5,
+            shuffle_partitions=2))
+        assert t is None or t.num_rows == 0
+
+
+class TestCharsetProfile:
+    def test_counts_match_python_reference(self, ray_session):
+        import string
+
+        from datatest_ray.stages.text import charset_profile
+
+        texts = ["Hello, World! 123", "naïve café ümlaut", "ALLCAPS",
+                 "no punct or digits here", ""]
+        ds = _ds({"doc_id": [1, 2, 3, 4, 5], "text": texts})
+        t = _collect(charset_profile(ds, "text", "doc_id")).sort_by("doc_id")
+        punct = set(string.punctuation)
+        for i, s in enumerate(texts):
+            assert t.column("n_chars_total")[i].as_py() == len(s)
+            assert t.column("n_digit")[i].as_py() == sum(
+                c.isdigit() and c.isascii() for c in s)
+            assert t.column("n_upper")[i].as_py() == sum(
+                c.isupper() and c.isascii() for c in s)
+            assert t.column("n_punct")[i].as_py() == sum(
+                c in punct for c in s)
+            assert t.column("n_nonascii")[i].as_py() == sum(
+                not c.isascii() for c in s)
+
+
+class TestCramersV:
+    def test_perfect_association_is_one(self, ray_session):
+        from datatest_ray.stages.drift import cramers_v
+
+        a = ["x", "y", "z"] * 40
+        ds = _ds({"a": a, "b": [s.upper() for s in a]})
+        t = _collect(cramers_v(ds, "a", "b"))
+        assert abs(t.column("v")[0].as_py() - 1.0) < 1e-12
+        assert t.column("n")[0].as_py() == 120
+
+    def test_independence_is_zero(self, ray_session):
+        from datatest_ray.stages.drift import cramers_v
+
+        # balanced 2x2 grid: observed == expected everywhere
+        ds = _ds({"a": ["x", "x", "y", "y"] * 25,
+                  "b": ["p", "q", "p", "q"] * 25})
+        t = _collect(cramers_v(ds, "a", "b"))
+        assert abs(t.column("v")[0].as_py()) < 1e-12
+
+    def test_matches_direct_formula(self, ray_session):
+        from datatest_ray.stages.drift import cramers_v
+
+        rng = np.random.default_rng(7)
+        a = rng.choice(["x", "y", "z"], size=300).tolist()
+        b = rng.choice(["p", "q"], size=300).tolist()
+        t = _collect(cramers_v(ds := _ds({"a": a, "b": b}), "a", "b"))
+        del ds
+        obs = np.zeros((3, 2))
+        for ai, bi in zip(a, b):
+            obs["xyz".index(ai), "pq".index(bi)] += 1
+        exp = np.outer(obs.sum(1), obs.sum(0)) / obs.sum()
+        chi2 = ((obs - exp) ** 2 / exp).sum()
+        v = np.sqrt(chi2 / (obs.sum() * 1))
+        assert abs(t.column("chi2")[0].as_py() - chi2) < 1e-9
+        assert abs(t.column("v")[0].as_py() - v) < 1e-12
