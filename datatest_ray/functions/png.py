@@ -35,6 +35,7 @@ __all__ = [
     "container_scan",
     "psnr",
     "phash64",
+    "dhash64",
     "hamming64",
 ]
 
@@ -303,3 +304,35 @@ def container_scan(data: bytes):
         _, _ver, _ndim, w, h = struct.unpack(">4sBBHH", data[:10])
         return "webp", int(w), int(h), None
     return None, None, None, "bad_magic"
+
+
+def dhash64(img: np.ndarray) -> np.int64:
+    """64-bit DIFFERENCE hash: area-average to an 8x9 grid of cell
+    means, take the horizontal gradient sign (cell[r, c+1] > cell[r, c])
+    — a second, independent perceptual-fingerprint family alongside
+    :func:`phash64` (median hash).  Gradient hashes are robust to
+    global brightness/contrast shifts that flip median-hash bits.
+
+    Cell means come from one integral image with floor-divided grid
+    boundaries, so any input size maps deterministically; tiny images
+    are repeated up to the grid size first."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    h, w = g.shape
+    if h < 8 or w < 9:
+        g = np.kron(g, np.ones((-(-8 // max(h, 1)), -(-9 // max(w, 1)))))
+        h, w = g.shape
+    integral = np.zeros((h + 1, w + 1))
+    integral[1:, 1:] = g.cumsum(0).cumsum(1)
+    rb = (np.arange(9) * h) // 8
+    cb = (np.arange(10) * w) // 9
+    s = integral[rb][:, cb]
+    area = np.outer(np.diff(rb), np.diff(cb)).astype(np.float64)
+    cells = (s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]) / area
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            val |= np.uint64(1) << np.uint64(i)
+    return np.int64(val.astype(np.int64))

@@ -287,6 +287,35 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Pixel-derived dHash near-dup clusters (stages/imaging.py)
+# ---------------------------------------------------------------------------
+
+
+def q_image_dhash_clusters(sf_dir: str):
+    """Near-dup cluster histogram keyed on dhash computed FROM DECODED
+    PIXELS (actor-pool decode) over the seeded image fixture.  rows-only
+    by design: the codec + gradient hash are not SQL-expressible;
+    brute-force dhash parity is pinned in tests/test_imaging_dhash.py."""
+    import os
+    import re
+
+    from ..sources.images import ImageFixtureSpec, generate_dataset
+    from ..stages.imaging import image_pixel_dup_clusters
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    m = re.search(r"sf(\d+(?:\.\d+)?)", base)
+    sf = float(m.group(1)) if m else 0.001
+    spec = ImageFixtureSpec(n_rows=max(1000, int(100_000 * sf)),
+                            seed=42, rows_per_part=2048)
+    images = generate_dataset(spec, columns={"image_id", "bytes", "fmt"})
+    return _materialize(
+        image_pixel_dup_clusters(images, algo="dhash", threshold=4,
+                                 mode="sampled"),
+        empty_schema=pa.schema([("size", pa.int64()),
+                                ("n_clusters", pa.int64())]))
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -295,6 +324,7 @@ QUERIES2: Dict[str, Callable] = {
     "dedup_best_rep": q_dedup_best_rep,
     "text_charset": q_text_charset,
     "cramers_v_orders": q_cramers_v_orders,
+    "image_dhash_clusters": q_image_dhash_clusters,
 }
 
 SQL2: Dict[str, str] = {

@@ -24,14 +24,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..differences import empty_violations, violations_table
-from ..functions.png import container_scan, decode_image, hamming64, phash64, psnr
+from ..functions.png import (container_scan, decode_image, dhash64,
+                             hamming64, phash64, psnr)
 # imported at module top (NOT lazily inside methods): worker processes may
 # only have this code via cloudpickle by-value shipping, where runtime
 # imports of the package would fail
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters"]
 
 
 class FixtureReference:
@@ -648,3 +649,84 @@ def channel_profile(ds, **kwargs):
         Mean("std_px", alias_name="avg_std_px"),
     )
     return agg.sort("partition_id")
+
+
+class PixelFingerprintExtractor:
+    """Actor-pool callable: decode every payload and emit a 64-bit
+    perceptual fingerprint computed from the DECODED PIXELS (dhash —
+    gradient family — or phash — median family).  Unlike the table's
+    stored ``phash`` column, this validates what the bytes actually
+    decode to, so a corrupted-but-well-hashed row cannot hide.  Decode
+    failures emit NULL fingerprints (corruption reporting belongs to
+    the integrity/parity checks)."""
+
+    def __init__(self, algo: str = "dhash", id_col: str = "image_id",
+                 bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        # module-level codec imports only: a runtime relative import in
+        # an actor ctor defeats cloudpickle by-value shipping (workers
+        # without the repo on sys.path would die on ModuleNotFoundError)
+        assert algo in ("dhash", "phash")
+        self.fp = dhash64 if algo == "dhash" else phash64
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (
+            batch.column(self.fmt_col).to_pylist()
+            if self.fmt_col in batch.column_names else [None] * n
+        )
+        fps = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                fps[i] = self.fp(decode_image(data, fmt))
+                ok[i] = True
+            except Exception:
+                continue
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "phash": pa.array(fps, mask=~ok),
+        })
+
+
+def pixel_fingerprints(ds, *, algo: str = "dhash",
+                       concurrency=(2, 8), batch_size: int = 128,
+                       fmt_col: str = "fmt"):
+    """Per-image pixel-derived fingerprint as a (id, phash) Dataset —
+    named ``phash`` so every downstream consumer of the stored-hash
+    column (PhashNearDupCheck, image_dup_clusters) runs unchanged on
+    pixel-derived hashes."""
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    return ds.select_columns(cols).map_batches(
+        PixelFingerprintExtractor,
+        fn_constructor_kwargs=dict(algo=algo, fmt_col=fmt_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def image_pixel_dup_clusters(ds, *, algo: str = "dhash",
+                             threshold: int = 4, mode: str = "sampled",
+                             concurrency=(2, 8), **check_kwargs):
+    """Near-dup cluster audit keyed on PIXEL-derived fingerprints:
+    actor-pool decode -> dhash/phash -> the same LSH pair plan and
+    connected-components histogram as :func:`image_dup_clusters`.
+    Rows whose payload fails to decode are dropped (null fingerprint)."""
+    fps = pixel_fingerprints(ds, algo=algo, concurrency=concurrency)
+
+    def drop_null(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("phash")))
+
+    valid = fps.map_batches(drop_null, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return image_dup_clusters(valid, threshold=threshold, mode=mode,
+                              **check_kwargs)
