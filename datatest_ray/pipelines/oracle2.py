@@ -316,6 +316,73 @@ def q_image_dhash_clusters(sf_dir: str):
                                 ("n_clusters", pa.int64())]))
 
 
+# ---------------------------------------------------------------------------
+# Group-cardinality bounds (stages/global_checks.py :: GroupSizeCheck)
+# ---------------------------------------------------------------------------
+
+
+def q_group_size_users(sf_dir: str):
+    """Entity-volume invariant: every user must have between 55 and 70
+    events; out-of-bounds users emit one deviation row with the count
+    and the violated bound."""
+    from ..stages.global_checks import GroupSizeCheck
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return _run_check(
+        GroupSizeCheck("user_id", min_rows=55, max_rows=70), ds,
+        ["key", "value_num", "expected_num", "deviation"],
+    )
+
+
+SQL_GROUP_SIZE_USERS = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(n AS DOUBLE) AS value_num,
+       CAST(CASE WHEN n < 55 THEN 55 ELSE 70 END AS DOUBLE) AS expected_num,
+       CAST(n AS DOUBLE) - (CASE WHEN n < 55 THEN 55 ELSE 70 END)
+         AS deviation
+FROM c WHERE n < 55 OR n > 70
+"""
+
+
+# ---------------------------------------------------------------------------
+# accepted.percent over a distributed violations dataset (§2.E)
+# ---------------------------------------------------------------------------
+
+
+def q_accepted_percent_quantity(sf_dir: str):
+    """``with accepted.percent(0.1)`` applied to interval violations:
+    only rows whose deviation exceeds 10% of the violated boundary
+    survive (the stateless-mask fast path of the acceptance algebra,
+    applied inside the violations Dataset without collecting it)."""
+    from ..pipelines.acceptance import accepted
+    from ..stages.base import RunContext
+    from ..stages.row_checks import IntervalCheck
+    from .suite import CheckSuite
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    result = CheckSuite([IntervalCheck("l_quantity", min=1, max=27)],
+                        RunContext()).run(ds)
+    remaining = accepted.percent(0.1).filter_violations_dataset(
+        result.violations)
+    return _materialize(remaining).select(
+        ["value_num", "expected_num", "deviation", "kind"])
+
+
+SQL_ACCEPTED_PERCENT_QUANTITY = """
+SELECT CAST(l_quantity AS DOUBLE) AS value_num,
+       CAST(CASE WHEN l_quantity < 1 THEN 1 ELSE 27 END AS DOUBLE)
+         AS expected_num,
+       CAST(l_quantity AS DOUBLE)
+         - (CASE WHEN l_quantity < 1 THEN 1 ELSE 27 END) AS deviation,
+       'deviation' AS kind
+FROM lineitem
+WHERE (l_quantity < 1 OR l_quantity > 27)
+  AND abs((l_quantity - (CASE WHEN l_quantity < 1 THEN 1 ELSE 27 END))
+          / (CASE WHEN l_quantity < 1 THEN 1 ELSE 27 END)) > 0.1
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -325,6 +392,8 @@ QUERIES2: Dict[str, Callable] = {
     "text_charset": q_text_charset,
     "cramers_v_orders": q_cramers_v_orders,
     "image_dhash_clusters": q_image_dhash_clusters,
+    "group_size_users": q_group_size_users,
+    "accepted_percent_quantity": q_accepted_percent_quantity,
 }
 
 SQL2: Dict[str, str] = {
@@ -335,4 +404,6 @@ SQL2: Dict[str, str] = {
     "dedup_best_rep": SQL_DEDUP_BEST_REP,
     "text_charset": SQL_TEXT_CHARSET,
     "cramers_v_orders": SQL_CRAMERS_V_ORDERS,
+    "group_size_users": SQL_GROUP_SIZE_USERS,
+    "accepted_percent_quantity": SQL_ACCEPTED_PERCENT_QUANTITY,
 }

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from ..differences import empty_violations, violations_table
 from .base import Check, RunContext
 
-__all__ = ["UniqueCheck", "SetCheck", "SubsetCheck", "SupersetCheck"]
+__all__ = ["UniqueCheck", "SetCheck", "SubsetCheck", "SupersetCheck", "GroupSizeCheck"]
 
 
 def _norm_type(t: pa.DataType) -> pa.DataType:
@@ -582,3 +582,86 @@ class CompletenessCheck(Check):
             deviation=pa.array(bad_dev),
         )
         return rd.from_arrow(table)
+
+
+class GroupSizeCheck(Check):
+    """Every ``group_col`` group's row count must lie in
+    ``[min_rows, max_rows]`` — the "entity volume" invariant (a user
+    with 10k events, a source shard with 3 rows).  Out-of-bounds groups
+    emit one ``deviation`` row: ``key`` = group, ``value_num`` = count,
+    ``expected_num`` = the violated bound, ``deviation`` = signed
+    excess.
+
+    Plan: per-batch ``value_counts`` partials -> coarse-bucket shuffle
+    on the group hash -> vectorized segment combine (same shape as
+    :class:`UniqueCheck`; the shuffle carries one row per group per
+    block, never the rows)."""
+
+    def __init__(self, group_col: str, *, min_rows: int = 1,
+                 max_rows: Optional[int] = None,
+                 check_id: Optional[str] = None):
+        self.group_col = group_col
+        self.min_rows = int(min_rows)
+        self.max_rows = int(max_rows) if max_rows is not None else None
+        self.columns = [group_col]
+        hi = self.max_rows if self.max_rows is not None else "inf"
+        self.check_id = check_id or (
+            f"group_size({group_col} in [{min_rows},{hi}])")
+
+    def violations(self, ds, ctx: RunContext):
+        from ..functions.aggregates import hash64
+        from .base import coalesced
+
+        col = self.group_col
+        lo, hi = self.min_rows, self.max_rows
+        check_id = self.check_id
+        default_part = ctx.default_partition
+
+        def partial(batch: pa.Table) -> pa.Table:
+            vc = pc.value_counts(_cast_key(batch.column(col)))
+            return pa.table({"v": vc.field("values"),
+                             "n": vc.field("counts").cast(pa.int64())})
+
+        def add_coarse(batch: pa.Table) -> pa.Table:
+            h = hash64(batch.column("v")) % np.uint64(256)
+            return batch.append_column("coarse", pa.array(h.astype(np.int64)))
+
+        def combine(group: pa.Table) -> pa.Table:
+            values = group.column("v").combine_chunks()
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            v_np = values.to_numpy(zero_copy_only=False)
+            order = np.argsort(v_np, kind="stable")
+            v_np, n = v_np[order], n[order]
+            new_seg = np.ones(len(v_np), dtype=bool)
+            if len(v_np):
+                new_seg[1:] = v_np[1:] != v_np[:-1]
+            seg = np.cumsum(new_seg) - 1
+            totals = np.bincount(seg, weights=n).astype(np.int64)
+            first = np.flatnonzero(new_seg)
+            low = totals < lo
+            high = (totals > hi) if hi is not None else np.zeros(
+                len(totals), dtype=bool)
+            bad = low | high
+            if not bad.any():
+                return empty_violations()
+            counts = totals[bad]
+            bound = np.where(low[bad], float(lo),
+                             float(hi if hi is not None else 0))
+            keys = values.take(pa.array(order[first[bad]]))
+            return violations_table(
+                len(counts), check_id=check_id, kind="deviation",
+                partition_id=default_part,
+                key=pc.cast(keys, pa.string()),
+                value_num=pa.array(counts.astype(np.float64)),
+                expected_num=pa.array(bound),
+                deviation=pa.array(counts - bound),
+            )
+
+        partials = coalesced(
+            ds.select_columns([col]).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True),
+            ctx,
+        ).map_batches(add_coarse, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        return partials.groupby("coarse").map_groups(
+            combine, batch_format="pyarrow")

@@ -154,3 +154,33 @@ class TestFullOuterJoin:
         t = t.sort_by("lk")
         assert t.column("lk").to_pylist() == [1, 2]
         assert pc.all(pc.is_null(t.column("rv"))).as_py() in (True, None)
+
+
+class TestGroupSizeCheck:
+    def test_bounds_flag_low_and_high(self, ray_session):
+        from datatest_ray.stages.global_checks import GroupSizeCheck
+
+        ds = _ds({"g": ["a"] * 1 + ["b"] * 3 + ["c"] * 6})
+        t = _collect(GroupSizeCheck("g", min_rows=2, max_rows=4)
+                     .violations(ds, RunContext()))
+        t = t.sort_by("key")
+        assert t.column("key").to_pylist() == ["a", "c"]
+        assert t.column("value_num").to_pylist() == [1.0, 6.0]
+        assert t.column("expected_num").to_pylist() == [2.0, 4.0]
+        assert t.column("deviation").to_pylist() == [-1.0, 2.0]
+
+    def test_unbounded_max(self, ray_session):
+        from datatest_ray.stages.global_checks import GroupSizeCheck
+
+        ds = _ds({"g": ["a", "b", "b"]})
+        t = _collect(GroupSizeCheck("g", min_rows=2)
+                     .violations(ds, RunContext()))
+        assert t.column("key").to_pylist() == ["a"]
+
+    def test_all_in_bounds_empty(self, ray_session):
+        from datatest_ray.stages.global_checks import GroupSizeCheck
+
+        ds = _ds({"g": ["a", "a", "b", "b"]})
+        t = _collect(GroupSizeCheck("g", min_rows=1, max_rows=5)
+                     .violations(ds, RunContext()))
+        assert t is None or t.num_rows == 0
