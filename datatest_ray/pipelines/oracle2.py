@@ -383,6 +383,124 @@ WHERE (l_quantity < 1 OR l_quantity > 27)
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-partition pass/fail verdict report (north rule: "matching the
+# reference's per-partition pass/fail and violation rows")
+# ---------------------------------------------------------------------------
+
+
+def q_partition_verdicts(sf_dir: str):
+    """Per-partition x per-check violation counts from ONE fused
+    stateless pass (RunContext(partition_col=...) threads partition
+    lineage through every violation row; the report is a tiny groupby
+    over the violations output, never over the input)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.base import RunContext
+    from ..stages.row_checks import DomainCheck, IntervalCheck
+    from .suite import CheckSuite
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount", "l_linestatus"])
+    suite = CheckSuite(
+        [IntervalCheck("l_quantity", min=1, max=27),
+         IntervalCheck("l_discount", min=0.0, max=0.04),
+         DomainCheck("l_linestatus", {"O"})],
+        RunContext(partition_col="l_returnflag"),
+    )
+    v = suite.run(ds).violations
+    counts = v.groupby(["partition_id", "check_id"]).aggregate(
+        Count(alias_name="n_violations"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "partition_id": t.column("partition_id"),
+            "check_id": t.column("check_id"),
+            "n_violations": t.column("n_violations").cast(pa.int64()),
+        })
+
+    return _materialize(
+        counts.map_batches(fix, batch_format="pyarrow"),
+        empty_schema=pa.schema([("partition_id", pa.string()),
+                                ("check_id", pa.string()),
+                                ("n_violations", pa.int64())]))
+
+
+SQL_PARTITION_VERDICTS = """
+SELECT l_returnflag AS partition_id,
+       'interval(l_quantity,1,27)' AS check_id,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 27 GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'interval(l_discount,0.0,0.04)',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.04 GROUP BY 1
+UNION ALL
+SELECT l_returnflag, 'domain(l_linestatus,1 allowed)',
+       CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_linestatus <> 'O' GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Schema-tightening profile (narrowest integer dtype per column)
+# ---------------------------------------------------------------------------
+
+
+def q_schema_tighten_lineitem(sf_dir: str):
+    """Storage-audit profile: global min/max of every integer column
+    plus the narrowest signed dtype that holds the range — the input to
+    a schema-tightening migration.  One Min/Max aggregate pass."""
+    from ray.data.aggregate import Max, Min
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ds = _read(sf_dir, "lineitem", cols)
+    aggs = []
+    for c in cols:
+        aggs.append(Min(c, alias_name=f"min_{c}"))
+        aggs.append(Max(c, alias_name=f"max_{c}"))
+    row = ds.aggregate(*aggs)  # one dict: the 8 global extrema
+
+    def suggest(lo: int, hi: int) -> str:
+        for name, bound in (("int8", 127), ("int16", 32767),
+                            ("int32", 2147483647)):
+            if -bound - 1 <= lo and hi <= bound:
+                return name
+        return "int64"
+
+    out = {"column": [], "min_v": [], "max_v": [], "suggested": []}
+    for c in cols:
+        lo, hi = int(row[f"min_{c}"]), int(row[f"max_{c}"])
+        out["column"].append(c)
+        out["min_v"].append(lo)
+        out["max_v"].append(hi)
+        out["suggested"].append(suggest(lo, hi))
+    return pa.table({"column": pa.array(out["column"]),
+                     "min_v": pa.array(out["min_v"], pa.int64()),
+                     "max_v": pa.array(out["max_v"], pa.int64()),
+                     "suggested": pa.array(out["suggested"])})
+
+
+SQL_SCHEMA_TIGHTEN_LINEITEM = """
+WITH s AS (
+  SELECT 'l_orderkey' AS "column", min(l_orderkey) AS min_v,
+         max(l_orderkey) AS max_v FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', min(l_partkey), max(l_partkey) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', min(l_suppkey), max(l_suppkey) FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', min(l_linenumber), max(l_linenumber) FROM lineitem
+)
+SELECT "column", CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v,
+       CASE WHEN min_v >= -128 AND max_v <= 127 THEN 'int8'
+            WHEN min_v >= -32768 AND max_v <= 32767 THEN 'int16'
+            WHEN min_v >= -2147483648 AND max_v <= 2147483647 THEN 'int32'
+            ELSE 'int64' END AS suggested
+FROM s
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -394,6 +512,8 @@ QUERIES2: Dict[str, Callable] = {
     "image_dhash_clusters": q_image_dhash_clusters,
     "group_size_users": q_group_size_users,
     "accepted_percent_quantity": q_accepted_percent_quantity,
+    "partition_verdicts": q_partition_verdicts,
+    "schema_tighten_lineitem": q_schema_tighten_lineitem,
 }
 
 SQL2: Dict[str, str] = {
@@ -406,4 +526,6 @@ SQL2: Dict[str, str] = {
     "cramers_v_orders": SQL_CRAMERS_V_ORDERS,
     "group_size_users": SQL_GROUP_SIZE_USERS,
     "accepted_percent_quantity": SQL_ACCEPTED_PERCENT_QUANTITY,
+    "partition_verdicts": SQL_PARTITION_VERDICTS,
+    "schema_tighten_lineitem": SQL_SCHEMA_TIGHTEN_LINEITEM,
 }
