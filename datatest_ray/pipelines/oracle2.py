@@ -501,6 +501,73 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed table diff (stages/compare.py :: compare_tables)
+# ---------------------------------------------------------------------------
+
+
+def q_compare_customer_ref(sf_dir: str):
+    """Dataset diff against a deterministically-perturbed reference copy
+    of ``customer`` (md5-keyed plants, recomputable in SQL): dropped
+    keys surface as ``extra`` in the actual, synthetic reference keys as
+    ``missing``, +1-shifted nationkeys as per-column ``invalid`` rows."""
+    import numpy as np
+
+    from ..stages.compare import compare_tables
+    from ..stages.sampling import _key_units
+
+    actual = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def build_ref(t: pa.Table) -> pa.Table:
+        u = _key_units(t.column("c_custkey"), "md5")
+        keep = u >= 0.01
+        tk = t.filter(pa.array(keep))
+        uk = u[keep]
+        nk = tk.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64).copy()
+        nk[(uk >= 0.01) & (uk < 0.03)] += 1
+        base = pa.table({"c_custkey": tk.column("c_custkey"),
+                         "c_nationkey": pa.array(nk)})
+        syn_keys = pc.add(t.filter(pa.array(u >= 0.99)).column("c_custkey"),
+                          1000000)
+        syn = pa.table({"c_custkey": syn_keys.cast(pa.int64()),
+                        "c_nationkey": pa.array(
+                            np.zeros(len(syn_keys), dtype=np.int64))})
+        return pa.concat_tables([base, syn])
+
+    reference = _read(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey"]).map_batches(
+        build_ref, batch_format="pyarrow", zero_copy_batch=True)
+    v = compare_tables(actual, reference, key="c_custkey",
+                       columns=["c_nationkey"], num_partitions=8)
+    return _materialize(v).select(
+        ["row_ref", "kind", "key", "value", "expected", "deviation"])
+
+
+SQL_COMPARE_CUSTOMER_REF = """
+WITH u AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS h
+  FROM customer
+)
+SELECT CAST(c_custkey AS VARCHAR) AS row_ref, 'extra' AS kind,
+       CAST(NULL AS VARCHAR) AS key, CAST(NULL AS VARCHAR) AS value,
+       CAST(NULL AS VARCHAR) AS expected, CAST(NULL AS DOUBLE) AS deviation
+FROM u WHERE h < 0.01
+UNION ALL
+SELECT CAST(c_custkey + 1000000 AS VARCHAR), 'missing',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+FROM u WHERE h >= 0.99
+UNION ALL
+SELECT CAST(c_custkey AS VARCHAR), 'invalid', 'c_nationkey',
+       CAST(c_nationkey AS VARCHAR), CAST(c_nationkey + 1 AS VARCHAR),
+       CAST(-1 AS DOUBLE)
+FROM u WHERE h >= 0.01 AND h < 0.03
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -514,6 +581,7 @@ QUERIES2: Dict[str, Callable] = {
     "accepted_percent_quantity": q_accepted_percent_quantity,
     "partition_verdicts": q_partition_verdicts,
     "schema_tighten_lineitem": q_schema_tighten_lineitem,
+    "compare_customer_ref": q_compare_customer_ref,
 }
 
 SQL2: Dict[str, str] = {
@@ -528,4 +596,5 @@ SQL2: Dict[str, str] = {
     "accepted_percent_quantity": SQL_ACCEPTED_PERCENT_QUANTITY,
     "partition_verdicts": SQL_PARTITION_VERDICTS,
     "schema_tighten_lineitem": SQL_SCHEMA_TIGHTEN_LINEITEM,
+    "compare_customer_ref": SQL_COMPARE_CUSTOMER_REF,
 }

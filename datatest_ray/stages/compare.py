@@ -1,0 +1,146 @@
+"""Distributed table diff (SURVEY.md §2.A10 at scale).
+
+The reference's core call — ``validate(data, requirement)`` where the
+requirement is ANOTHER dataset keyed by the same ids (upstream
+``datatest/requirements.py :: RequiredMapping``) — re-expressed as one
+full-outer hash join plus vectorized per-column compares:
+
+* a key present in ``actual`` but not in ``reference`` -> ``extra``;
+* a key present in ``reference`` but not in ``actual`` -> ``missing``;
+* a key in both with any compared column differing -> one ``invalid``
+  row PER DIFFERING COLUMN (``key`` = column name, ``row_ref`` = the
+  join key, ``value``/``expected`` = both sides; numeric columns also
+  carry ``deviation = actual - expected``).
+
+The join is the only all-to-all; column compares are Arrow kernels on
+the joined batches (nulls compare equal to nulls, unequal to values).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..differences import empty_violations, violations_table
+from .base import Check, RunContext
+
+__all__ = ["TableCompareCheck", "compare_tables"]
+
+_A_MARK = "__dtc_in_actual"
+_B_MARK = "__dtc_in_reference"
+_REF_SUFFIX = "__ref"
+
+
+def compare_tables(actual_ds, reference_ds, *, key: str,
+                   columns: Sequence[str], check_id: str = "compare",
+                   num_partitions: int = 8, ctx: Optional[RunContext] = None):
+    """Violations Dataset from diffing ``actual_ds`` against
+    ``reference_ds`` on ``key`` over ``columns``.  See module docstring
+    for the emitted kinds."""
+    from .relational import safe_join
+
+    ctx = ctx or RunContext()
+    cols = list(columns)
+
+    def mark_a(t: pa.Table) -> pa.Table:
+        return t.select([key] + cols).append_column(
+            _A_MARK, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    def mark_b(t: pa.Table) -> pa.Table:
+        out = pa.table({key: t.column(key)}
+                       | {c + _REF_SUFFIX: t.column(c) for c in cols})
+        return out.append_column(
+            _B_MARK, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    a = actual_ds.map_batches(mark_a, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    b = reference_ds.map_batches(mark_b, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    joined = safe_join(a, b, join_type="full_outer",
+                       num_partitions=num_partitions, on=key)
+
+    check_id_ = check_id
+    default_part = ctx.default_partition
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return empty_violations()
+        in_a = pc.is_valid(t.column(_A_MARK)).to_numpy(
+            zero_copy_only=False)
+        in_b = pc.is_valid(t.column(_B_MARK)).to_numpy(
+            zero_copy_only=False)
+        keys = pc.cast(t.column(key), pa.string())
+        out = []
+        only_a = in_a & ~in_b
+        if only_a.any():
+            idx = pa.array(np.flatnonzero(only_a))
+            out.append(violations_table(
+                int(only_a.sum()), check_id=check_id_, kind="extra",
+                partition_id=default_part, row_ref=keys.take(idx),
+            ))
+        only_b = in_b & ~in_a
+        if only_b.any():
+            idx = pa.array(np.flatnonzero(only_b))
+            out.append(violations_table(
+                int(only_b.sum()), check_id=check_id_, kind="missing",
+                partition_id=default_part, row_ref=keys.take(idx),
+            ))
+        both = in_a & in_b
+        if both.any():
+            for c in cols:
+                av = t.column(c)
+                bv = t.column(c + _REF_SUFFIX)
+                ne = pc.fill_null(pc.not_equal(av, bv), False).to_numpy(
+                    zero_copy_only=False)
+                # null-vs-value mismatches (null==null counts as equal)
+                a_null = pc.is_null(av).to_numpy(zero_copy_only=False)
+                b_null = pc.is_null(bv).to_numpy(zero_copy_only=False)
+                bad = both & (ne | (a_null ^ b_null))
+                if not bad.any():
+                    continue
+                idx = pa.array(np.flatnonzero(bad))
+                value = pc.cast(av, pa.string()).take(idx)
+                expected = pc.cast(bv, pa.string()).take(idx)
+                numeric = (pa.types.is_integer(av.type)
+                           or pa.types.is_floating(av.type))
+                dev = None
+                if numeric:
+                    dev = pc.subtract(
+                        pc.cast(av, pa.float64()),
+                        pc.cast(bv, pa.float64())).take(idx)
+                out.append(violations_table(
+                    len(idx), check_id=check_id_, kind="invalid",
+                    partition_id=default_part, key=c,
+                    row_ref=keys.take(idx), value=value,
+                    expected=expected, deviation=dev,
+                ))
+        if not out:
+            return empty_violations()
+        return pa.concat_tables(out)
+
+    return joined.map_batches(kernel, batch_format="pyarrow")
+
+
+class TableCompareCheck(Check):
+    """Check-protocol wrapper around :func:`compare_tables` so a dataset
+    diff can ride inside a :class:`~..pipelines.suite.CheckSuite`."""
+
+    def __init__(self, reference_ds, *, key: str, columns: Sequence[str],
+                 check_id: Optional[str] = None, num_partitions: int = 8):
+        self.reference_ds = reference_ds
+        self.key = key
+        self.compare_columns = list(columns)
+        self.columns = [key] + list(columns)
+        self.num_partitions = num_partitions
+        self.check_id = check_id or (
+            f"compare({key}:{','.join(columns)})")
+
+    def violations(self, ds, ctx: RunContext):
+        return compare_tables(
+            ds, self.reference_ds, key=self.key,
+            columns=self.compare_columns, check_id=self.check_id,
+            num_partitions=self.num_partitions, ctx=ctx)

@@ -112,3 +112,69 @@ class TestCramersV:
         v = np.sqrt(chi2 / (obs.sum() * 1))
         assert abs(t.column("chi2")[0].as_py() - chi2) < 1e-9
         assert abs(t.column("v")[0].as_py() - v) < 1e-12
+
+
+class TestCompareTables:
+    def _pair(self):
+        import ray.data as rd
+
+        actual = rd.from_arrow(pa.table({
+            "k": [1, 2, 3, 5],
+            "x": [10, 20, 30, 50],
+            "s": ["a", "b", None, "e"],
+        }))
+        reference = rd.from_arrow(pa.table({
+            "k": [1, 2, 4, 5],
+            "x": [10, 21, 40, 50],
+            "s": ["a", "b", "d", None],
+        }))
+        return actual, reference
+
+    def test_all_three_kinds(self, ray_session):
+        from datatest_ray.stages.compare import compare_tables
+
+        a, r = self._pair()
+        t = _collect(compare_tables(a, r, key="k", columns=["x", "s"],
+                                    num_partitions=4))
+        rows = sorted(zip(t.column("kind").to_pylist(),
+                          t.column("row_ref").to_pylist(),
+                          t.column("key").to_pylist()))
+        assert ("extra", "3", None) in rows        # k=3 only in actual
+        assert ("missing", "4", None) in rows      # k=4 only in reference
+        assert ("invalid", "2", "x") in rows       # 20 vs 21
+        # null-vs-value mismatches both directions
+        assert ("invalid", "3", None) not in rows
+        assert ("invalid", "5", "s") in rows       # 'e' vs NULL
+        # k=3 is extra, so its null 's' never reaches column compare
+        kinds = [k for k, *_ in rows]
+        assert kinds.count("invalid") == 2
+
+    def test_numeric_deviation_and_equal_tables_empty(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.compare import compare_tables
+
+        a, r = self._pair()
+        t = _collect(compare_tables(a, r, key="k", columns=["x"],
+                                    num_partitions=4))
+        inv = t.filter(pa.compute.equal(t.column("kind"), "invalid"))
+        assert inv.column("deviation").to_pylist() == [-1.0]
+        same = rd.from_arrow(pa.table({"k": [1, 2], "x": [1, 2]}))
+        t2 = _collect(compare_tables(
+            same, rd.from_arrow(pa.table({"k": [1, 2], "x": [1, 2]})),
+            key="k", columns=["x"], num_partitions=4))
+        assert t2 is None or t2.num_rows == 0
+
+    def test_check_wrapper_in_suite(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.pipelines.suite import CheckSuite
+        from datatest_ray.stages.base import RunContext
+        from datatest_ray.stages.compare import TableCompareCheck
+
+        a, r = self._pair()
+        res = CheckSuite([TableCompareCheck(r, key="k", columns=["x"])],
+                         RunContext()).run(a)
+        t = res.to_table()
+        assert set(t.column("kind").to_pylist()) == {
+            "extra", "missing", "invalid"}
