@@ -568,6 +568,38 @@ FROM u WHERE h >= 0.01 AND h < 0.03
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence contiguity (stages/temporal.py :: SequenceContiguityCheck)
+# ---------------------------------------------------------------------------
+
+
+def q_seq_contig_lineitem(sf_dir: str):
+    """Header/detail integrity: l_linenumber within each order must be
+    exactly 1..n (the synthetic data assigns random line numbers, so
+    most orders fail — one compact deviation row per bad order)."""
+    from ..stages.temporal import SequenceContiguityCheck
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    return _run_check(
+        SequenceContiguityCheck("l_orderkey", "l_linenumber"), ds,
+        ["key", "value_num", "expected_num", "deviation"],
+    )
+
+
+SQL_SEQ_CONTIG_LINEITEM = """
+WITH g AS (
+  SELECT l_orderkey, count(*) AS n, min(l_linenumber) AS lo,
+         max(l_linenumber) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(l_orderkey AS VARCHAR) AS key,
+       CAST(n AS DOUBLE) AS value_num,
+       CAST(hi AS DOUBLE) AS expected_num,
+       CAST(n - hi AS DOUBLE) AS deviation
+FROM g WHERE n <> hi OR lo <> 1
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -582,6 +614,7 @@ QUERIES2: Dict[str, Callable] = {
     "partition_verdicts": q_partition_verdicts,
     "schema_tighten_lineitem": q_schema_tighten_lineitem,
     "compare_customer_ref": q_compare_customer_ref,
+    "seq_contig_lineitem": q_seq_contig_lineitem,
 }
 
 SQL2: Dict[str, str] = {
@@ -597,4 +630,5 @@ SQL2: Dict[str, str] = {
     "partition_verdicts": SQL_PARTITION_VERDICTS,
     "schema_tighten_lineitem": SQL_SCHEMA_TIGHTEN_LINEITEM,
     "compare_customer_ref": SQL_COMPARE_CUSTOMER_REF,
+    "seq_contig_lineitem": SQL_SEQ_CONTIG_LINEITEM,
 }

@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from ..differences import empty_violations, violations_table
 from .base import Check, RunContext
 
-__all__ = ["MonotonicCheck", "FreshnessCheck"]
+__all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck"]
 
 
 class MonotonicCheck(Check):
@@ -187,3 +187,90 @@ class FreshnessCheck(Check):
 
         return merged.repartition(1).map_batches(
             finalize, batch_format="pyarrow", batch_size=None)
+
+
+class SequenceContiguityCheck(Check):
+    """Within each ``group_col`` group, the integer ``seq_col`` must be
+    exactly ``1..n`` (no gaps, no duplicates, starts at 1) — the
+    "line-number integrity" invariant of any header/detail schema.
+    A group fails when ``count != max(seq)`` or ``min(seq) != 1``; it
+    emits one ``deviation`` row (``value_num`` = row count,
+    ``expected_num`` = max seq, ``deviation`` = count − max).
+
+    Plan: per-batch (group, count, min, max) partials -> one
+    coarse-bucket shuffle on the group hash -> vectorized segment
+    combine.  The shuffle carries three ints per group per block."""
+
+    def __init__(self, group_col: str, seq_col: str,
+                 check_id: Optional[str] = None):
+        self.group_col = group_col
+        self.seq_col = seq_col
+        self.columns = [group_col, seq_col]
+        self.check_id = check_id or (
+            f"seq_contiguous({seq_col} by {group_col})")
+
+    def violations(self, ds, ctx: RunContext):
+        from ..functions.aggregates import hash64
+        from .base import coalesced
+
+        g, s = self.group_col, self.seq_col
+        check_id = self.check_id
+        default_part = ctx.default_partition
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table({g: batch.column(g),
+                          "s": batch.column(s).cast(pa.int64())})
+            agg = t.group_by(g).aggregate(
+                [("s", "count"), ("s", "min"), ("s", "max")])
+            return pa.table({
+                "k": agg.column(g),
+                "n": agg.column("s_count").cast(pa.int64()),
+                "lo": agg.column("s_min"),
+                "hi": agg.column("s_max"),
+            })
+
+        def add_coarse(batch: pa.Table) -> pa.Table:
+            h = hash64(batch.column("k")) % np.uint64(256)
+            return batch.append_column("coarse", pa.array(h.astype(np.int64)))
+
+        def combine(group: pa.Table) -> pa.Table:
+            k = group.column("k").combine_chunks()
+            k_np = k.to_numpy(zero_copy_only=False)
+            n = group.column("n").to_numpy(zero_copy_only=False)
+            lo = group.column("lo").to_numpy(zero_copy_only=False)
+            hi = group.column("hi").to_numpy(zero_copy_only=False)
+            order = np.argsort(k_np, kind="stable")
+            k_np, n, lo, hi = k_np[order], n[order], lo[order], hi[order]
+            new_seg = np.ones(len(k_np), dtype=bool)
+            if len(k_np):
+                new_seg[1:] = k_np[1:] != k_np[:-1]
+            seg = np.cumsum(new_seg) - 1
+            tot = np.bincount(seg, weights=n).astype(np.int64)
+            n_seg = len(tot)
+            lo_seg = np.full(n_seg, np.iinfo(np.int64).max)
+            np.minimum.at(lo_seg, seg, lo)
+            hi_seg = np.full(n_seg, np.iinfo(np.int64).min)
+            np.maximum.at(hi_seg, seg, hi)
+            bad = (tot != hi_seg) | (lo_seg != 1)
+            if not bad.any():
+                return empty_violations()
+            first = np.flatnonzero(new_seg)
+            keys = k.take(pa.array(order[first[bad]]))
+            return violations_table(
+                int(bad.sum()), check_id=check_id, kind="deviation",
+                partition_id=default_part,
+                key=pc.cast(keys, pa.string()),
+                value_num=pa.array(tot[bad].astype(np.float64)),
+                expected_num=pa.array(hi_seg[bad].astype(np.float64)),
+                deviation=pa.array((tot[bad] - hi_seg[bad]).astype(
+                    np.float64)),
+            )
+
+        partials = coalesced(
+            ds.select_columns([g, s]).map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True),
+            ctx,
+        ).map_batches(add_coarse, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        return partials.groupby("coarse").map_groups(
+            combine, batch_format="pyarrow")

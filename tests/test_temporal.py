@@ -184,3 +184,31 @@ class TestGroupSizeCheck:
         t = _collect(GroupSizeCheck("g", min_rows=1, max_rows=5)
                      .violations(ds, RunContext()))
         assert t is None or t.num_rows == 0
+
+
+class TestSequenceContiguityCheck:
+    def test_gap_dup_and_offset_flagged(self, ray_session):
+        from datatest_ray.stages.temporal import SequenceContiguityCheck
+
+        ds = _ds({
+            "g": ["ok", "ok", "gap", "gap", "dup", "dup", "off", "off"],
+            "s": [1, 2, 1, 3, 2, 2, 2, 3],
+        })
+        t = _collect(SequenceContiguityCheck("g", "s")
+                     .violations(ds, RunContext())).sort_by("key")
+        assert t.column("key").to_pylist() == ["dup", "gap", "off"]
+        # dup: n=2 max=2 but min!=1; gap: n=2 max=3; off: n=2 max=3 min=2
+        got = dict(zip(t.column("key").to_pylist(),
+                       zip(t.column("value_num").to_pylist(),
+                           t.column("expected_num").to_pylist())))
+        assert got["gap"] == (2.0, 3.0)
+        assert got["dup"] == (2.0, 2.0)
+        assert got["off"] == (2.0, 3.0)
+
+    def test_contiguous_groups_pass(self, ray_session):
+        from datatest_ray.stages.temporal import SequenceContiguityCheck
+
+        ds = _ds({"g": ["a", "a", "a", "b"], "s": [1, 2, 3, 1]})
+        t = _collect(SequenceContiguityCheck("g", "s")
+                     .violations(ds, RunContext()))
+        assert t is None or t.num_rows == 0
