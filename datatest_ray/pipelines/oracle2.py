@@ -600,6 +600,40 @@ FROM g WHERE n <> hi OR lo <> 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-table field consistency (stages/compare.py :: JoinConsistencyCheck)
+# ---------------------------------------------------------------------------
+
+
+def q_ship_after_order(sf_dir: str):
+    """Every lineitem must ship on/after its order's date — the
+    cross-TABLE temporal invariant (one inner hash join + vectorized
+    compare; timestamps compared in epoch seconds)."""
+    from ..stages.compare import JoinConsistencyCheck
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    return _run_check(
+        JoinConsistencyCheck(orders, on="l_orderkey",
+                             right_on="o_orderkey",
+                             left_col="l_shipdate",
+                             right_col="o_orderdate", op=">="),
+        lineitem,
+        ["key", "value_num", "expected_num", "deviation"],
+    )
+
+
+SQL_SHIP_AFTER_ORDER = """
+SELECT CAST(l.l_orderkey AS VARCHAR) AS key,
+       epoch_us(l.l_shipdate) / 1e6 AS value_num,
+       epoch_us(o.o_orderdate) / 1e6 AS expected_num,
+       (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) / 1e6
+         AS deviation
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate < o.o_orderdate
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -615,6 +649,7 @@ QUERIES2: Dict[str, Callable] = {
     "schema_tighten_lineitem": q_schema_tighten_lineitem,
     "compare_customer_ref": q_compare_customer_ref,
     "seq_contig_lineitem": q_seq_contig_lineitem,
+    "ship_after_order": q_ship_after_order,
 }
 
 SQL2: Dict[str, str] = {
@@ -631,4 +666,5 @@ SQL2: Dict[str, str] = {
     "schema_tighten_lineitem": SQL_SCHEMA_TIGHTEN_LINEITEM,
     "compare_customer_ref": SQL_COMPARE_CUSTOMER_REF,
     "seq_contig_lineitem": SQL_SEQ_CONTIG_LINEITEM,
+    "ship_after_order": SQL_SHIP_AFTER_ORDER,
 }

@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 from ..differences import empty_violations, violations_table
 from .base import Check, RunContext
 
-__all__ = ["TableCompareCheck", "compare_tables"]
+__all__ = ["TableCompareCheck", "compare_tables", "JoinConsistencyCheck"]
 
 _A_MARK = "__dtc_in_actual"
 _B_MARK = "__dtc_in_reference"
@@ -144,3 +144,90 @@ class TableCompareCheck(Check):
             ds, self.reference_ds, key=self.key,
             columns=self.compare_columns, check_id=self.check_id,
             num_partitions=self.num_partitions, ctx=ctx)
+
+
+_OPS = {
+    ">=": "greater_equal", ">": "greater",
+    "<=": "less_equal", "<": "less",
+    "==": "equal", "!=": "not_equal",
+}
+
+
+def _as_f64(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Timestamps become epoch seconds; numerics become float64 — one
+    comparable numeric frame for both sides (and for a SQL oracle via
+    epoch_us(ts)/1e6)."""
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        return pc.divide(pc.cast(arr, pa.int64()).cast(pa.float64()),
+                         1_000_000.0)
+    return pc.cast(arr, pa.float64())
+
+
+class JoinConsistencyCheck(Check):
+    """Cross-TABLE field consistency: after joining ``ds`` (detail) to
+    ``right_ds`` (header) on a key, ``left_col OP right_col`` must hold
+    for every row (e.g. every lineitem ships on/after its order date).
+    Violating rows emit one ``deviation`` row: ``key`` = join key,
+    ``value_num`` = left value, ``expected_num`` = right value,
+    ``deviation`` = left − right (timestamps in epoch seconds).
+
+    One inner hash join (safe_join guards) + a vectorized compare on
+    the joined batches; the right side ships only its key + one column.
+    """
+
+    def __init__(self, right_ds, *, on: str, right_on: str,
+                 left_col: str, right_col: str, op: str = ">=",
+                 check_id: Optional[str] = None, num_partitions: int = 8):
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}")
+        self.right_ds = right_ds
+        self.on = on
+        self.right_on = right_on
+        self.left_col = left_col
+        self.right_col = right_col
+        self.op = op
+        self.num_partitions = num_partitions
+        self.columns = [on, left_col]
+        self.check_id = check_id or (
+            f"join_consistency({left_col} {op} {right_col})")
+
+    def violations(self, ds, ctx: RunContext):
+        from .relational import safe_join
+
+        on, left_col, right_col = self.on, self.left_col, self.right_col
+        ok_kernel = getattr(pc, _OPS[self.op])
+        check_id = self.check_id
+        default_part = ctx.default_partition
+
+        right = self.right_ds.select_columns(
+            [self.right_on, right_col])
+        joined = safe_join(
+            ds.select_columns([on, left_col]), right,
+            join_type="inner", num_partitions=self.num_partitions,
+            on=on, right_on=self.right_on)
+
+        def kernel(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty_violations()
+            lv = _as_f64(t.column(left_col))
+            rv = _as_f64(t.column(right_col))
+            if isinstance(lv, pa.ChunkedArray):
+                lv = lv.combine_chunks()
+            if isinstance(rv, pa.ChunkedArray):
+                rv = rv.combine_chunks()
+            ok = pc.fill_null(ok_kernel(lv, rv), True)
+            bad = pc.invert(ok).to_numpy(zero_copy_only=False)
+            if not bad.any():
+                return empty_violations()
+            idx = pa.array(np.flatnonzero(bad))
+            return violations_table(
+                len(idx), check_id=check_id, kind="deviation",
+                partition_id=default_part,
+                key=pc.cast(t.column(on), pa.string()).take(idx),
+                value_num=lv.take(idx),
+                expected_num=rv.take(idx),
+                deviation=pc.subtract(lv, rv).take(idx),
+            )
+
+        return joined.map_batches(kernel, batch_format="pyarrow")

@@ -178,3 +178,52 @@ class TestCompareTables:
         t = res.to_table()
         assert set(t.column("kind").to_pylist()) == {
             "extra", "missing", "invalid"}
+
+
+class TestJoinConsistencyCheck:
+    def test_temporal_and_numeric_ops(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.compare import JoinConsistencyCheck
+
+        detail = rd.from_arrow(pa.table({
+            "fk": [1, 1, 2, 3], "v": [5.0, 2.0, 7.0, 1.0]}))
+        header = rd.from_arrow(pa.table({
+            "pk": [1, 2, 3], "floor_v": [3.0, 7.0, 2.0]}))
+        t = _collect(JoinConsistencyCheck(
+            header, on="fk", right_on="pk", left_col="v",
+            right_col="floor_v", op=">=").violations(detail, RunContext()))
+        t = t.sort_by("key")
+        assert t.column("key").to_pylist() == ["1", "3"]
+        assert t.column("deviation").to_pylist() == [-1.0, -1.0]
+
+    def test_timestamps_in_epoch_seconds(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.compare import JoinConsistencyCheck
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        detail = rd.from_arrow(pa.table({
+            "fk": [1, 2],
+            "ship": pa.array([base - np.timedelta64(90, "s"),
+                              base + np.timedelta64(60, "s")]),
+        }))
+        header = rd.from_arrow(pa.table({
+            "pk": [1, 2], "odate": pa.array([base, base])}))
+        t = _collect(JoinConsistencyCheck(
+            header, on="fk", right_on="pk", left_col="ship",
+            right_col="odate", op=">=").violations(detail, RunContext()))
+        assert t.column("key").to_pylist() == ["1"]
+        assert t.column("deviation").to_pylist() == [-90.0]
+
+    def test_all_consistent_empty(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.compare import JoinConsistencyCheck
+
+        detail = rd.from_arrow(pa.table({"fk": [1], "v": [9.0]}))
+        header = rd.from_arrow(pa.table({"pk": [1], "m": [1.0]}))
+        t = _collect(JoinConsistencyCheck(
+            header, on="fk", right_on="pk", left_col="v",
+            right_col="m", op=">=").violations(detail, RunContext()))
+        assert t is None or t.num_rows == 0
