@@ -123,11 +123,14 @@ def q_full_outer_nation_activity(sf_dir: str):
     def lfilter(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(t.column("c_mktsegment"), "AUTOMOBILE"),
                     pc.greater(t.column("c_acctbal"), 9200.0))
-        return t.filter(m).select(["c_nationkey"])
+        f = t.filter(m)
+        return pa.table({"c_nationkey":
+                         f.column("c_nationkey").cast(pa.int64())})
 
     def rfilter(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t.column("s_acctbal"), 7000.0)).select(
-            ["s_nationkey"])
+        f = t.filter(pc.greater(t.column("s_acctbal"), 7000.0))
+        return pa.table({"s_nationkey":
+                         f.column("s_nationkey").cast(pa.int64())})
 
     l = cust.map_batches(lfilter, batch_format="pyarrow",
                          zero_copy_batch=True).groupby(
@@ -135,8 +138,15 @@ def q_full_outer_nation_activity(sf_dir: str):
     r = supp.map_batches(rfilter, batch_format="pyarrow",
                          zero_copy_batch=True).groupby(
         "s_nationkey").aggregate(Count(alias_name="s_cnt"))
-    joined = safe_join(l, r, join_type="full_outer", num_partitions=8,
-                       on="c_nationkey", right_on="s_nationkey")
+    # schema hints cover the fully-empty-aggregate case (at tiny scale
+    # a filter can leave zero suppliers -> Dataset.schema() is None)
+    joined = safe_join(
+        l, r, join_type="full_outer", num_partitions=8,
+        on="c_nationkey", right_on="s_nationkey",
+        left_schema=pa.schema([("c_nationkey", pa.int64()),
+                               ("c_cnt", pa.int64())]),
+        right_schema=pa.schema([("s_nationkey", pa.int64()),
+                                ("s_cnt", pa.int64())]))
 
     def finalize(t: pa.Table) -> pa.Table:
         # Ray's hash join coalesces the key pair into the LEFT name, so

@@ -59,7 +59,7 @@ _REAL_R = "__dtr_real_row_r"
 
 
 def safe_join(left_ds, right_ds, *, join_type: str, num_partitions: int,
-              on, right_on=None):
+              on, right_on=None, left_schema=None, right_schema=None):
     """``Dataset.join`` hardened against the empty/sparse-side crashes
     (see :func:`_null_sentinel_like`).  Both sides get a null-key
     sentinel.  For INNER joins an unmatched sentinel can never reach
@@ -86,30 +86,38 @@ def safe_join(left_ds, right_ds, *, join_type: str, num_partitions: int,
 
     import ray.data as rd
 
-    def _marked(side_ds, marker: str):
+    def _marked(side_ds, marker: str, schema_hint=None):
         """Real rows carry ``marker=True``; a null-key sentinel row
         (marker NULL) is unioned so the side never reaches the hash
         aggregator with zero non-empty blocks.  Sentinel schema comes
         from the ORIGINAL side (a fully-empty mapped dataset reports no
-        schema at all)."""
+        schema at all); a FULLY-empty side (e.g. an aggregate of zero
+        rows) reports None — callers cover that with a schema hint."""
         def mark(t: pa.Table) -> pa.Table:
             return t.append_column(
                 marker, pa.array(np.ones(t.num_rows, dtype=bool)))
 
         sch = side_ds.schema()
         sch = getattr(sch, "base_schema", sch)
+        if sch is None:
+            sch = schema_hint
+        if sch is None:
+            raise ValueError(
+                "safe_join: side is empty with unknown schema; pass "
+                "left_schema/right_schema so the sentinel (and the join "
+                "output) keep their columns")
         sent = rd.from_arrow(pa.table(
             {f.name: pa.array([None], f.type) for f in sch}
             | {marker: pa.array([None], pa.bool_())}))
         return sent.union(side_ds.map_batches(
             mark, batch_format="pyarrow", zero_copy_batch=True))
 
-    marked = _marked(left_ds, _REAL)
+    marked = _marked(left_ds, _REAL, left_schema)
     if join_type == "full_outer":
         # a full-outer join emits each side's unmatched sentinel as a
         # half-null row; one marker per side distinguishes those from
         # legitimate unmatched rows of the OTHER side
-        right_ds = _marked(right_ds, _REAL_R)
+        right_ds = _marked(right_ds, _REAL_R, right_schema)
     else:
         # left/right outer: only the build-side sentinel is needed (it
         # can never reach a LEFT OUTER output as a left row)
