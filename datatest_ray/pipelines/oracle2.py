@@ -644,6 +644,118 @@ WHERE l.l_shipdate < o.o_orderdate
 """
 
 
+# ---------------------------------------------------------------------------
+# Latest-version compaction (stages/dedup.py :: latest_by_key)
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_state(sf_dir: str):
+    """CDC snapshot: each (user, event_type) key's LATEST event (max ts,
+    ties by event_id) — the upsert-compaction read of a streaming
+    table."""
+    from ..stages.dedup import latest_by_key
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "event_type", "ts", "event_id", "value"])
+    out = latest_by_key(ds, key_cols=["user_id", "event_type"],
+                        order_col="ts", id_col="event_id")
+
+    def fix(t: pa.Table) -> pa.Table:
+        return t.select(["user_id", "event_type", "event_id", "value"])
+
+    return _materialize(out.map_batches(fix, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
+SQL_LATEST_EVENT_STATE = """
+SELECT user_id, event_type, event_id, value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed checksum reconcile (stages/compare.py :: checksum_reconcile)
+# ---------------------------------------------------------------------------
+
+
+def q_checksum_reconcile_customer(sf_dir: str):
+    """CDC reconcile prefilter over the same perturbed reference as
+    ``compare_customer_ref``: 64 bucket checksums per side; planted
+    drops/shifts flip their buckets to match=false while untouched
+    buckets stay equal — O(buckets) instead of O(rows) comparison."""
+    import numpy as np
+
+    from ..stages.compare import checksum_reconcile
+    from ..stages.sampling import _key_units
+
+    actual = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def build_ref(t: pa.Table) -> pa.Table:
+        u = _key_units(t.column("c_custkey"), "md5")
+        keep = u >= 0.01
+        tk = t.filter(pa.array(keep))
+        uk = u[keep]
+        nk = tk.column("c_nationkey").to_numpy(
+            zero_copy_only=False).astype(np.int64).copy()
+        nk[(uk >= 0.01) & (uk < 0.03)] += 1
+        base = pa.table({"c_custkey": tk.column("c_custkey"),
+                         "c_nationkey": pa.array(nk)})
+        syn_keys = pc.add(t.filter(pa.array(u >= 0.99)).column("c_custkey"),
+                          1000000)
+        syn = pa.table({"c_custkey": syn_keys.cast(pa.int64()),
+                        "c_nationkey": pa.array(
+                            np.zeros(len(syn_keys), dtype=np.int64))})
+        return pa.concat_tables([base, syn])
+
+    reference = _read(sf_dir, "customer",
+                      ["c_custkey", "c_nationkey"]).map_batches(
+        build_ref, batch_format="pyarrow", zero_copy_batch=True)
+    out = checksum_reconcile(actual, reference, key_col="c_custkey",
+                             columns=["c_nationkey"], n_buckets=64)
+    return _materialize(out)
+
+
+SQL_CHECKSUM_RECONCILE_CUSTOMER = """
+WITH u AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS h
+  FROM customer
+),
+act AS (SELECT CAST(c_custkey AS VARCHAR) AS k,
+               CAST(c_nationkey AS VARCHAR) AS v FROM customer),
+ref AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS k,
+         CAST(c_nationkey + CASE WHEN h >= 0.01 AND h < 0.03
+                                 THEN 1 ELSE 0 END AS VARCHAR) AS v
+  FROM u WHERE h >= 0.01
+  UNION ALL
+  SELECT CAST(c_custkey + 1000000 AS VARCHAR), '0' FROM u WHERE h >= 0.99
+),
+ca AS (
+  SELECT CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 64 AS bucket,
+         CAST(sum(CAST(('0x' || substr(md5(k || '|' || v), 1, 10))
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM act GROUP BY 1
+),
+cr AS (
+  SELECT CAST(('0x' || substr(md5(k), 1, 8)) AS BIGINT) % 64 AS bucket,
+         CAST(sum(CAST(('0x' || substr(md5(k || '|' || v), 1, 10))
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM ref GROUP BY 1
+)
+SELECT CAST(coalesce(ca.bucket, cr.bucket) AS BIGINT) AS bucket,
+       ca.s AS sum_actual, cr.s AS sum_reference,
+       coalesce(ca.s = cr.s, FALSE) AS match
+FROM ca FULL OUTER JOIN cr ON ca.bucket = cr.bucket
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -660,6 +772,8 @@ QUERIES2: Dict[str, Callable] = {
     "compare_customer_ref": q_compare_customer_ref,
     "seq_contig_lineitem": q_seq_contig_lineitem,
     "ship_after_order": q_ship_after_order,
+    "latest_event_state": q_latest_event_state,
+    "checksum_reconcile_customer": q_checksum_reconcile_customer,
 }
 
 SQL2: Dict[str, str] = {
@@ -677,4 +791,6 @@ SQL2: Dict[str, str] = {
     "compare_customer_ref": SQL_COMPARE_CUSTOMER_REF,
     "seq_contig_lineitem": SQL_SEQ_CONTIG_LINEITEM,
     "ship_after_order": SQL_SHIP_AFTER_ORDER,
+    "latest_event_state": SQL_LATEST_EVENT_STATE,
+    "checksum_reconcile_customer": SQL_CHECKSUM_RECONCILE_CUSTOMER,
 }

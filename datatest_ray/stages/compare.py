@@ -27,7 +27,7 @@ import pyarrow.compute as pc
 from ..differences import empty_violations, violations_table
 from .base import Check, RunContext
 
-__all__ = ["TableCompareCheck", "compare_tables", "JoinConsistencyCheck"]
+__all__ = ["TableCompareCheck", "compare_tables", "JoinConsistencyCheck", "bucket_checksums", "checksum_reconcile"]
 
 _A_MARK = "__dtc_in_actual"
 _B_MARK = "__dtc_in_reference"
@@ -231,3 +231,91 @@ class JoinConsistencyCheck(Check):
             )
 
         return joined.map_batches(kernel, batch_format="pyarrow")
+
+
+def _md5_digests(batch: pa.Table, key_col: str, columns: Sequence[str],
+                 n_buckets: int):
+    """Per-row (bucket, digest): bucket = md5(key) % n_buckets, digest =
+    40-bit md5 of the '|'-joined row representation (nulls encode as
+    '').  md5 (not the engine's fast hash64) so a SQL oracle recomputes
+    both identically; 40-bit digests keep bucket SUMS inside int64 far
+    past 10^9 rows per bucket."""
+    import hashlib
+
+    strs = [pc.cast(batch.column(key_col), pa.string()).to_pylist()]
+    for c in columns:
+        strs.append(pc.cast(batch.column(c), pa.string()).to_pylist())
+    buckets = np.empty(batch.num_rows, dtype=np.int64)
+    digests = np.empty(batch.num_rows, dtype=np.int64)
+    for i, row in enumerate(zip(*strs)):
+        key = "" if row[0] is None else row[0]
+        buckets[i] = int(hashlib.md5(key.encode()).hexdigest()[:8],
+                         16) % n_buckets
+        joined = "|".join("" if x is None else x for x in row)
+        digests[i] = int(hashlib.md5(joined.encode()).hexdigest()[:10], 16)
+    return buckets, digests
+
+
+def bucket_checksums(ds, *, key_col: str, columns: Sequence[str],
+                     n_buckets: int = 64):
+    """Per-bucket checksum: SUM of 40-bit row digests grouped by
+    ``md5(key) % n_buckets`` — a table fingerprint in n_buckets rows."""
+    from ray.data.aggregate import Sum
+
+    cols = list(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b, d = _md5_digests(batch, key_col, cols, n_buckets)
+        t = pa.table({"bucket": pa.array(b), "d": pa.array(d)})
+        g = t.group_by("bucket").aggregate([("d", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "checksum": g.column("d_sum").cast(pa.int64())})
+
+    return ds.select_columns([key_col] + cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").aggregate(Sum("checksum", alias_name="checksum"))
+
+
+def checksum_reconcile(actual_ds, reference_ds, *, key_col: str,
+                       columns: Sequence[str], n_buckets: int = 64,
+                       num_partitions: int = 8):
+    """The CDC reconcile PREFILTER: compare two tables by n_buckets
+    checksums instead of row-by-row — identical tables agree on every
+    bucket; a mismatched bucket names the key range to re-diff with
+    :func:`compare_tables`.  Shuffle payload is O(n_buckets) per block
+    per side; the full-row diff only ever runs on flagged buckets.
+
+    Returns (bucket, sum_actual, sum_reference, match) — one row per
+    bucket present on either side."""
+    from .relational import safe_join
+
+    a = bucket_checksums(actual_ds, key_col=key_col, columns=columns,
+                         n_buckets=n_buckets)
+    b = bucket_checksums(reference_ds, key_col=key_col, columns=columns,
+                         n_buckets=n_buckets)
+
+    def rename_b(t: pa.Table) -> pa.Table:
+        return pa.table({"bucket": t.column("bucket"),
+                         "checksum_ref": t.column("checksum")})
+
+    hint_a = pa.schema([("bucket", pa.int64()), ("checksum", pa.int64())])
+    hint_b = pa.schema([("bucket", pa.int64()),
+                        ("checksum_ref", pa.int64())])
+    joined = safe_join(
+        a, b.map_batches(rename_b, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        join_type="full_outer", num_partitions=num_partitions,
+        on="bucket", left_schema=hint_a, right_schema=hint_b)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        sa = t.column("checksum").cast(pa.int64())
+        sb = t.column("checksum_ref").cast(pa.int64())
+        match = pc.fill_null(pc.equal(sa, sb), False)
+        return pa.table({
+            "bucket": t.column("bucket").cast(pa.int64()),
+            "sum_actual": sa,
+            "sum_reference": sb,
+            "match": match,
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -1262,3 +1262,43 @@ def cluster_representatives(ds, text_col: str, id_col: str, *,
     ).groupby("coarse").map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, "cluster_id", "rep_id", "keep"])
+
+
+def latest_by_key(ds, *, key_cols, order_col: str, id_col: str,
+                  n_buckets: int = 256):
+    """Snapshot compaction (CDC upsert semantics): keep each key's row
+    with the greatest ``(order_col, id_col)`` — "latest version wins",
+    the streaming-table counterpart of :func:`keep_first` (which keys
+    on SMALLEST id / arrival order).  Ties on ``order_col`` break by
+    ``id_col`` so a SQL ``row_number() OVER (ORDER BY order_col DESC,
+    id_col DESC)`` oracle picks the identical row.
+
+    One coarse-bucket shuffle on the composite key hash, per-bucket
+    Arrow sort + vectorized take of each segment's first row."""
+    keys = list(key_cols)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for k in keys:
+            h ^= hash64(batch.column(k)) * np.uint64(0x9E3779B97F4A7C15)
+        coarse = (h % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(coarse))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = [(k, "ascending") for k in keys] + [
+            (order_col, "descending"), (id_col, "descending")]
+        t = group.drop_columns(["coarse"]).sort_by(order)
+        n = t.num_rows
+        if n == 0:
+            return t
+        seg_key = t.column(keys[0]).to_numpy(zero_copy_only=False)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = seg_key[1:] != seg_key[:-1]
+        for k in keys[1:]:
+            kv = t.column(k).to_numpy(zero_copy_only=False)
+            new_seg[1:] |= kv[1:] != kv[:-1]
+        return t.take(pa.array(np.flatnonzero(new_seg)))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby(
+        "coarse").map_groups(kernel, batch_format="pyarrow")

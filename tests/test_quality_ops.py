@@ -227,3 +227,61 @@ class TestJoinConsistencyCheck:
             header, on="fk", right_on="pk", left_col="v",
             right_col="m", op=">=").violations(detail, RunContext()))
         assert t is None or t.num_rows == 0
+
+
+class TestLatestByKey:
+    def test_latest_wins_with_id_tiebreak(self, ray_session):
+        from datatest_ray.stages.dedup import latest_by_key
+
+        ds = _ds({
+            "k1": [1, 1, 1, 2],
+            "k2": ["a", "a", "b", "a"],
+            "ts": [10, 20, 5, 7],
+            "id": [100, 101, 102, 103],
+            "v": [1.0, 2.0, 3.0, 4.0],
+        })
+        t = _collect(latest_by_key(
+            ds, key_cols=["k1", "k2"], order_col="ts", id_col="id"
+        )).sort_by([("k1", "ascending"), ("k2", "ascending")])
+        assert t.column("id").to_pylist() == [101, 102, 103]
+        assert t.column("v").to_pylist() == [2.0, 3.0, 4.0]
+        # tie on ts -> larger id wins
+        ds2 = _ds({"k1": [1, 1], "k2": ["a", "a"], "ts": [5, 5],
+                   "id": [1, 2], "v": [10.0, 20.0]})
+        t2 = _collect(latest_by_key(
+            ds2, key_cols=["k1", "k2"], order_col="ts", id_col="id"))
+        assert t2.column("id").to_pylist() == [2]
+
+
+class TestChecksumReconcile:
+    def test_identical_tables_all_match(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.compare import checksum_reconcile
+
+        t = pa.table({"k": list(range(200)),
+                      "v": [i * 3 for i in range(200)]})
+        out = _collect(checksum_reconcile(
+            rd.from_arrow(t), rd.from_arrow(t), key_col="k",
+            columns=["v"], n_buckets=8))
+        assert out.num_rows == 8
+        assert all(out.column("match").to_pylist())
+
+    def test_single_changed_row_flips_exactly_its_bucket(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from datatest_ray.stages.compare import checksum_reconcile
+
+        t = pa.table({"k": list(range(200)),
+                      "v": [i * 3 for i in range(200)]})
+        vs = t.column("v").to_pylist()
+        vs[17] = 999
+        t2 = pa.table({"k": t.column("k"), "v": pa.array(vs)})
+        out = _collect(checksum_reconcile(
+            rd.from_arrow(t), rd.from_arrow(t2), key_col="k",
+            columns=["v"], n_buckets=8))
+        bad = out.filter(pa.compute.invert(out.column("match")))
+        want_bucket = int(hashlib.md5(b"17").hexdigest()[:8], 16) % 8
+        assert bad.column("bucket").to_pylist() == [want_bucket]
