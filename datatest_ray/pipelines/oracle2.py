@@ -756,6 +756,50 @@ FROM ca FULL OUTER JOIN cr ON ca.bucket = cr.bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Label silhouette over embeddings (stages/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def q_silhouette_labels(sf_dir: str):
+    from ..stages.similarity import silhouette_labels
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return _materialize(silhouette_labels(ds, label_col="label",
+                                          vec_col="embedding"))
+
+
+SQL_SILHOUETTE_LABELS = """
+WITH u AS (
+  SELECT vec_id, label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS e
+  FROM embeddings
+),
+c AS (
+  SELECT CAST(label AS BIGINT) AS label, dim, ROUND(avg(e), 6) AS v
+  FROM u GROUP BY label, dim
+),
+pd AS (
+  SELECT u.vec_id, CAST(u.label AS BIGINT) AS own, c.label AS cl,
+         sum((u.e - c.v) * (u.e - c.v)) AS d2
+  FROM u JOIN c ON u.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT vec_id, own,
+         sqrt(max(CASE WHEN cl = own THEN d2 END)) AS a,
+         sqrt(min(CASE WHEN cl <> own THEN d2 END)) AS b
+  FROM pd GROUP BY 1, 2
+)
+SELECT own AS label,
+       avg(CASE WHEN greatest(a, b) = 0 OR b IS NULL THEN 0
+                ELSE (b - a) / greatest(a, b) END) AS sil,
+       CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY own
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -774,6 +818,7 @@ QUERIES2: Dict[str, Callable] = {
     "ship_after_order": q_ship_after_order,
     "latest_event_state": q_latest_event_state,
     "checksum_reconcile_customer": q_checksum_reconcile_customer,
+    "silhouette_labels": q_silhouette_labels,
 }
 
 SQL2: Dict[str, str] = {
@@ -793,4 +838,5 @@ SQL2: Dict[str, str] = {
     "ship_after_order": SQL_SHIP_AFTER_ORDER,
     "latest_event_state": SQL_LATEST_EVENT_STATE,
     "checksum_reconcile_customer": SQL_CHECKSUM_RECONCILE_CUSTOMER,
+    "silhouette_labels": SQL_SILHOUETTE_LABELS,
 }

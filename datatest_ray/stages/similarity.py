@@ -674,3 +674,81 @@ def kmeans(ds, *, id_col: str, vec_col: str, k: int = 4, iters: int = 2,
         "c": pa.array(C.ravel()),
         "n": pa.array(np.repeat(n_final, d)),
     })
+
+
+def silhouette_labels(ds, *, label_col: str, vec_col: str):
+    """Simplified (centroid-based) silhouette per label: for each point
+    ``a`` = distance to its own label's centroid, ``b`` = distance to
+    the nearest OTHER centroid, ``s = (b − a) / max(a, b)``; returns
+    one row per label ``(label, sil, n)`` — the embedding-space label
+    coherence audit (low sil = tangled clusters, mislabeled data).
+
+    Plan: centroids via :func:`label_centroids` (tiny: labels × dim),
+    collected once and broadcast via ``ray.put``; one streaming pass
+    computes per-batch partial (label, sum_s, n); a tiny groupby merges.
+    Centroids are rounded to 6dp exactly like the SQL oracle's
+    ``ROUND(avg(e), 6)`` so both sides measure against identical
+    centroids."""
+    import numpy as np
+    import ray
+
+    cent = label_centroids(ds, label_col=label_col, vec_col=vec_col)
+    rows = pa.concat_tables(
+        cent.iter_batches(batch_format="pyarrow", batch_size=65536))
+    labs = rows.column(label_col).to_numpy(zero_copy_only=False)
+    dims = rows.column("dim").to_numpy(zero_copy_only=False)
+    vals = rows.column("val").to_numpy(zero_copy_only=False)
+    uniq = np.unique(labs)
+    d = int(dims.max()) + 1 if len(dims) else 0
+    C = np.zeros((len(uniq), d))
+    lab_pos = {int(l): i for i, l in enumerate(uniq)}
+    for l, dim, v in zip(labs, dims, vals):
+        C[lab_pos[int(l)], int(dim)] = v
+    ref = ray.put((uniq.astype(np.int64), C))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, cm = ray.get(ref)
+        labels = batch.column(label_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mat = _batch_matrix(batch, vec_col)
+        # explicit (x - c) differences per centroid: same association
+        # as the SQL sum((e - v)^2), no GEMM cancellation
+        d2 = np.stack([((mat - cm[i]) ** 2).sum(axis=1)
+                       for i in range(len(u))], axis=1)
+        pos = np.searchsorted(u, labels)
+        n = len(labels)
+        a = np.sqrt(d2[np.arange(n), pos])
+        if d2.shape[1] > 1:
+            d2[np.arange(n), pos] = np.inf
+            b = np.sqrt(d2.min(axis=1))
+            denom = np.maximum(a, b)
+            s = np.where(denom > 0,
+                         (b - a) / np.where(denom > 0, denom, 1.0), 0.0)
+        else:
+            # one label in the corpus: no "other" centroid exists; the
+            # silhouette is defined as 0 (mirrors the SQL b-IS-NULL arm)
+            s = np.zeros(n)
+        ul, inv = np.unique(labels, return_inverse=True)
+        return pa.table({
+            "label": pa.array(ul),
+            "s_sum": pa.array(np.bincount(inv, weights=s)),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    merged = ds.select_columns([label_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("label").aggregate(Sum("s_sum", alias_name="s_sum"),
+                                 Sum("n", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": t.column("label").cast(pa.int64()),
+            "sil": pa.array(
+                t.column("s_sum").to_numpy(zero_copy_only=False) / n),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -285,3 +285,45 @@ class TestChecksumReconcile:
         bad = out.filter(pa.compute.invert(out.column("match")))
         want_bucket = int(hashlib.md5(b"17").hexdigest()[:8], 16) % 8
         assert bad.column("bucket").to_pylist() == [want_bucket]
+
+
+class TestSilhouetteLabels:
+    def test_separated_clusters_near_one(self, ray_session):
+        from datatest_ray.stages.similarity import silhouette_labels
+
+        rng = np.random.default_rng(11)
+        n, d = 120, 8
+        labels = np.repeat([0, 1, 2], n // 3)
+        centers = np.array([[10.0] + [0] * (d - 1),
+                            [0, 10.0] + [0] * (d - 2),
+                            [0, 0, 10.0] + [0] * (d - 3)])
+        X = centers[labels] + rng.normal(0, 0.1, (n, d))
+        ds = _ds({"vec_id": list(range(n)),
+                  "label": labels.tolist(),
+                  "embedding": [row.tolist() for row in X]})
+        t = _collect(silhouette_labels(
+            ds, label_col="label", vec_col="embedding")).sort_by("label")
+        assert t.column("label").to_pylist() == [0, 1, 2]
+        assert all(v > 0.9 for v in t.column("sil").to_pylist())
+        assert t.column("n").to_pylist() == [40, 40, 40]
+
+    def test_identical_clusters_near_zero(self, ray_session):
+        from datatest_ray.stages.similarity import silhouette_labels
+
+        rng = np.random.default_rng(12)
+        X = rng.normal(0, 1.0, (100, 4))
+        ds = _ds({"vec_id": list(range(100)),
+                  "label": (np.arange(100) % 2).tolist(),
+                  "embedding": [row.tolist() for row in X]})
+        t = _collect(silhouette_labels(
+            ds, label_col="label", vec_col="embedding"))
+        assert all(abs(v) < 0.3 for v in t.column("sil").to_pylist())
+
+    def test_single_label_is_zero(self, ray_session):
+        from datatest_ray.stages.similarity import silhouette_labels
+
+        ds = _ds({"vec_id": [1, 2, 3], "label": [7, 7, 7],
+                  "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]})
+        t = _collect(silhouette_labels(
+            ds, label_col="label", vec_col="embedding"))
+        assert t.column("sil").to_pylist() == [0.0]
