@@ -800,6 +800,66 @@ FROM s GROUP BY own
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact cardinality profile (stages/profile.py :: cardinality_profile)
+# ---------------------------------------------------------------------------
+
+
+def q_cardinality_lineitem(sf_dir: str):
+    from ..stages.profile import cardinality_profile
+
+    cols = ["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"]
+    ds = _read(sf_dir, "lineitem", cols)
+    return _materialize(cardinality_profile(ds, cols))
+
+
+SQL_CARDINALITY_LINEITEM = """
+SELECT 'l_orderkey' AS "column",
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', CAST(count(DISTINCT l_returnflag) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', CAST(count(DISTINCT l_linestatus) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(count(DISTINCT l_quantity) AS BIGINT)
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (stages/seq.py :: time_weighted_avg)
+# ---------------------------------------------------------------------------
+
+
+def q_twa_user_value(sf_dir: str):
+    from ..stages.seq import time_weighted_avg
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+    out = time_weighted_avg(ds, by="user_id", ts="ts",
+                            value_col="value", id_col="event_id")
+    return _materialize(out)
+
+
+SQL_TWA_USER_VALUE = """
+WITH w AS (
+  SELECT user_id, value,
+         (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id))
+          - epoch_us(ts)) / 1e6 AS dt
+  FROM events
+)
+SELECT user_id,
+       sum(value * dt) / sum(dt) AS twa,
+       sum(dt) AS span_s
+FROM w WHERE dt IS NOT NULL
+GROUP BY user_id
+HAVING sum(dt) > 0
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -819,6 +879,8 @@ QUERIES2: Dict[str, Callable] = {
     "latest_event_state": q_latest_event_state,
     "checksum_reconcile_customer": q_checksum_reconcile_customer,
     "silhouette_labels": q_silhouette_labels,
+    "cardinality_lineitem": q_cardinality_lineitem,
+    "twa_user_value": q_twa_user_value,
 }
 
 SQL2: Dict[str, str] = {
@@ -839,4 +901,6 @@ SQL2: Dict[str, str] = {
     "latest_event_state": SQL_LATEST_EVENT_STATE,
     "checksum_reconcile_customer": SQL_CHECKSUM_RECONCILE_CUSTOMER,
     "silhouette_labels": SQL_SILHOUETTE_LABELS,
+    "cardinality_lineitem": SQL_CARDINALITY_LINEITEM,
+    "twa_user_value": SQL_TWA_USER_VALUE,
 }

@@ -270,3 +270,65 @@ def key_skew_report(ds, col: str, *, top: int = 10):
 
     return counts.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cardinality_profile(ds, cols: Sequence[str]):
+    """EXACT distinct count per column, all columns in ONE pass:
+    per-batch ``pc.unique`` per column emits tagged (col, value) partial
+    rows, a single coarse-bucket shuffle on ``hash(col \\x01 value)``
+    dedups within buckets vectorized, then a tiny per-col count merge.
+    The approximate companion is the HLL sketch
+    (functions/aggregates.py :: HllDistinct) — this is the exact path
+    a schema audit runs once per dataset version."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.aggregates import hash64
+
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            # drop_null: SQL count(DISTINCT col) ignores nulls
+            u = pc.drop_null(pc.cast(pc.unique(batch.column(c)),
+                                     pa.string()))
+            names.append(np.full(len(u), c, dtype=object))
+            vals.append(u.combine_chunks()
+                        if isinstance(u, pa.ChunkedArray) else u)
+        v = pa.concat_arrays(vals)
+        col_arr = pa.array(np.concatenate(names).astype(str))
+        tagged = pc.binary_join_element_wise(col_arr, v, "\x01")
+        coarse = (hash64(tagged) % np.uint64(256)).astype(np.int64)
+        return pa.table({"coarse": pa.array(coarse), "t": tagged,
+                         "c": col_arr})
+
+    def bucket_dedup(group: pa.Table) -> pa.Table:
+        t = group.column("t").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        c = group.column("c").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(t, kind="stable")
+        ts, cs = t[order], c[order]
+        new = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = ts[1:] != ts[:-1]
+        uniq_cols, counts = np.unique(cs[new], return_counts=True)
+        return pa.table({"column": pa.array(uniq_cols.astype(str)),
+                         "n_distinct": pa.array(counts.astype(np.int64))})
+
+    out = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        bucket_dedup, batch_format="pyarrow"
+    ).groupby("column").aggregate(Sum("n_distinct",
+                                      alias_name="n_distinct"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({"column": t.column("column"),
+                         "n_distinct": t.column("n_distinct").cast(
+                             pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -27,7 +27,7 @@ from ..functions.aggregates import hash64
 
 __all__ = ["first_last_by", "transition_counts", "ewma_last",
            "inversion_counts", "day_streaks", "next_day_retention",
-           "interval_islands", "late_events"]
+           "interval_islands", "late_events", "time_weighted_avg"]
 
 
 def _ts_us(col):
@@ -531,3 +531,61 @@ def late_events(ds, *, by: str, ts: str, seq_col: str,
     ).groupby("coarse").map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([by, "n_events", "n_late", "max_lateness_us"])
+
+
+def time_weighted_avg(ds, *, by: str, ts: str, value_col: str,
+                      id_col: str, n_buckets: int = 256):
+    """Time-weighted average per key: each value is weighted by the
+    seconds until the NEXT event of the same key (the value "held" for
+    that long); the last event of a key carries no weight.  Keys with a
+    single event yield no row — there is no holding interval.  Output:
+    ``(by, twa, span_s)`` where span_s is the total weighted span.
+
+    Mirrors ``sum(v * dt) / sum(dt)`` over ``dt = lead(ts) - ts``
+    (ties on ts break by id, as everywhere in this module)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            "coarse": pa.array(coarse),
+            by: batch.column(by),
+            "us": _ts_us(batch.column(ts)),
+            "id": batch.column(id_col),
+            "v": pc.cast(batch.column(value_col), pa.float64()),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), ("us", "ascending"),
+                           ("id", "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return pa.table({by: t.column(by),
+                             "twa": pa.array([], pa.float64()),
+                             "span_s": pa.array([], pa.float64())})
+        new = _seg_first(keys)
+        seg = np.cumsum(new) - 1
+        # dt to next row, valid only when the next row is the same key
+        dt = np.zeros(n, dtype=np.float64)
+        dt[:-1] = (us[1:] - us[:-1]) / 1e6
+        last = np.zeros(n, dtype=bool)
+        last[:-1] = new[1:]
+        last[-1] = True
+        dt[last] = 0.0
+        wsum = np.bincount(seg, weights=v * dt)
+        span = np.bincount(seg, weights=dt)
+        has = span > 0
+        first_idx = np.flatnonzero(new)
+        keys_out = t.column(by).take(pa.array(first_idx[has]))
+        return pa.table({
+            by: keys_out,
+            "twa": pa.array(wsum[has] / span[has]),
+            "span_s": pa.array(span[has]),
+        })
+
+    return _bucketed(ds.select_columns(
+        list(dict.fromkeys([by, ts, value_col, id_col]))), project,
+        n_buckets).map_groups(kernel, batch_format="pyarrow")

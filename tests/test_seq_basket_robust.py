@@ -589,3 +589,46 @@ class TestCapPerGroup:
                                   "g": ["a"] * 70 + ["b"] * 25 + ["c"] * 5}),
                              by="g", id_col="id", cap=10).to_pandas()
         assert sorted(out.id) == sorted(out2.id)
+
+
+class TestTimeWeightedAvg:
+    def test_holding_weights_and_single_event_excluded(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.seq import time_weighted_avg
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        secs = np.array([0, 10, 40, 0], dtype="timedelta64[s]")
+        ds = rd.from_arrow(pa.table({
+            "u": [1, 1, 1, 2],
+            "ts": pa.array(base + secs.astype("timedelta64[us]")),
+            "v": [2.0, 8.0, 99.0, 5.0],
+            "id": [1, 2, 3, 4],
+        }))
+        t = pa.concat_tables(list(time_weighted_avg(
+            ds, by="u", ts="ts", value_col="v", id_col="id"
+        ).iter_batches(batch_format="pyarrow")))
+        # user 1: v=2 held 10s, v=8 held 30s, v=99 last (no weight)
+        # twa = (2*10 + 8*30) / 40 = 6.5; user 2 single event -> no row
+        assert t.column("u").to_pylist() == [1]
+        assert t.column("twa").to_pylist() == [6.5]
+        assert t.column("span_s").to_pylist() == [40.0]
+
+    def test_cardinality_profile(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.profile import cardinality_profile
+
+        ds = rd.from_arrow(pa.table({
+            "a": [1, 1, 2, 3, None],
+            "b": ["x", "x", "x", "y", "y"],
+        }))
+        t = pa.concat_tables(list(cardinality_profile(
+            ds, ["a", "b"]).iter_batches(batch_format="pyarrow")))
+        got = dict(zip(t.column("column").to_pylist(),
+                       t.column("n_distinct").to_pylist()))
+        # nulls are not counted (SQL count(DISTINCT) semantics)
+        assert got == {"a": 3, "b": 2}
