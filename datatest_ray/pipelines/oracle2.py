@@ -860,6 +860,24 @@ HAVING sum(dt) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# ANN recall evaluation (stages/similarity.py :: ann_recall_report)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall_report(sf_dir: str):
+    """rows-only by design (the ANN side is approximate): recall@5 of
+    the multi-probe hyperplane-LSH index vs the exact top-k, computed
+    via a distributed pair join.  The >=0.8 recall bar itself is pinned
+    in tests/test_text_dedup_similarity.py."""
+    from ..stages.similarity import ann_recall_report
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.filter(expr="vec_id < 8")
+    return ann_recall_report(emb, queries, id_col="vec_id",
+                             vec_col="embedding", k=5, method="lsh")
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -881,6 +899,7 @@ QUERIES2: Dict[str, Callable] = {
     "silhouette_labels": q_silhouette_labels,
     "cardinality_lineitem": q_cardinality_lineitem,
     "twa_user_value": q_twa_user_value,
+    "ann_recall_report": q_ann_recall_report,
 }
 
 SQL2: Dict[str, str] = {

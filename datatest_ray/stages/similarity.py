@@ -23,11 +23,12 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "neardup_cosine_pairs",
            "ann_lsh_topk", "ivf_topk", "label_centroids",
-           "centroid_confusion", "kmeans"]
+           "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -752,3 +753,53 @@ def silhouette_labels(ds, *, label_col: str, vec_col: str):
         })
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def ann_recall_report(ds, queries_ds, *, id_col: str, vec_col: str,
+                      k: int = 5, method: str = "lsh", **ann_kwargs):
+    """Evaluation harness: recall@k of an ANN index vs the exact
+    brute-force top-k, computed DISTRIBUTED (inner join on
+    (query, neighbor), never a driver-side set compare) — the number
+    an index tuning loop optimizes.  Returns one row:
+    ``(method, k, n_queries, n_hits, recall)``."""
+    from ray.data.aggregate import Count
+
+    from .relational import safe_join
+
+    exact = topk_cosine(ds, queries_ds, id_col=id_col, vec_col=vec_col,
+                        k=k)
+    if method == "lsh":
+        approx = ann_lsh_topk(ds, queries_ds, id_col=id_col,
+                              vec_col=vec_col, k=k, **ann_kwargs)
+    elif method == "ivf":
+        approx = ivf_topk(ds, queries_ds, id_col=id_col,
+                          vec_col=vec_col, k=k, **ann_kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "qn": pc.binary_join_element_wise(
+                pc.cast(t.column("query_id"), pa.string()),
+                pc.cast(t.column("neighbor_id"), pa.string()), "|"),
+            "q": t.column("query_id"),
+        })
+
+    e = exact.map_batches(pair_key, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    a = approx.map_batches(pair_key, batch_format="pyarrow",
+                           zero_copy_batch=True).drop_columns(["q"])
+    hits = safe_join(e, a, join_type="inner", num_partitions=4,
+                     on="qn")
+    n_hits = hits.count()
+    n_q = exact.groupby("query_id").aggregate(
+        Count(alias_name="n")).count()
+    denom = n_q * k
+    return pa.table({
+        "method": pa.array([method]),
+        "k": pa.array([k], pa.int64()),
+        "n_queries": pa.array([n_q], pa.int64()),
+        "n_hits": pa.array([int(n_hits)], pa.int64()),
+        "recall": pa.array([(n_hits / denom) if denom else 0.0],
+                           pa.float64()),
+    })

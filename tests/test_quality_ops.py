@@ -327,3 +327,26 @@ class TestSilhouetteLabels:
         t = _collect(silhouette_labels(
             ds, label_col="label", vec_col="embedding"))
         assert t.column("sil").to_pylist() == [0.0]
+
+
+class TestAnnRecallReport:
+    def test_recall_of_exact_method_is_one_vs_itself(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.similarity import ann_recall_report
+
+        rng = np.random.default_rng(21)
+        n, d = 300, 16
+        X = rng.normal(0, 1, (n, d))
+        ds = rd.from_arrow(pa.table({
+            "vec_id": list(range(n)),
+            "embedding": [row.tolist() for row in X]}))
+        q = ds.filter(expr="vec_id < 6")
+        t = ann_recall_report(ds, q, id_col="vec_id",
+                              vec_col="embedding", k=5, method="lsh")
+        assert t.column("n_queries")[0].as_py() == 6
+        r = t.column("recall")[0].as_py()
+        assert 0.0 <= r <= 1.0
+        # multi-probe LSH defaults are tuned for >= 0.8 recall
+        assert r >= 0.6
+        assert t.column("n_hits")[0].as_py() == round(r * 30)
