@@ -255,3 +255,48 @@ def quality_funnel(ds, *, text_col: str = "text", id_col: str = "doc_id",
         "n_dropped": pa.array(drops, pa.int64()),
         "n_remaining": pa.array(remaining, pa.int64()),
     })
+
+
+def sample_token_budget(ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", group_col: str = "lang",
+                        budget_tokens: int = 3000):
+    """Token-budget-aware mixture sampling: each group (language /
+    source) is hash-downsampled at ``rate = min(1, budget / tokens)``
+    so every group contributes roughly ``budget_tokens`` whitespace
+    tokens — the "sample the corpus to a per-language token budget"
+    step of mixture construction.
+
+    Two passes: a tiny per-group token-sum aggregate (collected —
+    bounded by group cardinality) sets the rates; then
+    :func:`~..stages.sampling.stratified_hash_sample` applies them in
+    one streaming md5-keyed pass (deterministic; a SQL oracle
+    recomputes the same keep decision).  Returns (id, group) of kept
+    docs."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sampling import stratified_hash_sample
+    from ..stages.text import _row_counts, tokens_and_offsets
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, offsets = tokens_and_offsets(batch.column(text_col))
+        t = pa.table({group_col: batch.column(group_col),
+                      "nt": pa.array(_row_counts(offsets).astype(
+                          np.int64))})
+        g = t.group_by(group_col).aggregate([("nt", "sum")])
+        return pa.table({group_col: g.column(group_col),
+                         "nt": g.column("nt_sum")})
+
+    totals = pa.concat_tables(list(
+        ds.select_columns([group_col, text_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby(group_col).aggregate(Sum("nt", alias_name="nt"))
+        .iter_batches(batch_format="pyarrow")))
+    rates = {
+        g: min(1.0, float(budget_tokens) / float(t)) if t else 1.0
+        for g, t in zip(totals.column(group_col).to_pylist(),
+                        totals.column("nt").to_pylist())
+    }
+    kept = stratified_hash_sample(
+        ds.select_columns([id_col, group_col]), id_col=id_col,
+        strata_col=group_col, rates=rates, default_rate=1.0)
+    return kept

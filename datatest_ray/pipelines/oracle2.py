@@ -878,6 +878,35 @@ def q_ann_recall_report(sf_dir: str):
                              vec_col="embedding", k=5, method="lsh")
 
 
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling (pipelines/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def q_sample_token_budget(sf_dir: str):
+    from .corpus import sample_token_budget
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return _materialize(sample_token_budget(
+        ds, budget_tokens=3000))
+
+
+SQL_SAMPLE_TOKEN_BUDGET = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+  FROM documents
+),
+tot AS (SELECT lang, sum(nt) AS t FROM tok GROUP BY 1),
+r AS (SELECT lang, least(1.0, 3000.0 / t) AS rate FROM tot)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0 < r.rate
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -900,6 +929,7 @@ QUERIES2: Dict[str, Callable] = {
     "cardinality_lineitem": q_cardinality_lineitem,
     "twa_user_value": q_twa_user_value,
     "ann_recall_report": q_ann_recall_report,
+    "sample_token_budget": q_sample_token_budget,
 }
 
 SQL2: Dict[str, str] = {
@@ -922,4 +952,5 @@ SQL2: Dict[str, str] = {
     "silhouette_labels": SQL_SILHOUETTE_LABELS,
     "cardinality_lineitem": SQL_CARDINALITY_LINEITEM,
     "twa_user_value": SQL_TWA_USER_VALUE,
+    "sample_token_budget": SQL_SAMPLE_TOKEN_BUDGET,
 }

@@ -350,3 +350,24 @@ class TestAnnRecallReport:
         # multi-probe LSH defaults are tuned for >= 0.8 recall
         assert r >= 0.6
         assert t.column("n_hits")[0].as_py() == round(r * 30)
+
+
+class TestSampleTokenBudget:
+    def test_rates_scale_with_group_tokens(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.pipelines.corpus import sample_token_budget
+
+        big = ["word " * 200] * 50      # 10k tokens -> rate ~ 0.1
+        small = ["word " * 2] * 10      # 20 tokens  -> rate 1.0
+        ds = rd.from_arrow(pa.table({
+            "doc_id": list(range(60)),
+            "text": big + small,
+            "lang": ["big"] * 50 + ["small"] * 10,
+        }))
+        t = _collect(sample_token_budget(ds, budget_tokens=1000))
+        kept = t.column("lang").to_pylist()
+        # every small-group doc survives (rate 1.0); the big group is
+        # thinned to roughly budget/t = 10% (md5-deterministic)
+        assert kept.count("small") == 10
+        assert 0 < kept.count("big") < 25
