@@ -59,6 +59,7 @@ def entry() -> Any:
         RegexCheck,
         RunContext,
         SchemaCheck,
+        SequenceContiguityCheck,
         SubsetCheck,
         UniqueCheck,
     )
@@ -87,6 +88,7 @@ def entry() -> Any:
             DomainCheck("l_returnflag", {"A", "N", "R"}),
             RegexCheck("l_linestatus", r"^[OF]$"),
             UniqueCheck("l_orderkey"),
+            SequenceContiguityCheck("l_orderkey", "l_linenumber"),
         ],
         RunContext(),
     )

@@ -49,11 +49,23 @@ from .stages.row_checks import (  # noqa: F401
 )
 from .stages.global_checks import (  # noqa: F401
     CompletenessCheck,
+    GroupSizeCheck,
     RareCategoryCheck,
     SetCheck,
     SubsetCheck,
     SupersetCheck,
     UniqueCheck,
+)
+from .stages.temporal import (  # noqa: F401
+    FreshnessCheck,
+    MonotonicCheck,
+    SequenceContiguityCheck,
+)
+from .stages.compare import (  # noqa: F401
+    JoinConsistencyCheck,
+    TableCompareCheck,
+    checksum_reconcile,
+    compare_tables,
 )
 from .stages.mapping import GroupAggCheck  # noqa: F401
 from .stages.order import OrderCheck  # noqa: F401

@@ -212,3 +212,46 @@ class TestSequenceContiguityCheck:
         t = _collect(SequenceContiguityCheck("g", "s")
                      .violations(ds, RunContext()))
         assert t is None or t.num_rows == 0
+
+
+class TestNewChecksInSuite:
+    def test_suite_runs_all_new_checks_with_pruned_reader(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from datatest_ray import (CheckSuite, FreshnessCheck,
+                                  GroupSizeCheck, MonotonicCheck,
+                                  RunContext, SequenceContiguityCheck)
+
+        base = np.datetime64("2024-01-10T00:00:00", "us")
+        hours = np.array([0, 1, 2, -30, -40, 1],
+                         dtype="timedelta64[h]").astype("timedelta64[us]")
+        tbl = pa.table({
+            "g": [1, 1, 2, 2, 3, 4],
+            "ts": pa.array(base + hours),
+            "v": [1.0, 0.5, 2.0, 3.0, 1.0, 1.0],
+            "id": [1, 2, 3, 4, 5, 6],
+            "seq": [1, 3, 1, 2, 1, 2],
+        })
+        suite = CheckSuite(
+            [MonotonicCheck("g", "ts", "v", "id"),
+             FreshnessCheck("g", "ts", max_lag_s=2 * 3600.0),
+             GroupSizeCheck("g", min_rows=2),
+             SequenceContiguityCheck("g", "seq")],
+            RunContext(),
+        )
+        reads = []
+
+        def reader(cols):
+            reads.append(sorted(cols))
+            return rd.from_arrow(tbl.select(cols))
+
+        res = suite.run(rd.from_arrow(tbl), reader=reader)
+        t = res.to_table()
+        by_check = {}
+        for cid in t.column("check_id").to_pylist():
+            by_check[cid] = by_check.get(cid, 0) + 1
+        assert len(by_check) == 4          # every check fired
+        # read-level pruning asked only for each check's columns
+        assert all(set(c) <= {"g", "ts", "v", "id", "seq"} for c in reads)
+        assert any(set(c) == {"g", "ts"} for c in reads)  # freshness
