@@ -907,6 +907,74 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
 """
 
 
+# ---------------------------------------------------------------------------
+# K-anonymity + sentinel-value audits (privacy / disguised-null checks)
+# ---------------------------------------------------------------------------
+
+
+def q_k_anonymity_customer(sf_dir: str):
+    """K-anonymity over quasi-identifiers (nationkey, mktsegment):
+    every combination observed fewer than 10 times is a
+    re-identification risk (GroupSizeCheck with a composite key)."""
+    from ..stages.global_checks import GroupSizeCheck
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return _run_check(
+        GroupSizeCheck(["c_nationkey", "c_mktsegment"], min_rows=10), ds,
+        ["key", "value_num", "expected_num", "deviation"],
+    )
+
+
+SQL_K_ANONYMITY_CUSTOMER = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS key,
+       CAST(n AS DOUBLE) AS value_num,
+       CAST(10 AS DOUBLE) AS expected_num,
+       CAST(n - 10 AS DOUBLE) AS deviation
+FROM g WHERE n < 10
+"""
+
+
+def q_sentinel_values_orders(sf_dir: str):
+    """Disguised-missing-value audit: per column the dominant non-null
+    value and its share (ties break on the smaller value string, both
+    engines)."""
+    from ..stages.profile import sentinel_value_report
+
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    ds = _read(sf_dir, "orders", cols)
+    return _materialize(sentinel_value_report(ds, cols))
+
+
+SQL_SENTINEL_VALUES_ORDERS = """
+WITH v AS (
+  SELECT 'o_orderstatus' AS "column", CAST(o_orderstatus AS VARCHAR) AS tv
+  FROM orders WHERE o_orderstatus IS NOT NULL
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+  FROM orders WHERE o_orderpriority IS NOT NULL
+  UNION ALL
+  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+c AS (SELECT "column", tv, count(*) AS n FROM v GROUP BY 1, 2),
+t AS (SELECT "column", CAST(sum(n) AS BIGINT) AS n_nonnull FROM c GROUP BY 1),
+r AS (
+  SELECT "column", tv, n,
+         row_number() OVER (PARTITION BY "column"
+                            ORDER BY n DESC, tv ASC) AS rn
+  FROM c
+)
+SELECT r."column", r.tv AS top_value, CAST(r.n AS BIGINT) AS n_top,
+       t.n_nonnull, r.n / CAST(t.n_nonnull AS DOUBLE) AS share
+FROM r JOIN t ON r."column" = t."column"
+WHERE r.rn = 1
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -930,6 +998,8 @@ QUERIES2: Dict[str, Callable] = {
     "twa_user_value": q_twa_user_value,
     "ann_recall_report": q_ann_recall_report,
     "sample_token_budget": q_sample_token_budget,
+    "k_anonymity_customer": q_k_anonymity_customer,
+    "sentinel_values_orders": q_sentinel_values_orders,
 }
 
 SQL2: Dict[str, str] = {
@@ -953,4 +1023,6 @@ SQL2: Dict[str, str] = {
     "cardinality_lineitem": SQL_CARDINALITY_LINEITEM,
     "twa_user_value": SQL_TWA_USER_VALUE,
     "sample_token_budget": SQL_SAMPLE_TOKEN_BUDGET,
+    "k_anonymity_customer": SQL_K_ANONYMITY_CUSTOMER,
+    "sentinel_values_orders": SQL_SENTINEL_VALUES_ORDERS,
 }

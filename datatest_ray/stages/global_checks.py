@@ -595,30 +595,49 @@ class GroupSizeCheck(Check):
     Plan: per-batch ``value_counts`` partials -> coarse-bucket shuffle
     on the group hash -> vectorized segment combine (same shape as
     :class:`UniqueCheck`; the shuffle carries one row per group per
-    block, never the rows)."""
+    block, never the rows).
 
-    def __init__(self, group_col: str, *, min_rows: int = 1,
+    ``group_col`` may be a LIST of columns — the composite (pipe-joined
+    string) key, which with ``min_rows=k`` is exactly a K-ANONYMITY
+    check over quasi-identifier columns: every combination observed
+    fewer than k times is a re-identification risk and emits a row."""
+
+    def __init__(self, group_col, *, min_rows: int = 1,
                  max_rows: Optional[int] = None,
                  check_id: Optional[str] = None):
-        self.group_col = group_col
+        if isinstance(group_col, (list, tuple)):
+            self.columns = list(group_col)
+            self.group_col = None
+            name = ",".join(self.columns)
+        else:
+            self.columns = [group_col]
+            self.group_col = group_col
+            name = group_col
         self.min_rows = int(min_rows)
         self.max_rows = int(max_rows) if max_rows is not None else None
-        self.columns = [group_col]
         hi = self.max_rows if self.max_rows is not None else "inf"
         self.check_id = check_id or (
-            f"group_size({group_col} in [{min_rows},{hi}])")
+            f"group_size({name} in [{min_rows},{hi}])")
+
+    def _key_array(self, batch: pa.Table) -> pa.Array:
+        if self.group_col is not None:
+            return _cast_key(batch.column(self.group_col))
+        parts = [pc.cast(batch.column(c), pa.string())
+                 for c in self.columns]
+        return pc.binary_join_element_wise(*parts, "|").combine_chunks()
 
     def violations(self, ds, ctx: RunContext):
         from ..functions.aggregates import hash64
         from .base import coalesced
 
-        col = self.group_col
+        cols = list(self.columns)
+        key_array = self._key_array
         lo, hi = self.min_rows, self.max_rows
         check_id = self.check_id
         default_part = ctx.default_partition
 
         def partial(batch: pa.Table) -> pa.Table:
-            vc = pc.value_counts(_cast_key(batch.column(col)))
+            vc = pc.value_counts(key_array(batch))
             return pa.table({"v": vc.field("values"),
                              "n": vc.field("counts").cast(pa.int64())})
 
@@ -658,7 +677,7 @@ class GroupSizeCheck(Check):
             )
 
         partials = coalesced(
-            ds.select_columns([col]).map_batches(
+            ds.select_columns(cols).map_batches(
                 partial, batch_format="pyarrow", zero_copy_batch=True),
             ctx,
         ).map_batches(add_coarse, batch_format="pyarrow",

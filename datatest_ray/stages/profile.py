@@ -332,3 +332,95 @@ def cardinality_profile(ds, cols: Sequence[str]):
 
     return out.map_batches(fix, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def sentinel_value_report(ds, cols: Sequence[str]):
+    """Disguised-missing-value detector: per column, the most frequent
+    NON-NULL value and its share of non-null rows — a dominant '0',
+    '-1', 'N/A' or epoch date is the classic silently-encoded null.
+    One pass: per-batch value_counts partials per column, a single
+    coarse-bucket merge, then a per-column argmax (ties: smallest value
+    string, so the verdict is deterministic across engines).
+    Output: (column, top_value, n_top, n_nonnull, share)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.aggregates import hash64
+
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, vals, counts = [], [], []
+        for c in cols:
+            vc = pc.value_counts(pc.cast(batch.column(c), pa.string()))
+            v = vc.field("values")
+            n = vc.field("counts").cast(pa.int64())
+            keep = pc.is_valid(v)
+            v, n = v.filter(keep), n.filter(keep)
+            names.append(np.full(len(v), c, dtype=object))
+            vals.append(v)
+            counts.append(n)
+        v = pa.concat_arrays([x.combine_chunks()
+                              if isinstance(x, pa.ChunkedArray) else x
+                              for x in vals])
+        col_arr = pa.array(np.concatenate(names).astype(str))
+        n = pa.concat_arrays([x.combine_chunks()
+                              if isinstance(x, pa.ChunkedArray) else x
+                              for x in counts])
+        tagged = pc.binary_join_element_wise(col_arr, v, "\x01")
+        coarse = (hash64(tagged) % np.uint64(64)).astype(np.int64)
+        return pa.table({"coarse": pa.array(coarse), "c": col_arr,
+                         "v": v, "n": n})
+
+    def bucket_merge(group: pa.Table) -> pa.Table:
+        c = group.column("c").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        v = group.column("v").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, c))
+        c, v, n = c[order], v[order], n[order]
+        new = np.ones(len(c), dtype=bool)
+        if len(c) > 1:
+            new[1:] = (c[1:] != c[:-1]) | (v[1:] != v[:-1])
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=n).astype(np.int64)
+        first = np.flatnonzero(new)
+        return pa.table({"c": pa.array(c[first].astype(str)),
+                         "v": pa.array(v[first].astype(str)),
+                         "n": pa.array(tot)})
+
+    merged = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(bucket_merge, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"column": pa.array([], pa.string()),
+                             "top_value": pa.array([], pa.string()),
+                             "n_top": pa.array([], pa.int64()),
+                             "n_nonnull": pa.array([], pa.int64()),
+                             "share": pa.array([], pa.float64())})
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        # per column: total and argmax by (count desc, value asc)
+        order = np.lexsort((v, -n, c))
+        cs, vs, ns = c[order], v[order], n[order]
+        new = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            new[1:] = cs[1:] != cs[:-1]
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=ns).astype(np.int64)
+        first = np.flatnonzero(new)
+        return pa.table({
+            "column": pa.array(cs[first].astype(str)),
+            "top_value": pa.array(vs[first].astype(str)),
+            "n_top": pa.array(ns[first]),
+            "n_nonnull": pa.array(tot),
+            "share": pa.array(ns[first] / tot),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -255,3 +255,29 @@ class TestNewChecksInSuite:
         # read-level pruning asked only for each check's columns
         assert all(set(c) <= {"g", "ts", "v", "id", "seq"} for c in reads)
         assert any(set(c) == {"g", "ts"} for c in reads)  # freshness
+
+
+class TestKAnonymityAndSentinel:
+    def test_composite_group_size(self, ray_session):
+        from datatest_ray.stages.global_checks import GroupSizeCheck
+
+        ds = _ds({"a": [1, 1, 1, 2], "b": ["x", "x", "y", "y"]})
+        t = _collect(GroupSizeCheck(["a", "b"], min_rows=2)
+                     .violations(ds, RunContext())).sort_by("key")
+        assert t.column("key").to_pylist() == ["1|y", "2|y"]
+        assert t.column("value_num").to_pylist() == [1.0, 1.0]
+
+    def test_sentinel_report_shares_and_tiebreak(self, ray_session):
+        from datatest_ray.stages.profile import sentinel_value_report
+
+        ds = _ds({
+            "a": ["N/A", "N/A", "N/A", "z", None],
+            "b": [1, 1, 2, 2, 3],   # tie 1 vs 2 -> smaller string "1"
+        })
+        t = _collect(sentinel_value_report(ds, ["a", "b"])).sort_by(
+            "column")
+        got = {r["column"]: r for r in t.to_pylist()}
+        assert got["a"]["top_value"] == "N/A"
+        assert got["a"]["n_top"] == 3 and got["a"]["n_nonnull"] == 4
+        assert abs(got["a"]["share"] - 0.75) < 1e-12
+        assert got["b"]["top_value"] == "1"
