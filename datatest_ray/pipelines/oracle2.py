@@ -975,6 +975,37 @@ WHERE r.rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact distributed Kolmogorov–Smirnov (stages/drift.py :: ks_exact)
+# ---------------------------------------------------------------------------
+
+
+def q_ks_exact_price(sf_dir: str):
+    from ..stages.drift import ks_exact
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_returnflag"])
+    return ks_exact(ds, "l_extendedprice", split_col="l_returnflag",
+                    ref_value="A")
+
+
+SQL_KS_EXACT_PRICE = """
+WITH p AS (
+  SELECT l_extendedprice AS v,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+n AS (SELECT CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) - sum(g) AS BIGINT) AS n0 FROM p),
+c AS (SELECT v, sum(g) AS c1, count(*) AS cn FROM p GROUP BY v),
+s AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+             sum(cn) OVER (ORDER BY v) AS cum FROM c)
+SELECT max(abs(cum1 / CAST(n.n1 AS DOUBLE)
+               - (cum - cum1) / CAST(n.n0 AS DOUBLE))) AS ks,
+       n.n1 AS n_ref, n.n0 AS n_other
+FROM s, n GROUP BY n.n1, n.n0
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -1000,6 +1031,7 @@ QUERIES2: Dict[str, Callable] = {
     "sample_token_budget": q_sample_token_budget,
     "k_anonymity_customer": q_k_anonymity_customer,
     "sentinel_values_orders": q_sentinel_values_orders,
+    "ks_exact_price": q_ks_exact_price,
 }
 
 SQL2: Dict[str, str] = {
@@ -1025,4 +1057,5 @@ SQL2: Dict[str, str] = {
     "sample_token_budget": SQL_SAMPLE_TOKEN_BUDGET,
     "k_anonymity_customer": SQL_K_ANONYMITY_CUSTOMER,
     "sentinel_values_orders": SQL_SENTINEL_VALUES_ORDERS,
+    "ks_exact_price": SQL_KS_EXACT_PRICE,
 }

@@ -712,3 +712,107 @@ def cramers_v(ds, a: str, b: str):
 
     return counts.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def ks_exact(ds, value_col: str, *, split_col: str, ref_value):
+    """EXACT two-sample Kolmogorov–Smirnov statistic, distributed:
+    ``KS = max over pooled values v of |F_ref(v) − F_other(v)|``
+    (ECDFs evaluated at every distinct value, ties handled by runs).
+
+    Unlike :class:`DriftCheck`'s histogram KS (binned, streaming, per
+    partition), this is the exact global statistic — the verify path —
+    computed without any global sort materialization:
+
+    1. one tiny aggregate finds (min, max, n_ref, n_other);
+    2. values are range-bucketed (equal-width — balance only, never
+       correctness); a per-batch bincount partial + tiny groupby gives
+       each bucket's (count, ref-count), whose running sums become the
+       PREFIX offsets of every bucket;
+    3. one shuffle on bucket id; each bucket kernel sorts locally,
+       adds its prefix offsets, and emits its local max |ΔF|; a final
+       max reduces.  The classic two-level order-statistic scan.
+
+    Returns one row (ks, n_ref, n_other)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    import ray
+
+    proj = ds.select_columns([value_col, split_col])
+
+    def to_vg(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch.column(value_col), pa.float64())
+        g = pc.cast(pc.equal(batch.column(split_col), ref_value),
+                    pa.int64())
+        t = pa.table({"v": v, "g": g})
+        return t.filter(pc.is_valid(t.column("v")))
+
+    vg = proj.map_batches(to_vg, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    stats = vg.aggregate(Min("v", alias_name="lo"),
+                         Max("v", alias_name="hi"),
+                         Sum("g", alias_name="n1"))
+    lo, hi, n1 = stats["lo"], stats["hi"], int(stats["n1"])
+    n_all = vg.count()
+    n0 = n_all - n1
+    B = 32
+    if n_all == 0 or n1 == 0 or n0 == 0:
+        return pa.table({"ks": pa.array([None], pa.float64()),
+                         "n_ref": pa.array([n1], pa.int64()),
+                         "n_other": pa.array([n0], pa.int64())})
+    edges = np.linspace(lo, hi, B + 1)[1:-1]  # B buckets
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, v, side="right").astype(np.int64)
+        return batch.append_column("b", pa.array(b))
+
+    bucketed = vg.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    # tiny per-bucket totals -> prefix offsets (B rows on the driver)
+    def totals(batch: pa.Table) -> pa.Table:
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        g = batch.column("g").to_numpy(zero_copy_only=False)
+        nb = np.bincount(b, minlength=B)
+        ng = np.bincount(b, weights=g, minlength=B).astype(np.int64)
+        return pa.table({"b": pa.array(np.arange(B, dtype=np.int64)),
+                         "n": pa.array(nb.astype(np.int64)),
+                         "n1": pa.array(ng)})
+
+    tot = pa.concat_tables(list(
+        bucketed.map_batches(totals, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("b").aggregate(Sum("n", alias_name="n"),
+                                Sum("n1", alias_name="n1"))
+        .iter_batches(batch_format="pyarrow"))).sort_by("b")
+    bn = np.zeros(B, dtype=np.int64)
+    bn1 = np.zeros(B, dtype=np.int64)
+    bn[tot.column("b").to_numpy(zero_copy_only=False)] = \
+        tot.column("n").to_numpy(zero_copy_only=False)
+    bn1[tot.column("b").to_numpy(zero_copy_only=False)] = \
+        tot.column("n1").to_numpy(zero_copy_only=False)
+    prefix_n = np.concatenate([[0], np.cumsum(bn)[:-1]])
+    prefix_n1 = np.concatenate([[0], np.cumsum(bn1)[:-1]])
+    ref = ray.put((prefix_n, prefix_n1, float(n1), float(n0)))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        pn, pn1, fn1, fn0 = ray.get(ref)
+        b = int(group.column("b")[0].as_py())
+        t = group.sort_by("v")
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        cum1 = np.cumsum(g) + pn1[b]
+        cum = np.arange(1, len(v) + 1) + pn[b]
+        # evaluate ECDFs only at run ENDS (ties share one evaluation)
+        last = np.ones(len(v), dtype=bool)
+        last[:-1] = v[1:] != v[:-1]
+        f1 = cum1[last] / fn1
+        f0 = (cum[last] - cum1[last]) / fn0
+        return pa.table({"d": pa.array([float(np.abs(f1 - f0).max())])})
+
+    local = bucketed.groupby("b").map_groups(kernel,
+                                             batch_format="pyarrow")
+    ks = local.max("d")
+    return pa.table({"ks": pa.array([float(ks)], pa.float64()),
+                     "n_ref": pa.array([n1], pa.int64()),
+                     "n_other": pa.array([n0], pa.int64())})

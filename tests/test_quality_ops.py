@@ -371,3 +371,48 @@ class TestSampleTokenBudget:
         # thinned to roughly budget/t = 10% (md5-deterministic)
         assert kept.count("small") == 10
         assert 0 < kept.count("big") < 25
+
+
+class TestKsExact:
+    def test_matches_scipy_style_reference(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.drift import ks_exact
+
+        rng = np.random.default_rng(31)
+        a = rng.normal(0, 1, 400)
+        b = rng.normal(0.5, 1.3, 300)
+        ds = rd.from_arrow(pa.table({
+            "v": np.concatenate([a, b]).tolist(),
+            "g": ["A"] * 400 + ["B"] * 300,
+        }))
+        t = ks_exact(ds, "v", split_col="g", ref_value="A")
+        # brute-force reference: ECDF diff at every pooled point
+        pooled = np.sort(np.unique(np.concatenate([a, b])))
+        f1 = np.searchsorted(np.sort(a), pooled, side="right") / 400
+        f0 = np.searchsorted(np.sort(b), pooled, side="right") / 300
+        want = np.abs(f1 - f0).max()
+        assert abs(t.column("ks")[0].as_py() - want) < 1e-12
+        assert t.column("n_ref")[0].as_py() == 400
+
+    def test_identical_samples_zero(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.drift import ks_exact
+
+        v = list(range(100))
+        ds = rd.from_arrow(pa.table({
+            "v": [float(x) for x in v + v],
+            "g": ["A"] * 100 + ["B"] * 100,
+        }))
+        t = ks_exact(ds, "v", split_col="g", ref_value="A")
+        assert t.column("ks")[0].as_py() == 0.0
+
+    def test_one_empty_side_is_null(self, ray_session):
+        import ray.data as rd
+
+        from datatest_ray.stages.drift import ks_exact
+
+        ds = rd.from_arrow(pa.table({"v": [1.0, 2.0], "g": ["B", "B"]}))
+        t = ks_exact(ds, "v", split_col="g", ref_value="A")
+        assert t.column("ks")[0].as_py() is None
