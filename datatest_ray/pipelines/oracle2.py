@@ -1006,6 +1006,55 @@ FROM s, n GROUP BY n.n1, n.n0
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic violation examples (pipelines/suite.py)
+# ---------------------------------------------------------------------------
+
+
+def q_violation_examples(sf_dir: str):
+    """Report tooling: 3 deterministic example rows per check (smallest
+    md5(row_ref|kind)) from a 2-check suite over events — the "show me
+    three offending rows" sample that reproduces identically across
+    runs and engines."""
+    from ..pipelines.suite import CheckSuite, violation_examples
+    from ..stages.base import RunContext
+    from ..stages.row_checks import IntervalCheck, RegexCheck
+
+    ds = _read(sf_dir, "events", ["event_id", "value", "event_type"])
+    suite = CheckSuite(
+        [IntervalCheck("value", min=0, max=95),
+         RegexCheck("event_type", r"^(click|view|purchase|signup)$")],
+        RunContext(row_ref_col="event_id"),
+    )
+    out = violation_examples(suite.run(ds).violations, k=3)
+    return _materialize(out).select(["check_id", "row_ref", "kind",
+                                     "pick"])
+
+
+SQL_VIOLATION_EXAMPLES = """
+WITH v AS (
+  SELECT 'interval(value,0,95)' AS check_id,
+         CAST(event_id AS VARCHAR) AS row_ref, 'deviation' AS kind
+  FROM events WHERE value < 0 OR value > 95
+  UNION ALL
+  SELECT 'regex(event_type,' || chr(39)
+           || '^(click|view|purchase|signup)$' || chr(39) || ')',
+         CAST(event_id AS VARCHAR), 'invalid'
+  FROM events WHERE NOT regexp_matches(event_type,
+                                       '^(click|view|purchase|signup)$')
+),
+p AS (
+  SELECT check_id, row_ref, kind,
+         CAST(('0x' || substr(md5(row_ref || '|' || kind), 1, 15))
+              AS BIGINT) AS pick
+  FROM v
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY check_id
+                                   ORDER BY pick ASC) AS rn FROM p)
+SELECT check_id, row_ref, kind, pick FROM r WHERE rn <= 3
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -1032,6 +1081,7 @@ QUERIES2: Dict[str, Callable] = {
     "k_anonymity_customer": q_k_anonymity_customer,
     "sentinel_values_orders": q_sentinel_values_orders,
     "ks_exact_price": q_ks_exact_price,
+    "violation_examples": q_violation_examples,
 }
 
 SQL2: Dict[str, str] = {
@@ -1058,4 +1108,5 @@ SQL2: Dict[str, str] = {
     "k_anonymity_customer": SQL_K_ANONYMITY_CUSTOMER,
     "sentinel_values_orders": SQL_SENTINEL_VALUES_ORDERS,
     "ks_exact_price": SQL_KS_EXACT_PRICE,
+    "violation_examples": SQL_VIOLATION_EXAMPLES,
 }

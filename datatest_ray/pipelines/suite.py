@@ -266,3 +266,37 @@ class CheckSuite:
                 violations = violations.union(p)
         return ValidationResult(violations, self.checks, ctx, pieces=pieces,
                                 piece_is_actor_pool=piece_pool)
+
+
+def violation_examples(violations_ds, *, k: int = 3):
+    """Deterministic EXAMPLE rows per check: for each ``check_id``, the
+    k violations with the smallest md5 of ``(row_ref, kind)`` — a
+    stable pseudo-random sample a report can show ("here are three
+    offending rows") that two runs, or two engines, pick identically.
+    Built on the grouped-top-k combiner (shuffle moves <= k rows per
+    check per block).  Output: (check_id, row_ref, kind, pick).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.window import grouped_topk
+
+    def add_pick(batch: pa.Table) -> pa.Table:
+        rr = pc.fill_null(pc.cast(batch.column("row_ref"),
+                                  pa.string()), "").to_pylist()
+        kd = pc.fill_null(pc.cast(batch.column("kind"),
+                                  pa.string()), "").to_pylist()
+        pick = np.array([
+            int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:15], 16)
+            for a, b in zip(rr, kd)], dtype=np.int64)
+        return batch.select(["check_id", "row_ref", "kind"]
+                            ).append_column("pick", pa.array(pick))
+
+    withpick = violations_ds.map_batches(
+        add_pick, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_topk(withpick, by="check_id", order_col="pick", k=k,
+                        descending=False, tie_col="pick",
+                        keep_cols=["row_ref", "kind"])
