@@ -1055,6 +1055,44 @@ SELECT check_id, row_ref, kind, pick FROM r WHERE rn <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Association lift (stages/basket.py :: pair_lift)
+# ---------------------------------------------------------------------------
+
+
+def q_pair_lift_parts(sf_dir: str):
+    from ..stages.basket import pair_lift
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return _materialize(
+        pair_lift(ds, by="l_orderkey", item_col="l_partkey", min_n=3),
+        empty_schema=pa.schema([("item_a", pa.int64()),
+                                ("item_b", pa.int64()),
+                                ("n", pa.int64()),
+                                ("lift", pa.float64())]))
+
+
+SQL_PAIR_LIFT_PARTS = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT count(DISTINCT l_orderkey) AS t FROM d),
+ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+       FROM d GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.n,
+       p.n * CAST(nb.t AS DOUBLE) / (ia.n_item * ib.n_item) AS lift
+FROM p
+JOIN ic ia ON p.item_a = ia.l_partkey
+JOIN ic ib ON p.item_b = ib.l_partkey
+CROSS JOIN nb
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -1082,6 +1120,7 @@ QUERIES2: Dict[str, Callable] = {
     "sentinel_values_orders": q_sentinel_values_orders,
     "ks_exact_price": q_ks_exact_price,
     "violation_examples": q_violation_examples,
+    "pair_lift_parts": q_pair_lift_parts,
 }
 
 SQL2: Dict[str, str] = {
@@ -1109,4 +1148,5 @@ SQL2: Dict[str, str] = {
     "sentinel_values_orders": SQL_SENTINEL_VALUES_ORDERS,
     "ks_exact_price": SQL_KS_EXACT_PRICE,
     "violation_examples": SQL_VIOLATION_EXAMPLES,
+    "pair_lift_parts": SQL_PAIR_LIFT_PARTS,
 }

@@ -34,10 +34,14 @@ __all__ = ["cooccur_pairs"]
 
 
 def cooccur_pairs(ds, *, by: str, item_col: str, top: int = 100,
-                  n_buckets: int = 64):
+                  min_n: int = None, n_buckets: int = 64):
     """Top-``top`` co-occurring item pairs: (item_a, item_b, n) with
     item_a < item_b, ordered by (n DESC, item_a, item_b) — a total
-    order, so the cut is deterministic on both engines."""
+    order, so the cut is deterministic on both engines.
+
+    ``min_n`` switches to SUPPORT-threshold mode: ALL pairs with
+    ``n >= min_n`` (unordered output, exact — every pair's occurrences
+    land in one pair bucket) instead of a global top-k."""
     from ray.data.aggregate import Sum
 
     def project(batch: pa.Table) -> pa.Table:
@@ -109,6 +113,8 @@ def cooccur_pairs(ds, *, by: str, item_col: str, top: int = 100,
         return t.append_column(
             "pc", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
 
+    cut_top = top if min_n is None else None
+
     def combine_topk(group: pa.Table) -> pa.Table:
         a = group.column("item_a").to_numpy(zero_copy_only=False)
         b = group.column("item_b").to_numpy(zero_copy_only=False)
@@ -125,7 +131,10 @@ def cooccur_pairs(ds, *, by: str, item_col: str, top: int = 100,
         tot = np.bincount(seg, weights=n_s).astype(np.int64)
         firsts = pair_s[new]
         aa, bb = uniq[firsts // m], uniq[firsts % m]
-        keep = np.lexsort((bb, aa, -tot))[:top]
+        if cut_top is not None:
+            keep = np.lexsort((bb, aa, -tot))[:cut_top]
+        else:
+            keep = np.flatnonzero(tot >= min_n)
         return pa.table({
             "item_a": pa.array(aa[keep], pa.int64()),
             "item_b": pa.array(bb[keep], pa.int64()),
@@ -135,6 +144,78 @@ def cooccur_pairs(ds, *, by: str, item_col: str, top: int = 100,
     merged = partials.map_batches(
         add_pair_coarse, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("pc").map_groups(combine_topk, batch_format="pyarrow")
+    if min_n is not None:
+        return merged
     return merged.sort(
         ["n", "item_a", "item_b"], descending=[True, False, False]
     ).limit(top)
+
+
+def pair_lift(ds, *, by: str, item_col: str, min_n: int = 3,
+              n_buckets: int = 64):
+    """Association LIFT for every co-occurring pair above a support
+    threshold: ``lift(a, b) = n_ab · n_baskets / (n_a · n_b)`` where
+    ``n_x`` counts baskets CONTAINING x — lift > 1 means the pair
+    co-occurs more than independence predicts (the market-basket /
+    template-detection signal on top of raw co-occurrence counts).
+
+    Pair counts come from :func:`cooccur_pairs`'s threshold mode; the
+    per-item basket counts are a tiny distinct-pair aggregate,
+    broadcast via ``ray.put`` (item vocabulary is catalog-bounded —
+    the documented small side).  Output:
+    (item_a, item_b, n, lift) for pairs with n >= min_n."""
+    import ray
+    from ray.data.aggregate import Count
+
+    pairs = cooccur_pairs(ds, by=by, item_col=item_col, min_n=min_n,
+                          n_buckets=n_buckets)
+
+    def project(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            "coarse": pa.array(coarse),
+            by: batch.column(by),
+            "_it": pc.cast(batch.column(item_col), pa.int64()),
+        })
+
+    def bucket_distinct(group: pa.Table) -> pa.Table:
+        # whole baskets land in one bucket, so within-bucket dedup of
+        # (basket, item) is GLOBAL dedup — a per-batch dedup would
+        # double-count baskets that span input blocks
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        it = group.column("_it").to_numpy(zero_copy_only=False)
+        order = np.lexsort((it, keys))
+        k, i = keys[order], it[order]
+        keep = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            keep[1:] = (k[1:] != k[:-1]) | (i[1:] != i[:-1])
+        return pa.table({by: pa.array(k[keep]), "_it": pa.array(i[keep])})
+
+    d = ds.select_columns([by, item_col]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(bucket_distinct,
+                                   batch_format="pyarrow")
+    item_counts = pa.concat_tables(list(
+        d.groupby("_it").aggregate(Count(alias_name="n_item"))
+        .iter_batches(batch_format="pyarrow")))
+    n_baskets = d.map_batches(
+        lambda t: pa.table({by: pc.unique(t.column(by))}),
+        batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(by).count().count()
+    counts = dict(zip(item_counts.column("_it").to_pylist(),
+                      item_counts.column("n_item").to_pylist()))
+    ref = ray.put((counts, float(n_baskets)))
+
+    def add_lift(t: pa.Table) -> pa.Table:
+        cnts, nb = ray.get(ref)
+        a = t.column("item_a").to_pylist()
+        b = t.column("item_b").to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        na = np.array([cnts[x] for x in a], dtype=np.float64)
+        nbv = np.array([cnts[x] for x in b], dtype=np.float64)
+        return t.append_column(
+            "lift", pa.array(n * nb / (na * nbv)))
+
+    return pairs.map_batches(add_lift, batch_format="pyarrow")

@@ -632,3 +632,47 @@ class TestTimeWeightedAvg:
                        t.column("n_distinct").to_pylist()))
         # nulls are not counted (SQL count(DISTINCT) semantics)
         assert got == {"a": 3, "b": 2}
+
+
+class TestPairLift:
+    def test_lift_above_and_below_independence(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.basket import pair_lift
+
+        # items 1,2 always together (4 baskets); item 3 in every basket
+        baskets = []
+        for b in range(4):
+            baskets += [(b, 1), (b, 2), (b, 3)]
+        for b in range(4, 8):
+            baskets += [(b, 3), (b, 4)]
+        ds = rd.from_arrow(pa.table({
+            "bk": [b for b, _ in baskets],
+            "it": [i for _, i in baskets],
+        }))
+        t = pa.concat_tables(list(pair_lift(
+            ds, by="bk", item_col="it", min_n=2
+        ).iter_batches(batch_format="pyarrow")))
+        rows = {(r["item_a"], r["item_b"]): r for r in t.to_pylist()}
+        # (1,2): n=4, n1=4, n2=4, nb=8 -> lift = 4*8/(4*4) = 2.0
+        assert rows[(1, 2)]["lift"] == 2.0
+        # (1,3): n=4, n1=4, n3=8 -> lift = 4*8/(4*8) = 1.0
+        assert rows[(1, 3)]["lift"] == 1.0
+
+    def test_split_basket_across_blocks_counts_once(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.basket import pair_lift
+
+        # the same (basket, item) row duplicated in two separate blocks
+        a = rd.from_arrow(pa.table({"bk": [1, 1], "it": [1, 2]}))
+        b = rd.from_arrow(pa.table({"bk": [1, 2, 2], "it": [1, 1, 2]}))
+        t = pa.concat_tables(list(pair_lift(
+            a.union(b), by="bk", item_col="it", min_n=1
+        ).iter_batches(batch_format="pyarrow")))
+        rows = {(r["item_a"], r["item_b"]): r for r in t.to_pylist()}
+        # item 1 in baskets {1,2} (dup row counts once), item 2 in {1,2}
+        assert rows[(1, 2)]["n"] == 2
+        assert rows[(1, 2)]["lift"] == 2 * 2 / (2 * 2)
