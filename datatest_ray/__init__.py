@@ -61,6 +61,12 @@ from .stages.temporal import (  # noqa: F401
     MonotonicCheck,
     SequenceContiguityCheck,
 )
+from .pipelines.spec import (  # noqa: F401
+    dump_suite,
+    load_suite,
+    suite_from_spec,
+    suite_to_spec,
+)
 from .stages.compare import (  # noqa: F401
     JoinConsistencyCheck,
     TableCompareCheck,
