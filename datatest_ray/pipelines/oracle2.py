@@ -1093,6 +1093,64 @@ CROSS JOIN nb
 """
 
 
+# ---------------------------------------------------------------------------
+# Peak concurrency sweep (stages/seq.py :: peak_concurrency)
+# ---------------------------------------------------------------------------
+
+
+def q_peak_active_users(sf_dir: str):
+    """Peak number of simultaneously-active users, where each user's
+    daily activity interval is [min ts, max ts] of that user-day —
+    the interval-overlap sweep (end-exclusive boundaries, two-level
+    prefix scan; no global sort materialization)."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.seq import peak_concurrency
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table({"user_id": t.column("user_id"),
+                         "day": day, "us": us})
+
+    spans = ds.map_batches(to_day, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby(
+        ["user_id", "day"]).aggregate(Min("us", alias_name="s_us"),
+                                      Max("us", alias_name="e_us"))
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": t.column("s_us").cast(pa.timestamp("us")),
+            "e": t.column("e_us").cast(pa.timestamp("us")),
+        })
+
+    iv = spans.map_batches(to_ts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return peak_concurrency(iv, start_col="s", end_col="e")
+
+
+SQL_PEAK_ACTIVE_USERS = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT s AS t, 1 AS d FROM iv
+  UNION ALL
+  SELECT e AS t, -1 AS d FROM iv
+),
+r AS (SELECT sum(d) OVER (ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS run FROM b)
+SELECT CAST(max(run) AS BIGINT) AS peak,
+       (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_intervals
+FROM r
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -1121,6 +1179,7 @@ QUERIES2: Dict[str, Callable] = {
     "ks_exact_price": q_ks_exact_price,
     "violation_examples": q_violation_examples,
     "pair_lift_parts": q_pair_lift_parts,
+    "peak_active_users": q_peak_active_users,
 }
 
 SQL2: Dict[str, str] = {
@@ -1149,4 +1208,5 @@ SQL2: Dict[str, str] = {
     "ks_exact_price": SQL_KS_EXACT_PRICE,
     "violation_examples": SQL_VIOLATION_EXAMPLES,
     "pair_lift_parts": SQL_PAIR_LIFT_PARTS,
+    "peak_active_users": SQL_PEAK_ACTIVE_USERS,
 }

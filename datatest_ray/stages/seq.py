@@ -27,7 +27,8 @@ from ..functions.aggregates import hash64
 
 __all__ = ["first_last_by", "transition_counts", "ewma_last",
            "inversion_counts", "day_streaks", "next_day_retention",
-           "interval_islands", "late_events", "time_weighted_avg"]
+           "interval_islands", "late_events", "time_weighted_avg",
+           "peak_concurrency"]
 
 
 def _ts_us(col):
@@ -589,3 +590,85 @@ def time_weighted_avg(ds, *, by: str, ts: str, value_col: str,
     return _bucketed(ds.select_columns(
         list(dict.fromkeys([by, ts, value_col, id_col]))), project,
         n_buckets).map_groups(kernel, batch_format="pyarrow")
+
+
+def peak_concurrency(intervals_ds, *, start_col: str, end_col: str,
+                     n_buckets: int = 32):
+    """Maximum number of simultaneously-open intervals (peak concurrent
+    sessions / users / connections).  End-exclusive: an interval ending
+    at T does not overlap one starting at T (at equal timestamps the
+    −1 boundary applies first — mirror with ``ORDER BY t, delta`` in a
+    SQL window oracle).
+
+    Distributed sweep without a global sort materialization (same
+    two-level scan as ``drift.ks_exact``): boundaries are range-
+    bucketed on time; a tiny per-bucket delta-sum gives each bucket's
+    PREFIX offset; each bucket then sorts locally and reports its local
+    running-max; the global max is the answer.  Returns one row
+    ``(peak, n_intervals)``."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def to_bounds(batch: pa.Table) -> pa.Table:
+        s = _ts_us(batch.column(start_col)).to_numpy(zero_copy_only=False)
+        e = _ts_us(batch.column(end_col)).to_numpy(zero_copy_only=False)
+        t = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), dtype=np.int64),
+                            -np.ones(len(e), dtype=np.int64)])
+        return pa.table({"t": pa.array(t), "d": pa.array(d)})
+
+    bounds = intervals_ds.select_columns(
+        [start_col, end_col]).map_batches(
+        to_bounds, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_intervals = bounds.count() // 2
+    if n_intervals == 0:
+        return pa.table({"peak": pa.array([0], pa.int64()),
+                         "n_intervals": pa.array([0], pa.int64())})
+    stats = bounds.aggregate(Min("t", alias_name="lo"),
+                             Max("t", alias_name="hi"))
+    lo, hi = stats["lo"], stats["hi"]
+    B = n_buckets
+    edges = np.linspace(lo, hi, B + 1)[1:-1]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, t, side="right").astype(np.int64)
+        return batch.append_column("b", pa.array(b))
+
+    bucketed = bounds.map_batches(bucketize, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    def totals(batch: pa.Table) -> pa.Table:
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "b": pa.array(np.arange(B, dtype=np.int64)),
+            "s": pa.array(np.bincount(b, weights=d,
+                                      minlength=B).astype(np.int64)),
+        })
+
+    tot = pa.concat_tables(list(
+        bucketed.map_batches(totals, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .groupby("b").aggregate(Sum("s", alias_name="s"))
+        .iter_batches(batch_format="pyarrow"))).sort_by("b")
+    bs = np.zeros(B, dtype=np.int64)
+    bs[tot.column("b").to_numpy(zero_copy_only=False)] = \
+        tot.column("s").to_numpy(zero_copy_only=False)
+    prefix = np.concatenate([[0], np.cumsum(bs)[:-1]])
+    ref = ray.put(prefix)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        pfx = ray.get(ref)
+        b = int(group.column("b")[0].as_py())
+        t = group.sort_by([("t", "ascending"), ("d", "ascending")])
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        run = np.cumsum(d) + pfx[b]
+        return pa.table({"m": pa.array([int(run.max())])})
+
+    peak = bucketed.groupby("b").map_groups(
+        kernel, batch_format="pyarrow").max("m")
+    return pa.table({"peak": pa.array([int(peak)], pa.int64()),
+                     "n_intervals": pa.array([int(n_intervals)],
+                                             pa.int64())})

@@ -676,3 +676,51 @@ class TestPairLift:
         # item 1 in baskets {1,2} (dup row counts once), item 2 in {1,2}
         assert rows[(1, 2)]["n"] == 2
         assert rows[(1, 2)]["lift"] == 2 * 2 / (2 * 2)
+
+
+class TestPeakConcurrency:
+    def test_end_exclusive_and_peak(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.seq import peak_concurrency
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        m = np.timedelta64(60, "s")
+        # [0,2), [1,3), [2,4): ends are exclusive -> peak 2 (not 3)
+        ds = rd.from_arrow(pa.table({
+            "s": pa.array([base, base + 1 * m, base + 2 * m]),
+            "e": pa.array([base + 2 * m, base + 3 * m, base + 4 * m]),
+        }))
+        t = peak_concurrency(ds, start_col="s", end_col="e")
+        assert t.column("peak")[0].as_py() == 2
+        assert t.column("n_intervals")[0].as_py() == 3
+
+    def test_nested_intervals(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.seq import peak_concurrency
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        m = np.timedelta64(60, "s")
+        starts = [base, base + m, base + 2 * m, base + 10 * m]
+        ends = [base + 9 * m, base + 8 * m, base + 7 * m, base + 11 * m]
+        ds = rd.from_arrow(pa.table({"s": pa.array(starts),
+                                     "e": pa.array(ends)}))
+        t = peak_concurrency(ds, start_col="s", end_col="e")
+        assert t.column("peak")[0].as_py() == 3
+
+    def test_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.seq import peak_concurrency
+
+        ds = rd.from_arrow(pa.table({
+            "s": pa.array([], pa.timestamp("us")),
+            "e": pa.array([], pa.timestamp("us"))}))
+        t = peak_concurrency(ds, start_col="s", end_col="e")
+        assert t.column("peak")[0].as_py() == 0
