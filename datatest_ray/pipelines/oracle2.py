@@ -1151,6 +1151,47 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# Image quality scoring (stages/imaging.py :: image_quality_scores)
+# ---------------------------------------------------------------------------
+
+
+def q_image_quality_profile(sf_dir: str):
+    """rows-only by design (pure-python codec + pixel kernels are not
+    SQL-expressible): decode the seeded image fixture, score sharpness
+    (Laplacian variance) and contrast, and summarize — the blurry/flat
+    image filter signals.  Metric parity is pinned in
+    tests/test_imaging_dhash.py."""
+    import os
+    import re
+
+    import numpy as np
+
+    from ..sources.images import ImageFixtureSpec, generate_dataset
+    from ..stages.imaging import image_quality_scores
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    m = re.search(r"sf(\d+(?:\.\d+)?)", base)
+    sf = float(m.group(1)) if m else 0.001
+    spec = ImageFixtureSpec(n_rows=max(1000, int(100_000 * sf)),
+                            seed=42, rows_per_part=2048)
+    images = generate_dataset(spec, columns={"image_id", "bytes", "fmt"})
+    scores = image_quality_scores(images)
+    t = _materialize(scores)
+    sharp = t.column("sharpness").to_numpy(zero_copy_only=False)
+    contr = t.column("contrast").to_numpy(zero_copy_only=False)
+    ok = ~np.isnan(sharp)
+    return pa.table({
+        "n_images": pa.array([t.num_rows], pa.int64()),
+        "n_decoded": pa.array([int(ok.sum())], pa.int64()),
+        "mean_sharpness": pa.array(
+            [round(float(np.sort(sharp[ok]).sum() / max(ok.sum(), 1)), 4)],
+            pa.float64()),
+        "n_low_contrast": pa.array(
+            [int((contr[ok] < 10.0).sum())], pa.int64()),
+    })
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -1180,6 +1221,7 @@ QUERIES2: Dict[str, Callable] = {
     "violation_examples": q_violation_examples,
     "pair_lift_parts": q_pair_lift_parts,
     "peak_active_users": q_peak_active_users,
+    "image_quality_profile": q_image_quality_profile,
 }
 
 SQL2: Dict[str, str] = {

@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores"]
 
 
 class FixtureReference:
@@ -730,3 +730,68 @@ def image_pixel_dup_clusters(ds, *, algo: str = "dhash",
                             zero_copy_batch=True)
     return image_dup_clusters(valid, threshold=threshold, mode=mode,
                               **check_kwargs)
+
+
+class ImageQualityExtractor:
+    """Actor-pool callable: decoded-pixel quality metrics per image —
+    ``sharpness`` = variance of the 4-neighbour Laplacian of the gray
+    plane (blur detection: blurry images score low) and ``contrast`` =
+    gray-plane std — the blurry/flat-image filter signals of an image
+    training-data pipeline.  Decode failures emit NULL metrics."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt"):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    @staticmethod
+    def metrics(img: np.ndarray):
+        g = img.astype(np.float64)
+        if g.ndim == 3:
+            g = g.mean(axis=2)
+        contrast = float(g.std())
+        if g.shape[0] < 3 or g.shape[1] < 3:
+            return 0.0, contrast
+        lap = (4.0 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+               - g[1:-1, :-2] - g[1:-1, 2:])
+        return float(lap.var()), contrast
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (batch.column(self.fmt_col).to_pylist()
+                if self.fmt_col in batch.column_names else [None] * n)
+        sharp = np.full(n, np.nan)
+        contr = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                s, c = self.metrics(decode_image(data, fmt))
+            except Exception:
+                continue
+            sharp[i], contr[i], ok[i] = s, c, True
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "sharpness": pa.array(sharp, pa.float64(), mask=~ok),
+            "contrast": pa.array(contr, pa.float64(), mask=~ok),
+        })
+
+
+def image_quality_scores(ds, *, concurrency=(2, 8), batch_size: int = 128,
+                         fmt_col: str = "fmt"):
+    """Per-image (sharpness, contrast) as a Dataset — feed into an
+    IntervalCheck / quantile filter to drop blurry or flat images."""
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    return ds.select_columns(cols).map_batches(
+        ImageQualityExtractor,
+        fn_constructor_kwargs=dict(fmt_col=fmt_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

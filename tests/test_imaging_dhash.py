@@ -93,3 +93,37 @@ class TestPixelFingerprints:
         counts = t.column("n_clusters").to_pylist()
         assert min(sizes) >= 2
         assert sum(s * c for s, c in zip(sizes, counts)) >= 10
+
+
+class TestImageQuality:
+    def test_blur_lowers_sharpness_and_flat_lowers_contrast(self):
+        from datatest_ray.stages.imaging import ImageQualityExtractor
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        # 3x3 box blur
+        p = img.astype(np.float64)
+        blur = (p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+                + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+                + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]) / 9.0
+        s1, c1 = ImageQualityExtractor.metrics(img)
+        s2, _ = ImageQualityExtractor.metrics(blur.astype(np.uint8))
+        assert s2 < s1 * 0.5
+        flat = np.full((32, 32), 128, dtype=np.uint8)
+        s3, c3 = ImageQualityExtractor.metrics(flat)
+        assert s3 == 0.0 and c3 == 0.0 and c1 > 0
+
+    def test_stage_over_fixture(self, ray_session):
+        from datatest_ray.sources.images import (ImageFixtureSpec,
+                                                 generate_dataset)
+        from datatest_ray.stages.imaging import image_quality_scores
+
+        spec = ImageFixtureSpec(n_rows=200, seed=42, rows_per_part=100)
+        ds = generate_dataset(spec, columns={"image_id", "bytes", "fmt"})
+        t = pa.concat_tables(list(image_quality_scores(
+            ds, concurrency=2).iter_batches(batch_format="pyarrow")))
+        assert t.num_rows == 200
+        valid = t.column("sharpness").drop_null()
+        # corrupt plants yield a few nulls; the rest are finite numbers
+        assert len(valid) > 150
+        assert all(v >= 0 for v in valid.to_pylist())
