@@ -1192,6 +1192,34 @@ def q_image_quality_profile(sf_dir: str):
     })
 
 
+# ---------------------------------------------------------------------------
+# Golden-record survivorship merge (stages/dedup.py :: golden_record)
+# ---------------------------------------------------------------------------
+
+
+def q_golden_record_users(sf_dir: str):
+    """MDM survivorship: per user, each column independently keeps its
+    latest NON-NULL value (value and event_type may come from
+    different rows when the newest row is partial)."""
+    from ..stages.dedup import golden_record
+
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "value", "event_type"])
+    return _materialize(golden_record(
+        ds, key_col="user_id", order_col="ts", id_col="event_id",
+        value_cols=["value", "event_type"]))
+
+
+SQL_GOLDEN_RECORD_USERS = """
+SELECT user_id,
+       first(value ORDER BY ts DESC, event_id DESC)
+         FILTER (WHERE value IS NOT NULL) AS value,
+       first(event_type ORDER BY ts DESC, event_id DESC)
+         FILTER (WHERE event_type IS NOT NULL) AS event_type
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -1222,6 +1250,7 @@ QUERIES2: Dict[str, Callable] = {
     "pair_lift_parts": q_pair_lift_parts,
     "peak_active_users": q_peak_active_users,
     "image_quality_profile": q_image_quality_profile,
+    "golden_record_users": q_golden_record_users,
 }
 
 SQL2: Dict[str, str] = {
@@ -1251,4 +1280,5 @@ SQL2: Dict[str, str] = {
     "violation_examples": SQL_VIOLATION_EXAMPLES,
     "pair_lift_parts": SQL_PAIR_LIFT_PARTS,
     "peak_active_users": SQL_PEAK_ACTIVE_USERS,
+    "golden_record_users": SQL_GOLDEN_RECORD_USERS,
 }

@@ -1302,3 +1302,64 @@ def latest_by_key(ds, *, key_cols, order_col: str, id_col: str,
     return ds.map_batches(add_bucket, batch_format="pyarrow",
                           zero_copy_batch=True).groupby(
         "coarse").map_groups(kernel, batch_format="pyarrow")
+
+
+def golden_record(ds, *, key_col: str, order_col: str, id_col: str,
+                  value_cols, n_buckets: int = 256):
+    """Survivorship / golden-record merge (MDM): per key, each value
+    column independently takes its LATEST NON-NULL value (ordered by
+    ``(order_col, id_col)`` descending) — unlike :func:`latest_by_key`
+    (whole-row winner), stale rows still contribute columns the newest
+    row left null.  Output: one row per key
+    ``(key_col, <value_cols...>)``.
+
+    One coarse-bucket shuffle on the key hash; the kernel sorts each
+    bucket newest-first and takes each segment's first valid position
+    per column via one ``np.minimum.at`` scatter — no Python loop over
+    rows or keys."""
+    cols = list(value_cols)
+    need = list(dict.fromkeys([key_col, order_col, id_col] + cols))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        coarse = (hash64(batch.column(key_col))
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return batch.select(need).append_column("coarse",
+                                                pa.array(coarse))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(key_col, "ascending"),
+                           (order_col, "descending"),
+                           (id_col, "descending")])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        out = {}
+        if n == 0:
+            return pa.table({key_col: t.column(key_col)}
+                            | {c: t.column(c) for c in cols})
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1
+        first_idx = np.flatnonzero(new)
+        out[key_col] = t.column(key_col).take(pa.array(first_idx))
+        pos = np.arange(n, dtype=np.int64)
+        for c in cols:
+            col = t.column(c)
+            col = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            valid = np.asarray(pc.is_valid(col).to_numpy(
+                zero_copy_only=False), dtype=bool)
+            firstvalid = np.full(nseg, n, dtype=np.int64)
+            np.minimum.at(firstvalid, seg[valid], pos[valid])
+            has = firstvalid < n
+            take = pa.array(np.where(has, firstvalid, 0))
+            picked = col.take(take)
+            if not has.all():
+                picked = pc.if_else(pa.array(has), picked,
+                                    pa.scalar(None, col.type))
+            out[c] = picked
+        return pa.table(out)
+
+    return ds.select_columns(need).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(kernel, batch_format="pyarrow")

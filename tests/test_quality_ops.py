@@ -416,3 +416,32 @@ class TestKsExact:
         ds = rd.from_arrow(pa.table({"v": [1.0, 2.0], "g": ["B", "B"]}))
         t = ks_exact(ds, "v", split_col="g", ref_value="A")
         assert t.column("ks")[0].as_py() is None
+
+
+class TestGoldenRecord:
+    def test_columns_survive_independently(self, ray_session):
+        from datatest_ray.stages.dedup import golden_record
+
+        ds = _ds({
+            "k": [1, 1, 1, 2],
+            "ts": [1, 2, 3, 1],
+            "id": [1, 2, 3, 4],
+            # newest row (ts=3) has null a; a's latest non-null is ts=2
+            "a": ["old", "mid", None, None],
+            "b": [10.0, None, 30.0, 5.0],
+        })
+        t = _collect(golden_record(
+            ds, key_col="k", order_col="ts", id_col="id",
+            value_cols=["a", "b"])).sort_by("k")
+        assert t.column("k").to_pylist() == [1, 2]
+        assert t.column("a").to_pylist() == ["mid", None]
+        assert t.column("b").to_pylist() == [30.0, 5.0]
+
+    def test_tie_breaks_by_id_desc(self, ray_session):
+        from datatest_ray.stages.dedup import golden_record
+
+        ds = _ds({"k": [1, 1], "ts": [5, 5], "id": [1, 2],
+                  "a": ["low", "high"]})
+        t = _collect(golden_record(ds, key_col="k", order_col="ts",
+                                   id_col="id", value_cols=["a"]))
+        assert t.column("a").to_pylist() == ["high"]
