@@ -445,3 +445,57 @@ class TestGoldenRecord:
         t = _collect(golden_record(ds, key_col="k", order_col="ts",
                                    id_col="id", value_cols=["a"]))
         assert t.column("a").to_pylist() == ["high"]
+
+    def test_null_parity_vs_duckdb(self, ray_session, tmp_path):
+        """Engine semantics == the paired SQL (ordered first FILTER
+        non-null) on data WITH nulls — the case the shared testdata
+        never exercises."""
+        import duckdb
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from datatest_ray.stages.dedup import golden_record
+
+        rng = np.random.default_rng(77)
+        n = 500
+        ts = rng.integers(0, 10_000, n)
+        val = rng.uniform(0, 10, n)
+        typ = rng.choice(["a", "b", "c"], n).astype(object)
+        vmask = rng.random(n) < 0.3
+        tmask = rng.random(n) < 0.3
+        t = pa.table({
+            "user_id": pa.array(rng.integers(1, 40, n)),
+            "ts": pa.array(ts * 1_000_000).cast(pa.timestamp("us")),
+            "event_id": pa.array(np.arange(1, n + 1)),
+            "value": pa.array(val, mask=vmask),
+            "event_type": pa.array(
+                [None if m else s for s, m in zip(typ, tmask)],
+                pa.string()),
+        })
+        p = str(tmp_path / "ev.parquet")
+        pq.write_table(t, p)
+        got = pa.concat_tables(list(golden_record(
+            rd.from_arrow(t), key_col="user_id", order_col="ts",
+            id_col="event_id", value_cols=["value", "event_type"]
+        ).iter_batches(batch_format="pyarrow"))).sort_by(
+            "user_id").to_pylist()
+        con = duckdb.connect()
+        want = con.execute(f"""
+            SELECT user_id,
+                   first(value ORDER BY ts DESC, event_id DESC)
+                     FILTER (WHERE value IS NOT NULL) AS value,
+                   first(event_type ORDER BY ts DESC, event_id DESC)
+                     FILTER (WHERE event_type IS NOT NULL) AS event_type
+            FROM read_parquet('{p}') GROUP BY user_id ORDER BY user_id
+        """).df().to_dict("records")
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g["user_id"] == w["user_id"]
+            assert g["event_type"] == (None if w["event_type"] is None
+                                       or w["event_type"] != w["event_type"]
+                                       else w["event_type"])
+            gv, wv = g["value"], w["value"]
+            if gv is None:
+                assert wv is None or wv != wv
+            else:
+                assert abs(gv - wv) < 1e-12
