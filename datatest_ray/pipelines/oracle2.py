@@ -1220,6 +1220,41 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gini concentration per group (stages/robust.py :: gini_by_group)
+# ---------------------------------------------------------------------------
+
+
+def q_gini_priority_price(sf_dir: str):
+    """Revenue-concentration audit: Gini coefficient of order value per
+    priority class, computed distributed via the bucket+prefix
+    rank-weighted sum (integer-cents units -> bit-identical to the SQL
+    window formula)."""
+    from ..stages.robust import gini_by_group
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return _materialize(gini_by_group(
+        ds, by="o_orderpriority", value_col="o_totalprice", decimals=2))
+
+
+SQL_GINI_PRIORITY_PRICE = """
+WITH x AS (
+  SELECT o_orderpriority AS g,
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS i
+      FROM x),
+a AS (SELECT g, sum(i * v) AS rw, sum(v) AS s,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM r GROUP BY g)
+SELECT g AS o_orderpriority,
+       2.0 * rw / (n * s) - (n + 1.0) / n AS gini,
+       CAST(n AS BIGINT) AS n
+FROM a
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -1251,6 +1286,7 @@ QUERIES2: Dict[str, Callable] = {
     "peak_active_users": q_peak_active_users,
     "image_quality_profile": q_image_quality_profile,
     "golden_record_users": q_golden_record_users,
+    "gini_priority_price": q_gini_priority_price,
 }
 
 SQL2: Dict[str, str] = {
@@ -1281,4 +1317,5 @@ SQL2: Dict[str, str] = {
     "pair_lift_parts": SQL_PAIR_LIFT_PARTS,
     "peak_active_users": SQL_PEAK_ACTIVE_USERS,
     "golden_record_users": SQL_GOLDEN_RECORD_USERS,
+    "gini_priority_price": SQL_GINI_PRIORITY_PRICE,
 }

@@ -724,3 +724,38 @@ class TestPeakConcurrency:
             "e": pa.array([], pa.timestamp("us"))}))
         t = peak_concurrency(ds, start_col="s", end_col="e")
         assert t.column("peak")[0].as_py() == 0
+
+
+class TestGiniByGroup:
+    def test_known_values(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.robust import gini_by_group
+
+        # equal values -> G = 0; one-holder extreme -> G -> (n-1)/n
+        ds = rd.from_arrow(pa.table({
+            "g": ["eq"] * 4 + ["mono"] * 4,
+            "v": [5.0, 5.0, 5.0, 5.0, 0.0, 0.0, 0.0, 100.0],
+        }))
+        t = gini_by_group(ds, by="g", value_col="v").sort_by("g")
+        got = dict(zip(t.column("g").to_pylist(),
+                       t.column("gini").to_pylist()))
+        assert abs(got["eq"]) < 1e-12
+        assert abs(got["mono"] - 0.75) < 1e-12
+
+    def test_matches_numpy_reference_with_ties(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from datatest_ray.stages.robust import gini_by_group
+
+        rng = np.random.default_rng(13)
+        v = np.round(rng.uniform(0, 100, 500), 2)
+        v[:50] = v[50:100]  # plant heavy ties
+        ds = rd.from_arrow(pa.table({"g": ["a"] * 500, "v": v.tolist()}))
+        t = gini_by_group(ds, by="g", value_col="v", decimals=2)
+        x = np.sort(np.round(v * 100))
+        i = np.arange(1, 501)
+        want = 2 * (i * x).sum() / (500 * x.sum()) - 501 / 500
+        assert abs(t.column("gini")[0].as_py() - want) < 1e-12
