@@ -1255,6 +1255,69 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# RAG chunk planning + blocklist audit (stages/text.py)
+# ---------------------------------------------------------------------------
+
+
+def q_chunk_plan_docs(sf_dir: str):
+    from ..stages.text import chunk_plan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(chunk_plan(ds, "text", "doc_id",
+                                   size=16, overlap=4))
+
+
+SQL_CHUNK_PLAN_DOCS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+  FROM documents
+),
+c AS (
+  SELECT doc_id, nt,
+         greatest((nt + 11) // 12, CASE WHEN nt > 0 THEN 1 ELSE 0 END)
+           AS n_chunks
+  FROM tok
+)
+SELECT doc_id,
+       CAST(g.i AS BIGINT) AS chunk_id,
+       CAST(g.i * 12 AS BIGINT) AS tok_start,
+       CAST(least(g.i * 12 + 16, nt) AS BIGINT) AS tok_end,
+       CAST(least(g.i * 12 + 16, nt) - g.i * 12 AS BIGINT) AS n_tokens
+FROM c, LATERAL unnest(range(n_chunks)) AS g(i)
+"""
+
+
+def q_blocklist_docs(sf_dir: str):
+    """Safety/compliance pass: distinct blocklist-term hits per doc
+    (exact lowercase token match; term list broadcast via closure)."""
+    from ..stages.text import blocklist_scan
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _materialize(blocklist_scan(
+        ds, "text", "doc_id", terms=["slow", "error", "spark"]))
+
+
+SQL_BLOCKLIST_DOCS = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(list_contains(ts, 'slow') AS INT)
+            + CAST(list_contains(ts, 'error') AS INT)
+            + CAST(list_contains(ts, 'spark') AS INT) AS BIGINT)
+         AS n_terms_hit,
+       list_contains(ts, 'slow') OR list_contains(ts, 'error')
+         OR list_contains(ts, 'spark') AS flagged
+FROM t
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
@@ -1287,6 +1350,8 @@ QUERIES2: Dict[str, Callable] = {
     "image_quality_profile": q_image_quality_profile,
     "golden_record_users": q_golden_record_users,
     "gini_priority_price": q_gini_priority_price,
+    "chunk_plan_docs": q_chunk_plan_docs,
+    "blocklist_docs": q_blocklist_docs,
 }
 
 SQL2: Dict[str, str] = {
@@ -1318,4 +1383,6 @@ SQL2: Dict[str, str] = {
     "peak_active_users": SQL_PEAK_ACTIVE_USERS,
     "golden_record_users": SQL_GOLDEN_RECORD_USERS,
     "gini_priority_price": SQL_GINI_PRIORITY_PRICE,
+    "chunk_plan_docs": SQL_CHUNK_PLAN_DOCS,
+    "blocklist_docs": SQL_BLOCKLIST_DOCS,
 }

@@ -1087,3 +1087,76 @@ def charset_profile(ds, text_col: str, id_col: str):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_plan(ds, text_col: str, id_col: str, *, size: int = 64,
+               overlap: int = 16):
+    """RAG-style chunking PLAN: split each document's token stream into
+    fixed-size windows with overlap — one row per chunk
+    ``(id, chunk_id, tok_start, tok_end, n_tokens)`` where
+    ``tok_start = chunk_id · (size − overlap)`` and windows keep
+    starting while ``tok_start < n_doc_tokens`` (the last chunk may be
+    short).  Token indices, not text, so the plan is cheap to ship and
+    a SQL oracle reproduces it from token counts alone; the slice
+    itself happens wherever the tokens already live.
+
+    Fully vectorized: per-doc token counts -> per-doc chunk counts ->
+    one ``np.repeat``/``arange`` expansion per batch."""
+    step = size - overlap
+    if step <= 0:
+        raise ValueError("overlap must be smaller than size")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        _, offsets = tokens_and_offsets(batch.column(text_col))
+        nt = _row_counts(offsets).astype(np.int64)
+        n_chunks = np.maximum((nt + step - 1) // step, (nt > 0)
+                              .astype(np.int64))
+        # documents with 0 tokens emit no chunks
+        reps = n_chunks
+        doc_idx = np.repeat(np.arange(len(nt)), reps)
+        local = np.concatenate([np.arange(c) for c in reps]) if len(
+            reps) and reps.sum() else np.empty(0, dtype=np.int64)
+        starts = local * step
+        ends = np.minimum(starts + size, nt[doc_idx])
+        ids = batch.column(id_col).take(pa.array(doc_idx))
+        return pa.table({
+            id_col: ids,
+            "chunk_id": pa.array(local.astype(np.int64)),
+            "tok_start": pa.array(starts.astype(np.int64)),
+            "tok_end": pa.array(ends.astype(np.int64)),
+            "n_tokens": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def blocklist_scan(ds, text_col: str, id_col: str, *, terms):
+    """Blocklist audit: per document, how many distinct blocklist TERMS
+    appear among its whitespace tokens (exact token match, lowercase)
+    and whether the document is flagged.  The filter step of a
+    safety/compliance pass; the term list ships once per task via
+    closure (broadcast-small-side pattern).  Output:
+    (id, n_terms_hit, flagged)."""
+    term_list = sorted({t.lower() for t in terms})
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        flat = pc.utf8_lower(flat)
+        n = batch.num_rows
+        hits = np.zeros(n, dtype=np.int64)
+        for term in term_list:
+            eq = pc.equal(flat, term)
+            eq_np = np.asarray(pc.fill_null(eq, False).to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            cum = np.concatenate([[0], np.cumsum(eq_np)])
+            per_row = cum[offsets[1:]] - cum[offsets[:-1]]
+            hits += (per_row > 0).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_terms_hit": pa.array(hits),
+            "flagged": pa.array(hits > 0),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)

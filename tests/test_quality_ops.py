@@ -499,3 +499,42 @@ class TestGoldenRecord:
                 assert wv is None or wv != wv
             else:
                 assert abs(gv - wv) < 1e-12
+
+
+class TestChunkPlanAndBlocklist:
+    def test_chunk_windows_with_overlap(self, ray_session):
+        from datatest_ray.stages.text import chunk_plan
+
+        ds = _ds({"doc_id": [1, 2, 3],
+                  "text": ["t " * 10, "t", ""]})
+        t = _collect(chunk_plan(ds, "text", "doc_id", size=4, overlap=1)
+                     ).sort_by([("doc_id", "ascending"),
+                                ("chunk_id", "ascending")])
+        rows = t.to_pylist()
+        # doc 1: 10 tokens, step 3 -> starts 0,3,6,9
+        d1 = [r for r in rows if r["doc_id"] == 1]
+        assert [r["tok_start"] for r in d1] == [0, 3, 6, 9]
+        assert [r["tok_end"] for r in d1] == [4, 7, 10, 10]
+        # doc 2: one short chunk; doc 3 (empty): no chunks
+        d2 = [r for r in rows if r["doc_id"] == 2]
+        assert len(d2) == 1 and d2[0]["n_tokens"] == 1
+        assert not [r for r in rows if r["doc_id"] == 3]
+
+    def test_overlap_must_be_smaller(self, ray_session):
+        import pytest
+
+        from datatest_ray.stages.text import chunk_plan
+
+        with pytest.raises(ValueError):
+            chunk_plan(_ds({"doc_id": [1], "text": ["x"]}),
+                       "text", "doc_id", size=4, overlap=4)
+
+    def test_blocklist_counts_distinct_terms(self, ray_session):
+        from datatest_ray.stages.text import blocklist_scan
+
+        ds = _ds({"doc_id": [1, 2, 3],
+                  "text": ["Bad BAD worse", "all clean here", "bad worse"]})
+        t = _collect(blocklist_scan(
+            ds, "text", "doc_id", terms=["bad", "worse"])).sort_by("doc_id")
+        assert t.column("n_terms_hit").to_pylist() == [2, 0, 2]
+        assert t.column("flagged").to_pylist() == [True, False, True]
