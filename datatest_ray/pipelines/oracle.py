@@ -78,11 +78,13 @@ def q_interval_discount(sf_dir: str):
 
 SQL_INTERVAL_DISCOUNT = """
 SELECT CAST(l_discount AS DOUBLE) AS value_num,
-       CASE WHEN l_discount < 0 THEN CAST(0 AS DOUBLE) ELSE CAST(0.05 AS DOUBLE) END AS expected_num,
+       CASE WHEN l_discount IS NULL THEN NULL
+            WHEN l_discount < 0 THEN CAST(0 AS DOUBLE)
+            ELSE CAST(0.05 AS DOUBLE) END AS expected_num,
        l_discount - (CASE WHEN l_discount < 0 THEN 0 ELSE 0.05 END) AS deviation,
-       'deviation' AS kind
+       CASE WHEN l_discount IS NULL THEN 'invalid' ELSE 'deviation' END AS kind
 FROM lineitem
-WHERE l_discount < 0 OR l_discount > 0.05
+WHERE l_discount < 0 OR l_discount > 0.05 OR l_discount IS NULL
 """
 
 
@@ -285,6 +287,9 @@ WITH v(check_id, kind, n) AS (
   UNION ALL
   SELECT 'interval(l_discount,0.0,0.05)', 'deviation', count(*)
   FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.05
+  UNION ALL
+  SELECT 'interval(l_discount,0.0,0.05)', 'invalid', count(*)
+  FROM lineitem WHERE l_discount IS NULL
   UNION ALL
   SELECT 'domain(l_returnflag,2 allowed)', 'extra', count(*)
   FROM lineitem WHERE l_returnflag NOT IN ('A', 'N')

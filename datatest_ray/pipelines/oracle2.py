@@ -444,7 +444,9 @@ FROM lineitem WHERE l_quantity < 1 OR l_quantity > 27 GROUP BY 1
 UNION ALL
 SELECT l_returnflag, 'interval(l_discount,0.0,0.04)',
        CAST(count(*) AS BIGINT)
-FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.04 GROUP BY 1
+FROM lineitem
+WHERE l_discount < 0.0 OR l_discount > 0.04 OR l_discount IS NULL
+GROUP BY 1
 UNION ALL
 SELECT l_returnflag, 'domain(l_linestatus,1 allowed)',
        CAST(count(*) AS BIGINT)
@@ -1034,8 +1036,10 @@ def q_violation_examples(sf_dir: str):
 SQL_VIOLATION_EXAMPLES = """
 WITH v AS (
   SELECT 'interval(value,0,95)' AS check_id,
-         CAST(event_id AS VARCHAR) AS row_ref, 'deviation' AS kind
-  FROM events WHERE value < 0 OR value > 95
+         CAST(event_id AS VARCHAR) AS row_ref,
+         CASE WHEN value IS NULL THEN 'invalid'
+              ELSE 'deviation' END AS kind
+  FROM events WHERE value < 0 OR value > 95 OR value IS NULL
   UNION ALL
   SELECT 'regex(event_type,' || chr(39)
            || '^(click|view|purchase|signup)$' || chr(39) || ')',

@@ -118,8 +118,16 @@ def corr_matrix(ds, cols: Sequence[str]):
     Same combiner shape as ``window.grouped_corr``, lifted to the full
     k×k matrix.
 
+    Nulls are deleted PAIRWISE (SQL ``corr(x, y)`` semantics: a row is
+    skipped only for the pairs where x or y is null, not for the whole
+    matrix), via three k×k validity-mask GEMMs per batch —
+    ``N = V'V`` (both-valid counts), ``S = Xz'V`` (``S[i,j]`` = sum of
+    x_i over the (i,j)-valid rows), ``Q = (Xz²)'V`` (same for x_i²)
+    where ``V`` is the 0/1 validity matrix and ``Xz`` has nulls zeroed.
+
     Output: one row per unordered pair (x, y, corr), corr rounded to
-    6 dp; null when either column has zero variance."""
+    6 dp; null when either column has zero variance on the pair's
+    valid rows."""
     from ray.data.aggregate import Sum
 
     cols = list(cols)
@@ -131,34 +139,42 @@ def corr_matrix(ds, cols: Sequence[str]):
             batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
             for c in cols
         ])
-        ok = ~np.isnan(X).any(axis=1)
-        X = X[ok]
-        xtx = (X.T @ X)[iu]
-        out = {"n": pa.array([float(len(X))])}
-        for j, c in enumerate(cols):
-            out[f"s{j}"] = pa.array([float(X[:, j].sum())])
+        V = (~np.isnan(X)).astype(np.float64)
+        Xz = np.where(np.isnan(X), 0.0, X)
+        N = V.T @ V
+        S = Xz.T @ V
+        Q = (Xz * Xz).T @ V
+        XX = (Xz.T @ Xz)[iu]
+        out = {}
+        for i in range(k):
+            for j in range(k):
+                out[f"n{i}_{j}"] = pa.array([float(N[i, j])])
+                out[f"s{i}_{j}"] = pa.array([float(S[i, j])])
+                out[f"q{i}_{j}"] = pa.array([float(Q[i, j])])
         for idx in range(len(iu[0])):
-            out[f"x{idx}"] = pa.array([float(xtx[idx])])
+            out[f"x{idx}"] = pa.array([float(XX[idx])])
         return pa.table(out)
 
-    agg_cols = (["n"] + [f"s{j}" for j in range(k)]
+    agg_cols = ([f"{p}{i}_{j}" for p in ("n", "s", "q")
+                 for i in range(k) for j in range(k)]
                 + [f"x{i}" for i in range(len(iu[0]))])
     merged = ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).aggregate(*[Sum(c, alias_name=c) for c in agg_cols])
 
-    n = merged["n"]
-    s = np.array([merged[f"s{j}"] for j in range(k)])
-    xtx = np.zeros((k, k))
-    xtx[iu] = [merged[f"x{i}"] for i in range(len(iu[0]))]
-    xtx = xtx + xtx.T - np.diag(np.diag(xtx))
+    xx = np.zeros((k, k))
+    xx[iu] = [merged[f"x{i}"] for i in range(len(iu[0]))]
+    xx = xx + xx.T - np.diag(np.diag(xx))
     xs, ys, cs = [], [], []
     for i in range(k):
         for j in range(i + 1, k):
-            vx = n * xtx[i, i] - s[i] * s[i]
-            vy = n * xtx[j, j] - s[j] * s[j]
+            n = merged[f"n{i}_{j}"]
+            si, sj = merged[f"s{i}_{j}"], merged[f"s{j}_{i}"]
+            qi, qj = merged[f"q{i}_{j}"], merged[f"q{j}_{i}"]
+            vx = n * qi - si * si
+            vy = n * qj - sj * sj
             if n > 1 and vx > 0 and vy > 0:
-                r = round((n * xtx[i, j] - s[i] * s[j])
+                r = round((n * xx[i, j] - si * sj)
                           / float(np.sqrt(vx * vy)), 6)
             else:
                 r = None

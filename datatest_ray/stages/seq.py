@@ -230,7 +230,10 @@ def ewma_last(ds, *, by: str, ts: str, value_col: str, id_col: str,
         rn = np.arange(len(keys)) - starts[seg] + 1  # 1-based row number
         w = alpha * np.power(1.0 - alpha, (n[seg] - rn).astype(np.float64))
         w[first] = np.power(1.0 - alpha, (n[seg] - rn).astype(np.float64))[first]
-        y = np.bincount(seg, weights=v * w, minlength=m)
+        # null values: SQL's sum(v * w) skips them while the row keeps
+        # its position in the weight schedule (rn / n unchanged)
+        y = np.bincount(seg, weights=np.where(np.isnan(v), 0.0, v) * w,
+                        minlength=m)
         kcol = group.column(by)
         kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
             else kcol
@@ -576,7 +579,10 @@ def time_weighted_avg(ds, *, by: str, ts: str, value_col: str,
         last[:-1] = new[1:]
         last[-1] = True
         dt[last] = 0.0
-        wsum = np.bincount(seg, weights=v * dt)
+        # null values: SQL's sum(v * dt) skips them while sum(dt) still
+        # counts their holding interval — mirror exactly
+        wsum = np.bincount(seg,
+                           weights=np.where(np.isnan(v), 0.0, v) * dt)
         span = np.bincount(seg, weights=dt)
         has = span > 0
         first_idx = np.flatnonzero(new)

@@ -64,7 +64,8 @@ def _gen(out_dir: str):
         "c_custkey": pa.array(np.arange(1, n_cust + 1)),
         "c_name": pa.array([f"Customer#{i}" for i in range(1, n_cust + 1)]),
         "c_nationkey": pa.array(c_nat.astype(np.int32)),
-        "c_acctbal": pa.array(_r2(rng, -999, 9999, n_cust)),
+        "c_acctbal": pa.array(_r2(rng, -999, 9999, n_cust),
+                              mask=rng.rand(n_cust) < 0.03),
         "c_mktsegment": pa.array(rng.choice(SEGMENTS, n_cust)),
     }), f"{out_dir}/customer.parquet")
 
@@ -116,7 +117,8 @@ def _gen(out_dir: str):
         "l_linenumber": pa.array(rng.randint(1, 8, n_li).astype(np.int32)),
         "l_quantity": pa.array(rng.randint(1, 51, n_li).astype(np.float64)),
         "l_extendedprice": pa.array(_r2(rng, 901, 104999, n_li)),
-        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2),
+                               mask=rng.rand(n_li) < 0.02),
         "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li)),
         "l_linestatus": pa.array(rng.choice(["F", "O"], n_li)),
@@ -142,7 +144,10 @@ def _gen(out_dir: str):
         "ts": _ts(ts_us),
         "user_id": pa.array(users),
         "event_type": pa.array(types),
-        "value": pa.array(_r2(rng, 0.01, 300, n_ev)),
+        # ~3% null values: real event streams have them, the fixed
+        # driver testdata does not — null-vs-SQL semantics get fuzzed
+        "value": pa.array(_r2(rng, 0.01, 300, n_ev),
+                          mask=rng.rand(n_ev) < 0.03),
         "props": pa.array(['{"k": %d}' % rng.randint(0, 100)
                            for _ in range(n_ev)]),
     }), f"{out_dir}/events.parquet")
