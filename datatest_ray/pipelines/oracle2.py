@@ -1322,7 +1322,130 @@ FROM t
 """
 
 
+def q_benford_price(sf_dir: str):
+    """Benford first-digit screen over l_extendedprice (digit derived
+    from the decimal string of floor(value) on BOTH engines — no
+    float-log10 boundary can split them)."""
+    from ..stages.profile import benford_digits
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    return _materialize(benford_digits(ds, "l_extendedprice"))
+
+
+SQL_BENFORD_PRICE = """
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR),
+                1, 1) AS digit
+  FROM lineitem
+  WHERE l_extendedprice >= 1
+),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / tot AS share,
+       log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS expected_share,
+       CAST(n AS DOUBLE) / tot
+         - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS excess
+FROM c, t
+"""
+
+
+def q_entropy_user_events(sf_dir: str):
+    """Per-user behavioral diversity: Shannon entropy of the
+    event-type mix, computed distributed via H = ln(n) - (sum c ln c)/n
+    (two Sum aggregates, no per-group kernel)."""
+    from ..stages.profile import group_entropy
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return _materialize(group_entropy(ds, "user_id", "event_type"))
+
+
+SQL_ENTROPY_USER_EVENTS = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_cats,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+  FROM c GROUP BY 1
+)
+SELECT CAST(user_id AS VARCHAR) AS key, n, n_cats,
+       round(ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE), 6) AS entropy
+FROM g
+"""
+
+
+def q_triangles_dupgraph(sf_dir: str):
+    """Triangle census of the document near-dup pair graph (exact
+    3-gram Jaccard >= 0.5): node/edge/wedge counts, min-oriented exact
+    triangle count, transitivity 3T/W — the cluster-quality audit that
+    says whether "near-duplicate" behaves transitively on this corpus
+    (high transitivity -> keep-one-per-cluster is safe; low -> chains
+    of marginal pairs are being glued).  All counts exact integers;
+    transitivity one exact quotient.
+
+    A co-occurrence projection (stages/graph.py::projected_edges) also
+    feeds this census, but NOT as a driver query: on the synthetic
+    tables such projections are near-complete graphs and the census is
+    Θ(n³) by construction — the dup graph is the sparse real use."""
+    from ..stages.dedup import jaccard_pairs_exact
+    from ..stages.graph import triangle_stats
+
+    pairs = jaccard_pairs_exact(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
+        n=3, threshold=0.5, shuffle_partitions=8)
+    return triangle_stats(pairs, a_col="a", b_col="b")
+
+
+SQL_TRIANGLES_DUPGRAPH = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, len(ts) - 2),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+  FROM tok
+),
+e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+d AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) AS n_wedges
+  FROM d
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+en AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN 3.0 * n_triangles / n_wedges END AS transitivity
+FROM m, t, en
+"""
+
+
 QUERIES2: Dict[str, Callable] = {
+    "benford_price": q_benford_price,
+    "triangles_dupgraph": q_triangles_dupgraph,
+    "entropy_user_events": q_entropy_user_events,
     "monotonic_user_value": q_monotonic_user_value,
     "freshness_users": q_freshness_users,
     "unique_composite_events": q_unique_composite_events,
@@ -1359,6 +1482,9 @@ QUERIES2: Dict[str, Callable] = {
 }
 
 SQL2: Dict[str, str] = {
+    "benford_price": SQL_BENFORD_PRICE,
+    "triangles_dupgraph": SQL_TRIANGLES_DUPGRAPH,
+    "entropy_user_events": SQL_ENTROPY_USER_EVENTS,
     "monotonic_user_value": SQL_MONOTONIC_USER_VALUE,
     "freshness_users": SQL_FRESHNESS_USERS,
     "unique_composite_events": SQL_UNIQUE_COMPOSITE_EVENTS,

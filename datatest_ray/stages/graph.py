@@ -40,7 +40,8 @@ import pyarrow.compute as pc
 from .dedup import _N_COARSE, _concat_ranges_np
 
 __all__ = ["connected_components", "degree_histogram", "er_cluster_sizes",
-           "cluster_size_histogram", "pagerank"]
+           "cluster_size_histogram", "pagerank", "projected_edges",
+           "triangle_stats"]
 
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
@@ -314,3 +315,186 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
     return state.map_batches(rename, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def _run_dedup(keys: np.ndarray) -> np.ndarray:
+    """Boolean mask of run starts over a lexsorted 2-col key stack
+    (keys shape (2, n)) — vectorized consecutive-distinct."""
+    n = keys.shape[1]
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = (keys[0, 1:] != keys[0, :-1]) | \
+                  (keys[1, 1:] != keys[1, :-1])
+    return new
+
+
+def projected_edges(ds, *, group_col: str, node_col: str):
+    """Distinct undirected co-membership edges (u < v): two nodes are
+    adjacent when they share a ``group_col`` value (e.g. suppliers
+    shipping the same part — the bipartite projection every
+    co-occurrence graph starts from).
+
+    Scale plan: batch-local (group, node) dedup (lexsort run-collapse),
+    ONE coarse-bucket shuffle on ``hash(group) % 256`` (all rows of a
+    group co-locate, so the in-bucket dedup is globally exact), fully
+    vectorized per-segment pair expansion (repeat + concat-ranges — no
+    Python per group), then a second coarse shuffle on the PAIR hash to
+    dedup edges produced by different groups.  Hub groups (one group
+    containing k nodes) expand to k(k-1)/2 pairs — cap or sample
+    upstream if the group-size histogram shows hubs."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = batch.column(node_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((x, g))
+        g, x = g[order], x[order]
+        keep = _run_dedup(np.stack([g, x]))
+        g, x = g[keep], x[keep]
+        return pa.table({"coarse": _coarse(g), "g": pa.array(g),
+                         "x": pa.array(x)})
+
+    def expand(group: pa.Table) -> pa.Table:
+        g = group.column("g").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, g))
+        g, x = g[order], x[order]
+        keep = _run_dedup(np.stack([g, x]))
+        g, x = g[keep], x[keep]
+        d = _segments(g)
+        li = np.arange(len(g), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(d[:-1])]), d)
+        reps = np.repeat(d, d) - 1 - li
+        ii = np.repeat(np.arange(len(g), dtype=np.int64), reps)
+        jj = ii + 1 + _concat_ranges_np(reps)
+        u, v = x[ii], x[jj]
+        C1 = np.uint64(0x9E3779B97F4A7C15)
+        C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        ph = ((u.astype(np.uint64) * C1) ^ (v.astype(np.uint64) * C2))
+        return pa.table({
+            "pcoarse": pa.array((ph % np.uint64(_N_COARSE)).astype(
+                np.int64)),
+            "u": pa.array(u), "v": pa.array(v),
+        })
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = _run_dedup(np.stack([u, v]))
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    return (
+        ds.select_columns([group_col, node_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse").map_groups(expand, batch_format="pyarrow")
+        .groupby("pcoarse").map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+
+
+def triangle_stats(edges_ds, *, a_col: str = "u", b_col: str = "v",
+                   num_partitions: int = 16):
+    """Global triangle census over a distinct undirected edge list
+    (a < b): node/edge/wedge counts, the exact triangle count, and the
+    transitivity ratio 3T/W — the graph-shape audit that separates a
+    community-structured dup graph from a hub explosion.
+
+    Distributed min-orientation count: every triangle {a < b < c} is
+    counted exactly ONCE as a wedge centered at its smallest node
+    (edges grouped by their min endpoint — one coarse shuffle, pair
+    expansion vectorized across segments) closed by an existing edge
+    (ONE hash join of wedge-endpoint counts against the edge list, so
+    the join payload is the DISTINCT wedge endpoints, not one row per
+    wedge).  W comes from degrees: Σ d(d-1)/2, exact integers
+    throughout.  Returns a one-row pa.Table; transitivity is an exact
+    integer quotient (null when W = 0)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import safe_join
+
+    edges = edges_ds.select_columns([a_col, b_col]).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = np.concatenate([a, b])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(uniq),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    deg = edges.map_batches(
+        deg_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("node").aggregate(Sum("d", alias_name="d"))
+
+    def wedge_total(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64()),
+            "k": pa.array([len(d)], pa.int64()),
+            # each undirected edge contributes one to two degrees
+            "dsum": pa.array([int(d.sum())], pa.int64()),
+        })
+
+    dm = deg.map_batches(wedge_total, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("w", alias_name="w"), Sum("k", alias_name="k"),
+        Sum("dsum", alias_name="dsum"))
+    n_wedges = int(dm.get("w") or 0)
+    n_nodes = int(dm.get("k") or 0)
+    n_edges = int(dm.get("dsum") or 0) // 2
+
+    def to_center(batch: pa.Table) -> pa.Table:
+        u = batch.column(a_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"coarse": _coarse(u), "u": pa.array(u),
+                         "x": batch.column(b_col)})
+
+    def expand(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((x, u))
+        u, x = u[order], x[order]
+        d = _segments(u)
+        li = np.arange(len(u), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(d[:-1])]), d)
+        reps = np.repeat(d, d) - 1 - li
+        ii = np.repeat(np.arange(len(u), dtype=np.int64), reps)
+        jj = ii + 1 + _concat_ranges_np(reps)
+        # local (v, w) count collapse before the shuffle: wedge pairs
+        # repeat when hub centers share neighbor pairs
+        v, w = x[ii], x[jj]
+        order2 = np.lexsort((w, v))
+        v, w = v[order2], w[order2]
+        new = _run_dedup(np.stack([v, w]))
+        seg = np.cumsum(new) - 1
+        n = np.bincount(seg).astype(np.int64)
+        first = np.flatnonzero(new)
+        return pa.table({"wa": pa.array(v[first]),
+                         "wb": pa.array(w[first]),
+                         "n": pa.array(n)})
+
+    wedge_counts = (
+        edges.map_batches(to_center, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("coarse").map_groups(expand, batch_format="pyarrow")
+        .groupby(["wa", "wb"]).aggregate(Sum("n", alias_name="n"))
+    )
+
+    closed = safe_join(
+        wedge_counts, edges, join_type="inner",
+        num_partitions=num_partitions,
+        on=("wa", "wb"), right_on=(a_col, b_col),
+    ).aggregate(Sum("n", alias_name="t"), Count(alias_name="_rows"))
+    n_tri = int((closed or {}).get("t") or 0)
+
+    trans = (3.0 * n_tri / n_wedges) if n_wedges > 0 else None
+    return pa.table({
+        "n_nodes": pa.array([n_nodes], pa.int64()),
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_wedges": pa.array([n_wedges], pa.int64()),
+        "n_triangles": pa.array([n_tri], pa.int64()),
+        "transitivity": pa.array([trans], pa.float64()),
+    })

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["profile_columns", "corr_matrix", "quantile_histogram",
-           "key_skew_report"]
+           "key_skew_report", "benford_digits", "group_entropy"]
 
 
 def profile_columns(ds, cols: Sequence[str], *, decimals: int = None):
@@ -440,3 +440,129 @@ def sentinel_value_report(ds, cols: Sequence[str]):
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def benford_digits(ds, col: str):
+    """Benford's-law first-digit audit over a positive numeric column
+    (classic accounting/data-forgery screen): observed share of each
+    leading decimal digit vs the Benford expectation log10(1 + 1/d).
+
+    Rows with value < 1 or null are excluded (the leading SIGNIFICANT
+    digit of sub-unit values needs a scale hunt; audits run on amounts).
+    The digit is taken from the DECIMAL STRING of floor(value) — the
+    same derivation the SQL oracle uses — so no float-log boundary can
+    disagree between engines.
+
+    Plan: per-batch ``pc.value_counts`` over the digit array → ONE
+    ``groupby(digit)`` Sum of at most 9 partial rows per block →
+    single-block finalize.  Output: one row per observed digit
+    (digit, n, share, expected_share, excess), shares left unrounded
+    (exact integer quotients; driver canon rounds both sides)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = pc.cast(batch.column(col), pa.float64())
+        arr = arr.filter(pc.and_kleene(pc.is_valid(arr),
+                                       pc.greater_equal(arr, 1.0)))
+        if len(arr) == 0:
+            return pa.table({"digit": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        digits = pc.utf8_slice_codeunits(
+            pc.cast(pc.cast(pc.floor(arr), pa.int64()), pa.string()), 0, 1)
+        vc = pc.value_counts(digits)
+        return pa.table({"digit": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    merged = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"digit": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "share": pa.array([], pa.float64()),
+                             "expected_share": pa.array([], pa.float64()),
+                             "excess": pa.array([], pa.float64())})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("digit").to_numpy(zero_copy_only=False).astype(str)
+        tot = float(n.sum())
+        share = n / tot
+        expected = np.log10(1.0 + 1.0 / d.astype(np.float64))
+        return pa.table({
+            "digit": t.column("digit"),
+            "n": t.column("n"),
+            "share": pa.array(share),
+            "expected_share": pa.array(expected),
+            "excess": pa.array(share - expected),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def group_entropy(ds, key_col: str, cat_col: str):
+    """Shannon entropy (natural log) of a categorical distribution per
+    key — behavioral-diversity profiling (e.g. how varied each user's
+    event mix is; H = 0 means single-category).
+
+    Fully distributed with NO per-group Python: the identity
+    ``H = ln(n) - (Σ c·ln c) / n`` turns entropy into two Sum
+    aggregates over the per-(key, cat) count table, so the plan is
+    groupby(key, cat).count → vectorized c·ln c column → groupby(key)
+    Sum — count vectors never collect anywhere.
+
+    Null keys/categories are excluded (SQL two-level GROUP BY parity).
+    Output: (key:str, n, n_cats, entropy round 6)."""
+    from ray.data.aggregate import Count, Sum
+
+    def drop_nulls(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_kleene(pc.is_valid(b.column(key_col)),
+                                      pc.is_valid(b.column(cat_col))))
+
+    counts = (
+        ds.select_columns([key_col, cat_col])
+        .map_batches(drop_nulls, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby([key_col, cat_col])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def add_clc(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            key_col: t.column(key_col),
+            "c": t.column("c"),
+            "clc": pa.array(c * np.log(c)),
+        })
+
+    merged = (
+        counts.map_batches(add_clc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Sum("c", alias_name="n"),
+                   Count(alias_name="n_cats"),
+                   Sum("clc", alias_name="slc"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "n_cats": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        slc = t.column("slc").to_numpy(zero_copy_only=False)
+        ent = np.round(np.log(n) - slc / n, 6)
+        return pa.table({
+            "key": pc.cast(t.column(key_col), pa.string()),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "n_cats": pc.cast(t.column("n_cats"), pa.int64()),
+            "entropy": pa.array(ent),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -126,3 +126,62 @@ class TestPagerank:
             assert abs(out.loc[v, "pr"] - r[idx[v]]) < 1e-9
         # probability mass conserved (no dangling nodes)
         assert abs(out.pr.sum() - 1.0) < 1e-9
+
+
+class TestTriangleStats:
+    def _census(self, edges):
+        import ray.data as rd
+        from datatest_ray.stages.graph import triangle_stats
+
+        t = pa.table({"u": pa.array([a for a, b in edges], pa.int64()),
+                      "v": pa.array([b for a, b in edges], pa.int64())})
+        return triangle_stats(rd.from_arrow(t)).to_pydict()
+
+    def test_known_small_graph(self, ray_session):
+        # K4 on {0,1,2,3} plus a pendant 3-4: 4 triangles,
+        # wedges = sum d(d-1)/2 with degrees (3,3,3,4,1) -> 3*3+6+0 = 15
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+        out = self._census(edges)
+        assert out["n_nodes"] == [5]
+        assert out["n_edges"] == [7]
+        assert out["n_wedges"] == [15]
+        assert out["n_triangles"] == [4]
+        assert out["transitivity"] == [3.0 * 4 / 15]
+
+    def test_triangle_free(self, ray_session):
+        # star graph: max wedges, zero triangles
+        out = self._census([(0, i) for i in range(1, 6)])
+        assert out["n_triangles"] == [0]
+        assert out["n_wedges"] == [10]
+        assert out["transitivity"] == [0.0]
+
+    def test_matches_bruteforce_on_random_graph(self, ray_session):
+        from itertools import combinations
+
+        rng = np.random.RandomState(7)
+        n = 40
+        edges = [(a, b) for a, b in combinations(range(n), 2)
+                 if rng.rand() < 0.15]
+        adj = {v: set() for v in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        t_brute = sum(1 for a, b, c in combinations(range(n), 3)
+                      if b in adj[a] and c in adj[a] and c in adj[b])
+        w_brute = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+        out = self._census(edges)
+        assert out["n_triangles"] == [t_brute]
+        assert out["n_wedges"] == [w_brute]
+        assert out["n_edges"] == [len(edges)]
+
+    def test_projected_edges(self, ray_session):
+        import ray.data as rd
+        from datatest_ray.stages.graph import projected_edges
+
+        # groups: {1,2,3}, {2,3}, {4}, duplicated memberships
+        g = [10, 10, 10, 10, 20, 20, 30]
+        x = [1, 2, 3, 2, 2, 3, 4]
+        ds = rd.from_arrow(pa.table({"g": g, "x": x}))
+        out = projected_edges(ds, group_col="g", node_col="x").to_pandas()
+        got = sorted(map(tuple, out[["u", "v"]].itertuples(index=False)))
+        assert got == [(1, 2), (1, 3), (2, 3)]
