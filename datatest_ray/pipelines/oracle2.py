@@ -1443,7 +1443,7 @@ FROM m, t, en
 
 
 QUERIES2: Dict[str, Callable] = {
-    "benford_price": q_benford_price,
+    "benford_lineitem": q_benford_price,
     "triangles_dupgraph": q_triangles_dupgraph,
     "entropy_user_events": q_entropy_user_events,
     "monotonic_user_value": q_monotonic_user_value,
@@ -1482,7 +1482,7 @@ QUERIES2: Dict[str, Callable] = {
 }
 
 SQL2: Dict[str, str] = {
-    "benford_price": SQL_BENFORD_PRICE,
+    "benford_lineitem": SQL_BENFORD_PRICE,
     "triangles_dupgraph": SQL_TRIANGLES_DUPGRAPH,
     "entropy_user_events": SQL_ENTROPY_USER_EVENTS,
     "monotonic_user_value": SQL_MONOTONIC_USER_VALUE,
