@@ -91,13 +91,18 @@ from .stages.sampling import (  # noqa: F401
 from .stages.winfunc import cume_dist, lag_diff, rolling_agg  # noqa: F401
 from .stages.relational import (  # noqa: F401
     anti_join,
+    bloom_anti_join,
+    bloom_semi_join,
     broadcast_join,
     except_distinct,
     intersect_distinct,
+    melt,
     pivot_counts,
     rollup_counts,
     semi_join,
 )
+from .stages.profile import fd_profile, kmv_overlap  # noqa: F401
+from .stages.temporal import acf_daily  # noqa: F401
 from .stages.salting import (  # noqa: F401
     add_salt_column,
     salted_distinct_count,

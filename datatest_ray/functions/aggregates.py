@@ -33,6 +33,7 @@ __all__ = [
     "BloomFilter",
     "CountMinSketch",
     "MinHashSignature",
+    "SpaceSaving",
     "TDigest",
     "Histogram",
     "ks_statistic_from_histograms",
@@ -259,6 +260,82 @@ class MinHashSignature:
     @staticmethod
     def jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
         return float((sig_a == sig_b).mean())
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving (mergeable top-k heavy hitters WITH count bounds)
+# ---------------------------------------------------------------------------
+
+
+class SpaceSaving:
+    """Mergeable top-k frequency summary (Metwally et al. SpaceSaving,
+    merge per Agarwal et al. "Mergeable Summaries").  Each kept item
+    carries (count upper bound, error) with true_count in
+    [count - err, count]; an item is a GUARANTEED heavy hitter when
+    ``count - err`` beats every dropped item's bound.
+
+    Unlike Count-Min (which answers point queries but can't ENUMERATE
+    the heavy hitters without a candidate set), SpaceSaving carries its
+    own top-k — the right shape for "what are the k hottest keys"
+    across a shuffle: per-block summaries merge associatively, K items
+    each, so the exchange moves O(K) rows per block.
+
+    Batch update: a block's exact value_counts fold in as a merge of an
+    exact summary (err=0), vectorized via Arrow value_counts — no
+    per-row Python.
+    """
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counts: dict = {}  # value -> [count_upper, err]
+        self.floor = 0  # upper bound for any value NOT in the summary
+
+    def _truncate(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        items = sorted(self.counts.items(),
+                       key=lambda kv: (-kv[1][0], str(kv[0])))
+        evict_bound = items[self.k][1][0]
+        self.floor = max(self.floor, evict_bound)
+        self.counts = {v: ce for v, ce in items[:self.k]}
+
+    def merge(self, other: "SpaceSaving") -> "SpaceSaving":
+        """Mergeable-summaries rule: a value absent from one side
+        contributes that side's floor as both count and error."""
+        f1, f2 = self.floor, other.floor
+        merged: dict = {}
+        for v in set(self.counts) | set(other.counts):
+            c1, e1 = self.counts.get(v, (f1, f1))
+            c2, e2 = other.counts.get(v, (f2, f2))
+            merged[v] = [c1 + c2, e1 + e2]
+        self.counts = merged
+        self.floor = f1 + f2
+        self._truncate()
+        return self
+
+    def update(self, values) -> "SpaceSaving":
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if not isinstance(values, pa.Array):
+            values = pa.array(np.asarray(values))
+        vc = values.drop_null().value_counts()
+        exact = SpaceSaving(self.k)
+        exact.counts = {
+            v: [int(c), 0]
+            for v, c in zip(vc.field("values").to_pylist(),
+                            vc.field("counts").to_pylist())
+        }
+        # exact side has floor 0 and MAY exceed k; merge then truncates
+        exact.k = max(self.k, len(exact.counts))
+        return self.merge(exact)
+
+    def topk(self, k: Optional[int] = None):
+        """[(value, count_upper, err)] sorted by count desc, value asc
+        (deterministic).  true_count ∈ [count - err, count]."""
+        items = sorted(self.counts.items(),
+                       key=lambda kv: (-kv[1][0], str(kv[0])))
+        k = k or self.k
+        return [(v, c, e) for v, (c, e) in items[:k]]
 
 
 # ---------------------------------------------------------------------------

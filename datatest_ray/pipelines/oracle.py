@@ -4518,8 +4518,9 @@ WHERE rk <= 5
 
 def queries() -> Dict[str, Callable]:
     from .oracle2 import QUERIES2
+    from .oracle3 import QUERIES3
 
-    return QUERIES2 | {
+    return QUERIES3 | QUERIES2 | {
         "interval_quantity": q_interval_quantity,
         "interval_discount": q_interval_discount,
         "regex_lang": q_regex_lang,
@@ -4683,8 +4684,9 @@ def queries() -> Dict[str, Callable]:
 
 def oracle_sql() -> Dict[str, str]:
     from .oracle2 import SQL2
+    from .oracle3 import SQL3
 
-    return SQL2 | {
+    return SQL3 | SQL2 | {
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,

@@ -1,0 +1,398 @@
+"""Driver-contract queries, batch 3 (see oracle.py for the contract):
+runtime-bloom-filtered joins, KMV overlap sketch, FD mining, daily
+autocorrelation, melt/unpivot.  Merged into ``oracle.queries()`` /
+``oracle.oracle_sql()``."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _materialize(result, empty_schema: pa.Schema | None = None):
+    from .oracle import _materialize as m
+
+    return m(result, empty_schema=empty_schema)
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filtered semi/anti join (exact results; the Spark/Presto
+# runtime-filter pattern — stages/relational.py::bloom_semi_join)
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_semi_events(sf_dir: str):
+    """Events by high-balance customers via the bloom-prefiltered semi
+    join: ~92% of event rows miss the 153-key bloom and drop locally
+    before the shuffle; survivors are exactly verified, so the result
+    is identical to SQL IN."""
+    from ..stages.relational import bloom_semi_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    rich = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 9000")
+    t = _materialize(
+        bloom_semi_join(ev, rich, on="user_id", right_on="c_custkey",
+                        num_partitions=8),
+        empty_schema=pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64())]))
+    # a fully-empty result can surface the join's internal marker column
+    # through Ray's empty-dataset schema fallback — project it away
+    return t.select(["event_id", "user_id"])
+
+
+SQL_BLOOM_SEMI_EVENTS = """
+SELECT event_id, user_id FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+"""
+
+
+def q_bloom_anti_events(sf_dir: str):
+    """Events NOT by high-balance customers via the bloom-prefiltered
+    anti join: bloom misses (definite non-members) pass through with no
+    shuffle at all; only bloom hits go through the exact anti join."""
+    from ..stages.relational import bloom_anti_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    rich = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 9000")
+    t = _materialize(
+        bloom_anti_join(ev, rich, on="user_id", right_on="c_custkey",
+                        num_partitions=8),
+        empty_schema=pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64())]))
+    return t.select(["event_id", "user_id"])
+
+
+SQL_BLOOM_ANTI_EVENTS = """
+SELECT event_id, user_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = e.user_id AND c.c_acctbal > 9000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) key-set overlap sketch — deterministic md5, oracle-exact
+# ---------------------------------------------------------------------------
+
+
+def q_kmv_overlap_parts(sf_dir: str):
+    from ..stages.profile import kmv_overlap
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    pt = _read(sf_dir, "part", ["p_partkey"])
+    return kmv_overlap(li, "l_partkey", pt, "p_partkey", k=256)
+
+
+SQL_KMV_OVERLAP_PARTS = """
+WITH da AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+            FROM lineitem WHERE l_partkey IS NOT NULL),
+db AS (SELECT DISTINCT md5(CAST(p_partkey AS VARCHAR)) AS h
+       FROM part WHERE p_partkey IS NOT NULL),
+ka AS (SELECT h FROM da ORDER BY h LIMIT 256),
+kb AS (SELECT h FROM db ORDER BY h LIMIT 256),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       ORDER BY h LIMIT 256),
+c AS (SELECT count(*) AS k_union,
+             coalesce(sum(CASE WHEN h IN (SELECT h FROM ka)
+                                AND h IN (SELECT h FROM kb)
+                           THEN 1 ELSE 0 END), 0) AS n_common
+      FROM ku)
+SELECT CAST(k_union AS BIGINT) AS k_union,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / k_union AS jaccard_est
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency mining over candidate column pairs
+# ---------------------------------------------------------------------------
+
+_FD_PAIRS = [("o_orderkey", "o_custkey"),
+             ("o_custkey", "o_orderstatus"),
+             ("o_orderpriority", "o_orderstatus")]
+
+
+def q_fd_mining_orders(sf_dir: str):
+    from ..stages.profile import fd_profile
+
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"])
+    return fd_profile(ds, _FD_PAIRS)
+
+
+def _fd_sql_one(det: str, dep: str) -> str:
+    return f"""
+SELECT '{det}' AS determinant, '{dep}' AS dependent,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(coalesce(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_violating,
+       CAST(coalesce(max(nd), 0) AS BIGINT) AS max_dep
+FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+      FROM orders WHERE {dep} IS NOT NULL GROUP BY 1)
+"""
+
+
+SQL_FD_MINING_ORDERS = " UNION ALL ".join(
+    _fd_sql_one(det, dep) for det, dep in _FD_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# Daily-count autocorrelation per event type (periodicity probe)
+# ---------------------------------------------------------------------------
+
+
+def q_acf_daily_events(sf_dir: str):
+    from ..stages.temporal import acf_daily
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return _materialize(acf_daily(ev, "ts", by="event_type", max_lag=3))
+
+
+SQL_ACF_DAILY_EVENTS = """
+WITH d AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), l AS (
+  SELECT event_type, CAST(n AS DOUBLE) AS n,
+         CAST(lag(n, 1) OVER w AS DOUBLE) AS n1,
+         CAST(lag(n, 2) OVER w AS DOUBLE) AS n2,
+         CAST(lag(n, 3) OVER w AS DOUBLE) AS n3
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, 1 AS lag, CAST(count(n1) AS BIGINT) AS n_pairs,
+       round(corr(n, n1), 6) AS acf FROM l GROUP BY 1
+UNION ALL
+SELECT event_type, 2, CAST(count(n2) AS BIGINT), round(corr(n, n2), 6)
+FROM l GROUP BY 1
+UNION ALL
+SELECT event_type, 3, CAST(count(n3) AS BIGINT), round(corr(n, n3), 6)
+FROM l GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Melt / unpivot (wide metrics -> long)
+# ---------------------------------------------------------------------------
+
+
+def q_melt_lineitem(sf_dir: str):
+    from ..stages.relational import melt
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax"])
+    return _materialize(melt(
+        ds, id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        var_name="metric", value_name="val"))
+
+
+SQL_MELT_LINEITEM = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       CAST(l_extendedprice AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       CAST(l_discount AS DOUBLE) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax',
+       CAST(l_tax AS DOUBLE) FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity intervals, user growth, cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_user_state(sf_dir: str):
+    from ..stages.seq import scd2_intervals
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return _materialize(scd2_intervals(
+        ev, by="user_id", ts="ts", state_col="event_type",
+        id_col="event_id"))
+
+
+SQL_SCD2_USER_STATE = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+         CASE WHEN row_number() OVER w = 1 THEN 1
+              WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w
+                THEN 0
+              ELSE 1 END AS chg
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, event_type, t,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM o
+), g AS (
+  SELECT user_id, ver, min(t) AS valid_from_us,
+         max(event_type) AS value, count(*) AS n_rows
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, CAST(ver AS BIGINT) AS version, value,
+       CAST(valid_from_us AS BIGINT) AS valid_from_us,
+       CAST(lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+            AS BIGINT) AS valid_to_us,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM g
+"""
+
+
+def q_user_growth_daily(sf_dir: str):
+    from ..stages.temporal import user_growth_daily
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    return _materialize(user_growth_daily(ev, "ts", by="user_id"))
+
+
+SQL_USER_GROWTH_DAILY = """
+WITH f AS (
+  SELECT user_id,
+         min(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS first_day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1
+), c AS (SELECT first_day AS day, count(*) AS n_new FROM f GROUP BY 1)
+SELECT day, CAST(n_new AS BIGINT) AS n_new,
+       CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_cumulative
+FROM c
+"""
+
+
+def q_cohort_matrix_events(sf_dir: str):
+    from ..stages.temporal import cohort_matrix
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    return _materialize(cohort_matrix(ev, "ts", by="user_id"))
+
+
+SQL_COHORT_MATRIX_EVENTS = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+SELECT f.cohort AS cohort_day, ud.day - f.cohort AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud JOIN f ON ud.user_id = f.user_id GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Completeness drift per day (oracle-paired), SpaceSaving top-k and
+# grouped t-digest (approximate -> rows-only; bounds pinned in tests)
+# ---------------------------------------------------------------------------
+
+
+def q_null_share_daily(sf_dir: str):
+    """Per-day null-share drift over a column with deterministically
+    planted nulls (value < 10 -> null, as in completeness_events)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.profile import null_share_daily
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        val = t.column("value")
+        val = val.combine_chunks() if isinstance(val, pa.ChunkedArray) else val
+        return pa.table({
+            "ts": t.column("ts"),
+            "v": _pc.if_else(_pc.less(val, 10.0),
+                             pa.scalar(None, pa.float64()), val),
+        })
+
+    ds = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return _materialize(null_share_daily(ds, "ts", ["v"]))
+
+
+SQL_NULL_SHARE_DAILY = """
+WITH d AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         CASE WHEN value < 10 THEN NULL ELSE value END AS v
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT day, 'v' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(v) AS BIGINT) AS n_null,
+       CAST(count(*) - count(v) AS DOUBLE) / count(*) AS null_share
+FROM d GROUP BY 1
+"""
+
+
+def q_spacesaving_top_users(sf_dir: str):
+    # approximate enumeration -> rows-only; exact-recovery guarantees
+    # pinned in tests/test_spacesaving.py
+    from ..functions.aggregates import (SketchAggregate, SpaceSaving,
+                                        sketch_loads)
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    res = ds.aggregate(SketchAggregate(
+        on="user_id", factory=lambda: SpaceSaving(64),
+        alias_name="ss"))
+    ss = sketch_loads(res["ss"])
+    top = ss.topk(10)
+    return pa.table({
+        "user_id": pa.array([int(v) for v, _c, _e in top], pa.int64()),
+        "count_upper": pa.array([c for _v, c, _e in top], pa.int64()),
+        "err": pa.array([e for _v, _c, e in top], pa.int64()),
+    })
+
+
+def q_tdigest_group_price(sf_dir: str):
+    # grouped sketch quantile (approximate -> rows-only; error bound
+    # vs exact quantile pinned in tests)
+    from ..functions.aggregates import TDigestQuantile
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return _materialize(
+        ds.groupby("l_returnflag").aggregate(
+            TDigestQuantile(on="l_extendedprice", q=0.5, alias_name="p50"))
+    )
+
+
+QUERIES3: Dict[str, Callable] = {
+    "bloom_semi_events": q_bloom_semi_events,
+    "bloom_anti_events": q_bloom_anti_events,
+    "kmv_overlap_parts": q_kmv_overlap_parts,
+    "fd_mining_orders": q_fd_mining_orders,
+    "acf_daily_events": q_acf_daily_events,
+    "melt_lineitem": q_melt_lineitem,
+    "scd2_user_state": q_scd2_user_state,
+    "user_growth_daily": q_user_growth_daily,
+    "cohort_matrix_events": q_cohort_matrix_events,
+    "null_share_daily": q_null_share_daily,
+    "spacesaving_top_users": q_spacesaving_top_users,
+    "tdigest_group_price": q_tdigest_group_price,
+}
+
+SQL3: Dict[str, str] = {
+    "bloom_semi_events": SQL_BLOOM_SEMI_EVENTS,
+    "bloom_anti_events": SQL_BLOOM_ANTI_EVENTS,
+    "kmv_overlap_parts": SQL_KMV_OVERLAP_PARTS,
+    "fd_mining_orders": SQL_FD_MINING_ORDERS,
+    "acf_daily_events": SQL_ACF_DAILY_EVENTS,
+    "melt_lineitem": SQL_MELT_LINEITEM,
+    "scd2_user_state": SQL_SCD2_USER_STATE,
+    "user_growth_daily": SQL_USER_GROWTH_DAILY,
+    "cohort_matrix_events": SQL_COHORT_MATRIX_EVENTS,
+    "null_share_daily": SQL_NULL_SHARE_DAILY,
+    # spacesaving_top_users / tdigest_group_price: approximate, rows-only
+}

@@ -18,7 +18,110 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["profile_columns", "corr_matrix", "quantile_histogram",
-           "key_skew_report", "benford_digits", "group_entropy"]
+           "key_skew_report", "benford_digits", "group_entropy",
+           "kmv_overlap", "fd_profile", "null_share_daily"]
+
+
+def _kmv_bottom_k(ds, col: str, *, k: int):
+    """Bottom-k md5 fingerprints of a column's DISTINCT values (the KMV
+    / bottom-k sketch).  Per-batch: distinct non-null values -> md5 hex
+    of their decimal-string form (so DuckDB's ``md5(CAST(v AS
+    VARCHAR))`` recomputes it bit-for-bit) -> keep the k smallest.
+    Each block ships <= k 32-byte strings; the driver merges the tiny
+    partials (sort + unique + head-k) — a sketch reduce, same shape as
+    the bloom build, never the data."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column(col)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        uniq = pc.unique(arr.drop_null())
+        hs = np.sort(np.array(
+            [hashlib.md5(str(v).encode()).hexdigest() for v in uniq.to_pylist()],
+            dtype=object))
+        return pa.table({"h": pa.array(list(hs[:k]), pa.string())})
+
+    acc: list = []
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        acc.extend(b.column("h").to_pylist())
+    return sorted(set(acc))[:k]
+
+
+def kmv_overlap(ds_a, col_a: str, ds_b, col_b: str, *, k: int = 256):
+    """Key-set overlap between two tables via KMV (bottom-k) sketches:
+    jaccard_est = |bottom-k(A ∪ B) ∩ A ∩ B| / |bottom-k(A ∪ B)|.
+    Because a union-bottom-k hash h is in A iff h is in bottom-k(A)
+    (h <= the k-th smallest of the union <= the k-th smallest of A),
+    the estimate needs only the two k-hash sketches — the 100 TB way
+    to ask "how much do these key spaces overlap" without a shuffle
+    join.  Deterministic (md5), so the whole row is oracle-exact; the
+    ESTIMATE's accuracy vs true Jaccard is pinned in tests."""
+    ka = _kmv_bottom_k(ds_a, col_a, k=k)
+    kb = _kmv_bottom_k(ds_b, col_b, k=k)
+    ku = sorted(set(ka) | set(kb))[:k]
+    sa, sb = set(ka), set(kb)
+    n_common = sum(1 for h in ku if h in sa and h in sb)
+    k_union = len(ku)
+    return pa.table({
+        "k_union": pa.array([k_union], pa.int64()),
+        "n_common": pa.array([n_common], pa.int64()),
+        "jaccard_est": pa.array(
+            [n_common / k_union if k_union else None], pa.float64()),
+    })
+
+
+def fd_profile(ds, pairs: Sequence[Sequence[str]]):
+    """Functional-dependency MINING over candidate (determinant ->
+    dependent) column pairs: for each pair, how many determinant groups
+    exist, how many violate the FD (>1 distinct non-null dependent),
+    and the worst group's distinct-dependent count.  Two bounded
+    shuffles per pair: distinct (det, dep) pairs, then distinct-dep
+    counts per det reduced by per-batch partials into ONE global row —
+    the n_groups-sized intermediate never hits the driver."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    out = []
+    for det, dep in pairs:
+        def drop_null_dep(t: pa.Table, _dep=dep) -> pa.Table:
+            return t.filter(pc.is_valid(t.column(_dep)))
+
+        pair_distinct = (
+            ds.select_columns([det, dep])
+            .map_batches(drop_null_dep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([det, dep]).aggregate(Count(alias_name="_c"))
+        )
+        per_det = pair_distinct.groupby(det).aggregate(
+            Count(alias_name="nd"))
+
+        def partial(t: pa.Table) -> pa.Table:
+            nd = t.column("nd").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "g": pa.array([len(nd)], pa.int64()),
+                "v": pa.array([int((nd > 1).sum())], pa.int64()),
+                "m": pa.array([int(nd.max()) if len(nd) else 0], pa.int64()),
+            })
+
+        red = per_det.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(Sum("g", alias_name="n_groups"),
+                    Sum("v", alias_name="n_violating"),
+                    Max("m", alias_name="max_dep"))
+        out.append({
+            "determinant": det, "dependent": dep,
+            "n_groups": int(red["n_groups"] or 0),
+            "n_violating": int(red["n_violating"] or 0),
+            "max_dep": int(red["max_dep"] or 0),
+        })
+    return pa.table({
+        "determinant": pa.array([r["determinant"] for r in out], pa.string()),
+        "dependent": pa.array([r["dependent"] for r in out], pa.string()),
+        "n_groups": pa.array([r["n_groups"] for r in out], pa.int64()),
+        "n_violating": pa.array([r["n_violating"] for r in out], pa.int64()),
+        "max_dep": pa.array([r["max_dep"] for r in out], pa.int64()),
+    })
 
 
 def profile_columns(ds, cols: Sequence[str], *, decimals: int = None):
@@ -566,3 +669,67 @@ def group_entropy(ds, key_col: str, cat_col: str):
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def null_share_daily(ds, ts_col: str, cols: Sequence[str]):
+    """Completeness DRIFT: per epoch day, each column's null count and
+    share — catches "the upstream feed dropped a field on Tuesday"
+    where a whole-table CompletenessCheck only sees the average.
+
+    Per-batch combiner: one (day, rows, nulls_per_col) partial row per
+    distinct day per block (vectorized dictionary codes + bincount),
+    then ONE tiny groupby(day) sum.  Output long:
+    (day int64, col, n_rows, n_null, null_share).
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        ok = pc.is_valid(ts)
+        t = t.filter(ok)
+        ts = ts.filter(ok)
+        us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        enc = pc.dictionary_encode(day)
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        n_days = len(enc.dictionary)
+        out = {"day": enc.dictionary,
+               "rows": pa.array(np.bincount(codes, minlength=n_days),
+                                pa.int64())}
+        for c in cols:
+            isnull = pc.is_null(t.column(c)).to_numpy(zero_copy_only=False)
+            out[f"nulls_{c}"] = pa.array(
+                np.bincount(codes, weights=isnull,
+                            minlength=n_days).astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    sums = (
+        ds.select_columns([ts_col] + cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("rows", alias_name="rows"),
+                   *[Sum(f"nulls_{c}", alias_name=f"nulls_{c}")
+                     for c in cols])
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in cols:
+            n_null = t.column(f"nulls_{c}")
+            rows = t.column("rows")
+            pieces.append(pa.table({
+                "day": t.column("day"),
+                "col": pa.array([c] * t.num_rows, pa.string()),
+                "n_rows": rows,
+                "n_null": n_null,
+                "null_share": pc.divide(pc.cast(n_null, pa.float64()),
+                                        pc.cast(rows, pa.float64())),
+            }))
+        return pa.concat_tables(pieces)
+
+    return sums.map_batches(widen, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 
 __all__ = ["safe_join", "semi_join", "anti_join", "except_distinct",
            "intersect_distinct", "pivot_counts", "rollup_counts", "cube_counts",
-           "broadcast_join", "range_join_broadcast", "pareto_front"]
+           "broadcast_join", "range_join_broadcast", "pareto_front",
+           "bloom_semi_join", "bloom_anti_join", "melt"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -203,6 +204,154 @@ def anti_join(left_ds, right_ds, *, on: str, right_on: str,
     missing = joined.map_batches(keep_unmatched, batch_format="pyarrow",
                                  zero_copy_batch=True)
     return missing.select_columns(_left_cols(left_ds))
+
+
+def _build_key_bloom(right_ds, right_on: str, *, n_bits: int, n_hashes: int):
+    """Bloom filter of ``right``'s key column: one per-block partial
+    (each block returns ONE row holding its bit array), OR-reduced on
+    the driver.  The partials stream — the right table itself is never
+    collected; what crosses to the driver is ``blocks x n_bits/8``
+    bytes."""
+    from ..functions.aggregates import BloomFilter
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits, n_hashes)
+        col = t.column(right_on)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = col.drop_null()
+        if len(col):
+            bf.update(col)
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    parts = right_ds.select_columns([right_on]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    acc = None
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for raw in b.column("bits"):
+            arr = np.frombuffer(raw.as_py(), dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr, out=acc)
+    bf = BloomFilter(n_bits, n_hashes)
+    if acc is not None:
+        bf.bits = acc
+    return bf
+
+
+def _bloom_prefilter(left_ds, on: str, bf, *, keep_misses: bool):
+    """Split ``left`` by the broadcast bloom: ``keep_misses=False``
+    keeps probable-members (semi-join candidates), ``True`` keeps
+    definite non-members (anti-join definites).  Null keys count as
+    misses (a null key never equals anything in a semi/anti join)."""
+    import ray
+
+    from ..functions.aggregates import BloomFilter
+
+    handle = ray.put((bf.bits, bf.n_bits, bf.n_hashes))
+
+    def fn(t: pa.Table) -> pa.Table:
+        # BloomFilter is closed over (shipped by value), not imported
+        # here: workers running from a foreign cwd can't import the repo
+        bits, n_bits, n_hashes = ray.get(handle)
+        local = BloomFilter(n_bits, n_hashes)
+        local.bits = bits
+        col = t.column(on)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        hit = np.zeros(t.num_rows, dtype=bool)
+        if valid.any():
+            hit[valid] = local.might_contain(col.filter(pa.array(valid)))
+        return t.filter(pa.array(hit if not keep_misses else ~hit))
+
+    return left_ds.map_batches(fn, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def bloom_semi_join(left_ds, right_ds, *, on: str, right_on: str,
+                    num_partitions: int = 8, n_bits: int = 1 << 20,
+                    n_hashes: int = 7):
+    """Exact semi join with a runtime Bloom pre-filter (the
+    Spark/Presto runtime-filter pattern): the right side's keys distill
+    to an ``n_bits``-bit filter broadcast once via ``ray.put``; left
+    rows that MISS the bloom are definitely unmatched and drop locally
+    without ever entering the shuffle; the (few) bloom hits go through
+    the exact hash semi join, which removes false positives.  Result is
+    EXACT — the bloom has no false negatives.
+
+    Scale contract: at 100 TB, when the match rate is low (blocklists,
+    small dimension probes), the shuffle moves only the candidate rows
+    instead of the whole fact table; the broadcast is ~n_bits/8 bytes
+    regardless of right-side row count."""
+    candidates = _bloom_prefilter(
+        left_ds, on,
+        _build_key_bloom(right_ds, right_on, n_bits=n_bits, n_hashes=n_hashes),
+        keep_misses=False)
+    # the pre-filter may leave ZERO candidates (tiny/empty right side) —
+    # a fully-empty probe side crashes Ray's hash join, and a null-key
+    # sentinel row can never match an inner (semi) join, so pad with one
+    candidates = _null_sentinel_like(left_ds).union(candidates)
+    return semi_join(candidates, right_ds, on=on, right_on=right_on,
+                     num_partitions=num_partitions)
+
+
+def bloom_anti_join(left_ds, right_ds, *, on: str, right_on: str,
+                    num_partitions: int = 8, n_bits: int = 1 << 20,
+                    n_hashes: int = 7):
+    """Exact anti join with a runtime Bloom pre-filter: left rows that
+    MISS the bloom (or have a null key) are definite non-matches and
+    pass through with NO shuffle; only bloom hits — false positives
+    plus true members — go through the exact anti join to decide.
+    Result is EXACT for the same no-false-negative reason."""
+    import ray.data as rd
+
+    bf = _build_key_bloom(right_ds, right_on, n_bits=n_bits,
+                          n_hashes=n_hashes)
+    definite = _bloom_prefilter(left_ds, on, bf, keep_misses=True)
+    candidates = _bloom_prefilter(left_ds, on, bf, keep_misses=False)
+    # pad the (possibly empty) candidate side for the same hash-join
+    # crash as in bloom_semi_join.  An ANTI join WOULD emit a null-key
+    # sentinel as an unmatched row, so real rows carry a marker and the
+    # sentinel (marker null) is filtered back out of the result.
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            _REAL, pa.array(np.ones(t.num_rows, dtype=bool)))
+
+    sch = left_ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    sent = rd.from_arrow(pa.table(
+        {f.name: pa.array([None], f.type) for f in sch}
+        | {_REAL: pa.array([None], pa.bool_())}))
+    marked = sent.union(candidates.map_batches(
+        mark, batch_format="pyarrow", zero_copy_batch=True))
+    checked = anti_join(marked, right_ds, on=on, right_on=right_on,
+                        num_partitions=num_partitions)
+
+    def unmark(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(_REAL))).drop_columns([_REAL])
+
+    checked = checked.map_batches(unmark, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return definite.union(checked)
+
+
+def melt(ds, *, id_cols: Sequence[str], value_cols: Sequence[str],
+         var_name: str = "variable", value_name: str = "value"):
+    """Unpivot wide columns to long (id_cols..., variable, value) —
+    SQL UNPIVOT / pandas ``melt``.  Purely per-batch and shuffle-free:
+    each block emits its k stacked slices; value columns are cast to a
+    common float64 (the usual metric-melt case)."""
+    vcols = list(value_cols)
+    icols = list(id_cols)
+
+    def fn(t: pa.Table) -> pa.Table:
+        pieces = []
+        for c in vcols:
+            cols = {ic: t.column(ic) for ic in icols}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_name] = pc.cast(t.column(c), pa.float64())
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns(icols + vcols).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _set_op(a_ds, b_ds, col_a: str, col_b: str, want: str):

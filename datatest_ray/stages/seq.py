@@ -28,7 +28,7 @@ from ..functions.aggregates import hash64
 __all__ = ["first_last_by", "transition_counts", "ewma_last",
            "inversion_counts", "day_streaks", "next_day_retention",
            "interval_islands", "late_events", "time_weighted_avg",
-           "peak_concurrency"]
+           "peak_concurrency", "scd2_intervals"]
 
 
 def _ts_us(col):
@@ -678,3 +678,99 @@ def peak_concurrency(intervals_ds, *, start_col: str, end_col: str,
     return pa.table({"peak": pa.array([int(peak)], pa.int64()),
                      "n_intervals": pa.array([int(n_intervals)],
                                              pa.int64())})
+
+
+def scd2_intervals(ds, *, by: str, ts: str, state_col: str, id_col: str,
+                   n_buckets: int = 256):
+    """Slowly-changing-dimension (type 2) interval construction: per
+    key, ordered by (ts, id), collapse consecutive runs of EQUAL state
+    into one validity interval — the event-log -> dimension-history
+    compaction every warehouse backfill needs.  Null states compare
+    like SQL ``IS NOT DISTINCT FROM`` (a null run is one run).
+
+    Output: (by, version 1-based int64, value = the run's state,
+    valid_from_us, valid_to_us = next run's start else null, n_rows).
+
+    Plan: ONE coarse-bucket shuffle on ``hash(by)``; the kernel sorts
+    each bucket once and finds run boundaries with dictionary-code
+    compares (null-safe via :func:`dict_encode_keep_null`) — no Python
+    loop over rows or keys.
+    """
+    from ..functions.aggregates import dict_encode_keep_null
+
+    need = list(dict.fromkeys([by, ts, state_col, id_col]))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch.column(by)),
+                     pc.is_valid(batch.column(ts)))
+        batch = batch.filter(ok)
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_t": _ts_us(batch.column(ts)),
+            "_i": pc.cast(batch.column(id_col), pa.int64()),
+            "_v": batch.column(state_col),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys_arr = group.column(by)
+        keys_arr = keys_arr.combine_chunks() \
+            if isinstance(keys_arr, pa.ChunkedArray) else keys_arr
+        keys = keys_arr.to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        i = group.column("_i").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, keys))
+        keys = keys[order]
+        t = t[order]
+        vals = group.column("_v")
+        vals = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) \
+            else vals
+        vals = vals.take(pa.array(order, pa.int64()))
+        codes, _d = dict_encode_keep_null(vals)
+        key_new = _seg_first(keys)
+        run_new = key_new.copy()
+        if len(codes) > 1:
+            run_new[1:] |= codes[1:] != codes[:-1]
+        starts = np.flatnonzero(run_new)
+        n_rows = np.diff(np.append(starts, len(keys)))
+        # version = run index within its key (1-based): runs are sorted
+        # by key, so a running max of "index of the key's first run"
+        # gives each run its key-local offset
+        key_start_of_run = np.cumsum(key_new)[starts] - 1  # key id per run
+        run_idx = np.arange(len(starts))
+        run_is_first = key_new[starts]
+        first_idx = np.maximum.accumulate(
+            np.where(run_is_first, run_idx, -1))
+        version = run_idx - first_idx + 1
+        valid_from = t[starts]
+        # next run's start within the same key, else null
+        same_key_next = np.zeros(len(starts), dtype=bool)
+        if len(starts) > 1:
+            same_key_next[:-1] = (key_start_of_run[1:]
+                                  == key_start_of_run[:-1])
+        nxt = np.empty(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            nxt[:-1] = valid_from[1:]
+        valid_to = pa.array(
+            np.where(same_key_next, nxt, 0).astype(np.int64), pa.int64())
+        valid_to = pc.if_else(pa.array(same_key_next), valid_to,
+                              pa.nulls(len(starts), pa.int64()))
+        take_starts = pa.array(starts, pa.int64())
+        return pa.table({
+            by: pc.take(keys_arr.take(pa.array(order, pa.int64())),
+                        take_starts),
+            "version": pa.array(version.astype(np.int64)),
+            "value": vals.take(take_starts),
+            "valid_from_us": pa.array(valid_from.astype(np.int64)),
+            "valid_to_us": valid_to,
+            "n_rows": pa.array(n_rows.astype(np.int64)),
+        })
+
+    return ds.select_columns(need).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([by, "version", "value", "valid_from_us",
+                      "valid_to_us", "n_rows"])

@@ -28,7 +28,65 @@ import pyarrow.compute as pc
 from ..differences import empty_violations, violations_table
 from .base import Check, RunContext
 
-__all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck"]
+__all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
+           "acf_daily"]
+
+
+def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
+              count_col: Optional[str] = None):
+    """Autocorrelation (Pearson, row-lag over the ordered day series)
+    of the daily event-count series per ``by`` group, for lags
+    1..max_lag — the periodicity probe for ingest monitoring (a strong
+    lag-7 on daily volume = weekly seasonality; a lag-1 near 1 = drift,
+    near 0 = noise).
+
+    Plan: ONE row-level shuffle builds the (group, day) daily counts
+    (O(groups x days) rows — bounded); the per-group ACF is then a
+    vectorized kernel inside ``map_groups`` over that tiny aggregate.
+    Lag pairs follow ROW semantics over the ordered existing days
+    (exactly SQL ``corr(n, lag(n, l) OVER (PARTITION BY g ORDER BY
+    day))``), matching the oracle even when days are missing.
+    NULL group keys / timestamps are excluded (SQL corr ignores them
+    anyway once lag pairs go null).
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        day = pc.strftime(pc.floor_temporal(t.column(ts_col), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({by: t.column(by), "day": day})
+
+    daily = (
+        ds.select_columns([ts_col, by])
+        .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "day"]).aggregate(Count(alias_name="n"))
+    )
+
+    def acf_group(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        key = t.column(by)[0]
+        lags, ns, vals = [], [], []
+        for lag in range(1, max_lag + 1):
+            a, b = x[lag:], x[:-lag]
+            lags.append(lag)
+            ns.append(len(a))
+            if len(a) < 2 or a.std() == 0.0 or b.std() == 0.0:
+                vals.append(None)  # SQL corr is NULL on degenerate pairs
+                continue
+            c = np.corrcoef(a, b)[0, 1]
+            vals.append(round(float(c), 6))
+        return pa.table({
+            by: pa.array([key.as_py()] * len(lags)),
+            "lag": pa.array(lags, pa.int64()),
+            "n_pairs": pa.array(ns, pa.int64()),
+            "acf": pa.array(vals, pa.float64()),
+        })
+
+    return daily.groupby(by).map_groups(acf_group, batch_format="pyarrow")
 
 
 class MonotonicCheck(Check):
@@ -274,3 +332,91 @@ class SequenceContiguityCheck(Check):
                       zero_copy_batch=True)
         return partials.groupby("coarse").map_groups(
             combine, batch_format="pyarrow")
+
+
+def _epoch_day(ts_col) -> pa.Array:
+    us = pc.cast(pc.cast(ts_col, pa.timestamp("us")), pa.int64())
+    return pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                      86400e6)), pa.int64())
+
+
+def user_growth_daily(ds, ts_col: str, *, by: str):
+    """Cumulative-unique growth curve: per epoch day, how many keys
+    appear for the FIRST time and the running total of distinct keys
+    seen — the "user growth" audit.  Two pre-aggregated shuffles
+    (per-key min day, then per-day count); the cumulative sum runs over
+    the tiny per-day table in one final block.
+
+    Output: (day int64 epoch days, n_new int64, n_cumulative int64).
+    """
+    from ray.data.aggregate import Count, Min
+
+    def project(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(by)), pc.is_valid(t.column(ts_col)))
+        t = t.filter(ok)
+        return pa.table({by: t.column(by),
+                         "day": _epoch_day(t.column(ts_col))})
+
+    first = (
+        ds.select_columns([by, ts_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(by).aggregate(Min("day", alias_name="first_day"))
+    )
+    per_day = first.groupby("first_day").aggregate(Count(alias_name="n_new"))
+
+    def cum(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("first_day", "ascending")])
+        n = t.column("n_new").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "day": t.column("first_day"),
+            "n_new": pa.array(n),
+            "n_cumulative": pa.array(np.cumsum(n)),
+        })
+
+    return per_day.repartition(1).map_batches(
+        cum, batch_format="pyarrow", batch_size=None)
+
+
+def cohort_matrix(ds, ts_col: str, *, by: str, num_partitions: int = 8):
+    """Cohort retention matrix: keys grouped by their FIRST-seen epoch
+    day (the cohort), counted by how many are active ``offset`` days
+    after it — the classic (cohort x offset) retention triangle.
+
+    Plan: distinct (key, day) pairs (one shuffle), per-key min day (one
+    tiny shuffle), hash-join pairs back to their cohort, then ONE
+    (cohort, offset) count shuffle — every exchange is pre-aggregated,
+    nothing keys on raw rows.
+
+    Output: (cohort_day int64, offset_days int64, n_users int64).
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .relational import safe_join
+
+    def project(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(by)), pc.is_valid(t.column(ts_col)))
+        t = t.filter(ok)
+        return pa.table({by: t.column(by),
+                         "day": _epoch_day(t.column(ts_col))})
+
+    pairs = (
+        ds.select_columns([by, ts_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "day"]).aggregate(Count(alias_name="_c"))
+    )
+    first = pairs.groupby(by).aggregate(Min("day", alias_name="cohort"))
+    joined = safe_join(pairs, first, join_type="inner",
+                       num_partitions=num_partitions, on=(by,))
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": t.column("cohort"),
+            "offset_days": pc.subtract(t.column("day"), t.column("cohort")),
+        })
+
+    return (
+        joined.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(["cohort_day", "offset_days"])
+        .aggregate(Count(alias_name="n_users"))
+    )

@@ -1,0 +1,92 @@
+"""SCD2 interval construction, user growth curve, cohort matrix."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+
+def _ds(table: pa.Table):
+    import ray.data as rd
+
+    return rd.from_arrow(table)
+
+
+def _ev(rows):
+    """rows: (event_id, ts_iso, user, state)"""
+    ids, tss, users, states = zip(*rows)
+    return pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pc.cast(pa.array(tss), pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "state": pa.array(states, pa.string()),
+    })
+
+
+def test_scd2_collapses_runs_and_versions(ray_session):
+    from datatest_ray.stages.seq import scd2_intervals
+
+    t = _ev([
+        (1, "2026-01-01T00:00:00", 1, "a"),
+        (2, "2026-01-02T00:00:00", 1, "a"),   # same run
+        (3, "2026-01-03T00:00:00", 1, "b"),   # new run
+        (4, "2026-01-04T00:00:00", 1, "a"),   # back to a -> third run
+        (5, "2026-01-01T00:00:00", 2, "x"),   # other key
+    ])
+    out = scd2_intervals(_ds(t), by="user_id", ts="ts", state_col="state",
+                         id_col="event_id").to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("version")
+    assert list(u1["version"]) == [1, 2, 3]
+    assert list(u1["value"]) == ["a", "b", "a"]
+    assert list(u1["n_rows"]) == [2, 1, 1]
+    # valid_to chains to the next run's valid_from; last is null
+    assert list(u1["valid_to_us"])[:2] == list(u1["valid_from_us"])[1:]
+    assert u1["valid_to_us"].isna().iloc[-1]
+    u2 = out[out["user_id"] == 2]
+    assert list(u2["version"]) == [1] and u2["valid_to_us"].isna().all()
+
+
+def test_scd2_null_state_is_one_run(ray_session):
+    from datatest_ray.stages.seq import scd2_intervals
+
+    t = _ev([
+        (1, "2026-01-01T00:00:00", 1, None),
+        (2, "2026-01-02T00:00:00", 1, None),  # IS NOT DISTINCT -> same run
+        (3, "2026-01-03T00:00:00", 1, "a"),
+    ])
+    out = scd2_intervals(_ds(t), by="user_id", ts="ts", state_col="state",
+                         id_col="event_id").to_pandas().sort_values("version")
+    assert list(out["n_rows"]) == [2, 1]
+    assert out["value"].isna().iloc[0] and out["value"].iloc[1] == "a"
+
+
+def test_user_growth_cumulative(ray_session):
+    from datatest_ray.stages.temporal import user_growth_daily
+
+    t = _ev([
+        (1, "2026-01-01T05:00:00", 1, "a"),
+        (2, "2026-01-02T05:00:00", 1, "a"),   # not new on day 2
+        (3, "2026-01-02T05:00:00", 2, "a"),   # new on day 2
+        (4, "2026-01-04T05:00:00", 3, "a"),   # new on day 4
+    ])
+    out = user_growth_daily(_ds(t), "ts", by="user_id").to_pandas()
+    out = out.sort_values("day").reset_index(drop=True)
+    assert list(out["n_new"]) == [1, 1, 1]
+    assert list(out["n_cumulative"]) == [1, 2, 3]
+
+
+def test_cohort_matrix_offsets(ray_session):
+    from datatest_ray.stages.temporal import cohort_matrix
+
+    t = _ev([
+        (1, "2026-01-01T05:00:00", 1, "a"),   # u1 cohort d0
+        (2, "2026-01-03T05:00:00", 1, "a"),   # u1 offset 2
+        (3, "2026-01-03T06:00:00", 1, "a"),   # same (user, day): counted once
+        (4, "2026-01-03T05:00:00", 2, "a"),   # u2 cohort d2
+    ])
+    out = cohort_matrix(_ds(t), "ts", by="user_id").to_pandas()
+    rows = {(r.cohort_day - out["cohort_day"].min(), r.offset_days): r.n_users
+            for r in out.itertuples()}
+    assert rows[(0, 0)] == 1  # u1 at its cohort day
+    assert rows[(0, 2)] == 1  # u1 two days later, deduped within day
+    assert rows[(2, 0)] == 1  # u2's cohort day
+    assert len(out) == 3
