@@ -368,6 +368,74 @@ def q_tdigest_group_price(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Privacy: l-diversity histogram; multivariate outliers (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_l_diversity_customer(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    from ..stages.mlprep import l_diversity
+
+    ds = _read(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal")
+        bal = bal.combine_chunks() if isinstance(bal, pa.ChunkedArray) else bal
+        sens = _pc.cast(_pc.floor(_pc.divide(bal, 1000.0)), pa.int64())
+        return pa.table({
+            "c_nationkey": _pc.cast(t.column("c_nationkey"), pa.int64()),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "sens": sens,
+        })
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    return _materialize(l_diversity(
+        ds, qi_cols=["c_nationkey", "c_mktsegment"], sensitive_col="sens"))
+
+
+SQL_L_DIVERSITY_CUSTOMER = """
+WITH d AS (
+  SELECT DISTINCT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens
+  FROM customer WHERE c_acctbal IS NOT NULL
+), g AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS l FROM d GROUP BY 1, 2
+)
+SELECT CAST(l AS BIGINT) AS l, CAST(count(*) AS BIGINT) AS n_groups
+FROM g GROUP BY 1
+"""
+
+
+def q_mahalanobis_lineitem(sf_dir: str):
+    # rank-based multivariate outliers; numpy parity pinned in tests ->
+    # rows-only contract
+    import pyarrow.compute as _pc
+
+    from ..stages.robust import mahalanobis_outliers
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def rid(t: pa.Table) -> pa.Table:
+        r = _pc.add(_pc.multiply(t.column("l_orderkey"), 8),
+                    _pc.cast(t.column("l_linenumber"), pa.int64()))
+        return pa.table({
+            "rid": r,
+            "l_quantity": t.column("l_quantity"),
+            "l_extendedprice": t.column("l_extendedprice"),
+            "l_discount": t.column("l_discount"),
+        })
+
+    ds = ds.map_batches(rid, batch_format="pyarrow", zero_copy_batch=True)
+    return mahalanobis_outliers(
+        ds, cols=["l_quantity", "l_extendedprice", "l_discount"],
+        id_col="rid", top=20)
+
+
 QUERIES3: Dict[str, Callable] = {
     "bloom_semi_events": q_bloom_semi_events,
     "bloom_anti_events": q_bloom_anti_events,
@@ -381,6 +449,8 @@ QUERIES3: Dict[str, Callable] = {
     "null_share_daily": q_null_share_daily,
     "spacesaving_top_users": q_spacesaving_top_users,
     "tdigest_group_price": q_tdigest_group_price,
+    "l_diversity_customer": q_l_diversity_customer,
+    "mahalanobis_lineitem": q_mahalanobis_lineitem,
 }
 
 SQL3: Dict[str, str] = {
@@ -394,5 +464,7 @@ SQL3: Dict[str, str] = {
     "user_growth_daily": SQL_USER_GROWTH_DAILY,
     "cohort_matrix_events": SQL_COHORT_MATRIX_EVENTS,
     "null_share_daily": SQL_NULL_SHARE_DAILY,
-    # spacesaving_top_users / tdigest_group_price: approximate, rows-only
+    "l_diversity_customer": SQL_L_DIVERSITY_CUSTOMER,
+    # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:
+    # approximate or rank-based -> rows-only
 }

@@ -33,7 +33,8 @@ import pyarrow.compute as pc
 from .sampling import _key_units
 
 __all__ = ["fd_violations", "target_encode", "split_balance",
-           "quantize_report", "impute_group_median", "quantile_normalize"]
+           "quantize_report", "impute_group_median", "quantile_normalize",
+           "l_diversity"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -381,3 +382,33 @@ def quantile_normalize(ds, *, by: str, col: str, id_col: str,
     ).groupby("coarse").map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "qn"])
+
+
+def l_diversity(ds, *, qi_cols, sensitive_col: str):
+    """l-diversity histogram: for every quasi-identifier group, how
+    many DISTINCT non-null sensitive values it contains — the privacy
+    audit that k-anonymity misses (a size-50 group whose every row
+    shares one salary is still a disclosure).  Output: (l int64,
+    n_groups int64) — one row per observed diversity level.
+
+    Plan: distinct (QI..., sensitive) tuples (one pre-aggregated
+    shuffle), per-QI distinct counts (tiny), then a groupby over the
+    count value itself — every exchange is already aggregated.
+    Groups whose sensitive values are ALL null drop out (SQL
+    count(DISTINCT) semantics).
+    """
+    from ray.data.aggregate import Count
+
+    qi = list(qi_cols)
+
+    def drop_null_sens(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(sensitive_col)))
+
+    distinct = (
+        ds.select_columns(qi + [sensitive_col])
+        .map_batches(drop_null_sens, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(qi + [sensitive_col]).aggregate(Count(alias_name="_c"))
+    )
+    per_group = distinct.groupby(qi).aggregate(Count(alias_name="l"))
+    return per_group.groupby("l").aggregate(Count(alias_name="n_groups"))

@@ -28,7 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median"]
+__all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
+           "mahalanobis_outliers"]
 
 
 def _group_positions(col, keys):
@@ -420,3 +421,90 @@ def gini_by_group(ds, *, by: str, value_col: str, n_buckets: int = 32,
                      "gini": pa.array(gini, pa.float64(),
                                       mask=(s == 0) | (n == 0)),
                      "n": pa.array(n.astype(np.int64))})
+
+
+def mahalanobis_outliers(ds, *, cols, id_col: str, top: int = 20):
+    """Multivariate outliers by Mahalanobis distance: rows whose
+    d² = (x-μ)ᵀ Σ⁻¹ (x-μ) is largest — catches the jointly-implausible
+    row (each column in range, the COMBINATION absurd) that univariate
+    z-scores/IQR fences cannot.
+
+    Plan: pass 1 reduces each batch to (n, Σx, ΣxxT) partials — one
+    tiny row per block — summed into exact global moments; the k×k
+    covariance inverse (k = len(cols), driver-side, O(k³) on a handful
+    of floats) broadcasts with μ via the task closure.  Pass 2 streams:
+    a vectorized per-batch distance + LOCAL top-k partial, then one
+    exact final top-k over the gathered survivors (O(top × blocks)
+    rows).  Rows with any null in ``cols`` are skipped.
+
+    Approximate-free but rank-based -> rows-only in the driver
+    contract; numpy parity is pinned in tests.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(cols)
+    k = len(cols)
+
+    def moments(t: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        X = X[~np.isnan(X).any(axis=1)]
+        out = {"n": pa.array([len(X)], pa.int64())}
+        s = X.sum(axis=0) if len(X) else np.zeros(k)
+        xx = X.T @ X if len(X) else np.zeros((k, k))
+        for i in range(k):
+            out[f"s{i}"] = pa.array([float(s[i])], pa.float64())
+            for j in range(i, k):
+                out[f"x{i}_{j}"] = pa.array([float(xx[i, j])], pa.float64())
+        return pa.table(out)
+
+    aggs = [Sum("n", alias_name="n")]
+    aggs += [Sum(f"s{i}", alias_name=f"s{i}") for i in range(k)]
+    aggs += [Sum(f"x{i}_{j}", alias_name=f"x{i}_{j}")
+             for i in range(k) for j in range(i, k)]
+    red = ds.select_columns(cols).map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(*aggs)
+    n = int(red["n"] or 0)
+    if n < k + 1:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "d2": pa.array([], pa.float64())})
+    mu = np.array([red[f"s{i}"] for i in range(k)]) / n
+    S = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            S[i, j] = S[j, i] = red[f"x{i}_{j}"]
+    cov = (S - n * np.outer(mu, mu)) / (n - 1)
+    VI = np.linalg.inv(cov)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(X).any(axis=1)
+        X, ids = X[ok], ids[ok]
+        d = X - mu
+        d2 = np.einsum("ij,jk,ik->i", d, VI, d)
+        order = np.lexsort((ids, -d2))[:top]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "d2": pa.array(d2[order], pa.float64())})
+
+    local = ds.select_columns([id_col] + cols).map_batches(
+        local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    return local.repartition(1).map_batches(
+        local_topk_final(cols, id_col, top, mu, VI),
+        batch_format="pyarrow", batch_size=None)
+
+
+def local_topk_final(cols, id_col, top, mu, VI):
+    """Final exact top-k over the gathered per-block survivors (their
+    d2 is already computed; re-rank only)."""
+    def fin(t: pa.Table) -> pa.Table:
+        d2 = t.column("d2").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -d2))[:top]
+        return pa.table({id_col: pa.array(ids[order]),
+                         "d2": pa.array(d2[order], pa.float64())})
+    return fin

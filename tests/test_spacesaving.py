@@ -88,3 +88,53 @@ def test_grouped_tdigest_close_to_exact(ray_session):
         exact = np.quantile(v[g == key], 0.5)
         est = got[got["g"] == key]["p50"].iloc[0]
         assert abs(est - exact) / exact < 0.02, (key, est, exact)
+
+
+def test_l_diversity_histogram(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.mlprep import l_diversity
+
+    t = pa.table({
+        "q1": pa.array(["a", "a", "a", "b", "b", "c"], pa.string()),
+        "s": pa.array([1, 1, 2, 3, None, None], pa.int64()),
+    })
+    out = l_diversity(rd.from_arrow(t), qi_cols=["q1"],
+                      sensitive_col="s").to_pandas()
+    # group a: {1,2} -> l=2; group b: {3} -> l=1; group c: all-null -> gone
+    hist = dict(zip(out["l"], out["n_groups"]))
+    assert hist == {2: 1, 1: 1}
+
+
+def test_mahalanobis_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from datatest_ray.stages.robust import mahalanobis_outliers
+
+    rng = np.random.RandomState(5)
+    X = rng.multivariate_normal([0, 0], [[1, 0.8], [0.8, 1]], size=500)
+    X[7] = [4.0, -4.0]   # jointly implausible, univariately mild
+    t = pa.table({
+        "id": pa.array(np.arange(500), pa.int64()),
+        "x": pa.array(X[:, 0]),
+        "y": pa.array(X[:, 1]),
+    })
+    out = mahalanobis_outliers(rd.from_arrow(t), cols=["x", "y"],
+                               id_col="id", top=5)
+    out = out if not hasattr(out, "to_pandas") or isinstance(out, pa.Table) \
+        else out
+    import ray.data
+    if isinstance(out, ray.data.Dataset):
+        out = out.to_pandas()
+    else:
+        out = out.to_pandas()
+    mu = X.mean(axis=0)
+    VI = np.linalg.inv(np.cov(X, rowvar=False))
+    d = X - mu
+    d2 = np.einsum("ij,jk,ik->i", d, VI, d)
+    want_top = np.argsort(-d2)[:5]
+    assert out["id"].iloc[0] == 7
+    assert set(out["id"]) == set(want_top)
+    np.testing.assert_allclose(
+        np.sort(out["d2"].to_numpy())[::-1], np.sort(d2[want_top])[::-1],
+        rtol=1e-9)
