@@ -436,6 +436,70 @@ def q_mahalanobis_lineitem(sf_dir: str):
         id_col="rid", top=20)
 
 
+# ---------------------------------------------------------------------------
+# Multi-step funnel; lead-lag daily cross-correlation
+# ---------------------------------------------------------------------------
+
+
+def q_funnel3_events(sf_dir: str):
+    from ..stages.sessions import funnel_steps
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return _materialize(funnel_steps(
+        ev, by="user_id", ts="ts", type_col="event_type",
+        steps=["click", "view", "purchase"]))
+
+
+SQL_FUNNEL3_EVENTS = """
+WITH u1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), u2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'view' AND epoch_us(e.ts) > u1.t1 GROUP BY 1
+), u3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2 GROUP BY 1
+)
+SELECT 1 AS step, 'click' AS step_type,
+       CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_keys
+UNION ALL
+SELECT 2, 'view', CAST((SELECT count(*) FROM u2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM u3) AS BIGINT)
+"""
+
+
+def q_xcorr_click_purchase(sf_dir: str):
+    from ..stages.temporal import xcorr_daily
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return _materialize(xcorr_daily(
+        ev, "ts", type_col="event_type", type_a="click",
+        type_b="purchase", max_lag=2))
+
+
+SQL_XCORR_CLICK_PURCHASE = """
+WITH d AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         event_type, count(*) AS n
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), a AS (SELECT day, CAST(n AS DOUBLE) AS n FROM d WHERE event_type = 'click'),
+b AS (SELECT day, CAST(n AS DOUBLE) AS n FROM d WHERE event_type = 'purchase')
+SELECT l.lag, CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(a.n, b.n), 6) AS xcorr
+FROM (VALUES (-2), (-1), (0), (1), (2)) l(lag)
+JOIN a ON TRUE
+JOIN b ON b.day = a.day + l.lag
+GROUP BY 1
+"""
+
+
 QUERIES3: Dict[str, Callable] = {
     "bloom_semi_events": q_bloom_semi_events,
     "bloom_anti_events": q_bloom_anti_events,
@@ -451,6 +515,8 @@ QUERIES3: Dict[str, Callable] = {
     "tdigest_group_price": q_tdigest_group_price,
     "l_diversity_customer": q_l_diversity_customer,
     "mahalanobis_lineitem": q_mahalanobis_lineitem,
+    "funnel3_events": q_funnel3_events,
+    "xcorr_click_purchase": q_xcorr_click_purchase,
 }
 
 SQL3: Dict[str, str] = {
@@ -465,6 +531,8 @@ SQL3: Dict[str, str] = {
     "cohort_matrix_events": SQL_COHORT_MATRIX_EVENTS,
     "null_share_daily": SQL_NULL_SHARE_DAILY,
     "l_diversity_customer": SQL_L_DIVERSITY_CUSTOMER,
+    "funnel3_events": SQL_FUNNEL3_EVENTS,
+    "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
     # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:
     # approximate or rank-based -> rows-only
 }

@@ -176,3 +176,83 @@ def session_durations(ds, *, by: str, ts: str, gap_s: float = 1800.0):
         project, batch_format="pyarrow", zero_copy_batch=True
     )
     return projected.groupby(by).map_groups(merge, batch_format="pyarrow")
+
+
+def funnel_steps(ds, *, by: str, ts: str, type_col: str, steps,
+                 n_buckets: int = 256):
+    """Multi-step funnel (ordered subsequence match): per key, walk the
+    earliest chain step1 < step2 < ... (each step's FIRST event
+    strictly after the previous step's time) and count how many keys
+    reach each stage — the k-step generalization of
+    :func:`funnel_conversion` (no window bound; strict-inequality
+    ordering mirrors the SQL ``e.ts > prev.t`` oracle).
+
+    Output: (step int64 1-based, step_type, n_keys).
+
+    Plan: rows filtered to the step types at the scan, ONE coarse-
+    bucket shuffle, then a vectorized kernel: one sort per bucket; for
+    each step a per-key segment MIN over that step's timestamps that
+    exceed the key's previous-step time (mask + minimum.reduceat-style
+    scatter) — no Python loop over keys.  Bucket partials then sum in
+    one tiny groupby.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.aggregates import hash64
+
+    steps = list(steps)
+    k = len(steps)
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_in(batch.column(type_col), value_set=pa.array(steps)),
+            pc.and_(pc.is_valid(batch.column(by)),
+                    pc.is_valid(batch.column(ts))))
+        t = batch.filter(m)
+        coarse = (hash64(t.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        step_idx = pc.index_in(t.column(type_col),
+                               value_set=pa.array(steps))
+        return pa.table({
+            by: t.column(by),
+            "ts_us": pc.cast(
+                pc.cast(t.column(ts), pa.timestamp("us")), pa.int64()),
+            "si": pc.cast(step_idx, pa.int8()),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        si = group.column("si").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, keys))
+        keys, t, si = keys[order], t[order], si[order]
+        n = len(keys)
+        counts = np.zeros(k, dtype=np.int64)
+        if n:
+            new = np.ones(n, dtype=bool)
+            new[1:] = keys[1:] != keys[:-1]
+            seg = np.cumsum(new) - 1
+            nseg = int(seg[-1]) + 1
+            prev = np.full(nseg, -(1 << 62), dtype=np.int64)
+            alive = np.ones(nseg, dtype=bool)
+            for s in range(k):
+                m = (si == s) & alive[seg] & (t > prev[seg])
+                best = np.full(nseg, np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(best, seg[m], t[m])
+                reached = best < np.iinfo(np.int64).max
+                alive &= reached
+                prev = np.where(alive, best, prev)
+                counts[s] = int(alive.sum())
+        out = {"step": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+               "step_type": pa.array(steps, pa.string()),
+               "n_keys": pa.array(counts)}
+        return pa.table(out)
+
+    partials = ds.select_columns(
+        list(dict.fromkeys([by, ts, type_col]))
+    ).map_batches(project, batch_format="pyarrow", zero_copy_batch=True
+                  ).groupby("coarse").map_groups(kernel,
+                                                 batch_format="pyarrow")
+    return partials.groupby(["step", "step_type"]).aggregate(
+        Sum("n_keys", alias_name="n_keys"))

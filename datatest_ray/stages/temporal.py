@@ -420,3 +420,65 @@ def cohort_matrix(ds, ts_col: str, *, by: str, num_partitions: int = 8):
         .groupby(["cohort_day", "offset_days"])
         .aggregate(Count(alias_name="n_users"))
     )
+
+
+def xcorr_daily(ds, ts_col: str, *, type_col: str, type_a: str,
+                type_b: str, max_lag: int = 2):
+    """Lead-lag cross-correlation between two event types' daily-count
+    series: corr(a[day], b[day + lag]) for lag in -max_lag..max_lag,
+    over calendar days where BOTH series exist — "do purchases follow
+    clicks by a day?".  Output: (lag int64, n_days int64, xcorr float64
+    round-6, NULL on degenerate overlap like SQL corr).
+
+    ONE row-level shuffle (daily counts per type); the lag alignment
+    runs vectorized (searchsorted on calendar day) over the tiny
+    per-day table in a single final block.
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_in(t.column(type_col),
+                              value_set=pa.array([type_a, type_b])))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        return pa.table({"day": day, "et": t.column(type_col)})
+
+    daily = (
+        ds.select_columns([ts_col, type_col])
+        .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "et"]).aggregate(Count(alias_name="n"))
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        et = t.column("et").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ma, mb = et == type_a, et == type_b
+        da, na = day[ma], n[ma]
+        db, nb = day[mb], n[mb]
+        oa, ob = np.argsort(da), np.argsort(db)
+        da, na, db, nb = da[oa], na[oa], db[ob], nb[ob]
+        lags = np.arange(-max_lag, max_lag + 1, dtype=np.int64)
+        n_days, vals = [], []
+        for lag in lags:
+            idx = np.searchsorted(db, da + lag)
+            ok = (idx < len(db))
+            ok[ok] = db[idx[ok]] == da[ok] + lag
+            x, y = na[ok], nb[idx[ok]]
+            n_days.append(int(ok.sum()))
+            if len(x) < 2 or x.std() == 0.0 or y.std() == 0.0:
+                vals.append(None)
+            else:
+                vals.append(round(float(np.corrcoef(x, y)[0, 1]), 6))
+        return pa.table({
+            "lag": pa.array(lags),
+            "n_days": pa.array(n_days, pa.int64()),
+            "xcorr": pa.array(vals, pa.float64()),
+        })
+
+    return daily.repartition(1).map_batches(
+        kernel, batch_format="pyarrow", batch_size=None)

@@ -90,3 +90,51 @@ def test_cohort_matrix_offsets(ray_session):
     assert rows[(0, 2)] == 1  # u1 two days later, deduped within day
     assert rows[(2, 0)] == 1  # u2's cohort day
     assert len(out) == 3
+
+
+def test_funnel_steps_ordered_chain(ray_session):
+    from datatest_ray.stages.sessions import funnel_steps
+
+    rows = [
+        # u1 full ordered chain
+        (1, "2026-01-01T00:00:00", 1, "click"),
+        (2, "2026-01-01T01:00:00", 1, "view"),
+        (3, "2026-01-01T02:00:00", 1, "purchase"),
+        # u2: purchase BEFORE view -> stops after step 2
+        (4, "2026-01-01T00:00:00", 2, "click"),
+        (5, "2026-01-01T02:00:00", 2, "view"),
+        (6, "2026-01-01T01:00:00", 2, "purchase"),
+        # u3: same-ts view (strict > excludes it) -> stops after step 1
+        (7, "2026-01-01T00:00:00", 3, "click"),
+        (8, "2026-01-01T00:00:00", 3, "view"),
+        # u4: never clicks
+        (9, "2026-01-01T00:00:00", 4, "view"),
+    ]
+    t = _ev([(i, ts, u, s) for i, ts, u, s in rows])
+    out = funnel_steps(_ds(t), by="user_id", ts="ts", type_col="state",
+                       steps=["click", "view", "purchase"]).to_pandas()
+    got = dict(zip(out["step"], out["n_keys"]))
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_xcorr_shifted_series(ray_session):
+    from datatest_ray.stages.temporal import xcorr_daily
+
+    rows = []
+    eid = 0
+    # type a counts 1..8 on days 1..8; type b = same counts one day later
+    for d in range(1, 9):
+        for _ in range(d):
+            eid += 1
+            rows.append((eid, f"2026-01-{d:02d}T01:00:00", 1, "a"))
+        for _ in range(d):
+            eid += 1
+            rows.append((eid, f"2026-01-{d + 1:02d}T01:00:00", 1, "b"))
+    t = _ev(rows)
+    out = xcorr_daily(_ds(t), "ts", type_col="state", type_a="a",
+                      type_b="b", max_lag=1).to_pandas()
+    at = dict(zip(out["lag"], out["xcorr"]))
+    nd = dict(zip(out["lag"], out["n_days"]))
+    assert abs(at[1] - 1.0) < 1e-9   # b lags a by exactly one day
+    # all 8 a-days have a b-day one later; only 7 align at lag 0
+    assert nd[1] == 8 and nd[0] == 7
