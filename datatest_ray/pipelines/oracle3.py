@@ -500,6 +500,63 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# SLA percentile check (GroupAggCheck 'pNN'); Mann-Kendall/Theil-Sen trend
+# ---------------------------------------------------------------------------
+
+
+def q_sla_p90_value(sf_dir: str):
+    """Percentile SLA: p90(value) per event_type must be <= 115 —
+    exercises the GroupAggCheck quantile aggregate ('pNN') path."""
+    from .oracle import _run_check
+    from ..stages.mapping import GroupAggCheck
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return _run_check(
+        GroupAggCheck("value", "event_type", "p90", max=115.0), ds,
+        ["key", "value_num", "expected_num", "deviation", "kind"],
+    )
+
+
+SQL_SLA_P90_VALUE = """
+SELECT event_type AS key, quantile_cont(value, 0.9) AS value_num,
+       CAST(115.0 AS DOUBLE) AS expected_num,
+       quantile_cont(value, 0.9) - 115.0 AS deviation,
+       'deviation' AS kind
+FROM events GROUP BY event_type
+HAVING quantile_cont(value, 0.9) > 115.0
+"""
+
+
+def q_trend_daily_events(sf_dir: str):
+    from ..stages.temporal import trend_daily
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return _materialize(trend_daily(ev, "ts", by="event_type"))
+
+
+SQL_TREND_DAILY_EVENTS = """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), p AS (
+  SELECT a.event_type, sign(b.n - a.n) AS sg,
+         CAST(b.n - a.n AS DOUBLE) / (b.day - a.day) AS slope
+  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day
+), m AS (SELECT event_type, count(*) AS n_days FROM d GROUP BY 1)
+SELECT p.event_type, m.n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(sg) AS BIGINT) AS mk_s,
+       round(CAST(sum(sg) AS DOUBLE) / count(*), 6) AS tau,
+       round(quantile_cont(slope, 0.5), 6) AS sen_slope
+FROM p JOIN m ON m.event_type = p.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES3: Dict[str, Callable] = {
     "bloom_semi_events": q_bloom_semi_events,
     "bloom_anti_events": q_bloom_anti_events,
@@ -517,6 +574,8 @@ QUERIES3: Dict[str, Callable] = {
     "mahalanobis_lineitem": q_mahalanobis_lineitem,
     "funnel3_events": q_funnel3_events,
     "xcorr_click_purchase": q_xcorr_click_purchase,
+    "sla_p90_value": q_sla_p90_value,
+    "trend_daily_events": q_trend_daily_events,
 }
 
 SQL3: Dict[str, str] = {
@@ -533,6 +592,8 @@ SQL3: Dict[str, str] = {
     "l_diversity_customer": SQL_L_DIVERSITY_CUSTOMER,
     "funnel3_events": SQL_FUNNEL3_EVENTS,
     "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
+    "sla_p90_value": SQL_SLA_P90_VALUE,
+    "trend_daily_events": SQL_TREND_DAILY_EVENTS,
     # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:
     # approximate or rank-based -> rows-only
 }

@@ -23,18 +23,31 @@ from .base import Check, RunContext
 __all__ = ["GroupAggCheck"]
 
 _AGGS = {"mean", "sum", "count", "min", "max"}
+_QUANTILE_RE = r"^p(\d{1,2})$"
 
 
 class GroupAggCheck(Check):
     """Per-key aggregate bound: ``agg(column) within [min, max]`` for
     every distinct value of ``by``.  Emits one 'deviation' violation row
     per out-of-range key (key=group value, value_num=aggregate,
-    expected_num=violated bound, deviation=value-bound)."""
+    expected_num=violated bound, deviation=value-bound).
+
+    ``agg`` also accepts a percentile name (``"p50"``, ``"p95"``, ...):
+    the SLA form "p95(latency) per service <= bound", computed with the
+    exact grouped quantile (= SQL ``quantile_cont``); the scale path
+    for huge groups is the t-digest sketch."""
 
     def __init__(self, column: str, by: str, agg: str = "mean",
                  min: Optional[float] = None, max: Optional[float] = None):
-        if agg not in _AGGS:
-            raise ValueError(f"agg must be one of {sorted(_AGGS)}")
+        import re
+
+        self._q = None
+        m = re.match(_QUANTILE_RE, agg)
+        if m:
+            self._q = int(m.group(1)) / 100.0
+        elif agg not in _AGGS:
+            raise ValueError(
+                f"agg must be one of {sorted(_AGGS)} or 'pNN'")
         if min is None and max is None:
             raise ValueError("GroupAggCheck needs min and/or max")
         self.column, self.by, self.agg = column, by, agg
@@ -45,16 +58,24 @@ class GroupAggCheck(Check):
     def violations(self, ds, ctx: RunContext):
         from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-        agg_cls = {"mean": Mean, "sum": Sum, "min": Min, "max": Max}.get(self.agg)
-        if self.agg == "count":
-            agg_obj = Count(alias_name="agg_value")
+        if self._q is not None:
+            from .window import grouped_quantile
+
+            grouped = grouped_quantile(
+                ds, by=self.by, col=self.column, q=self._q,
+                alias="agg_value")
         else:
-            agg_obj = agg_cls(self.column, alias_name="agg_value")
-        grouped = (
-            ds.select_columns([self.by, self.column])
-            .groupby(self.by)
-            .aggregate(agg_obj)
-        )
+            agg_cls = {"mean": Mean, "sum": Sum, "min": Min,
+                       "max": Max}.get(self.agg)
+            if self.agg == "count":
+                agg_obj = Count(alias_name="agg_value")
+            else:
+                agg_obj = agg_cls(self.column, alias_name="agg_value")
+            grouped = (
+                ds.select_columns([self.by, self.column])
+                .groupby(self.by)
+                .aggregate(agg_obj)
+            )
         check = self
 
         def to_violations(t: pa.Table) -> pa.Table:

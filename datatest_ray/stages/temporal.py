@@ -482,3 +482,60 @@ def xcorr_daily(ds, ts_col: str, *, type_col: str, type_a: str,
 
     return daily.repartition(1).map_batches(
         kernel, batch_format="pyarrow", batch_size=None)
+
+
+def trend_daily(ds, ts_col: str, *, by: str):
+    """Nonparametric trend audit per group over the daily-count series:
+    Mann-Kendall S (sum of pairwise sign differences — INTEGER exact),
+    Kendall tau-a = S / n_pairs, and the Theil-Sen slope (median of all
+    pairwise slopes, robust to outlier days).  The "is ingest volume
+    drifting" test that a mean-based regression gets wrong on spiky
+    series.
+
+    ONE row-level shuffle (daily counts), then a vectorized pairwise
+    kernel per group over the tiny per-day aggregate (m days -> m(m-1)/2
+    pairs; m is calendar-bounded).  Output: (by, n_days, n_pairs,
+    mk_s int64, tau round-6, sen_slope round-6).
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        return pa.table({by: t.column(by), "day": day})
+
+    daily = (
+        ds.select_columns([ts_col, by])
+        .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "day"]).aggregate(Count(alias_name="n"))
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        day = t.column("day").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        key = t.column(by)[0].as_py()
+        m = len(n)
+        i, j = np.triu_indices(m, k=1)
+        dn = n[j] - n[i]
+        dd = day[j] - day[i]
+        s = int(np.sign(dn).sum())
+        n_pairs = len(i)
+        tau = round(s / n_pairs, 6) if n_pairs else None
+        sen = round(float(np.quantile(dn / dd, 0.5)), 6) if n_pairs else None
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([m], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "mk_s": pa.array([s], pa.int64()),
+            "tau": pa.array([tau], pa.float64()),
+            "sen_slope": pa.array([sen], pa.float64()),
+        })
+
+    return daily.groupby(by).map_groups(kernel, batch_format="pyarrow")

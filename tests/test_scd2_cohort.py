@@ -138,3 +138,36 @@ def test_xcorr_shifted_series(ray_session):
     assert abs(at[1] - 1.0) < 1e-9   # b lags a by exactly one day
     # all 8 a-days have a b-day one later; only 7 align at lag 0
     assert nd[1] == 8 and nd[0] == 7
+
+
+def test_groupagg_percentile_and_trend(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from datatest_ray.stages.base import RunContext
+    from datatest_ray.stages.mapping import GroupAggCheck
+    from datatest_ray.stages.temporal import trend_daily
+
+    t = pa.table({
+        "g": pa.array(["a"] * 100 + ["b"] * 100),
+        "v": pa.array(list(range(100)) + list(range(100, 200)),
+                      pa.float64()),
+    })
+    # p90(a) = 89.1, p90(b) = 189.1 -> only b violates max=100
+    v = GroupAggCheck("v", "g", "p90", max=100.0).violations(
+        rd.from_arrow(t), RunContext()).to_pandas()
+    assert list(v["key"]) == ["b"]
+    assert abs(v["value_num"][0] - np.quantile(
+        np.arange(100.0, 200.0), 0.9)) < 1e-9
+
+    # strictly rising daily counts -> S = n_pairs, tau = 1, sen > 0
+    rows = []
+    eid = 0
+    for d in range(1, 7):
+        for _ in range(d * 2):
+            eid += 1
+            rows.append((eid, f"2026-02-{d:02d}T01:00:00", 1, "x"))
+    ev = _ev(rows)
+    out = trend_daily(_ds(ev), "ts", by="state").to_pandas()
+    assert out["mk_s"][0] == out["n_pairs"][0] == 15
+    assert out["tau"][0] == 1.0 and out["sen_slope"][0] == 2.0
