@@ -501,6 +501,48 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Distributed interval join (both sides large, bucket co-partitioned)
+# ---------------------------------------------------------------------------
+
+
+def q_interval_join_acctbal(sf_dir: str):
+    """Customers whose balance falls inside [s_acctbal, s_acctbal+50)
+    of any supplier — the co-partitioned interval join where neither
+    side is broadcastable."""
+    import pyarrow.compute as _pc
+
+    from ..stages.relational import interval_join_bucketed
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_suppkey": t.column("s_suppkey"),
+            "lo": _pc.cast(t.column("s_acctbal"), pa.float64()),
+            "hi": _pc.add(_pc.cast(t.column("s_acctbal"), pa.float64()),
+                          50.0),
+        })
+
+    supp = supp.map_batches(bounds, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = interval_join_bucketed(
+        cust, supp, value_col="c_acctbal", lo_col="lo", hi_col="hi",
+        point_cols=["c_custkey"], interval_cols=["s_suppkey"],
+        bucket_width=50.0)
+    return _materialize(out, empty_schema=pa.schema(
+        [("c_custkey", pa.int64()), ("c_acctbal", pa.float64()),
+         ("s_suppkey", pa.int64())]))
+
+
+SQL_INTERVAL_JOIN_ACCTBAL = """
+SELECT c.c_custkey, c.c_acctbal, s.s_suppkey
+FROM customer c JOIN supplier s
+  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal < s.s_acctbal + 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # SLA percentile check (GroupAggCheck 'pNN'); Mann-Kendall/Theil-Sen trend
 # ---------------------------------------------------------------------------
 
@@ -576,6 +618,7 @@ QUERIES3: Dict[str, Callable] = {
     "xcorr_click_purchase": q_xcorr_click_purchase,
     "sla_p90_value": q_sla_p90_value,
     "trend_daily_events": q_trend_daily_events,
+    "interval_join_acctbal": q_interval_join_acctbal,
 }
 
 SQL3: Dict[str, str] = {
@@ -594,6 +637,7 @@ SQL3: Dict[str, str] = {
     "xcorr_click_purchase": SQL_XCORR_CLICK_PURCHASE,
     "sla_p90_value": SQL_SLA_P90_VALUE,
     "trend_daily_events": SQL_TREND_DAILY_EVENTS,
+    "interval_join_acctbal": SQL_INTERVAL_JOIN_ACCTBAL,
     # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:
     # approximate or rank-based -> rows-only
 }

@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 __all__ = ["safe_join", "semi_join", "anti_join", "except_distinct",
            "intersect_distinct", "pivot_counts", "rollup_counts", "cube_counts",
            "broadcast_join", "range_join_broadcast", "pareto_front",
-           "bloom_semi_join", "bloom_anti_join", "melt"]
+           "bloom_semi_join", "bloom_anti_join", "melt",
+           "interval_join_bucketed"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -651,3 +652,135 @@ def pareto_front(ds, *, min_col: str, max_col: str, id_col: str):
     # survivors are tiny by construction: one exact global pass
     return local.repartition(1).map_batches(
         skyline, batch_format="pyarrow", batch_size=None)
+
+
+def interval_join_bucketed(points_ds, intervals_ds, *, value_col: str,
+                           lo_col: str, hi_col: str, point_cols,
+                           interval_cols, bucket_width: float,
+                           max_span_buckets: int = 64):
+    """Distributed point-in-interval join where BOTH sides are large
+    (the broadcast path :func:`range_join_broadcast` requires a small
+    band table; this one co-partitions instead): intervals replicate to
+    every ``bucket_width``-wide bucket they overlap, points route to
+    their single bucket, ONE shuffle co-locates them, and a vectorized
+    within-bucket kernel emits matches ``lo <= v < hi``.
+
+    Partitioning assumption (checked): each interval spans at most
+    ``max_span_buckets`` buckets — replication is bounded by
+    span/bucket_width.  Intervals may overlap each other freely (unlike
+    the broadcast path).  Null values/bounds never match.
+    """
+    import ray.data as rd
+
+    pcols = list(point_cols)
+    icols = list(interval_cols)
+    w = float(bucket_width)
+
+    def route_points(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        t = t.filter(pc.is_valid(v))
+        vals = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        b = np.floor(vals / w).astype(np.int64)
+        out = {c: t.column(c) for c in dict.fromkeys(pcols + [value_col])}
+        out["_b"] = pa.array(b)
+        out["_side"] = pa.array(np.zeros(len(b), dtype=np.int8))
+        for c in icols:
+            out[f"_i_{c}"] = pa.nulls(len(b), intervals_ds.schema(
+            ).base_schema.field(c).type if hasattr(
+                intervals_ds.schema(), "base_schema") else
+                intervals_ds.schema().field(c).type)
+        out["_lo"] = pa.nulls(len(b), pa.float64())
+        out["_hi"] = pa.nulls(len(b), pa.float64())
+        return pa.table(out)
+
+    p_sch = points_ds.schema()
+    p_sch = getattr(p_sch, "base_schema", p_sch)
+
+    def route_intervals(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(lo_col)),
+                     pc.is_valid(t.column(hi_col)))
+        t = t.filter(ok)
+        lo = t.column(lo_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        hi = t.column(hi_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        b0 = np.floor(lo / w).astype(np.int64)
+        # hi is exclusive: the last bucket is the one holding the
+        # largest value < hi
+        b1 = np.floor(np.nextafter(hi, -np.inf) / w).astype(np.int64)
+        b1 = np.maximum(b1, b0)
+        span = b1 - b0 + 1
+        if span.max(initial=0) > max_span_buckets:
+            raise ValueError(
+                f"interval spans {int(span.max())} buckets > "
+                f"max_span_buckets={max_span_buckets}; raise bucket_width")
+        reps = span
+        idx = np.repeat(np.arange(len(lo)), reps)
+        offs = np.concatenate([np.arange(s) for s in reps]) \
+            if len(reps) else np.array([], dtype=np.int64)
+        bucket = b0[idx] + offs
+        take = pa.array(idx, pa.int64())
+        out = {c: pa.nulls(len(idx), p_sch.field(c).type)
+               for c in dict.fromkeys(pcols + [value_col])}
+        out["_b"] = pa.array(bucket)
+        out["_side"] = pa.array(np.ones(len(idx), dtype=np.int8))
+        for c in icols:
+            col = t.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            out[f"_i_{c}"] = col.take(take)
+        out["_lo"] = pa.array(lo[idx], pa.float64())
+        out["_hi"] = pa.array(hi[idx], pa.float64())
+        return pa.table(out)
+
+    pts = points_ds.select_columns(
+        list(dict.fromkeys(pcols + [value_col]))).map_batches(
+        route_points, batch_format="pyarrow", zero_copy_batch=True)
+    ivs = intervals_ds.select_columns(
+        list(dict.fromkeys(icols + [lo_col, hi_col]))).map_batches(
+        route_intervals, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy(zero_copy_only=False)
+        pmask, imask = side == 0, side == 1
+        p = group.filter(pa.array(pmask))
+        iv = group.filter(pa.array(imask))
+        empty = {c: pa.array([], p_sch.field(c).type)
+                 for c in dict.fromkeys(pcols + [value_col])}
+        for c in icols:
+            empty[c] = group.column(f"_i_{c}").slice(0, 0)
+        if p.num_rows == 0 or iv.num_rows == 0:
+            return pa.table(empty)
+        v = p.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        lo = iv.column("_lo").to_numpy(zero_copy_only=False)
+        hi = iv.column("_hi").to_numpy(zero_copy_only=False)
+        # sort intervals by lo; for each point, candidates are the
+        # intervals with lo <= v — then filter v < hi exactly
+        order = np.argsort(lo, kind="stable")
+        lo_s, hi_s = lo[order], hi[order]
+        upto = np.searchsorted(lo_s, v, side="right")
+        reps = upto
+        pid = np.repeat(np.arange(len(v)), reps)
+        iid = np.concatenate([np.arange(u) for u in upto]) \
+            if len(upto) else np.array([], dtype=np.int64)
+        keep = v[pid] < hi_s[iid]
+        pid, iid = pid[keep], iid[keep]
+        ptake = pa.array(pid, pa.int64())
+        itake = pa.array(order[iid], pa.int64())
+        out = {}
+        for c in dict.fromkeys(pcols + [value_col]):
+            col = p.column(c)
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            out[c] = col.take(ptake)
+        for c in icols:
+            col = iv.column(f"_i_{c}")
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            out[c] = col.take(itake)
+        return pa.table(out)
+
+    return pts.union(ivs).groupby("_b").map_groups(
+        kernel, batch_format="pyarrow")

@@ -135,3 +135,40 @@ def test_melt_shape_and_values(ray_session):
     assert set(out["metric"]) == {"m1", "m2"}
     row = out[(out["id"] == 2) & (out["metric"] == "m1")]
     assert row["val"].isna().all()
+
+
+def test_interval_join_bucketed_exact(ray_session):
+    import numpy as np
+
+    from datatest_ray.stages.relational import interval_join_bucketed
+
+    rng = np.random.RandomState(11)
+    pv = rng.uniform(0, 100, 300)
+    lo = rng.uniform(0, 95, 40)
+    hi = lo + rng.uniform(0.5, 12, 40)  # overlapping intervals allowed
+    pts = pa.table({"pid": pa.array(np.arange(300), pa.int64()),
+                    "v": pa.array(pv)})
+    ivs = pa.table({"iid": pa.array(np.arange(40), pa.int64()),
+                    "lo": pa.array(lo), "hi": pa.array(hi)})
+    out = interval_join_bucketed(
+        _ds(pts), _ds(ivs), value_col="v", lo_col="lo", hi_col="hi",
+        point_cols=["pid"], interval_cols=["iid"],
+        bucket_width=5.0).to_pandas()
+    got = set(zip(out["pid"], out["iid"]))
+    want = {(p, i) for p in range(300) for i in range(40)
+            if lo[i] <= pv[p] < hi[i]}
+    assert got == want and len(want) > 100
+
+
+def test_interval_join_span_guard(ray_session):
+    from datatest_ray.stages.relational import interval_join_bucketed
+
+    pts = pa.table({"pid": pa.array([1], pa.int64()),
+                    "v": pa.array([1.0])})
+    ivs = pa.table({"iid": pa.array([1], pa.int64()),
+                    "lo": pa.array([0.0]), "hi": pa.array([1e6])})
+    with pytest.raises(Exception):
+        interval_join_bucketed(
+            _ds(pts), _ds(ivs), value_col="v", lo_col="lo", hi_col="hi",
+            point_cols=["pid"], interval_cols=["iid"], bucket_width=1.0,
+            max_span_buckets=8).to_pandas()
