@@ -356,6 +356,36 @@ def q_spacesaving_top_users(sf_dir: str):
     })
 
 
+def q_heavy_hitters_group(sf_dir: str):
+    """GROUPED SpaceSaving: per event_type, the top-3 users by event
+    count — the summary merges through the groupby shuffle (O(k) items
+    per group per block).  Top-k enumeration is approximate in general
+    -> rows-only (deterministic: counts carry error bounds and the
+    tie-break is fixed); guarantee behavior is pinned in
+    tests/test_spacesaving.py."""
+    from ..functions.aggregates import (SketchAggregate, SpaceSaving,
+                                        sketch_loads)
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    res = _materialize(ds.groupby("event_type").aggregate(
+        SketchAggregate(on="user_id", factory=lambda: SpaceSaving(256),
+                        alias_name="ss")))
+    types, users, counts, ranks = [], [], [], []
+    for et, raw in zip(res.column("event_type").to_pylist(),
+                       res.column("ss").to_pylist()):
+        for rank, (v, c, _e) in enumerate(sketch_loads(raw).topk(3), 1):
+            types.append(et)
+            users.append(int(v))
+            counts.append(int(c))
+            ranks.append(rank)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "n": pa.array(counts, pa.int64()),
+    })
+
+
 def q_tdigest_group_price(sf_dir: str):
     # grouped sketch quantile (approximate -> rows-only; error bound
     # vs exact quantile pinned in tests)
@@ -611,6 +641,7 @@ QUERIES3: Dict[str, Callable] = {
     "cohort_matrix_events": q_cohort_matrix_events,
     "null_share_daily": q_null_share_daily,
     "spacesaving_top_users": q_spacesaving_top_users,
+    "heavy_hitters_group": q_heavy_hitters_group,
     "tdigest_group_price": q_tdigest_group_price,
     "l_diversity_customer": q_l_diversity_customer,
     "mahalanobis_lineitem": q_mahalanobis_lineitem,
