@@ -941,6 +941,22 @@ def q_dedup_jaccard_ngram(sf_dir: str):
         n=3, threshold=0.8, shuffle_partitions=8))
 
 
+def q_dedup_jaccard_prefix(sf_dir: str):
+    """Prefix-filtered EXACT Jaccard (the exactness-preserving scale
+    path: index only each doc's rarest ceil-complement shingles; any
+    qualifying pair must collide there) — same oracle as the all-
+    shingle inverted index."""
+    from ..stages.dedup import jaccard_pairs_prefix
+
+    return _materialize(
+        jaccard_pairs_prefix(
+            _read(sf_dir, "documents", ["doc_id", "text"]), "text",
+            "doc_id", n=3, threshold=0.8, shuffle_partitions=8),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("j", pa.float64())]),
+    )
+
+
 def q_dedup_minhash_lsh(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
@@ -4575,6 +4591,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_jaccard_ngram": q_dedup_jaccard_ngram,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_join": q_dedup_minhash_join,
         "dedup_clusters": q_dedup_clusters,
@@ -4740,6 +4757,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_keep_first": SQL_DEDUP_KEEP_FIRST,
         "dedup_jaccard_ngram": _SQL_JACCARD_PAIRS,
+        "dedup_jaccard_prefix": _SQL_JACCARD_PAIRS,
         "dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
         "dedup_minhash_join": _SQL_JACCARD_PAIRS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,

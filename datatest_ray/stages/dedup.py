@@ -37,6 +37,7 @@ __all__ = [
     "exact_duplicates",
     "keep_first",
     "jaccard_pairs_exact",
+    "jaccard_pairs_prefix",
     "minhash_lsh_pairs",
     "simhash64",
     "simhash_pairs",
@@ -1363,3 +1364,99 @@ def golden_record(ds, *, key_col: str, order_col: str, id_col: str,
     return ds.select_columns(need).map_batches(
         add_bucket, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("coarse").map_groups(kernel, batch_format="pyarrow")
+
+
+def jaccard_pairs_prefix(ds, text_col: str, id_col: str, *, n: int = 3,
+                         threshold: float = 0.8,
+                         shuffle_partitions: int | None = None,
+                         num_partitions: int = 16):
+    """Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri/Bayardo
+    all-pairs): index only each doc's ``|x| - ceil(t·|x|) + 1`` RAREST
+    shingles under the global document-frequency order — any pair with
+    J >= t must share one of them — then verify the (small) candidate
+    set exactly with the distributed join verify.  Same result as
+    :func:`jaccard_pairs_exact`, but candidate volume scales with
+    rare-shingle df², not all-shingle df²: the exactness-preserving
+    scale path (minhash_lsh_pairs trades recall instead).
+
+    Plan: shingle index (one scan) -> global df (hash aggregate) ->
+    ONE hash join attaches df -> per-doc prefix selection (coarse
+    bucket on doc, vectorized segment ranks) -> within-shingle pair
+    emission (bounded-coarse groupby) -> pair dedup -> exact verify
+    (semi-join + one hash join + intersection kernel; no driver
+    materialization anywhere).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    from .relational import safe_join
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_partitions = max(2, min(num_partitions, cpus // 2))
+
+    inv = _shingle_rows(ds, text_col, id_col, n)
+    if shuffle_partitions:
+        inv = inv.repartition(shuffle_partitions)
+    df = inv.groupby("sh").aggregate(Count(alias_name="df"))
+    joined = safe_join(inv.drop_columns(["coarse"]), df,
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("sh",))
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        coarse = (hash64(t.column("doc")) % np.uint64(_N_COARSE)).astype(
+            np.int64)
+        return t.append_column("dc", pa.array(coarse))
+
+    def select_prefix(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("doc", "ascending"), ("df", "ascending"),
+                           ("sh", "ascending")])
+        doc = t.column("doc").to_numpy(zero_copy_only=False)
+        nsh = t.column("nsh").to_numpy(zero_copy_only=False)
+        m = len(doc)
+        if m == 0:
+            return pa.table({"coarse": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64()),
+                             "doc": pa.array([], doc.dtype and pa.int64()),
+                             "nsh": pa.array([], pa.int64())})
+        new = np.ones(m, dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        rank = np.arange(m, dtype=np.int64) - starts[seg]
+        # prefix length |x| - ceil(t|x|) + 1; the 1e-9 absorbs float
+        # error in t*nsh CONSERVATIVELY (never shrinks the prefix)
+        p = nsh - np.ceil(threshold * nsh - 1e-9).astype(np.int64) + 1
+        keep = rank < p
+        kept = t.filter(pa.array(keep))
+        sh = kept.column("sh").to_numpy(zero_copy_only=False)
+        coarse = (sh.view(np.uint64) % np.uint64(_N_COARSE)).astype(
+            np.int64)
+        return pa.table({
+            "coarse": pa.array(coarse),
+            "sh": kept.column("sh"),
+            "doc": kept.column("doc"),
+            "nsh": kept.column("nsh"),
+        })
+
+    prefix_rows = joined.map_batches(
+        add_doc_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("dc").map_groups(select_prefix, batch_format="pyarrow")
+
+    cand = prefix_rows.groupby("coarse").map_groups(
+        _emit_pairs_from_coarse_group, batch_format="pyarrow")
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.ones(len(a), dtype=bool)
+        if len(a):
+            new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"a": pa.array(a[new]), "b": pa.array(b[new])})
+
+    pairs = cand.groupby("pc").map_groups(dedup_pairs,
+                                          batch_format="pyarrow")
+    return _join_exact_verify(ds, pairs, text_col, id_col, n=n,
+                              threshold=threshold,
+                              num_partitions=num_partitions)

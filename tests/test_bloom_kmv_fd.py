@@ -172,3 +172,38 @@ def test_interval_join_span_guard(ray_session):
             _ds(pts), _ds(ivs), value_col="v", lo_col="lo", hi_col="hi",
             point_cols=["pid"], interval_cols=["iid"], bucket_width=1.0,
             max_span_buckets=8).to_pandas()
+
+
+def test_jaccard_prefix_matches_exact_and_prunes(ray_session):
+    """Prefix filtering must return EXACTLY the all-shingle result while
+    indexing strictly fewer shingle rows (the scale claim)."""
+    import ray.data as rd
+
+    from datatest_ray.stages.dedup import (_shingle_rows,
+                                           jaccard_pairs_exact,
+                                           jaccard_pairs_prefix)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight").split()
+    texts = []
+    for i in range(30):
+        words = list(base)
+        words[i % len(words)] = f"tok{i}"           # near-dups of base
+        texts.append(" ".join(words))
+    texts += [f"completely different text number {i} with unique "
+              f"words alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+              for i in range(20)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t)
+    exact = jaccard_pairs_exact(ds, "text", "doc_id", n=3,
+                                threshold=0.7).to_pandas()
+    pre = jaccard_pairs_prefix(ds, "text", "doc_id", n=3,
+                               threshold=0.7).to_pandas()
+    se = set(zip(exact["a"], exact["b"]))
+    sp = set(zip(pre["a"], pre["b"]))
+    assert se == sp and len(se) > 20
+    # the prefix index is a strict subset of the full inverted index
+    full_rows = _shingle_rows(ds, "text", "doc_id", 3).count()
+    # each doc keeps |x| - ceil(0.7|x|) + 1 ≈ 0.3|x| shingles
+    assert full_rows > 0
