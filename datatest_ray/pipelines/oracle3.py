@@ -572,6 +572,47 @@ FROM customer c JOIN supplier s
 """
 
 
+def q_setop_union_status(sf_dir: str):
+    from ..stages.relational import union_distinct
+
+    orders = _read(sf_dir, "orders", ["o_orderstatus"])
+    li = _read(sf_dir, "lineitem", ["l_linestatus"])
+    return _materialize(union_distinct(
+        orders, li, col="o_orderstatus", col_b="l_linestatus"))
+
+
+SQL_SETOP_UNION_STATUS = """
+SELECT o_orderstatus AS v FROM orders
+UNION
+SELECT l_linestatus FROM lineitem
+"""
+
+
+def q_pivot_value_sums(sf_dir: str):
+    from ..stages.relational import pivot_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    return _materialize(pivot_sum(
+        ev, by="user_id", pivot_col="event_type",
+        values=["click", "view", "purchase"], value_col="value"))
+
+
+SQL_PIVOT_VALUE_SUMS = """
+SELECT user_id,
+  sum(CASE WHEN event_type = 'click'
+           THEN CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+           ELSE 0 END) / 100.0 AS sum_click,
+  sum(CASE WHEN event_type = 'view'
+           THEN CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+           ELSE 0 END) / 100.0 AS sum_view,
+  sum(CASE WHEN event_type = 'purchase'
+           THEN CAST(round(coalesce(value, 0) * 100) AS BIGINT)
+           ELSE 0 END) / 100.0 AS sum_purchase
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SLA percentile check (GroupAggCheck 'pNN'); Mann-Kendall/Theil-Sen trend
 # ---------------------------------------------------------------------------
@@ -650,6 +691,8 @@ QUERIES3: Dict[str, Callable] = {
     "sla_p90_value": q_sla_p90_value,
     "trend_daily_events": q_trend_daily_events,
     "interval_join_acctbal": q_interval_join_acctbal,
+    "setop_union_status": q_setop_union_status,
+    "pivot_value_sums": q_pivot_value_sums,
 }
 
 SQL3: Dict[str, str] = {
@@ -669,6 +712,8 @@ SQL3: Dict[str, str] = {
     "sla_p90_value": SQL_SLA_P90_VALUE,
     "trend_daily_events": SQL_TREND_DAILY_EVENTS,
     "interval_join_acctbal": SQL_INTERVAL_JOIN_ACCTBAL,
+    "setop_union_status": SQL_SETOP_UNION_STATUS,
+    "pivot_value_sums": SQL_PIVOT_VALUE_SUMS,
     # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:
     # approximate or rank-based -> rows-only
 }

@@ -109,6 +109,13 @@ def _build_seq_contiguous(s):
     return SequenceContiguityCheck(s["group_col"], s["seq_col"])
 
 
+def _build_group_agg(s):
+    from ..stages.mapping import GroupAggCheck
+
+    return GroupAggCheck(s["column"], s["by"], agg=s.get("agg", "mean"),
+                         min=s.get("min"), max=s.get("max"))
+
+
 _BUILDERS = {
     "interval": _build_interval,
     "regex": _build_regex,
@@ -120,6 +127,7 @@ _BUILDERS = {
     "monotonic": _build_monotonic,
     "freshness": _build_freshness,
     "seq_contiguous": _build_seq_contiguous,
+    "group_agg": _build_group_agg,
 }
 
 
@@ -178,6 +186,11 @@ def _dump_check(c) -> Dict[str, Any]:
     if isinstance(c, SequenceContiguityCheck):
         return {"type": "seq_contiguous", "group_col": c.group_col,
                 "seq_col": c.seq_col}
+    from ..stages.mapping import GroupAggCheck
+
+    if isinstance(c, GroupAggCheck):
+        return {"type": "group_agg", "column": c.column, "by": c.by,
+                "agg": c.agg, "min": c.min, "max": c.max}
     raise ValueError(f"cannot serialize check {type(c).__name__}")
 
 

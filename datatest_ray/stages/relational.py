@@ -31,7 +31,7 @@ __all__ = ["safe_join", "semi_join", "anti_join", "except_distinct",
            "intersect_distinct", "pivot_counts", "rollup_counts", "cube_counts",
            "broadcast_join", "range_join_broadcast", "pareto_front",
            "bloom_semi_join", "bloom_anti_join", "melt",
-           "interval_join_bucketed"]
+           "interval_join_bucketed", "pivot_sum", "union_distinct"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -784,3 +784,74 @@ def interval_join_bucketed(points_ds, intervals_ds, *, value_col: str,
 
     return pts.union(ivs).groupby("_b").map_groups(
         kernel, batch_format="pyarrow")
+
+
+def union_distinct(a_ds, b_ds, *, col: str, col_b: str = None):
+    """DISTINCT values present in either side (SQL UNION).  Output
+    column: ``v``.  Same per-batch-distinct + coarse-bucket plan as the
+    other set ops — the exchange carries distinct partials only."""
+    from .global_checks import _distinct, _distinct_partials
+
+    a = _distinct_partials(a_ds.select_columns([col]), col)
+    b = _distinct_partials(b_ds.select_columns([col_b or col]), col_b or col)
+    return _distinct(a.union(b), "v")
+
+
+def pivot_sum(ds, *, by: str, pivot_col: str, values: Sequence[str],
+              value_col: str, prefix: str = "sum_", decimals: int = 2):
+    """Pivot ``pivot_col`` into SUM(value_col) columns per ``by`` key —
+    SQL ``sum(CASE WHEN pivot = v THEN val ELSE 0 END)``.  Sums
+    accumulate as int64 of 10^decimals-scaled units inside the per-batch
+    combiner (exact under any distributed summation order), divided back
+    at the end.  Null values contribute 0 (SQL SUM ignores them).
+    """
+    from ray.data.aggregate import Sum
+
+    vals = list(values)
+    names: List[str] = [f"{prefix}{v}" for v in vals]
+    value_set = pa.array(vals)
+    scale = float(10 ** decimals)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # null keys are dropped (mirror the oracle's WHERE key IS NOT
+        # NULL) — a null dictionary index would poison the bincount
+        batch = batch.filter(pc.is_valid(batch.column(by)))
+        keys = batch.column(by)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) \
+            else keys
+        enc = pc.dictionary_encode(keys)
+        kcode = np.asarray(enc.indices)
+        vidx = pc.index_in(batch.column(pivot_col), value_set=value_set)
+        ok = vidx.is_valid().to_numpy(zero_copy_only=False)
+        x = batch.column(value_col)
+        x = x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+        units = pc.cast(pc.round(pc.multiply(
+            pc.cast(pc.fill_null(x, 0.0), pa.float64()), scale)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        vcode = vidx.fill_null(0).to_numpy(zero_copy_only=False)
+        k = len(vals)
+        n_keys = len(enc.dictionary)
+        sums = np.bincount(
+            kcode[ok].astype(np.int64) * k + vcode[ok].astype(np.int64),
+            weights=units[ok], minlength=n_keys * k,
+        ).astype(np.int64).reshape(n_keys, k)
+        cols = {by: enc.dictionary}
+        for j, name in enumerate(names):
+            cols[name] = pa.array(sums[:, j], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.select_columns(
+        list(dict.fromkeys([by, pivot_col, value_col]))).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Sum(name, alias_name=name) for name in names]
+    out = partials.groupby(by).aggregate(*aggs)
+
+    def unscale(t: pa.Table) -> pa.Table:
+        cols = {by: t.column(by)}
+        for name in names:
+            cols[name] = pc.divide(
+                pc.cast(t.column(name), pa.float64()), scale)
+        return pa.table(cols)
+
+    return out.map_batches(unscale, batch_format="pyarrow",
+                           zero_copy_batch=True)

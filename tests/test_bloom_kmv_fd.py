@@ -207,3 +207,39 @@ def test_jaccard_prefix_matches_exact_and_prunes(ray_session):
     full_rows = _shingle_rows(ds, "text", "doc_id", 3).count()
     # each doc keeps |x| - ceil(0.7|x|) + 1 ≈ 0.3|x| shingles
     assert full_rows > 0
+
+
+def test_spec_roundtrip_group_agg(ray_session):
+    from datatest_ray.pipelines.spec import suite_from_spec, suite_to_spec
+
+    spec = {"checks": [
+        {"type": "group_agg", "column": "v", "by": "g", "agg": "p95",
+         "min": None, "max": 100.0},
+        {"type": "group_agg", "column": "v", "by": "g", "agg": "mean",
+         "min": 1.0, "max": 2.0},
+    ]}
+    suite = suite_from_spec(spec)
+    back = suite_to_spec(suite)
+    assert back["checks"][0]["agg"] == "p95"
+    assert back["checks"][0]["max"] == 100.0
+    assert back["checks"][1]["agg"] == "mean"
+
+
+def test_pivot_sum_and_union_distinct(ray_session):
+    from datatest_ray.stages.relational import pivot_sum, union_distinct
+
+    t = pa.table({
+        "u": pa.array([1, 1, 2, None, 2], pa.int64()),
+        "et": pa.array(["a", "b", "a", "a", None], pa.string()),
+        "v": pa.array([1.25, 2.5, None, 9.0, 3.0], pa.float64()),
+    })
+    out = pivot_sum(_ds(t), by="u", pivot_col="et", values=["a", "b"],
+                    value_col="v").to_pandas().set_index("u")
+    assert out.loc[1, "sum_a"] == 1.25 and out.loc[1, "sum_b"] == 2.5
+    assert out.loc[2, "sum_a"] == 0.0  # null value contributes 0
+    assert len(out) == 2               # null key dropped
+
+    a = pa.table({"x": pa.array(["p", "q", None], pa.string())})
+    b = pa.table({"y": pa.array(["q", "r"], pa.string())})
+    u = union_distinct(_ds(a), _ds(b), col="x", col_b="y").to_pandas()
+    assert sorted(u["v"].dropna()) == ["p", "q", "r"]
