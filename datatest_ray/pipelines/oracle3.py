@@ -572,6 +572,46 @@ FROM customer c JOIN supplier s
 """
 
 
+def q_seasonal_anomaly_events(sf_dir: str):
+    from ..stages.drift import seasonal_anomaly_daily
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return _materialize(seasonal_anomaly_daily(
+        ev, "ts", by="event_type", z_thresh=2.0))
+
+
+SQL_SEASONAL_ANOMALY_EVENTS = """
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         count(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), w AS (SELECT *, (day + 4) % 7 AS dow FROM d),
+s AS (
+  SELECT event_type, dow, avg(CAST(n AS DOUBLE)) AS mu,
+         stddev_samp(CAST(n AS DOUBLE)) AS sd, count(*) AS c
+  FROM w GROUP BY 1, 2
+)
+SELECT w.event_type, w.day, w.dow, w.n,
+       round(CASE WHEN s.c >= 2 AND s.sd > 0
+                  THEN (w.n - s.mu) / s.sd END, 6) AS resid_z,
+       coalesce(abs(CASE WHEN s.c >= 2 AND s.sd > 0
+                         THEN (w.n - s.mu) / s.sd END) > 2.0,
+                FALSE) AS anomaly
+FROM w JOIN s ON s.event_type = w.event_type AND s.dow = w.dow
+"""
+
+
+def q_periodogram_events(sf_dir: str):
+    # FFT periodogram -> not SQL-expressible -> rows-only; planted-cycle
+    # recovery pinned in tests
+    from ..stages.drift import periodogram_daily
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    return _materialize(periodogram_daily(ev, "ts", by="event_type"))
+
+
 def q_setop_union_status(sf_dir: str):
     from ..stages.relational import union_distinct
 
@@ -693,6 +733,8 @@ QUERIES3: Dict[str, Callable] = {
     "interval_join_acctbal": q_interval_join_acctbal,
     "setop_union_status": q_setop_union_status,
     "pivot_value_sums": q_pivot_value_sums,
+    "seasonal_anomaly_events": q_seasonal_anomaly_events,
+    "periodogram_events": q_periodogram_events,
 }
 
 SQL3: Dict[str, str] = {
@@ -714,6 +756,8 @@ SQL3: Dict[str, str] = {
     "interval_join_acctbal": SQL_INTERVAL_JOIN_ACCTBAL,
     "setop_union_status": SQL_SETOP_UNION_STATUS,
     "pivot_value_sums": SQL_PIVOT_VALUE_SUMS,
+    "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY_EVENTS,
+    # periodogram_events: FFT, rows-only
     # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:
     # approximate or rank-based -> rows-only
 }

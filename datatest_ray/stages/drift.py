@@ -40,7 +40,8 @@ from ..functions.aggregates import ks_statistic_from_histograms, ks_threshold
 from .base import Check, RunContext
 
 __all__ = ["DriftCheck", "BinSpec", "psi", "benford", "wasserstein",
-           "mutual_information", "cusum_daily"]
+           "mutual_information", "cusum_daily", "seasonal_anomaly_daily",
+           "periodogram_daily"]
 
 
 def benford(ds, value_col: str, *, scale: int = 100):
@@ -816,3 +817,132 @@ def ks_exact(ds, value_col: str, *, split_col: str, ref_value):
     return pa.table({"ks": pa.array([float(ks)], pa.float64()),
                      "n_ref": pa.array([n1], pa.int64()),
                      "n_other": pa.array([n0], pa.int64())})
+
+
+def seasonal_anomaly_daily(ds, ts_col: str, *, by: str, z_thresh: float = 2.0):
+    """Seasonality-adjusted daily-volume anomaly screen: per group, each
+    day's count is z-scored against the mean/stddev of ITS OWN
+    day-of-week — a Monday spike is judged against Mondays, so weekly
+    rhythm stops masking (or faking) anomalies the plain z-score screen
+    (``daily_anomaly``) mis-handles.
+
+    Output: (by, day epoch-days int64, dow int64 0=Sun..6=Sat as SQL
+    ``dayofweek``, n, resid_z round-6 — NULL when the dow has <2
+    samples or zero variance, like SQL stddev — and ``anomaly``).
+
+    ONE shuffle (daily counts per group); mean/std per (group, dow) and
+    the z-scores are vectorized over that tiny aggregate per group.
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        return pa.table({by: t.column(by), "day": day})
+
+    daily = (
+        ds.select_columns([ts_col, by])
+        .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "day"]).aggregate(Count(alias_name="n"))
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        # epoch day 0 = 1970-01-01 = Thursday; SQL dayofweek: Sun=0
+        dow = ((day + 4) % 7).astype(np.int64)
+        z = np.full(len(n), np.nan)
+        for d in range(7):
+            m = dow == d
+            if m.sum() >= 2:
+                mu = n[m].mean()
+                sd = n[m].std(ddof=1)
+                if sd > 0:
+                    z[m] = (n[m] - mu) / sd
+        zr = np.round(z, 6)
+        return pa.table({
+            by: pa.array([t.column(by)[0].as_py()] * len(n)),
+            "day": pa.array(day),
+            "dow": pa.array(dow),
+            "n": t.column("n"),
+            "resid_z": pa.array(
+                [None if np.isnan(v) else float(v) for v in zr],
+                pa.float64()),
+            "anomaly": pa.array(
+                [bool(abs(v) > z_thresh) if not np.isnan(v) else False
+                 for v in zr], pa.bool_()),
+        })
+
+    return daily.groupby(by).map_groups(kernel, batch_format="pyarrow")
+
+
+def periodogram_daily(ds, ts_col: str, *, by: str, max_period: int = 14):
+    """Dominant-period detection per group over the daily-count series
+    via the FFT periodogram (mean-removed): the "is there a weekly
+    cycle in ingest volume" probe.  Output per group: (by, n_days,
+    dominant_period_days, peak_power_share) where the period is the
+    reciprocal of the strongest nonzero frequency bin (restricted to
+    periods 2..max_period) and the share is its fraction of total
+    nonzero-frequency power.  Not SQL-expressible (FFT) -> rows-only;
+    a planted-cycle unit test pins recovery.
+
+    ONE shuffle (daily counts); the FFT runs on the tiny per-group
+    series.  Missing days are treated as zero-count (the series is
+    re-laid on the full day grid, as a spectral method requires).
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        return pa.table({by: t.column(by), "day": day})
+
+    daily = (
+        ds.select_columns([ts_col, by])
+        .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "day"]).aggregate(Count(alias_name="n"))
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cnt = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        key = t.column(by)[0].as_py()
+        lo, hi = int(day.min()), int(day.max())
+        grid = np.zeros(hi - lo + 1)
+        grid[day - lo] = cnt
+        m = len(grid)
+        out = {"n_days": m, "dominant_period_days": None,
+               "peak_power_share": None}
+        if m >= 4:
+            x = grid - grid.mean()
+            power = np.abs(np.fft.rfft(x)) ** 2
+            freqs = np.fft.rfftfreq(m)  # cycles per day
+            with np.errstate(divide="ignore"):
+                periods = np.where(freqs > 0, 1.0 / freqs, np.inf)
+            ok = (periods >= 2) & (periods <= max_period)
+            if ok.any() and power[1:].sum() > 0:
+                k = np.flatnonzero(ok)[np.argmax(power[ok])]
+                out["dominant_period_days"] = round(float(periods[k]), 3)
+                out["peak_power_share"] = round(
+                    float(power[k] / power[1:].sum()), 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([out["n_days"]], pa.int64()),
+            "dominant_period_days": pa.array(
+                [out["dominant_period_days"]], pa.float64()),
+            "peak_power_share": pa.array(
+                [out["peak_power_share"]], pa.float64()),
+        })
+
+    return daily.groupby(by).map_groups(kernel, batch_format="pyarrow")

@@ -171,3 +171,50 @@ def test_groupagg_percentile_and_trend(ray_session):
     out = trend_daily(_ds(ev), "ts", by="state").to_pandas()
     assert out["mk_s"][0] == out["n_pairs"][0] == 15
     assert out["tau"][0] == 1.0 and out["sen_slope"][0] == 2.0
+
+
+def test_periodogram_recovers_planted_weekly_cycle(ray_session):
+    import numpy as np
+
+    from datatest_ray.stages.drift import periodogram_daily
+
+    from datetime import date, timedelta
+
+    rows = []
+    eid = 0
+    # 56 days; volume 20 on day%7==0, else 4 -> strong period-7 cycle
+    for d in range(56):
+        n = 20 if d % 7 == 0 else 4
+        iso = (date(2026, 1, 1) + timedelta(days=d)).isoformat()
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"{iso}T03:00:00", 1, "x"))
+    ev = _ev(rows)
+    out = periodogram_daily(_ds(ev), "ts", by="state").to_pandas()
+    assert abs(out["dominant_period_days"][0] - 7.0) < 0.6
+    assert out["peak_power_share"][0] > 0.3
+
+
+def test_seasonal_anomaly_flags_broken_monday(ray_session):
+    from datatest_ray.stages.drift import seasonal_anomaly_daily
+
+    from datetime import date, timedelta
+
+    rows = []
+    eid = 0
+    # 6 weeks of stable volume, then one exceptional final Monday
+    for w in range(6):
+        for d in range(7):
+            iso = (date(2026, 1, 1)
+                   + timedelta(days=w * 7 + d)).isoformat()
+            n = 5 if d != 0 else 8
+            if w == 5 and d == 0:
+                n = 40  # the anomaly
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, f"{iso}T03:00:00", 1, "x"))
+    ev = _ev(rows)
+    out = seasonal_anomaly_daily(_ds(ev), "ts", by="state").to_pandas()
+    flagged = out[out["anomaly"]]
+    assert len(flagged) == 1
+    assert flagged["n"].iloc[0] == 40
