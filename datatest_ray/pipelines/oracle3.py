@@ -612,6 +612,44 @@ def q_periodogram_events(sf_dir: str):
     return _materialize(periodogram_daily(ev, "ts", by="event_type"))
 
 
+def q_qq_price_drift(sf_dir: str):
+    """Decile QQ table of l_extendedprice: returnflag 'A' (reference)
+    vs everything else."""
+    from ..stages.drift import qq_compare
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return _materialize(qq_compare(
+        ds, "l_extendedprice", split_col="l_returnflag", ref_value="A"))
+
+
+SQL_QQ_PRICE_DRIFT = """
+WITH r AS (
+  SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q,
+         unnest(quantile_cont(l_extendedprice,
+                              [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS v
+  FROM lineitem WHERE l_returnflag = 'A'
+), c AS (
+  SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q,
+         unnest(quantile_cont(l_extendedprice,
+                              [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS v
+  FROM lineitem
+  WHERE l_returnflag <> 'A' OR l_returnflag IS NULL
+)
+SELECT r.q, round(r.v, 6) AS ref_q, round(c.v, 6) AS cmp_q,
+       round(round(c.v, 6) - round(r.v, 6), 6) AS diff
+FROM r JOIN c ON c.q = r.q
+"""
+
+
+def q_pca_embeddings(sf_dir: str):
+    # eigendecomposition -> not SQL-expressible -> rows-only; numpy
+    # parity pinned in tests
+    from ..stages.similarity import pca_top_components
+
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    return pca_top_components(emb, vec_col="embedding", k=3)
+
+
 def q_setop_union_status(sf_dir: str):
     from ..stages.relational import union_distinct
 
@@ -735,6 +773,8 @@ QUERIES3: Dict[str, Callable] = {
     "pivot_value_sums": q_pivot_value_sums,
     "seasonal_anomaly_events": q_seasonal_anomaly_events,
     "periodogram_events": q_periodogram_events,
+    "qq_price_drift": q_qq_price_drift,
+    "pca_embeddings": q_pca_embeddings,
 }
 
 SQL3: Dict[str, str] = {
@@ -757,7 +797,8 @@ SQL3: Dict[str, str] = {
     "setop_union_status": SQL_SETOP_UNION_STATUS,
     "pivot_value_sums": SQL_PIVOT_VALUE_SUMS,
     "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY_EVENTS,
-    # periodogram_events: FFT, rows-only
+    "qq_price_drift": SQL_QQ_PRICE_DRIFT,
+    # periodogram_events / pca_embeddings: FFT/eig, rows-only
     # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:
     # approximate or rank-based -> rows-only
 }

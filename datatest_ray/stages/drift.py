@@ -41,7 +41,7 @@ from .base import Check, RunContext
 
 __all__ = ["DriftCheck", "BinSpec", "psi", "benford", "wasserstein",
            "mutual_information", "cusum_daily", "seasonal_anomaly_daily",
-           "periodogram_daily"]
+           "periodogram_daily", "qq_compare"]
 
 
 def benford(ds, value_col: str, *, scale: int = 100):
@@ -946,3 +946,65 @@ def periodogram_daily(ds, ts_col: str, *, by: str, max_period: int = 14):
         })
 
     return daily.groupby(by).map_groups(kernel, batch_format="pyarrow")
+
+
+def qq_compare(ds, value_col: str, *, split_col: str, ref_value,
+               qs=(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)):
+    """Quantile-quantile drift table: the reference slice's deciles side
+    by side with the comparison slice's — WHERE a distribution moved,
+    not just whether (KS/PSI give one number; the QQ table shows "the
+    tail stretched, the median held").
+
+    Output: (q, ref_q, cmp_q, diff) with quantile_cont semantics,
+    round-6.  Plan: per-slice exact quantiles in one grouped kernel over
+    the projected column (the same exact small/verify path as
+    grouped_quantile; t-digest is the scale path).
+    """
+    qs = list(qs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        col = t.column(split_col)
+        is_ref = pc.equal(col, ref_value)
+        return pa.table({
+            "side": pc.if_else(pc.fill_null(is_ref, False),
+                               pa.scalar(0, pa.int8()),
+                               pa.scalar(1, pa.int8())),
+            "v": pc.cast(t.column(value_col), pa.float64()),
+        })
+
+    tagged = ds.select_columns([split_col, value_col]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        side = int(group.column("side")[0].as_py())
+        vals = np.quantile(v, qs) if len(v) else np.full(len(qs), np.nan)
+        return pa.table({
+            "side": pa.array([side] * len(qs), pa.int8()),
+            "q": pa.array(qs, pa.float64()),
+            "qv": pa.array(np.round(vals, 6), pa.float64()),
+        })
+
+    per_side = tagged.groupby("side").map_groups(
+        kernel, batch_format="pyarrow")
+
+    def widen(t: pa.Table) -> pa.Table:
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        qv = t.column("qv").to_numpy(zero_copy_only=False)
+        ref = {qq: vv for qq, vv, s in zip(q, qv, side) if s == 0}
+        cmp_ = {qq: vv for qq, vv, s in zip(q, qv, side) if s == 1}
+        rows_q = sorted(set(q))
+        return pa.table({
+            "q": pa.array(rows_q, pa.float64()),
+            "ref_q": pa.array([ref.get(x) for x in rows_q], pa.float64()),
+            "cmp_q": pa.array([cmp_.get(x) for x in rows_q], pa.float64()),
+            "diff": pa.array(
+                [round(cmp_[x] - ref[x], 6)
+                 if x in ref and x in cmp_ else None
+                 for x in rows_q], pa.float64()),
+        })
+
+    return per_side.repartition(1).map_batches(
+        widen, batch_format="pyarrow", batch_size=None)

@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
+           "pca_top_components",
            "neardup_cosine_pairs",
            "ann_lsh_topk", "ivf_topk", "label_centroids",
            "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report"]
@@ -802,4 +803,75 @@ def ann_recall_report(ds, queries_ds, *, id_col: str, vec_col: str,
         "n_hits": pa.array([int(n_hits)], pa.int64()),
         "recall": pa.array([(n_hits / denom) if denom else 0.0],
                            pa.float64()),
+    })
+
+
+def pca_top_components(ds, *, vec_col: str, k: int = 3):
+    """Top-k PCA of an embedding column via distributed second-moment
+    partials: each block reduces to ONE mergeable (n, Σx, ΣxxT)
+    accumulator — d(d+1)/2 floats for d-dim embeddings, independent of
+    row count — combined through ``ds.aggregate`` as a single sketch
+    (one aggregate, not d² Sum columns); the d x d eigendecomposition
+    runs driver-side (d = embedding width, tiny by construction).  The
+    embedding-hygiene question "how concentrated is the variance / is
+    the space collapsing" at any corpus size in ONE pass.
+
+    Output: (component 1-based, eigenvalue, explained_share, loading0 =
+    |first element| of the sign-normalized eigenvector).  Not
+    SQL-expressible (eig) -> rows-only; numpy parity pinned in tests.
+    """
+    from ..functions.aggregates import SketchAggregate, sketch_loads
+
+    class _Moments:
+        def __init__(self):
+            self.n = 0
+            self.s = None
+            self.xx = None
+
+        def update(self, col):
+            X = _batch_matrix(pa.table({"v": col}), "v")
+            X = X[~np.isnan(X).any(axis=1)]
+            d = X.shape[1]
+            if self.s is None:
+                self.s = np.zeros(d)
+                self.xx = np.zeros((d, d))
+            self.n += len(X)
+            self.s += X.sum(axis=0)
+            self.xx += X.T @ X
+            return self
+
+        def merge(self, other):
+            if other.s is None:
+                return self
+            if self.s is None:
+                self.n, self.s, self.xx = other.n, other.s, other.xx
+                return self
+            self.n += other.n
+            self.s += other.s
+            self.xx += other.xx
+            return self
+
+    res = ds.select_columns([vec_col]).aggregate(
+        SketchAggregate(on=vec_col, factory=_Moments, alias_name="m"))
+    m = sketch_loads(res["m"])
+    empty = pa.table({"component": pa.array([], pa.int64()),
+                      "eigenvalue": pa.array([], pa.float64()),
+                      "explained_share": pa.array([], pa.float64()),
+                      "loading0": pa.array([], pa.float64())})
+    if m.s is None or m.n < 2:
+        return empty
+    n = m.n
+    mu = m.s / n
+    cov = (m.xx - n * np.outer(mu, mu)) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    tot = float(w.sum())
+    lead = v[0, order]
+    sign = np.where(lead >= 0, 1.0, -1.0)
+    return pa.table({
+        "component": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+        "eigenvalue": pa.array(np.round(w[order], 9), pa.float64()),
+        "explained_share": pa.array(np.round(w[order] / tot, 9),
+                                    pa.float64()),
+        "loading0": pa.array(np.round(lead * sign, 9), pa.float64()),
     })

@@ -218,3 +218,45 @@ def test_seasonal_anomaly_flags_broken_monday(ray_session):
     flagged = out[out["anomaly"]]
     assert len(flagged) == 1
     assert flagged["n"].iloc[0] == 40
+
+
+def test_pca_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from datatest_ray.stages.similarity import pca_top_components
+
+    rng = np.random.RandomState(9)
+    # anisotropic 8-dim cloud with a dominant direction
+    base = rng.normal(0, 1, size=(400, 8))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    rows32 = [list(map(float, r)) for r in base.astype(np.float32)]
+    t = pa.table({"embedding": pa.array(rows32, pa.list_(pa.float32()))})
+    out = pca_top_components(rd.from_arrow(t), vec_col="embedding",
+                             k=3).to_pandas()
+    cov = np.cov(base.astype(np.float32).astype(np.float64), rowvar=False)
+    w = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    np.testing.assert_allclose(out["eigenvalue"], w[:3], rtol=1e-6)
+    assert out["explained_share"][0] > 0.5
+
+
+def test_qq_compare_shift(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from datatest_ray.stages.drift import qq_compare
+
+    rng = np.random.RandomState(2)
+    ref = rng.normal(0, 1, 2000)
+    cmp_ = rng.normal(1.0, 1, 2000)  # shifted by +1
+    t = pa.table({
+        "side": pa.array(["r"] * 2000 + ["c"] * 2000),
+        "v": pa.array(np.concatenate([ref, cmp_])),
+    })
+    out = qq_compare(rd.from_arrow(t), "v", split_col="side",
+                     ref_value="r").to_pandas()
+    assert len(out) == 9
+    assert (out["diff"] > 0.7).all() and (out["diff"] < 1.3).all()
+    med = out[out["q"] == 0.5]
+    assert abs(med["ref_q"].iloc[0] - np.quantile(ref, 0.5)) < 1e-6
