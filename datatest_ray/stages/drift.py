@@ -1008,3 +1008,90 @@ def qq_compare(ds, value_col: str, *, split_col: str, ref_value,
 
     return per_side.repartition(1).map_batches(
         widen, batch_format="pyarrow", batch_size=None)
+
+
+def theils_u(ds, x_col: str, y_col: str):
+    """Theil's U (uncertainty coefficient) between two categorical
+    columns — the ASYMMETRIC normalized-MI dependence score data
+    profilers report next to Cramér's V: u_xy = MI/H(x) is the fraction
+    of X's entropy explained by knowing Y (and u_yx the reverse), so it
+    distinguishes "X determines Y" from "Y determines X", which the
+    symmetric chi-square family cannot.
+
+    Plan identical to :func:`mutual_information`: per-batch contingency
+    partials (dictionary-encode + bincount), ONE tiny
+    ``groupby(x, y).sum`` over observed cells, single-block finalize
+    computing H(x)/H(y)/H(x,y) from the marginals via
+    ``H = ln t − Σ c·ln c / t`` — identical closed-form IEEE ops on
+    both engines, pinned at 6 dp.
+
+    Output: one row (n, h_x, h_y, h_xy, mi, u_xy, u_yx); u terms are
+    NULL when the corresponding entropy is 0 (single-category column).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.aggregates import dict_encode_keep_null
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(
+            pc.is_valid(batch.column(x_col)),
+            pc.is_valid(batch.column(y_col))))
+        xc, xd = dict_encode_keep_null(batch.column(x_col))
+        yc, yd = dict_encode_keep_null(batch.column(y_col))
+        ny = max(len(yd), 1)
+        cell = xc * ny + yc
+        cnt = np.bincount(cell, minlength=len(xd) * ny) if len(cell) \
+            else np.zeros(0, dtype=np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            x_col: pc.take(xd, pa.array(keep // ny)),
+            y_col: pc.take(yd, pa.array(keep % ny)),
+            "n": pa.array(cnt[keep].astype(np.int64)),
+        })
+
+    counts = (
+        ds.select_columns([x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([x_col, y_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        def h(cnt: np.ndarray, tot: float) -> float:
+            return float(np.log(tot) - np.sum(cnt * np.log(cnt)) / tot)
+
+        if t.num_rows == 0:
+            return pa.table({
+                "n": pa.array([0], pa.int64()),
+                "h_x": pa.array([None], pa.float64()),
+                "h_y": pa.array([None], pa.float64()),
+                "h_xy": pa.array([None], pa.float64()),
+                "mi": pa.array([None], pa.float64()),
+                "u_xy": pa.array([None], pa.float64()),
+                "u_yx": pa.array([None], pa.float64()),
+            })
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = float(n.sum())
+        xe = t.column(x_col).to_numpy(zero_copy_only=False)
+        ye = t.column(y_col).to_numpy(zero_copy_only=False)
+        _, xi = np.unique(xe.astype(str), return_inverse=True)
+        _, yi = np.unique(ye.astype(str), return_inverse=True)
+        cx = np.bincount(xi, weights=n)
+        cy = np.bincount(yi, weights=n)
+        h_x, h_y, h_xy = h(cx, tot), h(cy, tot), h(n, tot)
+        mi = h_x + h_y - h_xy
+        u_xy = mi / h_x if h_x > 0 else None
+        u_yx = mi / h_y if h_y > 0 else None
+        r6 = lambda v: None if v is None else round(float(np.round(v, 6)), 6)
+        return pa.table({
+            "n": pa.array([int(tot)], pa.int64()),
+            "h_x": pa.array([r6(h_x)], pa.float64()),
+            "h_y": pa.array([r6(h_y)], pa.float64()),
+            "h_xy": pa.array([r6(h_xy)], pa.float64()),
+            "mi": pa.array([r6(mi)], pa.float64()),
+            "u_xy": pa.array([r6(u_xy)], pa.float64()),
+            "u_yx": pa.array([r6(u_yx)], pa.float64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -52,9 +52,13 @@ def _project(ds, by: str, ts: str, id_col: str, side: int):
 
 
 def asof_join_latest(left_ds, right_ds, *, by: str, ts: str,
-                     left_id: str):
+                     left_id: str, tolerance_us: int | None = None):
     """(left_id, k, prior_ts_us, gap_us) — one row per LEFT row; nulls
-    when no right row precedes it."""
+    when no right row precedes it.  With ``tolerance_us`` set, a match
+    whose gap exceeds the tolerance is treated as no-match (nulls) —
+    the bounded-staleness variant (pandas ``merge_asof(tolerance=)``):
+    since the as-of match is the LATEST prior row, any earlier row is
+    staler still, so exceeding the tolerance means no row qualifies."""
     tagged = _project(left_ds, by, ts, left_id, side=1).union(
         _project(right_ds, by, ts, left_id, side=0)
     )
@@ -75,6 +79,8 @@ def asof_join_latest(left_ds, right_ds, *, by: str, ts: str,
         else:
             # key has left rows but no right rows: all-null match
             has = np.zeros(l_ts.shape, dtype=bool)
+        if tolerance_us is not None:
+            has = has & (l_ts - prior <= tolerance_us)
         prior_arr = pa.array(prior, type=pa.int64(), mask=~has)
         gap_arr = pa.array(l_ts - prior, type=pa.int64(), mask=~has)
         return pa.table(

@@ -733,3 +733,210 @@ def null_share_daily(ds, ts_col: str, cols: Sequence[str]):
 
     return sums.map_batches(widen, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def group_hhi(ds, key_col: str, cat_col: str):
+    """Herfindahl–Hirschman concentration index of a categorical mix
+    per key: HHI = Σ_i (c_i/n)² — 1.0 means a key does only one thing,
+    1/k means a uniform spread over k categories.  The concentration
+    complement to :func:`group_entropy` (antitrust-style "is this
+    user/supplier dominated by one category?" screen).
+
+    Same fully-distributed shape as group_entropy: groupby(key, cat)
+    count → per-cell c² column → groupby(key) Sum — the only exchanges
+    move count rows, and the final division Σc²/n² is one exact
+    integer→double op on both engines (no rounding needed, emitted at
+    6 dp anyway for uniformity).
+
+    Null keys/categories are excluded.  Output: (key, n, n_cats, hhi).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def drop_nulls(b: pa.Table) -> pa.Table:
+        return b.filter(pc.and_kleene(pc.is_valid(b.column(key_col)),
+                                      pc.is_valid(b.column(cat_col))))
+
+    cnt = "__hhi_c"                      # collision-proof vs user columns
+    counts = (
+        ds.select_columns([key_col, cat_col])
+        .map_batches(drop_nulls, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby([key_col, cat_col])
+        .aggregate(Count(alias_name=cnt))
+    )
+
+    def add_c2(t: pa.Table) -> pa.Table:
+        c = t.column(cnt).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key_col: t.column(key_col),
+            cnt: t.column(cnt),
+            "c2": pa.array(c * c),
+        })
+
+    merged = (
+        counts.map_batches(add_c2, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Sum(cnt, alias_name="n"),
+                   Count(alias_name="n_cats"),
+                   Sum("c2", alias_name="sc2"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "n_cats": pa.array([], pa.int64()),
+                             "hhi": pa.array([], pa.float64())})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sc2 = t.column("sc2").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            key_col: t.column(key_col),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "n_cats": pc.cast(t.column("n_cats"), pa.int64()),
+            "hhi": pa.array(np.round(sc2 / (n * n), 6)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def semantic_type_profile(ds, rules):
+    """Semantic-type detection battery: for each (column, type-name,
+    regex) rule, the share of non-null values matching — the profiling
+    pass that discovers "this string column is actually phone numbers /
+    brand codes / ISO dates" before schema tightening.
+
+    ``rules`` is a sequence of (col, sem_type, pattern); patterns are
+    RE2 SEARCH semantics (use ^$ anchors for full-match), identical to
+    DuckDB's regexp_matches.  One streaming pass emits one partial row
+    per rule per batch (n_match, n_nonnull); a tiny groupby sums them.
+    Output: (col_name, sem_type, n_match, n_nonnull, share 6 dp).
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(dict.fromkeys(c for c, _, _ in rules))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, types, nm, nn = [], [], [], []
+        for col, sem, pat in rules:
+            v = batch.column(col)
+            valid = pc.is_valid(v)
+            n_valid = int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)
+            hit = pc.match_substring_regex(
+                pc.cast(v, pa.string()), pat)
+            n_hit = int(pc.sum(pc.cast(
+                pc.and_kleene(hit, valid), pa.int64())).as_py() or 0)
+            names.append(col)
+            types.append(sem)
+            nm.append(n_hit)
+            nn.append(n_valid)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "sem_type": pa.array(types, pa.string()),
+            "m": pa.array(nm, pa.int64()),
+            "nn": pa.array(nn, pa.int64()),
+        })
+
+    merged = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["col_name", "sem_type"]).aggregate(
+        Sum("m", alias_name="n_match"), Sum("nn", alias_name="n_nonnull"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"col_name": pa.array([], pa.string()),
+                             "sem_type": pa.array([], pa.string()),
+                             "n_match": pa.array([], pa.int64()),
+                             "n_nonnull": pa.array([], pa.int64()),
+                             "share": pa.array([], pa.float64())})
+        m = t.column("n_match").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nn = t.column("n_nonnull").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        share = np.where(nn > 0, np.round(m / np.maximum(nn, 1), 6), np.nan)
+        return pa.table({
+            "col_name": t.column("col_name"),
+            "sem_type": t.column("sem_type"),
+            "n_match": pc.cast(t.column("n_match"), pa.int64()),
+            "n_nonnull": pc.cast(t.column("n_nonnull"), pa.int64()),
+            "share": pa.array(share, pa.float64(),
+                              mask=~(nn > 0)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def null_cooccurrence(ds, cols: Sequence[str]):
+    """Missingness co-occurrence audit: for every ordered column pair
+    (x, y), how often the two are null TOGETHER — systematic joint
+    missingness (sensor down, join fan-in failure) looks very different
+    from independent random nulls, and imputation strategies diverge on
+    it.
+
+    One streaming pass emits k·(k−1)/2 partial rows per batch (pure
+    boolean mask arithmetic, no data movement); a tiny groupby sums.
+    Output per pair: (x, y, n_rows, nx_null, ny_null, n_both,
+    jaccard 6 dp) where jaccard = |both| / |either| (NULL when neither
+    column has any nulls).
+    """
+    from ray.data.aggregate import Sum
+
+    cols = list(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        masks = {c: pc.is_null(batch.column(c)).to_numpy(
+            zero_copy_only=False) for c in cols}
+        xs, ys, nx, ny, nb, nr = [], [], [], [], [], []
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                x, y = cols[i], cols[j]
+                xs.append(x)
+                ys.append(y)
+                nx.append(int(masks[x].sum()))
+                ny.append(int(masks[y].sum()))
+                nb.append(int((masks[x] & masks[y]).sum()))
+                nr.append(batch.num_rows)
+        return pa.table({
+            "x": pa.array(xs, pa.string()), "y": pa.array(ys, pa.string()),
+            "nx": pa.array(nx, pa.int64()), "ny": pa.array(ny, pa.int64()),
+            "nb": pa.array(nb, pa.int64()), "nr": pa.array(nr, pa.int64()),
+        })
+
+    merged = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["x", "y"]).aggregate(
+        Sum("nr", alias_name="n_rows"), Sum("nx", alias_name="nx_null"),
+        Sum("ny", alias_name="ny_null"), Sum("nb", alias_name="n_both"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string()),
+                             "n_rows": pa.array([], pa.int64()),
+                             "nx_null": pa.array([], pa.int64()),
+                             "ny_null": pa.array([], pa.int64()),
+                             "n_both": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        nx = t.column("nx_null").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ny = t.column("ny_null").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        nb = t.column("n_both").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        either = nx + ny - nb
+        jac = np.where(either > 0,
+                       np.round(nb / np.maximum(either, 1), 6), np.nan)
+        return pa.table({
+            "x": t.column("x"), "y": t.column("y"),
+            "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
+            "nx_null": pc.cast(t.column("nx_null"), pa.int64()),
+            "ny_null": pc.cast(t.column("ny_null"), pa.int64()),
+            "n_both": pc.cast(t.column("n_both"), pa.int64()),
+            "jaccard": pa.array(jac, pa.float64(), mask=~(either > 0)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -508,3 +508,72 @@ def local_topk_final(cols, id_col, top, mu, VI):
         return pa.table({id_col: pa.array(ids[order]),
                          "d2": pa.array(d2[order], pa.float64())})
     return fin
+
+
+def trimmed_mean(ds, *, by: str, col: str, p_lo: float = 0.05,
+                 p_hi: float = 0.95):
+    """Per-group trimmed mean: the mean of values INSIDE the group's
+    ``[quantile(p_lo), quantile(p_hi)]`` band — the robust location
+    estimate that, unlike :func:`winsorize`, drops the tails instead of
+    clamping them.
+
+    Same two-pass no-data-shuffle plan as winsorize: pass 1 computes
+    per-group ``quantile_cont`` bounds (rounded to 6 dp so both engines
+    pin the same float repr) and broadcasts them; pass 2 emits one
+    (group, n, sum_cents) partial row per batch (integer cents, so the
+    cross-block combine is order-independent) and a tiny groupby merges
+    them.  Rows themselves never shuffle.
+
+    Output: (by, n_kept, tmean) with tmean = sum_cents/(100·n) rounded
+    to 6 dp.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    stats = _grouped_quantiles(ds, by, col, (p_lo, p_hi))
+    lo = np.round(stats.column("q0").to_numpy(zero_copy_only=False), 6)
+    hi = np.round(stats.column("q1").to_numpy(zero_copy_only=False), 6)
+    keys = stats.column(by)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    handle = ray.put((keys, lo, hi))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kk, lo_, hi_ = ray.get(handle)
+        pos, found = _group_positions(batch.column(by), kk)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        keep = found & ~np.isnan(v) & (v >= lo_[pos]) & (v <= hi_[pos])
+        m = len(kk)
+        cents = np.round(v * 100.0)
+        n = np.bincount(pos[keep], minlength=m).astype(np.int64)
+        s = np.zeros(m, dtype=np.int64)
+        np.add.at(s, pos[keep], cents[keep].astype(np.int64))
+        nz = np.flatnonzero(n)
+        return pa.table({
+            by: kk.take(pa.array(nz, pa.int64())),
+            "n": pa.array(n[nz]),
+            "scents": pa.array(s[nz]),
+        })
+
+    merged = ds.select_columns([by, col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(by).aggregate(Sum("n", alias_name="n_kept"),
+                            Sum("scents", alias_name="scents"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({by: pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64()),
+                             "tmean": pa.array([], pa.float64())})
+        n = t.column("n_kept").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = t.column("scents").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            by: t.column(by),
+            "n_kept": pc.cast(t.column("n_kept"), pa.int64()),
+            "tmean": pa.array(np.round(s / (100.0 * n), 6)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

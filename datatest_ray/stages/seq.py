@@ -774,3 +774,76 @@ def scd2_intervals(ds, *, by: str, ts: str, state_col: str, id_col: str,
         kernel, batch_format="pyarrow"
     ).select_columns([by, "version", "value", "valid_from_us",
                       "valid_to_us", "n_rows"])
+
+
+def date_spine_gaps(ds, *, by: str, ts: str, n_buckets: int = 256):
+    """Calendar-coverage audit per key: distinct active UTC days vs the
+    full day spine between the key's first and last activity — flags
+    keys whose series has holes (missing days) and how large the worst
+    hole is.  The complement of :func:`day_streaks` (which reports the
+    longest unbroken run).
+
+    Plan: one coarse-bucket shuffle of (key, epoch_day) pairs (duplicate
+    days collapse in the kernel), then a vectorized gaps-and-islands
+    segment kernel — no per-key Python, no global sort.
+
+    Output: (by, n_days, span_days, n_missing, max_gap) all int64 where
+    span_days = last−first+1, n_missing = span_days − n_days and
+    max_gap is the largest run of consecutive missing days (0 when the
+    spine is fully covered).
+    """
+    DAY_US = 86_400_000_000
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(pc.is_valid(batch.column(by)),
+                                           pc.is_valid(batch.column(ts))))
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        day = pc.divide(_ts_us(batch.column(ts)), DAY_US)
+        return pa.table({
+            by: batch.column(by),
+            "_d": day,
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        d = group.column("_d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, keys))
+        keys, d = keys[order], d[order]
+        keep = np.ones(len(keys), dtype=bool)  # distinct (key, day)
+        if len(keys) > 1:
+            keep[1:] = (keys[1:] != keys[:-1]) | (d[1:] != d[:-1])
+        keys, d, order = keys[keep], d[keep], order[keep]
+        first = _seg_first(keys)
+        seg = np.cumsum(first) - 1
+        m = int(seg[-1]) + 1 if len(seg) else 0
+        n_days = np.bincount(seg, minlength=m).astype(np.int64)
+        first_day = np.zeros(m, dtype=np.int64)
+        first_day[seg[np.flatnonzero(first)]] = d[np.flatnonzero(first)]
+        last_day = np.zeros(m, dtype=np.int64)
+        np.maximum.at(last_day, seg, d)
+        span = last_day - first_day + 1
+        # per-row gap to previous distinct day within the same key
+        gap = np.zeros(len(d), dtype=np.int64)
+        if len(d) > 1:
+            inner = ~first
+            inner_idx = np.flatnonzero(inner)
+            gap[inner_idx] = d[inner_idx] - d[inner_idx - 1] - 1
+        max_gap = np.zeros(m, dtype=np.int64)
+        np.maximum.at(max_gap, seg, gap)
+        starts = np.flatnonzero(first)
+        kcol = group.column(by)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        return pa.table({
+            by: pc.take(kcol, pa.array(order[starts], pa.int64())),
+            "n_days": pa.array(n_days),
+            "span_days": pa.array(span),
+            "n_missing": pa.array(span - n_days),
+            "max_gap": pa.array(max_gap),
+        })
+
+    return _bucketed(ds.select_columns([by, ts]), project,
+                     n_buckets).map_groups(kernel, batch_format="pyarrow"
+    ).select_columns([by, "n_days", "span_days", "n_missing", "max_gap"])

@@ -875,3 +875,55 @@ def pca_top_components(ds, *, vec_col: str, k: int = 3):
                                     pa.float64()),
         "loading0": pa.array(np.round(lead * sign, 9), pa.float64()),
     })
+
+
+def exact_dup_vectors(ds, *, vec_col: str, id_col: str):
+    """Bitwise-exact duplicate embedding vectors: the cheapest and most
+    common embedding-hygiene screen (re-encoded shards, retried rows
+    and default-vector bugs all surface as byte-identical vectors long
+    before cosine near-dup matters).
+
+    Each row's float32 payload is fingerprinted with md5 over its raw
+    little-endian bytes, so the shuffle moves (16-byte digest, id) —
+    never the vectors — and the dup groups come out of ONE
+    groupby(fingerprint) with Min/Count combiners, exactly the
+    `exact_duplicates` plan re-used on binary payloads.
+
+    Output: (keep_id, n_dups) per duplicate group (n_dups = extra
+    copies beyond the kept representative), matching
+    ``GROUP BY embedding HAVING count(*) > 1`` on the same table.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(
+            pc.is_valid(batch.column(vec_col)),
+            pc.is_valid(batch.column(id_col))))
+        v = batch.column(vec_col)
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        flat = np.asarray(v.values, dtype=np.float32)
+        offs = np.asarray(v.offsets, dtype=np.int64)
+        raw = flat.tobytes()
+        fps = [hashlib.md5(raw[offs[i] * 4:offs[i + 1] * 4]).hexdigest()
+               for i in range(len(v))]
+        return pa.table({
+            "fp": pa.array(fps, pa.string()),
+            id_col: batch.column(id_col),
+        })
+
+    groups = ds.select_columns([id_col, vec_col]).map_batches(
+        fingerprint, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("fp").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n"), 1))
+        return pa.table({
+            "keep_id": pc.cast(t.column("keep_id"), pa.int64()),
+            "n_dups": pc.cast(pc.subtract(t.column("n"), 1), pa.int64()),
+        })
+
+    return groups.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

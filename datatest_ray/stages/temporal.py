@@ -539,3 +539,105 @@ def trend_daily(ds, ts_col: str, *, by: str):
         })
 
     return daily.groupby(by).map_groups(kernel, batch_format="pyarrow")
+
+
+def ohlc_daily(ds, ts_col: str, *, by: str, value_col: str, id_col: str):
+    """Daily OHLC (open/high/low/close) bars per key — the canonical
+    time-bucketed summary for any metered value stream (prices, spend,
+    sensor readings).  Open/close are tie-proof: "first/last" is the
+    lexicographic (ts, id) extreme, so same-timestamp rows resolve
+    identically on any engine and any partitioning.
+
+    Per-batch combiner emits ONE partial row per (key, day) per block
+    (open/close candidates carried as (ts, id, value) triples, high/low
+    as plain extremes), then a tiny ``groupby(key, day).map_groups``
+    merges partials — raw rows never shuffle.
+
+    Null values/keys/timestamps are excluded.  Output:
+    (by, day, open, high, low, close, n) with day = UTC epoch day.
+    """
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(pc.and_kleene(
+            pc.is_valid(batch.column(by)),
+            pc.is_valid(batch.column(ts_col))),
+            pc.is_valid(batch.column(value_col))))
+        if batch.num_rows == 0:
+            return pa.table({
+                by: pa.array([], batch.schema.field(by).type),
+                "day": pa.array([], pa.int64()),
+                "o_ts": pa.array([], pa.int64()),
+                "o_id": pa.array([], pa.int64()),
+                "o_val": pa.array([], pa.float64()),
+                "c_ts": pa.array([], pa.int64()),
+                "c_id": pa.array([], pa.int64()),
+                "c_val": pa.array([], pa.float64()),
+                "lo": pa.array([], pa.float64()),
+                "hi": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            })
+        ts_us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        day = np.floor_divide(ts_us, DAY_US)
+        keys = batch.column(by).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        # lexicographic (key, day, ts, id) order: first per segment is
+        # the open candidate, last the close candidate
+        order = np.lexsort((ids, ts_us, day, keys))
+        k_s, d_s = keys[order], day[order]
+        new = np.ones(len(k_s), dtype=bool)
+        if len(k_s) > 1:
+            new[1:] = (k_s[1:] != k_s[:-1]) | (d_s[1:] != d_s[:-1])
+        seg = np.cumsum(new) - 1
+        m = int(seg[-1]) + 1
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k_s)) - 1
+        lo = np.full(m, np.inf)
+        hi = np.full(m, -np.inf)
+        v_s = vals[order]
+        np.minimum.at(lo, seg, v_s)
+        np.maximum.at(hi, seg, v_s)
+        kcol = batch.column(by)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        return pa.table({
+            by: pc.take(kcol, pa.array(order[starts], pa.int64())),
+            "day": pa.array(d_s[starts]),
+            "o_ts": pa.array(ts_us[order[starts]]),
+            "o_id": pa.array(ids[order[starts]].astype(np.int64)),
+            "o_val": pa.array(v_s[starts]),
+            "c_ts": pa.array(ts_us[order[ends]]),
+            "c_id": pa.array(ids[order[ends]].astype(np.int64)),
+            "c_val": pa.array(vals[order[ends]]),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "n": pa.array(np.bincount(seg, minlength=m).astype(np.int64)),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        o_ts = group.column("o_ts").to_numpy(zero_copy_only=False)
+        o_id = group.column("o_id").to_numpy(zero_copy_only=False)
+        c_ts = group.column("c_ts").to_numpy(zero_copy_only=False)
+        c_id = group.column("c_id").to_numpy(zero_copy_only=False)
+        oi = np.lexsort((o_id, o_ts))[0]
+        ci = np.lexsort((c_id, c_ts))[-1]
+        return pa.table({
+            by: group.column(by)[:1],
+            "day": group.column("day")[:1],
+            "open": group.column("o_val")[oi:oi + 1],
+            "high": pa.array(
+                [float(pc.max(group.column("hi")).as_py())], pa.float64()),
+            "low": pa.array(
+                [float(pc.min(group.column("lo")).as_py())], pa.float64()),
+            "close": group.column("c_val")[ci:ci + 1],
+            "n": pa.array(
+                [int(pc.sum(group.column("n")).as_py())], pa.int64()),
+        })
+
+    need = list(dict.fromkeys([by, ts_col, value_col, id_col]))
+    return ds.select_columns(need).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby([by, "day"]).map_groups(merge, batch_format="pyarrow")
