@@ -4558,8 +4558,9 @@ def queries() -> Dict[str, Callable]:
     from .oracle2 import QUERIES2
     from .oracle3 import QUERIES3
     from .oracle4 import QUERIES4
+    from .oracle5 import QUERIES5
 
-    return QUERIES4 | QUERIES3 | QUERIES2 | {
+    return QUERIES5 | QUERIES4 | QUERIES3 | QUERIES2 | {
         "interval_quantity": q_interval_quantity,
         "interval_discount": q_interval_discount,
         "regex_lang": q_regex_lang,
@@ -4726,8 +4727,9 @@ def oracle_sql() -> Dict[str, str]:
     from .oracle2 import SQL2
     from .oracle3 import SQL3
     from .oracle4 import SQL4
+    from .oracle5 import SQL5
 
-    return SQL4 | SQL3 | SQL2 | {
+    return SQL5 | SQL4 | SQL3 | SQL2 | {
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,

@@ -41,7 +41,7 @@ from .base import Check, RunContext
 
 __all__ = ["DriftCheck", "BinSpec", "psi", "benford", "wasserstein",
            "mutual_information", "cusum_daily", "seasonal_anomaly_daily",
-           "periodogram_daily", "qq_compare"]
+           "periodogram_daily", "qq_compare", "theils_u", "rare_combos"]
 
 
 def benford(ds, value_col: str, *, scale: int = 100):
@@ -1091,6 +1091,83 @@ def theils_u(ds, x_col: str, y_col: str):
             "mi": pa.array([r6(mi)], pa.float64()),
             "u_xy": pa.array([r6(u_xy)], pa.float64()),
             "u_yx": pa.array([r6(u_yx)], pa.float64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def rare_combos(ds, x_col: str, y_col: str, *, k: int = 5):
+    """Most-surprising category combinations: the k observed (x, y)
+    cells whose count falls FURTHEST below the independence expectation
+    exp = cx·cy/total (ratio = n/exp ascending) — the
+    "this state/priority pair should be common but almost never
+    happens" screen that chi-square's single scalar hides.
+
+    Same one-exchange contingency plan as :func:`mutual_information`;
+    the finalize ranks cells by (ratio, x, y) for a deterministic
+    result.  Output: (x, y, n, expected 6 dp, ratio 6 dp), k rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.aggregates import dict_encode_keep_null
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(
+            pc.is_valid(batch.column(x_col)),
+            pc.is_valid(batch.column(y_col))))
+        xc, xd = dict_encode_keep_null(batch.column(x_col))
+        yc, yd = dict_encode_keep_null(batch.column(y_col))
+        ny = max(len(yd), 1)
+        cell = xc * ny + yc
+        cnt = np.bincount(cell, minlength=len(xd) * ny) if len(cell) \
+            else np.zeros(0, dtype=np.int64)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            x_col: pc.take(xd, pa.array(keep // ny)),
+            y_col: pc.take(yd, pa.array(keep % ny)),
+            "n": pa.array(cnt[keep].astype(np.int64)),
+        })
+
+    counts = (
+        ds.select_columns([x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([x_col, y_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            x_col: pa.array([], pa.string()),
+            y_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "expected": pa.array([], pa.float64()),
+            "ratio": pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = float(n.sum())
+        xe = t.column(x_col).to_numpy(zero_copy_only=False)
+        ye = t.column(y_col).to_numpy(zero_copy_only=False)
+        _, xi = np.unique(xe.astype(str), return_inverse=True)
+        _, yi = np.unique(ye.astype(str), return_inverse=True)
+        cx = np.bincount(xi, weights=n)
+        cy = np.bincount(yi, weights=n)
+        exp = cx[xi] * cy[yi] / tot
+        ratio = np.round(n / exp, 6)
+        order = np.lexsort((ye.astype(str), xe.astype(str), ratio))[:k]
+        idx = pa.array(order, pa.int64())
+        xc = t.column(x_col)
+        xc = xc.combine_chunks() if isinstance(xc, pa.ChunkedArray) else xc
+        yc = t.column(y_col)
+        yc = yc.combine_chunks() if isinstance(yc, pa.ChunkedArray) else yc
+        return pa.table({
+            x_col: pc.take(xc, idx),
+            y_col: pc.take(yc, idx),
+            "n": pa.array(n[order].astype(np.int64)),
+            "expected": pa.array(np.round(exp[order], 6)),
+            "ratio": pa.array(ratio[order]),
         })
 
     return counts.repartition(1).map_batches(

@@ -940,3 +940,102 @@ def null_cooccurrence(ds, cols: Sequence[str]):
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def top_share(ds, *, key_col: str, value_col: str, frac: float = 0.1,
+              decimals: int = 2, n_buckets: int = 64):
+    """Concentration head-count audit: what share of the total does the
+    top ``frac`` of keys capture (revenue share of the top-10%
+    customers, token share of the top-1% domains)?  The single-number
+    complement of the per-group Gini.
+
+    Scale plan: per-key integer-unit sums (one groupby), then the
+    rank-``ceil(frac·N)`` threshold is found WITHOUT a global sort via
+    a range-bucket histogram over the per-key sums — only the boundary
+    bucket's values are pulled to the driver (≈ N/n_buckets keys,
+    documented assumption), everything else stays as per-bucket
+    (count, sum) pairs.  Tie-safe: tied threshold values contribute the
+    same sum regardless of which tied keys are counted, so the result
+    matches any row_number() tie-break.
+
+    Output: one row (n_keys, n_top, top_share 6 dp).
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    scale = float(10 ** decimals)
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(
+            pc.is_valid(batch.column(key_col)),
+            pc.is_valid(batch.column(value_col))))
+        v = pc.cast(pc.round(pc.multiply(pc.cast(
+            batch.column(value_col), pa.float64()), scale)), pa.int64())
+        return pa.table({key_col: batch.column(key_col), "cents": v})
+
+    per_key = ds.select_columns([key_col, value_col]).map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(key_col).aggregate(Sum("cents", alias_name="cents")
+                                 ).materialize()
+
+    stats = per_key.aggregate(Count(alias_name="n"),
+                              Sum("cents", alias_name="total"),
+                              Min("cents", alias_name="lo"),
+                              Max("cents", alias_name="hi"))
+    n_keys = int(stats["n"] or 0)
+    if n_keys == 0:
+        return pa.table({"n_keys": pa.array([0], pa.int64()),
+                         "n_top": pa.array([0], pa.int64()),
+                         "top_share": pa.array([None], pa.float64())})
+    total = int(stats["total"])
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    topn = int(np.ceil(frac * n_keys))
+    width = max((hi - lo + 1) / n_buckets, 1e-300)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        b = np.minimum(((c - lo) / width).astype(np.int64), n_buckets - 1)
+        n = np.bincount(b, minlength=n_buckets)
+        s = np.zeros(n_buckets, dtype=np.int64)
+        np.add.at(s, b, c)
+        keep = np.flatnonzero(n)
+        return pa.table({"b": pa.array(keep, pa.int64()),
+                         "bn": pa.array(n[keep].astype(np.int64)),
+                         "bs": pa.array(s[keep])})
+
+    hist_ds = per_key.map_batches(bucketize, batch_format="pyarrow",
+                                  zero_copy_batch=True).groupby(
+        "b").aggregate(Sum("bn", alias_name="bn"),
+                       Sum("bs", alias_name="bs"))
+    hist = pa.concat_tables(list(
+        hist_ds.iter_batches(batch_format="pyarrow", batch_size=65536)))
+    hb = hist.column("b").to_numpy(zero_copy_only=False)
+    hn = hist.column("bn").to_numpy(zero_copy_only=False)
+    hs = hist.column("bs").to_numpy(zero_copy_only=False)
+    order = np.argsort(-hb)                       # walk from the top bucket
+    hb, hn, hs = hb[order], hn[order], hs[order]
+    cum = np.cumsum(hn)
+    i = int(np.searchsorted(cum, topn))           # boundary bucket index
+    above_cnt = int(cum[i - 1]) if i > 0 else 0
+    above_sum = int(hs[:i].sum())
+    remaining = topn - above_cnt
+    part = 0
+    if remaining > 0:
+        b_star = int(hb[i])
+
+        def in_bucket(batch: pa.Table) -> pa.Table:
+            c = batch.column("cents").to_numpy(zero_copy_only=False)
+            bb = np.minimum(((c - lo) / width).astype(np.int64),
+                            n_buckets - 1)
+            return pa.table({"cents": pa.array(c[bb == b_star])})
+
+        vals = pa.concat_tables(list(
+            per_key.map_batches(in_bucket, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=65536)
+        )).column("cents").to_numpy(zero_copy_only=False)
+        vals = np.sort(vals)[::-1]
+        part = int(vals[:remaining].sum())
+    share = round(float(np.round((above_sum + part) / total, 6)), 6)
+    return pa.table({"n_keys": pa.array([n_keys], pa.int64()),
+                     "n_top": pa.array([topn], pa.int64()),
+                     "top_share": pa.array([share], pa.float64())})

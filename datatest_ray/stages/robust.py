@@ -577,3 +577,92 @@ def trimmed_mean(ds, *, by: str, col: str, p_lo: float = 0.05,
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def robust_zscore_report(ds, *, by: str, col: str, z: float = 3.5):
+    """Per-group robust-z outlier report: modified z-score
+    ``rz = |v − median| / (1.4826·MAD)`` (the Iglewicz–Hoaglin screen
+    that, unlike mean/std z-scores, is not masked by the outliers
+    themselves).  Groups with MAD = 0 are skipped (degenerate).
+
+    Three broadcast passes, rows never shuffle: per-group median
+    (quantile_cont parity, 6 dp), per-group MAD over |v − median|
+    (6 dp), then a streaming row pass emitting ONE partial row per
+    group per batch (n, n_outliers, max rz) merged by a tiny groupby.
+
+    Output: (by, n, n_outliers, max_rz 6 dp).
+    """
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    med_t = _grouped_quantiles(ds, by, col, (0.5,))
+    med = np.round(med_t.column("q0").to_numpy(zero_copy_only=False), 6)
+    keys = med_t.column(by)
+    keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    h_med = ray.put((keys, med))
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        kk, mm = ray.get(h_med)
+        pos, found = _group_positions(batch.column(by), kk)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        keep = found & ~np.isnan(v)
+        return pa.table({
+            by: batch.column(by).filter(pa.array(keep)),
+            "_ad": pa.array(np.abs(v[keep] - mm[pos[keep]])),
+        })
+
+    dev_ds = ds.select_columns([by, col]).map_batches(
+        absdev, batch_format="pyarrow", zero_copy_batch=True)
+    mad_t = _grouped_quantiles(dev_ds, by, "_ad", (0.5,))
+    mad = np.round(mad_t.column("q0").to_numpy(zero_copy_only=False), 6)
+    mkeys = mad_t.column(by)
+    mkeys = mkeys.combine_chunks() if isinstance(mkeys, pa.ChunkedArray) \
+        else mkeys
+    # align MAD to the median key order
+    mpos = pc.index_in(keys, value_set=mkeys).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    h_both = ray.put((keys, med, mad[mpos]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kk, mm, dd = ray.get(h_both)
+        pos, found = _group_positions(batch.column(by), kk)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        keep = found & ~np.isnan(v) & (dd[pos] > 0)
+        p = pos[keep]
+        rz = np.round(np.abs(v[keep] - mm[p]) / (1.4826 * dd[p]), 6)
+        m = len(kk)
+        n = np.bincount(p, minlength=m).astype(np.int64)
+        n_out = np.bincount(p[rz > z], minlength=m).astype(np.int64)
+        mx = np.zeros(m, dtype=np.float64)
+        np.maximum.at(mx, p, rz)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            by: kk.take(pa.array(nz, pa.int64())),
+            "n": pa.array(n[nz]),
+            "n_outliers": pa.array(n_out[nz]),
+            "max_rz": pa.array(mx[nz]),
+        })
+
+    merged = ds.select_columns([by, col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(by).aggregate(Sum("n", alias_name="n"),
+                            Sum("n_outliers", alias_name="n_outliers"),
+                            Max("max_rz", alias_name="max_rz"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({by: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "n_outliers": pa.array([], pa.int64()),
+                             "max_rz": pa.array([], pa.float64())})
+        return pa.table({
+            by: t.column(by),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "n_outliers": pc.cast(t.column("n_outliers"), pa.int64()),
+            "max_rz": pc.cast(t.column("max_rz"), pa.float64()),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

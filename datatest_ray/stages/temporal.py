@@ -641,3 +641,62 @@ def ohlc_daily(ds, ts_col: str, *, by: str, value_col: str, id_col: str):
     return ds.select_columns(need).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).groupby([by, "day"]).map_groups(merge, batch_format="pyarrow")
+
+
+def hourly_peak(ds, ts_col: str, *, by: str):
+    """Hour-of-day load profile per key: which UTC hour carries each
+    key's traffic peak and how concentrated that peak is — the
+    capacity-planning / bot-detection companion to the day-of-week
+    rollup (a key whose traffic all lands in one hour is not human).
+
+    Per-batch 24-bin bincount partials per key → one tiny
+    groupby(key, hour) Sum → per-key argmax with smallest-hour
+    tie-break.  Output: (by, peak_hour, n_peak, n_total, share 6 dp).
+    """
+    from ray.data.aggregate import Sum
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(
+            pc.is_valid(batch.column(by)),
+            pc.is_valid(batch.column(ts_col))))
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // HOUR_US) % 24
+        keys = batch.column(by)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) \
+            else keys
+        kc = pc.dictionary_encode(keys)
+        codes = np.asarray(kc.indices, dtype=np.int64)
+        nd = len(kc.dictionary)
+        cnt = np.bincount(codes * 24 + hour, minlength=nd * 24)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            by: pc.take(kc.dictionary, pa.array(keep // 24)),
+            "hour": pa.array((keep % 24).astype(np.int64)),
+            "n": pa.array(cnt[keep].astype(np.int64)),
+        })
+
+    counts = ds.select_columns([by, ts_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby([by, "hour"]).aggregate(Sum("n", alias_name="n"))
+
+    def peak(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        h = group.column("hour").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.lexsort((h, -n))
+        i = order[0]
+        tot = int(n.sum())
+        return pa.table({
+            by: group.column(by)[:1],
+            "peak_hour": pa.array([int(h[i])], pa.int64()),
+            "n_peak": pa.array([int(n[i])], pa.int64()),
+            "n_total": pa.array([tot], pa.int64()),
+            "share": pa.array([round(float(np.round(n[i] / tot, 6)), 6)],
+                              pa.float64()),
+        })
+
+    return counts.groupby(by).map_groups(peak, batch_format="pyarrow")
