@@ -4559,8 +4559,11 @@ def queries() -> Dict[str, Callable]:
     from .oracle3 import QUERIES3
     from .oracle4 import QUERIES4
     from .oracle5 import QUERIES5
+    from .oracle6 import QUERIES6
+    from .oracle7 import QUERIES7
 
-    return QUERIES5 | QUERIES4 | QUERIES3 | QUERIES2 | {
+    return (QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
+            | QUERIES2 | {
         "interval_quantity": q_interval_quantity,
         "interval_discount": q_interval_discount,
         "regex_lang": q_regex_lang,
@@ -4720,7 +4723,7 @@ def queries() -> Dict[str, Callable]:
         "decontaminate_docs": q_decontaminate,
         "lm_score_docs": q_lm_score,
         "hard_negatives": q_hard_negatives,
-    }
+    })
 
 
 def oracle_sql() -> Dict[str, str]:
@@ -4728,8 +4731,10 @@ def oracle_sql() -> Dict[str, str]:
     from .oracle3 import SQL3
     from .oracle4 import SQL4
     from .oracle5 import SQL5
+    from .oracle6 import SQL6
+    from .oracle7 import SQL7
 
-    return SQL5 | SQL4 | SQL3 | SQL2 | {
+    return (SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,
@@ -4879,4 +4884,4 @@ def oracle_sql() -> Dict[str, str]:
         "decontaminate_docs": SQL_DECONTAMINATE,
         "lm_score_docs": SQL_LM_SCORE,
         "hard_negatives": SQL_HARD_NEGATIVES,
-    }
+    })

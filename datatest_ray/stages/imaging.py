@@ -795,3 +795,96 @@ def image_quality_scores(ds, *, concurrency=(2, 8), batch_size: int = 128,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class BorderEntropyExtractor:
+    """Actor-pool callable: letterbox/pillarbox border audit + pixel
+    entropy per image.  Border width per side = number of consecutive
+    edge rows/cols whose gray-plane std is <= ``flat_tol`` (a constant
+    matte bar has ~zero variance); ``entropy`` is the Shannon entropy
+    (bits) of the 256-bin gray histogram — near-zero for synthetic
+    flat fills, high for natural texture.  The crop-before-train and
+    junk-image screens of an image pipeline.  Decode failures emit
+    NULL metrics."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt", flat_tol: float = 1.0):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.flat_tol = float(flat_tol)
+
+    def metrics(self, img: np.ndarray):
+        g = img.astype(np.float64)
+        if g.ndim == 3:
+            g = g.mean(axis=2)
+        h, w = g.shape
+        hist = np.bincount(
+            np.clip(g.astype(np.int64).ravel(), 0, 255), minlength=256)
+        p = hist[hist > 0] / hist.sum()
+        entropy = float(-(p * np.log2(p)).sum())
+
+        def run_len(stds: np.ndarray) -> int:
+            flat = stds <= self.flat_tol
+            stop = np.flatnonzero(~flat)
+            return int(stop[0]) if stop.size else len(stds)
+
+        row_std = g.std(axis=1)
+        col_std = g.std(axis=0)
+        top = run_len(row_std)
+        bottom = run_len(row_std[::-1])
+        left = run_len(col_std)
+        right = run_len(col_std[::-1])
+        # fully-flat image: report whole extent once, not double-counted
+        if top == h:
+            bottom = 0
+        if left == w:
+            right = 0
+        return entropy, top, bottom, left, right
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (batch.column(self.fmt_col).to_pylist()
+                if self.fmt_col in batch.column_names else [None] * n)
+        ent = np.full(n, np.nan)
+        borders = np.zeros((n, 4), dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                e, t, b, lft, r = self.metrics(decode_image(data, fmt))
+            except Exception:
+                continue
+            ent[i] = e
+            borders[i] = (t, b, lft, r)
+            ok[i] = True
+        mask = ~ok
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "entropy": pa.array(ent, pa.float64(), mask=mask),
+            "border_top": pa.array(borders[:, 0], pa.int64(), mask=mask),
+            "border_bottom": pa.array(borders[:, 1], pa.int64(),
+                                      mask=mask),
+            "border_left": pa.array(borders[:, 2], pa.int64(), mask=mask),
+            "border_right": pa.array(borders[:, 3], pa.int64(), mask=mask),
+        })
+
+
+def image_border_audit(ds, *, concurrency=(2, 8), batch_size: int = 128,
+                       fmt_col: str = "fmt", flat_tol: float = 1.0):
+    """Per-image letterbox borders + gray-histogram entropy as a
+    Dataset — feed into interval checks to flag matte-framed or
+    near-constant junk images before training."""
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    return ds.select_columns(cols).map_batches(
+        BorderEntropyExtractor,
+        fn_constructor_kwargs=dict(fmt_col=fmt_col, flat_tol=flat_tol),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1039,3 +1039,100 @@ def top_share(ds, *, key_col: str, value_col: str, frac: float = 0.1,
     return pa.table({"n_keys": pa.array([n_keys], pa.int64()),
                      "n_top": pa.array([topn], pa.int64()),
                      "top_share": pa.array([share], pa.float64())})
+
+
+def key_candidates(ds, combos):
+    """Candidate-key discovery: for each column combination, how close
+    it comes to uniquely identifying rows — (n_rows, n_distinct,
+    dup_rows, is_key) — the schema-inference pass run before declaring
+    primary keys or dedup fingerprints.
+
+    ``combos`` is a sequence of column lists.  Rows with a null in any
+    combo column are excluded for that combo (a SQL-mirrorable
+    contract).  Per batch, each combo's values are pipe-joined into one
+    string key and DEDUPED LOCALLY, so the single (combo, key) exchange
+    moves per-block distinct values, not rows; distinct counting is one
+    two-level groupby, row counting a one-row-per-batch partial.
+
+    Output: (combo:str, n_rows, n_distinct, dup_rows, is_key 0/1).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    combos = [list(c) for c in combos]
+    names = ["+".join(c) for c in combos]
+    cols = list(dict.fromkeys(c for combo in combos for c in combo))
+
+    # the "k" channel carries BOTH distinct keys (prefixed "v|") and
+    # per-batch row-count sentinels (literal "#rows") — Ray's sort-based
+    # shuffle cannot order null string keys, so a prefix replaces null
+    def partial(batch: pa.Table) -> pa.Table:
+        out_combo, out_key = [], []
+        rows_n = []
+        for name, combo in zip(names, combos):
+            valid = None
+            for c in combo:
+                vc = pc.is_valid(batch.column(c))
+                valid = vc if valid is None else pc.and_(valid, vc)
+            sub = batch.filter(valid)
+            parts = [pc.cast(sub.column(c), pa.string()) for c in combo]
+            joined = parts[0] if len(parts) == 1 else \
+                pc.binary_join_element_wise(*parts, "|")
+            uniq = pc.unique(pc.binary_join_element_wise(
+                pa.array(["v"] * len(joined) if not isinstance(
+                    joined, pa.ChunkedArray) else ["v"] * joined.length(),
+                    pa.string()), joined, "|"))
+            out_combo.extend([name] * len(uniq))
+            out_key.append(uniq)
+            rows_n.append(sub.num_rows)
+        keys = pa.concat_arrays([u.combine_chunks()
+                                 if isinstance(u, pa.ChunkedArray) else u
+                                 for u in out_key]) if out_key else \
+            pa.array([], pa.string())
+        t_keys = pa.table({"combo": pa.array(out_combo, pa.string()),
+                           "k": keys,
+                           "_rows": pa.array([0] * len(keys), pa.int64())})
+        t_rows = pa.table({"combo": pa.array(names, pa.string()),
+                           "k": pa.array(["#rows"] * len(names),
+                                         pa.string()),
+                           "_rows": pa.array(rows_n, pa.int64())})
+        return pa.concat_tables([t_keys, t_rows])
+
+    tagged = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    lvl1 = tagged.groupby(["combo", "k"]).aggregate(
+        Sum("_rows", alias_name="rows_part"))
+
+    def split(t: pa.Table) -> pa.Table:
+        is_key = pc.starts_with(t.column("k"), "v|")
+        return pa.table({
+            "combo": t.column("combo"),
+            "d": pc.cast(is_key, pa.int64()),
+            "r": pc.if_else(is_key, pa.scalar(0, pa.int64()),
+                            pc.cast(t.column("rows_part"), pa.int64())),
+        })
+
+    merged = lvl1.map_batches(split, batch_format="pyarrow",
+                              zero_copy_batch=True).groupby(
+        "combo").aggregate(Sum("d", alias_name="n_distinct"),
+                           Sum("r", alias_name="n_rows"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"combo": pa.array([], pa.string()),
+                             "n_rows": z, "n_distinct": z,
+                             "dup_rows": z, "is_key": z})
+        nr = t.column("n_rows").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nd = t.column("n_distinct").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "combo": t.column("combo"),
+            "n_rows": pa.array(nr),
+            "n_distinct": pa.array(nd),
+            "dup_rows": pa.array(nr - nd),
+            "is_key": pa.array((nr == nd).astype(np.int64)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

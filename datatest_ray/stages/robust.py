@@ -202,11 +202,16 @@ def winsorize(ds, *, by: str, col: str, id_col: str,
 
 
 def weighted_median(ds, *, by: str, col: str, weight_col: str,
-                    n_buckets: int = 64):
+                    n_buckets: int = 64, q_num: int = 1, q_den: int = 2,
+                    out_col: str = "wmedian"):
     """Per-group LOWER weighted median: the smallest value v such that
     the cumulative weight of rows with value <= v reaches half the
     group's total weight (2·cumw >= totw) — order-statistics with
     per-row multiplicity (e.g. price weighted by quantity).
+
+    ``q_num``/``q_den`` generalize the cutover to any lower weighted
+    quantile q = q_num/q_den (the comparison ``q_den·cumw ≥ q_num·totw``
+    stays EXACT integer arithmetic); ``out_col`` names the output.
 
     Output: (by, wmedian float64).  Plan: per-batch combiner collapses
     rows to distinct (by, value) pairs with int64 weight sums
@@ -255,7 +260,7 @@ def weighted_median(ds, *, by: str, col: str, weight_col: str,
         n = len(v)
         if n == 0:
             return pa.table({by: t.column(by),
-                             "wmedian": pa.array([], pa.float64())})
+                             out_col: pa.array([], pa.float64())})
         new = np.ones(n, dtype=bool)
         new[1:] = keys[1:] != keys[:-1]
         # merge duplicate (key, value) partials from different batches
@@ -274,7 +279,7 @@ def weighted_median(ds, *, by: str, col: str, weight_col: str,
         segstart = np.flatnonzero(firstk)
         base[segstart[1:]] = cumw[segstart[1:] - 1]
         cumw_in = cumw - np.maximum.accumulate(base)
-        hit = 2 * cumw_in >= totw[seg]
+        hit = q_den * cumw_in >= q_num * totw[seg]
         # first hit per segment: arg of min index among hits
         order = np.where(hit, np.arange(len(runs)), len(runs))
         first_hit = np.minimum.reduceat(order, segstart)
@@ -282,7 +287,7 @@ def weighted_median(ds, *, by: str, col: str, weight_col: str,
         out_v = vrun[first_hit]
         return pa.table({
             by: pa.array(out_k),
-            "wmedian": pa.array(out_v.astype(np.float64)),
+            out_col: pa.array(out_v.astype(np.float64)),
         })
 
     return ds.select_columns(
@@ -291,7 +296,16 @@ def weighted_median(ds, *, by: str, col: str, weight_col: str,
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).groupby("coarse").map_groups(
         kernel, batch_format="pyarrow"
-    ).select_columns([by, "wmedian"])
+    ).select_columns([by, out_col])
+
+
+def weighted_quantile(ds, *, by: str, col: str, weight_col: str,
+                      q_num: int, q_den: int, n_buckets: int = 64):
+    """Per-group lower weighted quantile q = q_num/q_den (exact integer
+    cutover; see :func:`weighted_median`).  Output: (by, wq)."""
+    return weighted_median(ds, by=by, col=col, weight_col=weight_col,
+                           n_buckets=n_buckets, q_num=q_num, q_den=q_den,
+                           out_col="wq")
 
 
 def gini_by_group(ds, *, by: str, value_col: str, n_buckets: int = 32,

@@ -847,3 +847,232 @@ def date_spine_gaps(ds, *, by: str, ts: str, n_buckets: int = 256):
     return _bucketed(ds.select_columns([by, ts]), project,
                      n_buckets).map_groups(kernel, batch_format="pyarrow"
     ).select_columns([by, "n_days", "span_days", "n_missing", "max_gap"])
+
+
+def stuck_runs(ds, *, by: str, ts: str, value_col: str, id_col: str,
+               n_buckets: int = 256):
+    """Stuck-sensor / frozen-pipeline audit: the longest run of
+    CONSECUTIVE identical values per key in event order — a healthy
+    metered stream rarely repeats the exact same reading many times in
+    a row, so a long run means a stuck sensor, a frozen upstream cache,
+    or a retry storm re-emitting one payload.
+
+    Order is (ts, id) lexicographic so same-timestamp rows resolve
+    identically everywhere.  Null values are excluded before run
+    detection (both engines).  One coarse-bucket shuffle; vectorized
+    gaps-and-islands kernel per bucket.
+
+    Output: (by, n_rows, n_runs, max_run) int64.
+    """
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(pc.and_kleene(
+            pc.is_valid(batch.column(by)),
+            pc.is_valid(batch.column(ts))),
+            pc.is_valid(batch.column(value_col))))
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_t": _ts_us(batch.column(ts)),
+            "_i": pc.cast(batch.column(id_col), pa.int64()),
+            "_v": pc.cast(batch.column(value_col), pa.float64()),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        i = group.column("_i").to_numpy(zero_copy_only=False)
+        v = group.column("_v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, keys))
+        keys, v = keys[order], v[order]
+        first = _seg_first(keys)
+        seg = np.cumsum(first) - 1
+        m = int(seg[-1]) + 1 if len(seg) else 0
+        # island: new key OR value changed vs previous row
+        new_run = first.copy()
+        if len(keys) > 1:
+            new_run[1:] |= v[1:] != v[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_seg = seg[np.flatnonzero(new_run)]
+        max_run = np.zeros(m, dtype=np.int64)
+        np.maximum.at(max_run, run_seg, run_len)
+        n_runs = np.bincount(run_seg, minlength=m).astype(np.int64)
+        starts = np.flatnonzero(first)
+        kcol = group.column(by)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        return pa.table({
+            by: pc.take(kcol, pa.array(order[starts], pa.int64())),
+            "n_rows": pa.array(np.bincount(seg, minlength=m).astype(
+                np.int64)),
+            "n_runs": pa.array(n_runs),
+            "max_run": pa.array(max_run),
+        })
+
+    need = list(dict.fromkeys([by, ts, value_col, id_col]))
+    return _bucketed(ds.select_columns(need), project,
+                     n_buckets).map_groups(kernel, batch_format="pyarrow"
+    ).select_columns([by, "n_rows", "n_runs", "max_run"])
+
+
+def ledger_min(ds, *, by: str, ts: str, id_col: str, delta_col: str,
+               decimals: int = 2, n_buckets: int = 256):
+    """Ledger / inventory invariant: per key, the running balance of
+    signed deltas in (ts, id) order must never dip below zero — the
+    "sold more than was ever in stock" / double-spend audit.  Deltas
+    accumulate as EXACT integer units (``round(v·10^decimals)``), so
+    the running minimum is bit-identical on any engine and any block
+    split.
+
+    Output: (by, n, final_units, min_units, went_negative 0/1); one
+    coarse-bucket shuffle, vectorized per-segment cumsum kernel.
+    """
+    scale = float(10 ** decimals)
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(pc.and_kleene(
+            pc.is_valid(batch.column(by)),
+            pc.is_valid(batch.column(ts))),
+            pc.is_valid(batch.column(delta_col))))
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        units = pc.cast(pc.round(pc.multiply(pc.cast(
+            batch.column(delta_col), pa.float64()), scale)), pa.int64())
+        return pa.table({
+            by: batch.column(by),
+            "_t": _ts_us(batch.column(ts)),
+            "_i": pc.cast(batch.column(id_col), pa.int64()),
+            "_d": units,
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        i = group.column("_i").to_numpy(zero_copy_only=False)
+        d = group.column("_d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, t, keys))
+        keys, d = keys[order], d[order]
+        first = _seg_first(keys)
+        seg = np.cumsum(first) - 1
+        m = int(seg[-1]) + 1 if len(seg) else 0
+        cum = np.cumsum(d)
+        # per-segment running sum: subtract the cumsum just before the
+        # segment start (indexed per segment — signed deltas make cum
+        # non-monotonic, so no accumulate trick here)
+        starts = np.flatnonzero(first)
+        seg_base = np.zeros(m, dtype=np.int64)
+        seg_base[1:] = cum[starts[1:] - 1]
+        run = cum - seg_base[seg]
+        min_units = np.full(m, np.iinfo(np.int64).max)
+        np.minimum.at(min_units, seg, run)
+        ends = np.append(starts[1:], len(d)) - 1
+        kcol = group.column(by)
+        kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
+            else kcol
+        return pa.table({
+            by: pc.take(kcol, pa.array(order[starts], pa.int64())),
+            "n": pa.array(np.bincount(seg, minlength=m).astype(np.int64)),
+            "final_units": pa.array(run[ends]),
+            "min_units": pa.array(min_units),
+            "went_negative": pa.array((min_units < 0).astype(np.int64)),
+        })
+
+    need = list(dict.fromkeys([by, ts, id_col, delta_col]))
+    return _bucketed(ds.select_columns(need), project,
+                     n_buckets).map_groups(kernel, batch_format="pyarrow"
+    ).select_columns([by, "n", "final_units", "min_units",
+                      "went_negative"])
+
+
+def trigram_topk(ds, *, by: str, ts: str, type_col: str, id_col: str,
+                 k: int = 10, n_buckets: int = 256):
+    """Top-k event TRIGRAMS (three consecutive event types within a
+    key, (ts, id) order) — the sequence-mining step past the Markov
+    bigram: which 3-step paths dominate the product flow.
+
+    Per coarse bucket, a vectorized double-shift builds trigram codes
+    and collapses them to counts, so the second exchange moves
+    (t0, t1, t2, count) partials — key space ≤ |types|³.  A one-block
+    finalize ranks with (count desc, t0, t1, t2) determinism.
+    Output: (t0, t1, t2, n), k rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(pc.and_kleene(
+            pc.is_valid(batch.column(by)),
+            pc.is_valid(batch.column(ts))),
+            pc.is_valid(batch.column(type_col))))
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            by: batch.column(by),
+            "_t": _ts_us(batch.column(ts)),
+            "_i": pc.cast(batch.column(id_col), pa.int64()),
+            "_e": pc.cast(batch.column(type_col), pa.string()),
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        i = group.column("_i").to_numpy(zero_copy_only=False)
+        ev = group.column("_e")
+        ev = ev.combine_chunks() if isinstance(ev, pa.ChunkedArray) else ev
+        order = np.lexsort((i, t, keys))
+        keys = keys[order]
+        evc = pc.dictionary_encode(pc.take(ev, pa.array(order, pa.int64())))
+        codes = np.asarray(evc.indices, dtype=np.int64)
+        d = len(evc.dictionary)
+        n = len(codes)
+        empty = pa.table({"t0": pa.array([], pa.string()),
+                          "t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if n < 3 or d == 0:
+            return empty
+        same3 = (keys[:-2] == keys[1:-1]) & (keys[1:-1] == keys[2:])
+        if not same3.any():
+            return empty
+        tri = (codes[:-2] * d + codes[1:-1]) * d + codes[2:]
+        tri = tri[same3]
+        cnt = np.bincount(tri)
+        keep = np.flatnonzero(cnt)
+        return pa.table({
+            "t0": pc.take(evc.dictionary, pa.array(keep // (d * d))),
+            "t1": pc.take(evc.dictionary, pa.array((keep // d) % d)),
+            "t2": pc.take(evc.dictionary, pa.array(keep % d)),
+            "n": pa.array(cnt[keep].astype(np.int64)),
+        })
+
+    counts = _bucketed(ds.select_columns(
+        list(dict.fromkeys([by, ts, type_col, id_col]))), project,
+        n_buckets).map_groups(kernel, batch_format="pyarrow").groupby(
+        ["t0", "t1", "t2"]).aggregate(Sum("n", alias_name="n"))
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"t0": pa.array([], pa.string()),
+                             "t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        a0 = t.column("t0").to_numpy(zero_copy_only=False).astype(str)
+        a1 = t.column("t1").to_numpy(zero_copy_only=False).astype(str)
+        a2 = t.column("t2").to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((a2, a1, a0, -n))[:k]
+        idx = pa.array(order, pa.int64())
+        g = lambda c: pc.take(
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
+            idx)
+        return pa.table({
+            "t0": g(t.column("t0")), "t1": g(t.column("t1")),
+            "t2": g(t.column("t2")),
+            "n": pa.array(n[order]),
+        })
+
+    return counts.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None)

@@ -700,3 +700,141 @@ def hourly_peak(ds, ts_col: str, *, by: str):
         })
 
     return counts.groupby(by).map_groups(peak, batch_format="pyarrow")
+
+
+def rate_with_ci(ds, ts_col: str, *, type_col: str, target: str,
+                 z: float = 1.96):
+    """Daily incident-rate SLO with a Wilson confidence interval: per
+    UTC day, the share of rows whose ``type_col`` equals ``target``
+    plus the Wilson score interval — the uncertainty-aware version of
+    a bare error-rate chart, so low-traffic days do not fire alerts on
+    noise.
+
+    Per-batch (day, n, n_target) partials → one tiny groupby → a
+    closed-form finalize (identical IEEE ops both engines, 6 dp).
+    Output: (day, n, n_target, rate, ci_lo, ci_hi).
+    """
+    from ray.data.aggregate import Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(
+            pc.is_valid(batch.column(ts_col)),
+            pc.is_valid(batch.column(type_col))))
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        hit = pc.equal(batch.column(type_col), target).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(day, return_inverse=True)
+        return pa.table({
+            "day": pa.array(uniq),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_target": pa.array(np.bincount(inv, weights=hit).astype(
+                np.int64)),
+        })
+
+    merged = ds.select_columns([ts_col, type_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("day").aggregate(Sum("n", alias_name="n"),
+                               Sum("n_target", alias_name="n_target"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            f = pa.array([], pa.float64())
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "n_target": pa.array([], pa.int64()),
+                             "rate": f, "ci_lo": f, "ci_hi": f})
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        k = t.column("n_target").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        p = k / n
+        z2 = z * z
+        denom = 1.0 + z2 / n
+        center = (p + z2 / (2.0 * n)) / denom
+        half = (z * np.sqrt(p * (1.0 - p) / n
+                            + z2 / (4.0 * n * n))) / denom
+        return pa.table({
+            "day": pc.cast(t.column("day"), pa.int64()),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "n_target": pc.cast(t.column("n_target"), pa.int64()),
+            "rate": pa.array(np.round(p, 6)),
+            "ci_lo": pa.array(np.round(center - half, 6)),
+            "ci_hi": pa.array(np.round(center + half, 6)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def churned_keys(ds, ts_col: str, *, by: str, split_day: int,
+                 only_churned: bool = False):
+    """Churn audit: per-key activity split around ``split_day`` (UTC
+    epoch day) — (n_before, n_after, last_day_before, churned) where
+    churned = active before the split with NO activity on or after it.
+    The retention complement of :func:`user_growth_daily`, as a
+    concrete key table with recency; ``only_churned=True`` filters to
+    the churn set.
+
+    One projection pass emits (key, n_before, last_day_before,
+    n_after) per-batch partials; one tiny groupby.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_kleene(
+            pc.is_valid(batch.column(by)),
+            pc.is_valid(batch.column(ts_col))))
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // DAY_US
+        before = day < split_day
+        keys = batch.column(by)
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) \
+            else keys
+        kc = pc.dictionary_encode(keys)
+        codes = np.asarray(kc.indices, dtype=np.int64)
+        m = len(kc.dictionary)
+        nb = np.bincount(codes[before], minlength=m).astype(np.int64)
+        na = np.bincount(codes[~before], minlength=m).astype(np.int64)
+        last = np.full(m, np.iinfo(np.int64).min)
+        np.maximum.at(last, codes[before], day[before])
+        keep = np.flatnonzero(nb + na)
+        return pa.table({
+            by: pc.take(kc.dictionary, pa.array(keep)),
+            "n_before": pa.array(nb[keep]),
+            "n_after": pa.array(na[keep]),
+            "last_b": pa.array(last[keep]),
+        })
+
+    merged = ds.select_columns([by, ts_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(by).aggregate(Sum("n_before", alias_name="n_before"),
+                            Sum("n_after", alias_name="n_after"),
+                            Max("last_b", alias_name="last_day_before"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        churned = pc.and_(pc.greater(t.column("n_before"), 0),
+                          pc.equal(t.column("n_after"), 0))
+        if only_churned:
+            t = t.filter(churned)
+            churned = pc.and_(pc.greater(t.column("n_before"), 0),
+                              pc.equal(t.column("n_after"), 0))
+        nb = t.column("n_before")
+        last = pc.if_else(pc.greater(nb, 0),
+                          pc.cast(t.column("last_day_before"), pa.int64()),
+                          pa.nulls(t.num_rows, pa.int64()))
+        return pa.table({
+            by: t.column(by),
+            "n_before": pc.cast(nb, pa.int64()),
+            "n_after": pc.cast(t.column("n_after"), pa.int64()),
+            "last_day_before": last,
+            "churned": pc.cast(churned, pa.int64()),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
