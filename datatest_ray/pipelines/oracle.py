@@ -4561,8 +4561,9 @@ def queries() -> Dict[str, Callable]:
     from .oracle5 import QUERIES5
     from .oracle6 import QUERIES6
     from .oracle7 import QUERIES7
+    from .oracle8 import QUERIES8
 
-    return (QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
+    return (QUERIES8 | QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
             | QUERIES2 | {
         "interval_quantity": q_interval_quantity,
         "interval_discount": q_interval_discount,
@@ -4733,8 +4734,9 @@ def oracle_sql() -> Dict[str, str]:
     from .oracle5 import SQL5
     from .oracle6 import SQL6
     from .oracle7 import SQL7
+    from .oracle8 import SQL8
 
-    return (SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
+    return (SQL8 | SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,

@@ -45,6 +45,7 @@ __all__ = [
     "jaro_winkler_pairs",
     "sorted_neighborhood_pairs",
     "decontaminate",
+    "winnow_pairs",
 ]
 
 
@@ -1460,3 +1461,174 @@ def jaccard_pairs_prefix(ds, text_col: str, id_col: str, *, n: int = 3,
     return _join_exact_verify(ds, pairs, text_col, id_col, n=n,
                               threshold=threshold,
                               num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) substring-level fingerprints
+# ---------------------------------------------------------------------------
+
+_WIN_B = np.uint64(1000003)
+
+
+def _winnow_batch(texts: pa.Array, k: int, w: int):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+    for one batch of normalized strings: rolling k-gram hashes over the
+    FLAT utf-8 buffer of the whole batch (doc-boundary windows masked
+    out — no per-document Python), sliding-window minima selected by
+    leftmost position, deduplicated by position.
+
+    Guarantee: two docs sharing a normalized substring of length
+    ≥ w + k − 1 share at least one fingerprint.  Returns (row_idx,
+    fingerprint) int64 arrays.
+    """
+    texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
+        else texts
+    buffers = texts.buffers()
+    odt = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+    offsets = np.frombuffer(
+        buffers[1], dtype=odt,
+        count=texts.offset + len(texts) + 1
+    )[texts.offset:].astype(np.int64)
+    if buffers[2] is not None:
+        data = np.frombuffer(buffers[2], dtype=np.uint8,
+                             count=int(offsets[-1]))[offsets[0]:]
+    else:
+        data = np.empty(0, np.uint8)
+    offsets = offsets - offsets[0]
+    n = len(data)
+    if n < k:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    # rolling polynomial hashes over the flat buffer: loop over k (tiny),
+    # vectorized over all positions
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    du = data.astype(np.uint64)
+    for j in range(k):
+        h = h * _WIN_B + du[j:j + m]
+    # valid hash positions: k-gram must not cross a doc boundary
+    doc_of = np.searchsorted(offsets, np.arange(m), side="right") - 1
+    valid_h = (np.arange(m) + k) <= offsets[doc_of + 1]
+    if m < w:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    # sliding min over hash windows of width w (leftmost argmin)
+    sw = np.lib.stride_tricks.sliding_window_view(h, w)
+    sel = np.argmin(sw, axis=1) + np.arange(m - w + 1)
+    # a window is valid only if its entire span sits inside one doc
+    starts = np.arange(m - w + 1)
+    doc_s = doc_of[starts]
+    valid_w = ((starts + w - 1 + k) <= offsets[doc_s + 1]) \
+        & valid_h[starts] & valid_h[starts + w - 1]
+    pos = np.unique(sel[valid_w])
+    pos = pos[valid_h[pos]]
+    return (doc_of[pos], h[pos].view(np.int64))
+
+
+def winnow_pairs(ds, text_col: str, id_col: str, *, k: int = 16,
+                 w: int = 8, min_shared: int = 2, bucket_cap: int = 64,
+                 shuffle_partitions: int = 8):
+    """Substring-level near-duplicate candidates via winnowing
+    fingerprints — catches COPIED PASSAGES (quotes, boilerplate,
+    plagiarized spans) that whole-document MinHash misses when the rest
+    of the documents differ.  Any pair sharing a normalized substring
+    of ≥ w+k−1 chars is guaranteed a common fingerprint; pairs sharing
+    ≥ ``min_shared`` fingerprints are reported.
+
+    Plan: per-batch flat-buffer rolling hashes + sliding-window minima
+    (no Python over rows), shuffle (fingerprint → docs) rows — payload
+    is the SELECTED fingerprints only, ~2/(w+1) of the k-grams — then
+    the coarse-bucket pair emission + pair-count combine used by every
+    dedup stage here.  Fingerprints shared by more than ``bucket_cap``
+    docs are dropped as boilerplate (documented recall trade, same cap
+    discipline as the LSH stages).  Normalization: lowercase, non-
+    alphanumeric stripped.  Output: (a, b, shared).
+    """
+    from ray.data.aggregate import Sum
+
+    def fps(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(txt), "[^a-z0-9]+", "")
+        row, fp = _winnow_batch(
+            norm.combine_chunks() if isinstance(norm, pa.ChunkedArray)
+            else norm, k, w)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # distinct (doc, fp) within the batch
+        order = np.lexsort((fp, row))
+        rs, fs = row[order], fp[order]
+        keep = np.ones(len(rs), dtype=bool)
+        if len(rs) > 1:
+            keep[1:] = (rs[1:] != rs[:-1]) | (fs[1:] != fs[:-1])
+        rs, fs = rs[keep], fs[keep]
+        return pa.table({
+            "coarse": pa.array((fs.astype(np.uint64)
+                                % np.uint64(shuffle_partitions * 32))
+                               .astype(np.int64)),
+            "fp": pa.array(fs),
+            "doc": pa.array(ids[rs].astype(np.int64)),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = group.column("doc").to_numpy(zero_copy_only=False)
+        fp = group.column("fp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, fp))
+        docs, fp = docs[order], fp[order]
+        # drop duplicate (fp, doc) rows that met in this bucket
+        keep = np.ones(len(fp), dtype=bool)
+        if len(fp) > 1:
+            keep[1:] = (fp[1:] != fp[:-1]) | (docs[1:] != docs[:-1])
+        docs, fp = docs[keep], fp[keep]
+        _, counts = np.unique(fp, return_counts=True)
+        # boilerplate cap
+        big = counts > bucket_cap
+        if big.any():
+            keep2 = ~np.repeat(big, counts)
+            docs, fp = docs[keep2], fp[keep2]
+            _, counts = np.unique(fp, return_counts=True)
+        ii, jj = _segment_pairs(counts)
+        a, b = docs[ii], docs[jj]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        # combine duplicate pairs locally before the pair shuffle
+        order2 = np.lexsort((b2, a2))
+        a2, b2 = a2[order2], b2[order2]
+        new = np.ones(len(a2), dtype=bool)
+        if len(a2) > 1:
+            new[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+        seg = np.cumsum(new) - 1
+        c = np.bincount(seg).astype(np.int64)
+        first = np.flatnonzero(new)
+        a2, b2 = a2[first], b2[first]
+        return pa.table({
+            "pc": pa.array((_pair_key(a2, b2)
+                            % np.uint64(shuffle_partitions * 32))
+                           .astype(np.int64)),
+            "a": pa.array(a2), "b": pa.array(b2), "c": pa.array(c),
+        })
+
+    def pair_reduce(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, c = a[order], b[order], c[order]
+        new = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=c).astype(np.int64)
+        first = np.flatnonzero(new)
+        ok = tot >= min_shared
+        return pa.table({"a": pa.array(a[first][ok]),
+                         "b": pa.array(b[first][ok]),
+                         "shared": pa.array(tot[ok])})
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse").map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pc").map_groups(pair_reduce, batch_format="pyarrow")
+        .select_columns(["a", "b", "shared"])
+    )

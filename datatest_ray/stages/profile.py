@@ -1136,3 +1136,132 @@ def key_candidates(ds, combos):
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def adjusted_residuals(ds, a_col: str, b_col: str):
+    """Chi-square ADJUSTED standardized residuals per contingency cell
+    (Agresti): r = (obs - exp) / sqrt(exp·(1-p_row)·(1-p_col)) — the
+    per-cell attribution that says WHICH cells drive an association,
+    where the aggregate chi-square statistic (``chi2_flag_status``)
+    only says THAT one exists.  |r| > 2 flags a cell at ~5%.
+
+    Plan: per-batch vectorized cell counting (lexsort + segment
+    bincount — same partial shape as the chi-square screen), then a
+    single-block finalize computing row/column margins with bincount.
+    Shuffle payload is O(distinct (a,b) cells) per batch, never rows.
+    Null keys excluded on both engines.  Output one row per observed
+    cell: (a, b, n, expected, stdres), unrounded (driver canon rounds).
+    """
+
+    def cells(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col)
+        b = batch.column(b_col)
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        a, b = a.filter(ok), b.filter(ok)
+        ea, eb = pc.dictionary_encode(a), pc.dictionary_encode(b)
+        ca = np.asarray(ea.indices, dtype=np.int64)
+        cb = np.asarray(eb.indices, dtype=np.int64)
+        m = len(eb.dictionary)
+        joint = np.bincount(ca * m + cb,
+                            minlength=len(ea.dictionary) * m)
+        nz = np.flatnonzero(joint)
+        return pa.table({
+            "a": ea.dictionary.take(pa.array(nz // m)),
+            "b": eb.dictionary.take(pa.array(nz % m)),
+            "c": pa.array(joint[nz].astype(np.int64)),
+        })
+
+    partials = ds.select_columns([a_col, b_col]).map_batches(
+        cells, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("n", pa.int64()), ("expected", pa.float64()),
+                            ("stdres", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ea = pc.dictionary_encode(t.column("a").combine_chunks())
+        eb = pc.dictionary_encode(t.column("b").combine_chunks())
+        ca = np.asarray(ea.indices, dtype=np.int64)
+        cb = np.asarray(eb.indices, dtype=np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(eb.dictionary)
+        joint = np.bincount(ca * m + cb, weights=c,
+                            minlength=len(ea.dictionary) * m).astype(
+            np.int64)
+        nz = np.flatnonzero(joint)
+        ia, ib, n = nz // m, nz % m, joint[nz]
+        tot = float(n.sum())
+        rn = np.bincount(ia, weights=n,
+                         minlength=len(ea.dictionary))
+        cn = np.bincount(ib, weights=n, minlength=m)
+        exp = rn[ia] * cn[ib] / tot
+        den = np.sqrt(exp * (1.0 - rn[ia] / tot) * (1.0 - cn[ib] / tot))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (n - exp) / den
+        bad = ~np.isfinite(r)
+        return pa.table({
+            "a": pc.cast(ea.dictionary.take(pa.array(ia)), pa.string()),
+            "b": pc.cast(eb.dictionary.take(pa.array(ib)), pa.string()),
+            "n": pa.array(n),
+            "expected": pa.array(exp),
+            "stdres": pa.array(r, mask=bad),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def trailing_digit_uniformity(ds, col: str, *, modulus: int = 100):
+    """Trailing-digit (cents) uniformity audit over a 2-dp money column
+    — the fabrication screen complementary to Benford's law: leading
+    digits follow Benford, but the LAST two digits of organic amounts
+    should be near-uniform; spikes at .00/.99/.50 reveal manual entry
+    or rounding fraud (Nigrini's number-duplication test).
+
+    Plan: per-batch ``value_counts`` over ``round(x·100) % modulus``
+    (≤``modulus`` partial rows per batch) → ONE tiny groupby Sum →
+    single-block finalize attaching the uniform expectation and the
+    per-cell chi-square contribution.  Output: (cents, n, share,
+    cell_chi2) — sum(cell_chi2) is the statistic vs χ²(modulus-1).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = pc.cast(batch.column(col), pa.float64())
+        arr = arr.filter(pc.is_valid(arr))
+        cents = pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
+        cents = pc.subtract(
+            cents, pc.multiply(pc.floor(pc.divide(
+                pc.cast(cents, pa.float64()), float(modulus))),
+                float(modulus)))
+        vc = pc.value_counts(pc.cast(cents, pa.int64()))
+        return pa.table({"cents": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    merged = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cents")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("cents", pa.int64()), ("n", pa.int64()),
+                              ("share", pa.float64()),
+                              ("cell_chi2", pa.float64())]).empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = float(n.sum())
+        exp = tot / modulus
+        return pa.table({
+            "cents": pc.cast(t.column("cents"), pa.int64()),
+            "n": t.column("n"),
+            "share": pa.array(n / tot),
+            "cell_chi2": pa.array((n - exp) * (n - exp) / exp),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

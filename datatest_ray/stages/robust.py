@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
-           "mahalanobis_outliers"]
+           "mahalanobis_outliers", "spearman_grouped"]
 
 
 def _group_positions(col, keys):
@@ -680,3 +680,149 @@ def robust_zscore_report(ds, *, by: str, col: str, z: float = 3.5):
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def spearman_grouped(ds, *, by: str, x_col: str, y_col: str):
+    """Grouped Spearman rank correlation with exact average-rank tie
+    handling — the monotone-association screen (robust to outliers and
+    nonlinearity, unlike Pearson).
+
+    Engine extension (upstream datatest has no correlation statistics;
+    SURVEY.md §2.H) — the classic EDA companion to ``grouped_corr``.
+
+    Exactness without a global sort: Spearman over a SMALL JOINT DOMAIN
+    needs only the per-group contingency counts.  Average rank of a
+    distinct value v is ``cum_before(v) + (count(v)+1)/2``, computable
+    from the marginal counts alone, and the rank correlation is the
+    count-weighted Pearson over the joint cells.  The shuffle therefore
+    moves O(distinct (g,x,y) cells) rows — independent of row count —
+    which is why this targets bounded-domain measures (quantity 1..50,
+    discount 0.00..0.10), not continuous ones (use grouped_corr there).
+
+    Plan: per-batch vectorized cell counting (lexsort + segment
+    bincount) → ``repartition(1)`` → single-block finalize (merge
+    cells, marginal cumulatives → average ranks, weighted Pearson per
+    group).  Rows with a null key or null/NaN measure are excluded on
+    both engines.  Output: (by, n, rho); rho is NULL for degenerate
+    groups (zero variance or <2 rows).
+    """
+
+    def cells(batch: pa.Table) -> pa.Table:
+        g = batch.column(by)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = pc.is_valid(g).to_numpy(zero_copy_only=False) \
+            & ~np.isnan(x) & ~np.isnan(y)
+        enc = pc.dictionary_encode(g.filter(pa.array(ok)))
+        code = np.asarray(enc.indices, dtype=np.int64)
+        x, y = x[ok], y[ok]
+        order = np.lexsort((y, x, code))
+        code, x, y = code[order], x[order], y[order]
+        new = np.ones(len(code), dtype=bool)
+        if len(code) > 1:
+            new[1:] = ((code[1:] != code[:-1]) | (x[1:] != x[:-1])
+                       | (y[1:] != y[:-1]))
+        seg = np.cumsum(new) - 1
+        c = np.bincount(seg)
+        first = np.flatnonzero(new)
+        return pa.table({
+            by: enc.dictionary.take(pa.array(code[first])),
+            "x": pa.array(x[first]),
+            "y": pa.array(y[first]),
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    partials = ds.select_columns([by, x_col, y_col]).map_batches(
+        cells, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(by, t.schema.field(by).type
+                                 if t.num_rows else pa.string()),
+                                ("n", pa.int64()), ("rho", pa.float64())])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        gcol = t.column(by).combine_chunks()
+        enc = pc.dictionary_encode(gcol)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        # merge duplicate cells from different batches
+        order = np.lexsort((y, x, code))
+        code, x, y, c = code[order], x[order], y[order], c[order]
+        new = np.ones(len(code), dtype=bool)
+        if len(code) > 1:
+            new[1:] = ((code[1:] != code[:-1]) | (x[1:] != x[:-1])
+                       | (y[1:] != y[:-1]))
+        seg = np.cumsum(new) - 1
+        c = np.bincount(seg, weights=c).astype(np.int64)
+        first = np.flatnonzero(new)
+        code, x, y = code[first], x[first], y[first]
+        # x marginals (cells are (g,x)-sorted): average rank per (g,x)
+        newx = np.ones(len(code), dtype=bool)
+        if len(code) > 1:
+            newx[1:] = (code[1:] != code[:-1]) | (x[1:] != x[:-1])
+        segx = np.cumsum(newx) - 1
+        cx = np.bincount(segx, weights=c).astype(np.int64)
+        newg_x = np.ones(len(cx), dtype=bool)
+        gx_codes = code[np.flatnonzero(newx)]
+        if len(cx) > 1:
+            newg_x[1:] = gx_codes[1:] != gx_codes[:-1]
+        cumx = np.cumsum(cx)
+        base = np.zeros(len(cx), dtype=np.int64)
+        starts = np.flatnonzero(newg_x)
+        base[starts[1:]] = cumx[starts[1:] - 1] if len(starts) > 1 else 0
+        base = np.maximum.accumulate(base)
+        cum_in_g = cumx - base
+        arx_per_xcell = (cum_in_g - cx) + (cx + 1) / 2.0
+        arx = arx_per_xcell[segx]
+        # y marginals: re-sort cells by (g, y)
+        order_y = np.lexsort((y, code))
+        inv = np.empty(len(order_y), dtype=np.int64)
+        inv[order_y] = np.arange(len(order_y))
+        code_y, y_s, c_y = code[order_y], y[order_y], c[order_y]
+        newy = np.ones(len(code_y), dtype=bool)
+        if len(code_y) > 1:
+            newy[1:] = (code_y[1:] != code_y[:-1]) | (y_s[1:] != y_s[:-1])
+        segy = np.cumsum(newy) - 1
+        cy = np.bincount(segy, weights=c_y).astype(np.int64)
+        gy_codes = code_y[np.flatnonzero(newy)]
+        newg_y = np.ones(len(cy), dtype=bool)
+        if len(cy) > 1:
+            newg_y[1:] = gy_codes[1:] != gy_codes[:-1]
+        cumy = np.cumsum(cy)
+        basey = np.zeros(len(cy), dtype=np.int64)
+        startsy = np.flatnonzero(newg_y)
+        basey[startsy[1:]] = cumy[startsy[1:] - 1] if len(startsy) > 1 else 0
+        basey = np.maximum.accumulate(basey)
+        ary_per_ycell = (cumy - basey - cy) + (cy + 1) / 2.0
+        ary = ary_per_ycell[segy][inv]
+        # weighted Pearson over cells, per group
+        m = int(code.max()) + 1
+        w = c.astype(np.float64)
+        n_g = np.bincount(code, weights=w, minlength=m)
+        sx = np.bincount(code, weights=w * arx, minlength=m)
+        sy_ = np.bincount(code, weights=w * ary, minlength=m)
+        sxx = np.bincount(code, weights=w * arx * arx, minlength=m)
+        syy = np.bincount(code, weights=w * ary * ary, minlength=m)
+        sxy = np.bincount(code, weights=w * arx * ary, minlength=m)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = sxy - sx * sy_ / n_g
+            vx = sxx - sx * sx / n_g
+            vy = syy - sy_ * sy_ / n_g
+            rho = cov / np.sqrt(vx * vy)
+        present = np.bincount(code, minlength=m) > 0
+        idx = np.flatnonzero(present)
+        bad = ~np.isfinite(rho[idx])
+        return pa.table({
+            by: enc.dictionary.take(pa.array(idx)),
+            "n": pa.array(n_g[idx].astype(np.int64)),
+            "rho": pa.array(rho[idx], mask=bad),
+        }).cast(pa.schema([(by, t.schema.field(by).type),
+                           ("n", pa.int64()), ("rho", pa.float64())]))
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -838,3 +838,67 @@ def churned_keys(ds, ts_col: str, *, by: str, split_day: int,
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def expfit_ks(ds, ts_col: str, *, by: str, id_col: str):
+    """Exponential goodness-of-fit on pooled inter-arrival gaps: fit
+    λ = 1/mean to the per-key event gaps (MLE) and report the one-sample
+    Kolmogorov–Smirnov distance against Exp(λ) — the Poisson-process
+    sanity check behind rate alarms (a large KS means bursty/periodic
+    traffic where an exponential-arrival assumption would misfire).
+
+    Plan: gaps via the lag_diff bucketed-window stage (one coarse-key
+    shuffle), then ONE groupby on the distinct gap value (counts — the
+    ECDF needs cumulative counts at distinct points only), single-block
+    finalize: exact integer Σgap / n for the mean (bit-identical to the
+    SQL oracle's BIGINT sum), vectorized cumsum ECDF and the two-sided
+    step deviation ``max(cum/n − F(v), F(v) − (cum−c)/n)``.  Output one
+    row: (n, mean_gap_s, ks).  Null ts / key rows are excluded BEFORE
+    the window on both engines.
+    """
+    from ray.data.aggregate import Sum
+
+    from .winfunc import lag_diff
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column(ts_col)),
+                                pc.is_valid(t.column(by))))
+
+    gaps = lag_diff(
+        ds.select_columns([id_col, by, ts_col]).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True),
+        by=by, order_col=ts_col, id_col=id_col)
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = t.column("gap")
+        vc = pc.value_counts(g.filter(pc.is_valid(g)))
+        return pa.table({"gap": pc.cast(vc.field("values"), pa.int64()),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    merged = gaps.map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("gap").aggregate(Sum("c", alias_name="c"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("mean_gap_s", pa.float64()),
+                            ("ks", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        order = pc.sort_indices(t.column("gap"))
+        g = t.column("gap").take(order).to_numpy(zero_copy_only=False)
+        c = t.column("c").take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = int(c.sum())
+        tot = int(np.sum(g * c))          # exact: int64 µs totals
+        mu = float(tot) / float(n)        # same double division as SQL
+        f = 1.0 - np.exp(-(g.astype(np.float64)) / mu)
+        cum = np.cumsum(c)
+        dev = np.maximum(cum / n - f, f - (cum - c) / n)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "mean_gap_s": pa.array([mu / 1e6]),
+            "ks": pa.array([float(dev.max())]),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
