@@ -4562,8 +4562,9 @@ def queries() -> Dict[str, Callable]:
     from .oracle6 import QUERIES6
     from .oracle7 import QUERIES7
     from .oracle8 import QUERIES8
+    from .oracle9 import QUERIES9
 
-    return (QUERIES8 | QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
+    return (QUERIES9 | QUERIES8 | QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
             | QUERIES2 | {
         "interval_quantity": q_interval_quantity,
         "interval_discount": q_interval_discount,
@@ -4735,8 +4736,9 @@ def oracle_sql() -> Dict[str, str]:
     from .oracle6 import SQL6
     from .oracle7 import SQL7
     from .oracle8 import SQL8
+    from .oracle9 import SQL9
 
-    return (SQL8 | SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
+    return (SQL9 | SQL8 | SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,

@@ -29,7 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
-           "mahalanobis_outliers", "spearman_grouped"]
+           "mahalanobis_outliers", "spearman_grouped",
+           "kendall_grouped", "mann_whitney"]
 
 
 def _group_positions(col, keys):
@@ -823,6 +824,205 @@ def spearman_grouped(ds, *, by: str, x_col: str, y_col: str):
             "rho": pa.array(rho[idx], mask=bad),
         }).cast(pa.schema([(by, t.schema.field(by).type),
                            ("n", pa.int64()), ("rho", pa.float64())]))
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def _merge_cells(t: pa.Table, by: str):
+    """Merge per-batch joint-contingency partials: returns group codes,
+    x, y, summed counts and the group dictionary, cell-sorted by
+    (g, x, y)."""
+    gcol = t.column(by).combine_chunks()
+    enc = pc.dictionary_encode(gcol)
+    code = np.asarray(enc.indices, dtype=np.int64)
+    x = t.column("x").to_numpy(zero_copy_only=False)
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((y, x, code))
+    code, x, y, c = code[order], x[order], y[order], c[order]
+    new = np.ones(len(code), dtype=bool)
+    if len(code) > 1:
+        new[1:] = ((code[1:] != code[:-1]) | (x[1:] != x[:-1])
+                   | (y[1:] != y[:-1]))
+    seg = np.cumsum(new) - 1
+    c = np.bincount(seg, weights=c).astype(np.int64)
+    first = np.flatnonzero(new)
+    return code[first], x[first], y[first], c, enc.dictionary
+
+
+def _cells_partial(by: str, x_col: str, y_col: str):
+    """Per-batch joint-cell counting kernel shared by the rank
+    statistics (Spearman / Kendall): (by, x, y, c) with nulls/NaNs
+    excluded — the shuffle moves O(distinct cells), never rows."""
+
+    def cells(batch: pa.Table) -> pa.Table:
+        g = batch.column(by)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = pc.is_valid(g).to_numpy(zero_copy_only=False) \
+            & ~np.isnan(x) & ~np.isnan(y)
+        enc = pc.dictionary_encode(g.filter(pa.array(ok)))
+        code = np.asarray(enc.indices, dtype=np.int64)
+        x, y = x[ok], y[ok]
+        order = np.lexsort((y, x, code))
+        code, x, y = code[order], x[order], y[order]
+        new = np.ones(len(code), dtype=bool)
+        if len(code) > 1:
+            new[1:] = ((code[1:] != code[:-1]) | (x[1:] != x[:-1])
+                       | (y[1:] != y[:-1]))
+        seg = np.cumsum(new) - 1
+        c = np.bincount(seg)
+        first = np.flatnonzero(new)
+        return pa.table({
+            by: enc.dictionary.take(pa.array(code[first])),
+            "x": pa.array(x[first]),
+            "y": pa.array(y[first]),
+            "c": pa.array(c.astype(np.int64)),
+        })
+
+    return cells
+
+
+def kendall_grouped(ds, *, by: str, x_col: str, y_col: str):
+    """Grouped Kendall tau-b (tie-corrected) — the concordance-based
+    rank correlation, exact from the joint contingency grid alone:
+    concordant/discordant pair counts are 2-D suffix/prefix sums over
+    the per-group (x, y) count matrix, so the shuffle moves O(distinct
+    cells) and no O(n²) pair pass ever happens.  Targets
+    bounded-domain measures (same positioning as ``spearman_grouped``).
+
+    tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2 and
+    n1/n2 the tied-pair counts of the x/y marginals; all pair counts
+    are exact int64, the quotient is the only float op.  Output:
+    (by, n, tau); NULL for degenerate groups.
+    """
+    partials = ds.select_columns([by, x_col, y_col]).map_batches(
+        _cells_partial(by, x_col, y_col), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([(by, pa.string()), ("n", pa.int64()),
+                              ("tau", pa.float64())]).empty_table()
+        code, x, y, c, gdict = _merge_cells(t, by)
+        out_g, out_n, out_tau = [], [], []
+        for gi in np.unique(code):
+            m = code == gi
+            xs, ys, cs = x[m], y[m], c[m]
+            ux, ix = np.unique(xs, return_inverse=True)
+            uy, iy = np.unique(ys, return_inverse=True)
+            M = np.zeros((len(ux), len(uy)), dtype=np.int64)
+            M[ix, iy] = cs
+            # strict 2-D suffix sum: S[i,j] = sum M[k>i, l>j]
+            suf = M[::-1, ::-1].cumsum(0).cumsum(1)[::-1, ::-1]
+            S = np.zeros_like(M)
+            S[:-1, :-1] = suf[1:, 1:]
+            C = int((M * S).sum())
+            # strict (row-suffix, col-prefix): T[i,j] = sum M[k>i, l<j]
+            rs = M[::-1, :].cumsum(0)[::-1, :]
+            below = np.zeros_like(M)
+            below[:-1, :] = rs[1:, :]
+            T = np.zeros_like(M)
+            T[:, 1:] = below.cumsum(1)[:, :-1]
+            D = int((M * T).sum())
+            n = int(cs.sum())
+            tx = M.sum(axis=1)
+            ty = M.sum(axis=0)
+            n0 = n * (n - 1) // 2
+            n1 = int((tx * (tx - 1) // 2).sum())
+            n2 = int((ty * (ty - 1) // 2).sum())
+            den = float(n0 - n1) * float(n0 - n2)
+            tau = (C - D) / np.sqrt(den) if den > 0 else None
+            out_g.append(gi)
+            out_n.append(n)
+            out_tau.append(tau)
+        return pa.table({
+            by: gdict.take(pa.array(np.array(out_g, dtype=np.int64))),
+            "n": pa.array(out_n, pa.int64()),
+            "tau": pa.array(out_tau, pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def mann_whitney(ds, *, value_col: str, group_col: str, a, b):
+    """Mann–Whitney U rank-sum test between two segments with exact
+    average-rank tie handling and the tie-corrected normal
+    approximation — the nonparametric two-sample location test (the
+    robust alternative to a t-test for skewed metrics).
+
+    Exact from value counts alone: pooled average ranks come from the
+    cumulative counts at distinct values (same O(distinct) trick as
+    ``spearman_grouped``), U from the rank sum of segment ``a``, and
+    the tie correction from Σ(t³−t).  Shuffle payload: O(distinct
+    values), never rows.  Output one row: (n_a, n_b, u, z).
+    """
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        isa = pc.equal(g, a).to_numpy(zero_copy_only=False)
+        isb = pc.equal(g, b).to_numpy(zero_copy_only=False)
+        ok = (isa | isb) & ~np.isnan(v)
+        v, isa = v[ok], isa[ok]
+        order = np.lexsort((isa, v))
+        v, isa = v[order], isa[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        ca = np.bincount(seg, weights=isa.astype(np.int64)).astype(
+            np.int64)
+        cnt = np.bincount(seg).astype(np.int64)
+        first = np.flatnonzero(new)
+        return pa.table({"v": pa.array(v[first]), "ca": pa.array(ca),
+                         "cnt": pa.array(cnt)})
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("u", pa.float64()), ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.argsort(v, kind="stable")
+        v, ca, cnt = v[order], ca[order], cnt[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        ca = np.bincount(seg, weights=ca).astype(np.int64)
+        cnt = np.bincount(seg, weights=cnt).astype(np.int64)
+        na = int(ca.sum())
+        n = int(cnt.sum())
+        nb = n - na
+        cum = np.cumsum(cnt)
+        avg_rank = cum - cnt + (cnt + 1) / 2.0
+        ra = float((ca * avg_rank).sum())
+        u = ra - na * (na + 1) / 2.0
+        tie = int((cnt ** 3 - cnt).sum())
+        var = (na * 1.0 * nb / 12.0
+               * ((n + 1) - tie * 1.0 / (n * 1.0 * (n - 1)))) \
+            if n > 1 else 0.0
+        z = (u - na * 1.0 * nb / 2.0) / np.sqrt(var) if var > 0 else None
+        return pa.table({
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "u": pa.array([u], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
 
     return partials.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

@@ -29,7 +29,7 @@ from ..differences import empty_violations, violations_table
 from .base import Check, RunContext
 
 __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
-           "acf_daily"]
+           "acf_daily", "expfit_ks", "km_survival"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -898,6 +898,100 @@ def expfit_ks(ds, ts_col: str, *, by: str, id_col: str):
             "n": pa.array([n], pa.int64()),
             "mean_gap_s": pa.array([mu / 1e6]),
             "ks": pa.array([float(dev.max())]),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def km_survival(ds, ts_col: str, *, by: str, horizon_days: int = 7):
+    """Kaplan–Meier survival estimate of key LIFETIME (first→last event
+    span in days) with right-censoring — the churn curve: S(t) is the
+    probability a user stays active beyond t days.  A key whose last
+    event is within ``horizon_days`` of the corpus end is CENSORED
+    (still alive); only genuinely-churned keys count as events.
+
+    Plan: per-key (first, last) via native Min/Max groupby (one
+    shuffle), the corpus max as a driver scalar, then ONE tiny groupby
+    on the distinct duration day: the KM table needs only (events d,
+    at-risk n) per distinct time, and at-risk counts are a reversed
+    cumulative sum.  The survival product is computed as
+    ``exp(cumsum(log(1 − d/n)))`` — the exact float recipe the SQL
+    oracle's window uses, so both engines agree bitwise.  Output one
+    row per EVENT time: (dur_days, d, n_risk, s).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    def project(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        return pa.table({
+            by: t.column(by),
+            "_ts": pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                           pa.int64()),
+        })
+
+    spans = (
+        ds.select_columns([by, ts_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(by)
+        .aggregate(Min("_ts", alias_name="first"),
+                   Max("_ts", alias_name="last"))
+    )
+    # the per-key span table is consumed twice (corpus max, then the
+    # duration histogram): pin it in the object store once rather than
+    # re-running the groupby — it is O(keys), far smaller than events
+    spans = spans.materialize()
+    gmax = spans.max("last")
+    cutoff = int(gmax) - horizon_days * 86_400_000_000
+
+    def durations(t: pa.Table) -> pa.Table:
+        first = t.column("first").to_numpy(zero_copy_only=False)
+        last = t.column("last").to_numpy(zero_copy_only=False)
+        dur = (last - first) // 86_400_000_000
+        ev = (last < cutoff).astype(np.int64)
+        order = np.argsort(dur, kind="stable")
+        dur, ev = dur[order], ev[order]
+        new = np.ones(len(dur), dtype=bool)
+        if len(dur) > 1:
+            new[1:] = dur[1:] != dur[:-1]
+        seg = np.cumsum(new) - 1
+        first_i = np.flatnonzero(new)
+        return pa.table({
+            "dur_days": pa.array(dur[first_i]),
+            "d": pa.array(np.bincount(seg, weights=ev).astype(np.int64)),
+            "c": pa.array(np.bincount(seg).astype(np.int64)),
+        })
+
+    merged = spans.map_batches(
+        durations, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("dur_days").aggregate(Sum("d", alias_name="d"),
+                                    Sum("c", alias_name="c"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("dur_days", pa.int64()), ("d", pa.int64()),
+                            ("n_risk", pa.int64()), ("s", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        order = pc.sort_indices(t.column("dur_days"))
+        dur = t.column("dur_days").take(order).to_numpy(
+            zero_copy_only=False)
+        d = t.column("d").take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = t.column("c").take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = int(c.sum())
+        n_risk = total - (np.cumsum(c) - c)
+        ev = d > 0
+        dur, d, n_risk = dur[ev], d[ev], n_risk[ev]
+        with np.errstate(divide="ignore"):
+            s = np.exp(np.cumsum(np.log(1.0 - d / n_risk)))
+        return pa.table({
+            "dur_days": pa.array(dur.astype(np.int64)),
+            "d": pa.array(d),
+            "n_risk": pa.array(n_risk.astype(np.int64)),
+            "s": pa.array(s),
         })
 
     return merged.repartition(1).map_batches(
