@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups"]
 
 
 class FixtureReference:
@@ -888,3 +888,86 @@ def image_border_audit(ds, *, concurrency=(2, 8), batch_size: int = 128,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class PixelMD5Extractor:
+    """Actor-pool callable: decode every payload and emit the md5 of
+    the RAW PIXEL BUFFER (shape-prefixed) — the content identity that
+    survives re-encoding.  Byte-hash dedup misses the same picture
+    compressed at a different zlib level; perceptual dhash/phash
+    collapses near-misses.  This sits exactly between: equal digest ⟺
+    bit-identical decoded pixels.  Decode failures emit NULL digests.
+    """
+
+    def __init__(self, id_col: str = "image_id",
+                 bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (
+            batch.column(self.fmt_col).to_pylist()
+            if self.fmt_col in batch.column_names else [None] * n
+        )
+        digests: list = [None] * n
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                img = decode_image(data, fmt)
+            except Exception:
+                continue
+            h = hashlib.md5(repr(img.shape).encode())
+            h.update(np.ascontiguousarray(img).tobytes())
+            digests[i] = h.hexdigest()
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "pixel_md5": pa.array(digests, pa.string()),
+        })
+
+
+def image_exact_pixel_dups(ds, *, concurrency=(2, 8),
+                           batch_size: int = 128,
+                           fmt_col: str = "fmt"):
+    """Exact pixel-content duplicate groups: actor-pool decode → md5
+    of the raw pixel buffer → ONE hash shuffle on the digest →
+    (pixel_md5, n_dups, keep_id).  The per-batch digest pass is the
+    combiner; the shuffle moves (digest, id) rows only, never pixels
+    or payloads."""
+    from ray.data.aggregate import Count, Min
+
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    fps = ds.select_columns(cols).map_batches(
+        PixelMD5Extractor,
+        fn_constructor_kwargs=dict(fmt_col=fmt_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def valid(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("pixel_md5")))
+
+    grouped = fps.map_batches(
+        valid, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("pixel_md5").aggregate(
+        Count(alias_name="n"), Min("image_id", alias_name="keep_id"))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("n"), 1))
+        return pa.table({
+            "pixel_md5": t.column("pixel_md5"),
+            "n_dups": pc.subtract(t.column("n"), 1),
+            "keep_id": t.column("keep_id"),
+        })
+
+    return grouped.map_batches(only_dups, batch_format="pyarrow",
+                               zero_copy_batch=True)
