@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
            "mahalanobis_outliers", "spearman_grouped",
-           "kendall_grouped", "mann_whitney"]
+           "kendall_grouped", "mann_whitney", "welch_ttest"]
 
 
 def _group_positions(col, keys):
@@ -968,8 +968,10 @@ def mann_whitney(ds, *, value_col: str, group_col: str, a, b):
         g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
         v = batch.column(value_col).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        isa = pc.equal(g, a).to_numpy(zero_copy_only=False)
-        isb = pc.equal(g, b).to_numpy(zero_copy_only=False)
+        isa = pc.fill_null(pc.equal(g, a), False).to_numpy(
+            zero_copy_only=False)
+        isb = pc.fill_null(pc.equal(g, b), False).to_numpy(
+            zero_copy_only=False)
         ok = (isa | isb) & ~np.isnan(v)
         v, isa = v[ok], isa[ok]
         order = np.lexsort((isa, v))
@@ -1025,4 +1027,83 @@ def mann_whitney(ds, *, value_col: str, group_col: str, a, b):
         })
 
     return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def welch_ttest(ds, *, value_col: str, group_col: str, a, b):
+    """Welch's unequal-variance t-test between two segments — the
+    default two-sample mean comparison (does NOT assume equal
+    variances; the Student pooled test is a special case that misfires
+    under imbalance).  t = (m_a − m_b)/sqrt(s²_a/n_a + s²_b/n_b) with
+    Welch–Satterthwaite degrees of freedom.
+
+    One pass of per-batch moment partials (n, Σv, Σv²) per segment →
+    ONE tiny groupby — the data rows are never shuffled.  Output one
+    row: (n_a, n_b, mean_a, mean_b, t, df)."""
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        isa = pc.fill_null(pc.equal(g, a), False).to_numpy(
+            zero_copy_only=False)
+        isb = pc.fill_null(pc.equal(g, b), False).to_numpy(
+            zero_copy_only=False)
+        ok = ~np.isnan(v)
+        rows = []
+        for name, m in (("a", isa & ok), ("b", isb & ok)):
+            rows.append((name, int(m.sum()), float(v[m].sum()),
+                         float((v[m] * v[m]).sum())))
+        return pa.table({
+            "seg": pa.array([r[0] for r in rows]),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2] for r in rows], pa.float64()),
+            "ss": pa.array([r[3] for r in rows], pa.float64()),
+        })
+
+    merged = ds.select_columns([group_col, value_col]).map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("seg").aggregate(Sum("n", alias_name="n"),
+                               Sum("s", alias_name="s"),
+                               Sum("ss", alias_name="ss"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("mean_a", pa.float64()),
+                            ("mean_b", pa.float64()),
+                            ("t", pa.float64()), ("df", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        d = {t.column("seg")[i].as_py():
+             (t.column("n")[i].as_py(), t.column("s")[i].as_py(),
+              t.column("ss")[i].as_py()) for i in range(t.num_rows)}
+        na, sa, ssa = d.get("a", (0, 0.0, 0.0))
+        nb, sb, ssb = d.get("b", (0, 0.0, 0.0))
+        if na < 2 or nb < 2:
+            return pa.table({"n_a": pa.array([na], pa.int64()),
+                             "n_b": pa.array([nb], pa.int64()),
+                             "mean_a": pa.array([None], pa.float64()),
+                             "mean_b": pa.array([None], pa.float64()),
+                             "t": pa.array([None], pa.float64()),
+                             "df": pa.array([None], pa.float64())})
+        ma, mb = sa / na, sb / nb
+        va = (ssa - sa * sa / na) / (na - 1)
+        vb = (ssb - sb * sb / nb) / (nb - 1)
+        se2 = va / na + vb / nb
+        tstat = (ma - mb) / np.sqrt(se2) if se2 > 0 else None
+        df = (se2 * se2
+              / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))) \
+            if se2 > 0 else None
+        return pa.table({
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "mean_a": pa.array([ma], pa.float64()),
+            "mean_b": pa.array([mb], pa.float64()),
+            "t": pa.array([tstat], pa.float64()),
+            "df": pa.array([df], pa.float64()),
+        })
+
+    return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

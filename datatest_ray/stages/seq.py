@@ -28,7 +28,7 @@ from ..functions.aggregates import hash64
 __all__ = ["first_last_by", "transition_counts", "ewma_last",
            "inversion_counts", "day_streaks", "next_day_retention",
            "interval_islands", "late_events", "time_weighted_avg",
-           "peak_concurrency", "scd2_intervals"]
+           "peak_concurrency", "scd2_intervals", "first_touch_attribution"]
 
 
 def _ts_us(col):
@@ -1076,3 +1076,67 @@ def trigram_topk(ds, *, by: str, ts: str, type_col: str, id_col: str,
 
     return counts.repartition(1).map_batches(
         topk, batch_format="pyarrow", batch_size=None)
+
+
+def first_touch_attribution(ds, *, by: str, ts: str, type_col: str,
+                            id_col: str, value_col: str,
+                            target: str = "purchase",
+                            n_buckets: int = 256):
+    """First-touch revenue attribution: credit each key's total
+    ``target`` value (e.g. purchase revenue) to the key's FIRST event
+    type — the classic marketing-attribution aggregate, and an ordered
+    multi-output kernel (first + conditional sum in one pass).
+
+    Plan: ONE coarse-key shuffle of the projected events, a per-bucket
+    kernel (lexsort by (key, ts, id); first-type via segment-first
+    mask; per-segment conditional value sums via bincount), then one
+    tiny groupby on the first type.  Null ts/key rows are excluded;
+    null values count 0.  Output: (first_type, n_users, total_value).
+    """
+    from ray.data.aggregate import Sum
+
+    need = [id_col, by, ts, type_col, value_col]
+
+    def project(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch.column(ts)),
+                     pc.is_valid(batch.column(by)))
+        t = batch.filter(ok)
+        coarse = (hash64(t.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            "coarse": pa.array(coarse),
+            by: t.column(by),
+            "_ts": _ts_us(t.column(ts)),
+            id_col: t.column(id_col),
+            type_col: t.column(type_col),
+            value_col: pc.cast(t.column(value_col), pa.float64()),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        o = group.column("_ts").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, o, keys))
+        keys = keys[order]
+        new = _seg_first(keys)
+        seg = np.cumsum(new) - 1
+        types = group.column(type_col).take(pa.array(order))
+        v = group.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)[order]
+        is_t = pc.fill_null(pc.equal(types, target),
+                            False).to_numpy(zero_copy_only=False)
+        w = np.where(is_t & ~np.isnan(v), v, 0.0)
+        tot = np.bincount(seg, weights=w)
+        first_type = types.take(pa.array(np.flatnonzero(new)))
+        return pa.table({
+            "first_type": first_type,
+            "n": pa.array(np.ones(len(tot), dtype=np.int64)),
+            "v": pa.array(tot),
+        })
+
+    per_key = ds.select_columns(need).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(kernel, batch_format="pyarrow")
+    return per_key.groupby("first_type").aggregate(
+        Sum("n", alias_name="n_users"),
+        Sum("v", alias_name="total_value"))

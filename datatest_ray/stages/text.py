@@ -1160,3 +1160,90 @@ def blocklist_scan(ds, text_col: str, id_col: str, *, terms):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dup_lines(ds, text_col: str, id_col: str, *, sep: str = ".",
+              min_chars: int = 20, n_buckets: int = 256):
+    """Corpus-level duplicated-LINE detection (the C4 / RefinedWeb
+    line-dedup primitive): sentences appearing verbatim in more than
+    one document are boilerplate (navigation chrome, license headers,
+    templated intros) and get removed before LLM training.  Reports
+    each normalized line found in >1 distinct document with its doc
+    count.
+
+    Plan: per-batch vectorized split on ``sep`` (flat child array +
+    offsets — no Python over rows), normalize (trim/lower), filter
+    short lines, LOCAL distinct (line, doc), then ONE shuffle on
+    ``hash64(line) % n_buckets`` — the coarse-bucket discipline every
+    dedup stage here uses — and a per-bucket segment kernel counting
+    distinct docs per line.  Line text rides along for the report; the
+    segment key is the 64-bit hash (collision odds ~n²/2⁶⁴,
+    documented).  Output: (line, n_docs) for n_docs > 1.
+    """
+    from ..functions.aggregates import hash64
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) \
+            else txt
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        parts = pc.split_pattern(txt, sep)
+        parts = parts.combine_chunks() if isinstance(
+            parts, pa.ChunkedArray) else parts
+        flat = pc.utf8_trim_whitespace(pc.utf8_lower(parts.flatten()))
+        offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        parent = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                           np.diff(offsets))
+        keep = pc.greater_equal(pc.utf8_length(flat),
+                                min_chars).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc = ids[parent[keep]]
+        h = hash64(flat)
+        # local distinct (line, doc)
+        order = np.lexsort((doc, h))
+        hs, ds_ = h[order], doc[order]
+        new = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        first = np.flatnonzero(new)
+        sel = order[first]
+        return pa.table({
+            "coarse": pa.array((h[sel] % np.uint64(n_buckets)).astype(
+                np.int64)),
+            "h": pa.array(h[sel].view(np.int64)),
+            "doc": pa.array(doc[sel]),
+            "line": flat.take(pa.array(sel)),
+        })
+
+    def bucket_count(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        doc = group.column("doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        hs, ds_ = h[order], doc[order]
+        new = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        first = np.flatnonzero(new)
+        hs = hs[first]
+        newh = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            newh[1:] = hs[1:] != hs[:-1]
+        seg = np.cumsum(newh) - 1
+        n_docs = np.bincount(seg).astype(np.int64)
+        line_first = group.column("line").take(
+            pa.array(order[first][np.flatnonzero(newh)]))
+        ok = n_docs > 1
+        return pa.table({
+            "line": line_first.filter(pa.array(ok)),
+            "n_docs": pa.array(n_docs[ok]),
+        })
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(to_lines, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(bucket_count, batch_format="pyarrow")
+        .select_columns(["line", "n_docs"])
+    )
