@@ -1265,3 +1265,77 @@ def trailing_digit_uniformity(ds, col: str, *, modulus: int = 100):
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cochran_armitage(ds, cat_col: str, outcome_col: str, target,
+                     *, score_prefix_chars: int = 1):
+    """Cochran–Armitage trend test: is a binary rate monotonically
+    drifting across ORDERED categories (e.g. failure rate across
+    priority tiers)?  The chi-square screen treats categories as
+    unordered and wastes power; CA weights them by score.
+
+    Scores are parsed from the leading ``score_prefix_chars`` of the
+    category string (TPC-H style '1-URGENT' → 1).  Closed form from
+    per-category (n_i, r_i) count partials — one tiny groupby, data
+    rows never shuffle:
+
+        z = Σw_i·(r_i − p̄·n_i) / sqrt(p̄(1−p̄)·(Σw_i²n_i − (Σw_in_i)²/N))
+
+    Output one row: (n, r, z).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cat = batch.column(cat_col)
+        cat = cat.combine_chunks() if isinstance(cat, pa.ChunkedArray) \
+            else cat
+        out = batch.column(outcome_col)
+        out = out.combine_chunks() if isinstance(out, pa.ChunkedArray) \
+            else out
+        ok = pc.and_(pc.is_valid(cat), pc.is_valid(out))
+        cat, out = cat.filter(ok), out.filter(ok)
+        succ = pc.fill_null(pc.equal(out, target), False).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        enc = pc.dictionary_encode(cat)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        m = len(enc.dictionary)
+        return pa.table({
+            "cat": pc.cast(enc.dictionary, pa.string()),
+            "n": pa.array(np.bincount(code, minlength=m).astype(
+                np.int64)),
+            "r": pa.array(np.bincount(code, weights=succ,
+                                      minlength=m).astype(np.int64)),
+        })
+
+    merged = (
+        ds.select_columns([cat_col, outcome_col])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("cat")
+        .aggregate(Sum("n", alias_name="n"), Sum("r", alias_name="r"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("r", pa.int64()),
+                            ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        cats = t.column("cat").to_numpy(zero_copy_only=False).astype(str)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.array([float(c[:score_prefix_chars]) for c in cats])
+        N = int(n.sum())
+        R = int(r.sum())
+        p = R / N
+        num = float((w * r).sum()) - p * float((w * n).sum())
+        var = p * (1 - p) * (float((w * w * n).sum())
+                             - float((w * n).sum()) ** 2 / N)
+        z = num / np.sqrt(var) if var > 0 else None
+        return pa.table({
+            "n": pa.array([N], pa.int64()),
+            "r": pa.array([R], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

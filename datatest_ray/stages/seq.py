@@ -28,7 +28,8 @@ from ..functions.aggregates import hash64
 __all__ = ["first_last_by", "transition_counts", "ewma_last",
            "inversion_counts", "day_streaks", "next_day_retention",
            "interval_islands", "late_events", "time_weighted_avg",
-           "peak_concurrency", "scd2_intervals", "first_touch_attribution"]
+           "peak_concurrency", "scd2_intervals", "first_touch_attribution",
+           "transition_cond_entropy"]
 
 
 def _ts_us(col):
@@ -1140,3 +1141,42 @@ def first_touch_attribution(ds, *, by: str, ts: str, type_col: str,
     return per_key.groupby("first_type").aggregate(
         Sum("n", alias_name="n_users"),
         Sum("v", alias_name="total_value"))
+
+
+def transition_cond_entropy(ds, *, by: str, ts: str, type_col: str,
+                            id_col: str, n_buckets: int = 256):
+    """Per-state conditional entropy of the NEXT event type,
+    H(next | cur = x) = −Σ_y p(y|x)·ln p(y|x) — the predictability
+    profile of the event stream (0 = deterministic next step, ln(k) =
+    uniform over k successors).  Flags states whose behavior went
+    noisy — a drift signal transition-count tables bury.
+
+    Built on :func:`transition_counts` (one coarse-key shuffle); the
+    entropy finalize is a single block over the tiny (from, to, n)
+    aggregate.  Output: (from_type, n, h).
+    """
+
+    counts = transition_counts(ds, by=by, ts=ts, type_col=type_col,
+                               id_col=id_col, n_buckets=n_buckets)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("from_type", pa.string()),
+                            ("n", pa.int64()), ("h", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        enc = pc.dictionary_encode(t.column("from_type").combine_chunks())
+        code = np.asarray(enc.indices, dtype=np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        m = len(enc.dictionary)
+        tot = np.bincount(code, weights=n, minlength=m)
+        p = n / tot[code]
+        h = -np.bincount(code, weights=p * np.log(p), minlength=m)
+        return pa.table({
+            "from_type": pc.cast(enc.dictionary, pa.string()),
+            "n": pa.array(tot.astype(np.int64)),
+            "h": pa.array(h),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -996,3 +996,78 @@ def km_survival(ds, ts_col: str, *, by: str, horizon_days: int = 7):
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def pettitt_daily(ds, ts_col: str):
+    """Pettitt change-point test on the DAILY EVENT-COUNT series — the
+    nonparametric single-change-point detector (rank-based
+    Mann–Whitney family: no distribution assumption, robust to
+    outliers).  U_t = 2·Σ_{i≤t} rank_i − t·(n+1); the split day is the
+    argmax of |U_t| (first on ties), K = max|U_t|.
+
+    Daily counts are integers, so the average-rank tie handling is
+    EXACT on both engines (no float-rank divergence).  Plan: one tiny
+    ``groupby(day)`` count → single-block finalize (argsort + tie-
+    averaged ranks + cumsum).  Output one row: (split_day, k_stat,
+    n_days).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        ts = ts.filter(pc.is_valid(ts))
+        # integer division (ts are positive): exact, mirrors SQL `//`
+        day = pc.divide(pc.cast(pc.cast(ts, pa.timestamp("us")),
+                                pa.int64()),
+                        pa.scalar(86_400_000_000, pa.int64()))
+        vc = pc.value_counts(day)
+        return pa.table({"day": vc.field("values"),
+                         "c": pc.cast(vc.field("counts"), pa.int64())})
+
+    merged = (
+        ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("split_day", pa.int64()),
+                            ("k_stat", pa.float64()),
+                            ("n_days", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        order = pc.sort_indices(t.column("day"))
+        day = t.column("day").take(order).to_numpy(zero_copy_only=False)
+        c = t.column("c").take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(c)
+        if n < 2:
+            return pa.table({"split_day": pa.array([int(day[0])],
+                                                   pa.int64()),
+                             "k_stat": pa.array([0.0]),
+                             "n_days": pa.array([n], pa.int64())})
+        # average ranks of the daily counts (exact: integer counts)
+        o2 = np.argsort(c, kind="stable")
+        cs = c[o2]
+        new = np.ones(n, dtype=bool)
+        new[1:] = cs[1:] != cs[:-1]
+        seg = np.cumsum(new) - 1
+        cnt = np.bincount(seg)
+        cum = np.cumsum(cnt)
+        avg = cum - cnt + (cnt + 1) / 2.0
+        ranks = np.empty(n, dtype=np.float64)
+        ranks[o2] = avg[seg]
+        u = 2.0 * np.cumsum(ranks) - np.arange(1, n + 1) * (n + 1.0)
+        u = u[:-1]  # t = 1..n-1
+        k = np.abs(u)
+        i = int(np.argmax(k))  # first max
+        return pa.table({
+            "split_day": pa.array([int(day[i])], pa.int64()),
+            "k_stat": pa.array([float(k[i])]),
+            "n_days": pa.array([n], pa.int64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
