@@ -950,11 +950,16 @@ def kendall_grouped(ds, *, by: str, x_col: str, y_col: str):
         finalize, batch_format="pyarrow", batch_size=None)
 
 
-def mann_whitney(ds, *, value_col: str, group_col: str, a, b):
+def mann_whitney(ds, *, value_col: str, group_col: str, a, b=None):
     """Mann–Whitney U rank-sum test between two segments with exact
     average-rank tie handling and the tie-corrected normal
     approximation — the nonparametric two-sample location test (the
     robust alternative to a t-test for skewed metrics).
+
+    ``b=None`` means "everything that is not ``a``" (one-vs-rest) —
+    note U/(n_a·n_b) is then exactly the ROC AUC of ``value_col`` as a
+    score for class ``a`` (ties counted half), so this doubles as the
+    distributed exact-AUC kernel.
 
     Exact from value counts alone: pooled average ranks come from the
     cumulative counts at distinct values (same O(distinct) trick as
@@ -970,8 +975,11 @@ def mann_whitney(ds, *, value_col: str, group_col: str, a, b):
             zero_copy_only=False).astype(np.float64)
         isa = pc.fill_null(pc.equal(g, a), False).to_numpy(
             zero_copy_only=False)
-        isb = pc.fill_null(pc.equal(g, b), False).to_numpy(
-            zero_copy_only=False)
+        if b is None:
+            isb = pc.is_valid(g).to_numpy(zero_copy_only=False) & ~isa
+        else:
+            isb = pc.fill_null(pc.equal(g, b), False).to_numpy(
+                zero_copy_only=False)
         ok = (isa | isb) & ~np.isnan(v)
         v, isa = v[ok], isa[ok]
         order = np.lexsort((isa, v))
