@@ -1115,3 +1115,211 @@ def welch_ttest(ds, *, value_col: str, group_col: str, a, b):
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def kruskal_wallis(ds, *, value_col: str, group_col: str):
+    """Kruskal–Wallis H rank test across k groups — the k-sample
+    generalization of Mann–Whitney (one-way ANOVA on ranks): do the
+    groups share one location, without any normality assumption?
+
+    Exact average-rank tie handling from (group, value) counts alone —
+    the same O(distinct) trick as ``mann_whitney``: per-batch
+    ``group_by(group, value).count`` partials, one final merge, pooled
+    ranks from cumulative counts at distinct values, per-group rank
+    sums via bincount, and the standard tie correction
+    H / (1 − Σ(t³−t)/(n³−n)).  Shuffle payload: O(groups × distinct
+    values), never rows.  Output one row: (k, n, h)."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = batch.column(value_col).cast(pa.float64())
+        ok = pc.and_(pc.is_valid(g),
+                     pc.and_(pc.is_valid(v),
+                             pc.invert(pc.is_nan(v))))
+        t = pa.table({"g": g, "v": v}).filter(ok)
+        return t.group_by(["g", "v"]).aggregate(
+            [([], "count_all")]).rename_columns(["g", "v", "cnt"])
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                            ("h", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.group_by(["g", "v"]).aggregate([("cnt", "sum")])
+        gcode, _ = (t.column("g").combine_chunks()
+                    .dictionary_encode().indices,
+                    None)
+        gcode = gcode.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt_sum").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, cnt, gcode = v[order], cnt[order], gcode[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        tot = np.bincount(seg, weights=cnt).astype(np.int64)
+        cum = np.cumsum(tot)
+        avg_rank = cum - tot + (tot + 1) / 2.0
+        r_g = np.bincount(gcode, weights=cnt * avg_rank[seg])
+        n_g = np.bincount(gcode, weights=cnt).astype(np.int64)
+        n = int(n_g.sum())
+        k = int((n_g > 0).sum())
+        if k < 2 or n <= k:
+            return pa.table({"k": pa.array([k], pa.int64()),
+                             "n": pa.array([n], pa.int64()),
+                             "h": pa.array([None], pa.float64())})
+        live = n_g > 0
+        h = (12.0 / (n * (n + 1.0))
+             * float((r_g[live] ** 2 / n_g[live]).sum())
+             - 3.0 * (n + 1.0))
+        tie = float(((tot ** 3).astype(np.float64) - tot).sum())
+        corr = 1.0 - tie / (float(n) ** 3 - n)
+        h = h / corr if corr > 0 else None
+        return pa.table({"k": pa.array([k], pa.int64()),
+                         "n": pa.array([n], pa.int64()),
+                         "h": pa.array([h], pa.float64())})
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def anova_oneway(ds, *, value_col: str, group_col: str):
+    """One-way ANOVA F test across k groups — are the group means
+    equal?  F = (SSB/(k−1)) / (SSW/(n−k)) from per-group moment
+    partials (n, Σv, Σv²) merged through ONE tiny groupby; data rows
+    never shuffle (same skeleton as ``welch_ttest`` generalized to k
+    groups).  Output one row: (k, n, f)."""
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = batch.column(value_col).cast(pa.float64())
+        ok = pc.and_(pc.is_valid(g),
+                     pc.and_(pc.is_valid(v),
+                             pc.invert(pc.is_nan(v))))
+        t = pa.table({"g": g, "v": v}).filter(ok)
+        t = t.append_column("v2", pc.multiply(t.column("v"),
+                                              t.column("v")))
+        out = t.group_by("g").aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")])
+        return out.rename_columns(["g", "n", "s", "ss"])
+
+    merged = ds.select_columns([group_col, value_col]).map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("g").aggregate(Sum("n", alias_name="n"),
+                             Sum("s", alias_name="s"),
+                             Sum("ss", alias_name="ss"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                            ("f", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n_g = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ss = t.column("ss").to_numpy(zero_copy_only=False)
+        live = n_g > 0
+        n_g, s, ss = n_g[live], s[live], ss[live]
+        k = int(len(n_g))
+        n = int(n_g.sum())
+        if k < 2 or n <= k:
+            return pa.table({"k": pa.array([k], pa.int64()),
+                             "n": pa.array([n], pa.int64()),
+                             "f": pa.array([None], pa.float64())})
+        within = float((ss - s * s / n_g).sum())
+        between = float((s * s / n_g).sum()) - float(s.sum()) ** 2 / n
+        f = ((between / (k - 1)) / (within / (n - k))
+             if within > 0 else None)
+        return pa.table({"k": pa.array([k], pa.int64()),
+                         "n": pa.array([n], pa.int64()),
+                         "f": pa.array([f], pa.float64())})
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def jarque_bera(ds, *, value_col: str, by: str):
+    """Jarque–Bera normality screen per group — skewness and excess
+    kurtosis from raw power sums (n, Σv, Σv², Σv³, Σv⁴), then
+    JB = n/6 · (skew² + (kurt−3)²/4).  Large JB ⇒ the distribution is
+    not Gaussian; the classic pre-flight check before z-score /
+    3-sigma anomaly rules that silently assume normality.
+
+    One pass of per-group power-sum partials → ONE tiny groupby; rows
+    never shuffle.  Population (biased) moments on both sides so the
+    DuckDB oracle is formula-identical.  Output per group:
+    (by, n, skew, kurt, jb); NULL stats for degenerate groups."""
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch.column(by)
+        v = batch.column(value_col).cast(pa.float64())
+        ok = pc.and_(pc.is_valid(g),
+                     pc.and_(pc.is_valid(v),
+                             pc.invert(pc.is_nan(v))))
+        t = pa.table({by: g, "v": v}).filter(ok)
+        va = t.column("v")
+        v2 = pc.multiply(va, va)
+        t = t.append_column("v2", v2)
+        t = t.append_column("v3", pc.multiply(v2, va))
+        t = t.append_column("v4", pc.multiply(v2, v2))
+        out = t.group_by(by).aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum"),
+             ("v3", "sum"), ("v4", "sum")])
+        return out.rename_columns([by, "n", "s1", "s2", "s3", "s4"])
+
+    merged = ds.select_columns([by, value_col]).map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(by).aggregate(Sum("n", alias_name="n"),
+                            Sum("s1", alias_name="s1"),
+                            Sum("s2", alias_name="s2"),
+                            Sum("s3", alias_name="s3"),
+                            Sum("s4", alias_name="s4"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        key_type = (t.schema.field(by).type if t.num_rows
+                    else pa.string())
+        schema = pa.schema([(by, key_type), ("n", pa.int64()),
+                            ("skew", pa.float64()),
+                            ("kurt", pa.float64()),
+                            ("jb", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        s3 = t.column("s3").to_numpy(zero_copy_only=False)
+        s4 = t.column("s4").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = s1 / n
+            m2 = s2 / n - m * m
+            m3 = s3 / n - 3 * m * (s2 / n) + 2 * m ** 3
+            m4 = (s4 / n - 4 * m * (s3 / n)
+                  + 6 * m * m * (s2 / n) - 3 * m ** 4)
+            skew = m3 / m2 ** 1.5
+            kurt = m4 / (m2 * m2)
+            jb = n / 6.0 * (skew * skew + (kurt - 3.0) ** 2 / 4.0)
+        bad = (n < 2) | ~(m2 > 0)
+        skew = np.where(bad, np.nan, skew)
+        kurt = np.where(bad, np.nan, kurt)
+        jb = np.where(bad, np.nan, jb)
+        return pa.table({
+            by: t.column(by),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "skew": pa.array(np.where(np.isnan(skew), None, skew),
+                             pa.float64(), from_pandas=True),
+            "kurt": pa.array(np.where(np.isnan(kurt), None, kurt),
+                             pa.float64(), from_pandas=True),
+            "jb": pa.array(np.where(np.isnan(jb), None, jb),
+                           pa.float64(), from_pandas=True),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
