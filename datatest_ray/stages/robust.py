@@ -1323,3 +1323,235 @@ def jarque_bera(ds, *, value_col: str, by: str):
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def levene_brown_forsythe(ds, *, value_col: str, group_col: str):
+    """Brown–Forsythe test (Levene with median centers): are the group
+    VARIANCES equal?  The pre-flight check before pooling groups or
+    trusting a plain ANOVA.
+
+    Two streaming passes, no materialization of rows:
+
+    1. exact per-group median via :func:`..window.grouped_quantile`
+       (one groupby; the medians table is #groups rows, collected to
+       the driver and broadcast into pass 2);
+    2. per-batch moment partials of z = |x − med(group)| — (n, Σz,
+       Σz²) per group — merged by one tiny groupby-sum.
+
+    W = ((N−k)/(k−1)) · Σ nᵢ(z̄ᵢ−z̄)² / ΣΣ(z−z̄ᵢ)², computed from the
+    merged moments.  Shuffle payload: O(groups), never rows.  Output
+    one row (k, n, w); w NULL when degenerate (k<2 or zero SSW)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .window import grouped_quantile
+
+    meds_t = grouped_quantile(
+        ds, by=group_col, col=value_col, q=0.5, alias="med",
+        method="cont").take_all()
+    med_map = {r[group_col]: r["med"] for r in meds_t}
+    med_ref = ray.put(med_map)
+
+    def z_moments(batch: pa.Table) -> pa.Table:
+        meds = ray.get(med_ref)
+        g = batch.column(group_col)
+        v = batch.column(value_col).cast(pa.float64())
+        ok = pc.and_(pc.is_valid(g),
+                     pc.and_(pc.is_valid(v), pc.invert(pc.is_nan(v))))
+        t = pa.table({"g": g, "v": v}).filter(ok)
+        enc = t.column("g").combine_chunks().dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        cats = enc.dictionary.to_pylist()
+        centers = np.array([meds.get(c, np.nan) for c in cats])
+        z = np.abs(t.column("v").to_numpy(zero_copy_only=False)
+                   - centers[code])
+        k = len(cats)
+        n = np.bincount(code, minlength=k).astype(np.int64)
+        return pa.table({
+            "g": pa.array(cats, type=batch.column(group_col).type),
+            "n": pa.array(n),
+            "sz": pa.array(np.bincount(code, weights=z, minlength=k)),
+            "szz": pa.array(np.bincount(code, weights=z * z,
+                                        minlength=k)),
+        })
+
+    merged = ds.select_columns([group_col, value_col]).map_batches(
+        z_moments, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("g").aggregate(Sum("n", alias_name="n"),
+                             Sum("sz", alias_name="sz"),
+                             Sum("szz", alias_name="szz"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                            ("w", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n_i = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sz = t.column("sz").to_numpy(zero_copy_only=False)
+        szz = t.column("szz").to_numpy(zero_copy_only=False)
+        k = len(n_i)
+        n = float(n_i.sum())
+        zbar_i = sz / n_i
+        zbar = sz.sum() / n
+        ssb = float((n_i * (zbar_i - zbar) ** 2).sum())
+        ssw = float((szz - n_i * zbar_i ** 2).sum())
+        w = ((n - k) / (k - 1)) * ssb / ssw \
+            if k >= 2 and n > k and ssw > 0 else None
+        return pa.table({"k": pa.array([k], pa.int64()),
+                         "n": pa.array([int(n)], pa.int64()),
+                         "w": pa.array([w], pa.float64())})
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cronbach_alpha(ds, *, item_cols):
+    """Cronbach's alpha internal-consistency coefficient over a fixed
+    set of numeric item columns: α = k/(k−1) · (1 − Σvarᵢ/var(total))
+    with SAMPLE variances and listwise deletion (rows with any null
+    item dropped, matching the SQL ``WHERE ... IS NOT NULL`` oracle).
+
+    One streaming pass: each batch reduces to (n, Σxᵢ, Σxᵢ², Σs, Σs²)
+    where s is the row-sum — 2k+3 numbers per batch regardless of
+    rows; a single global sum merges them.  Output (k, n, alpha)."""
+    from ray.data.aggregate import Sum
+
+    cols = list(item_cols)
+    k = len(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = None
+        arrs = []
+        for c in cols:
+            a = batch.column(c).cast(pa.float64())
+            valid = pc.and_(pc.is_valid(a), pc.invert(pc.is_nan(a)))
+            ok = valid if ok is None else pc.and_(ok, valid)
+            arrs.append(a)
+        t = pa.table({c: a for c, a in zip(cols, arrs)}).filter(ok)
+        mats = [t.column(c).to_numpy(zero_copy_only=False)
+                for c in cols]
+        s = np.zeros(t.num_rows)
+        out = {"n": pa.array([t.num_rows], pa.int64())}
+        for i, x in enumerate(mats):
+            s += x
+            out[f"sx{i}"] = pa.array([float(x.sum())])
+            out[f"sxx{i}"] = pa.array([float((x * x).sum())])
+        out["ss"] = pa.array([float(s.sum())])
+        out["sss"] = pa.array([float((s * s).sum())])
+        return pa.table(out)
+
+    names = (["n"] + [f"sx{i}" for i in range(k)]
+             + [f"sxx{i}" for i in range(k)] + ["ss", "sss"])
+    merged = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(*[Sum(c, alias_name=c) for c in names])
+
+    def finalize(row: dict) -> pa.Table:
+        n = row.get("n") or 0
+        if n < 2:
+            return pa.table({"k": pa.array([k], pa.int64()),
+                             "n": pa.array([n], pa.int64()),
+                             "alpha": pa.array([None], pa.float64())})
+        var_sum = 0.0
+        for i in range(k):
+            var_sum += (row[f"sxx{i}"] - row[f"sx{i}"] ** 2 / n) / (n - 1)
+        var_tot = (row["sss"] - row["ss"] ** 2 / n) / (n - 1)
+        alpha = k / (k - 1) * (1.0 - var_sum / var_tot) \
+            if k >= 2 and var_tot > 0 else None
+        return pa.table({"k": pa.array([k], pa.int64()),
+                         "n": pa.array([int(n)], pa.int64()),
+                         "alpha": pa.array([alpha], pa.float64())})
+
+    # .aggregate() on a Dataset returns a plain dict row
+    import ray.data as rd
+
+    return rd.from_arrow(finalize(merged))
+
+
+def runs_test_daily(ds, *, ts_col: str):
+    """Wald–Wolfowitz runs test on the SIGN of day-over-day change of
+    the daily row count — "is the direction of daily traffic change
+    random, or does it trend/oscillate?".  Zero deltas are dropped
+    (standard treatment).
+
+    Daily counts reduce via one groupby (the series is #days rows —
+    tiny at any corpus scale); the runs statistic is one vectorized
+    pass over that series.  Output (n_pos, n_neg, n_runs, z); z NULL
+    when either sign is absent."""
+    from ray.data.aggregate import Count
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        day = pc.floor_temporal(ts, unit="day")
+        return pa.table({"day": day})
+
+    daily = ds.select_columns([ts_col]).map_batches(
+        to_day, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("day").aggregate(Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_pos", pa.int64()), ("n_neg", pa.int64()),
+                            ("n_runs", pa.int64()), ("z", pa.float64())])
+        if t.num_rows < 2:
+            return schema.empty_table()
+        t = t.sort_by("day")
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        d = np.diff(n)
+        sign = np.sign(d)
+        sign = sign[sign != 0]
+        n_pos = int((sign > 0).sum())
+        n_neg = int((sign < 0).sum())
+        if len(sign) == 0:
+            runs = 0
+        else:
+            runs = int(1 + (sign[1:] != sign[:-1]).sum())
+        z = None
+        m = n_pos + n_neg
+        if n_pos > 0 and n_neg > 0 and m > 1:
+            mu = 2.0 * n_pos * n_neg / m + 1.0
+            var = (mu - 1.0) * (mu - 2.0) / (m - 1.0)
+            if var > 0:
+                z = (runs - mu) / np.sqrt(var)
+        return pa.table({"n_pos": pa.array([n_pos], pa.int64()),
+                         "n_neg": pa.array([n_neg], pa.int64()),
+                         "n_runs": pa.array([runs], pa.int64()),
+                         "z": pa.array([z], pa.float64())})
+
+    return daily.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def durbin_watson_grouped(ds, *, by: str, ts_col: str, value_col: str,
+                          id_col: str, min_n: int = 3):
+    """Durbin–Watson first-order autocorrelation statistic per group
+    over the time-ordered value series: DW = Σ(vₜ−vₜ₋₁)² / Σ(vₜ−v̄)²
+    (≈2 no autocorrelation, →0 positive, →4 negative).
+
+    One groupby shuffle; each group sorts by (ts, id) — the id
+    tiebreak makes equal-timestamp order deterministic (DW is order-
+    sensitive) — then one vectorized kernel.  Assumes one group's rows
+    fit in a worker (the per-key-fits assumption shared with
+    sessionize; salt or pre-aggregate when a key is pathological).
+    Groups with n < min_n or zero variance emit NULL dw."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        v = g.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[~np.isnan(v)]
+        n = len(v)
+        dw = None
+        if n >= min_n:
+            den = float(((v - v.mean()) ** 2).sum())
+            if den > 0:
+                dw = float((np.diff(v) ** 2).sum()) / den
+        return pa.table({
+            by: group.column(by)[:1],
+            "n": pa.array([n], pa.int64()),
+            "dw": pa.array([dw], pa.float64()),
+        })
+
+    return ds.select_columns([by, ts_col, value_col, id_col]).groupby(
+        by).map_groups(kernel, batch_format="pyarrow")
