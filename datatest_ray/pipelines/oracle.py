@@ -4568,8 +4568,10 @@ def queries() -> Dict[str, Callable]:
     from .oracle12 import QUERIES12
     from .oracle13 import QUERIES13
     from .oracle14 import QUERIES14
+    from .oracle15 import QUERIES15
+    from .oracle16 import QUERIES16
 
-    return (QUERIES14 | QUERIES13 | QUERIES12 | QUERIES11 | QUERIES10 | QUERIES9 | QUERIES8 | QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
+    return (QUERIES16 | QUERIES15 | QUERIES14 | QUERIES13 | QUERIES12 | QUERIES11 | QUERIES10 | QUERIES9 | QUERIES8 | QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
             | QUERIES2 | {
         "interval_quantity": q_interval_quantity,
         "interval_discount": q_interval_discount,
@@ -4747,8 +4749,10 @@ def oracle_sql() -> Dict[str, str]:
     from .oracle12 import SQL12
     from .oracle13 import SQL13
     from .oracle14 import SQL14
+    from .oracle15 import SQL15
+    from .oracle16 import SQL16
 
-    return (SQL14 | SQL13 | SQL12 | SQL11 | SQL10 | SQL9 | SQL8 | SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
+    return (SQL16 | SQL15 | SQL14 | SQL13 | SQL12 | SQL11 | SQL10 | SQL9 | SQL8 | SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,

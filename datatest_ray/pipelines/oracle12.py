@@ -61,13 +61,19 @@ def q_q5_star_revenue(sf_dir: str):
 
     def project(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t.column("r_name"), "ASIA"))
-        rev = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        # exact integer numerator: price in cents x (100 - discount in
+        # basis points) — rounding a float `price*(1-disc)*100` is
+        # rounding-MODE-sensitive exactly when the true product ends in
+        # .5 cents (half_to_even here vs half-away in DuckDB round())
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
         return pa.table({
             "n_name": t.column("n_name"),
-            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100.0)),
-                             pa.int64()),
+            "rev_c": pc.multiply(
+                price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                     disc_bp)),
         })
 
     agg = joined.map_batches(project, batch_format="pyarrow",
@@ -80,7 +86,7 @@ def q_q5_star_revenue(sf_dir: str):
             "n_name": t.column("n_name"),
             "n_items": t.column("n_items"),
             "revenue": pc.divide(
-                pc.cast(t.column("rev_sum"), pa.float64()), 100.0),
+                pc.cast(t.column("rev_sum"), pa.float64()), 10000.0),
         })
 
     return _materialize(agg.map_batches(
@@ -89,8 +95,9 @@ def q_q5_star_revenue(sf_dir: str):
 
 SQL_Q5_STAR_REVENUE = """
 SELECT n_name, count(*) AS n_items,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                AS BIGINT)) / 100.0 AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey

@@ -68,13 +68,17 @@ def q_q3_top_unshipped(sf_dir: str):
     def rev_after_cut(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t.column("l_shipdate"),
                                 pa.scalar(_Q3_CUT)))
-        rev = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        # exact integer numerator (cents x basis points): rounding the
+        # float product is rounding-mode-sensitive on .5-cent values
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
         return pa.table({
             "l_orderkey": t.column("l_orderkey"),
-            "rev_c": pc.cast(pc.round(pc.multiply(rev, 100.0)),
-                             pa.int64()),
+            "rev_c": pc.multiply(
+                price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                     disc_bp)),
         })
 
     li = li.map_batches(rev_after_cut, batch_format="pyarrow",
@@ -96,17 +100,24 @@ def q_q3_top_unshipped(sf_dir: str):
                 pa.timestamp("us")),
             "o_orderpriority": t.column("o_orderpriority"),
             "revenue": pc.divide(
-                pc.cast(t.column("rev_sum"), pa.float64()), 100.0),
+                pc.cast(t.column("rev_sum"), pa.float64()), 10000.0),
         })
 
-    return _materialize(top.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True))
+    return _materialize(
+        top.map_batches(finalize, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        empty_schema=pa.schema(
+            [("l_orderkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us")),
+             ("o_orderpriority", pa.string()),
+             ("revenue", pa.float64())]))
 
 
 SQL_Q3_TOP_UNSHIPPED = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                AS BIGINT)) / 100.0 AS revenue
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -114,8 +125,9 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1998-06-01'
   AND l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY 1, 2, 3
-ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                  AS BIGINT)) DESC, l_orderkey
+ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+         DESC, l_orderkey
 LIMIT 10
 """
 
@@ -167,8 +179,13 @@ def q_q12_late_by_priority(sf_dir: str):
                 pc.cast(t.column("n_items"), pa.float64())), ndigits=6),
         })
 
-    return _materialize(agg.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True))
+    return _materialize(
+        agg.map_batches(finalize, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        empty_schema=pa.schema(
+            [("o_orderpriority", pa.string()),
+             ("n_items", pa.int64()), ("n_late", pa.int64()),
+             ("late_rate", pa.float64())]))
 
 
 SQL_Q12_LATE_BY_PRIORITY = """
@@ -207,10 +224,15 @@ def q_q14_promo_share(sf_dir: str):
                        right_cols=["p_type"], how="inner")
 
     def cents(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        rev_c = pc.cast(pc.round(pc.multiply(rev, 100.0)), pa.int64())
+        # exact integer numerator (cents x basis points): rounding the
+        # float product is rounding-mode-sensitive on .5-cent values
+        price_c = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        rev_c = pc.multiply(price_c,
+                            pc.subtract(pa.scalar(100, pa.int64()),
+                                        disc_bp))
         promo = pc.equal(t.column("p_type"), "PROMO")
         return pa.table({
             "rev_c": rev_c,
@@ -226,8 +248,8 @@ def q_q14_promo_share(sf_dir: str):
     total_c = row.get("total_c") or 0
     promo_c = row.get("promo_c") or 0
     return _materialize(rd.from_arrow(pa.table({
-        "promo_revenue": pa.array([promo_c / 100.0], pa.float64()),
-        "total_revenue": pa.array([total_c / 100.0], pa.float64()),
+        "promo_revenue": pa.array([promo_c / 10000.0], pa.float64()),
+        "total_revenue": pa.array([total_c / 10000.0], pa.float64()),
         "promo_share_pct": pa.array(
             [round(100.0 * promo_c / total_c, 6) if total_c else None],
             pa.float64()),
@@ -236,16 +258,18 @@ def q_q14_promo_share(sf_dir: str):
 
 SQL_Q14_PROMO_SHARE = """
 WITH c AS (
-  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100)
-              AS BIGINT) AS rev_c,
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c,
          CASE WHEN p_type = 'PROMO'
-              THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                        AS BIGINT) ELSE 0 END AS promo_c
+              THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+              ELSE 0 END AS promo_c
   FROM lineitem JOIN part ON l_partkey = p_partkey
 )
-SELECT sum(promo_c) / 100.0 AS promo_revenue,
-       sum(rev_c) / 100.0 AS total_revenue,
-       round(100.0 * sum(promo_c) / sum(rev_c), 6) AS promo_share_pct
+SELECT CAST(sum(promo_c) AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(sum(rev_c) AS DOUBLE) / 10000.0 AS total_revenue,
+       round(100.0 * CAST(sum(promo_c) AS DOUBLE)
+             / CAST(sum(rev_c) AS DOUBLE), 6) AS promo_share_pct
 FROM c
 """
 
@@ -302,8 +326,16 @@ def q_q18_big_orders(sf_dir: str):
                 pc.cast(t.column("qty_sum"), pa.float64()), 100.0),
         })
 
-    return _materialize(top.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True))
+    return _materialize(
+        top.map_batches(finalize, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        # a corpus with no >300-qty orders drains the whole plan to
+        # zero rows with no schema (fuzz harness hits this)
+        empty_schema=pa.schema(
+            [("o_orderkey", pa.int64()), ("c_name", pa.string()),
+             ("o_orderdate", pa.timestamp("us")),
+             ("o_totalprice", pa.float64()),
+             ("sum_qty", pa.float64())]))
 
 
 SQL_Q18_BIG_ORDERS = """

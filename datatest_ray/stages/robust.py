@@ -1555,3 +1555,169 @@ def durbin_watson_grouped(ds, *, by: str, ts_col: str, value_col: str,
 
     return ds.select_columns([by, ts_col, value_col, id_col]).groupby(
         by).map_groups(kernel, batch_format="pyarrow")
+
+
+def bartlett_test(ds, *, value_col: str, group_col: str):
+    """Bartlett's test for variance homogeneity across k groups — the
+    higher-power (but normality-sensitive) complement to
+    :func:`levene_brown_forsythe`.
+
+    T = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C with the pooled variance
+    s²_p = Σ(nᵢ−1)s²ᵢ/(N−k) and the Bartlett correction
+    C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)).
+
+    Same skeleton as :func:`anova_oneway`: per-batch moment partials
+    (n, Σv, Σv²) per group, ONE tiny groupby-sum, finalize on the
+    #groups-row table — data rows never shuffle.  Groups with n<2
+    are dropped (their sample variance is undefined).  Output one row
+    (k, n, stat); stat NULL when k<2 or any variance is 0."""
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = batch.column(value_col).cast(pa.float64())
+        ok = pc.and_(pc.is_valid(g),
+                     pc.and_(pc.is_valid(v),
+                             pc.invert(pc.is_nan(v))))
+        t = pa.table({"g": g, "v": v}).filter(ok)
+        t = t.append_column("v2", pc.multiply(t.column("v"),
+                                              t.column("v")))
+        out = t.group_by("g").aggregate(
+            [("v", "count"), ("v", "sum"), ("v2", "sum")])
+        return out.rename_columns(["g", "n", "s", "ss"])
+
+    merged = ds.select_columns([group_col, value_col]).map_batches(
+        moments, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("g").aggregate(Sum("n", alias_name="n"),
+                             Sum("s", alias_name="s"),
+                             Sum("ss", alias_name="ss"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("k", pa.int64()), ("n", pa.int64()),
+                            ("stat", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n_g = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ss = t.column("ss").to_numpy(zero_copy_only=False)
+        live = n_g >= 2
+        n_g, s, ss = n_g[live], s[live], ss[live]
+        k = int(len(n_g))
+        n = int(n_g.sum())
+        if k < 2 or n <= k:
+            return pa.table({"k": pa.array([k], pa.int64()),
+                             "n": pa.array([n], pa.int64()),
+                             "stat": pa.array([None], pa.float64())})
+        var = (ss - s * s / n_g) / (n_g - 1)
+        if not (var > 0).all():
+            return pa.table({"k": pa.array([k], pa.int64()),
+                             "n": pa.array([n], pa.int64()),
+                             "stat": pa.array([None], pa.float64())})
+        sp2 = float(((n_g - 1) * var).sum()) / (n - k)
+        num = (n - k) * np.log(sp2) - float(
+            ((n_g - 1) * np.log(var)).sum())
+        c = 1.0 + (float((1.0 / (n_g - 1)).sum()) - 1.0 / (n - k)) / (
+            3.0 * (k - 1))
+        return pa.table({"k": pa.array([k], pa.int64()),
+                         "n": pa.array([n], pa.int64()),
+                         "stat": pa.array([num / c], pa.float64())})
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def gk_gamma(ds, *, i_col: str, j_col: str):
+    """Goodman–Kruskal gamma between two ORDINAL integer columns:
+    γ = (C − D)/(C + D) over concordant/discordant pairs, computed
+    from the contingency table — never from row pairs.  One groupby
+    builds the (i, j, n) cells (≤ levelsᵢ×levelsⱼ rows); the O(cells²)
+    concordance sums run vectorized on the driver-side finalize.
+    Exact int64 C and D, so γ is deterministic.  Output one row
+    (c_pairs, d_pairs, gamma); gamma NULL when C + D = 0."""
+    from ray.data.aggregate import Count
+
+    cells_ds = ds.select_columns([i_col, j_col]).groupby(
+        [i_col, j_col]).aggregate(Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("c_pairs", pa.int64()),
+                            ("d_pairs", pa.int64()),
+                            ("gamma", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ok = pc.and_(pc.is_valid(t.column(i_col)),
+                     pc.is_valid(t.column(j_col)))
+        t = t.filter(ok)
+        i = t.column(i_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        j = t.column(j_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        gt_i = i[:, None] > i[None, :]
+        conc = int((n[:, None] * n[None, :])[
+            gt_i & (j[:, None] > j[None, :])].sum())
+        disc = int((n[:, None] * n[None, :])[
+            gt_i & (j[:, None] < j[None, :])].sum())
+        gamma = (float(conc - disc) / float(conc + disc)
+                 if conc + disc else None)
+        return pa.table({"c_pairs": pa.array([conc], pa.int64()),
+                         "d_pairs": pa.array([disc], pa.int64()),
+                         "gamma": pa.array([gamma], pa.float64())})
+
+    return cells_ds.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def odds_ratio_2x2(ds, *, exposure_col: str, exposure, outcome_col: str,
+                   outcome, z: float = 1.959963984540054):
+    """2x2 odds ratio with a Wald (log-scale) confidence interval:
+    OR = (a·d)/(b·c), CI = exp(ln OR ± z·√(1/a+1/b+1/c+1/d)) where
+    a..d are the exposure×outcome cell counts.  One streaming pass of
+    per-batch cell partials, one 4-row reduce — no shuffle of data
+    rows.  Output one row (a, b, c, d, odds_ratio, ci_lo, ci_hi);
+    ratio/CI NULL when any cell is 0 (the Wald CI is undefined)."""
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        e = pc.fill_null(pc.equal(batch.column(exposure_col),
+                                  exposure), False)
+        o = pc.fill_null(pc.equal(batch.column(outcome_col),
+                                  outcome), False)
+        e = e.to_numpy(zero_copy_only=False)
+        o = o.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array([int((e & o).sum())], pa.int64()),
+            "b": pa.array([int((e & ~o).sum())], pa.int64()),
+            "c": pa.array([int((~e & o).sum())], pa.int64()),
+            "d": pa.array([int((~e & ~o).sum())], pa.int64()),
+        })
+
+    merged = ds.select_columns([exposure_col, outcome_col]).map_batches(
+        cells, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        a = int(pc.sum(t.column("a")).as_py() or 0)
+        b = int(pc.sum(t.column("b")).as_py() or 0)
+        c = int(pc.sum(t.column("c")).as_py() or 0)
+        d = int(pc.sum(t.column("d")).as_py() or 0)
+        if min(a, b, c, d) > 0:
+            orr = (a * d) / (b * c)
+            se = float(np.sqrt(1 / a + 1 / b + 1 / c + 1 / d))
+            lo = float(np.exp(np.log(orr) - z * se))
+            hi = float(np.exp(np.log(orr) + z * se))
+        else:
+            orr = lo = hi = None
+        return pa.table({
+            "a": pa.array([a], pa.int64()),
+            "b": pa.array([b], pa.int64()),
+            "c": pa.array([c], pa.int64()),
+            "d": pa.array([d], pa.int64()),
+            "odds_ratio": pa.array([orr], pa.float64()),
+            "ci_lo": pa.array([lo], pa.float64()),
+            "ci_hi": pa.array([hi], pa.float64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
