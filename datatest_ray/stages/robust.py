@@ -1721,3 +1721,218 @@ def odds_ratio_2x2(ds, *, exposure_col: str, exposure, outcome_col: str,
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def fisher_exact_2x2(ds, *, exposure_col: str, exposure, outcome_col: str,
+                     outcome):
+    """Fisher's exact test (two-sided) on the 2x2 exposure×outcome
+    table — the small-count-safe alternative to the chi-square screen.
+    Cell counts stream exactly like :func:`odds_ratio_2x2`; the
+    hypergeometric tail sums run on the driver over the ≤min(r1,c1)
+    support points via log-gamma (no factorial overflow).  Two-sided
+    per the standard definition: sum P(k) over all tables with
+    P(k) ≤ P(observed)·(1+1e-7).  Output one row
+    (a, b, c, d, p_value)."""
+    from ray.data.aggregate import Sum
+
+    def cells(batch: pa.Table) -> pa.Table:
+        e = pc.fill_null(pc.equal(batch.column(exposure_col),
+                                  exposure), False)
+        o = pc.fill_null(pc.equal(batch.column(outcome_col),
+                                  outcome), False)
+        e = e.to_numpy(zero_copy_only=False)
+        o = o.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array([int((e & o).sum())], pa.int64()),
+            "b": pa.array([int((e & ~o).sum())], pa.int64()),
+            "c": pa.array([int((~e & o).sum())], pa.int64()),
+            "d": pa.array([int((~e & ~o).sum())], pa.int64()),
+        })
+
+    merged = ds.select_columns([exposure_col, outcome_col]).map_batches(
+        cells, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from math import lgamma
+
+        a = int(pc.sum(t.column("a")).as_py() or 0)
+        b = int(pc.sum(t.column("b")).as_py() or 0)
+        c = int(pc.sum(t.column("c")).as_py() or 0)
+        d = int(pc.sum(t.column("d")).as_py() or 0)
+        n = a + b + c + d
+        p = None
+        if n > 0:
+            r1, c1 = a + b, a + c
+
+            def logpmf(k: int) -> float:
+                return (lgamma(r1 + 1) - lgamma(k + 1)
+                        - lgamma(r1 - k + 1)
+                        + lgamma(n - r1 + 1) - lgamma(c1 - k + 1)
+                        - lgamma(n - r1 - c1 + k + 1)
+                        + lgamma(c1 + 1) + lgamma(n - c1 + 1)
+                        - lgamma(n + 1))
+
+            k_lo = max(0, r1 + c1 - n)
+            k_hi = min(r1, c1)
+            obs = np.exp(logpmf(a))
+            p = float(sum(
+                np.exp(logpmf(k)) for k in range(k_lo, k_hi + 1)
+                if np.exp(logpmf(k)) <= obs * (1 + 1e-7)))
+            p = min(p, 1.0)
+        return pa.table({
+            "a": pa.array([a], pa.int64()),
+            "b": pa.array([b], pa.int64()),
+            "c": pa.array([c], pa.int64()),
+            "d": pa.array([d], pa.int64()),
+            "p_value": pa.array([p], pa.float64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cohens_kappa(ds, *, i_col: str, j_col: str):
+    """Cohen's kappa — chance-corrected agreement between two integer
+    labelings of the same rows: κ = (p_o − p_e)/(1 − p_e) with
+    observed agreement p_o (diagonal mass) and chance agreement
+    p_e = Σ row_share·col_share.  One contingency groupby (≤levels²
+    rows), exact int64 marginals in the finalize.  Output one row
+    (n, po, pe, kappa); kappa NULL when p_e = 1 (degenerate)."""
+    from ray.data.aggregate import Count
+
+    cells_ds = ds.select_columns([i_col, j_col]).groupby(
+        [i_col, j_col]).aggregate(Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("po", pa.float64()),
+                            ("pe", pa.float64()),
+                            ("kappa", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ok = pc.and_(pc.is_valid(t.column(i_col)),
+                     pc.is_valid(t.column(j_col)))
+        t = t.filter(ok)
+        i = t.column(i_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        j = t.column(j_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tot = int(n.sum())
+        if tot == 0:
+            return schema.empty_table()
+        diag = int(n[i == j].sum())
+        # exact integer Σ row_i·col_i via per-level marginal sums
+        levels = np.unique(np.concatenate([i, j]))
+        row = {int(v): int(n[i == v].sum()) for v in levels}
+        col = {int(v): int(n[j == v].sum()) for v in levels}
+        chance = sum(row[v] * col[v] for v in row)
+        po = diag / tot
+        pe = chance / (tot * tot)
+        kappa = (po - pe) / (1 - pe) if pe < 1.0 else None
+        return pa.table({
+            "n": pa.array([tot], pa.int64()),
+            "po": pa.array([po], pa.float64()),
+            "pe": pa.array([pe], pa.float64()),
+            "kappa": pa.array([kappa], pa.float64()),
+        })
+
+    return cells_ds.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def mmr_select(ds, *, vec_col: str, id_col: str, k: int = 10,
+               lam: float = 0.7, query_vec=None):
+    """Maximal-marginal-relevance selection: greedily pick k vectors
+    maximizing λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s) — the standard
+    diversity-aware subset selection for training-data curation.  The
+    query defaults to the centroid of the row-normalized corpus
+    (then itself L2-normalized).
+
+    Iterative broadcast-state pattern (the same skeleton as the
+    k-means pipeline): each of the k rounds broadcasts the selected
+    id/vector list via ``ray.put`` and runs ONE distributed argmax
+    pass (per-batch top-1 partials → driver pick); the corpus itself
+    is never materialized.  k passes over the data by construction —
+    use only for k ≪ corpus (selection, not ranking).  Output k rows
+    (rank, id, score) in selection order."""
+    import ray
+
+    def to_mat(batch: pa.Table):
+        import numpy as _np
+
+        v = batch.column(vec_col)
+        arr = _np.asarray(v.to_pylist(), dtype=_np.float64)
+        nrm = _np.linalg.norm(arr, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return arr / nrm, batch.column(id_col).to_numpy(
+            zero_copy_only=False)
+
+    # pass 0: corpus mean (for the default query vector)
+    if query_vec is None:
+        def mean_partial(batch: pa.Table) -> pa.Table:
+            arr, _ = to_mat(batch)
+            return pa.table({
+                "s": [arr.sum(axis=0).tolist()],
+                "n": pa.array([arr.shape[0]], pa.int64()),
+            })
+
+        parts = ds.map_batches(mean_partial, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        tot = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+        cnt = sum(p["n"] for p in parts)
+        q = tot / max(cnt, 1)
+    else:
+        q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn else 1.0)
+
+    selected_ids: list = []
+    selected_vecs: list = []
+    scores: list = []
+    for _ in range(k):
+        state = ray.put((q, np.asarray(selected_vecs, dtype=np.float64),
+                         set(selected_ids)))
+
+        def best_partial(batch: pa.Table) -> pa.Table:
+            qv, sel_m, sel_ids = ray.get(state)
+            arr, ids = to_mat(batch)
+            rel = arr @ qv
+            if sel_m.size:
+                red = (arr @ sel_m.T).max(axis=1)
+            else:
+                red = np.zeros(len(arr))
+            score = lam * rel - (1 - lam) * red
+            mask = np.array([i not in sel_ids for i in ids])
+            if not mask.any():
+                return pa.table({"id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64()),
+                                 "vec": pa.array([], pa.list_(
+                                     pa.float64()))})
+            score = np.where(mask, score, -np.inf)
+            # deterministic: best score, lowest id tiebreak
+            m = score.max()
+            cand = np.flatnonzero(score == m)
+            b = cand[np.argmin(ids[cand])]
+            return pa.table({
+                "id": pa.array([int(ids[b])], pa.int64()),
+                "score": pa.array([float(score[b])], pa.float64()),
+                "vec": pa.array([arr[b].tolist()],
+                                pa.list_(pa.float64())),
+            })
+
+        tops = ds.map_batches(best_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        if not tops:
+            break
+        tops.sort(key=lambda r: (-r["score"], r["id"]))
+        best = tops[0]
+        selected_ids.append(best["id"])
+        selected_vecs.append(best["vec"])
+        scores.append(best["score"])
+
+    return pa.table({
+        "rank": pa.array(range(1, len(selected_ids) + 1), pa.int64()),
+        "vec_id": pa.array(selected_ids, pa.int64()),
+        "score": pa.array([round(s, 6) for s in scores], pa.float64()),
+    })
