@@ -16,7 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["sessionize", "session_durations", "funnel_conversion"]
+__all__ = ["sessionize", "session_durations", "funnel_conversion",
+           "rate_limit"]
 
 
 def sessionize(ds, *, by: str, ts: str, gap_s: float = 1800.0):
@@ -256,3 +257,71 @@ def funnel_steps(ds, *, by: str, ts: str, type_col: str, steps,
                                                  batch_format="pyarrow")
     return partials.groupby(["step", "step_type"]).aggregate(
         Sum("n_keys", alias_name="n_keys"))
+
+
+def rate_limit(ds, *, by: str, ts: str, id_col: str, window_s: int = 3600,
+               cap: int = 1, n_buckets: int = 256):
+    """Windowed rate-limit audit: events beyond the first ``cap`` per
+    (key, tumbling window of ``window_s`` seconds) are SUPPRESSED —
+    the dedup/throttle primitive event collectors apply before a
+    training-data pipeline ever sees the stream.
+
+    Output: one row per suppressed event, (id_col, by, rn) where
+    ``rn`` is the event's 1-based arrival rank inside its window
+    (ordered by ts then id; rn > cap).  SQL oracle:
+    ``row_number() OVER (PARTITION BY key, date_trunc(...) ORDER BY
+    ts, id) > cap``.
+
+    Plan: one coarse ``hash(key) % n_buckets`` shuffle (never one tiny
+    group per key), per-bucket Arrow sort by (key, window, ts, id) +
+    numpy segment ranks — no Python loop.  Partitioning assumption:
+    one bucket fits in a task's heap; raise ``n_buckets`` at scale.
+    """
+    from ..functions.aggregates import hash64
+
+    win_us = int(window_s) * 1_000_000
+    need = [id_col, by, ts]
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(
+            pc.cast(batch.column(ts), pa.timestamp("us")), pa.int64())
+        coarse = (hash64(batch.column(by)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        # integer floor-divide (timestamps are post-epoch, so truncation
+        # == floor); keeps window ids exact at any magnitude
+        win = pc.multiply(pc.divide(ts_us, win_us), win_us)
+        return pa.table({
+            id_col: batch.column(id_col),
+            by: batch.column(by),
+            "ts_us": ts_us,
+            "win": win,
+            "coarse": pa.array(coarse),
+        })
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), ("win", "ascending"),
+                           ("ts_us", "ascending"), (id_col, "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        win = t.column("win").to_numpy(zero_copy_only=False)
+        n = len(win)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col), by: t.column(by),
+                             "rn": pa.array([], pa.int64())})
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = (keys[1:] != keys[:-1]) | (win[1:] != win[:-1])
+        seg = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)[seg]
+        rn = np.arange(n, dtype=np.int64) - seg_start + 1
+        keep = rn > cap
+        out = t.filter(pa.array(keep))
+        return pa.table({
+            id_col: out.column(id_col),
+            by: out.column(by),
+            "rn": pa.array(rn[keep]),
+        })
+
+    return ds.select_columns(need).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "rn"])

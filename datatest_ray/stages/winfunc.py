@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 from ..functions.aggregates import hash64
 
 __all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
-           "group_zscore", "rank_window"]
+           "group_zscore", "rank_window", "percent_rank"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -207,6 +207,54 @@ def cume_dist(ds, *, by: str, value_col: str, id_col: str,
     return _bucketed(ds, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "cd"])
+
+
+def percent_rank(ds, *, by: str, value_col: str, id_col: str,
+                 n_buckets: int = 256):
+    """SQL ``percent_rank() OVER (PARTITION BY by ORDER BY value)``:
+    ``(rank - 1) / (n - 1)`` per key (0.0 for single-row keys).
+    Tie-aware on the VALUE alone (rank-based), so no tie-break column
+    is needed for engine/oracle parity.
+
+    Output: (id_col, by, pct) with ``pct`` float64.  Same plan as the
+    rest of this module: one coarse-bucket shuffle, per-bucket Arrow
+    sort + numpy segment arithmetic — no Python loop over rows/keys.
+    """
+    need = list(dict.fromkeys([id_col, by, value_col]))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.select(need).sort_by(
+            [(by, "ascending"), (value_col, "ascending")]
+        )
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(v)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col), by: t.column(by),
+                             "pct": pa.array([], pa.float64())})
+        new_seg = _segments(keys)
+        seg = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)[seg]
+        seg_len = np.bincount(seg)[seg]
+        new_run = new_seg.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        run = np.cumsum(new_run) - 1
+        run_start = np.flatnonzero(new_run)[run]
+        rnk = run_start - seg_start + 1
+        pct = np.where(
+            seg_len > 1,
+            (rnk - 1).astype(np.float64) / np.maximum(seg_len - 1, 1),
+            0.0,
+        )
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "pct": pa.array(pct),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "pct"])
 
 
 def rank_window(ds, *, by: str, value_col: str, id_col: str,
