@@ -46,6 +46,7 @@ __all__ = [
     "sorted_neighborhood_pairs",
     "decontaminate",
     "winnow_pairs",
+    "dup_share",
 ]
 
 
@@ -1632,3 +1633,70 @@ def winnow_pairs(ds, text_col: str, id_col: str, *, k: int = 16,
         .groupby("pc").map_groups(pair_reduce, batch_format="pyarrow")
         .select_columns(["a", "b", "shared"])
     )
+
+
+def dup_share(ds, text_col: str, id_col: str, *, group_col: str,
+              num_partitions: int = 8):
+    """Per-group exact-duplication share: (group, n_docs, n_duped)
+    where ``n_duped`` counts the group's docs whose md5 content
+    fingerprint appears more than once CORPUS-WIDE — the curation
+    metric behind "which language/source is flooding the corpus with
+    copies".
+
+    Plan: per-batch md5 combiner -> ONE groupby(fingerprint, group)
+    count (n_fl) -> a tiny re-aggregate of THAT table by fingerprint
+    for corpus-wide totals -> hash-join the two aggregated tables on
+    fingerprint (both are bounded by distinct texts, never raw rows)
+    -> per-group sums.  No driver materialization of fingerprints.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.aggregates import hash64
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        fp = [hashlib.md5(("" if t is None else t).encode("utf-8"))
+              .hexdigest() for t in texts]
+        return pa.table({"fingerprint": pa.array(fp),
+                         group_col: batch.column(group_col)})
+
+    fps = ds.select_columns([group_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True)
+    n_fl = fps.groupby(["fingerprint", group_col]).aggregate(
+        Count(alias_name="n_fl"))
+
+    # corpus-wide totals are computable INSIDE each fingerprint group
+    # (its per-group rows are all there after the groupby) — a
+    # vectorized segment pass over the sorted group block replaces a
+    # hash join of two aggregated tables
+    def per_fingerprint(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("fingerprint", "ascending")])
+        fp = t.column("fingerprint").to_numpy(zero_copy_only=False)
+        n = t.column("n_fl").to_numpy(zero_copy_only=False)
+        if len(fp) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({group_col: t.column(group_col),
+                             "n_docs": e, "n_duped": e})
+        new_seg = np.ones(len(fp), dtype=bool)
+        new_seg[1:] = fp[1:] != fp[:-1]
+        seg = np.cumsum(new_seg) - 1
+        total = np.bincount(seg, weights=n)[seg]
+        duped = np.where(total > 1, n, 0).astype(np.int64)
+        return pa.table({
+            group_col: t.column(group_col),
+            "n_docs": pa.array(n.astype(np.int64)),
+            "n_duped": pa.array(duped),
+        })
+
+    coarse = n_fl.map_batches(
+        lambda t: t.append_column("coarse", pa.array(
+            (hash64(t.column("fingerprint"))
+             % np.uint64(num_partitions)).astype(np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return coarse.groupby("coarse").map_groups(
+        per_fingerprint, batch_format="pyarrow"
+    ).groupby(group_col).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_duped", alias_name="n_duped"))
