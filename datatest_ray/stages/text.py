@@ -1247,3 +1247,122 @@ def dup_lines(ds, text_col: str, id_col: str, *, sep: str = ".",
         .map_groups(bucket_count, batch_format="pyarrow")
         .select_columns(["line", "n_docs"])
     )
+
+
+def _shingle_doc_rows(ds, text_col: str, cols: Sequence[str], *,
+                      n: int = 3, n_buckets: int = 256):
+    """Explode docs into (coarse, sh, *cols) rows — one row per DISTINCT
+    per-doc n-token shingle hash, with the doc's ``cols`` values
+    repeated.  ``coarse = sh % n_buckets`` so a shingle's every
+    occurrence lands in ONE bucket (corpus-wide per-shingle statistics
+    are complete inside a bucket group)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        sh, sh_off = shingle_hash_sets(flat, offsets, n=n)
+        counts = np.diff(sh_off)
+        out = {
+            "coarse": pa.array((sh % np.uint64(n_buckets)).astype(np.int64)),
+            "sh": pa.array(sh.view(np.int64)),
+        }
+        take = pa.array(np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), counts))
+        for c in cols:
+            col = batch.column(c)
+            col = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            out[c] = col.take(take)
+        return pa.table(out)
+
+    return ds.select_columns(
+        list(dict.fromkeys([text_col, *cols]))
+    ).map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ngram_novelty(ds, text_col: str, id_col: str, *, n: int = 3,
+                  n_buckets: int = 256):
+    """Per-document novelty: (id, novel, n_grams) where ``novel``
+    counts the doc's distinct n-gram shingles that appear in NO other
+    document (corpus document frequency 1) and ``n_grams`` its distinct
+    shingle count — the inverse-boilerplate score used to up-weight
+    original content in a training mix.
+
+    Plan: one shuffle on the bounded shingle-hash bucket key (a
+    shingle's full corpus df is computable inside its bucket), a
+    vectorized per-bucket segment kernel emitting per-doc partials,
+    then a ``groupby(id).sum``.  Shingle identity is the 64-bit rolling
+    hash (collision odds ~1e-11 at corpus scale; no shingle strings are
+    ever materialized or shuffled)."""
+    from ray.data.aggregate import Sum
+
+    rows = _shingle_doc_rows(ds, text_col, [id_col], n=n,
+                             n_buckets=n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        sh = t.column("sh").to_numpy(zero_copy_only=False)
+        docs = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(sh) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({id_col: t.column(id_col),
+                             "novel": e, "n_grams": e})
+        order = np.argsort(sh, kind="stable")
+        sh_s, docs_s = sh[order], docs[order]
+        new = np.ones(len(sh_s), dtype=bool)
+        new[1:] = sh_s[1:] != sh_s[:-1]
+        seg = np.cumsum(new) - 1
+        df = np.bincount(seg)[seg]
+        uniq, code = np.unique(docs_s, return_inverse=True)
+        novel = np.bincount(code, weights=(df == 1)).astype(np.int64)
+        total = np.bincount(code).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(uniq),
+            "novel": pa.array(novel),
+            "n_grams": pa.array(total),
+        })
+
+    return rows.groupby("coarse").map_groups(
+        per_bucket, batch_format="pyarrow"
+    ).groupby(id_col).aggregate(
+        Sum("novel", alias_name="novel"),
+        Sum("n_grams", alias_name="n_grams"))
+
+
+def ngram_diversity(ds, text_col: str, *, group_col: str, n: int = 3,
+                    n_buckets: int = 256):
+    """Per-group n-gram diversity: (group, n_distinct, n_docgrams)
+    where ``n_distinct`` is the group's corpus-wide distinct shingle
+    count and ``n_docgrams`` the sum of per-doc distinct counts — the
+    distinct-n diversity metric (low ratio = repetitive/boilerplate
+    subcorpus).  Same bucketed plan as :func:`ngram_novelty`: distinct
+    (group, shingle) pairs are complete inside a shingle-hash bucket."""
+    from ray.data.aggregate import Sum
+
+    rows = _shingle_doc_rows(ds, text_col, [group_col], n=n,
+                             n_buckets=n_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        sh = t.column("sh").to_numpy(zero_copy_only=False)
+        grp = t.column(group_col).to_numpy(zero_copy_only=False)
+        if len(sh) == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({group_col: t.column(group_col),
+                             "n_distinct": e, "n_docgrams": e})
+        uniq, code = np.unique(grp, return_inverse=True)
+        total = np.bincount(code, minlength=len(uniq)).astype(np.int64)
+        # distinct (group, sh) pairs per group
+        order = np.lexsort((sh, code))
+        cs, ss = code[order], sh[order]
+        new = np.ones(len(ss), dtype=bool)
+        new[1:] = (cs[1:] != cs[:-1]) | (ss[1:] != ss[:-1])
+        nd = np.bincount(cs[new], minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            group_col: pa.array(uniq),
+            "n_distinct": pa.array(nd),
+            "n_docgrams": pa.array(total),
+        })
+
+    return rows.groupby("coarse").map_groups(
+        per_bucket, batch_format="pyarrow"
+    ).groupby(group_col).aggregate(
+        Sum("n_distinct", alias_name="n_distinct"),
+        Sum("n_docgrams", alias_name="n_docgrams"))
