@@ -25,6 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+QUERY_CONCURRENCY = int(os.environ.get("GRAFT_QUERY_CONCURRENCY", "4"))
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graft_fixture")
 
 
@@ -98,11 +99,42 @@ def run_flagship_bench(sf: float) -> dict:
 
 
 def run_query_bench() -> dict:
+    """Time every queries() entry at $GRAFT_SF_DIR.  Queries run through
+    a small thread pool (Ray datasets execute fine concurrently and the
+    streaming executor interleaves their plans): 300+ sequential queries
+    at ~1.5 s fixed plan cost each would spend most of the sweep idle.
+    Per-query seconds therefore measure latency UNDER that concurrency
+    (recorded as ``query_concurrency``), not isolated latency — the
+    sweep is an operator smoke-latency sweep, not the headline metric
+    (that is the flagship wall / images_per_sec)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod
 
-    out = {}
-    for name, fn in entrymod.queries().items():
+    # Ray's read-path probe retries `from fsspec.implementations.http
+    # import HTTPFileSystem` on EVERY read_parquet and only catches
+    # ModuleNotFoundError (aiohttp absent here).  Concurrent pool
+    # threads race that always-failing import: one thread sees the
+    # half-initialized module and gets a plain ImportError that Ray
+    # does NOT catch.  Pin a stub module once so the probe resolves
+    # deterministically to the same False answer (the stub class can
+    # never be the wrapped fs, matching the ModuleNotFoundError path).
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        import types
+
+        _stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NeverHTTPFileSystem:  # isinstance target only
+            pass
+
+        _stub.HTTPFileSystem = _NeverHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = _stub
+
+    def one(item):
+        name, fn = item
         t0 = time.time()
         res = fn(SF_DIR)
         # consume lazily-returned datasets
@@ -113,8 +145,11 @@ def run_query_bench() -> dict:
                 res.count()
         except ImportError:
             pass
-        out[name] = round(time.time() - t0, 3)
-    return out
+        return name, round(time.time() - t0, 3)
+
+    items = list(entrymod.queries().items())
+    with ThreadPoolExecutor(max_workers=QUERY_CONCURRENCY) as ex:
+        return dict(ex.map(one, items))
 
 
 def main() -> None:
@@ -155,6 +190,7 @@ def main() -> None:
         "n_images": flagship["n_images"],
         "n_violations": flagship["n_violations"],
         "flagship_trials_sec": [round(t["flagship_sec"], 3) for t in trials],
+        "query_concurrency": QUERY_CONCURRENCY,
     }
     print(json.dumps(payload))
     ray.shutdown()

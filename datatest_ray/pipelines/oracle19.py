@@ -36,12 +36,12 @@ def q_split_leakage_jaccard(sf_dir: str):
     """Near-duplicate pairs (3-gram Jaccard >= 0.8) that CROSS a
     deterministic train/test split (test = doc_id % 5 == 0) — the
     contamination check run before any eval split ships: a test doc
-    with a near-copy in train invalidates the eval.  Reuses the
-    prefix-filtered exact-Jaccard scale path; the split filter is a
+    with a near-copy in train invalidates the eval.  Reuses the exact
+    inverted-index Jaccard pair pipeline; the split filter is a
     stateless per-batch kernel on the (tiny) surviving pair set."""
-    from ..stages.dedup import jaccard_pairs_prefix
+    from ..stages.dedup import jaccard_pairs_exact
 
-    pairs = jaccard_pairs_prefix(
+    pairs = jaccard_pairs_exact(
         _read(sf_dir, "documents", ["doc_id", "text"]), "text",
         "doc_id", n=3, threshold=0.8, shuffle_partitions=8)
 
