@@ -91,7 +91,10 @@ def q_nfc_audit_docs(sf_dir: str):
         })
 
     def audit(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
+        # null text -> '' (never flagged), matching SQL's NULL<>NULL
+        # three-valued filter
+        texts = ["" if s is None else s
+                 for s in t.column("text").to_pylist()]
         raw_len = np.fromiter((len(s) for s in texts), np.int64,
                               count=len(texts))
         nfc = [unicodedata.normalize("NFC", s) for s in texts]

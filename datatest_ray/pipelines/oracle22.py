@@ -44,6 +44,7 @@ def q_bpe_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def kernel(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
         _, offsets = tokens_and_offsets(batch.column("text"))
         n_bpe = pc.count_substring_regex(
             pc.cast(batch.column("text"), pa.string()), BPE_PATTERN)
@@ -65,7 +66,7 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text,
          '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
          AS BIGINT) AS n_bpe
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -81,6 +82,7 @@ def q_bpe_fertility_lang(sf_dir: str):
     ds = _read(sf_dir, "documents", ["lang", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("text")))
         _, offsets = tokens_and_offsets(batch.column("text"))
         n_bpe = pc.count_substring_regex(
             pc.cast(batch.column("text"), pa.string()), BPE_PATTERN)
@@ -105,7 +107,7 @@ SELECT lang,
        CAST(sum(len(regexp_extract_all(text,
          '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
          AS BIGINT) AS n_bpe
-FROM documents GROUP BY lang
+FROM documents WHERE text IS NOT NULL GROUP BY lang
 """
 
 
