@@ -35,10 +35,12 @@ def read_table(path: Union[str, Sequence[str]], *,
 
     fmt='auto': ``.lance`` directory -> read_lance (if the package is
     present), ``.csv`` -> read_csv (the reference's
-    ``working_directory`` + csv fixture idiom, SURVEY.md §2.F), else
-    parquet.  fmt='lance' | 'parquet' | 'csv' force the path.
-    ``columns`` prunes at the read for every format (csv prunes after
-    parse via select_columns — the format has no column projection).
+    ``working_directory`` + csv fixture idiom, SURVEY.md §2.F),
+    ``.json`` / ``.jsonl`` -> read_json (NDJSON — the event-log
+    interchange format), else parquet.  fmt='lance' | 'parquet' |
+    'csv' | 'json' force the path.  ``columns`` prunes at the read for
+    every format (csv/json prune after parse via select_columns — the
+    formats have no column projection).
     """
     import ray.data as rd
 
@@ -49,10 +51,15 @@ def read_table(path: Union[str, Sequence[str]], *,
             fmt = "lance"
         elif p.endswith(".csv"):
             fmt = "csv"
+        elif p.endswith(".json") or p.endswith(".jsonl"):
+            fmt = "json"
         else:
             fmt = "parquet"
     if fmt == "csv":
         ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
+    if fmt == "json":
+        ds = rd.read_json(path, **kwargs)
         return ds.select_columns(list(columns)) if columns else ds
     if fmt == "lance":
         if not lance_available():
@@ -81,14 +88,21 @@ def write_table(data, path: str, *, fmt: str = "auto", **kwargs) -> None:
     fmt='auto': a ``.lance`` path -> ``write_lance`` / ``lance.
     write_dataset`` when the package is importable (ImportError
     otherwise — the sandbox has none; the flagship's scale deployment
-    does), anything else -> partitioned parquet.  A Dataset writes one
+    does), a ``.json``/``.jsonl`` path -> NDJSON, anything else ->
+    partitioned parquet.  A Dataset writes one
     file per block (resumable, never one giant file); a pa.Table writes
     a single file at ``path``.
     """
     import pyarrow.parquet as pq
 
     if fmt == "auto":
-        fmt = "lance" if str(path).rstrip("/").endswith(".lance") else "parquet"
+        p = str(path).rstrip("/")
+        if p.endswith(".lance"):
+            fmt = "lance"
+        elif p.endswith(".json") or p.endswith(".jsonl"):
+            fmt = "json"
+        else:
+            fmt = "parquet"
     is_dataset = hasattr(data, "write_parquet")
     if fmt == "lance":
         if not lance_available():
@@ -102,6 +116,14 @@ def write_table(data, path: str, *, fmt: str = "auto", **kwargs) -> None:
             import lance
 
             lance.write_dataset(data, path, **kwargs)
+        return
+    if fmt == "json":
+        if is_dataset:
+            data.write_json(path, **kwargs)
+        else:
+            import ray.data as rd
+
+            rd.from_arrow(data).write_json(path, **kwargs)
         return
     if fmt != "parquet":
         raise ValueError(f"unknown table format {fmt!r}")

@@ -210,3 +210,24 @@ class TestFixtureColumnPruning:
         assert set(pruned.column_names) == {"image_id", "phash", "fmt", "w"}
         assert full.select(pruned.column_names).equals(
             pruned.select(pruned.column_names))
+
+
+def test_read_write_table_json_roundtrip(ray_session, tmp_path):
+    """NDJSON source/sink: auto-detect on .json/.jsonl, column prune
+    after parse, Dataset and pa.Table writers."""
+    import ray.data as rd
+
+    from datatest_ray.sources.tables import read_table, write_table
+
+    t = pa.table({"x": pa.array([1, 2, 3], pa.int64()),
+                  "y": ["a", "b", "c"]})
+    # Dataset -> NDJSON directory
+    write_table(rd.from_arrow(t), str(tmp_path / "d.json"))
+    ds = read_table(str(tmp_path / "d.json"))
+    assert ds.count() == 3
+    assert sorted(ds.schema().names) == ["x", "y"]
+    # pa.Table writer + column pruning on read
+    write_table(t, str(tmp_path / "e.jsonl"))
+    ds2 = read_table(str(tmp_path / "e.jsonl"), columns=["y"])
+    assert ds2.schema().names == ["y"]
+    assert sorted(r["y"] for r in ds2.take_all()) == ["a", "b", "c"]
