@@ -231,3 +231,15 @@ def test_read_write_table_json_roundtrip(ray_session, tmp_path):
     ds2 = read_table(str(tmp_path / "e.jsonl"), columns=["y"])
     assert ds2.schema().names == ["y"]
     assert sorted(r["y"] for r in ds2.take_all()) == ["a", "b", "c"]
+
+
+def test_read_table_csv(ray_session, tmp_path):
+    """CSV source path (the reference's working_directory+csv idiom):
+    auto-detect on .csv, post-parse column pruning."""
+    from datatest_ray.sources.tables import read_table
+
+    (tmp_path / "t.csv").write_text("x,y\n1,a\n2,b\n3,c\n")
+    ds = read_table(str(tmp_path / "t.csv"))
+    assert ds.count() == 3
+    ds2 = read_table(str(tmp_path / "t.csv"), columns=["y"])
+    assert ds2.schema().names == ["y"]
