@@ -1262,7 +1262,11 @@ def _materialize(result, empty_schema: pa.Schema | None = None):
         base = getattr(schema, "base_schema", schema)
         return base.empty_table()
     if isinstance(result, dict):  # Dataset.aggregate returns a row dict
-        return pa.table({k: [v] for k, v in result.items()})
+        # None values type as float64 nulls, not a null-typed column
+        # (which would stringify differently from SQL's NaN downstream)
+        return pa.table({
+            k: pa.array([v], pa.float64() if v is None else None)
+            for k, v in result.items()})
     return result
 
 
@@ -2734,10 +2738,17 @@ def q_wavg_discount(sf_dir: str):
                ["l_returnflag", "l_discount", "l_quantity"])
 
     def project(t: pa.Table) -> pa.Table:
+        # exact integer basis points × integer quantity: a double-sum
+        # here is order-dependent (engine and SQL sum in different
+        # orders), and the true ratio is an exact rational that can
+        # straddle a 6-dp rounding boundary between the two sums
+        bp = pc.cast(pc.round(pc.multiply(t.column("l_discount"), 100.0)),
+                     pa.int64())
+        q = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
-            "dq": pc.multiply(t.column("l_discount"), t.column("l_quantity")),
-            "q": t.column("l_quantity"),
+            "dq": pc.multiply(bp, q),
+            "q": q,
         })
 
     agg = ds.map_batches(project, batch_format="pyarrow",
@@ -2746,10 +2757,11 @@ def q_wavg_discount(sf_dir: str):
         Sum("dq", alias_name="sdq"), Sum("q", alias_name="sq"))
 
     def finalize(t: pa.Table) -> pa.Table:
+        den = pc.multiply(pc.cast(t.column("sq"), pa.float64()), 100.0)
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
-            "wavg_discount": pc.round(
-                pc.divide(t.column("sdq"), t.column("sq")), ndigits=6),
+            "wavg_discount": pc.divide(
+                pc.cast(t.column("sdq"), pa.float64()), den),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow",
@@ -2758,8 +2770,10 @@ def q_wavg_discount(sf_dir: str):
 
 SQL_WAVG_DISCOUNT = """
 SELECT l_returnflag,
-       round(sum(l_discount * l_quantity) / sum(l_quantity), 6)
-         AS wavg_discount
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+         / (CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+            * 100.0) AS wavg_discount
 FROM lineitem GROUP BY l_returnflag
 """
 

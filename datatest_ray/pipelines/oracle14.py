@@ -250,8 +250,11 @@ def q_q14_promo_share(sf_dir: str):
     return _materialize(rd.from_arrow(pa.table({
         "promo_revenue": pa.array([promo_c / 10000.0], pa.float64()),
         "total_revenue": pa.array([total_c / 10000.0], pa.float64()),
+        # raw quotient of exact cent counts, NOT rounded: a 6-dp round
+        # can land on a half where Python (half-even) and SQL
+        # (half-away) disagree; both sides do the same double ops
         "promo_share_pct": pa.array(
-            [round(100.0 * promo_c / total_c, 6) if total_c else None],
+            [100.0 * promo_c / total_c if total_c else None],
             pa.float64()),
     })))
 
@@ -268,8 +271,8 @@ WITH c AS (
 )
 SELECT CAST(sum(promo_c) AS DOUBLE) / 10000.0 AS promo_revenue,
        CAST(sum(rev_c) AS DOUBLE) / 10000.0 AS total_revenue,
-       round(100.0 * CAST(sum(promo_c) AS DOUBLE)
-             / CAST(sum(rev_c) AS DOUBLE), 6) AS promo_share_pct
+       100.0 * CAST(sum(promo_c) AS DOUBLE)
+         / CAST(sum(rev_c) AS DOUBLE) AS promo_share_pct
 FROM c
 """
 

@@ -91,8 +91,11 @@ def q_q6_discount_revenue(sf_dir: str):
     ds = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     row = ds.aggregate(Sum("numer", alias_name="numer_sum"),
                        Count(alias_name="n_items"))
+    s = row["numer_sum"]
+    # typed float64 even when the filter matched nothing (NULL sum)
     return pa.table({
-        "revenue": [float(row["numer_sum"]) / 10000.0],
+        "revenue": pa.array(
+            [None if s is None else float(s) / 10000.0], pa.float64()),
         "n_items": pa.array([row["n_items"]], pa.int64()),
     })
 
@@ -596,9 +599,18 @@ def q_q17_small_qty_revenue(sf_dir: str):
                ["l_partkey", "l_quantity", "l_extendedprice"])
     li = broadcast_join(li, part, on="l_partkey", right_on="p_partkey",
                         right_cols=[], how="inner")
+
+    def add_nonnull(t: pa.Table) -> pa.Table:
+        # SQL AVG/count(col) skip NULL quantities; a bare row Count
+        # would divide by too many rows on null-bearing data
+        return t.append_column("qty_nn", pc.cast(
+            pc.is_valid(t.column("l_quantity")), pa.int64()))
+
+    li = li.map_batches(add_nonnull, batch_format="pyarrow",
+                        zero_copy_batch=True)
     per_part = li.groupby("l_partkey").aggregate(
         Sum("l_quantity", alias_name="qty_sum"),
-        Count(alias_name="qty_cnt"))
+        Sum("qty_nn", alias_name="qty_cnt"))
     li = broadcast_join(li, per_part, on="l_partkey",
                         right_on="l_partkey",
                         right_cols=["qty_sum", "qty_cnt"], how="inner")
@@ -613,8 +625,10 @@ def q_q17_small_qty_revenue(sf_dir: str):
     ds = li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     row = ds.aggregate(Sum("price_c", alias_name="price_sum"))
     s = row["price_sum"]
-    return pa.table({"avg_yearly": [
-        None if s is None else float(s) / 100.0 / 7.0]})
+    # typed float64 even when NULL: a bare [None] would make a
+    # null-typed column that compares unequal to SQL's float NaN
+    return pa.table({"avg_yearly": pa.array(
+        [None if s is None else float(s) / 100.0 / 7.0], pa.float64())})
 
 
 SQL_Q17_SMALL_QTY_REVENUE = """
@@ -675,7 +689,8 @@ def q_q19_disjunctive_revenue(sf_dir: str):
                        Count(alias_name="n_items"))
     s = row["numer_sum"]
     return pa.table({
-        "revenue": [None if s is None else float(s) / 10000.0],
+        "revenue": pa.array(
+            [None if s is None else float(s) / 10000.0], pa.float64()),
         "n_items": pa.array([row["n_items"]], pa.int64()),
     })
 

@@ -601,7 +601,10 @@ def q_gk_gamma_orders(sf_dir: str):
     return pa.table({
         "c_pairs": t.column("c_pairs"),
         "d_pairs": t.column("d_pairs"),
-        "gamma": pc.round(t.column("gamma"), ndigits=6),
+        # raw (C-D)/(C+D) over exact pair counts, NOT rounded (6-dp
+        # halves tie half-even vs half-away; both sides do the same
+        # single double division)
+        "gamma": t.column("gamma"),
     })
 
 
@@ -620,8 +623,8 @@ pairsum AS (
   FROM cells a CROSS JOIN cells b)
 SELECT c_pairs, d_pairs,
        CASE WHEN c_pairs + d_pairs > 0 THEN
-         round(CAST(c_pairs - d_pairs AS DOUBLE)
-               / CAST(c_pairs + d_pairs AS DOUBLE), 6)
+         CAST(c_pairs - d_pairs AS DOUBLE)
+           / CAST(c_pairs + d_pairs AS DOUBLE)
        END AS gamma
 FROM pairsum
 """
@@ -645,7 +648,10 @@ def q_odds_ratio_orders(sf_dir: str):
     return pa.table({
         "a": t.column("a"), "b": t.column("b"),
         "c": t.column("c"), "d": t.column("d"),
-        "odds_ratio": pc.round(t.column("odds_ratio"), ndigits=6),
+        # raw (a·d)/(b·c) over exact counts, NOT rounded (6-dp tie
+        # risk); ci_lo/ci_hi stay rounded — exp/ln/sqrt values can't
+        # land on exact halves but CAN differ by a ulp across libms
+        "odds_ratio": t.column("odds_ratio"),
         "ci_lo": pc.round(t.column("ci_lo"), ndigits=6),
         "ci_hi": pc.round(t.column("ci_hi"), ndigits=6),
     })
@@ -666,7 +672,7 @@ WITH c AS (
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
        CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
-         round((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c), 6)
+         (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)
        END AS odds_ratio,
        CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
          round(exp(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))

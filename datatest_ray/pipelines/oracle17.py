@@ -140,7 +140,11 @@ def q_mcnemar_users(sf_dir: str):
         Sum("b", alias_name="b"), Sum("c", alias_name="c"))
     b = int(row["b"] or 0)
     c = int(row["c"] or 0)
-    stat = round((b - c) ** 2 / (b + c), 6) if b + c else None
+    # raw IEEE quotient, NOT rounded: (b-c)²/(b+c) is an exact rational
+    # over counts and can land on a 6-dp half where Python round
+    # (half-even) and SQL round (half-away) disagree (fuzz seed 31337:
+    # 196/512 = 0.3828125)
+    stat = (b - c) ** 2 / (b + c) if b + c else None
     return pa.table({
         "b": pa.array([b], pa.int64()),
         "c": pa.array([c], pa.int64()),
@@ -161,7 +165,7 @@ m AS (
   FROM u)
 SELECT CAST(b AS BIGINT) AS b, CAST(c AS BIGINT) AS c,
        CASE WHEN b + c > 0 THEN
-         round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+         CAST((b - c) * (b - c) AS DOUBLE) / (b + c)
        END AS stat
 FROM m
 """
@@ -202,9 +206,13 @@ def q_cohens_kappa_orders(sf_dir: str):
     t = _materialize(cohens_kappa(ds, i_col="i", j_col="j"))
     return pa.table({
         "n": t.column("n"),
-        "po": pc.round(t.column("po"), ndigits=6),
-        "pe": pc.round(t.column("pe"), ndigits=6),
-        "kappa": pc.round(t.column("kappa"), ndigits=6),
+        # raw count rationals, NOT rounded: po = diag/tot and
+        # pe = chance/tot² can land on 6-dp halves where half-even
+        # (pa/np) and half-away (SQL) disagree; both sides run the
+        # same double ops so raw values are bitwise identical
+        "po": t.column("po"),
+        "pe": t.column("pe"),
+        "kappa": t.column("kappa"),
     })
 
 
@@ -226,15 +234,14 @@ marg AS (
                  USING (v)) AS BIGINT) AS chance
   FROM cells)
 SELECT tot AS n,
-       round(CAST(diag AS DOUBLE) / tot, 6) AS po,
-       round(CAST(chance AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 6)
-         AS pe,
+       CAST(diag AS DOUBLE) / tot AS po,
+       CAST(chance AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) AS pe,
        CASE WHEN CAST(chance AS DOUBLE) / (CAST(tot AS DOUBLE) * tot)
                  < 1.0 THEN
-         round((CAST(diag AS DOUBLE) / tot
-                - CAST(chance AS DOUBLE) / (CAST(tot AS DOUBLE) * tot))
-               / (1 - CAST(chance AS DOUBLE)
-                      / (CAST(tot AS DOUBLE) * tot)), 6)
+         (CAST(diag AS DOUBLE) / tot
+          - CAST(chance AS DOUBLE) / (CAST(tot AS DOUBLE) * tot))
+           / (1 - CAST(chance AS DOUBLE)
+                  / (CAST(tot AS DOUBLE) * tot))
        END AS kappa
 FROM marg
 """
@@ -439,7 +446,10 @@ def q_poisson_2rate_events(sf_dir: str):
                          zero_copy_batch=True).aggregate(
         Sum("k1", alias_name="k1"), Sum("k2", alias_name="k2"))
     k1, k2 = int(row["k1"] or 0), int(row["k2"] or 0)
-    z = round((k1 - k2) / np.sqrt(k1 + k2), 6) if k1 + k2 else None
+    # raw quotient, NOT rounded: sqrt of a perfect-square count is
+    # IEEE-exact in both engines, making z an exact rational that can
+    # tie at a 6-dp half (half-even vs half-away)
+    z = (k1 - k2) / np.sqrt(k1 + k2) if k1 + k2 else None
     return pa.table({
         "k1": pa.array([k1], pa.int64()),
         "k2": pa.array([k2], pa.int64()),
@@ -454,7 +464,7 @@ WITH c AS (
   FROM events)
 SELECT CAST(k1 AS BIGINT) AS k1, CAST(k2 AS BIGINT) AS k2,
        CASE WHEN k1 + k2 > 0 THEN
-         round(CAST(k1 - k2 AS DOUBLE) / sqrt(k1 + k2), 6)
+         CAST(k1 - k2 AS DOUBLE) / sqrt(k1 + k2)
        END AS z
 FROM c
 """

@@ -154,7 +154,9 @@ def q_percent_rank_orders(sf_dir: str):
         return pa.table({
             "o_orderkey": out.column("o_orderkey"),
             "o_orderpriority": out.column("o_orderpriority"),
-            "pct": pc.round(out.column("pct"), ndigits=6),
+            # raw (rank-1)/(n-1) count rational, NOT rounded (6-dp
+            # half-even vs half-away tie risk between engines)
+            "pct": out.column("pct"),
         })
 
     return _materialize(ranked.map_batches(
@@ -162,7 +164,7 @@ def q_percent_rank_orders(sf_dir: str):
 
 
 SQL_PERCENT_RANK_ORDERS = """
-SELECT o_orderkey, o_orderpriority, round(pct, 6) AS pct FROM (
+SELECT o_orderkey, o_orderpriority, pct FROM (
   SELECT o_orderkey, o_orderpriority,
          percent_rank() OVER (
            PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct

@@ -741,7 +741,7 @@ WITH d AS (
 SELECT p.event_type, m.n_days,
        CAST(count(*) AS BIGINT) AS n_pairs,
        CAST(sum(sg) AS BIGINT) AS mk_s,
-       round(CAST(sum(sg) AS DOUBLE) / count(*), 6) AS tau,
+       CAST(sum(sg) AS DOUBLE) / count(*) AS tau,
        round(quantile_cont(slope, 0.5), 6) AS sen_slope
 FROM p JOIN m ON m.event_type = p.event_type
 GROUP BY 1, 2

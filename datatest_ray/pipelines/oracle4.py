@@ -78,7 +78,7 @@ WITH b AS (
   WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
 )
 SELECT k AS l_returnflag, count(*) AS n_kept,
-       round(CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)), 6) AS tmean
+       CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS tmean
 FROM f GROUP BY 1
 """
 
@@ -148,8 +148,8 @@ WITH c AS (
   WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT k AS user_id, CAST(sum(n) AS BIGINT) AS n, count(*) AS n_cats,
-       round(CAST(sum(n * n) AS DOUBLE)
-             / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6) AS hhi
+       CAST(sum(n * n) AS DOUBLE)
+         / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) AS hhi
 FROM c GROUP BY 1
 """
 
@@ -180,27 +180,27 @@ SELECT 'p_brand' AS col_name, 'brand_code' AS sem_type,
          AS n_match,
        count(p_brand) AS n_nonnull,
        CASE WHEN count(p_brand) > 0 THEN
-         round(CAST(count(*) FILTER (
+         CAST(count(*) FILTER (
            regexp_matches(p_brand, '^Brand#[0-9]{1,2}$')) AS DOUBLE)
-           / count(p_brand), 6) END AS share
+           / count(p_brand) END AS share
 FROM part
 UNION ALL
 SELECT 'p_name', 'lower_words',
        count(*) FILTER (regexp_matches(p_name, '^[a-z]+( [a-z]+)*$')),
        count(p_name),
        CASE WHEN count(p_name) > 0 THEN
-         round(CAST(count(*) FILTER (
+         CAST(count(*) FILTER (
            regexp_matches(p_name, '^[a-z]+( [a-z]+)*$')) AS DOUBLE)
-           / count(p_name), 6) END
+           / count(p_name) END
 FROM part
 UNION ALL
 SELECT 'p_type', 'digits_only',
        count(*) FILTER (regexp_matches(p_type, '^[0-9]+$')),
        count(p_type),
        CASE WHEN count(p_type) > 0 THEN
-         round(CAST(count(*) FILTER (
+         CAST(count(*) FILTER (
            regexp_matches(p_type, '^[0-9]+$')) AS DOUBLE)
-           / count(p_type), 6) END
+           / count(p_type) END
 FROM part
 """
 
@@ -228,9 +228,9 @@ SELECT 'l_quantity' AS x, 'l_discount' AS y, count(*) AS n_rows,
          AS n_both,
        CASE WHEN count(*) FILTER (l_quantity IS NULL OR l_discount IS NULL)
                  > 0 THEN
-         round(CAST(count(*) FILTER (l_quantity IS NULL
+         CAST(count(*) FILTER (l_quantity IS NULL
                                      AND l_discount IS NULL) AS DOUBLE)
-           / count(*) FILTER (l_quantity IS NULL OR l_discount IS NULL), 6)
+           / count(*) FILTER (l_quantity IS NULL OR l_discount IS NULL)
        END AS jaccard
 FROM lineitem
 UNION ALL
@@ -240,9 +240,9 @@ SELECT 'l_quantity', 'l_tax', count(*),
        count(*) FILTER (l_quantity IS NULL AND l_tax IS NULL),
        CASE WHEN count(*) FILTER (l_quantity IS NULL OR l_tax IS NULL)
                  > 0 THEN
-         round(CAST(count(*) FILTER (l_quantity IS NULL
+         CAST(count(*) FILTER (l_quantity IS NULL
                                      AND l_tax IS NULL) AS DOUBLE)
-           / count(*) FILTER (l_quantity IS NULL OR l_tax IS NULL), 6) END
+           / count(*) FILTER (l_quantity IS NULL OR l_tax IS NULL) END
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', 'l_tax', count(*),
@@ -251,9 +251,9 @@ SELECT 'l_discount', 'l_tax', count(*),
        count(*) FILTER (l_discount IS NULL AND l_tax IS NULL),
        CASE WHEN count(*) FILTER (l_discount IS NULL OR l_tax IS NULL)
                  > 0 THEN
-         round(CAST(count(*) FILTER (l_discount IS NULL
+         CAST(count(*) FILTER (l_discount IS NULL
                                      AND l_tax IS NULL) AS DOUBLE)
-           / count(*) FILTER (l_discount IS NULL OR l_tax IS NULL), 6) END
+           / count(*) FILTER (l_discount IS NULL OR l_tax IS NULL) END
 FROM lineitem
 """
 

@@ -44,9 +44,9 @@ WITH c AS (
            / CAST(sum(n) OVER () AS DOUBLE) AS exp
   FROM c
 ), r AS (
-  SELECT x, y, n, round(exp, 6) AS expected,
-         round(n / exp, 6) AS ratio,
-         row_number() OVER (ORDER BY round(n / exp, 6),
+  SELECT x, y, n, exp AS expected,
+         n / exp AS ratio,
+         row_number() OVER (ORDER BY n / exp,
                             CAST(x AS VARCHAR), CAST(y AS VARCHAR)) AS rn
   FROM m
 )
@@ -84,7 +84,7 @@ WITH c AS (
   FROM c
 )
 SELECT event_type, hour AS peak_hour, CAST(n AS BIGINT) AS n_peak,
-       n_total, round(CAST(n AS DOUBLE) / n_total, 6) AS share
+       n_total, CAST(n AS DOUBLE) / n_total AS share
 FROM r WHERE rn = 1
 """
 
@@ -157,9 +157,9 @@ WITH r AS (
   SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rn FROM r
 )
 SELECT (SELECT n FROM p) AS n_keys, (SELECT topn FROM p) AS n_top,
-       round(CAST((SELECT CAST(sum(cents) AS BIGINT) FROM rk
-                   WHERE rn <= (SELECT topn FROM p)) AS DOUBLE)
-             / (SELECT total FROM p), 6) AS top_share
+       CAST((SELECT CAST(sum(cents) AS BIGINT) FROM rk
+             WHERE rn <= (SELECT topn FROM p)) AS DOUBLE)
+         / (SELECT total FROM p) AS top_share
 """
 
 

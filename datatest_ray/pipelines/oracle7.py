@@ -42,7 +42,7 @@ WITH d AS (
   GROUP BY 1
 )
 SELECT day, n, n_target,
-       round(CAST(n_target AS DOUBLE) / n, 6) AS rate,
+       CAST(n_target AS DOUBLE) / n AS rate,
        round(((CAST(n_target AS DOUBLE) / n) + 1.96*1.96/(2.0*n)
               - 1.96 * sqrt((CAST(n_target AS DOUBLE)/n)
                             * (1.0 - CAST(n_target AS DOUBLE)/n) / n

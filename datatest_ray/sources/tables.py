@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 from typing import Optional, Sequence, Union
 
-__all__ = ["read_table", "write_table", "lance_available"]
+__all__ = ["read_table", "read_sql", "write_table", "lance_available"]
 
 
 def lance_available() -> bool:
@@ -79,6 +79,27 @@ def read_table(path: Union[str, Sequence[str]], *,
         path = files or path
     return rd.read_parquet(path, columns=list(columns) if columns else None,
                            **kwargs)
+
+
+def read_sql(sql: str, connection_factory, *,
+             columns: Optional[Sequence[str]] = None, **kwargs):
+    """Read a SQL query result as a ray.data.Dataset — the engine's
+    source-side counterpart of the reference's DB-API2 cursor adapter
+    (``datatest/_normalize.py`` cursor branch, SURVEY.md §2.F; the
+    in-memory normalization path already accepts live cursors via
+    ``pipelines/validate.py``).
+
+    ``connection_factory`` is a zero-arg callable returning a DB-API2
+    connection; it is shipped to workers and called there, so it must
+    close over picklable state (a path / DSN string), not an open
+    connection.  Column pruning happens post-read (DB-API2 has no
+    projection pushdown beyond what the SQL itself selects — prefer
+    selecting only needed columns in ``sql``).
+    """
+    import ray.data as rd
+
+    ds = rd.read_sql(sql, connection_factory, **kwargs)
+    return ds.select_columns(list(columns)) if columns else ds
 
 
 def write_table(data, path: str, *, fmt: str = "auto", **kwargs) -> None:

@@ -1155,7 +1155,11 @@ def rare_combos(ds, x_col: str, y_col: str, *, k: int = 5):
         cx = np.bincount(xi, weights=n)
         cy = np.bincount(yi, weights=n)
         exp = cx[xi] * cy[yi] / tot
-        ratio = np.round(n / exp, 6)
+        # raw IEEE quotients, NOT rounded: counts make these exact
+        # rationals that can land on a 6-dp half where np.round
+        # (half-even) and SQL round (half-away) disagree; both engines
+        # run the same double ops, so raw values are bitwise identical
+        ratio = n / exp
         order = np.lexsort((ye.astype(str), xe.astype(str), ratio))[:k]
         idx = pa.array(order, pa.int64())
         xc = t.column(x_col)
@@ -1166,7 +1170,7 @@ def rare_combos(ds, x_col: str, y_col: str, *, k: int = 5):
             x_col: pc.take(xc, idx),
             y_col: pc.take(yc, idx),
             "n": pa.array(n[order].astype(np.int64)),
-            "expected": pa.array(np.round(exp[order], 6)),
+            "expected": pa.array(exp[order]),
             "ratio": pa.array(ratio[order]),
         })
 

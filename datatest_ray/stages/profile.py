@@ -795,7 +795,12 @@ def group_hhi(ds, key_col: str, cat_col: str):
             key_col: t.column(key_col),
             "n": pc.cast(t.column("n"), pa.int64()),
             "n_cats": pc.cast(t.column("n_cats"), pa.int64()),
-            "hhi": pa.array(np.round(sc2 / (n * n), 6)),
+            # raw IEEE quotient, NOT rounded: sc2/n² is an exact
+            # rational and can land exactly on a 6-dp half, where
+            # np.round (half-even) and SQL round (half-away) disagree
+            # (fuzz seed 777: 1338/6400 = .2090625).  Both engines do
+            # the same single double division -> bitwise identical.
+            "hhi": pa.array(sc2 / (n * n)),
         })
 
     return merged.map_batches(finalize, batch_format="pyarrow",
@@ -855,7 +860,8 @@ def semantic_type_profile(ds, rules):
             np.float64)
         nn = t.column("n_nonnull").to_numpy(zero_copy_only=False).astype(
             np.float64)
-        share = np.where(nn > 0, np.round(m / np.maximum(nn, 1), 6), np.nan)
+        # raw count quotient (see group_hhi note on rounding ties)
+        share = np.where(nn > 0, m / np.maximum(nn, 1), np.nan)
         return pa.table({
             "col_name": t.column("col_name"),
             "sem_type": t.column("sem_type"),
@@ -927,8 +933,8 @@ def null_cooccurrence(ds, cols: Sequence[str]):
         nb = t.column("n_both").to_numpy(zero_copy_only=False).astype(
             np.float64)
         either = nx + ny - nb
-        jac = np.where(either > 0,
-                       np.round(nb / np.maximum(either, 1), 6), np.nan)
+        # raw count quotient (see group_hhi note on rounding ties)
+        jac = np.where(either > 0, nb / np.maximum(either, 1), np.nan)
         return pa.table({
             "x": t.column("x"), "y": t.column("y"),
             "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
@@ -1035,7 +1041,9 @@ def top_share(ds, *, key_col: str, value_col: str, frac: float = 0.1,
         )).column("cents").to_numpy(zero_copy_only=False)
         vals = np.sort(vals)[::-1]
         part = int(vals[:remaining].sum())
-    share = round(float(np.round((above_sum + part) / total, 6)), 6)
+    # raw quotient of exact cent counts (see group_hhi note on
+    # 6-dp rounding ties)
+    share = (above_sum + part) / total
     return pa.table({"n_keys": pa.array([n_keys], pa.int64()),
                      "n_top": pa.array([topn], pa.int64()),
                      "top_share": pa.array([share], pa.float64())})

@@ -587,7 +587,9 @@ def trimmed_mean(ds, *, by: str, col: str, p_lo: float = 0.05,
         return pa.table({
             by: t.column(by),
             "n_kept": pc.cast(t.column("n_kept"), pa.int64()),
-            "tmean": pa.array(np.round(s / (100.0 * n), 6)),
+            # cents-sum / count is an exact rational: emit the raw
+            # quotient (6-dp rounding can tie half-even vs half-away)
+            "tmean": pa.array(s / (100.0 * n)),
         })
 
     return merged.map_batches(finalize, batch_format="pyarrow",

@@ -527,7 +527,10 @@ def trend_daily(ds, ts_col: str, *, by: str):
         dd = day[j] - day[i]
         s = int(np.sign(dn).sum())
         n_pairs = len(i)
-        tau = round(s / n_pairs, 6) if n_pairs else None
+        # raw count quotient, NOT rounded (6-dp half-even vs
+        # half-away tie risk); sen_slope stays rounded — quantile
+        # interpolation of arbitrary rationals can't hit exact halves
+        tau = s / n_pairs if n_pairs else None
         sen = round(float(np.quantile(dn / dd, 0.5)), 6) if n_pairs else None
         return pa.table({
             by: pa.array([key]),
@@ -695,7 +698,10 @@ def hourly_peak(ds, ts_col: str, *, by: str):
             "peak_hour": pa.array([int(h[i])], pa.int64()),
             "n_peak": pa.array([int(n[i])], pa.int64()),
             "n_total": pa.array([tot], pa.int64()),
-            "share": pa.array([round(float(np.round(n[i] / tot, 6)), 6)],
+            # raw quotient of exact ints (see drift.py rare-combo
+            # note): rounding a rational can hit a half-even vs
+            # half-away tie between engines
+            "share": pa.array([float(n[i]) / tot],
                               pa.float64()),
         })
 
@@ -760,7 +766,7 @@ def rate_with_ci(ds, ts_col: str, *, type_col: str, target: str,
             "day": pc.cast(t.column("day"), pa.int64()),
             "n": pc.cast(t.column("n"), pa.int64()),
             "n_target": pc.cast(t.column("n_target"), pa.int64()),
-            "rate": pa.array(np.round(p, 6)),
+            "rate": pa.array(p),  # k/n exact rational: emit raw
             "ci_lo": pa.array(np.round(center - half, 6)),
             "ci_hi": pa.array(np.round(center + half, 6)),
         })

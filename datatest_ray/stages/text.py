@@ -503,7 +503,7 @@ def lexical_richness(ds, text_col: str, *, group_col: str):
     ``groupby([group, token]).sum`` to merge counts, then a second
     TINY ``groupby(group)`` over per-type rows reduced to
     (n_tokens, n_types, hapax).  Output: (group, n_tokens, n_types,
-    hapax, ttr) with ``ttr = round(n_types / n_tokens, 6)``."""
+    hapax, ttr) with ``ttr = n_types / n_tokens`` (raw quotient)."""
     from ray.data.aggregate import Count, Sum
 
     def partial(batch: pa.Table) -> pa.Table:

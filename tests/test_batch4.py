@@ -142,7 +142,7 @@ class TestSemanticTypes:
             "sem_type")
         assert out.loc["digits", "n_match"] == 2
         assert out.loc["digits", "n_nonnull"] == 3
-        assert abs(out.loc["digits", "share"] - round(2 / 3, 6)) < 1e-9
+        assert abs(out.loc["digits", "share"] - 2 / 3) < 1e-9
         assert out.loc["email", "n_match"] == 3
         assert out.loc["email", "n_nonnull"] == 4
 

@@ -104,7 +104,7 @@ class TestTopShare:
         out = top_share(_ds(pa.table({"k": keys, "v": vals})),
                         key_col="k", value_col="v", frac=0.2).to_pandas()
         total = vals.sum()
-        want = round((10.0 + 9.0) / total, 6)
+        want = (10.0 + 9.0) / total
         assert out.iloc[0]["n_keys"] == 10
         assert out.iloc[0]["n_top"] == 2
         assert abs(out.iloc[0]["top_share"] - want) < 1e-9
@@ -118,4 +118,4 @@ class TestTopShare:
         out = top_share(_ds(t), key_col="k", value_col="v",
                         frac=0.2).to_pandas()
         assert out.iloc[0]["n_top"] == 1
-        assert abs(out.iloc[0]["top_share"] - round(30.0 / 53.0, 6)) < 1e-9
+        assert abs(out.iloc[0]["top_share"] - 30.0 / 53.0) < 1e-9

@@ -178,7 +178,7 @@ def test_write_table_parquet_and_lance_gate(ray_session, tmp_path):
         CheckpointedRun(str(tmp_path / "ckpt"), [], violations_fmt="lance")
 
 
-def test_read_table_csv(ray_session, tmp_path):
+def test_read_table_csv_validate_end_to_end(ray_session, tmp_path):
     from datatest_ray import validate, ValidationError
     from datatest_ray.sources.tables import read_table
 
@@ -243,3 +243,34 @@ def test_read_table_csv(ray_session, tmp_path):
     assert ds.count() == 3
     ds2 = read_table(str(tmp_path / "t.csv"), columns=["y"])
     assert ds2.schema().names == ["y"]
+
+
+def test_read_sql_sqlite_end_to_end(ray_session, tmp_path):
+    """DB-API2 SQL source (SURVEY.md §2.F cursor-adapter line): a
+    sqlite3 file read through ray.data.read_sql, validated end-to-end
+    with exact difference lists."""
+    import sqlite3
+
+    from datatest_ray import validate, ValidationError
+    from datatest_ray.sources.tables import read_sql
+
+    db = str(tmp_path / "t.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE items (name TEXT, qty INTEGER)")
+    con.executemany("INSERT INTO items VALUES (?, ?)",
+                    [("a", 1), ("b", 2), ("z", 30)])
+    con.commit()
+    con.close()
+
+    ds = read_sql("SELECT name, qty FROM items",
+                  lambda: sqlite3.connect(db))
+    assert ds.count() == 3
+    ds2 = read_sql("SELECT name, qty FROM items",
+                   lambda: sqlite3.connect(db), columns=["qty"])
+    assert ds2.schema().names == ["qty"]
+    with pytest.raises(ValidationError) as e:
+        validate.interval(ds2, min=1, max=10, columns=["qty"])
+    diffs = e.value.differences
+    # interval emits Deviation(actual - max, max): 30 - 10 = +20
+    assert len(diffs) == 1
+    assert diffs[0].deviation == 20 and diffs[0].expected == 10
