@@ -412,3 +412,107 @@ def l_diversity(ds, *, qi_cols, sensitive_col: str):
     )
     per_group = distinct.groupby(qi).aggregate(Count(alias_name="l"))
     return per_group.groupby("l").aggregate(Count(alias_name="n_groups"))
+
+
+def calibration_bins(ds, *, score_col: str, label_col: str,
+                     n_bins: int = 8, denom: int | None = None):
+    """Reliability-diagram bins + per-bin Brier score for a
+    probabilistic score against a boolean label — the calibration
+    audit run before trusting model scores as sampling weights or
+    quality gates.  Output one row per non-empty bin:
+    (bin, n, n_pos, rate, avg_score, brier) with
+    rate = n_pos/n, avg_score = Σs/n, brier = Σ(s−y)²/n.
+
+    Two score encodings:
+
+    * ``denom=None``: ``score_col`` holds floats in [0, 1); bins are
+      ``floor(s·n_bins)``, sums are float (order-dependent at the ulp
+      level — fine for reports, not for hash-exact oracles).
+    * ``denom=D``: ``score_col`` holds integer numerators ``k`` with
+      s = k/D.  All sums (Σk, Σk², Σk·y) stay exact int64 and every
+      output is a single int→double division — order-independent and
+      bitwise mirrorable in SQL.  Using a power-of-two D makes each s
+      binary-exact.
+
+    Plan: one vectorized partial pass (per-batch groupby on bin) into
+    a ≤n_bins-row ``groupby('bin')`` — the shuffle moves n_bins rows
+    per block.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        s_col = t.column(score_col)
+        y_col = t.column(label_col)
+        ok = pc.and_(pc.is_valid(s_col), pc.is_valid(y_col))
+        t2 = pa.table({"s": s_col, "y": y_col}).filter(ok)
+        y = pc.cast(t2.column("y"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if denom is not None:
+            k = t2.column("s").to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            bins = (k * n_bins) // denom
+            sk, sk2, sky = k, k * k, k * y
+        else:
+            s = t2.column("s").to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            keep = ~np.isnan(s)
+            s, y = s[keep], y[keep]
+            bins = np.minimum((s * n_bins).astype(np.int64), n_bins - 1)
+            sk, sk2, sky = s, s * s, s * y
+        out = pa.table({
+            "bin": pa.array(bins, pa.int64()),
+            "n": pa.array(np.ones(len(bins), np.int64)),
+            "n_pos": pa.array(y.astype(np.int64)),
+            "sk": pa.array(sk), "sk2": pa.array(sk2),
+            "sky": pa.array(sky),
+        })
+        # combine locally: the exchange moves <= n_bins rows per block
+        # (pyarrow 16 puts the group key FIRST, aggregates after)
+        return pa.TableGroupBy(out, "bin").aggregate(
+            [("n", "sum"), ("n_pos", "sum"), ("sk", "sum"),
+             ("sk2", "sum"), ("sky", "sum")]).rename_columns(
+            ["bin", "n", "n_pos", "sk", "sk2", "sky"])
+
+    merged = ds.select_columns([score_col, label_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "bin").aggregate(
+        Sum("n", alias_name="n"), Sum("n_pos", alias_name="n_pos"),
+        Sum("sk", alias_name="sk"), Sum("sk2", alias_name="sk2"),
+        Sum("sky", alias_name="sky"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("bin", pa.int64()), ("n", pa.int64()),
+                            ("n_pos", pa.int64()), ("rate", pa.float64()),
+                            ("avg_score", pa.float64()),
+                            ("brier", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        npos = t.column("n_pos").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sk = t.column("sk").to_numpy(zero_copy_only=False)
+        sk2 = t.column("sk2").to_numpy(zero_copy_only=False)
+        sky = t.column("sky").to_numpy(zero_copy_only=False)
+        nf = n.astype(np.float64)
+        if denom is not None:
+            d = float(denom)
+            # exact int64 numerators -> single double divisions
+            # (bitwise SQL-mirrorable, order-independent)
+            rate = npos / nf
+            avg = sk.astype(np.int64).astype(np.float64) / (d * nf)
+            num = (sk2.astype(np.int64) - 2 * denom * sky.astype(np.int64)
+                   + denom * denom * npos)
+            brier = num.astype(np.float64) / (d * d * nf)
+        else:
+            rate = npos / nf
+            avg = sk / nf
+            brier = (sk2 - 2.0 * sky + npos) / nf
+        return pa.table({
+            "bin": pc.cast(t.column("bin"), pa.int64()),
+            "n": pa.array(n), "n_pos": pa.array(npos),
+            "rate": pa.array(rate), "avg_score": pa.array(avg),
+            "brier": pa.array(brier),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1040,6 +1040,178 @@ def mann_whitney(ds, *, value_col: str, group_col: str, a, b=None):
         finalize, batch_format="pyarrow", batch_size=None)
 
 
+def cliffs_delta(ds, *, value_col: str, group_col: str, a, b=None):
+    """Cliff's delta — the ordinal effect size between two segments:
+    δ = (#{x_a > x_b} − #{x_a < x_b}) / (n_a·n_b), the
+    distribution-free companion to Mann–Whitney (δ = 2·AUC − 1 without
+    the tie half-credit).  |δ| ≳ 0.15/0.33/0.47 reads as
+    small/medium/large.
+
+    ``b=None`` means one-vs-rest.  Exact from distinct-value counts
+    (same O(distinct) partial structure as :func:`mann_whitney`):
+    greater/less pair counts come from exclusive cumulative counts of
+    the other segment at each distinct value — exact int64 arithmetic,
+    the shuffle moves one row per distinct value per block.  Output
+    one row (n_a, n_b, gt_pairs, lt_pairs, delta); delta NULL when
+    either segment is empty.  The final quotient is emitted RAW (no
+    6-dp rounding — count rationals can tie half-even vs half-away).
+    """
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        isa = pc.fill_null(pc.equal(g, a), False).to_numpy(
+            zero_copy_only=False)
+        if b is None:
+            isb = pc.is_valid(g).to_numpy(zero_copy_only=False) & ~isa
+        else:
+            isb = pc.fill_null(pc.equal(g, b), False).to_numpy(
+                zero_copy_only=False)
+        ok = (isa | isb) & ~np.isnan(v)
+        v, isa = v[ok], isa[ok]
+        order = np.lexsort((isa, v))
+        v, isa = v[order], isa[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        ca = np.bincount(seg, weights=isa.astype(np.int64)).astype(
+            np.int64)
+        cnt = np.bincount(seg).astype(np.int64)
+        first = np.flatnonzero(new)
+        return pa.table({"v": pa.array(v[first]), "ca": pa.array(ca),
+                         "cnt": pa.array(cnt)})
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("gt_pairs", pa.int64()),
+                            ("lt_pairs", pa.int64()),
+                            ("delta", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.argsort(v, kind="stable")
+        v, ca, cnt = v[order], ca[order], cnt[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        ca = np.bincount(seg, weights=ca).astype(np.int64)
+        cnt = np.bincount(seg, weights=cnt).astype(np.int64)
+        cb = cnt - ca
+        na, nb = int(ca.sum()), int(cb.sum())
+        below = np.cumsum(cb) - cb            # b-values strictly below
+        above = nb - np.cumsum(cb)            # b-values strictly above
+        gt = int((ca * below).sum())
+        lt = int((ca * above).sum())
+        # SQL-identical double ops: int diff -> double, double product
+        delta = ((gt - lt) / (float(na) * nb)
+                 if na > 0 and nb > 0 else None)
+        return pa.table({
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "gt_pairs": pa.array([gt], pa.int64()),
+            "lt_pairs": pa.array([lt], pa.int64()),
+            "delta": pa.array([delta], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cvm_two_sample(ds, *, value_col: str, group_col: str, a, b=None):
+    """Two-sample Cramér–von Mises statistic
+    T = n·m/(n+m)² · Σ_pooled (F_n(z) − G_m(z))² — the integrated-ECDF
+    drift test that weights the whole distribution (where KS takes
+    only the max gap).
+
+    Exact integer order statistics: with per-distinct-value counts
+    (ca, cb) and cumulative sums cumN/cumM,
+    T = Σ cnt·(m·cumN − n·cumM)² / (n·m·(n+m)²) — the numerator is an
+    exact (big) integer accumulated in Python ints, converted to
+    double ONCE, so the result is order-independent and bitwise equal
+    to a SQL HUGEINT mirror.  Same O(distinct) partial structure as
+    :func:`mann_whitney`.  Output one row (n_a, n_b, t).
+    """
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        isa = pc.fill_null(pc.equal(g, a), False).to_numpy(
+            zero_copy_only=False)
+        if b is None:
+            isb = pc.is_valid(g).to_numpy(zero_copy_only=False) & ~isa
+        else:
+            isb = pc.fill_null(pc.equal(g, b), False).to_numpy(
+                zero_copy_only=False)
+        ok = (isa | isb) & ~np.isnan(v)
+        v, isa = v[ok], isa[ok]
+        order = np.lexsort((isa, v))
+        v, isa = v[order], isa[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        ca = np.bincount(seg, weights=isa.astype(np.int64)).astype(
+            np.int64)
+        cnt = np.bincount(seg).astype(np.int64)
+        first = np.flatnonzero(new)
+        return pa.table({"v": pa.array(v[first]), "ca": pa.array(ca),
+                         "cnt": pa.array(cnt)})
+
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("t", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.argsort(v, kind="stable")
+        v, ca, cnt = v[order], ca[order], cnt[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        ca = np.bincount(seg, weights=ca).astype(np.int64)
+        cnt = np.bincount(seg, weights=cnt).astype(np.int64)
+        cb = cnt - ca
+        n, m = int(ca.sum()), int(cb.sum())
+        if n == 0 or m == 0:
+            stat = None
+        else:
+            cum_n = np.cumsum(ca)
+            cum_m = np.cumsum(cb)
+            # exact big-int numerator (can exceed int64): Python ints
+            num = sum(int(c) * (m * int(cn) - n * int(cm)) ** 2
+                      for c, cn, cm in zip(cnt, cum_n, cum_m))
+            # SQL-identical: numerator -> double once, denominator as
+            # the same left-assoc double product
+            stat = float(num) / (float(n) * m * (n + m) * (n + m))
+        return pa.table({
+            "n_a": pa.array([n], pa.int64()),
+            "n_b": pa.array([m], pa.int64()),
+            "t": pa.array([stat], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
 def welch_ttest(ds, *, value_col: str, group_col: str, a, b):
     """Welch's unequal-variance t-test between two segments — the
     default two-sample mean comparison (does NOT assume equal

@@ -68,6 +68,32 @@ class TestBroadcastJoin:
                                right_cols=["name"], how="inner").to_pandas()
         assert sorted(inner["k"]) == [1, 2]
 
+    def test_empty_right_side(self, ray_session):
+        """A dimension side filtered to ZERO rows must not crash (its
+        pandas round-trip used to lose the schema): inner drops every
+        left row, left emits all-null attach columns."""
+        from datatest_ray.stages.relational import broadcast_join
+
+        left = _ds({"k": [1, 2], "x": ["a", "b"]})
+        right = _ds({"rk": [7], "name": ["seven"]}).filter(
+            expr="rk < 0")  # empty, schema known
+        inner = broadcast_join(left, right, on="k", right_on="rk",
+                               right_cols=["name"],
+                               how="inner").to_pandas()
+        assert len(inner) == 0
+
+        # empty AND schema-erased (map_batches plan with 0 out blocks)
+        import pyarrow as pa
+
+        def drop_all(t: pa.Table) -> pa.Table:
+            return t.slice(0, 0)
+
+        erased = _ds({"rk": [7], "name": ["seven"]}).map_batches(
+            drop_all, batch_format="pyarrow")
+        out = broadcast_join(left, erased, on="k", right_on="rk",
+                             right_cols=["name"]).to_pandas()
+        assert len(out) == 2 and out["name"].isna().all()
+
 
 class TestSetOps:
     def test_except_and_intersect(self, ray_session):
