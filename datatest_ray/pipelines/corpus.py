@@ -61,15 +61,17 @@ def embedding_hygiene(emb_ds, *, id_col: str = "vec_id",
         id_col=id_col, vec_col=vec_col, threshold=threshold,
         mode="blocked",
     )
+    from ..stages.base import collect_table
+
     drop = pc.unique(
-        pa.Table.from_pandas(
-            pairs.select_columns(["b"]).to_pandas(), preserve_index=False
-        ).column("b").combine_chunks()
+        collect_table(pairs, ["b"]).column("b").combine_chunks()
     )
     handle = ray.put(drop)
 
     def keep(batch: pa.Table) -> pa.Table:
         d = ray.get(handle)
+        if len(d) == 0:      # no near-dup pairs: keep everything
+            return batch
         mask = pc.invert(pc.is_in(batch.column(id_col), value_set=d))
         return batch.filter(mask)
 

@@ -30,7 +30,7 @@ import pyarrow as pa
 
 from ..differences import VIOLATION_SCHEMA, empty_violations, violations_table
 
-__all__ = ["RunContext", "Check", "StatelessCheck", "column_or_none", "mask_to_violations", "coalesced"]
+__all__ = ["RunContext", "Check", "StatelessCheck", "column_or_none", "mask_to_violations", "coalesced", "collect_table"]
 
 
 @dataclass(frozen=True)
@@ -194,3 +194,26 @@ def mask_to_violations(
         expected_num=_pick(expected_num),
         deviation=_pick(deviation),
     )
+
+
+def collect_table(ds, columns=None) -> pa.Table:
+    """Collect a (SMALL) Dataset to one pyarrow.Table, preserving the
+    schema even when the result has ZERO rows — ``to_pandas()`` on an
+    empty Dataset loses column names entirely, which crashes any
+    driver-side ``.column(...)`` access on a filtered-to-empty
+    broadcast side.  Falls back to the plan schema, then to null-typed
+    columns when even that is unknown (a zero-block map plan).
+
+    Only for bounded results (dimension sides, aggregates, candidate
+    sets); never call it on a full fact table.
+    """
+    sel = ds.select_columns(list(columns)) if columns else ds
+    tbls = list(sel.iter_batches(batch_format="pyarrow",
+                                 batch_size=65536))
+    if tbls:
+        return pa.concat_tables(tbls).combine_chunks()
+    schema = sel.schema()
+    if schema is not None:
+        return getattr(schema, "base_schema", schema).empty_table()
+    return pa.schema(
+        [(n, pa.null()) for n in (columns or [])]).empty_table()

@@ -396,28 +396,14 @@ def broadcast_join(left_ds, right_ds, *, on: str, right_on: str,
 
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
+    from .base import collect_table
+
     need = list(dict.fromkeys([right_on] + list(right_cols)))
-    sel = right_ds.select_columns(need)
-    # Arrow-native collect: to_pandas() on an EMPTY dataset loses the
-    # schema (a filtered-to-zero dimension side would KeyError below)
-    tbls = list(sel.iter_batches(batch_format="pyarrow",
-                                 batch_size=65536))
-    if tbls:
-        small = pa.concat_tables(tbls).combine_chunks()
-    else:
-        # a zero-block plan may not know its schema at all; fall back
-        # to the pre-projection schema, then to null-typed columns
-        # (inner joins drop every left row; left joins emit nulls)
-        schema = sel.schema() or right_ds.schema()
-        if schema is not None:
-            base = getattr(schema, "base_schema", schema)
-            small = base.empty_table()
-            if set(need) <= set(small.column_names):
-                small = small.select(need)
-            else:
-                schema = None
-        if schema is None:
-            small = pa.schema([(n, pa.null()) for n in need]).empty_table()
+    # schema-preserving collect: to_pandas() on an EMPTY dataset loses
+    # the schema (a filtered-to-zero dimension side would KeyError
+    # below); inner joins then drop every left row, left joins emit
+    # all-null attach columns
+    small = collect_table(right_ds, need)
     # keep-first per key, deterministically
     keys = small.column(right_on)
     keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys

@@ -472,7 +472,9 @@ def tfidf_top_terms(ds, text_col: str, id_col: str, *, group_col: str,
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
     )
-    df_t = pa.Table.from_pandas(df.to_pandas(), preserve_index=False)
+    from .base import collect_table
+
+    df_t = collect_table(df, ["term", "df"])
     handle = ray.put((df_t.column("term").combine_chunks(),
                       df_t.column("df").to_numpy(zero_copy_only=False)))
 
@@ -708,15 +710,18 @@ def tfidf_cosine_pairs(ds, text_col: str, id_col: str, *,
                              pa.array(pair % len(enc.dictionary))),
         })
 
-    df_tbl = (
+    from .base import collect_table
+
+    df_tbl = collect_table(
         ds.select_columns([text_col])
         .map_batches(distinct_tokens, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby("token").aggregate(Count(alias_name="df"))
-        .sort(["df", "token"], descending=[True, False]).limit(vocab_k)
-    ).to_pandas()
-    vocab = list(df_tbl["token"])
-    idf = np.log(float(n_docs) / df_tbl["df"].to_numpy().astype(np.float64))
+        .sort(["df", "token"], descending=[True, False]).limit(vocab_k),
+        ["token", "df"])
+    vocab = df_tbl.column("token").to_pylist()
+    idf = np.log(float(n_docs) / df_tbl.column("df").to_numpy(
+        zero_copy_only=False).astype(np.float64))
     handle = ray.put((vocab, idf))
 
     def vectorize(batch: pa.Table) -> pa.Table:

@@ -130,7 +130,9 @@ def group_zscore(ds, *, by: str, value_col: str, id_col: str):
         .groupby(by)
         .aggregate(*[Sum(c, alias_name=c) for c in ("n", "s", "ss")])
     )
-    stat_t = pa.Table.from_pandas(stats.to_pandas(), preserve_index=False)
+    from .base import collect_table
+
+    stat_t = collect_table(stats, [by, "n", "s", "ss"])
     keys = stat_t.column(by)
     keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
     n = stat_t.column("n").to_numpy(zero_copy_only=False)

@@ -531,3 +531,26 @@ class TestParetoFront:
             if not dom:
                 keep.append(i)
         assert sorted(out.id) == keep
+
+
+class TestCollectTable:
+    def test_preserves_schema_on_empty(self, ray_session):
+        import pyarrow as pa
+
+        from datatest_ray.stages.base import collect_table
+
+        ds = _ds({"k": [1, 2, 3], "x": ["a", "b", "c"]})
+        t = collect_table(ds, ["k", "x"])
+        assert t.column_names == ["k", "x"] and t.num_rows == 3
+
+        empty = ds.filter(expr="k < 0")
+        t2 = collect_table(empty, ["k", "x"])
+        assert t2.num_rows == 0
+        assert t2.schema.field("k").type == pa.int64()
+
+        def drop_all(b: pa.Table) -> pa.Table:
+            return b.slice(0, 0)
+
+        erased = ds.map_batches(drop_all, batch_format="pyarrow")
+        t3 = collect_table(erased, ["k", "x"])
+        assert t3.num_rows == 0 and t3.column_names == ["k", "x"]
