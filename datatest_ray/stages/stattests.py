@@ -1,0 +1,429 @@
+"""Distribution / association test statistics, batch 2 — exact
+order-statistic and contingency kernels that complement
+``stages/robust.py`` (Mann-Whitney, CvM, Welch, …): the two-sample
+Anderson-Darling statistic, the Wilcoxon signed-rank test over paired
+per-key aggregates, the G-test (log-likelihood-ratio independence
+test), the Theil inequality index per group, and categorical
+distribution-drift distances (total variation / Hellinger /
+Bhattacharyya).
+
+All follow the same scale contract as robust.py: per-batch vectorized
+partials whose shuffle payload is O(distinct values) or O(groups) —
+never O(rows) — and one tiny finalize.  Every statistic is computed
+with exact integer arithmetic up to a single final float conversion so
+a DuckDB SQL mirror hashes identically (upstream datatest has no
+statistics module; these extend the validation surface the same way
+``datatest/requirements.py :: RequiredApprox`` extends equality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "anderson_darling_two_sample",
+    "wilcoxon_signed_rank",
+    "g_test_independence",
+    "theil_index_by_group",
+    "categorical_drift",
+]
+
+
+def _value_counts_partial(group_col: str, value_col: str, a, b):
+    """Per-batch (distinct value -> count_a, count_total) partial —
+    shared with robust.mann_whitney / cvm_two_sample structure."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        isa = pc.fill_null(pc.equal(g, a), False).to_numpy(
+            zero_copy_only=False)
+        if b is None:
+            isb = pc.is_valid(g).to_numpy(zero_copy_only=False) & ~isa
+        else:
+            isb = pc.fill_null(pc.equal(g, b), False).to_numpy(
+                zero_copy_only=False)
+        ok = (isa | isb) & ~np.isnan(v)
+        v, isa = v[ok], isa[ok]
+        order = np.lexsort((isa, v))
+        v, isa = v[order], isa[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        ca = np.bincount(seg, weights=isa.astype(np.int64)).astype(np.int64)
+        cnt = np.bincount(seg).astype(np.int64)
+        first = np.flatnonzero(new)
+        return pa.table({"v": pa.array(v[first]), "ca": pa.array(ca),
+                         "cnt": pa.array(cnt)})
+
+    return counts
+
+
+def _merge_value_counts(t: pa.Table):
+    """Merge partial (v, ca, cnt) rows into one sorted distinct run."""
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, ca, cnt = v[order], ca[order], cnt[order]
+    new = np.ones(len(v), dtype=bool)
+    if len(v) > 1:
+        new[1:] = v[1:] != v[:-1]
+    seg = np.cumsum(new) - 1
+    ca = np.bincount(seg, weights=ca).astype(np.int64)
+    cnt = np.bincount(seg, weights=cnt).astype(np.int64)
+    return v[np.flatnonzero(new)], ca, cnt
+
+
+def anderson_darling_two_sample(ds, *, value_col: str, group_col: str,
+                                a, b=None):
+    """Two-sample Anderson-Darling statistic with right-continuous
+    tie blocks (Scholz & Stephens 1987, k=2, discrete version):
+
+        A² = (1/(n·m)) · Σ_j  l_j · (N·Ma_j − n·B_j)² / (B_j·(N−B_j))
+
+    over distinct pooled values j with block size l_j, cumulative
+    pooled count B_j (< N) and cumulative sample-a count Ma_j.  The
+    1/(B(N−B)) weight makes A² tail-sensitive where CvM is not — the
+    drift test to reach for when the distributions differ in the
+    extremes (a latency SLO audit, a price-outlier regime change).
+
+    Each term's numerator is an exact Python integer converted to
+    double once; terms are summed in pooled-value order.  Shuffle
+    payload: O(distinct values).  Output one row (n_a, n_b, a2).
+    """
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _value_counts_partial(group_col, value_col, a, b),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("a2", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        _, ca, cnt = _merge_value_counts(t)
+        n = int(ca.sum())
+        total = int(cnt.sum())
+        m = total - n
+        if n == 0 or m == 0:
+            stat = None
+        else:
+            big_b = np.cumsum(cnt)
+            big_ma = np.cumsum(ca)
+            s = 0.0
+            for l, bb, ma in zip(cnt, big_b, big_ma):
+                bb_i = int(bb)
+                if bb_i >= total:
+                    continue  # numerator is 0 there anyway; denom 0
+                num = int(l) * (total * int(ma) - n * bb_i) ** 2
+                s += float(num) / (float(bb_i) * (total - bb_i))
+            stat = s / (float(n) * m)
+        return pa.table({
+            "n_a": pa.array([n], pa.int64()),
+            "n_b": pa.array([m], pa.int64()),
+            "a2": pa.array([stat], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def wilcoxon_signed_rank(ds, *, key_col: str, group_col: str, a, b,
+                         value_col: str):
+    """Wilcoxon signed-rank test over paired per-key condition means:
+    for every key with observations under BOTH conditions, the paired
+    difference d = mean_cents(a)/1 − mean_cents(b) is formed from
+    exact integer-cent sums (so the double is bit-identical to a SQL
+    mirror), zero differences are dropped, |d| is ranked with average
+    ranks, and
+
+        W+ = Σ ranks of positive d,
+        z  = (W+ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48).
+
+    The matched-pairs location test (did THIS user's purchase value
+    exceed their view value?) — removes between-key variance that a
+    two-sample test would absorb.  Per-key partials shrink rows to
+    keys before any shuffle; the final rank pass sees one row per key.
+    Output one row (n_pairs, w_plus, z).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_key(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        keys = batch.column(key_col)
+        v = batch.column(value_col)
+        cents = pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+        isa = pc.fill_null(pc.equal(g, a), False)
+        isb = pc.fill_null(pc.equal(g, b), False)
+        ok = pc.and_(pc.and_(pc.or_(isa, isb), pc.is_valid(cents)),
+                     pc.is_valid(keys))
+        tt = pa.table({"k": keys, "c": cents,
+                       "ia": pc.cast(isa, pa.int64()),
+                       "ib": pc.cast(isb, pa.int64())}).filter(ok)
+        k = tt.column("k").to_numpy(zero_copy_only=False)
+        c = tt.column("c").to_numpy(zero_copy_only=False)
+        ia = tt.column("ia").to_numpy(zero_copy_only=False)
+        ib = tt.column("ib").to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, c, ia, ib = k[order], c[order], ia[order], ib[order]
+        new = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            new[1:] = k[1:] != k[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1 if len(seg) else 0
+        return pa.table({
+            "k": pa.array(k[np.flatnonzero(new)], pa.int64()),
+            "sa": pa.array(np.bincount(seg, weights=c * ia,
+                                       minlength=nseg).astype(np.int64)),
+            "ca": pa.array(np.bincount(seg, weights=ia,
+                                       minlength=nseg).astype(np.int64)),
+            "sb": pa.array(np.bincount(seg, weights=c * ib,
+                                       minlength=nseg).astype(np.int64)),
+            "cb": pa.array(np.bincount(seg, weights=ib,
+                                       minlength=nseg).astype(np.int64)),
+        })
+
+    keyed = (ds.select_columns([key_col, group_col, value_col])
+             .map_batches(per_key, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("k")
+             .aggregate(Sum("sa", alias_name="sa"),
+                        Sum("ca", alias_name="ca"),
+                        Sum("sb", alias_name="sb"),
+                        Sum("cb", alias_name="cb")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_pairs", pa.int64()),
+                            ("w_plus", pa.float64()),
+                            ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        sa = t.column("sa").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.int64)
+        sb = t.column("sb").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False).astype(np.int64)
+        both = (ca > 0) & (cb > 0)
+        sa, ca, sb, cb = sa[both], ca[both], sb[both], cb[both]
+        # identical IEEE op sequence to the SQL mirror:
+        # CAST(sa AS DOUBLE)/ca - CAST(sb AS DOUBLE)/cb
+        d = sa.astype(np.float64) / ca - sb.astype(np.float64) / cb
+        d = d[d != 0.0]
+        n = int(d.size)
+        if n == 0:
+            return pa.table({"n_pairs": pa.array([0], pa.int64()),
+                             "w_plus": pa.array([None], pa.float64()),
+                             "z": pa.array([None], pa.float64())})
+        ad = np.abs(d)
+        order = np.argsort(ad, kind="stable")
+        ad, pos = ad[order], (d[order] > 0).astype(np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = ad[1:] != ad[:-1]
+        seg = np.cumsum(new) - 1
+        l = np.bincount(seg).astype(np.int64)
+        npos = np.bincount(seg, weights=pos).astype(np.int64)
+        h_prev = np.cumsum(l) - l
+        # 2·W+ is an exact integer (average ranks step by halves)
+        w2 = int((npos * (2 * h_prev + l + 1)).sum())
+        w_plus = w2 / 2.0
+        tie = int((l ** 3 - l).sum())
+        mu = n * (n + 1) / 4.0
+        var = n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0
+        z = (w_plus - mu) / np.sqrt(var) if var > 0 else None
+        return pa.table({
+            "n_pairs": pa.array([n], pa.int64()),
+            "w_plus": pa.array([w_plus], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return keyed.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def g_test_independence(ds, *, i_col: str, j_col: str):
+    """G-test of independence (log-likelihood ratio):
+
+        G = 2 · Σ_cells O · ln( (O·N) / (R·C) )
+
+    over the i×j contingency table — the additive-decomposable
+    alternative to Pearson chi-square (G over sub-tables sums to the
+    total, so per-partition G values can be compared directly).
+    Counts are exact; each cell's log argument is formed as
+    double(O·N)/double(R·C) — the same op sequence as the SQL mirror.
+    Output one row (n, n_rows, n_cols, dof, g).
+    """
+    from ray.data.aggregate import Count
+
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.is_valid(t.column(i_col)),
+                                pc.is_valid(t.column(j_col))))
+
+    cells = (ds.select_columns([i_col, j_col])
+             .map_batches(drop_nulls, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([i_col, j_col]).aggregate(Count(alias_name="o")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("n_rows", pa.int64()),
+                            ("n_cols", pa.int64()), ("dof", pa.int64()),
+                            ("g", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        i = t.column(i_col).to_numpy(zero_copy_only=False)
+        j = t.column(j_col).to_numpy(zero_copy_only=False)
+        o = t.column("o").to_numpy(zero_copy_only=False).astype(np.int64)
+        ui, ii = np.unique(i, return_inverse=True)
+        uj, jj = np.unique(j, return_inverse=True)
+        r = np.bincount(ii, weights=o).astype(np.int64)
+        c = np.bincount(jj, weights=o).astype(np.int64)
+        n = int(o.sum())
+        ratio = (o * n).astype(np.float64) / (r[ii] * c[jj]).astype(
+            np.float64)
+        g = 2.0 * float((o.astype(np.float64) * np.log(ratio)).sum())
+        dof = (len(ui) - 1) * (len(uj) - 1)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "n_rows": pa.array([len(ui)], pa.int64()),
+            "n_cols": pa.array([len(uj)], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "g": pa.array([g], pa.float64()),
+        })
+
+    return cells.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def theil_index_by_group(ds, *, by: str, value_col: str):
+    """Theil T inequality index per group:
+
+        T = Σ x·ln(x) / (n·μ) − ln(μ),   μ = Σx / n,   over x > 0
+
+    — the entropy-based concentration measure that decomposes across
+    partitions (unlike Gini), i.e. the "how unequal is revenue within
+    this brand" audit.  Per-batch partials carry (n, Σx in exact
+    cents, Σ x·ln x as double); one groupby on ``by``.
+    Output one row per group (group, n, mean, theil).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(by)
+        x = t.column(value_col)
+        ok = pc.and_(pc.is_valid(g),
+                     pc.and_(pc.is_valid(x), pc.greater(x, 0.0)))
+        tt = pa.table({"g": g, "x": x}).filter(ok)
+        xv = tt.column("x").to_numpy(zero_copy_only=False)
+        cents = np.rint(xv * 100.0).astype(np.int64)
+        xlx = xv * np.log(xv)
+        gv = tt.column("g").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(gv, return_inverse=True)
+        return pa.table({
+            by: pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx_c": pa.array(np.bincount(
+                inv, weights=cents).astype(np.int64)),
+            "sxlx": pa.array(np.bincount(inv, weights=xlx)),
+        })
+
+    agg = (ds.select_columns([by, value_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(by)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx_c", alias_name="sx_c"),
+                      Sum("sxlx", alias_name="sxlx")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(by, pa.string()), ("n", pa.int64()),
+                            ("mean", pa.float64()),
+                            ("theil", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t.column("sx_c").to_numpy(zero_copy_only=False).astype(
+            np.float64) / 100.0
+        sxlx = t.column("sxlx").to_numpy(zero_copy_only=False)
+        mu = sx / n
+        theil = sxlx / (n * mu) - np.log(mu)
+        return pa.table({
+            by: t.column(by),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "mean": pa.array(mu, pa.float64()),
+            "theil": pa.array(theil, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def categorical_drift(ds, *, cat_col: str, split_col: str, split_expr):
+    """Distribution drift between the two halves of a boolean split
+    (e.g. weekend vs weekday) over a categorical column, as three
+    standard distances on the exact category frequencies:
+
+        TVD  = ½ Σ |p_i − q_i|
+        BC   = Σ sqrt(p_i · q_i)            (Bhattacharyya coefficient)
+        H    = sqrt(1 − BC)                  (Hellinger distance)
+
+    One count shuffle keyed by (category, split); the distance math
+    runs on the tiny category table.  ``split_expr`` is a callable
+    Arrow-batch -> BooleanArray.  Output one row
+    (n_true, n_false, n_cats, tvd, bc, hellinger).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cat = t.column(cat_col)
+        flag = split_expr(t)
+        ok = pc.and_(pc.is_valid(cat), pc.is_valid(flag))
+        tt = pa.table({"c": cat, "f": pc.cast(flag, pa.int64())}).filter(ok)
+        cv = tt.column("c").to_numpy(zero_copy_only=False)
+        fv = tt.column("f").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(cv, return_inverse=True)
+        return pa.table({
+            "c": pa.array(u),
+            "nt": pa.array(np.bincount(inv, weights=fv).astype(np.int64)),
+            "nf": pa.array(np.bincount(
+                inv, weights=1 - fv).astype(np.int64)),
+        })
+
+    agg = (ds.select_columns([cat_col, split_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("c")
+           .aggregate(Sum("nt", alias_name="nt"),
+                      Sum("nf", alias_name="nf")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_true", pa.int64()), ("n_false", pa.int64()),
+                            ("n_cats", pa.int64()), ("tvd", pa.float64()),
+                            ("bc", pa.float64()),
+                            ("hellinger", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        nt = t.column("nt").to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = t.column("nf").to_numpy(zero_copy_only=False).astype(np.int64)
+        st, sf = int(nt.sum()), int(nf.sum())
+        if st == 0 or sf == 0:
+            tvd = bc = hel = None
+        else:
+            p = nt.astype(np.float64) / st
+            q = nf.astype(np.float64) / sf
+            tvd = 0.5 * float(np.abs(p - q).sum())
+            bc = float(np.sqrt(p * q).sum())
+            hel = float(np.sqrt(max(0.0, 1.0 - bc)))
+        return pa.table({
+            "n_true": pa.array([st], pa.int64()),
+            "n_false": pa.array([sf], pa.int64()),
+            "n_cats": pa.array([t.num_rows], pa.int64()),
+            "tvd": pa.array([tvd], pa.float64()),
+            "bc": pa.array([bc], pa.float64()),
+            "hellinger": pa.array([hel], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

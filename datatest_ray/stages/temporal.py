@@ -29,7 +29,8 @@ from ..differences import empty_violations, violations_table
 from .base import Check, RunContext
 
 __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
-           "acf_daily", "expfit_ks", "km_survival"]
+           "acf_daily", "expfit_ks", "km_survival",
+           "circular_hour_stats", "dispersion_index_hourly"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1077,3 +1078,155 @@ def pettitt_daily(ds, ts_col: str):
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def circular_hour_stats(ds, ts_col: str, *, by: str):
+    """Circular (directional) statistics of the hour-of-day per group:
+    the hour is an angle θ = 2π·h/24 on the clock circle, so "when
+    does this event type happen" is the circular mean direction and
+    the resultant length R̄ = |Σe^{iθ}|/n ∈ [0,1] (1 = always the same
+    hour, 0 = uniform around the clock); circular variance = 1 − R̄.
+    A linear mean of hours is wrong across midnight — this is the
+    correct statistic.
+
+    One (group, hour) count shuffle — 24 exact integers per group —
+    then the trig on the tiny count table.  ``mean_angle`` is the raw
+    atan2 direction in (−π, π] (no mod-24 wraparound, whose 0/24
+    discontinuity would flip on a 1-ulp libm difference between
+    engines); hour-of-day = mod(mean_angle·24/2π, 24).  Output per
+    group: (by, n, mean_angle, resultant, circ_var).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(by)
+        h = pc.hour(t.column(ts_col))
+        ok = pc.and_(pc.is_valid(g), pc.is_valid(h))
+        tt = pa.table({"g": g, "h": pc.cast(h, pa.int64())}).filter(ok)
+        gv = tt.column("g").to_numpy(zero_copy_only=False)
+        hv = tt.column("h").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(gv, return_inverse=True)
+        m = len(u)
+        code = inv * 24 + hv
+        cnt = np.bincount(code, minlength=m * 24).reshape(m, 24)
+        out = {by: pa.array(np.repeat(u, 24)),
+               "h": pa.array(np.tile(np.arange(24, dtype=np.int64), m)),
+               "c": pa.array(cnt.reshape(-1).astype(np.int64))}
+        return pa.table(out)
+
+    counts = (ds.select_columns([by, ts_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby([by, "h"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        schema = pa.schema([(by, pa.string()), ("n", pa.int64()),
+                            ("mean_angle", pa.float64()),
+                            ("resultant", pa.float64()),
+                            ("circ_var", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        g = t.column(by).to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        u, inv = np.unique(g, return_inverse=True)
+        ang = 2.0 * np.pi * h / 24.0
+        m = len(u)
+        cos_s = np.bincount(inv, weights=c * np.cos(ang), minlength=m)
+        sin_s = np.bincount(inv, weights=c * np.sin(ang), minlength=m)
+        n = np.bincount(inv, weights=c, minlength=m)
+        r = np.sqrt(cos_s * cos_s + sin_s * sin_s) / n
+        mean_ang = np.arctan2(sin_s, cos_s)
+        return pa.table({
+            by: pa.array(u),
+            "n": pa.array(n.astype(np.int64)),
+            "mean_angle": pa.array(mean_ang, pa.float64()),
+            "resultant": pa.array(r, pa.float64()),
+            "circ_var": pa.array(1.0 - r, pa.float64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def dispersion_index_hourly(ds, ts_col: str, *, by: str):
+    """Index of dispersion (Fano factor) of the hourly arrival counts
+    per group: D = Var(N)/E(N) over the group's OBSERVED hourly
+    buckets — D ≈ 1 is Poisson-like arrivals, D ≫ 1 is bursty
+    (overdispersed), D < 1 is regular/paced.  The burstiness audit
+    behind rate-limit and bot screens.
+
+    Exact integers end-to-end: hourly counts via one (group, bucket)
+    shuffle, then population variance from Σn, Σn² as big ints,
+    converted to double once.  Output per group:
+    (by, n_events, n_buckets, mean_per_hour, dispersion).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(by)
+        hb = pc.floor_temporal(t.column(ts_col), unit="hour")
+        ok = pc.and_(pc.is_valid(g), pc.is_valid(hb))
+        tt = pa.table({
+            "g": g,
+            "b": pc.cast(pc.cast(hb, pa.timestamp("s")), pa.int64()),
+        }).filter(ok)
+        gv = tt.column("g").to_numpy(zero_copy_only=False)
+        bv = tt.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((bv, gv))
+        gv, bv = gv[order], bv[order]
+        new = np.ones(len(gv), dtype=bool)
+        if len(gv) > 1:
+            new[1:] = (gv[1:] != gv[:-1]) | (bv[1:] != bv[:-1])
+        seg = np.cumsum(new) - 1
+        first = np.flatnonzero(new)
+        return pa.table({
+            "g": pa.array(gv[first]),
+            "b": pa.array(bv[first], pa.int64()),
+            "c": pa.array(np.bincount(seg).astype(np.int64)),
+        })
+
+    counts = (ds.select_columns([by, ts_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["g", "b"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def per_group(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        schema = pa.schema([(by, pa.string()), ("n_events", pa.int64()),
+                            ("n_buckets", pa.int64()),
+                            ("mean_per_hour", pa.float64()),
+                            ("dispersion", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(g, return_inverse=True)
+        m = len(u)
+        s1 = np.bincount(inv, weights=c, minlength=m).astype(np.int64)
+        s2 = np.bincount(inv, weights=c * c, minlength=m).astype(np.int64)
+        nb = np.bincount(inv, minlength=m).astype(np.int64)
+        rows = []
+        for i in range(m):
+            b, s, ss = int(nb[i]), int(s1[i]), int(s2[i])
+            mean = float(s) / b
+            var = float(b * ss - s * s) / (float(b) * b)
+            disp = var / mean if s > 0 else None
+            rows.append((u[i], s, b, mean, disp))
+        return pa.table({
+            by: pa.array([r[0] for r in rows]),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "n_buckets": pa.array([r[2] for r in rows], pa.int64()),
+            "mean_per_hour": pa.array([r[3] for r in rows], pa.float64()),
+            "dispersion": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        per_group, batch_format="pyarrow", batch_size=None)

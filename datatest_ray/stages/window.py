@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 __all__ = ["tumbling_window", "hopping_window", "grouped_quantile",
            "grouped_topk", "grouped_corr", "grouped_concat",
            "grouped_moments", "grouped_entropy", "grouped_mode",
-           "grouped_regression"]
+           "grouped_regression", "regression_two_predictors"]
 
 _UNITS = {"minute", "hour", "day", "week", "month"}
 
@@ -464,3 +464,97 @@ def grouped_topk(ds, *, by: str, order_col: str, k: int = 3,
     partials = ds.map_batches(local_topk, batch_format="pyarrow",
                               zero_copy_batch=True)
     return partials.groupby(by).map_groups(local_topk, batch_format="pyarrow")
+
+
+def regression_two_predictors(ds, *, y: str, x1: str, x2: str,
+                              y_scale: float = 100.0,
+                              x1_scale: float = 1.0,
+                              x2_scale: float = 100.0):
+    """Global OLS with TWO predictors via exact integer normal
+    equations: y ~ b0 + b1·x1 + b2·x2 (the multiple-regression
+    extension of ``grouped_regression``; e.g. price ~ quantity +
+    discount — does discount still matter once quantity is held
+    fixed?).
+
+    Columns are first quantized to integers (``*_scale`` is the
+    multiplier, e.g. 100 for 2-dp currency / percentage columns) so
+    every sufficient statistic (Σx, Σx², Σxy, …) is an exact int64 per
+    batch, accumulated into arbitrary-precision Python ints at the
+    finalize — the normal-equation determinant and numerators are
+    exact integers converted to double ONCE, making the betas
+    summation-order independent and bit-identical to a SQL HUGEINT
+    mirror.  Betas are reported in the QUANTIZED units (cents per
+    x1-unit, …).  Output one row:
+    (n, beta_x1, beta_x2, intercept) — NULLs when the design matrix is
+    singular.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = []
+        for c, scale in ((y, y_scale), (x1, x1_scale), (x2, x2_scale)):
+            col = t.column(c)
+            if scale == 1.0:
+                cols.append(pc.cast(pc.round(col), pa.int64()))
+            else:
+                cols.append(pc.cast(pc.round(pc.multiply(col, scale)),
+                                    pa.int64()))
+        ok = pc.and_(pc.and_(pc.is_valid(cols[0]), pc.is_valid(cols[1])),
+                     pc.is_valid(cols[2]))
+        tt = pa.table({"y": cols[0], "x1": cols[1],
+                       "x2": cols[2]}).filter(ok)
+        yv = tt.column("y").to_numpy(zero_copy_only=False)
+        a = tt.column("x1").to_numpy(zero_copy_only=False)
+        b = tt.column("x2").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(yv)], pa.int64()),
+            "sy": pa.array([int(yv.sum())], pa.int64()),
+            "s1": pa.array([int(a.sum())], pa.int64()),
+            "s2": pa.array([int(b.sum())], pa.int64()),
+            "s11": pa.array([int((a * a).sum())], pa.int64()),
+            "s22": pa.array([int((b * b).sum())], pa.int64()),
+            "s12": pa.array([int((a * b).sum())], pa.int64()),
+            "s1y": pa.array([int((a * yv).sum())], pa.int64()),
+            "s2y": pa.array([int((b * yv).sum())], pa.int64()),
+        })
+
+    partials = ds.select_columns([y, x1, x2]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("beta_x1", pa.float64()),
+                            ("beta_x2", pa.float64()),
+                            ("intercept", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        tot = {c: sum(int(v) for v in t.column(c).to_pylist())
+               for c in ("n", "sy", "s1", "s2", "s11", "s22", "s12",
+                         "s1y", "s2y")}
+        n = tot["n"]
+        if n < 3:
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "beta_x1": pa.array([None], pa.float64()),
+                             "beta_x2": pa.array([None], pa.float64()),
+                             "intercept": pa.array([None], pa.float64())})
+        # centered cross-products, exact integers
+        sxx1 = n * tot["s11"] - tot["s1"] ** 2
+        sxx2 = n * tot["s22"] - tot["s2"] ** 2
+        sx12 = n * tot["s12"] - tot["s1"] * tot["s2"]
+        sx1y = n * tot["s1y"] - tot["s1"] * tot["sy"]
+        sx2y = n * tot["s2y"] - tot["s2"] * tot["sy"]
+        det = sxx1 * sxx2 - sx12 * sx12
+        if det == 0:
+            b1 = b2 = b0 = None
+        else:
+            b1 = float(sx1y * sxx2 - sx2y * sx12) / float(det)
+            b2 = float(sx2y * sxx1 - sx1y * sx12) / float(det)
+            b0 = (float(tot["sy"]) - b1 * float(tot["s1"])
+                  - b2 * float(tot["s2"])) / n
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "beta_x1": pa.array([b1], pa.float64()),
+            "beta_x2": pa.array([b2], pa.float64()),
+            "intercept": pa.array([b0], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -24,7 +24,8 @@ import pyarrow.compute as pc
 from ..functions.aggregates import hash64
 
 __all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
-           "group_zscore", "rank_window", "percent_rank"]
+           "group_zscore", "rank_window", "percent_rank",
+           "trailing_range_agg"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -429,3 +430,78 @@ def rolling_median(ds, *, by: str, order_col: str, value_col: str,
     return _bucketed(ds, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "rmed"])
+
+
+def trailing_range_agg(ds, *, by: str, ts_col: str, value_col: str,
+                       id_col: str, window_s: int = 3600,
+                       n_buckets: int = 256):
+    """SQL ``count(*)/sum(v) OVER (PARTITION BY by ORDER BY ts
+    RANGE BETWEEN INTERVAL window_s seconds PRECEDING AND CURRENT
+    ROW)`` — the time-based trailing frame (vs ``rolling_agg``'s
+    row-count frame): burst detection, trailing-spend features.
+
+    RANGE semantics: the frame holds every row of the key whose ts is
+    in ``[ts_i − window_s, ts_i]`` INCLUDING peers of the current ts
+    (rows with equal ts that sort after it) — exactly DuckDB's frame.
+    Sums are exact integer cents via prefix-sum differences, so the
+    result is summation-order independent.
+
+    Plan: one coarse-key shuffle, then per segment two vectorized
+    ``searchsorted`` calls over the time-sorted slice (the only Python
+    loop is over KEYS in a bucket, never rows).  Output:
+    (id_col, by, n_win int64, sum_win_c int64).
+    """
+    need = list(dict.fromkeys([id_col, by, ts_col, value_col]))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.and_(pc.is_valid(batch.column(by)),
+                    pc.is_valid(batch.column(ts_col))),
+            pc.is_valid(batch.column(value_col)))
+        t = batch.select(need).filter(ok)
+        return t.set_column(
+            t.schema.get_field_index(value_col), "v_c",
+            pc.cast(pc.round(pc.multiply(t.column(value_col), 100.0)),
+                    pa.int64()))
+
+    win_us = np.int64(window_s) * 1_000_000
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), (ts_col, "ascending"),
+                           (id_col, "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        ts = t.column(ts_col).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        v = t.column("v_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(v)
+        if n == 0:
+            return pa.table({
+                id_col: t.column(id_col), by: t.column(by),
+                "n_win": pa.array([], pa.int64()),
+                "sum_win_c": pa.array([], pa.int64()),
+            })
+        new = _segments(keys)
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, n)
+        cs = np.concatenate([[0], np.cumsum(v)])  # exclusive prefix sums
+        n_win = np.empty(n, dtype=np.int64)
+        sum_c = np.empty(n, dtype=np.int64)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg_ts = ts[s:e]
+            lo = s + np.searchsorted(seg_ts, seg_ts - win_us, side="left")
+            hi = s + np.searchsorted(seg_ts, seg_ts, side="right")
+            n_win[s:e] = hi - lo
+            sum_c[s:e] = cs[hi] - cs[lo]
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "n_win": pa.array(n_win),
+            "sum_win_c": pa.array(sum_c),
+        })
+
+    pre = ds.select_columns(need).map_batches(
+        to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    return _bucketed(pre, [id_col, by, ts_col, "v_c"], by,
+                     n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "n_win", "sum_win_c"])
