@@ -28,6 +28,9 @@ __all__ = [
     "g_test_independence",
     "theil_index_by_group",
     "categorical_drift",
+    "kuiper_two_sample",
+    "cohens_h_two_proportions",
+    "moods_median_test",
 ]
 
 
@@ -426,4 +429,204 @@ def categorical_drift(ds, *, cat_col: str, split_col: str, split_expr):
         })
 
     return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def kuiper_two_sample(ds, *, value_col: str, group_col: str, a, b=None):
+    """Two-sample Kuiper statistic V = D⁺ + D⁻ (max positive plus max
+    negative ECDF gap) — the rotation-invariant cousin of KS, equally
+    sensitive at the tails and the median (the right drift test for
+    cyclic or shift+spread changes where KS underweights the tails).
+
+    Exact integers: with cumulative counts cumN/cumM at distinct
+    pooled values, D⁺ = max(m·cumN − n·cumM)/(n·m) and D⁻ =
+    max(n·cumM − m·cumN)/(n·m) — both numerators exact int64, one
+    double division each at the end.  Output one row
+    (n_a, n_b, d_plus, d_minus, v).
+    """
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _value_counts_partial(group_col, value_col, a, b),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("d_plus", pa.float64()),
+                            ("d_minus", pa.float64()),
+                            ("v", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        _, ca, cnt = _merge_value_counts(t)
+        n = int(ca.sum())
+        m = int(cnt.sum()) - n
+        if n == 0 or m == 0:
+            dp = dm = v = None
+        else:
+            cum_n = np.cumsum(ca)
+            cum_m = np.cumsum(cnt - ca)
+            gap = m * cum_n - n * cum_m  # int64: |gap| <= n*m
+            dp = float(max(int(gap.max()), 0)) / (float(n) * m)
+            dm = float(max(int(-gap.min()), 0)) / (float(n) * m)
+            v = dp + dm
+        return pa.table({
+            "n_a": pa.array([n], pa.int64()),
+            "n_b": pa.array([m], pa.int64()),
+            "d_plus": pa.array([dp], pa.float64()),
+            "d_minus": pa.array([dm], pa.float64()),
+            "v": pa.array([v], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cohens_h_two_proportions(ds, *, flag_expr, split_expr,
+                             flag_col: str, split_col: str):
+    """Cohen's h effect size between two proportions:
+    h = 2·asin(√p₁) − 2·asin(√p₂) — the variance-stabilized gap
+    between conversion rates (|h| ≈ 0.2 small / 0.5 medium / 0.8
+    large), the "is this lift practically meaningful" companion to the
+    two-proportion z-test.
+
+    ``flag_expr``/``split_expr`` are Arrow-batch -> BooleanArray
+    callables (the success flag and the cohort split).  Counts are
+    exact ints from one partial pass; the trig runs once.  Output one
+    row (n_1, k_1, n_2, k_2, p_1, p_2, h).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = flag_expr(t)
+        split = split_expr(t)
+        ok = pc.and_(pc.is_valid(flag), pc.is_valid(split))
+        tt = pa.table({"f": pc.cast(flag, pa.int64()),
+                       "s": pc.cast(split, pa.int64())}).filter(ok)
+        f = tt.column("f").to_numpy(zero_copy_only=False)
+        s = tt.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n1": pa.array([int(s.sum())], pa.int64()),
+            "k1": pa.array([int((f * s).sum())], pa.int64()),
+            "n2": pa.array([int((1 - s).sum())], pa.int64()),
+            "k2": pa.array([int((f * (1 - s)).sum())], pa.int64()),
+        })
+
+    agg = (ds.select_columns(
+        list(dict.fromkeys([flag_col, split_col])))
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .aggregate(Sum("n1", alias_name="n1"), Sum("k1", alias_name="k1"),
+                   Sum("n2", alias_name="n2"), Sum("k2", alias_name="k2")))
+
+    import math
+
+    n1 = int(agg["sum(n1)"] if "sum(n1)" in agg else agg["n1"])
+    k1 = int(agg["sum(k1)"] if "sum(k1)" in agg else agg["k1"])
+    n2 = int(agg["sum(n2)"] if "sum(n2)" in agg else agg["n2"])
+    k2 = int(agg["sum(k2)"] if "sum(k2)" in agg else agg["k2"])
+    if n1 > 0 and n2 > 0:
+        p1 = k1 / n1
+        p2 = k2 / n2
+        h = 2.0 * math.asin(math.sqrt(p1)) - 2.0 * math.asin(math.sqrt(p2))
+    else:
+        p1 = k1 / n1 if n1 > 0 else None
+        p2 = k2 / n2 if n2 > 0 else None
+        h = None
+    return pa.table({
+        "n_1": pa.array([n1], pa.int64()),
+        "k_1": pa.array([k1], pa.int64()),
+        "n_2": pa.array([n2], pa.int64()),
+        "k_2": pa.array([k2], pa.int64()),
+        "p_1": pa.array([p1], pa.float64()),
+        "p_2": pa.array([p2], pa.float64()),
+        "h": pa.array([h], pa.float64()),
+    })
+
+
+def moods_median_test(ds, *, value_col: str, group_col: str):
+    """Mood's median test across ALL groups: count each group's values
+    above / not-above the POOLED median, then Pearson chi-square on
+    the groups×2 table — the coarse but outlier-immune k-sample
+    location test (only the side of the median matters).
+
+    The pooled median is the exact lower-median order statistic
+    (element ⌈N/2⌉ of the sorted pool — ``quantile_disc(0.5)``, chosen
+    over the interpolated median so both engines agree bit-for-bit).
+    Two passes over O(distinct) value-count partials: one merge finds
+    the median, the same merged table yields per-group above/below
+    counts.  Output one row (n, n_groups, median, chi2, dof).
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = batch.column(value_col)
+        ok = pc.and_(pc.is_valid(g), pc.is_valid(v))
+        tt = pa.table({"g": g, "v": v}).filter(ok)
+        gv = tt.column("g").to_numpy(zero_copy_only=False)
+        vv = tt.column("v").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        order = np.lexsort((vv, gv))
+        gv, vv = gv[order], vv[order]
+        new = np.ones(len(gv), dtype=bool)
+        if len(gv) > 1:
+            new[1:] = (gv[1:] != gv[:-1]) | (vv[1:] != vv[:-1])
+        seg = np.cumsum(new) - 1
+        first = np.flatnonzero(new)
+        return pa.table({
+            "g": pa.array(gv[first]),
+            "v": pa.array(vv[first]),
+            "c": pa.array(np.bincount(seg).astype(np.int64)),
+        })
+
+    merged = (ds.select_columns([group_col, value_col])
+              .map_batches(counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["g", "v"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("n_groups", pa.int64()),
+                            ("median", pa.float64()),
+                            ("chi2", pa.float64()), ("dof", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        # pooled lower median from the global distinct-value counts
+        order = np.argsort(v, kind="stable")
+        vs, cs_ = v[order], c[order]
+        uv = np.ones(len(vs), dtype=bool)
+        if len(vs) > 1:
+            uv[1:] = vs[1:] != vs[:-1]
+        seg = np.cumsum(uv) - 1
+        vals = vs[np.flatnonzero(uv)]
+        tot = np.bincount(seg, weights=cs_).astype(np.int64)
+        n = int(tot.sum())
+        cum = np.cumsum(tot)
+        target = (n + 1) // 2  # ceil(n/2): lower median position
+        med = float(vals[np.searchsorted(cum, target, side="left")])
+        # per-group above / not-above counts
+        ug, gi = np.unique(g, return_inverse=True)
+        above = (v > med).astype(np.int64)
+        ka = np.bincount(gi, weights=c * above,
+                         minlength=len(ug)).astype(np.int64)
+        ng = np.bincount(gi, weights=c, minlength=len(ug)).astype(np.int64)
+        kb = ng - ka
+        ta, tb = int(ka.sum()), int(kb.sum())
+        if ta == 0 or tb == 0 or len(ug) < 2:
+            chi2 = None
+        else:
+            ea = ng.astype(np.float64) * ta / n
+            eb = ng.astype(np.float64) * tb / n
+            chi2 = float((((ka - ea) ** 2) / ea).sum()
+                         + (((kb - eb) ** 2) / eb).sum())
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "n_groups": pa.array([len(ug)], pa.int64()),
+            "median": pa.array([med], pa.float64()),
+            "chi2": pa.array([chi2], pa.float64()),
+            "dof": pa.array([len(ug) - 1], pa.int64()),
+        })
+
+    return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

@@ -25,7 +25,7 @@ from ..functions.aggregates import hash64
 
 __all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
            "group_zscore", "rank_window", "percent_rank",
-           "trailing_range_agg"]
+           "trailing_range_agg", "ntile_window"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -505,3 +505,50 @@ def trailing_range_agg(ds, *, by: str, ts_col: str, value_col: str,
                      n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "n_win", "sum_win_c"])
+
+
+def ntile_window(ds, *, by: str, value_col: str, id_col: str, k: int = 4,
+                 n_buckets: int = 256):
+    """SQL ``ntile(k) OVER (PARTITION BY by ORDER BY value, id)``:
+    split each key's rows into k buckets as equal as possible — the
+    first ``n mod k`` buckets get ``⌈n/k⌉`` rows (SQL semantics).  The
+    id tiebreak makes the assignment deterministic across engines
+    (ntile is ROW-order dependent, unlike cume_dist).
+
+    Output: (id_col, by, tile int64).  Vectorized: position-in-segment
+    arithmetic, no per-row Python.
+    """
+    need = list(dict.fromkeys([id_col, by, value_col]))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.select(need).sort_by(
+            [(by, "ascending"), (value_col, "ascending"),
+             (id_col, "ascending")]
+        )
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return pa.table({id_col: t.column(id_col), by: t.column(by),
+                             "tile": pa.array([], pa.int64())})
+        new = _segments(keys)
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        seg_len = np.bincount(seg)
+        pos = np.arange(n, dtype=np.int64) - starts[seg]  # 0-based in key
+        sl = seg_len[seg]
+        q, r = sl // k, sl % k
+        big = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+        tile = np.where(
+            pos < big,
+            pos // np.maximum(q + 1, 1),
+            r + np.where(q > 0, (pos - big) // np.maximum(q, 1), 0),
+        ) + 1
+        return pa.table({
+            id_col: t.column(id_col),
+            by: t.column(by),
+            "tile": pa.array(tile.astype(np.int64)),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([id_col, by, "tile"])
