@@ -454,50 +454,80 @@ def q_q21_late_supplier(sf_dir: str):
     """TPC-H Q21 adapted (no receipt/commit dates): on orders served
     by ≥2 distinct suppliers, the supplier whose latest lineitem
     shipped LAST "blocked" the order; count blocked orders per
-    supplier, top 10.  Plan: per-(order, supplier) max-shipdate pairs
-    (one groupby — the pairs table is the dedup'd bridge), per-order
-    max + supplier count derived FROM the pairs by a second small
-    groupby, one pairs⋈order-stats hash join, then a tiny count."""
-    from ray.data.aggregate import Count, Max, Sum
+    supplier, top 10.  Plan: per-batch (order, supplier) max-shipdate
+    partials (the combiner), ONE coarse-bucket shuffle on orderkey,
+    then a vectorized segment kernel derives per-order max + supplier
+    count and the blocking suppliers in the same pass — no join at
+    all (the per-order side is a projection of the same bucket)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
 
-    from ..stages.relational import broadcast_join, safe_join
+    from ..functions.aggregates import hash64
+    from ..stages.relational import broadcast_join
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_shipdate"])
 
-    def to_us(t: pa.Table) -> pa.Table:
+    def pair_partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_suppkey"))),
+                     pc.is_valid(t.column("l_shipdate")))
+        t = t.filter(ok)
+        okey = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        skey = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        ship = t.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((skey, okey))
+        okey, skey, ship = okey[order], skey[order], ship[order]
+        new = np.ones(len(okey), dtype=bool)
+        if len(okey) > 1:
+            new[1:] = (okey[1:] != okey[:-1]) | (skey[1:] != skey[:-1])
+        starts = np.flatnonzero(new)
+        pair_max = (np.maximum.reduceat(ship, starts)
+                    if len(starts) else ship[:0])
+        out_ok, out_sk = okey[starts], skey[starts]
+        coarse = (hash64(pa.array(out_ok)) % np.uint64(64)).astype(
+            np.int64)
         return pa.table({
-            "l_orderkey": t.column("l_orderkey"),
-            "l_suppkey": t.column("l_suppkey"),
-            "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            "okey": pa.array(out_ok), "skey": pa.array(out_sk),
+            "supp_max": pa.array(pair_max), "coarse": pa.array(coarse),
         })
 
-    pairs = li.map_batches(to_us, batch_format="pyarrow",
-                           zero_copy_batch=True).groupby(
-        ["l_orderkey", "l_suppkey"]).aggregate(
-        Max("ship_us", alias_name="supp_max"))
-    per_order = pairs.groupby("l_orderkey").aggregate(
-        Max("supp_max", alias_name="order_max"),
-        Count(alias_name="n_supp"))
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
-    def multi(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("n_supp"),
-                                         pa.scalar(2, pa.int64())))
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("okey", "ascending"), ("skey", "ascending")])
+        okey = t.column("okey").to_numpy(zero_copy_only=False)
+        skey = t.column("skey").to_numpy(zero_copy_only=False)
+        smax = t.column("supp_max").to_numpy(zero_copy_only=False)
+        n = len(okey)
+        if n == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        # merge duplicate (order, supplier) partials from different
+        # input blocks, then segment per order
+        pnew = np.ones(n, dtype=bool)
+        pnew[1:] = (okey[1:] != okey[:-1]) | (skey[1:] != skey[:-1])
+        ps = np.flatnonzero(pnew)
+        okey, skey = okey[ps], skey[ps]
+        smax = np.maximum.reduceat(smax, ps)
+        onew = np.ones(len(okey), dtype=bool)
+        onew[1:] = okey[1:] != okey[:-1]
+        oseg = np.cumsum(onew) - 1
+        ostarts = np.flatnonzero(onew)
+        omax = np.maximum.reduceat(smax, ostarts)
+        nsupp = np.bincount(oseg)
+        blocked = (nsupp[oseg] >= 2) & (smax == omax[oseg])
+        bsk = skey[blocked]
+        u, cnt = np.unique(bsk, return_counts=True)
+        return pa.table({"l_suppkey": pa.array(u, pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64))})
 
-    per_order = per_order.map_batches(multi, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-    j = safe_join(pairs, per_order, join_type="inner", num_partitions=8,
-                  on=("l_orderkey",), right_on=("l_orderkey",))
-
-    def blocking(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("supp_max"),
-                              t.column("order_max")))
-        return pa.table({"l_suppkey": t.column("l_suppkey")})
-
-    blocked = j.map_batches(blocking, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    blocked = pairs.groupby("coarse").map_groups(
+        bucket_kernel, batch_format="pyarrow")
     agg = blocked.groupby("l_suppkey").aggregate(
-        Count(alias_name="numwait"))
+        Sum("c", alias_name="numwait"))
     top = agg.sort(["numwait", "l_suppkey"],
                    descending=[True, False]).limit(10)
     top = broadcast_join(top, _read(sf_dir, "supplier",
