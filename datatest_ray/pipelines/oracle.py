@@ -4265,12 +4265,12 @@ def q_pagerank_custsupp(sf_dir: str):
     + one groupby per round).  Node ids namespaced even=cust·2,
     odd=supp·2+1; every node's rank is emitted (no top-k tie risk)."""
     from ..stages.graph import pagerank
-    from ..stages.relational import safe_join
+    from ..stages.relational import lookup_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    j = safe_join(li, orders, join_type="inner", num_partitions=16,
-                  on=("l_orderkey",), right_on=("o_orderkey",))
+    j = lookup_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                    right_cols=["o_custkey"], how="inner")
 
     def pair_partial(t: pa.Table) -> pa.Table:
         # per-batch distinct + coarse PAIR-hash bucket: the global

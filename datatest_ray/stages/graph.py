@@ -245,9 +245,72 @@ def cluster_size_histogram(pairs_ds, *, a_col: str = "a",
         Count(alias_name="n_clusters"))
 
 
+def _pagerank_broadcast(edges, deg, n_nodes, *, src_col: str,
+                        dst_col: str, iters: int, damping: float):
+    """Small-node-set PageRank rounds: the (sorted nodes, r/outdeg)
+    vector is ``ray.put`` once per round; every edge block gathers
+    map-side (searchsorted) and pre-sums contributions per dst, so the
+    only shuffle per round is a groupby(dst) over per-batch partials.
+    The per-round reduce is collected to the driver (node-sized — this
+    path is only taken when that is small by contract)."""
+    import ray
+    import ray.data as rd
+
+    from .base import collect_table
+
+    deg_t = collect_table(deg, [src_col, "deg"])
+    nodes = deg_t.column(src_col).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    order = np.argsort(nodes, kind="stable")
+    nodes = nodes[order]
+    outdeg = deg_t.column("deg").to_numpy(
+        zero_copy_only=False).astype(np.float64)[order]
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    base = (1.0 - damping) / n_nodes
+    last = n_nodes - 1
+
+    for _ in range(iters):
+        handle = ray.put((nodes, r / outdeg))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd, rdiv = ray.get(handle)
+            src = t.column(src_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dst = t.column(dst_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.minimum(np.searchsorted(nd, src), len(nd) - 1)
+            hit = nd[pos] == src
+            dst, pos = dst[hit], pos[hit]
+            ud, inv = np.unique(dst, return_inverse=True)
+            return pa.table({
+                "node": pa.array(ud, pa.int64()),
+                "c": pa.array(np.bincount(inv, weights=rdiv[pos])),
+            })
+
+        from ray.data.aggregate import Sum
+
+        sums = edges.map_batches(
+            contrib, batch_format="pyarrow", zero_copy_batch=True
+        ).groupby("node").aggregate(Sum("c", alias_name="c"))
+        st = collect_table(sums, ["node", "c"])
+        sn = st.column("node").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sc = st.column("c").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(nodes, sn), last)
+        r = np.full(n_nodes, base)
+        good = nodes[pos] == sn
+        r[pos[good]] = base + damping * sc[good]
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "pr": pa.array(r, pa.float64()),
+    }))
+
+
 def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
              iters: int = 3, damping: float = 0.85,
-             num_partitions: int = 8):
+             num_partitions: int = 8,
+             broadcast_nodes_max: int = 1 << 22):
     """Distributed PageRank over a DIRECTED edge list (symmetrize
     upstream for undirected graphs), the iterative-JOIN counterpart of
     the broadcast-iterative k-means: each round is one hash join
@@ -258,52 +321,113 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
     r_{k+1}(v) = (1-d)/N + d · Σ_{u→v} r_k(u)/outdeg(u).
 
     Assumes no dangling nodes (every node has an out-edge — true for
-    symmetrized graphs).  Rounds materialize between iterations: the
-    join output re-blocks before feeding the next plan (Ray 2.49's
-    join aggregator emits schema-less empties that poison a chained
-    join — see stages/relational.py), and lineage stays one round
-    deep.  Output: (node, pr) for EVERY node, iters rounds deep.
+    symmetrized graphs).  Rounds materialize between iterations so
+    lineage stays one round deep.  Each round is ONE fused co-group
+    shuffle (edges and rank state tagged and hashed on src into the
+    same coarse buckets; the bucket kernel gathers r/outdeg by sorted
+    lookup, then PRE-AGGREGATES contributions per dst and emits the
+    per-node deg carrier in the same pass) plus one small groupby(dst)
+    over the partials — the second shuffle moves O(distinct dst per
+    bucket), not O(edges).  Output: (node, pr) for EVERY node, iters
+    rounds deep.
+
+    Mode switch (measured, not guessed): when the node set fits
+    comfortably in a worker heap (``n_nodes <= broadcast_nodes_max``,
+    default 4M ≈ 100 MB of rank state) the rank vector is ``ray.put``
+    once per round and every edge block gathers it MAP-SIDE — the
+    edges never shuffle; each round is one combiner-reduced
+    groupby(dst) over per-batch partial sums.  Above the threshold the
+    dataset-state co-group rounds below run instead (state too big to
+    broadcast — the 10^12-node regime), trading shuffles for
+    unbounded state.
     """
     from ray.data.aggregate import Count, Max, Sum
 
-    from .relational import safe_join
+    from ..functions.aggregates import hash64
 
     edges = edges_ds.select_columns([src_col, dst_col]).materialize()
     deg = edges.groupby(src_col).aggregate(
         Count(alias_name="deg")).materialize()
     n_nodes = deg.count()
+    if n_nodes == 0:
+        import ray.data as _rd
 
-    # state = (node, r, deg): the static out-degree RIDES INSIDE the
-    # rank state instead of being hash-joined onto the edge list — one
-    # join per round total.  Each round's groupby(node) reunites the
-    # inbound contributions with a zero-contribution "carrier" row per
-    # node that transports deg (Max) — adding the carrier's 0.0 to the
-    # IEEE sum is exact, so the oracle's plain SUM is reproduced.
+        return _rd.from_arrow(pa.schema(
+            [("node", pa.int64()), ("pr", pa.float64())]).empty_table())
+    if n_nodes <= broadcast_nodes_max:
+        return _pagerank_broadcast(edges, deg, n_nodes,
+                                   src_col=src_col, dst_col=dst_col,
+                                   iters=iters, damping=damping)
+    n_buckets = np.uint64(64)
+
     def init_state(t: pa.Table) -> pa.Table:
         return pa.table({
             "node": t.column(src_col),
             "r": pa.array(np.full(t.num_rows, 1.0 / n_nodes)),
-            "deg": t.column("deg"),
+            "deg": pc.cast(t.column("deg"), pa.int64()),
         })
 
     state = deg.map_batches(init_state, batch_format="pyarrow",
                             zero_copy_batch=True).materialize()
 
-    def contrib(t: pa.Table) -> pa.Table:
-        r = t.column("r").to_numpy(zero_copy_only=False)
-        dg = t.column("deg").to_numpy(zero_copy_only=False).astype(
-            np.float64)
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table({
-            "node": t.column(dst_col),
-            "c": pa.array(r / dg),
-            "d": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "k": t.column(src_col),
+            "dst": t.column(dst_col),
+            "r": pa.nulls(n, pa.float64()),
+            "deg": pa.nulls(n, pa.int64()),
+            "s": pa.array(np.zeros(n, dtype=np.int8)),
+            "coarse": pa.array((hash64(t.column(src_col)) %
+                                n_buckets).astype(np.int64)),
         })
 
-    def carrier(t: pa.Table) -> pa.Table:
+    def tag_state(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table({
-            "node": t.column("node"),
-            "c": pa.array(np.zeros(t.num_rows)),
-            "d": t.column("deg"),
+            "k": t.column("node"),
+            "dst": pa.nulls(n, t.column("node").type),
+            "r": t.column("r"),
+            "deg": t.column("deg"),
+            "s": pa.array(np.ones(n, dtype=np.int8)),
+            "coarse": pa.array((hash64(t.column("node")) %
+                                n_buckets).astype(np.int64)),
+        })
+
+    def round_kernel(group: pa.Table) -> pa.Table:
+        """Gather r/outdeg onto this bucket's edges, pre-sum the
+        contributions per dst, and re-emit the bucket's state rows as
+        zero-contribution deg carriers — contributions and carriers
+        reunite in the round's groupby(node)."""
+        side = group.column("s").to_numpy(zero_copy_only=False)
+        eds = group.filter(pa.array(side == 0))
+        st = group.filter(pa.array(side == 1))
+        sk = st.column("k").to_numpy(zero_copy_only=False)
+        order = np.argsort(sk, kind="stable")
+        sk = sk[order]
+        sr = st.column("r").to_numpy(zero_copy_only=False)[order]
+        sd = st.column("deg").to_numpy(
+            zero_copy_only=False).astype(np.float64)[order]
+        ek = eds.column("k").to_numpy(zero_copy_only=False)
+        dst = eds.column("dst").to_numpy(zero_copy_only=False)
+        if len(sk) and len(ek):
+            pos = np.minimum(np.searchsorted(sk, ek), len(sk) - 1)
+            hit = sk[pos] == ek
+            dst, pos = dst[hit], pos[hit]
+            c = sr[pos] / sd[pos]
+            ud, inv = np.unique(dst, return_inverse=True)
+            csum = np.bincount(inv, weights=c)
+        else:
+            ud = np.array([], dtype=np.int64)
+            csum = np.array([], dtype=np.float64)
+        return pa.table({
+            "node": pa.array(np.concatenate([ud, sk]), pa.int64()),
+            "c": pa.array(np.concatenate(
+                [csum, np.zeros(len(sk))]), pa.float64()),
+            "d": pa.array(np.concatenate(
+                [np.zeros(len(ud), dtype=np.int64),
+                 st.column("deg").to_numpy(
+                     zero_copy_only=False)[order]]), pa.int64()),
         })
 
     base = (1.0 - damping) / n_nodes
@@ -316,20 +440,21 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             "deg": t.column("d"),
         })
 
+    tagged_edges = edges.map_batches(
+        tag_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
     for _ in range(iters):
-        joined = safe_join(
-            edges, state, join_type="inner",
-            num_partitions=num_partitions,
-            on=(src_col,), right_on=("node",))
-        c = joined.map_batches(contrib, batch_format="pyarrow",
-                               zero_copy_batch=True)
-        k = state.map_batches(carrier, batch_format="pyarrow",
+        partials = tagged_edges.union(
+            state.map_batches(tag_state, batch_format="pyarrow",
                               zero_copy_batch=True)
-        sums = k.union(c).groupby("node").aggregate(
+        ).groupby("coarse").map_groups(round_kernel,
+                                       batch_format="pyarrow")
+        sums = partials.groupby("node").aggregate(
             Sum("c", alias_name="c"), Max("d", alias_name="d"))
         state = sums.map_batches(
             finish, batch_format="pyarrow", zero_copy_batch=True
-        ).repartition(num_partitions).materialize()
+        ).materialize()
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("node"), "pr": t.column("r")})

@@ -31,7 +31,8 @@ __all__ = ["safe_join", "semi_join", "anti_join", "except_distinct",
            "intersect_distinct", "pivot_counts", "rollup_counts", "cube_counts",
            "broadcast_join", "range_join_broadcast", "pareto_front",
            "bloom_semi_join", "bloom_anti_join", "melt",
-           "interval_join_bucketed", "pivot_sum", "union_distinct"]
+           "interval_join_bucketed", "pivot_sum", "union_distinct",
+           "lookup_join"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -859,3 +860,108 @@ def pivot_sum(ds, *, by: str, pivot_col: str, values: Sequence[str],
 
     return out.map_batches(unscale, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def lookup_join(left_ds, right_ds, *, on: str, right_on: str,
+                right_cols: Sequence[str], how: str = "inner",
+                n_buckets: int = 64):
+    """Shuffle hash join specialized for the MANY-TO-ONE case (the
+    right side's join keys are UNIQUE — an aggregate, a dimension, a
+    per-key state table): both sides are tagged and hashed into the
+    SAME coarse buckets by one union + one ``groupby``, and each
+    bucket kernel attaches the right columns by a vectorized
+    sorted-array gather (``searchsorted`` + arrow ``take``).
+
+    This is the join to use when the right side is too big to
+    broadcast (:func:`broadcast_join`) but keyed uniquely — it avoids
+    ``Dataset.join``'s general-purpose aggregator (measured ~5-7x
+    slower on the same shapes in this engine, see BENCH notes) while
+    shuffling exactly the same bytes.  ``how`` is ``'inner'`` or
+    ``'left'``.  Duplicate right keys are a CALLER ERROR: exactly one
+    match row is attached per key (which one is unspecified).
+
+    Output columns: every left column (join key keeps the left name)
+    followed by ``right_cols``.  Null join keys are the caller's to
+    filter upstream (for string keys a null would gather against a
+    null right key).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    from ..functions.aggregates import hash64
+
+    lsch = left_ds.schema()
+    lsch = getattr(lsch, "base_schema", lsch)
+    rsch = right_ds.schema()
+    rsch = getattr(rsch, "base_schema", rsch)
+    left_names = [n for n in lsch.names]
+    right_types = {c: rsch.field(c).type for c in right_cols}
+    lpay = [n for n in left_names if n != on]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"__k": t.column(on), "__s": pa.array(
+            np.zeros(n, dtype=np.int8))}
+        for c in lpay:
+            cols[c] = t.column(c)
+        for c in right_cols:
+            cols[c] = pa.nulls(n, right_types[c])
+        cols["coarse"] = pa.array(
+            (hash64(t.column(on)) % np.uint64(n_buckets)).astype(np.int64))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"__k": t.column(right_on).cast(lsch.field(on).type),
+                "__s": pa.array(np.ones(n, dtype=np.int8))}
+        for c in lpay:
+            cols[c] = pa.nulls(n, lsch.field(c).type)
+        for c in right_cols:
+            cols[c] = t.column(c)
+        cols["coarse"] = pa.array(
+            (hash64(cols["__k"]) % np.uint64(n_buckets)).astype(np.int64))
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    out_fields = ([pa.field(on, lsch.field(on).type)]
+                  + [pa.field(c, lsch.field(c).type) for c in lpay]
+                  + [pa.field(c, right_types[c]) for c in right_cols])
+    out_schema = pa.schema(out_fields)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        side = group.column("__s").to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(side == 0))
+        right = group.filter(pa.array(side == 1))
+        if left.num_rows == 0:
+            return out_schema.empty_table()
+        lk = left.column("__k").to_numpy(zero_copy_only=False)
+        rk = right.column("__k").to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rk = rk[order]
+        if len(rk):
+            pos = np.minimum(np.searchsorted(rk, lk), len(rk) - 1)
+            hit = rk[pos] == lk
+        else:
+            pos = np.zeros(len(lk), dtype=np.int64)
+            hit = np.zeros(len(lk), dtype=bool)
+        if how == "inner":
+            keep = np.flatnonzero(hit)
+            left = left.take(pa.array(keep))
+            idx = pa.array(order[pos[keep]], pa.int64())
+        else:
+            # left outer: null right cols where unmatched
+            idx = pa.array(
+                np.where(hit, order[pos], 0).astype(np.int64),
+                pa.int64(), mask=~hit)
+        cols = {on: left.column("__k")}
+        for c in lpay:
+            cols[c] = left.column(c)
+        for c in right_cols:
+            cols[c] = right.column(c).take(idx)
+        return pa.table(cols, schema=out_schema)
+
+    return tagged.groupby("coarse").map_groups(
+        kernel, batch_format="pyarrow")
