@@ -287,12 +287,13 @@ def q_q18_big_orders(sf_dir: str):
     lineitem quantity exceeds 300, with customer name attached.  Plan:
     the fact table pre-aggregates per orderkey FIRST (integer-cents
     quantity sum — the shuffle moves one row per order, not per item),
-    the >300 filter shrinks it to a sliver, one hash join attaches the
-    order row, the customer dimension broadcasts, and a sort-limit
-    yields the top 20 by quantity (orderkey tiebreak)."""
+    the >300 filter shrinks it to a sliver that BROADCASTS over the
+    orders scan (Q18's classic selective-semijoin shape — no shuffle
+    join at all), the customer dimension broadcasts too, and a
+    sort-limit yields the top 20 by quantity (orderkey tiebreak)."""
     from ray.data.aggregate import Sum
 
-    from ..stages.relational import broadcast_join, safe_join
+    from ..stages.relational import broadcast_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
@@ -311,17 +312,18 @@ def q_q18_big_orders(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate",
                     "o_totalprice"])
-    j = safe_join(agg, orders, join_type="inner", num_partitions=8,
-                  on=("l_orderkey",), right_on=("o_orderkey",))
+    j = broadcast_join(orders, agg, on="o_orderkey",
+                       right_on="l_orderkey", right_cols=["qty_sum"],
+                       how="inner")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     j = broadcast_join(j, cust, on="o_custkey", right_on="c_custkey",
                        right_cols=["c_name"], how="inner")
-    top = j.sort(["qty_sum", "l_orderkey"],
+    top = j.sort(["qty_sum", "o_orderkey"],
                  descending=[True, False]).limit(20)
 
     def finalize(t: pa.Table) -> pa.Table:
         return pa.table({
-            "o_orderkey": t.column("l_orderkey"),
+            "o_orderkey": t.column("o_orderkey"),
             "c_name": t.column("c_name"),
             "o_orderdate": t.column("o_orderdate"),
             "o_totalprice": t.column("o_totalprice"),
