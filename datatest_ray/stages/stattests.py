@@ -31,6 +31,8 @@ __all__ = [
     "kuiper_two_sample",
     "cohens_h_two_proportions",
     "moods_median_test",
+    "jonckheere_terpstra",
+    "cochrans_q",
 ]
 
 
@@ -629,4 +631,180 @@ def moods_median_test(ds, *, value_col: str, group_col: str):
         })
 
     return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def jonckheere_terpstra(ds, *, value_col: str, group_col: str,
+                        ordered_groups):
+    """Jonckheere-Terpstra trend test across ORDERED groups: the
+    alternative "values increase with the group's order" (priority
+    levels, dosage tiers, cohort ages) — strictly more powerful than
+    Kruskal-Wallis when the ordering is known.
+
+        U = Σ_{i<j} U_ij,  U_ij = #{x_i < x_j} + ½·#{x_i = x_j}
+
+    computed exactly from per-distinct-value group counts and their
+    cumulative sums (2U is an exact integer).  The z normalization
+    uses the no-tie moments μ = (N² − Σn_g²)/4 and
+    σ² = (N²(2N+3) − Σn_g²(2n_g+3))/72.  Shuffle payload:
+    O(distinct values × groups).  Output one row (n, u, z).
+    """
+    from ray.data.aggregate import Sum
+
+    k = len(ordered_groups)
+    rank_of = {g: i for i, g in enumerate(ordered_groups)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        v = t.column(value_col)
+        ok = pc.and_(pc.is_valid(g), pc.is_valid(v))
+        ok = pc.and_(ok, pc.is_in(g, value_set=pa.array(ordered_groups)))
+        tt = pa.table({"g": g, "v": v}).filter(ok)
+        gv = tt.column("g").to_pylist()
+        ki = np.array([rank_of[x] for x in gv], dtype=np.int64)
+        vv = tt.column("v").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        order = np.lexsort((ki, vv))
+        vv, ki = vv[order], ki[order]
+        new = np.ones(len(vv), dtype=bool)
+        if len(vv) > 1:
+            new[1:] = vv[1:] != vv[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1 if len(seg) else 0
+        cols = {"v": pa.array(vv[np.flatnonzero(new)])}
+        for j in range(k):
+            cols[f"c{j}"] = pa.array(np.bincount(
+                seg[ki == j], minlength=nseg).astype(np.int64))
+        return pa.table(cols)
+
+    merged = (ds.select_columns([group_col, value_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("v")
+              .aggregate(*[Sum(f"c{j}", alias_name=f"c{j}")
+                           for j in range(k)]))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import math
+
+        schema = pa.schema([("n", pa.int64()), ("u", pa.float64()),
+                            ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        cs = [t.column(f"c{j}").to_numpy(
+            zero_copy_only=False).astype(np.int64)[order]
+            for j in range(k)]
+        cums = [np.cumsum(c) - c for c in cs]  # counts strictly below v
+        w2 = 0
+        for j in range(1, k):
+            prev_cum = sum(cums[i] for i in range(j))
+            prev_c = sum(cs[i] for i in range(j))
+            w2 += int((cs[j] * (2 * prev_cum + prev_c)).sum())
+        ns = [int(c.sum()) for c in cs]
+        n = sum(ns)
+        u = w2 / 2.0
+        mu = (n * n - sum(x * x for x in ns)) / 4.0
+        var = (n * n * (2 * n + 3)
+               - sum(x * x * (2 * x + 3) for x in ns)) / 72.0
+        z = (u - mu) / math.sqrt(var) if var > 0 else None
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "u": pa.array([u], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cochrans_q(ds, *, subject_col: str, cat_col: str, categories):
+    """Cochran's Q over k related binary outcomes per subject ("did
+    this user ever fire event type t?"): the k-treatment extension of
+    McNemar — do the k per-category presence rates differ across the
+    SAME subjects?
+
+        Q = (k−1)·[k·ΣC_t² − (ΣC_t)²] / [k·ΣR_s − ΣR_s²]
+
+    with C_t the per-category presence totals and R_s each subject's
+    presence count — every term an exact integer.  Plan: per-batch
+    per-subject presence BITMASKS, one coarse-bucket shuffle, a
+    bitwise-OR segment merge per subject, then integer moments.
+    Output one row (n_subjects, k, q).
+    """
+    from ..functions.aggregates import hash64
+    from ray.data.aggregate import Sum
+
+    k = len(categories)
+    code_of = {c: i for i, c in enumerate(categories)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(subject_col)
+        c = t.column(cat_col)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(c))
+        ok = pc.and_(ok, pc.is_in(c, value_set=pa.array(categories)))
+        tt = pa.table({"s": s, "c": c}).filter(ok)
+        sv = tt.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = tt.column("c").to_pylist()
+        bits = np.array([1 << code_of[x] for x in cv], dtype=np.int64)
+        order = np.argsort(sv, kind="stable")
+        sv, bits = sv[order], bits[order]
+        new = np.ones(len(sv), dtype=bool)
+        if len(sv) > 1:
+            new[1:] = sv[1:] != sv[:-1]
+        starts = np.flatnonzero(new)
+        mask = (np.bitwise_or.reduceat(bits, starts)
+                if len(starts) else bits[:0])
+        subj = sv[starts]
+        coarse = (hash64(pa.array(subj)) % np.uint64(256)).astype(np.int64)
+        return pa.table({"s": pa.array(subj), "m": pa.array(mask),
+                         "coarse": pa.array(coarse)})
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("s", "ascending")])
+        sv = t.column("s").to_numpy(zero_copy_only=False)
+        mv = t.column("m").to_numpy(zero_copy_only=False)
+        if len(sv) == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in (["n"] + [f"c{j}" for j in range(k)]
+                                       + ["sr", "sr2"])})
+        new = np.ones(len(sv), dtype=bool)
+        new[1:] = sv[1:] != sv[:-1]
+        starts = np.flatnonzero(new)
+        mask = np.bitwise_or.reduceat(mv, starts)
+        cols = {"n": pa.array([len(mask)], pa.int64())}
+        r = np.zeros(len(mask), dtype=np.int64)
+        for j in range(k):
+            has = ((mask >> j) & 1).astype(np.int64)
+            cols[f"c{j}"] = pa.array([int(has.sum())], pa.int64())
+            r += has
+        cols["sr"] = pa.array([int(r.sum())], pa.int64())
+        cols["sr2"] = pa.array([int((r * r).sum())], pa.int64())
+        return pa.table(cols)
+
+    partials = (ds.select_columns([subject_col, cat_col])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("coarse")
+                .map_groups(bucket_kernel, batch_format="pyarrow"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_subjects", pa.int64()), ("k", pa.int64()),
+                            ("q", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        tot = {c: sum(int(x) for x in t.column(c).to_pylist())
+               for c in t.schema.names}
+        cts = [tot[f"c{j}"] for j in range(k)]
+        num = k * sum(c * c for c in cts) - sum(cts) ** 2
+        den = k * tot["sr"] - tot["sr2"]
+        q = (k - 1) * float(num) / float(den) if den > 0 else None
+        return pa.table({
+            "n_subjects": pa.array([tot["n"]], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "q": pa.array([q], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
