@@ -33,6 +33,7 @@ __all__ = [
     "moods_median_test",
     "jonckheere_terpstra",
     "cochrans_q",
+    "friedman_test",
 ]
 
 
@@ -804,6 +805,154 @@ def cochrans_q(ds, *, subject_col: str, cat_col: str, categories):
             "n_subjects": pa.array([tot["n"]], pa.int64()),
             "k": pa.array([k], pa.int64()),
             "q": pa.array([q], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def friedman_test(ds, *, subject_col: str, treatment_col: str,
+                  treatments, value_col: str):
+    """Friedman test over per-subject treatment means: each subject
+    with ALL k treatments ranks its k per-treatment mean values
+    (average ranks on ties), and the tie-corrected statistic
+
+        χ²_F = (k−1) · Σ_t (R_t − N(k+1)/2)² / (Σ_{s,t} r_st² − Nk(k+1)²/4)
+
+    tests whether any treatment systematically ranks higher — the
+    k-treatment blocked generalization of the sign/Wilcoxon tests
+    (between-subject level differences cancel).  Kendall's W
+    (concordance, 0..1) = χ²_F / (N(k−1)) rides along.
+
+    Everything is exact integers: means come from integer-cent sums
+    (the double division is the identical IEEE op on both engines),
+    ranks are carried DOUBLED (2·avg-rank is an integer), and the
+    numerator/denominator convert to double once.  Plan: per-batch
+    (subject, treatment) partials → ONE coarse-bucket shuffle on
+    subject → in-kernel merge + rank + per-bucket moment partials →
+    tiny reduce.  Output one row (n_subjects, k, chi2, w).
+    """
+    from ..functions.aggregates import hash64
+
+    k = len(treatments)
+    code_of = {t: i for i, t in enumerate(treatments)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(subject_col)
+        tr = t.column(treatment_col)
+        v = t.column(value_col)
+        cents = pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+        ok = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(cents)),
+                     pc.is_in(tr, value_set=pa.array(treatments)))
+        tt = pa.table({"s": s, "t": tr, "c": cents}).filter(ok)
+        sv = tt.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = np.array([code_of[x] for x in tt.column("t").to_pylist()],
+                      dtype=np.int64)
+        cv = tt.column("c").to_numpy(zero_copy_only=False)
+        key = sv * k + tv
+        order = np.argsort(key, kind="stable")
+        key, cv = key[order], cv[order]
+        new = np.ones(len(key), dtype=bool)
+        if len(key) > 1:
+            new[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1 if len(seg) else 0
+        ukey = key[np.flatnonzero(new)]
+        subj = ukey // k
+        return pa.table({
+            "s": pa.array(subj),
+            "t": pa.array(ukey % k),
+            "sc": pa.array(np.bincount(
+                seg, weights=cv, minlength=nseg).astype(np.int64)),
+            "c": pa.array(np.bincount(seg, minlength=nseg).astype(
+                np.int64)),
+            "coarse": pa.array((hash64(pa.array(subj)) %
+                                np.uint64(256)).astype(np.int64)),
+        })
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        cols = (["n"] + [f"r2_{j}" for j in range(k)] + ["sr4"])
+        empty = pa.table({c: pa.array([], pa.int64()) for c in cols})
+        t = group.sort_by([("s", "ascending"), ("t", "ascending")])
+        sv = t.column("s").to_numpy(zero_copy_only=False)
+        tv = t.column("t").to_numpy(zero_copy_only=False)
+        sc = t.column("sc").to_numpy(zero_copy_only=False)
+        cv = t.column("c").to_numpy(zero_copy_only=False)
+        if len(sv) == 0:
+            return empty
+        # merge duplicate (s, t) partials from different input blocks
+        key = sv * k + tv
+        new = np.ones(len(key), dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new) - 1
+        sc = np.bincount(seg, weights=sc).astype(np.int64)
+        cv = np.bincount(seg, weights=cv).astype(np.int64)
+        key = key[np.flatnonzero(new)]
+        sv, tv = key // k, key % k
+        # keep subjects with all k treatments
+        snew = np.ones(len(sv), dtype=bool)
+        snew[1:] = sv[1:] != sv[:-1]
+        sseg = np.cumsum(snew) - 1
+        slen = np.bincount(sseg)
+        full = slen[sseg] == k
+        sv, tv, sc, cv = sv[full], tv[full], sc[full], cv[full]
+        if len(sv) == 0:
+            return empty
+        d = sc.astype(np.float64) / cv  # identical IEEE on both engines
+        # rank within subject, average ties, carried as 2·rank (int)
+        order = np.lexsort((d, sv))
+        sv, tv, d = sv[order], tv[order], d[order]
+        n_rows = len(sv)
+        snew = np.ones(n_rows, dtype=bool)
+        snew[1:] = sv[1:] != sv[:-1]
+        sstart = np.flatnonzero(snew)
+        sseg = np.cumsum(snew) - 1
+        pos = np.arange(n_rows, dtype=np.int64) - sstart[sseg] + 1
+        run_new = snew | np.concatenate([[True], d[1:] != d[:-1]])
+        rseg = np.cumsum(run_new) - 1
+        run_len = np.bincount(rseg)
+        run_first = pos[np.flatnonzero(run_new)]
+        r2 = 2 * run_first[rseg] + run_len[rseg] - 1
+        n_subj = int(snew.sum())
+        out = {"n": pa.array([n_subj], pa.int64())}
+        for j in range(k):
+            out[f"r2_{j}"] = pa.array(
+                [int(r2[tv == j].sum())], pa.int64())
+        out["sr4"] = pa.array([int((r2 * r2).sum())], pa.int64())
+        return pa.table(out)
+
+    partials = (ds.select_columns(
+        [subject_col, treatment_col, value_col])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("coarse")
+        .map_groups(bucket_kernel, batch_format="pyarrow"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_subjects", pa.int64()), ("k", pa.int64()),
+                            ("chi2", pa.float64()), ("w", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        tot = {c: sum(int(x) for x in t.column(c).to_pylist())
+               for c in t.schema.names}
+        n = tot["n"]
+        if n == 0:
+            return pa.table({"n_subjects": pa.array([0], pa.int64()),
+                             "k": pa.array([k], pa.int64()),
+                             "chi2": pa.array([None], pa.float64()),
+                             "w": pa.array([None], pa.float64())})
+        num = sum((tot[f"r2_{j}"] - n * (k + 1)) ** 2 for j in range(k))
+        den = tot["sr4"] - n * k * (k + 1) ** 2
+        if den > 0:
+            chi2 = (k - 1) * float(num) / float(den)
+            w = float(num) / (float(den) * n)
+        else:
+            chi2 = w = None
+        return pa.table({
+            "n_subjects": pa.array([n], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "chi2": pa.array([chi2], pa.float64()),
+            "w": pa.array([w], pa.float64()),
         })
 
     return partials.repartition(1).map_batches(
