@@ -162,6 +162,9 @@ def main() -> None:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # keep raylet/worker chatter out of stdout: the driver
+            # parses this process's output for the ONE json line
+            log_to_driver=False,
         )
     from ray.data import DataContext
 

@@ -34,6 +34,7 @@ __all__ = [
     "jonckheere_terpstra",
     "cochrans_q",
     "friedman_test",
+    "kde_fixed_grid",
 ]
 
 
@@ -957,3 +958,59 @@ def friedman_test(ds, *, subject_col: str, treatment_col: str,
 
     return partials.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def kde_fixed_grid(ds, *, value_col: str, grid, bandwidth: float):
+    """Gaussian kernel density estimate evaluated at a FIXED grid:
+
+        f(g) = (1 / (n·h·√(2π))) · Σ_i exp(−(g − x_i)² / (2h²))
+
+    — the smooth histogram for distribution monitoring (a drifted mode
+    shows up as mass moving between grid points; pair two runs for a
+    visual drift diff).  The grid is caller-fixed (data-independent),
+    so the whole pass is one map_batches of per-batch partial kernel
+    sums (vectorized |grid|×batch outer) plus a tiny groupby(grid) —
+    shuffle payload O(|grid|) per block.  Output per grid point:
+    (grid, n, density).
+    """
+    from ray.data.aggregate import Sum
+
+    g = np.asarray(list(grid), dtype=np.float64)
+    h = float(bandwidth)
+    denom = 2.0 * h * h
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            s = np.zeros(len(g))
+        else:
+            d = g[:, None] - v[None, :]
+            s = np.exp(-(d * d) / denom).sum(axis=1)
+        return pa.table({
+            "grid": pa.array(g),
+            "s": pa.array(s),
+            "n": pa.array(np.full(len(g), len(v), dtype=np.int64)),
+        })
+
+    agg = (ds.select_columns([value_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("grid")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        dens = np.where(
+            n > 0, s / (n * h * np.sqrt(2.0 * np.pi)), np.nan)
+        return pa.table({
+            "grid": t.column("grid"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "density": pa.array(dens, pa.float64(),
+                                mask=~(n > 0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

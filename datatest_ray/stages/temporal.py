@@ -30,7 +30,8 @@ from .base import Check, RunContext
 
 __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "acf_daily", "expfit_ks", "km_survival",
-           "circular_hour_stats", "dispersion_index_hourly"]
+           "circular_hour_stats", "dispersion_index_hourly",
+           "holt_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1230,3 +1231,77 @@ def dispersion_index_hourly(ds, ts_col: str, *, by: str):
 
     return counts.repartition(1).map_batches(
         per_group, batch_format="pyarrow", batch_size=None)
+
+
+def holt_daily(ds, ts_col: str, *, by: str, alpha: float = 0.5,
+               beta: float = 0.25):
+    """Holt double exponential smoothing (level + trend) over each
+    group's DAILY count series, emitting the one-step-ahead forecast
+    and residual per day — the classic sequential-state smoother for
+    "is today's volume off-trend" monitoring (catches gradual drift a
+    fixed threshold misses).
+
+        s_t = α·x_t + (1−α)(s_{t−1} + b_{t−1})
+        b_t = β(s_t − s_{t−1}) + (1−β)·b_{t−1}
+        resid_t = x_t − (s_{t−1} + b_{t−1})      (t ≥ 2)
+
+    initialized s₁ = x₁, b₁ = x₂ − x₁.  α/β default to exactly-
+    representable binaries (0.5, 0.25) and the recursion's op order is
+    fixed, so a SQL recursive-CTE mirror is bit-identical.  Plan: ONE
+    (group, day) count shuffle; the recursion runs per group over the
+    tiny daily table (sequential by nature — days per group, not
+    rows).  Groups with <2 days are skipped.  Output per day t ≥ 2:
+    (by, day, x, forecast, resid).
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        day = pc.strftime(pc.floor_temporal(t.column(ts_col), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({by: t.column(by), "day": day})
+
+    daily = (ds.select_columns([ts_col, by])
+             .map_batches(to_day, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([by, "day"]).aggregate(Count(alias_name="x")))
+
+    a1 = 1.0 - alpha
+    b1 = 1.0 - beta
+
+    def smooth(group: pa.Table) -> pa.Table:
+        schema = pa.schema([(by, pa.string()), ("day", pa.string()),
+                            ("x", pa.int64()), ("forecast", pa.float64()),
+                            ("resid", pa.float64())])
+        t = group.sort_by([("day", "ascending")])
+        if t.num_rows < 2:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        days = t.column("day").to_pylist()
+        key = t.column(by)[0].as_py()
+        s = x[0]
+        b = x[1] - x[0]
+        out_day, out_x, out_f, out_r = [], [], [], []
+        # sequential recurrence over the group's DAYS (a bounded
+        # aggregate, not rows) — op order mirrors the SQL CTE exactly
+        for i in range(1, len(x)):
+            f = s + b
+            out_day.append(days[i])
+            out_x.append(int(x[i]))
+            out_f.append(f)
+            out_r.append(x[i] - f)
+            s_new = alpha * x[i] + a1 * (s + b)
+            b = beta * (s_new - s) + b1 * b
+            s = s_new
+        return pa.table({
+            by: pa.array([key] * len(out_day)),
+            "day": pa.array(out_day),
+            "x": pa.array(out_x, pa.int64()),
+            "forecast": pa.array(out_f, pa.float64()),
+            "resid": pa.array(out_r, pa.float64()),
+        })
+
+    return daily.groupby(by).map_groups(smooth, batch_format="pyarrow")
