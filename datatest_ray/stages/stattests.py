@@ -35,6 +35,8 @@ __all__ = [
     "cochrans_q",
     "friedman_test",
     "kde_fixed_grid",
+    "grubbs_statistic",
+    "cf_drift",
 ]
 
 
@@ -1014,3 +1016,137 @@ def kde_fixed_grid(ds, *, value_col: str, grid, bandwidth: float):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def grubbs_statistic(ds, *, value_col: str):
+    """Grubbs' max-outlier statistic G = max(x̄ − x_min, x_max − x̄)/s
+    (two-sided) — the "is the single most extreme point an outlier"
+    screen run before trusting a mean.  Exact sufficient statistics:
+    integer-cent sum/sum-of-squares/min/max, one double conversion
+    each at the end.  Output one row (n, mean, sd, g, extreme).
+    """
+    from ray.data.aggregate import Sum, Min, Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        cents = pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+        tt = pa.table({"c": cents}).filter(pc.is_valid(cents))
+        c = tt.column("c").to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return pa.table({
+                "n": pa.array([0], pa.int64()),
+                "s1": pa.array([0], pa.int64()),
+                "s2": pa.array([0], pa.int64()),
+                "mn": pa.array([None], pa.int64()),
+                "mx": pa.array([None], pa.int64()),
+            })
+        return pa.table({
+            "n": pa.array([len(c)], pa.int64()),
+            "s1": pa.array([int(c.sum())], pa.int64()),
+            "s2": pa.array([int((c * c).sum())], pa.int64()),
+            "mn": pa.array([int(c.min())], pa.int64()),
+            "mx": pa.array([int(c.max())], pa.int64()),
+        })
+
+    agg = (ds.select_columns([value_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                      Sum("s2", alias_name="s2"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx")))
+
+    import math
+
+    import ray.data as rd
+
+    n = int(agg["n"])
+    schema_row = {"n": n, "mean": None, "sd": None, "g": None,
+                  "extreme": None}
+    if n >= 2:
+        s1, s2 = int(agg["s1"]), int(agg["s2"])
+        mn, mx = int(agg["mn"]), int(agg["mx"])
+        mean_c = float(s1) / n
+        # sample variance in cents² (exact integer numerator)
+        var_c = float(n * s2 - s1 * s1) / (float(n) * (n - 1))
+        if var_c > 0:
+            sd_c = math.sqrt(var_c)
+            dev = max(mean_c - mn, mx - mean_c)
+            schema_row.update({
+                "mean": mean_c / 100.0,
+                "sd": sd_c / 100.0,
+                "g": dev / sd_c,
+                "extreme": (float(mn) / 100.0
+                            if mean_c - mn >= mx - mean_c
+                            else float(mx) / 100.0),
+            })
+    return pa.table({
+        "n": pa.array([schema_row["n"]], pa.int64()),
+        "mean": pa.array([schema_row["mean"]], pa.float64()),
+        "sd": pa.array([schema_row["sd"]], pa.float64()),
+        "g": pa.array([schema_row["g"]], pa.float64()),
+        "extreme": pa.array([schema_row["extreme"]], pa.float64()),
+    })
+
+
+def cf_drift(ds, *, value_col: str, group_col: str, a, b,
+             t_points=(0.01, 0.05, 0.25)):
+    """Empirical characteristic-function drift between two segments
+    (the Epps-Singleton idea without its covariance normalization):
+
+        D = Σ_j (Re φ_a(t_j) − Re φ_b(t_j))² + (Im φ_a(t_j) − Im φ_b(t_j))²
+
+    with φ(t) = Σ e^{itx}/n at fixed frequencies ``t_points``.  Unlike
+    ECDF tests this sees SHAPE differences even when quantiles agree
+    (mixtures, periodicities).  One pass of per-batch cos/sin partial
+    sums — 4·|t| numbers per block, no shuffle of rows.  Output one
+    row (n_a, n_b, d).
+    """
+    from ray.data.aggregate import Sum
+
+    ts = [float(t) for t in t_points]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        v = t.column(value_col)
+        ok = pc.and_(pc.is_valid(v),
+                     pc.or_(pc.fill_null(pc.equal(g, a), False),
+                            pc.fill_null(pc.equal(g, b), False)))
+        tt = pa.table({
+            "g": g, "v": v,
+            "ia": pc.cast(pc.fill_null(pc.equal(g, a), False), pa.int64()),
+        }).filter(ok)
+        x = tt.column("v").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        isa = tt.column("ia").to_numpy(
+            zero_copy_only=False).astype(bool)
+        cols = {"na": pa.array([int(isa.sum())], pa.int64()),
+                "nb": pa.array([int((~isa).sum())], pa.int64())}
+        for j, tp in enumerate(ts):
+            cols[f"ca{j}"] = pa.array([float(np.cos(tp * x[isa]).sum())])
+            cols[f"sa{j}"] = pa.array([float(np.sin(tp * x[isa]).sum())])
+            cols[f"cb{j}"] = pa.array([float(np.cos(tp * x[~isa]).sum())])
+            cols[f"sb{j}"] = pa.array([float(np.sin(tp * x[~isa]).sum())])
+        return pa.table(cols)
+
+    names = ["na", "nb"] + [f"{p}{j}" for j in range(len(ts))
+                            for p in ("ca", "sa", "cb", "sb")]
+    agg = (ds.select_columns([group_col, value_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .aggregate(*[Sum(c, alias_name=c) for c in names]))
+
+    na, nb = int(agg["na"]), int(agg["nb"])
+    if na > 0 and nb > 0:
+        d = 0.0
+        for j in range(len(ts)):
+            dre = agg[f"ca{j}"] / na - agg[f"cb{j}"] / nb
+            dim = agg[f"sa{j}"] / na - agg[f"sb{j}"] / nb
+            d += dre * dre + dim * dim
+    else:
+        d = None
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "d": pa.array([d], pa.float64()),
+    })

@@ -31,7 +31,7 @@ from .base import Check, RunContext
 __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "acf_daily", "expfit_ks", "km_survival",
            "circular_hour_stats", "dispersion_index_hourly",
-           "holt_daily"]
+           "holt_daily", "nelson_aalen"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -912,12 +912,20 @@ def expfit_ks(ds, ts_col: str, *, by: str, id_col: str):
         finalize, batch_format="pyarrow", batch_size=None)
 
 
-def km_survival(ds, ts_col: str, *, by: str, horizon_days: int = 7):
+def km_survival(ds, ts_col: str, *, by: str, horizon_days: int = 7,
+                failure_type=None, type_col: str = "event_type"):
     """Kaplan–Meier survival estimate of key LIFETIME (first→last event
     span in days) with right-censoring — the churn curve: S(t) is the
     probability a user stays active beyond t days.  A key whose last
     event is within ``horizon_days`` of the corpus end is CENSORED
     (still alive); only genuinely-churned keys count as events.
+
+    ``failure_type`` switches to time-to-failure semantics: the event
+    is the key's FIRST ``type_col == failure_type`` row (duration =
+    first event → first failure), censored at the last-activity span
+    when the key never fails — the right framing when the corpus
+    window is too short for churn (an always-active population yields
+    an empty churn curve, which proves nothing).
 
     Plan: per-key (first, last) via native Min/Max groupby (one
     shuffle), the corpus max as a driver scalar, then ONE tiny groupby
@@ -930,22 +938,31 @@ def km_survival(ds, ts_col: str, *, by: str, horizon_days: int = 7):
     """
     from ray.data.aggregate import Max, Min, Sum
 
+    fail_mode = failure_type is not None
+    need = [by, ts_col] + ([type_col] if fail_mode else [])
+
     def project(t: pa.Table) -> pa.Table:
         ok = pc.and_(pc.is_valid(t.column(ts_col)),
                      pc.is_valid(t.column(by)))
         t = t.filter(ok)
-        return pa.table({
-            by: t.column(by),
-            "_ts": pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
-                           pa.int64()),
-        })
+        ts_us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                        pa.int64())
+        cols = {by: t.column(by), "_ts": ts_us}
+        if fail_mode:
+            is_fail = pc.fill_null(
+                pc.equal(t.column(type_col), failure_type), False)
+            cols["_fts"] = pc.if_else(is_fail, ts_us,
+                                      pa.scalar(None, pa.int64()))
+        return pa.table(cols)
 
+    aggs = [Min("_ts", alias_name="first"), Max("_ts", alias_name="last")]
+    if fail_mode:
+        aggs.append(Min("_fts", alias_name="fail"))
     spans = (
-        ds.select_columns([by, ts_col])
+        ds.select_columns(need)
         .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(by)
-        .aggregate(Min("_ts", alias_name="first"),
-                   Max("_ts", alias_name="last"))
+        .aggregate(*aggs)
     )
     # the per-key span table is consumed twice (corpus max, then the
     # duration histogram): pin it in the object store once rather than
@@ -957,8 +974,17 @@ def km_survival(ds, ts_col: str, *, by: str, horizon_days: int = 7):
     def durations(t: pa.Table) -> pa.Table:
         first = t.column("first").to_numpy(zero_copy_only=False)
         last = t.column("last").to_numpy(zero_copy_only=False)
-        dur = (last - first) // 86_400_000_000
-        ev = (last < cutoff).astype(np.int64)
+        if fail_mode:
+            fts = t.column("fail").to_numpy(zero_copy_only=False)
+            has = ~np.isnan(fts.astype(np.float64))
+            t_end = np.where(has, np.nan_to_num(
+                fts.astype(np.float64)), last.astype(np.float64)
+            ).astype(np.int64)
+            dur = (t_end - first) // 86_400_000_000
+            ev = has.astype(np.int64)
+        else:
+            dur = (last - first) // 86_400_000_000
+            ev = (last < cutoff).astype(np.int64)
         order = np.argsort(dur, kind="stable")
         dur, ev = dur[order], ev[order]
         new = np.ones(len(dur), dtype=bool)
@@ -993,8 +1019,9 @@ def km_survival(ds, ts_col: str, *, by: str, horizon_days: int = 7):
         n_risk = total - (np.cumsum(c) - c)
         ev = d > 0
         dur, d, n_risk = dur[ev], d[ev], n_risk[ev]
-        with np.errstate(divide="ignore"):
-            s = np.exp(np.cumsum(np.log(1.0 - d / n_risk)))
+        # direct cumulative product (NOT exp∘Σln: a time where every
+        # remaining key fails gives the factor 0, where ln(0) errors)
+        s = np.cumprod(1.0 - d * 1.0 / n_risk)
         return pa.table({
             "dur_days": pa.array(dur.astype(np.int64)),
             "d": pa.array(d),
@@ -1305,3 +1332,112 @@ def holt_daily(ds, ts_col: str, *, by: str, alpha: float = 0.5,
         })
 
     return daily.groupby(by).map_groups(smooth, batch_format="pyarrow")
+
+
+def nelson_aalen(ds, ts_col: str, *, by: str, horizon_days: int = 7,
+                 failure_type=None, type_col: str = "event_type"):
+    """Nelson-Aalen cumulative-hazard estimate over key lifetimes
+    (same spans/censoring as :func:`km_survival`, including the
+    ``failure_type`` time-to-failure mode):
+
+        H(t) = Σ_{t_i ≤ t} d_i / n_i,     Var = Σ d_i / n_i²
+
+    — the additive counterpart to KM's product (preferred for hazard-
+    rate comparisons: H is linear in the increments, so per-partition
+    hazards sum).  Identical one-groupby plan; the cumulative sums
+    mirror SQL windows.  Output one row per EVENT time:
+    (dur_days, d, n_risk, h, var_h).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    fail_mode = failure_type is not None
+    need = [by, ts_col] + ([type_col] if fail_mode else [])
+
+    def project(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        ts_us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                        pa.int64())
+        cols = {by: t.column(by), "_ts": ts_us}
+        if fail_mode:
+            is_fail = pc.fill_null(
+                pc.equal(t.column(type_col), failure_type), False)
+            cols["_fts"] = pc.if_else(is_fail, ts_us,
+                                      pa.scalar(None, pa.int64()))
+        return pa.table(cols)
+
+    aggs = [Min("_ts", alias_name="first"), Max("_ts", alias_name="last")]
+    if fail_mode:
+        aggs.append(Min("_fts", alias_name="fail"))
+    spans = (
+        ds.select_columns(need)
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(by)
+        .aggregate(*aggs)
+    ).materialize()
+    gmax = spans.max("last")
+    cutoff = int(gmax) - horizon_days * 86_400_000_000
+
+    def durations(t: pa.Table) -> pa.Table:
+        first = t.column("first").to_numpy(zero_copy_only=False)
+        last = t.column("last").to_numpy(zero_copy_only=False)
+        if fail_mode:
+            fts = t.column("fail").to_numpy(zero_copy_only=False)
+            has = ~np.isnan(fts.astype(np.float64))
+            t_end = np.where(has, np.nan_to_num(
+                fts.astype(np.float64)), last.astype(np.float64)
+            ).astype(np.int64)
+            dur = (t_end - first) // 86_400_000_000
+            ev = has.astype(np.int64)
+        else:
+            dur = (last - first) // 86_400_000_000
+            ev = (last < cutoff).astype(np.int64)
+        order = np.argsort(dur, kind="stable")
+        dur, ev = dur[order], ev[order]
+        new = np.ones(len(dur), dtype=bool)
+        if len(dur) > 1:
+            new[1:] = dur[1:] != dur[:-1]
+        seg = np.cumsum(new) - 1
+        first_i = np.flatnonzero(new)
+        return pa.table({
+            "dur_days": pa.array(dur[first_i]),
+            "d": pa.array(np.bincount(seg, weights=ev).astype(np.int64)),
+            "c": pa.array(np.bincount(seg).astype(np.int64)),
+        })
+
+    merged = spans.map_batches(
+        durations, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("dur_days").aggregate(Sum("d", alias_name="d"),
+                                    Sum("c", alias_name="c"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("dur_days", pa.int64()), ("d", pa.int64()),
+                            ("n_risk", pa.int64()), ("h", pa.float64()),
+                            ("var_h", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        order = pc.sort_indices(t.column("dur_days"))
+        dur = t.column("dur_days").take(order).to_numpy(
+            zero_copy_only=False)
+        d = t.column("d").take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = t.column("c").take(order).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = int(c.sum())
+        n_risk = total - (np.cumsum(c) - c)
+        haz = d * 1.0 / n_risk
+        var = d * 1.0 / (n_risk * n_risk)
+        h = np.cumsum(haz)
+        vh = np.cumsum(var)
+        ev = d > 0
+        return pa.table({
+            "dur_days": pa.array(dur[ev].astype(np.int64)),
+            "d": pa.array(d[ev]),
+            "n_risk": pa.array(n_risk[ev].astype(np.int64)),
+            "h": pa.array(h[ev]),
+            "var_h": pa.array(vh[ev]),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

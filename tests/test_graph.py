@@ -185,3 +185,21 @@ class TestTriangleStats:
         out = projected_edges(ds, group_col="g", node_col="x").to_pandas()
         got = sorted(map(tuple, out[["u", "v"]].itertuples(index=False)))
         assert got == [(1, 2), (1, 3), (2, 3)]
+
+    def test_dataset_state_path_matches_broadcast(self, ray_session):
+        """The >broadcast_nodes_max co-group rounds must produce the
+        same ranks as the broadcast path (forced via threshold 0)."""
+        import pyarrow as pa
+        import ray.data as rd
+        from datatest_ray.stages.graph import pagerank
+
+        raw = [(0, 1), (1, 2), (2, 0), (3, 4), (1, 3)]
+        src = [a for a, b in raw] + [b for a, b in raw]
+        dst = [b for a, b in raw] + [a for a, b in raw]
+        ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+        small = pagerank(ds, iters=3).to_pandas().set_index("node")
+        big = pagerank(ds, iters=3,
+                       broadcast_nodes_max=0).to_pandas().set_index("node")
+        assert set(small.index) == set(big.index)
+        for v in small.index:
+            assert abs(small.loc[v, "pr"] - big.loc[v, "pr"]) < 1e-12
