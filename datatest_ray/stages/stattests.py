@@ -37,6 +37,8 @@ __all__ = [
     "kde_fixed_grid",
     "grubbs_statistic",
     "cf_drift",
+    "pages_l_test",
+    "somers_d",
 ]
 
 
@@ -814,26 +816,14 @@ def cochrans_q(ds, *, subject_col: str, cat_col: str, categories):
         finalize, batch_format="pyarrow", batch_size=None)
 
 
-def friedman_test(ds, *, subject_col: str, treatment_col: str,
-                  treatments, value_col: str):
-    """Friedman test over per-subject treatment means: each subject
-    with ALL k treatments ranks its k per-treatment mean values
-    (average ranks on ties), and the tie-corrected statistic
-
-        χ²_F = (k−1) · Σ_t (R_t − N(k+1)/2)² / (Σ_{s,t} r_st² − Nk(k+1)²/4)
-
-    tests whether any treatment systematically ranks higher — the
-    k-treatment blocked generalization of the sign/Wilcoxon tests
-    (between-subject level differences cancel).  Kendall's W
-    (concordance, 0..1) = χ²_F / (N(k−1)) rides along.
-
-    Everything is exact integers: means come from integer-cent sums
-    (the double division is the identical IEEE op on both engines),
-    ranks are carried DOUBLED (2·avg-rank is an integer), and the
-    numerator/denominator convert to double once.  Plan: per-batch
-    (subject, treatment) partials → ONE coarse-bucket shuffle on
-    subject → in-kernel merge + rank + per-bucket moment partials →
-    tiny reduce.  Output one row (n_subjects, k, chi2, w).
+def _blocked_rank_partials(ds, *, subject_col: str,
+                           treatment_col: str, treatments,
+                           value_col: str):
+    """Shared kernel for blocked-rank tests (Friedman, Page's L):
+    per-batch (subject, treatment) integer-cent mean partials, ONE
+    coarse-bucket shuffle on subject, in-kernel merge + complete-
+    block filter + average-rank (carried as exact 2-rank ints), and
+    per-bucket moment partials (n, r2_<j> rank sums, sr4 = Σ(2r)²).
     """
     from ..functions.aggregates import hash64
 
@@ -924,12 +914,40 @@ def friedman_test(ds, *, subject_col: str, treatment_col: str,
         out["sr4"] = pa.array([int((r2 * r2).sum())], pa.int64())
         return pa.table(out)
 
-    partials = (ds.select_columns(
+    return (ds.select_columns(
         [subject_col, treatment_col, value_col])
         .map_batches(partial, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby("coarse")
         .map_groups(bucket_kernel, batch_format="pyarrow"))
+
+
+def friedman_test(ds, *, subject_col: str, treatment_col: str,
+                  treatments, value_col: str):
+    """Friedman test over per-subject treatment means: each subject
+    with ALL k treatments ranks its k per-treatment mean values
+    (average ranks on ties), and the tie-corrected statistic
+
+        χ²_F = (k−1) · Σ_t (R_t − N(k+1)/2)² / (Σ_{s,t} r_st² − Nk(k+1)²/4)
+
+    tests whether any treatment systematically ranks higher — the
+    k-treatment blocked generalization of the sign/Wilcoxon tests
+    (between-subject level differences cancel).  Kendall's W
+    (concordance, 0..1) = χ²_F / (N(k−1)) rides along.
+
+    Everything is exact integers: means come from integer-cent sums
+    (the double division is the identical IEEE op on both engines),
+    ranks are carried DOUBLED (2·avg-rank is an integer), and the
+    numerator/denominator convert to double once.  Plan: per-batch
+    (subject, treatment) partials → ONE coarse-bucket shuffle on
+    subject → in-kernel merge + rank + per-bucket moment partials →
+    tiny reduce.  Output one row (n_subjects, k, chi2, w).
+    """
+    k = len(treatments)
+    partials = _blocked_rank_partials(
+        ds, subject_col=subject_col, treatment_col=treatment_col,
+        treatments=treatments, value_col=value_col)
+
 
     def finalize(t: pa.Table) -> pa.Table:
         schema = pa.schema([("n_subjects", pa.int64()), ("k", pa.int64()),
@@ -1150,3 +1168,119 @@ def cf_drift(ds, *, value_col: str, group_col: str, a, b,
         "n_b": pa.array([nb], pa.int64()),
         "d": pa.array([d], pa.float64()),
     })
+
+
+def pages_l_test(ds, *, subject_col: str, treatment_col: str,
+                 ordered_treatments, value_col: str):
+    """Page's L trend test: Friedman's blocked ranks scored against a
+    HYPOTHESIZED treatment ordering — L = Σ_j j·R_j is maximal when
+    every subject ranks the treatments in the given order (the
+    within-subject counterpart of Jonckheere-Terpstra: "does each
+    user's value rise monotonically across these ordered tiers").
+
+        E[L] = N·k(k+1)²/4,
+        Var[L] = N·(k³ − k)² / (144·(k−1))          (no-tie moments)
+
+    Shares :func:`_blocked_rank_partials` with the Friedman test; 2L
+    is an exact integer (ranks carried doubled).  Output one row
+    (n_subjects, k, l, z).
+    """
+    import math
+
+    k = len(ordered_treatments)
+    partials = _blocked_rank_partials(
+        ds, subject_col=subject_col, treatment_col=treatment_col,
+        treatments=ordered_treatments, value_col=value_col)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_subjects", pa.int64()), ("k", pa.int64()),
+                            ("l", pa.float64()), ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        tot = {c: sum(int(x) for x in t.column(c).to_pylist())
+               for c in t.schema.names}
+        n = tot["n"]
+        if n == 0:
+            return pa.table({"n_subjects": pa.array([0], pa.int64()),
+                             "k": pa.array([k], pa.int64()),
+                             "l": pa.array([None], pa.float64()),
+                             "z": pa.array([None], pa.float64())})
+        l2 = sum((j + 1) * tot[f"r2_{j}"] for j in range(k))
+        l = l2 / 2.0
+        mu = n * k * (k + 1) ** 2 / 4.0
+        var = n * (k ** 3 - k) ** 2 / (144.0 * (k - 1))
+        z = (l - mu) / math.sqrt(var) if var > 0 else None
+        return pa.table({
+            "n_subjects": pa.array([n], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "l": pa.array([l], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def somers_d(ds, *, i_col: str, j_col: str):
+    """Somers' D between two ORDINAL integer columns — the asymmetric
+    concordance measures
+
+        d_yx = (C − D) / (C + D + T_y)    (y = j_col dependent)
+        d_xy = (C − D) / (C + D + T_x)    (x = i_col dependent)
+
+    where T_y / T_x count pairs tied ONLY on the dependent / the
+    independent variable (Goodman-Kruskal gamma drops both tie kinds;
+    Somers' D charges ties on the dependent side — the right measure
+    for "does x predict y's order").  Same contingency-cell plan as
+    ``robust.gk_gamma``: one groupby to ≤levels² cells, exact int64
+    pair counts on the finalize.  Output one row
+    (c_pairs, d_pairs, t_x, t_y, d_yx, d_xy).
+    """
+    from ray.data.aggregate import Count
+
+    cells_ds = ds.select_columns([i_col, j_col]).groupby(
+        [i_col, j_col]).aggregate(Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("c_pairs", pa.int64()),
+                            ("d_pairs", pa.int64()),
+                            ("t_x", pa.int64()), ("t_y", pa.int64()),
+                            ("d_yx", pa.float64()),
+                            ("d_xy", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        ok = pc.and_(pc.is_valid(t.column(i_col)),
+                     pc.is_valid(t.column(j_col)))
+        t = t.filter(ok)
+        i = t.column(i_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        j = t.column(j_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        prod = n[:, None] * n[None, :]
+        gt_i = i[:, None] > i[None, :]
+        eq_i = i[:, None] == i[None, :]
+        gt_j = j[:, None] > j[None, :]
+        eq_j = j[:, None] == j[None, :]
+        conc = int(prod[gt_i & gt_j].sum())
+        disc = int(prod[gt_i & (j[:, None] < j[None, :])].sum())
+        # pairs tied only on x: same i, different j (each unordered
+        # pair counted once via the upper product triangle rule /2)
+        t_x = int(prod[eq_i & gt_j].sum())
+        t_y = int(prod[gt_i & eq_j].sum())
+        d_yx = (float(conc - disc) / float(conc + disc + t_y)
+                if conc + disc + t_y else None)
+        d_xy = (float(conc - disc) / float(conc + disc + t_x)
+                if conc + disc + t_x else None)
+        return pa.table({
+            "c_pairs": pa.array([conc], pa.int64()),
+            "d_pairs": pa.array([disc], pa.int64()),
+            "t_x": pa.array([t_x], pa.int64()),
+            "t_y": pa.array([t_y], pa.int64()),
+            "d_yx": pa.array([d_yx], pa.float64()),
+            "d_xy": pa.array([d_xy], pa.float64()),
+        })
+
+    return cells_ds.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
