@@ -39,6 +39,8 @@ __all__ = [
     "cf_drift",
     "pages_l_test",
     "somers_d",
+    "blomqvist_beta",
+    "rank_agreement",
 ]
 
 
@@ -1284,3 +1286,156 @@ def somers_d(ds, *, i_col: str, j_col: str):
 
     return cells_ds.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def blomqvist_beta(ds, *, x_col: str, y_col: str):
+    """Blomqvist's β (medial / quadrant correlation): split the plane
+    at the two EXACT lower medians and score sign concordance,
+
+        β = (n_pp + n_mm − n_pm − n_mp) / (n_pp + n_mm + n_pm + n_mp)
+
+    over points strictly off both medians — the maximally robust
+    correlation (only quadrant membership matters; immune to any
+    monotone tail behavior that bends Pearson or even Spearman).
+
+    Medians come from per-column distinct-value count partials (the
+    ``moods_median_test`` machinery, exact lower median = SQL
+    ``quantile_disc(0.5)``); one more counting pass builds the exact
+    quadrant table.  Output one row
+    (n, x_med, y_med, n_pp, n_mm, n_pm, n_mp, beta).
+    """
+    from ray.data.aggregate import Sum
+
+    def col_counts(col: str):
+        def counts(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            u, c = np.unique(v, return_counts=True)
+            return pa.table({"v": pa.array(u),
+                             "c": pa.array(c.astype(np.int64))})
+
+        return (ds.select_columns([col])
+                .map_batches(counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("v").aggregate(Sum("c", alias_name="c")))
+
+    def lower_median(t: pa.Table) -> float:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        return float(v[np.searchsorted(cum, (n + 1) // 2, side="left")])
+
+    from .base import collect_table
+
+    mx = lower_median(collect_table(col_counts(x_col), ["v", "c"]))
+    my = lower_median(collect_table(col_counts(y_col), ["v", "c"]))
+
+    def quad(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        y = t.column(y_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[ok], y[ok]
+        xp, xm = x > mx, x < mx
+        yp, ym = y > my, y < my
+        return pa.table({
+            "n_pp": pa.array([int((xp & yp).sum())], pa.int64()),
+            "n_mm": pa.array([int((xm & ym).sum())], pa.int64()),
+            "n_pm": pa.array([int((xp & ym).sum())], pa.int64()),
+            "n_mp": pa.array([int((xm & yp).sum())], pa.int64()),
+            "n": pa.array([int(ok.sum())], pa.int64()),
+        })
+
+    agg = (ds.select_columns([x_col, y_col])
+           .map_batches(quad, batch_format="pyarrow", zero_copy_batch=True)
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n_pp", "n_mm", "n_pm", "n_mp", "n")]))
+
+    npp, nmm = int(agg["n_pp"]), int(agg["n_mm"])
+    npm, nmp = int(agg["n_pm"]), int(agg["n_mp"])
+    tot = npp + nmm + npm + nmp
+    beta = float(npp + nmm - npm - nmp) / tot if tot else None
+    return pa.table({
+        "n": pa.array([int(agg["n"])], pa.int64()),
+        "x_med": pa.array([mx], pa.float64()),
+        "y_med": pa.array([my], pa.float64()),
+        "n_pp": pa.array([npp], pa.int64()),
+        "n_mm": pa.array([nmm], pa.int64()),
+        "n_pm": pa.array([npm], pa.int64()),
+        "n_mp": pa.array([nmp], pa.int64()),
+        "beta": pa.array([beta], pa.float64()),
+    })
+
+
+def rank_agreement(ds, *, key_col: str, score_a, score_b,
+                   rbo_p: float = 0.9):
+    """Agreement between two rankings of the same keys (rank by metric
+    A vs rank by metric B): Spearman footrule Σ|rA − rB|, the Kendall
+    pair-inversion count, and rank-biased overlap RBO(p) — the
+    "did changing the metric reorder the leaderboard" audit for eval
+    pipelines.
+
+    ``score_a`` / ``score_b`` are Arrow-table -> (value-array) score
+    callables evaluated per batch; scores are summed exactly per key
+    (pass integer-valued scores, e.g. cents) and ranked descending
+    with (score, key) tie-break so both engines rank identically.
+    The agreement math runs on the collected per-key table (keys are
+    a bounded aggregate by contract).  Output one row
+    (n_keys, footrule, kendall_dist, rbo).
+    """
+    from ray.data.aggregate import Sum
+
+    from .base import collect_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column(key_col)
+        ok = pc.is_valid(k)
+        tt = t.filter(ok)
+        return pa.table({
+            "k": tt.column(key_col),
+            "sa": pa.array(np.asarray(score_a(tt), dtype=np.int64)),
+            "sb": pa.array(np.asarray(score_b(tt), dtype=np.int64)),
+        })
+
+    keyed = (ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("k")
+             .aggregate(Sum("sa", alias_name="sa"),
+                        Sum("sb", alias_name="sb")))
+    t = collect_table(keyed, ["k", "sa", "sb"])
+    n = t.num_rows
+    if n == 0:
+        return pa.schema([("n_keys", pa.int64()),
+                          ("footrule", pa.int64()),
+                          ("kendall_dist", pa.int64()),
+                          ("rbo", pa.float64())]).empty_table()
+    k = t.column("k").to_numpy(zero_copy_only=False)
+    sa = t.column("sa").to_numpy(zero_copy_only=False).astype(np.int64)
+    sb = t.column("sb").to_numpy(zero_copy_only=False).astype(np.int64)
+    # dense ranks 1..n, descending score, ascending key tiebreak
+    ra = np.empty(n, dtype=np.int64)
+    ra[np.lexsort((k, -sa))] = np.arange(1, n + 1)
+    rb = np.empty(n, dtype=np.int64)
+    rb[np.lexsort((k, -sb))] = np.arange(1, n + 1)
+    footrule = int(np.abs(ra - rb).sum())
+    da = ra[:, None] - ra[None, :]
+    db = rb[:, None] - rb[None, :]
+    kendall = int(((da > 0) & (db < 0)).sum())
+    # RBO at full depth: (1-p) Σ_d p^(d-1) |top_d(A) ∩ top_d(B)| / d
+    depth = np.arange(1, n + 1, dtype=np.float64)
+    overlap = np.empty(n, dtype=np.int64)
+    inter = (ra[:, None] <= depth[None, :]) & (rb[:, None] <= depth[None, :])
+    overlap = inter.sum(axis=0)
+    rbo = float((1.0 - rbo_p)
+                * (np.power(rbo_p, depth - 1.0) * overlap / depth).sum())
+    return pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "footrule": pa.array([footrule], pa.int64()),
+        "kendall_dist": pa.array([kendall], pa.int64()),
+        "rbo": pa.array([rbo], pa.float64()),
+    })
