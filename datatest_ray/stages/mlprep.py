@@ -34,7 +34,7 @@ from .sampling import _key_units
 
 __all__ = ["fd_violations", "target_encode", "split_balance",
            "quantize_report", "impute_group_median", "quantile_normalize",
-           "l_diversity"]
+           "l_diversity" "eb_shrunk_rates",]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -516,3 +516,99 @@ def calibration_bins(ds, *, score_col: str, label_col: str,
 
     return merged.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def eb_shrunk_rates(ds, *, key_col: str, flag_expr, flag_col: str,
+                    min_n: int = 5):
+    """Empirical-Bayes (beta-binomial, method-of-moments) shrinkage of
+    per-key success rates: small-sample keys are pulled toward the
+    population mean so a 1-for-2 user doesn't outrank a 400-for-1000
+    one — the standard fix before ranking keys by rate.
+
+    Prior from the observed rates of keys with n ≥ ``min_n``:
+    m = mean(raw), v = var_samp(raw), common = m(1−m)/v − 1,
+    α = m·common; shrunk = (k + α)/(n + common).  The prior moments
+    are two scalar aggregates (no collect of data); the per-key pass
+    attaches raw + shrunk.  Output per eligible key:
+    (key, n, k, raw, shrunk) — shrunk NULL when the prior is
+    degenerate (zero between-key variance).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col)
+        flag = flag_expr(t)
+        ok = pc.and_(pc.is_valid(keys), pc.is_valid(flag))
+        tt = pa.table({"k": keys,
+                       "f": pc.cast(flag, pa.int64())}).filter(ok)
+        kv = tt.column("k").to_numpy(zero_copy_only=False)
+        fv = tt.column("f").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(kv, return_inverse=True)
+        return pa.table({
+            "key": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "k": pa.array(np.bincount(
+                inv, weights=fv).astype(np.int64)),
+        })
+
+    keyed = (ds.select_columns(
+        list(dict.fromkeys([key_col, flag_col])))
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+    ).materialize()
+
+    def eligible(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n"),
+                                      pa.scalar(min_n, pa.int64())))
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        raw = k / n
+        return pa.table({
+            "key": t.column("key"),
+            "n": t.column("n"), "k": t.column("k"),
+            "raw": pa.array(raw, pa.float64()),
+        })
+
+    el = keyed.map_batches(eligible, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    def moments(t: pa.Table) -> pa.Table:
+        r = t.column("raw").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s1": pa.array([float(r.sum())]),
+            "s2": pa.array([float((r * r).sum())]),
+            "m": pa.array([len(r)], pa.int64()),
+        })
+
+    agg = el.map_batches(moments, batch_format="pyarrow",
+                         zero_copy_batch=True).aggregate(
+        Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"),
+        Sum("m", alias_name="m"))
+    s1, s2, m = float(agg["s1"]), float(agg["s2"]), int(agg["m"])
+    common = None
+    if m >= 2:
+        mean = s1 / m
+        v = (s2 - s1 * s1 / m) / (m - 1)
+        if v > 0:
+            c = mean * (1 - mean) / v - 1
+            if c > 0:
+                common = (mean, c)
+
+    def attach(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if common is None:
+            shrunk = pa.nulls(t.num_rows, pa.float64())
+        else:
+            mean, c = common
+            shrunk = pa.array((k + mean * c) / (n + c), pa.float64())
+        return t.append_column("shrunk", shrunk)
+
+    return el.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)

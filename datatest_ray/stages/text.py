@@ -41,6 +41,7 @@ __all__ = [
     "unnest_tokens",
     "redact",
     "tfidf_top_terms",
+    "bpe_train",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -1371,3 +1372,118 @@ def ngram_diversity(ds, text_col: str, *, group_col: str, n: int = 3,
     ).groupby(group_col).aggregate(
         Sum("n_distinct", alias_name="n_distinct"),
         Sum("n_docgrams", alias_name="n_docgrams"))
+
+
+def bpe_train(ds, text_col: str, *, n_merges: int = 8,
+              min_pair_count: int = 2):
+    """Distributed byte-pair-encoding trainer (Sennrich-style): learn
+    ``n_merges`` merges over the corpus' WORD-FREQUENCY table — the
+    tokenizer-training step of an LLM data pipeline.
+
+    Plan (each round is bounded by the VOCAB, never the corpus):
+
+    1. one corpus pass → (word, count) via groupby (the only
+       row-scale shuffle);
+    2. per round: vectorized adjacent-symbol pair counts over the
+       vocab Dataset (flat split + offset mask, weighted by word
+       count) → one tiny groupby(pair) → best pair by
+       (count DESC, pair ASC — a deterministic tie-break) →
+       re-segment via a single non-overlapping left-to-right
+       ``replace_substring`` (exactly the greedy-left merge BPE
+       applies) and materialize the next vocab state.
+
+    Stops early when the best pair's count drops below
+    ``min_pair_count``.  Output: one row per learned merge
+    (merge_rank, left, right, pair_count) — rows-only vs SQL by
+    design (iterative re-segmentation is not expressible in one
+    query); parity is pinned against a brute-force reference in
+    tests.
+    """
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"
+
+    def word_counts(t: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(t.column(text_col))
+        w = flat.to_numpy(zero_copy_only=False)
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"w": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    vocab = (ds.select_columns([text_col])
+             .map_batches(word_counts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("w").aggregate(Sum("c", alias_name="c")))
+
+    def to_seq(t: pa.Table) -> pa.Table:
+        w = t.column("w").to_pylist()
+        return pa.table({
+            "seq": pa.array([SEP.join(x) for x in w]),
+            "c": t.column("c"),
+        })
+
+    state = vocab.map_batches(to_seq, batch_format="pyarrow").materialize()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        seqs = t.column("seq")
+        seqs = (seqs.combine_chunks()
+                if isinstance(seqs, pa.ChunkedArray) else seqs)
+        parts = pc.split_pattern(seqs, pattern=SEP)
+        parts = (parts.combine_chunks()
+                 if isinstance(parts, pa.ChunkedArray) else parts)
+        flat = parts.flatten()
+        offsets = parts.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n_rows = len(offsets) - 1
+        cnt = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        row = np.repeat(np.arange(n_rows, dtype=np.int64),
+                        np.diff(offsets))
+        if len(row) < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = row[1:] == row[:-1]
+        fl = flat.to_numpy(zero_copy_only=False)
+        left = fl[:-1][same]
+        right = fl[1:][same]
+        w = cnt[row[:-1][same]]
+        pairs = np.char.add(np.char.add(
+            left.astype(str), SEP), right.astype(str))
+        u, inv = np.unique(pairs, return_inverse=True)
+        return pa.table({
+            "pair": pa.array(u),
+            "n": pa.array(np.bincount(
+                inv, weights=w).astype(np.int64)),
+        })
+
+    merges = []
+    for rank in range(n_merges):
+        best = (state.map_batches(pair_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                .groupby("pair").aggregate(Sum("n", alias_name="n"))
+                .sort(["n", "pair"], descending=[True, False])
+                .limit(1).take_all())
+        if not best or int(best[0]["n"]) < min_pair_count:
+            break
+        pair = best[0]["pair"]
+        left, right = pair.split(SEP)
+        merges.append((rank + 1, left, right, int(best[0]["n"])))
+
+        def apply_merge(t: pa.Table, pat=pair,
+                        rep=left + right) -> pa.Table:
+            return pa.table({
+                "seq": pc.replace_substring(t.column("seq"),
+                                            pattern=pat,
+                                            replacement=rep),
+                "c": t.column("c"),
+            })
+
+        state = state.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "merge_rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
