@@ -41,6 +41,7 @@ __all__ = [
     "somers_d",
     "blomqvist_beta",
     "rank_agreement",
+    "lmoments",
 ]
 
 
@@ -1439,3 +1440,101 @@ def rank_agreement(ds, *, key_col: str, score_a, score_b,
         "kendall_dist": pa.array([kendall], pa.int64()),
         "rbo": pa.array([rbo], pa.float64()),
     })
+
+
+def lmoments(ds, *, value_col: str):
+    """Exact distributed L-moments of a currency column: λ1 (mean),
+    λ2 (L-scale), and the L-moment ratios τ (L-CV), τ3 (L-skewness),
+    τ4 (L-kurtosis) — the robust shape summary used for distribution
+    fitting and drift checks (bounded, far less outlier-driven than
+    classical skew/kurtosis).
+
+    From probability-weighted sums S_k = Σ_i C(i−1, k)·x_(i) over the
+    GLOBAL sort order: ties are handled exactly with the hockey-stick
+    identity Σ_{i=lo..hi} C(i−1, k) = C(hi, k+1) − C(lo−1, k+1), so
+    each distinct value contributes one big-integer term — no row
+    ever needs a global rank.  b_k = S_k/(n·C(n−1, k)), then
+
+        λ2 = 2b1 − b0,  λ3 = 6b2 − 6b1 + b0,
+        λ4 = 20b3 − 30b2 + 12b1 − b0.
+
+    Shuffle payload: O(distinct cents values).  Output one row
+    (n, l1, l2, t, t3, t4).
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        cents = pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+        tt = pa.table({"c": cents}).filter(pc.is_valid(cents))
+        c = tt.column("c").to_numpy(zero_copy_only=False)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    merged = (ds.select_columns([value_col])
+              .map_batches(counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("v").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("l1", pa.float64()),
+                            ("l2", pa.float64()), ("t", pa.float64()),
+                            ("t3", pa.float64()), ("t4", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("cnt").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, cnt = v[order], cnt[order]
+        n = int(cnt.sum())
+        if n < 4:
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                **{c: pa.array([None], pa.float64())
+                   for c in ("l1", "l2", "t", "t3", "t4")},
+            })
+
+        def c2(x):
+            return x * (x - 1) // 2
+
+        def c3(x):
+            return x * (x - 1) * (x - 2) // 6
+
+        def c4(x):
+            return x * (x - 1) * (x - 2) * (x - 3) // 24
+
+        s = [0, 0, 0, 0]
+        hi = 0
+        for val, c in zip(v, cnt):
+            lo = hi + 1
+            hi += int(c)
+            val = int(val)
+            s[0] += (hi - (lo - 1)) * val
+            s[1] += (c2(hi) - c2(lo - 1)) * val
+            s[2] += (c3(hi) - c3(lo - 1)) * val
+            s[3] += (c4(hi) - c4(lo - 1)) * val
+        # b_k = S_k / (n · C(n−1, k)) — denominators as exact ints
+        b0 = float(s[0]) / n
+        b1 = float(s[1]) / float(n * (n - 1))
+        b2 = float(s[2]) / float(n * c2(n - 1))
+        b3 = float(s[3]) / float(n * c3(n - 1))
+        l1 = b0 / 100.0
+        l2 = (2.0 * b1 - b0) / 100.0
+        l3 = (6.0 * b2 - 6.0 * b1 + b0) / 100.0
+        l4 = (20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0) / 100.0
+        tau = l2 / l1 if l1 != 0 else None
+        t3 = l3 / l2 if l2 != 0 else None
+        t4 = l4 / l2 if l2 != 0 else None
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "l1": pa.array([l1], pa.float64()),
+            "l2": pa.array([l2], pa.float64()),
+            "t": pa.array([tau], pa.float64()),
+            "t3": pa.array([t3], pa.float64()),
+            "t4": pa.array([t4], pa.float64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -94,3 +94,38 @@ class TestRankAgreement:
         ref = 0.1 * (0.9 ** 0 * 0 / 1 + 0.9 ** 1 * 0 / 2
                      + 0.9 ** 2 * 2 / 3 + 0.9 ** 3 * 4 / 4)
         assert abs(r["rbo"] - ref) < 1e-12
+
+
+class TestLMoments:
+    def test_matches_direct_definition(self, ray_session):
+        from math import comb
+
+        from datatest_ray.stages.stattests import lmoments
+
+        rng = np.random.RandomState(0)
+        x = np.round(rng.gamma(2.0, 50.0, 400), 2)
+        t = pa.table({"v": pa.array(x)})
+        out = lmoments(_ds(t), value_col="v").to_pandas()
+        c = np.sort(np.round(x * 100).astype(np.int64))
+        n = len(c)
+        b = [sum(comb(i, k) * int(c[i]) for i in range(n))
+             / (n * comb(n - 1, k)) for k in range(4)]
+        l1 = b[0] / 100
+        l2 = (2 * b[1] - b[0]) / 100
+        l3 = (6 * b[2] - 6 * b[1] + b[0]) / 100
+        l4 = (20 * b[3] - 30 * b[2] + 12 * b[1] - b[0]) / 100
+        r = out.iloc[0]
+        assert r["n"] == n
+        assert abs(r["l1"] - l1) < 1e-9
+        assert abs(r["l2"] - l2) < 1e-9
+        assert abs(r["t3"] - l3 / l2) < 1e-9
+        assert abs(r["t4"] - l4 / l2) < 1e-9
+
+    def test_symmetric_distribution_zero_lskew(self, ray_session):
+        from datatest_ray.stages.stattests import lmoments
+
+        x = np.concatenate([np.arange(1.0, 51.0), 102.0 - np.arange(
+            1.0, 51.0)])  # symmetric around 51
+        t = pa.table({"v": pa.array(x)})
+        out = lmoments(_ds(t), value_col="v").to_pandas()
+        assert abs(out.iloc[0]["t3"]) < 1e-12
