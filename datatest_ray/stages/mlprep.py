@@ -34,7 +34,7 @@ from .sampling import _key_units
 
 __all__ = ["fd_violations", "target_encode", "split_balance",
            "quantize_report", "impute_group_median", "quantile_normalize",
-           "l_diversity" "eb_shrunk_rates",]
+           "l_diversity", "eb_shrunk_rates", "t_closeness"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -612,3 +612,77 @@ def eb_shrunk_rates(ds, *, key_col: str, flag_expr, flag_col: str,
 
     return el.map_batches(attach, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def t_closeness(ds, *, qi_col: str, sensitive_col: str):
+    """t-closeness audit: for every quasi-identifier group, the earth
+    mover's distance between the group's sensitive-value distribution
+    and the GLOBAL one — the release is t-close iff max(emd) ≤ t.
+    Complements :func:`l_diversity` (diversity says "many values";
+    closeness says "the same SHAPE of values", blocking skew attacks
+    where a group is diverse but concentrated in the tail).
+
+    Exact 1-D EMD over the sorted distinct cents values:
+    Σ_i |F_g(v_i) − F(v_i)| · (v_{i+1} − v_i), from one
+    (group, value) count shuffle; the distance table is
+    groups × distinct values on the finalize.  Output per group:
+    (qi, n, emd) in original currency units.
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        g = t.column(qi_col)
+        v = t.column(sensitive_col)
+        cents = pc.cast(pc.round(pc.multiply(v, 100.0)), pa.int64())
+        ok = pc.and_(pc.is_valid(g), pc.is_valid(cents))
+        tt = pa.table({"g": g, "v": cents}).filter(ok)
+        gv = tt.column("g").to_numpy(zero_copy_only=False)
+        vv = tt.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vv, gv))
+        gv, vv = gv[order], vv[order]
+        new = np.ones(len(gv), dtype=bool)
+        if len(gv) > 1:
+            new[1:] = (gv[1:] != gv[:-1]) | (vv[1:] != vv[:-1])
+        seg = np.cumsum(new) - 1
+        first = np.flatnonzero(new)
+        return pa.table({
+            "g": pa.array(gv[first]),
+            "v": pa.array(vv[first], pa.int64()),
+            "c": pa.array(np.bincount(seg).astype(np.int64)),
+        })
+
+    merged = (ds.select_columns([qi_col, sensitive_col])
+              .map_batches(counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["g", "v"])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(qi_col, pa.string()), ("n", pa.int64()),
+                            ("emd", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        ug, gi = np.unique(g, return_inverse=True)
+        uv, vi = np.unique(v, return_inverse=True)
+        m, k = len(uv), len(ug)
+        mat = np.zeros((k, m), dtype=np.int64)
+        np.add.at(mat, (gi, vi), c)
+        cum_g = np.cumsum(mat, axis=1).astype(np.float64)
+        n_g = mat.sum(axis=1).astype(np.float64)
+        cum_all = np.cumsum(mat.sum(axis=0)).astype(np.float64)
+        n_all = float(cum_all[-1])
+        gaps = (uv[1:] - uv[:-1]).astype(np.float64)
+        diff = np.abs(cum_g[:, :-1] / n_g[:, None]
+                      - cum_all[None, :-1] / n_all)
+        emd = (diff * gaps[None, :]).sum(axis=1) / 100.0
+        return pa.table({
+            qi_col: pa.array(ug),
+            "n": pa.array(n_g.astype(np.int64)),
+            "emd": pa.array(emd, pa.float64()),
+        })
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -114,3 +114,32 @@ class TestEbShrunkRates:
             flag_expr=lambda b: pc.equal(b.column("f"), 1),
             flag_col="f", min_n=5).to_pandas()
         assert list(out["key"]) == [1]
+
+
+class TestTCloseness:
+    def test_identical_groups_zero_emd(self, ray_session):
+        from datatest_ray.stages.mlprep import t_closeness
+
+        vals = [1.0, 2.0, 3.0, 4.0]
+        t = pa.table({
+            "g": ["a"] * 4 + ["b"] * 4,
+            "v": pa.array(vals + vals),
+        })
+        out = t_closeness(_ds(t), qi_col="g",
+                          sensitive_col="v").to_pandas()
+        assert len(out) == 2
+        assert np.abs(out["emd"]).max() < 1e-12
+
+    def test_shifted_group_emd_equals_shift(self, ray_session):
+        from datatest_ray.stages.mlprep import t_closeness
+
+        # group a at 0, group b at 10: each group's EMD to the pooled
+        # 50/50 mixture is half the gap = 5.0
+        t = pa.table({
+            "g": ["a"] * 5 + ["b"] * 5,
+            "v": pa.array([0.0] * 5 + [10.0] * 5),
+        })
+        out = t_closeness(_ds(t), qi_col="g",
+                          sensitive_col="v").to_pandas().set_index("g")
+        assert abs(out.loc["a", "emd"] - 5.0) < 1e-12
+        assert abs(out.loc["b", "emd"] - 5.0) < 1e-12
