@@ -25,7 +25,7 @@ from ..functions.aggregates import hash64
 
 __all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
            "group_zscore", "rank_window", "percent_rank",
-           "trailing_range_agg", "ntile_window"]
+           "trailing_range_agg", "ntile_window", "record_counts"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -552,3 +552,66 @@ def ntile_window(ds, *, by: str, value_col: str, id_col: str, k: int = 4,
     return _bucketed(ds, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([id_col, by, "tile"])
+
+
+def record_counts(ds, *, by: str, ts_col: str, value_col: str,
+                  id_col: str, n_buckets: int = 256):
+    """Per-key count of RECORD events: rows whose value strictly
+    exceeds the key's running maximum over (ts, id) order — "how often
+    does this user set a new personal best", the streak/engagement
+    feature and a quick stationarity probe (a stationary series sets
+    ~ln(n) records; a trending one far more).
+
+    The first row of a key is NOT a record (empty preceding frame —
+    matches SQL ``v > max(v) OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` where the empty max is NULL).  One
+    coarse-key shuffle; per-key running max via vectorized
+    ``np.maximum.accumulate`` per segment (the Python loop is over
+    KEYS in a bucket, never rows).  Output per key:
+    (by, n, n_records).
+    """
+    need = list(dict.fromkeys([by, ts_col, value_col, id_col]))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        ok = None
+        for c in need:
+            v = pc.is_valid(batch.column(c))
+            ok = v if ok is None else pc.and_(ok, v)
+        return batch.select(need).filter(ok)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), (ts_col, "ascending"),
+                           (id_col, "ascending")])
+        keys = t.column(by).to_numpy(zero_copy_only=False)
+        v = t.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n = len(v)
+        if n == 0:
+            return pa.table({by: pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "n_records": pa.array([], pa.int64())})
+        new = _segments(keys)
+        starts = np.flatnonzero(new)
+        bounds = np.append(starts, n)
+        out_k, out_n, out_r = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = v[s:e]
+            if len(seg) < 2:
+                rec = 0
+            else:
+                run = np.maximum.accumulate(seg)
+                rec = int((seg[1:] > run[:-1]).sum())
+            out_k.append(keys[s])
+            out_n.append(e - s)
+            out_r.append(rec)
+        return pa.table({
+            by: pa.array(out_k, pa.int64()),
+            "n": pa.array(out_n, pa.int64()),
+            "n_records": pa.array(out_r, pa.int64()),
+        })
+
+    pre = ds.select_columns(need).map_batches(
+        clean, batch_format="pyarrow", zero_copy_batch=True)
+    return _bucketed(pre, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow"
+    ).select_columns([by, "n", "n_records"])
