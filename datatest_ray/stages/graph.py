@@ -41,7 +41,8 @@ from .dedup import _N_COARSE, _concat_ranges_np
 
 __all__ = ["connected_components", "degree_histogram", "er_cluster_sizes",
            "cluster_size_histogram", "pagerank", "projected_edges",
-           "triangle_stats", "bradley_terry"]
+           "triangle_stats", "bradley_terry", "bfs_levels",
+           "degree_assortativity"]
 
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
@@ -719,3 +720,156 @@ def bradley_terry(pairs_ds, *, winner_col: str, loser_col: str,
         "games": pa.array(games.astype(np.int64)),
         "strength": pa.array(p, pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# BFS hop levels — broadcast-frontier rounds
+# ---------------------------------------------------------------------------
+
+def bfs_levels(edges_ds, *, src_col: str = "u", dst_col: str = "v",
+               source: int, max_hops: int = 6):
+    """Hop distance (BFS level) from ``source`` over a DIRECTED edge
+    list (symmetrize upstream for undirected graphs).  Returns a
+    Dataset ``(node:int64, level:int64)`` with one row per node
+    reachable within ``max_hops`` hops, ``source`` included at level 0.
+
+    Scale plan: the edge list stays a Dataset and is scanned once per
+    level (``max_hops`` bounded passes); the FRONTIER — the only
+    node-sized state — is broadcast once per round via ``ray.put`` and
+    probed inside ``map_batches`` with a vectorized ``np.isin``, so no
+    shuffle is needed at all.  This is the standard broadcast-frontier
+    BFS, valid while the visited set fits driver memory (node ids, not
+    rows — ~8 bytes/node).  For graphs whose NODE set outgrows one
+    machine, switch to the dataset-state co-group rounds used by
+    :func:`pagerank` (frontier as a Dataset, one fused shuffle/round);
+    the per-level semantics are identical.
+
+    No analogue in upstream datatest (flat-value validation only);
+    §2.I graph-extension family.
+    """
+    import ray
+    import ray.data
+
+    edges = edges_ds.select_columns([src_col, dst_col]).materialize()
+
+    visited = np.array([source], dtype=np.int64)
+    frontier = np.array([source], dtype=np.int64)
+    nodes = [np.array([source], dtype=np.int64)]
+    levels = [np.zeros(1, dtype=np.int64)]
+
+    for level in range(1, max_hops + 1):
+        ref = ray.put(np.sort(frontier))
+
+        def probe(t: pa.Table, _ref=ref) -> pa.Table:
+            f = ray.get(_ref)
+            s = t.column(src_col).to_numpy(zero_copy_only=False)
+            hit = np.isin(s.astype(np.int64), f, assume_unique=False)
+            d = t.column(dst_col).to_numpy(zero_copy_only=False)[hit]
+            return pa.table({"n": pa.array(
+                np.unique(d.astype(np.int64)))})
+
+        reached = edges.map_batches(
+            probe, batch_format="pyarrow", zero_copy_batch=True)
+        # per-block unique above is the combiner; the driver-side
+        # np.unique merges the (node-bounded) partials
+        parts = [b.column("n").to_numpy(zero_copy_only=False)
+                 for b in reached.iter_batches(batch_format="pyarrow")]
+        cand = (np.unique(np.concatenate(parts)) if parts
+                else np.array([], dtype=np.int64))
+        new = cand[~np.isin(cand, visited)]
+        if new.size == 0:
+            break
+        nodes.append(new)
+        levels.append(np.full(new.size, level, dtype=np.int64))
+        visited = np.concatenate([visited, new])
+        visited.sort()
+        frontier = new
+
+    return ray.data.from_arrow(pa.table({
+        "node": pa.array(np.concatenate(nodes)),
+        "level": pa.array(np.concatenate(levels)),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — exact integer moments over the edge list
+# ---------------------------------------------------------------------------
+
+def degree_assortativity(edges_ds, *, src_col: str = "u",
+                         dst_col: str = "v", n_buckets: int = 64):
+    """Pearson correlation of endpoint degrees over an UNDIRECTED
+    simple graph given as a distinct edge list (each edge once; the
+    function symmetrizes internally, the standard convention for
+    undirected assortativity).  Returns a one-row pa.Table
+    ``(n_edges_directed:int64, assortativity:float64)``.
+
+    Exactness: degrees are integers, so all five moments (Σx, Σy,
+    Σxy, Σx², Σy²) accumulate as int64 partials (bound: deg ≤ 2^21
+    and |E| ≤ 2^21 keeps Σx² < 2^63; beyond that raise to Python-int
+    partials) and ONE float conversion at the end mirrors the SQL
+    expression tree op-for-op — hash-exact against the DuckDB oracle.
+
+    Scale plan: symmetrize → degree = one groupby(node) count →
+    attach deg(u), deg(v) with two many-to-one :func:`lookup_join`
+    passes (degree table is uniquely keyed) → per-batch int64 moment
+    partials → one tiny Sum aggregate.  Nothing node- or edge-sized
+    reaches the driver.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from .relational import lookup_join
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    sym_ds = edges_ds.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    from ray.data.aggregate import Count
+    deg = sym_ds.groupby("u").aggregate(Count(alias_name="d"))
+    deg = deg.map_batches(
+        lambda t: pa.table({"node": t.column("u"),
+                            "d": pc.cast(t.column("d"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    both = lookup_join(
+        lookup_join(sym_ds, deg, on="u", right_on="node",
+                    right_cols=["d"], n_buckets=n_buckets)
+        .map_batches(lambda t: t.rename_columns(
+            ["u", "v", "x"]), batch_format="pyarrow"),
+        deg, on="v", right_on="node", right_cols=["d"],
+        n_buckets=n_buckets)
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+        })
+
+    row = both.map_batches(
+        moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"))
+    n = int(row["n"] or 0)
+    if n == 0:
+        return pa.table({"n_edges_directed": pa.array([], pa.int64()),
+                         "assortativity": pa.array([], pa.float64())})
+    sx, sy = int(row["sx"]), int(row["sy"])
+    sxy, sxx, syy = int(row["sxy"]), int(row["sxx"]), int(row["syy"])
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = math.sqrt((float(n) * float(sxx) - float(sx) * float(sx))
+                    * (float(n) * float(syy) - float(sy) * float(sy)))
+    r = num / den if den else float("nan")
+    return pa.table({"n_edges_directed": pa.array([n], pa.int64()),
+                     "assortativity": pa.array([r], pa.float64())})
