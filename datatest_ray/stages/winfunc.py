@@ -25,7 +25,8 @@ from ..functions.aggregates import hash64
 
 __all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
            "group_zscore", "rank_window", "percent_rank",
-           "trailing_range_agg", "ntile_window", "record_counts"]
+           "trailing_range_agg", "ntile_window", "record_counts",
+           "trailing_distinct"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -615,3 +616,59 @@ def record_counts(ds, *, by: str, ts_col: str, value_col: str,
     return _bucketed(pre, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns([by, "n", "n_records"])
+
+
+def trailing_distinct(ds, *, by: str, ts_col: str, type_col: str,
+                      id_col: str, window_us: int = 3_600_000_000,
+                      n_buckets: int = 256):
+    """SQL ``count(DISTINCT type) OVER (PARTITION BY by RANGE window)``
+    — for every row, how many distinct ``type_col`` values the same
+    key produced in the trailing time window ``(t - W, t]`` (the
+    anchor row included).  No window-function form exists for
+    DISTINCT in most engines; the oracle is the correlated self-join.
+
+    Kernel (same plan as the rest of this module — one coarse-bucket
+    shuffle, per-bucket Arrow sort): per key segment the window bounds
+    come from two vectorized ``searchsorted`` calls, and the distinct
+    count is Σ_c [last-occurrence(c) within window] computed with ONE
+    ``np.maximum.accumulate`` pass per DISTINCT type — O(C·n) per key,
+    no Python over rows (C = types per key, small by construction for
+    event-type columns).  Window semantics are time-based, so rows
+    sharing the anchor's timestamp all count, regardless of tie order.
+
+    Output: (id_col, by, n_types) int64.
+    """
+    need = [by, ts_col, type_col, id_col]
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), (ts_col, "ascending"),
+                           (id_col, "ascending")])
+        k = t.column(by).to_numpy(zero_copy_only=False)
+        ts = pc.cast(t.column(ts_col), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        typ = t.column(type_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(k)
+        out = np.zeros(n, dtype=np.int64)
+        new = _segments(k)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            tseg = ts[s:e]
+            lo = np.searchsorted(tseg, tseg - window_us, side="right")
+            hi = np.searchsorted(tseg, tseg, side="right") - 1
+            _, inv = np.unique(typ[s:e], return_inverse=True)
+            idx = np.arange(e - s)
+            cnt = np.zeros(e - s, dtype=np.int64)
+            for c in range(inv.max() + 1 if e > s else 0):
+                last = np.maximum.accumulate(
+                    np.where(inv == c, idx, -1))
+                cnt += last[hi] >= lo
+            out[s:e] = cnt
+        return pa.table({
+            id_col: pa.array(ids), by: pa.array(k),
+            "n_types": pa.array(out),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow")
