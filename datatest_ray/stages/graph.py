@@ -42,7 +42,7 @@ from .dedup import _N_COARSE, _concat_ranges_np
 __all__ = ["connected_components", "degree_histogram", "er_cluster_sizes",
            "cluster_size_histogram", "pagerank", "projected_edges",
            "triangle_stats", "bradley_terry", "bfs_levels",
-           "degree_assortativity"]
+           "degree_assortativity", "k_core"]
 
 _LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("cluster_id", pa.int64())])
 
@@ -873,3 +873,77 @@ def degree_assortativity(edges_ds, *, src_col: str = "u",
     r = num / den if den else float("nan")
     return pa.table({"n_edges_directed": pa.array([n], pa.int64()),
                      "assortativity": pa.array([r], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed k) — iterative peeling rounds
+# ---------------------------------------------------------------------------
+
+def k_core(edges_ds, *, src_col: str = "u", dst_col: str = "v",
+           k: int = 2, max_iters: int = 64):
+    """Nodes of the k-core (maximal subgraph where every node keeps
+    degree ≥ k) of an UNDIRECTED simple graph given as a distinct
+    edge list.  Returns a Dataset ``(node:int64, degree:int64)`` —
+    each survivor with its degree INSIDE the core.
+
+    Peeling rounds: degrees come from one distributed groupby per
+    round; the shrinking ALIVE node set — node-ids only, the same
+    bounded driver state as :func:`bfs_levels`'s visited set — is
+    broadcast via ``ray.put`` and probed with ``np.isin`` to filter
+    the edge Dataset for the next round.  Rounds stop when no node
+    falls below k (monotone: the alive set only shrinks, so ≤ |V|
+    rounds; in practice a handful).  For node sets beyond driver
+    memory, the alive set becomes a Dataset and the filter a
+    :func:`..relational.lookup_join` semi-join — same round shape.
+
+    Iterative peeling is not SQL-expressible (aggregates per round);
+    rows-only under the driver gate, parity pinned by brute-force
+    tests.  §2.I graph-extension family.
+    """
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Count
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    edges = edges_ds.map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    n_alive = None
+    for _ in range(max_iters):
+        deg = edges.groupby("u").aggregate(Count(alias_name="d"))
+        parts = list(deg.iter_batches(batch_format="pyarrow",
+                                      batch_size=65536))
+        if not parts:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "degree": pa.array([], pa.int64())}))
+        dt = pa.concat_tables(parts)
+        nodes = dt.column("u").to_numpy(zero_copy_only=False)
+        degs = dt.column("d").to_numpy(zero_copy_only=False)
+        alive = np.sort(nodes[degs >= k].astype(np.int64))
+        if alive.size == n_alive:
+            return ray.data.from_arrow(pa.table({
+                "node": pa.array(nodes.astype(np.int64)),
+                "degree": pa.array(degs.astype(np.int64)),
+            }))
+        n_alive = alive.size
+        ref = ray.put(alive)
+
+        def keep(t: pa.Table, _ref=ref) -> pa.Table:
+            a = ray.get(_ref)
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            m = np.isin(u, a) & np.isin(v, a)
+            return pa.table({"u": pa.array(u[m]), "v": pa.array(v[m])})
+
+        edges = edges.map_batches(
+            keep, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+
+    raise RuntimeError("k_core did not converge; raise max_iters")

@@ -26,7 +26,7 @@ from ..functions.aggregates import hash64
 __all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
            "group_zscore", "rank_window", "percent_rank",
            "trailing_range_agg", "ntile_window", "record_counts",
-           "trailing_distinct"]
+           "trailing_distinct", "capped_balance"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -668,6 +668,59 @@ def trailing_distinct(ds, *, by: str, ts_col: str, type_col: str,
         return pa.table({
             id_col: pa.array(ids), by: pa.array(k),
             "n_types": pa.array(out),
+        })
+
+    return _bucketed(ds, need, by, n_buckets).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def capped_balance(ds, *, by: str, ts_col: str, delta_col: str,
+                   id_col: str, n_buckets: int = 256):
+    """Floor-at-zero running balance per key — the inventory/meter/
+    prepaid-credit recursion ``bal_i = max(0, bal_{i-1} + d_i)`` over
+    ``(ts, id)`` order, plus the count of floor hits (resets).
+
+    The recursion LOOKS inherently sequential but has a closed
+    vectorized form: with ``c_i = Σ_{j≤i} d_j`` and ``m_i = min(0,
+    min_{j≤i} c_j)``, ``bal_i = c_i - m_i`` and row i RESETS exactly
+    when ``c_i - m_{i-1} < 0`` — two ``cumsum``/``minimum.accumulate``
+    passes per key segment, no Python over rows.  Deltas must be
+    integers (cents) so the identity is exact and hash-stable against
+    the recursive-CTE oracle; same coarse-bucket plan as the rest of
+    this module.
+
+    Output: (by, n_events, final_bal, n_resets) int64 — final balance
+    per key.
+    """
+    need = [by, ts_col, delta_col, id_col]
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), (ts_col, "ascending"),
+                           (id_col, "ascending")])
+        k = t.column(by).to_numpy(zero_copy_only=False)
+        d = t.column(delta_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(k)
+        new = _segments(k)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        keys, nev, fin, rst = [], [], [], []
+        for s, e in zip(starts, ends):
+            c = np.cumsum(d[s:e])
+            runmin = np.minimum.accumulate(c)
+            m = np.minimum(runmin, 0)
+            m_prev = np.empty(e - s, dtype=np.int64)
+            m_prev[0] = 0
+            m_prev[1:] = m[:-1]
+            keys.append(k[s])
+            nev.append(e - s)
+            fin.append(int(c[-1] - m[-1]))
+            rst.append(int(np.count_nonzero(c - m_prev < 0)))
+        return pa.table({
+            by: pa.array(keys, pa.int64()),
+            "n_events": pa.array(nev, pa.int64()),
+            "final_bal": pa.array(fin, pa.int64()),
+            "n_resets": pa.array(rst, pa.int64()),
         })
 
     return _bucketed(ds, need, by, n_buckets).map_groups(
