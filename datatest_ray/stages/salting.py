@@ -31,7 +31,8 @@ import pyarrow as pa
 
 from ..functions.aggregates import hash64
 
-__all__ = ["salted_distinct_count", "salted_group_map", "add_salt_column"]
+__all__ = ["salted_distinct_count", "salted_group_map", "add_salt_column",
+           "zorder_histogram", "morton_sql_expr"]
 
 
 def add_salt_column(ds, on: str, salt: int, *, by_value: bool = True,
@@ -100,3 +101,81 @@ def salted_group_map(ds, key: str, partial_fn: Callable, merge_fn: Callable,
         partial_fn, batch_format="pyarrow"
     )
     return partials.groupby(key).map_groups(merge_fn, batch_format="pyarrow")
+
+
+def _morton_interleave(qx: np.ndarray, qy: np.ndarray,
+                       bits: int) -> np.ndarray:
+    """Bit-interleaved Morton/Z code (x in the odd bits)."""
+    code = np.zeros(len(qx), dtype=np.int64)
+    for b in range(bits):
+        code |= ((qx >> b) & 1) << (2 * b + 1)
+        code |= ((qy >> b) & 1) << (2 * b)
+    return code
+
+
+def morton_sql_expr(x_expr: str, y_expr: str, bits: int) -> str:
+    """The DuckDB expression mirroring :func:`_morton_interleave` —
+    generated term-by-term so engine and oracle share ONE definition."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x_expr} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({y_expr} >> {b}) & 1) << {2 * b})")
+    return " + ".join(terms)
+
+
+def zorder_histogram(ds, *, x_col: str, y_col: str,
+                     x_min: float, x_max: float,
+                     y_min: float, y_max: float,
+                     bits: int = 8, bucket_shift: int = 10):
+    """Z-order (Morton space-filling curve) locality audit — the
+    layout primitive behind multi-column data clustering (Delta/Iceberg
+    ``ZORDER BY``): both columns quantize to ``bits``-bit grid cells,
+    the cell coordinates bit-interleave into one code, and rows bucket
+    by ``code >> bucket_shift``.  Rows close in BOTH columns land in
+    the same bucket, so range predicates on either column touch few
+    buckets — the histogram (with each bucket's code span) is the
+    pruning evidence.
+
+    Everything after the quantization is integer-exact; the quantize
+    itself is one float expression mirrored op-for-op by
+    :func:`morton_sql_expr`-based SQL.  One vectorized pass + one
+    small groupby(bucket) — no shuffle wider than the bucket count.
+
+    Output: (bucket, n, code_lo, code_hi) int64.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    hi = (1 << bits) - 1
+    sx = float(2 ** bits)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        ok = None
+        for c in (x_col, y_col):
+            v = pc.is_valid(t.column(c))
+            ok = v if ok is None else pc.and_(ok, v)
+        t = t.filter(ok)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        qx = np.clip(np.floor(((x - x_min) * sx) / (x_max - x_min)),
+                     0, hi).astype(np.int64)
+        qy = np.clip(np.floor(((y - y_min) * sx) / (y_max - y_min)),
+                     0, hi).astype(np.int64)
+        code = _morton_interleave(qx, qy, bits)
+        return pa.table({"bucket": pa.array(code >> bucket_shift),
+                         "code": pa.array(code)})
+
+    agg = ds.map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").aggregate(
+        Count(alias_name="n"), Min("code", alias_name="code_lo"),
+        Max("code", alias_name="code_hi"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "bucket": pc.cast(t.column("bucket"), pa.int64()),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "code_lo": pc.cast(t.column("code_lo"), pa.int64()),
+            "code_hi": pc.cast(t.column("code_hi"), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)

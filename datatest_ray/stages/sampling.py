@@ -27,7 +27,7 @@ import pyarrow as pa
 from ..functions.aggregates import hash64
 
 __all__ = ["hash_sample", "stratified_hash_sample", "weighted_hash_sample",
-           "cap_per_group"]
+           "cap_per_group", "greedy_coverage"]
 
 _SCALE = 16 ** 8
 
@@ -146,3 +146,124 @@ def cap_per_group(ds, *, by: str, id_col: str, cap: int,
     ).groupby("coarse").map_groups(
         kernel, batch_format="pyarrow"
     ).select_columns(need)
+
+
+def greedy_coverage(ds, *, id_col: str, text_col: str, k: int = 10,
+                    ngram: int = 1):
+    """Coverage-maximizing corpus selection (greedy facility-location
+    on the token-set objective): pick ``k`` documents one at a time,
+    each round taking the doc that adds the most NOT-YET-COVERED
+    distinct token (or ``ngram``-shingle) hashes — the classic (1-1/e)-approximate greedy for
+    monotone submodular coverage, used to seed diverse fine-tuning
+    subsets.
+
+    Scale plan per round: the covered-hash set (vocabulary-bounded,
+    NOT corpus-bounded) broadcasts once via ``ray.put``; marginal
+    gains come from a vectorized ``np.isin`` + ``bincount`` pass over
+    the materialized (doc, hash) table as per-block per-doc PARTIALS
+    (docs may straddle blocks), made exact by one tiny groupby(doc)
+    whose output feeds a per-block argmax combiner — the driver merges
+    a handful of candidate rows; the
+    winner's hashes are collected (one doc's tokens).  k rounds = k
+    scans, no shuffle after the initial distinct.
+
+    Greedy is inherently iterative — rows-only under the driver gate;
+    parity is pinned against a brute-force reference in tests.
+
+    Output: (rank, doc_id, gain, covered_total) int64, rank 1..k
+    (stops early when the best gain hits 0).
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from .text import shingle_hash_sets, tokens_and_offsets
+
+    def explode(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(id_col)),
+                     pc.is_valid(t.column(text_col)))
+        t = t.filter(ok)
+        flat, offsets = tokens_and_offsets(t.column(text_col))
+        if ngram > 1:
+            sh, sh_off = shingle_hash_sets(flat, offsets, n=ngram)
+            h = sh.astype(np.int64)
+            counts = np.diff(sh_off)
+        else:
+            h = hash64(flat).astype(np.int64)
+            counts = np.diff(offsets)
+        docs = np.repeat(
+            t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64), counts)
+        dh = np.unique(np.stack([docs, h], axis=1), axis=0)
+        return pa.table({"doc": pa.array(dh[:, 0]),
+                         "h": pa.array(dh[:, 1])})
+
+    base = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    covered = np.array([], dtype=np.int64)
+    ranks, winners, gains, totals = [], [], [], []
+    for r in range(1, k + 1):
+        ref = ray.put(covered)  # already sorted
+
+        def partial_gains(t: pa.Table, _ref=ref) -> pa.Table:
+            cov = ray.get(_ref)
+            doc = t.column("doc").to_numpy(zero_copy_only=False)
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            if len(doc) == 0:
+                e = pa.array([], pa.int64())
+                return pa.table({"doc": e, "gain": e})
+            fresh = ~np.isin(h, cov)
+            ids, inv = np.unique(doc, return_inverse=True)
+            g = np.bincount(inv, weights=fresh.astype(np.float64)
+                            ).astype(np.int64)
+            # per-block per-doc PARTIALS (a doc may straddle blocks);
+            # the groupby below makes them exact before any argmax
+            return pa.table({"doc": pa.array(ids),
+                             "gain": pa.array(g)})
+
+        from ray.data.aggregate import Sum
+
+        def block_best(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            d = t.column("doc").to_numpy(zero_copy_only=False)
+            g = pc.cast(t.column("gain"), pa.int64()).to_numpy(
+                zero_copy_only=False)
+            j = np.lexsort((d, -g))[0]
+            return pa.table({"doc": pa.array([d[j]]),
+                             "gain": pa.array([g[j]])})
+
+        parts = pa.concat_tables(list(
+            base.map_batches(partial_gains, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("doc").aggregate(Sum("gain", alias_name="gain"))
+            .map_batches(block_best, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")))
+        if parts.num_rows == 0:
+            break
+        d = parts.column("doc").to_numpy(zero_copy_only=False)
+        g = parts.column("gain").to_numpy(zero_copy_only=False)
+        j = np.lexsort((d, -g))[0]
+        if g[j] <= 0:
+            break
+        win = int(d[j])
+        won = base.map_batches(
+            lambda t, _w=win: t.filter(pc.equal(t.column("doc"), _w)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        wh = pa.concat_tables(list(won.iter_batches(
+            batch_format="pyarrow"))).column("h").to_numpy(
+            zero_copy_only=False)
+        covered = np.union1d(covered, wh)
+        ranks.append(r)
+        winners.append(win)
+        gains.append(int(g[j]))
+        totals.append(int(covered.size))
+
+    return pa.table({
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(winners, pa.int64()),
+        "gain": pa.array(gains, pa.int64()),
+        "covered_total": pa.array(totals, pa.int64()),
+    })
