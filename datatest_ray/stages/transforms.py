@@ -26,7 +26,8 @@ from ..functions.png import decode_image, png_encode
 __all__ = ["ImageResizer", "ImageFeatureExtractor", "FrameSampler",
            "AudioFeatureExtractor", "resize_images",
            "extract_image_features", "sample_frames",
-           "extract_audio_features"]
+           "extract_audio_features", "ImageContentAuditor",
+           "audit_image_content"]
 
 
 def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -250,3 +251,105 @@ def extract_audio_features(ds, *, n_windows=8, sample_rate=16000,
                         concurrency=concurrency, batch_size=batch_size,
                         n_windows=n_windows, sample_rate=sample_rate,
                         id_col=id_col, bytes_col=bytes_col, fake=fake)
+
+
+class ImageContentAuditor:
+    """Actor-pool callable: decode once, then two content-quality
+    signals a 100 TB image corpus needs screened —
+
+    * constant-color BORDERS (letterbox/pillarbox): from each edge,
+      count consecutive rows/columns whose pixels all sit within
+      ``tol`` of that edge's corner color (vectorized per-row/column
+      max-abs-deviation, no pixel loops);
+    * DOMINANT-COLOR fraction (flat / solid / low-information
+      images): share of pixels equal to the modal 4-bit-quantized
+      color.
+
+    Output per row: (id, top, bottom, left, right, border_frac,
+    dominant_frac, decode_ok).  Undecodable payloads keep the row
+    with decode_ok=false and nulls (the decode CHECK owns those).
+    Batch sizes stay small upstream because the payload column is
+    wide; per-image work is pure numpy.
+    """
+
+    def __init__(self, id_col: str = "image_id",
+                 bytes_col: str = "bytes", tol: int = 8):
+        self.id_col, self.bytes_col, self.tol = id_col, bytes_col, tol
+
+    @staticmethod
+    def _border_len(dev: np.ndarray) -> int:
+        """Length of the leading run of True in a 1-D bool array."""
+        bad = np.flatnonzero(~dev)
+        return int(bad[0]) if bad.size else int(dev.size)
+
+    def audit(self, img: np.ndarray):
+        px = img.astype(np.int16)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w = px.shape[:2]
+        flat = self.tol
+
+        def run(axis_slices, corner):
+            ok = (np.abs(axis_slices - corner).reshape(
+                axis_slices.shape[0], -1).max(axis=1) <= flat)
+            return self._border_len(ok)
+
+        top = run(px, px[0, 0])
+        bottom = run(px[::-1], px[-1, 0])
+        left = run(px.transpose(1, 0, 2), px[0, 0])
+        right = run(px.transpose(1, 0, 2)[::-1], px[0, -1])
+        top, bottom = min(top, h), min(bottom, h)
+        left, right = min(left, w), min(right, w)
+        core = max(h - min(top + bottom, h), 0) * max(
+            w - min(left + right, w), 0)
+        border_frac = 1.0 - core / float(h * w)
+        q = (px >> 4).reshape(-1, px.shape[2])
+        codes = np.zeros(q.shape[0], dtype=np.int64)
+        for c in range(q.shape[1]):
+            codes = codes * 16 + q[:, c]
+        _, counts = np.unique(codes, return_counts=True)
+        dominant = counts.max() / float(codes.size)
+        return top, bottom, left, right, border_frac, dominant
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        n = batch.num_rows
+        cols = {k: np.zeros(n, dtype=np.int64)
+                for k in ("top", "bottom", "left", "right")}
+        bf = np.zeros(n, dtype=np.float64)
+        df = np.zeros(n, dtype=np.float64)
+        ok = np.zeros(n, dtype=bool)
+        for i, payload in enumerate(batch.column(self.bytes_col)
+                                    .to_pylist()):
+            try:
+                img = decode_image(payload)
+            except Exception:
+                continue
+            (cols["top"][i], cols["bottom"][i], cols["left"][i],
+             cols["right"][i], bf[i], df[i]) = self.audit(img)
+            ok[i] = True
+        mask = ~ok
+        return pa.table({
+            self.id_col: ids,
+            "top": pa.array(cols["top"], pa.int64(), mask=mask),
+            "bottom": pa.array(cols["bottom"], pa.int64(), mask=mask),
+            "left": pa.array(cols["left"], pa.int64(), mask=mask),
+            "right": pa.array(cols["right"], pa.int64(), mask=mask),
+            "border_frac": pa.array(bf, pa.float64(), mask=mask),
+            "dominant_frac": pa.array(df, pa.float64(), mask=mask),
+            "decode_ok": pa.array(ok),
+        })
+
+
+def audit_image_content(ds, *, id_col: str = "image_id",
+                        bytes_col: str = "bytes", tol: int = 8,
+                        concurrency: int = 4, batch_size: int = 64):
+    """Letterbox/flat-image audit as an actor-pool stage (state — the
+    codec dispatch — built once per actor; wide payload column kept
+    out of every other stage by selecting only (id, bytes) here)."""
+    return ds.select_columns([id_col, bytes_col]).map_batches(
+        ImageContentAuditor,
+        fn_constructor_kwargs={"id_col": id_col, "bytes_col": bytes_col,
+                               "tol": tol},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
