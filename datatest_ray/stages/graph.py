@@ -947,3 +947,88 @@ def k_core(edges_ds, *, src_col: str = "u", dst_col: str = "v",
             zero_copy_batch=True).materialize()
 
     raise RuntimeError("k_core did not converge; raise max_iters")
+
+
+def adamic_adar(ds, *, group_col: str, node_col: str):
+    """Adamic-Adar link-prediction scores over a bipartite projection:
+
+        score(u, v) = Σ_{g shared by u and v}  1 / ln(deg(g))
+
+    where deg(g) = DISTINCT nodes touching group g — common-neighbor
+    counting that discounts promiscuous groups (a part supplied by
+    every supplier says little; a part only two suppliers share says a
+    lot).  The entity-resolution / recommendation primitive on top of
+    the same co-membership structure as :func:`projected_edges`.
+
+    Scale plan mirrors projected_edges: batch-local (group, node)
+    dedup, ONE coarse shuffle on hash(group) so deg(g) is exact in its
+    bucket, vectorized per-segment pair expansion carrying the group
+    weight, then one pair-hash shuffle summing weights per (u, v).
+    Groups with deg < 2 emit nothing (ln 1 = 0 has no pairs anyway).
+    Output (u, v, n_common, aa) with u < v, aa rounded to 6dp.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = batch.column(node_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((x, g))
+        g, x = g[order], x[order]
+        keep = _run_dedup(np.stack([g, x]))
+        g, x = g[keep], x[keep]
+        return pa.table({"coarse": _coarse(g), "g": pa.array(g),
+                         "x": pa.array(x)})
+
+    def expand(group: pa.Table) -> pa.Table:
+        g = group.column("g").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, g))
+        g, x = g[order], x[order]
+        keep = _run_dedup(np.stack([g, x]))
+        g, x = g[keep], x[keep]
+        d = _segments(g)
+        w_seg = np.zeros(len(d))
+        big = d >= 2
+        w_seg[big] = 1.0 / np.log(d[big].astype(np.float64))
+        li = np.arange(len(g), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(d[:-1])]), d)
+        reps = np.repeat(d, d) - 1 - li
+        ii = np.repeat(np.arange(len(g), dtype=np.int64), reps)
+        jj = ii + 1 + _concat_ranges_np(reps)
+        u, v = x[ii], x[jj]
+        w = np.repeat(np.repeat(w_seg, d), reps)
+        C1 = np.uint64(0x9E3779B97F4A7C15)
+        C2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        ph = ((u.astype(np.uint64) * C1) ^ (v.astype(np.uint64) * C2))
+        return pa.table({
+            "pcoarse": pa.array((ph % np.uint64(_N_COARSE)).astype(
+                np.int64)),
+            "u": pa.array(u), "v": pa.array(v), "w": pa.array(w),
+        })
+
+    def reduce_pairs(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v, w = u[order], v[order], w[order]
+        new = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            new[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        seg = np.cumsum(new) - 1
+        first = np.flatnonzero(new)
+        aa = np.bincount(seg, weights=w)
+        n_common = np.bincount(seg).astype(np.int64)
+        return pa.table({
+            "u": pa.array(u[first]), "v": pa.array(v[first]),
+            "n_common": pa.array(n_common),
+            "aa": pa.array(np.round(aa, 6)),
+        })
+
+    return (
+        ds.select_columns([group_col, node_col])
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse").map_groups(expand, batch_format="pyarrow")
+        .groupby("pcoarse").map_groups(reduce_pairs, batch_format="pyarrow")
+    )

@@ -34,7 +34,8 @@ from .sampling import _key_units
 
 __all__ = ["fd_violations", "target_encode", "split_balance",
            "quantize_report", "impute_group_median", "quantile_normalize",
-           "l_diversity", "eb_shrunk_rates", "t_closeness"]
+           "l_diversity", "eb_shrunk_rates", "t_closeness",
+           "cfd_violations", "woe_iv"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -685,4 +686,111 @@ def t_closeness(ds, *, qi_col: str, sensitive_col: str):
         })
 
     return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cfd_violations(ds, *, cond_col: str, det_col: str, dep_col: str):
+    """Conditional functional dependency audit: within each
+    ``cond_col`` slice, determinant values that break
+    ``det_col -> dep_col``.  A plain FD (``fd_violations``) says "the
+    rule holds everywhere"; real data rules are usually CONDITIONAL
+    ("within one return-flag regime, an order's lines share one line
+    status").  Output ``(cond_col, det_col, n_vals)`` for every
+    (condition, determinant) whose dependent takes >1 distinct value.
+
+    Plan: per-batch distinct (cond, det, dep) triples (vectorized
+    dictionary-encode combiner — shuffle payload is distinct triples,
+    not rows), ONE groupby over the triple, then a count groupby over
+    (cond, det).
+    """
+    from ray.data.aggregate import Count
+
+    def distinct_triples(batch: pa.Table) -> pa.Table:
+        cols = []
+        for name in (cond_col, det_col, dep_col):
+            c = batch.column(name)
+            cols.append(c.combine_chunks()
+                        if isinstance(c, pa.ChunkedArray) else c)
+        encs = [pc.dictionary_encode(c) for c in cols]
+        code = np.zeros(batch.num_rows, dtype=np.int64)
+        for e in encs:
+            code = code * max(len(e.dictionary), 1) + np.asarray(
+                e.indices, dtype=np.int64)
+        _, first = np.unique(code, return_index=True)
+        idx = pa.array(np.sort(first), pa.int64())
+        return pa.table({
+            cond_col: pc.take(cols[0], idx),
+            det_col: pc.take(cols[1], idx),
+            dep_col: pc.take(cols[2], idx),
+        })
+
+    triples = ds.select_columns([cond_col, det_col, dep_col]).map_batches(
+        distinct_triples, batch_format="pyarrow", zero_copy_batch=True)
+    per_triple = triples.groupby([cond_col, det_col, dep_col]).aggregate(
+        Count(alias_name="_n"))
+    per_det = per_triple.groupby([cond_col, det_col]).aggregate(
+        Count(alias_name="n_vals"))
+    return per_det.filter(expr="n_vals > 1")
+
+
+def woe_iv(ds, *, cat_col: str, flag_col: str):
+    """Weight-of-evidence encoding + information value per category of
+    ``cat_col`` against the boolean ``flag_col`` (the risk-scoring /
+    feature-screening primitive):
+
+        WoE_k = ln( ((pos_k + 0.5)/POS) / ((neg_k + 0.5)/NEG) )
+        IV_k  = (pos_k/POS − neg_k/NEG) · WoE_k
+
+    with the 0.5 Laplace term making empty cells finite.  Per-batch
+    (category → pos, neg) count partials, one groupby, one tiny
+    finalize (needs the global POS/NEG totals, so the per-category
+    table — O(categories) — reduces on one task).  Output one row per
+    category: (cat, n, n_pos, woe, iv_term), 6-dp rounded floats.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(cat_col)
+        f = t.column(flag_col)
+        ok = pc.and_(pc.is_valid(g), pc.is_valid(f))
+        tt = pa.table({"g": g, "f": f}).filter(ok)
+        gv = tt.column("g").to_numpy(zero_copy_only=False)
+        fv = tt.column("f").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(gv, return_inverse=True)
+        return pa.table({
+            cat_col: pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_pos": pa.array(np.bincount(inv, weights=fv).astype(np.int64)),
+        })
+
+    agg = (ds.select_columns([cat_col, flag_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(cat_col)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_pos", alias_name="n_pos")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(cat_col, pa.string()), ("n", pa.int64()),
+                            ("n_pos", pa.int64()), ("woe", pa.float64()),
+                            ("iv_term", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        npos = t.column("n_pos").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nneg = n - npos
+        pos_tot = float(npos.sum())
+        neg_tot = float(nneg.sum())
+        woe = np.log(((npos + 0.5) / pos_tot) / ((nneg + 0.5) / neg_tot))
+        iv = (npos / pos_tot - nneg / neg_tot) * woe
+        return pa.table({
+            cat_col: t.column(cat_col),
+            "n": pa.array(n, pa.int64()),
+            "n_pos": pa.array(npos, pa.int64()),
+            "woe": pa.array(np.round(woe, 6), pa.float64()),
+            "iv_term": pa.array(np.round(iv, 6), pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

@@ -32,7 +32,7 @@ __all__ = ["safe_join", "semi_join", "anti_join", "except_distinct",
            "broadcast_join", "range_join_broadcast", "pareto_front",
            "bloom_semi_join", "bloom_anti_join", "melt",
            "interval_join_bucketed", "pivot_sum", "union_distinct",
-           "lookup_join"]
+           "lookup_join", "skew_join"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -952,9 +952,13 @@ def lookup_join(left_ds, right_ds, *, on: str, right_on: str,
             left = left.take(pa.array(keep))
             idx = pa.array(order[pos[keep]], pa.int64())
         else:
-            # left outer: null right cols where unmatched
+            # left outer: null right cols where unmatched; a bucket
+            # with zero right rows gathers nothing (order is empty —
+            # np.where evaluates eagerly, so guard before indexing)
+            gathered = (order[pos] if len(rk)
+                        else np.zeros(len(lk), dtype=np.int64))
             idx = pa.array(
-                np.where(hit, order[pos], 0).astype(np.int64),
+                np.where(hit, gathered, 0).astype(np.int64),
                 pa.int64(), mask=~hit)
         cols = {on: left.column("__k")}
         for c in lpay:
@@ -965,3 +969,85 @@ def lookup_join(left_ds, right_ds, *, on: str, right_on: str,
 
     return tagged.groupby("coarse").map_groups(
         kernel, batch_format="pyarrow")
+
+
+def skew_join(left_ds, right_ds, *, on: str, right_on: str,
+              right_cols: Sequence[str], how: str = "inner",
+              hot_k: int = 16, n_buckets: int = 64):
+    """Skew-aware many-to-one join (fact ⨝ dimension when the fact
+    side's key distribution has heavy hitters).
+
+    A plain hash join routes every row of a hot key to ONE aggregator
+    — at 100 TB a single skewed key (the null-ish default user, the
+    one viral item) turns an all-to-all exchange into one straggler
+    task.  This operator routes around it:
+
+    1. one pruned pass over the left KEY COLUMN folds a mergeable
+       SpaceSaving summary (O(hot_k) driver state, no collect) to find
+       the hottest keys — approximate is fine: routing choice never
+       changes the join RESULT, only its balance;
+    2. hot-key rows take the map-side path: their (few) dimension rows
+       are collected + ``ray.put`` once and attached in-stream
+       (:func:`broadcast_join`) — the heavy keys never enter a shuffle;
+    3. everything else takes the bucketed :func:`lookup_join` shuffle,
+       with the hot dimension rows REMOVED from the build side.
+
+    Same contract as lookup_join: right keys unique (dimension table),
+    ``how`` in ('inner', 'left').  The left side is consumed twice
+    (hot/cold branch predicates over the same lineage) plus the key-only
+    sketch pass — three pruned scans in exchange for skew immunity.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    from ..functions.aggregates import (SketchAggregate, SpaceSaving,
+                                        sketch_loads)
+
+    res = left_ds.select_columns([on]).aggregate(SketchAggregate(
+        on=on, factory=lambda: SpaceSaving(max(64, 4 * hot_k)),
+        alias_name="ss"))
+    hot = []
+    if res and res.get("ss") is not None:
+        hot = [v for v, _c, _e in sketch_loads(res["ss"]).topk(hot_k)]
+
+    lsch = left_ds.schema()
+    lsch = getattr(lsch, "base_schema", lsch)
+    out_order = list(lsch.names) + [c for c in right_cols if c != right_on]
+
+    if not hot:
+        return lookup_join(left_ds, right_ds, on=on, right_on=right_on,
+                           right_cols=right_cols, how=how,
+                           n_buckets=n_buckets).select_columns(out_order)
+
+    hot_arr = pa.array(hot).cast(lsch.field(on).type)
+
+    def is_hot(t: pa.Table, invert: bool = False) -> pa.Table:
+        m = pc.fill_null(pc.is_in(t.column(on), value_set=hot_arr), False)
+        return t.filter(pc.invert(m) if invert else m)
+
+    def right_is_hot(t: pa.Table, invert: bool = False) -> pa.Table:
+        m = pc.fill_null(
+            pc.is_in(t.column(right_on),
+                     value_set=hot_arr.cast(t.column(right_on).type)),
+            False)
+        return t.filter(pc.invert(m) if invert else m)
+
+    left_hot = left_ds.map_batches(is_hot, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    left_cold = left_ds.map_batches(
+        lambda t: is_hot(t, invert=True), batch_format="pyarrow",
+        zero_copy_batch=True)
+    right_hot = right_ds.map_batches(right_is_hot, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    right_cold = right_ds.map_batches(
+        lambda t: right_is_hot(t, invert=True), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    hot_joined = broadcast_join(
+        left_hot, right_hot, on=on, right_on=right_on,
+        right_cols=list(dict.fromkeys([right_on] + list(right_cols))),
+        how=how).select_columns(out_order)
+    cold_joined = lookup_join(
+        left_cold, right_cold, on=on, right_on=right_on,
+        right_cols=right_cols, how=how,
+        n_buckets=n_buckets).select_columns(out_order)
+    return hot_joined.union(cold_joined)

@@ -42,6 +42,9 @@ __all__ = [
     "blomqvist_beta",
     "rank_agreement",
     "lmoments",
+    "ansari_bradley",
+    "atkinson_index_by_group",
+    "lorenz_deciles",
 ]
 
 
@@ -1538,3 +1541,215 @@ def lmoments(ds, *, value_col: str):
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def ansari_bradley(ds, *, value_col: str, group_col: str, a, b=None):
+    """Two-sample Ansari-Bradley scale test with mid-score ties.
+
+    Pool both samples, rank from BOTH ends inward (score of rank r is
+    ``min(r, N+1-r)``: 1,2,…,⌈N/2⌉,…,2,1); tied observations share the
+    mean score of their rank block.  W = Σ scores of sample ``a`` is
+    small when ``a`` is MORE spread than ``b`` (its values sit in the
+    tails, which score low) — the dispersion counterpart of the
+    Mann-Whitney location test (robust.py), i.e. "did the variance of
+    this metric drift" without assuming normality.
+
+    Tie-block mean scores come from the closed-form prefix sum
+    ``f(t) = Σ_{r≤t} min(r, N+1-r)`` (exact integers), so the only
+    float work is the final moments.  Under H0 (random allocation of
+    the N scores to the two samples):
+
+        E[W]   = n_a·S1/N,             S1 = Σ scores = f(N)
+        Var[W] = n_a·n_b·(N·S2 − S1²) / (N²·(N−1)),  S2 = Σ score²
+
+    Shuffle payload: O(distinct values) — same contract as
+    :func:`anderson_darling_two_sample` (shared partials).  Output one
+    row (n_a, n_b, w_mean, z) with w_mean = W/n_a.
+    """
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _value_counts_partial(group_col, value_col, a, b),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def _f(t: np.ndarray, n_tot: int) -> np.ndarray:
+        """Prefix score sum f(t) = Σ_{r=1..t} min(r, N+1-r), exact."""
+        t = t.astype(np.int64)
+        c = (n_tot + 1) // 2
+        lo = np.minimum(t, c)
+        head = lo * (lo + 1) // 2
+        over = np.maximum(t - c, 0)
+        tail = (n_tot + 1) * over - (t * (t + 1) // 2 - c * (c + 1) // 2)
+        return head + np.where(over > 0, tail, 0)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("w_mean", pa.float64()), ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        _, ca, cnt = _merge_value_counts(t)
+        n_tot = int(cnt.sum())
+        n_a = int(ca.sum())
+        n_b = n_tot - n_a
+        if n_a == 0 or n_b == 0 or n_tot < 2:
+            return schema.empty_table()
+        hi = np.cumsum(cnt)
+        s_blk = _f(hi, n_tot) - _f(hi - cnt, n_tot)  # exact int per block
+        a_v = s_blk.astype(np.float64) / cnt.astype(np.float64)
+        w = float(np.sum(ca.astype(np.float64) * a_v))
+        s1 = float(_f(np.array([n_tot]), n_tot)[0])
+        s2 = float(np.sum(cnt.astype(np.float64) * a_v * a_v))
+        e_w = n_a * s1 / n_tot
+        var_w = (n_a * float(n_b) * (n_tot * s2 - s1 * s1)
+                 / (float(n_tot) ** 2 * (n_tot - 1)))
+        z = (w - e_w) / np.sqrt(var_w) if var_w > 0 else None
+        return pa.table({
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "w_mean": pa.array([round(w / n_a, 6)], pa.float64()),
+            "z": pa.array([None if z is None else round(float(z), 6)],
+                          pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def atkinson_index_by_group(ds, *, by: str, value_col: str):
+    """Atkinson inequality indices per group, ε = 0.5 and ε = 1:
+
+        A(0.5) = 1 − (mean √x)² / mean x
+        A(1)   = 1 − geomean x  / mean x      (x > 0 only)
+
+    The welfare-weighted concentration audit (how much "equally
+    distributed equivalent" value is lost to inequality) — decomposable
+    like Theil, bounded [0,1) like Gini.  Per-batch partials carry
+    (n, Σx in exact cents, Σ√x, Σln x); one groupby on ``by``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(by)
+        x = t.column(value_col)
+        ok = pc.and_(pc.is_valid(g),
+                     pc.and_(pc.is_valid(x), pc.greater(x, 0.0)))
+        tt = pa.table({"g": g, "x": x}).filter(ok)
+        xv = tt.column("x").to_numpy(zero_copy_only=False)
+        cents = np.rint(xv * 100.0).astype(np.int64)
+        gv = tt.column("g").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(gv, return_inverse=True)
+        return pa.table({
+            by: pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx_c": pa.array(np.bincount(
+                inv, weights=cents).astype(np.int64)),
+            "ssqrt": pa.array(np.bincount(inv, weights=np.sqrt(xv))),
+            "slog": pa.array(np.bincount(inv, weights=np.log(xv))),
+        })
+
+    agg = (ds.select_columns([by, value_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(by)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx_c", alias_name="sx_c"),
+                      Sum("ssqrt", alias_name="ssqrt"),
+                      Sum("slog", alias_name="slog")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(by, pa.string()), ("n", pa.int64()),
+                            ("atkinson_half", pa.float64()),
+                            ("atkinson_one", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = (t.column("sx_c").to_numpy(zero_copy_only=False)
+              .astype(np.float64) / 100.0) / n
+        msqrt = t.column("ssqrt").to_numpy(zero_copy_only=False) / n
+        mlog = t.column("slog").to_numpy(zero_copy_only=False) / n
+        a_half = np.round(1.0 - (msqrt * msqrt) / mu, 6)
+        a_one = np.round(1.0 - np.exp(mlog) / mu, 6)
+        return pa.table({
+            by: t.column(by),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "atkinson_half": pa.array(a_half, pa.float64()),
+            "atkinson_one": pa.array(a_one, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def lorenz_deciles(ds, *, value_col: str, n_buckets: int = 10):
+    """Lorenz curve over value-order deciles, tie-stable.
+
+    Pool all non-null values, order by VALUE (ascending); bucket d of a
+    distinct-value block is ``floor(n_buckets · cum_before / N)``
+    (every tied observation lands in ONE deterministic bucket — no
+    ntile tie arbitration, so any engine reproduces the exact split).
+    Emits one row per non-empty bucket: (bucket, n, share, cum_share)
+    with shares as exact-cents ratios — the concentration curve behind
+    Gini ("the bottom 50 % of orders carry 18 % of revenue").
+
+    Shuffle payload: O(distinct values) via the shared value-count
+    partials.
+    """
+    partials = ds.select_columns([value_col]).map_batches(
+        _value_counts_partial_all(value_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64()),
+                            ("share", pa.float64()),
+                            ("cum_share", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, cnt = v[order], cnt[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        cnt = np.bincount(seg, weights=cnt).astype(np.int64)
+        v = v[np.flatnonzero(new)]
+        n_tot = int(cnt.sum())
+        cents = np.rint(v * 100.0).astype(np.int64)
+        cum_before = np.cumsum(cnt) - cnt
+        bucket = (n_buckets * cum_before) // n_tot
+        n_d = np.bincount(bucket, weights=cnt,
+                          minlength=n_buckets).astype(np.int64)
+        s_d = np.bincount(bucket, weights=cents * cnt,
+                          minlength=n_buckets).astype(np.int64)
+        total = int(s_d.sum())
+        keep = n_d > 0
+        share = s_d.astype(np.float64) / total
+        cum_share = np.cumsum(s_d).astype(np.float64) / total
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets)[keep], pa.int64()),
+            "n": pa.array(n_d[keep], pa.int64()),
+            "share": pa.array(np.round(share[keep], 6), pa.float64()),
+            "cum_share": pa.array(np.round(cum_share[keep], 6),
+                                  pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def _value_counts_partial_all(value_col: str):
+    """Per-batch (distinct value -> count) partial over ALL non-null rows
+    (one-sample variant of :func:`_value_counts_partial`)."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v = np.sort(v)
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        cnt = np.bincount(seg).astype(np.int64)
+        return pa.table({"v": pa.array(v[np.flatnonzero(new)]),
+                         "cnt": pa.array(cnt)})
+
+    return counts

@@ -42,6 +42,7 @@ __all__ = [
     "redact",
     "tfidf_top_terms",
     "bpe_train",
+    "readability_by_lang",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -1487,3 +1488,81 @@ def bpe_train(ds, text_col: str, *, n_merges: int = 8,
         "right": pa.array([m[2] for m in merges], pa.string()),
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
     })
+
+
+def readability_by_lang(ds, *, text_col: str, lang_col: str):
+    """Flesch-style readability profile per language bucket.
+
+    Per document (docs with ≥1 word):
+
+        words     = non-overlapping ``\\S+`` matches
+        sentences = max(1, runs of ``[.!?]+``)
+        syllables = runs of ``[aeiouyAEIOUY]+``  (vowel-group heuristic)
+        flesch    = 206.835 − 1.015·words/sentences − 84.6·syllables/words
+
+    — the corpus-quality screen for "is this slice written like prose
+    or like a parts catalog".  All three counts are Arrow RE2 kernels
+    (count_substring_regex), so the semantics mirror DuckDB's
+    regexp_extract_all 1:1 (SQL_READABILITY_DOCS).  Per-batch partials
+    (lang → n, Σwords, Σsentences, Σsyllables, Σflesch); one groupby.
+    Output (lang, n_docs, words_per_sent, syll_per_word, flesch) with
+    the ratio-of-means for the per-word/per-sentence rates and the
+    mean per-doc flesch, 6-dp rounded.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        lang = t.column(lang_col)
+        words = pc.cast(pc.count_substring_regex(text, pattern=r"\S+"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        sents = pc.cast(pc.count_substring_regex(text, pattern=r"[.!?]+"),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        syll = pc.cast(
+            pc.count_substring_regex(text, pattern=r"[aeiouyAEIOUY]+"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        ok = (words > 0) & pc.is_valid(lang).to_numpy(zero_copy_only=False)
+        words, syll = words[ok], syll[ok]
+        sents = np.maximum(sents[ok], 1)
+        flesch = (206.835 - 1.015 * words / sents - 84.6 * syll / words)
+        gv = lang.to_numpy(zero_copy_only=False)[ok]
+        u, inv = np.unique(gv, return_inverse=True)
+        return pa.table({
+            lang_col: pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sw": pa.array(np.bincount(inv, weights=words).astype(np.int64)),
+            "ss": pa.array(np.bincount(inv, weights=sents).astype(np.int64)),
+            "sy": pa.array(np.bincount(inv, weights=syll).astype(np.int64)),
+            "sf": pa.array(np.bincount(inv, weights=flesch)),
+        })
+
+    agg = (ds.select_columns([lang_col, text_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(lang_col)
+           .aggregate(Sum("n", alias_name="n"), Sum("sw", alias_name="sw"),
+                      Sum("ss", alias_name="ss"), Sum("sy", alias_name="sy"),
+                      Sum("sf", alias_name="sf")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(lang_col, pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("words_per_sent", pa.float64()),
+                            ("syll_per_word", pa.float64()),
+                            ("flesch", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sw = t.column("sw").to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t.column("ss").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sf = t.column("sf").to_numpy(zero_copy_only=False)
+        return pa.table({
+            lang_col: t.column(lang_col),
+            "n_docs": pc.cast(t.column("n"), pa.int64()),
+            "words_per_sent": pa.array(np.round(sw / ss, 6), pa.float64()),
+            "syll_per_word": pa.array(np.round(sy / sw, 6), pa.float64()),
+            "flesch": pa.array(np.round(sf / n, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
