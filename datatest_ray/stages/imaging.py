@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores"]
 
 
 class FixtureReference:
@@ -971,3 +971,78 @@ def image_exact_pixel_dups(ds, *, concurrency=(2, 8),
 
     return grouped.map_batches(only_dups, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+class ExposureExtractor:
+    """Actor-pool callable: exposure / color-cast audit per decoded
+    image — ``frac_under`` / ``frac_over`` = fraction of gray-plane
+    pixels at or below ``lo`` / at or above ``hi`` (histogram-clipping
+    detection: a heavily under/over-exposed capture clips into the end
+    bins and carries no recoverable detail), and ``cast`` = max minus
+    min per-channel mean (a strong single-channel bias = color cast /
+    dead sensor channel).  Grayscale images get cast = 0.  Decode
+    failures emit NULL metrics (same contract as
+    :class:`ImageQualityExtractor`)."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt", lo: int = 2, hi: int = 253):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.lo = lo
+        self.hi = hi
+
+    def metrics(self, img: np.ndarray):
+        g = img.astype(np.float64)
+        if g.ndim == 3:
+            ch_means = g.mean(axis=(0, 1))
+            cast = float(ch_means.max() - ch_means.min())
+            g = g.mean(axis=2)
+        else:
+            cast = 0.0
+        n_px = g.size
+        under = float((g <= self.lo).sum()) / n_px
+        over = float((g >= self.hi).sum()) / n_px
+        return under, over, cast
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (batch.column(self.fmt_col).to_pylist()
+                if self.fmt_col in batch.column_names else [None] * n)
+        under = np.full(n, np.nan)
+        over = np.full(n, np.nan)
+        cast = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                u, o, c = self.metrics(decode_image(data, fmt))
+            except Exception:
+                continue
+            under[i], over[i], cast[i], ok[i] = u, o, c, True
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "frac_under": pa.array(under, pa.float64(), mask=~ok),
+            "frac_over": pa.array(over, pa.float64(), mask=~ok),
+            "cast": pa.array(cast, pa.float64(), mask=~ok),
+        })
+
+
+def image_exposure_scores(ds, *, concurrency=(2, 8), batch_size: int = 128,
+                          fmt_col: str = "fmt", lo: int = 2, hi: int = 253):
+    """Per-image (frac_under, frac_over, cast) as a Dataset — the
+    exposure-clipping / color-cast screen of an image ingest pipeline
+    (pair with an IntervalCheck to quarantine clipped captures)."""
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    return ds.select_columns(cols).map_batches(
+        ExposureExtractor,
+        fn_constructor_kwargs=dict(fmt_col=fmt_col, lo=lo, hi=hi),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

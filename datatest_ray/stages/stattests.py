@@ -45,6 +45,8 @@ __all__ = [
     "ansari_bradley",
     "atkinson_index_by_group",
     "lorenz_deciles",
+    "bh_adjust",
+    "palma_ratio",
 ]
 
 
@@ -1753,3 +1755,105 @@ def _value_counts_partial_all(value_col: str):
                          "cnt": pa.array(cnt)})
 
     return counts
+
+
+def bh_adjust(ds, *, p_col: str, alpha: float = 0.05):
+    """Benjamini-Hochberg step-up FDR adjustment over a (bounded)
+    table of per-group test results — the multiple-testing control a
+    per-partition drift suite needs before alerting (running k drift
+    tests at α each yields kα false alarms; BH caps the FALSE DISCOVERY
+    RATE at α instead).
+
+        p_adj(i) = min_{j ≥ i} ( p(j) · k / j ),  capped at 1
+
+    over ascending-p order.  The right-to-left running min makes tie
+    order irrelevant, so any engine reproduces the values exactly.
+    Input: one row per hypothesis with ``p_col`` (the per-group
+    statistic's p-value or a monotone surrogate).  All columns pass
+    through; appends ``p_adj`` (6-dp) and ``significant``.  The
+    hypothesis table is O(groups) — it reduces on one task.
+    """
+    sch = ds.schema()
+    sch = getattr(sch, "base_schema", sch)
+    passthrough = list(sch.names)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out_fields = ([sch.field(n) for n in passthrough]
+                      + [pa.field("p_adj", pa.float64()),
+                         pa.field("significant", pa.bool_())])
+        schema = pa.schema(out_fields)
+        if t.num_rows == 0:
+            return schema.empty_table()
+        p = t.column(p_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        k = len(p)
+        order = np.argsort(p, kind="stable")
+        ranked = p[order] * k / np.arange(1, k + 1)
+        adj_sorted = np.minimum(np.minimum.accumulate(ranked[::-1])[::-1],
+                                1.0)
+        adj = np.empty(k)
+        adj[order] = adj_sorted
+        out = {n: t.column(n) for n in passthrough}
+        out["p_adj"] = pa.array(np.round(adj, 6), pa.float64())
+        out["significant"] = pa.array(adj <= alpha)
+        return pa.table(out, schema=schema)
+
+    return ds.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def palma_ratio(ds, *, value_col: str):
+    """Palma inequality ratio: (share of the top 10 %) / (share of the
+    bottom 40 %), tie-stable — the concentration headline number that
+    ignores the middle 50 % (where distributions rarely differ).
+
+    Percentile membership follows the :func:`lorenz_deciles` rule: a
+    distinct-value tie block belongs to percentile
+    ``(100·cum_before)//N`` — bottom-40 is blocks < 40, top-10 is
+    blocks ≥ 90 — so every engine reproduces the exact same split.
+    Shares are exact-cents ratios.  Output one row
+    (n, bottom40_share, top10_share, palma).
+    """
+    partials = ds.select_columns([value_col]).map_batches(
+        _value_counts_partial_all(value_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()),
+                            ("bottom40_share", pa.float64()),
+                            ("top10_share", pa.float64()),
+                            ("palma", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        order = np.argsort(v, kind="stable")
+        v, cnt = v[order], cnt[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        cnt = np.bincount(seg, weights=cnt).astype(np.int64)
+        v = v[np.flatnonzero(new)]
+        n_tot = int(cnt.sum())
+        cents = np.rint(v * 100.0).astype(np.int64)
+        cum_before = np.cumsum(cnt) - cnt
+        pct = (100 * cum_before) // n_tot
+        mass = cents * cnt
+        total = int(mass.sum())
+        bot = int(mass[pct < 40].sum())
+        top = int(mass[pct >= 90].sum())
+        bot_share = bot / total
+        top_share = top / total
+        palma = top / bot if bot > 0 else None
+        return pa.table({
+            "n": pa.array([n_tot], pa.int64()),
+            "bottom40_share": pa.array([round(bot_share, 6)], pa.float64()),
+            "top10_share": pa.array([round(top_share, 6)], pa.float64()),
+            "palma": pa.array(
+                [None if palma is None else round(palma, 6)], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -31,7 +31,7 @@ from .base import Check, RunContext
 __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "acf_daily", "expfit_ks", "km_survival",
            "circular_hour_stats", "dispersion_index_hourly",
-           "holt_daily", "nelson_aalen"]
+           "holt_daily", "nelson_aalen", "holt_winters_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1441,3 +1441,85 @@ def nelson_aalen(ds, ts_col: str, *, by: str, horizon_days: int = 7,
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def holt_winters_daily(ds, ts_col: str, *, by: str, period: int = 7,
+                       alpha: float = 0.5, beta: float = 0.25,
+                       gamma: float = 0.25):
+    """Additive Holt-Winters (level + trend + weekly season) over each
+    group's DAILY count series — :func:`holt_daily` plus the seasonal
+    component, i.e. "is today off-trend AFTER accounting for the
+    day-of-week cycle" (the residual a weekday-blind smoother would
+    flag every Saturday).
+
+    Init on the first ``period`` days:  L = mean(x₁..x_m) (summed in
+    day order), B = 0, S_i = x_i − L.  Then for each later day, with
+    s₁ the seasonal slot ``period`` days back:
+
+        f_t = L + B + s₁                     (forecast; resid = x_t − f_t)
+        L'  = α(x_t − s₁) + (1−α)(L + B)
+        B'  = β(L' − L) + (1−β)B
+        S'  = γ(x_t − L') + (1−γ)s₁          (rotates into the window)
+
+    α/β/γ are exactly-representable binaries and the op order is fixed,
+    so the SQL recursive-CTE mirror (carrying the rotating s₁..s₇
+    window as columns) is bit-identical.  Groups shorter than
+    ``period + 1`` days are skipped.  One (group, day) count shuffle;
+    the recursion runs over each group's bounded daily table.  Output
+    per day t > period: (by, day, x, forecast, resid).
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        day = pc.strftime(pc.floor_temporal(t.column(ts_col), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({by: t.column(by), "day": day})
+
+    daily = (ds.select_columns([ts_col, by])
+             .map_batches(to_day, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([by, "day"]).aggregate(Count(alias_name="x")))
+
+    a1, b1, g1 = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def smooth(group: pa.Table) -> pa.Table:
+        schema = pa.schema([(by, pa.string()), ("day", pa.string()),
+                            ("x", pa.int64()), ("forecast", pa.float64()),
+                            ("resid", pa.float64())])
+        t = group.sort_by([("day", "ascending")])
+        if t.num_rows < period + 1:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+        days = t.column("day").to_pylist()
+        key = t.column(by)[0].as_py()
+        lvl = 0.0
+        for i in range(period):  # explicit day-order sum → SQL mirror
+            lvl = lvl + x[i]
+        lvl = lvl / float(period)
+        b = 0.0
+        season = [x[i] - lvl for i in range(period)]  # s₁ = oldest slot
+        out_day, out_x, out_f, out_r = [], [], [], []
+        for i in range(period, len(x)):
+            s1 = season[0]
+            f = lvl + b + s1
+            out_day.append(days[i])
+            out_x.append(int(x[i]))
+            out_f.append(f)
+            out_r.append(x[i] - f)
+            l_new = alpha * (x[i] - s1) + a1 * (lvl + b)
+            b = beta * (l_new - lvl) + b1 * b
+            s_new = gamma * (x[i] - l_new) + g1 * s1
+            lvl = l_new
+            season = season[1:] + [s_new]
+        return pa.table({
+            by: pa.array([key] * len(out_day)),
+            "day": pa.array(out_day),
+            "x": pa.array(out_x, pa.int64()),
+            "forecast": pa.array(out_f, pa.float64()),
+            "resid": pa.array(out_r, pa.float64()),
+        })
+
+    return daily.groupby(by).map_groups(smooth, batch_format="pyarrow")
