@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores"]
 
 
 class FixtureReference:
@@ -1042,6 +1042,88 @@ def image_exposure_scores(ds, *, concurrency=(2, 8), batch_size: int = 128,
     return ds.select_columns(cols).map_batches(
         ExposureExtractor,
         fn_constructor_kwargs=dict(fmt_col=fmt_col, lo=lo, hi=hi),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class SSIMExtractor:
+    """Actor-pool callable: global SSIM between each decoded payload
+    and its reference pixels (Wang et al. 2004, single-window variant
+    over the whole gray plane):
+
+        SSIM = ((2·μx·μy + C1)(2·σxy + C2))
+             / ((μx² + μy² + C1)(σx² + σy² + C2)),
+        C1 = (0.01·255)², C2 = (0.03·255)²
+
+    — the perceptual parity score that complements PSNR (PSNR counts
+    absolute error; SSIM tracks structure, catching contrast/luminance
+    shifts PSNR under-weights).  Reference pixels regenerate from the
+    fixture provider (in production: the reference Lance table).
+    Decode/reference failures emit NULL."""
+
+    def __init__(self, reference_seed: int = 42,
+                 id_col: str = "image_id", bytes_col: str = "bytes"):
+        self.provider = fixture_reference_provider(reference_seed)
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+
+    @staticmethod
+    def ssim(a: np.ndarray, b: np.ndarray) -> float:
+        x = a.astype(np.float64)
+        y = b.astype(np.float64)
+        if x.ndim == 3:
+            x = x.mean(axis=2)
+        if y.ndim == 3:
+            y = y.mean(axis=2)
+        if x.shape != y.shape:
+            return float("nan")
+        c1 = (0.01 * 255.0) ** 2
+        c2 = (0.03 * 255.0) ** 2
+        mx, my = x.mean(), y.mean()
+        vx, vy = x.var(), y.var()
+        cxy = ((x - mx) * (y - my)).mean()
+        return float(((2.0 * mx * my + c1) * (2.0 * cxy + c2))
+                     / ((mx * mx + my * my + c1) * (vx + vy + c2)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column(self.id_col).to_pylist()
+        payloads = batch.column(self.bytes_col).to_pylist()
+        w = (batch.column("w").to_numpy(zero_copy_only=False)
+             if "w" in batch.column_names else [None] * n)
+        h = (batch.column("h").to_numpy(zero_copy_only=False)
+             if "h" in batch.column_names else [None] * n)
+        out = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if payloads[i] is None:
+                continue
+            try:
+                img = decode_image(payloads[i])
+                ref = self.provider.pixels(ids[i], int(w[i]), int(h[i]))
+                if ref is None:
+                    continue
+                s = self.ssim(img, ref)
+            except Exception:
+                continue
+            if not np.isnan(s):
+                out[i], ok[i] = s, True
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "ssim": pa.array(out, pa.float64(), mask=~ok),
+        })
+
+
+def image_ssim_scores(ds, *, reference_seed: int = 42,
+                      concurrency=(2, 8), batch_size: int = 128):
+    """Per-image global SSIM against the reference as a Dataset — the
+    perceptual companion to the PSNR parity check (ImageParityCheck);
+    threshold downstream with an IntervalCheck."""
+    return ds.select_columns(["image_id", "bytes", "w", "h"]).map_batches(
+        SSIMExtractor,
+        fn_constructor_kwargs=dict(reference_seed=reference_seed),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

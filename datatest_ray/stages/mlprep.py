@@ -35,7 +35,7 @@ from .sampling import _key_units
 __all__ = ["fd_violations", "target_encode", "split_balance",
            "quantize_report", "impute_group_median", "quantile_normalize",
            "l_diversity", "eb_shrunk_rates", "t_closeness",
-           "cfd_violations", "woe_iv"]
+           "cfd_violations", "woe_iv", "cuped"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -794,3 +794,107 @@ def woe_iv(ds, *, cat_col: str, flag_col: str):
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cuped(ds, *, ts_col: str, key_col: str, value_col: str, cutoff: str):
+    """CUPED variance reduction audit (Deng et al., "Improving the
+    Sensitivity of Online Controlled Experiments"): split each key's
+    activity at ``cutoff`` into a pre-period covariate x and a
+    post-period metric y (both summed in exact cents; a key missing a
+    side contributes 0), estimate
+
+        θ = cov(x, y) / var(x)
+
+    and report the variance the adjusted metric y − θ(x − x̄) would
+    have: var_adj = var_y − cov²/var_x — the "how much experiment
+    power does pre-period data buy" number.  Population moments from
+    exact integer sums (Σx, Σy, Σxy, Σx², Σy², n) so a SQL mirror
+    hashes identically.  Plan: per-batch (key → pre, post) cent-sum
+    partials, ONE key groupby, then the tiny moment reduce.  Output
+    one row (n_keys, theta, var_y, var_adj, var_reduction).
+    """
+    from ray.data.aggregate import Sum
+
+    cutoff_us = np.datetime64(cutoff, "us").astype(np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.and_(pc.is_valid(t.column(key_col)),
+                             pc.is_valid(t.column(value_col))))
+        t = t.filter(ok)
+        ts = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(t.column(value_col).to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        pre = np.where(ts < cutoff_us, cents, 0)
+        post = np.where(ts >= cutoff_us, cents, 0)
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(kv, return_inverse=True)
+        return pa.table({
+            key_col: pa.array(u),
+            "x": pa.array(np.bincount(inv, weights=pre).astype(np.int64)),
+            "y": pa.array(np.bincount(inv, weights=post).astype(np.int64)),
+        })
+
+    per_key = (ds.select_columns([ts_col, key_col, value_col])
+               .map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby(key_col)
+               .aggregate(Sum("x", alias_name="x"),
+                          Sum("y", alias_name="y")))
+
+    def moments(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sx": pa.array([int(pc.sum(t.column("x")).as_py() or 0)],
+                           pa.int64()),
+            "sy": pa.array([int(pc.sum(t.column("y")).as_py() or 0)],
+                           pa.int64()),
+            "sxx": pa.array([int(np.sum(
+                t.column("x").to_numpy(zero_copy_only=False).astype(
+                    object) ** 2))], pa.int64()),
+            "syy": pa.array([int(np.sum(
+                t.column("y").to_numpy(zero_copy_only=False).astype(
+                    object) ** 2))], pa.int64()),
+            "sxy": pa.array([int(np.sum(
+                t.column("x").to_numpy(zero_copy_only=False).astype(object)
+                * t.column("y").to_numpy(zero_copy_only=False)))],
+                pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    parts = per_key.map_batches(moments, batch_format="pyarrow")
+    red = parts.aggregate(_Sum("n", alias_name="n"),
+                          _Sum("sx", alias_name="sx"),
+                          _Sum("sy", alias_name="sy"),
+                          _Sum("sxx", alias_name="sxx"),
+                          _Sum("syy", alias_name="syy"),
+                          _Sum("sxy", alias_name="sxy"))
+
+    n = int(red["n"] or 0)
+    schema = pa.schema([("n_keys", pa.int64()), ("theta", pa.float64()),
+                        ("var_y", pa.float64()),
+                        ("var_adj", pa.float64()),
+                        ("var_reduction", pa.float64())])
+    if n < 2:
+        return schema.empty_table()
+    sx, sy = int(red["sx"]), int(red["sy"])
+    sxx, syy, sxy = int(red["sxx"]), int(red["syy"]), int(red["sxy"])
+    # cents → currency: scale at the end (exact int sums up to here)
+    var_x = (sxx / n - (sx / n) * (sx / n)) / 10000.0
+    var_y = (syy / n - (sy / n) * (sy / n)) / 10000.0
+    cov = (sxy / n - (sx / n) * (sy / n)) / 10000.0
+    theta = cov / var_x if var_x > 0 else None
+    var_adj = (var_y - cov * cov / var_x) if var_x > 0 else var_y
+    reduction = (1.0 - var_adj / var_y) if var_y > 0 else None
+    return pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "theta": pa.array(
+            [None if theta is None else round(theta, 6)], pa.float64()),
+        "var_y": pa.array([round(var_y, 6)], pa.float64()),
+        "var_adj": pa.array([round(var_adj, 6)], pa.float64()),
+        "var_reduction": pa.array(
+            [None if reduction is None else round(reduction, 6)],
+            pa.float64()),
+    })

@@ -47,6 +47,7 @@ __all__ = [
     "lorenz_deciles",
     "bh_adjust",
     "palma_ratio",
+    "hodges_lehmann_shift",
 ]
 
 
@@ -1853,6 +1854,60 @@ def palma_ratio(ds, *, value_col: str):
             "top10_share": pa.array([round(top_share, 6)], pa.float64()),
             "palma": pa.array(
                 [None if palma is None else round(palma, 6)], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def hodges_lehmann_shift(ds, *, value_col: str, group_col: str, a, b=None):
+    """Hodges-Lehmann two-sample shift estimator: the median of ALL
+    pairwise differences x_a − x_b — the robust "how much did the
+    distribution move" number that pairs with Mann-Whitney the way the
+    mean-difference pairs with the t-test (50% breakdown, no normality
+    assumption).
+
+    Exact distributed plan: the shared value-count partials reduce
+    both samples to their distinct-value count vectors (shuffle payload
+    O(distinct)); the pairwise-difference DISTRIBUTION is then the
+    outer difference of the two distinct grids with product weights —
+    O(d_a·d_b) pairs on the single finalize task, bounded by distinct
+    values, never by rows².  The median over the weighted grid uses
+    the standard even/odd rule (mean of the two middle order
+    statistics).  Output one row (n_a, n_b, n_pairs, hl_shift).
+    """
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _value_counts_partial(group_col, value_col, a, b),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("n_pairs", pa.int64()),
+                            ("hl_shift", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        v, ca, cnt = _merge_value_counts(t)
+        cb = cnt - ca
+        va, wa = v[ca > 0], ca[ca > 0]
+        vb, wb = v[cb > 0], cb[cb > 0]
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        if n_a == 0 or n_b == 0:
+            return schema.empty_table()
+        diff = (va[:, None] - vb[None, :]).ravel()
+        w = (wa[:, None] * wb[None, :]).ravel()
+        order = np.argsort(diff, kind="stable")
+        diff, w = diff[order], w[order]
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        k1 = (total + 1) // 2
+        k2 = total // 2 + 1
+        lo = diff[np.searchsorted(cum, k1)]
+        hi = diff[np.searchsorted(cum, k2)]
+        return pa.table({
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "n_pairs": pa.array([total], pa.int64()),
+            "hl_shift": pa.array([(lo + hi) / 2.0], pa.float64()),
         })
 
     return partials.repartition(1).map_batches(

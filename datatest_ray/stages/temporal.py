@@ -31,7 +31,7 @@ from .base import Check, RunContext
 __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "acf_daily", "expfit_ks", "km_survival",
            "circular_hour_stats", "dispersion_index_hourly",
-           "holt_daily", "nelson_aalen", "holt_winters_daily"]
+           "holt_daily", "nelson_aalen", "holt_winters_daily", "dow_strength"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1523,3 +1523,66 @@ def holt_winters_daily(ds, ts_col: str, *, by: str, period: int = 7,
         })
 
     return daily.groupby(by).map_groups(smooth, batch_format="pyarrow")
+
+
+def dow_strength(ds, ts_col: str, *, by: str):
+    """Day-of-week seasonality strength per group: the share of daily-
+    count variance explained by the ISO-weekday profile,
+
+        r2 = SS_between / SS_total
+           = (Σ_d S_d²/n_d − S²/N) / (Σ x² − S²/N)
+
+    over the group's daily counts x (d = isodow 1..7) — "how weekly IS
+    this series" (≈1: pick the seasonal smoother; ≈0: don't).  All
+    sums are exact integers up to the final division, so a SQL mirror
+    hashes identically.  Plan: ONE (group, day) count shuffle; the
+    per-group dow reduction runs over the bounded daily table.  Output
+    (by, n_days, r2) with r2 NULL for constant series; groups with <2
+    days are skipped.
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        day = pc.strftime(pc.floor_temporal(t.column(ts_col), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({by: t.column(by), "day": day})
+
+    daily = (ds.select_columns([ts_col, by])
+             .map_batches(to_day, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([by, "day"]).aggregate(Count(alias_name="x")))
+
+    def finalize(group: pa.Table) -> pa.Table:
+        schema = pa.schema([(by, pa.string()), ("n_days", pa.int64()),
+                            ("r2", pa.float64())])
+        if group.num_rows < 2:
+            return schema.empty_table()
+        key = group.column(by)[0].as_py()
+        dow = pc.day_of_week(
+            pc.strptime(group.column("day"), format="%Y-%m-%d",
+                        unit="us"),
+            count_from_zero=False, week_start=1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = group.column("x").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(x)
+        s = int(x.sum())
+        ss = int((x * x).sum())
+        n_d = np.bincount(dow, minlength=8)[1:]
+        s_d = np.bincount(dow, weights=x, minlength=8)[1:].astype(np.int64)
+        keep = n_d > 0
+        between = float((s_d[keep].astype(np.float64) ** 2
+                         / n_d[keep]).sum()) - s * s / n
+        total = ss - s * s / n
+        r2 = between / total if total > 0 else None
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "r2": pa.array([None if r2 is None else round(r2, 6)],
+                           pa.float64()),
+        })
+
+    return daily.groupby(by).map_groups(finalize, batch_format="pyarrow")

@@ -43,6 +43,7 @@ __all__ = [
     "tfidf_top_terms",
     "bpe_train",
     "readability_by_lang",
+    "collocations_pmi",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -1566,3 +1567,108 @@ def readability_by_lang(ds, *, text_col: str, lang_col: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def collocations_pmi(ds, text_col: str, *, min_count: int = 5,
+                     k: int = 20):
+    """Collocation mining: top-k adjacent token pairs by pointwise
+    mutual information,
+
+        PMI(w1, w2) = ln( (B·Nu·Nu) / (Nb·U1·U2) )
+
+    with B the bigram count, U the unigram counts, Nu/Nb the corpus
+    totals — the "fixed phrase" detector (raw bigram frequency top-k
+    surfaces 'of the'; PMI surfaces 'los angeles').  ``min_count``
+    guards the low-frequency PMI explosion.
+
+    Plan: the :func:`bigram_topk` / :func:`vocab_topk` combiner
+    discipline builds both count tables (shuffle payload bounded by
+    vocabulary); the two tables materialize once (vocab-bounded) so
+    the scalar totals don't re-scan the corpus; unigram counts attach
+    to the (min_count-filtered, small) bigram side via two bucketed
+    :func:`~datatest_ray.stages.relational.lookup_join` passes; PMI is
+    rounded to 6dp BEFORE the (pmi, w1, w2) top-k so tie order is
+    engine-independent.  Output (w1, w2, n, pmi).
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import lookup_join
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        empty = pa.table({"w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        parents = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                            _row_counts(offsets))
+        enc = pc.dictionary_encode(flat)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        same = parents[1:] == parents[:-1]
+        if not same.any():
+            return empty
+        V = len(enc.dictionary)
+        pair = code[:-1][same] * V + code[1:][same]
+        cnt = np.bincount(pair)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "w1": pc.take(enc.dictionary, pa.array(nz // V, pa.int64())),
+            "w2": pc.take(enc.dictionary, pa.array(nz % V, pa.int64())),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    def unigram_partial(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_and_offsets(batch.column(text_col))
+        enc = pc.dictionary_encode(flat)
+        cnt = np.bincount(np.asarray(enc.indices, dtype=np.int64),
+                          minlength=len(enc.dictionary))
+        return pa.table({
+            "w": enc.dictionary,
+            "u": pa.array(cnt.astype(np.int64)),
+        })
+
+    text_only = ds.select_columns([text_col])
+    bigrams = (text_only.map_batches(bigram_partial,
+                                     batch_format="pyarrow",
+                                     zero_copy_batch=True)
+               .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+               .materialize())
+    unigrams = (text_only.map_batches(unigram_partial,
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                .groupby("w").aggregate(Sum("u", alias_name="u"))
+                .materialize())
+    n_uni = float(unigrams.sum("u") or 0)
+    n_bi = float(bigrams.sum("n") or 0)
+    if n_uni == 0 or n_bi == 0:
+        return pa.schema([("w1", pa.string()), ("w2", pa.string()),
+                          ("n", pa.int64()),
+                          ("pmi", pa.float64())]).empty_table()
+
+    frequent = bigrams.filter(expr=f"n >= {int(min_count)}")
+    j1 = lookup_join(frequent, unigrams, on="w1", right_on="w",
+                     right_cols=["u"]).map_batches(
+        lambda t: t.rename_columns(
+            [{"u": "u1"}.get(c, c) for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j2 = lookup_join(j1, unigrams, on="w2", right_on="w",
+                     right_cols=["u"])
+
+    def score(t: pa.Table) -> pa.Table:
+        b = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        u1 = t.column("u1").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        u2 = t.column("u").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        pmi = np.log((b * n_uni * n_uni) / (n_bi * u1 * u2))
+        return pa.table({
+            "w1": t.column("w1"), "w2": t.column("w2"),
+            "n": pc.cast(t.column("n"), pa.int64()),
+            "pmi": pa.array(np.round(pmi, 6), pa.float64()),
+        })
+
+    return (j2.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+            .limit(k))
