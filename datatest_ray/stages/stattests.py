@@ -48,6 +48,7 @@ __all__ = [
     "bh_adjust",
     "palma_ratio",
     "hodges_lehmann_shift",
+    "hash_bootstrap_mean_ci",
 ]
 
 
@@ -1911,4 +1912,93 @@ def hodges_lehmann_shift(ds, *, value_col: str, group_col: str, a, b=None):
         })
 
     return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+_BOOT_C1 = 2654435761  # Knuth multiplicative constants — the weight
+_BOOT_C2 = 40503       # hash is part of the cross-engine contract
+_BOOT_MOD = 2147483648  # 2^31
+
+
+def hash_bootstrap_mean_ci(ds, *, value_col: str, id_col: str,
+                           n_boot: int = 200):
+    """Deterministic hash-seeded bootstrap CI for the mean, in exact
+    cents: every (row, replicate) pair gets a reproducible resampling
+    weight in {0,1,2,3} with Poisson(1)-like mass (3/8, 3/8, 1/8, 1/8)
+    from the integer hash
+
+        h = ((id·2654435761 + r·40503) mod 2³¹) mod 8
+
+    so any engine — and any RE-RUN, at any cluster size — draws the
+    identical B resamples (the property an audit trail needs that
+    ``numpy.random`` resampling can't give).  Per-batch partials carry
+    the B-vector of (Σ w·cents, Σ w); one groupby on the replicate id;
+    the B resample means sort on one task and the CI is the 2.5th /
+    97.5th order statistic (indices ⌈0.025·B⌉-th smallest/largest).
+    Caller contract: ``id_col·C1 + B·C2`` must fit int64 (ids ≲ 2⁶²/C1).
+    Output one row (n, b, mean, ci_lo, ci_hi).
+    """
+    from ray.data.aggregate import Sum
+
+    reps = np.arange(n_boot, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(id_col)),
+                     pc.is_valid(t.column(value_col)))
+        t = t.filter(ok)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cents = np.rint(t.column(value_col).to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        h = ((ids[:, None] * _BOOT_C1 + reps[None, :] * _BOOT_C2)
+             % _BOOT_MOD) % 8
+        w = np.where(h < 3, 0, np.where(h < 6, 1, np.where(h < 7, 2, 3)))
+        return pa.table({
+            "r": pa.array(reps),
+            "swx": pa.array((w * cents[:, None]).sum(axis=0)
+                            .astype(np.int64)),
+            "sw": pa.array(w.sum(axis=0).astype(np.int64)),
+            "sc": pa.array(np.full(n_boot, int(cents.sum()),
+                                   dtype=np.int64)),
+            "n": pa.array(np.full(n_boot, len(ids), dtype=np.int64)),
+        })
+
+    agg = (ds.select_columns([id_col, value_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("r")
+           .aggregate(Sum("swx", alias_name="swx"),
+                      Sum("sw", alias_name="sw"),
+                      Sum("sc", alias_name="sc"),
+                      Sum("n", alias_name="n")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("b", pa.int64()),
+                            ("mean", pa.float64()),
+                            ("ci_lo", pa.float64()),
+                            ("ci_hi", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        r = t.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        swx = t.column("swx").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sw = t.column("sw").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = int(t.column("n")[0].as_py())
+        sc = int(t.column("sc")[0].as_py())
+        ok = sw > 0
+        mu = swx[ok] / (100.0 * sw[ok])
+        rr = r[ok]
+        order = np.lexsort((rr, mu))
+        mu = mu[order]
+        b = len(mu)
+        k = max(int(np.ceil(0.025 * b)), 1)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "b": pa.array([b], pa.int64()),
+            "mean": pa.array([round(sc / (100.0 * n), 6)], pa.float64()),
+            "ci_lo": pa.array([round(mu[k - 1], 6)], pa.float64()),
+            "ci_hi": pa.array([round(mu[b - k], 6)], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

@@ -31,7 +31,8 @@ from .base import Check, RunContext
 __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "acf_daily", "expfit_ks", "km_survival",
            "circular_hour_stats", "dispersion_index_hourly",
-           "holt_daily", "nelson_aalen", "holt_winters_daily", "dow_strength"]
+           "holt_daily", "nelson_aalen", "holt_winters_daily", "dow_strength",
+           "mase_daily", "c_chart"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1586,3 +1587,129 @@ def dow_strength(ds, ts_col: str, *, by: str):
         })
 
     return daily.groupby(by).map_groups(finalize, batch_format="pyarrow")
+
+
+def mase_daily(ds, ts_col: str, *, by: str, period: int = 7,
+               alpha: float = 0.5, beta: float = 0.25,
+               gamma: float = 0.25):
+    """Forecast-accuracy scoreboard per group: MASE of the
+    Holt-Winters one-step forecasts (:func:`holt_winters_daily`, same
+    recursion and init) against the seasonal-naive benchmark
+    x̂_t = x_{t−period} over the same days (t > period):
+
+        mase = mean|resid_model| / mean|x_t − x_{t−period}|
+
+    — the scale-free "is the smoother actually better than 'same day
+    last week'" gate (mase < 1: keep the model; ≥ 1: the naive rule
+    wins).  Same one-(group, day)-shuffle plan; output one row per
+    group (by, n_obs, mae_model, mae_naive, mase), 6-dp rounded,
+    mase NULL when the naive MAE is 0.
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        day = pc.strftime(pc.floor_temporal(t.column(ts_col), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({by: t.column(by), "day": day})
+
+    daily = (ds.select_columns([ts_col, by])
+             .map_batches(to_day, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby([by, "day"]).aggregate(Count(alias_name="x")))
+
+    a1, b1, g1 = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def score(group: pa.Table) -> pa.Table:
+        schema = pa.schema([(by, pa.string()), ("n_obs", pa.int64()),
+                            ("mae_model", pa.float64()),
+                            ("mae_naive", pa.float64()),
+                            ("mase", pa.float64())])
+        t = group.sort_by([("day", "ascending")])
+        if t.num_rows < period + 1:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.float64)
+        key = t.column(by)[0].as_py()
+        lvl = 0.0
+        for i in range(period):
+            lvl = lvl + x[i]
+        lvl = lvl / float(period)
+        b = 0.0
+        season = [x[i] - lvl for i in range(period)]
+        abs_m = abs_n = 0.0
+        n_obs = 0
+        for i in range(period, len(x)):
+            s1 = season[0]
+            abs_m += abs(x[i] - (lvl + b + s1))
+            abs_n += abs(x[i] - x[i - period])
+            n_obs += 1
+            l_new = alpha * (x[i] - s1) + a1 * (lvl + b)
+            b = beta * (l_new - lvl) + b1 * b
+            s_new = gamma * (x[i] - l_new) + g1 * s1
+            lvl = l_new
+            season = season[1:] + [s_new]
+        mae_m = abs_m / n_obs
+        mae_n = abs_n / n_obs
+        mase = mae_m / mae_n if mae_n > 0 else None
+        return pa.table({
+            by: pa.array([key]),
+            "n_obs": pa.array([n_obs], pa.int64()),
+            "mae_model": pa.array([round(mae_m, 6)], pa.float64()),
+            "mae_naive": pa.array([round(mae_n, 6)], pa.float64()),
+            "mase": pa.array([None if mase is None else round(mase, 6)],
+                             pa.float64()),
+        })
+
+    return daily.groupby(by).map_groups(score, batch_format="pyarrow")
+
+
+def c_chart(ds, ts_col: str, *, filter_expr=None, sigma: float = 3.0):
+    """Poisson c-chart over daily occurrence counts: centerline
+    c̄ = mean daily count, control limits c̄ ± σ·√c̄ (LCL floored at
+    0) — the SRE-style "is today's error volume out of control" audit,
+    assuming count ≈ Poisson so variance ≈ mean.  ``filter_expr``
+    (batch → bool mask) selects the occurrences to count (e.g. only
+    error events).  Output one row per day: (day, x, cl, ucl, lcl,
+    out_of_control), limits 6-dp; the day table is bounded, so the
+    limit computation reduces on one task.
+    """
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        if filter_expr is not None:
+            t = t.filter(filter_expr(t))
+        t = t.filter(pc.is_valid(t.column(ts_col)))
+        day = pc.strftime(pc.floor_temporal(t.column(ts_col), unit="day"),
+                          format="%Y-%m-%d")
+        return pa.table({"day": day})
+
+    daily = (ds.map_batches(to_day, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("day").aggregate(Count(alias_name="x")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("day", pa.string()), ("x", pa.int64()),
+                            ("cl", pa.float64()), ("ucl", pa.float64()),
+                            ("lcl", pa.float64()),
+                            ("out_of_control", pa.bool_())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        cl = int(x.sum()) / n
+        ucl = cl + sigma * np.sqrt(cl)
+        lcl = max(cl - sigma * np.sqrt(cl), 0.0)
+        out = (x > ucl) | (x < lcl)
+        return pa.table({
+            "day": t.column("day"),
+            "x": pa.array(x, pa.int64()),
+            "cl": pa.array(np.full(n, round(cl, 6)), pa.float64()),
+            "ucl": pa.array(np.full(n, round(ucl, 6)), pa.float64()),
+            "lcl": pa.array(np.full(n, round(lcl, 6)), pa.float64()),
+            "out_of_control": pa.array(out),
+        })
+
+    return daily.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -44,6 +44,7 @@ __all__ = [
     "bpe_train",
     "readability_by_lang",
     "collocations_pmi",
+    "lang_confusion",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -1672,3 +1673,54 @@ def collocations_pmi(ds, text_col: str, *, min_count: int = 5,
                            zero_copy_batch=True)
             .sort(["pmi", "w1", "w2"], descending=[True, False, False])
             .limit(k))
+
+
+def lang_confusion(ds, text_col: str, *, lang_col: str):
+    """Declared-vs-predicted language confusion matrix: run the
+    :func:`lang_id` scorer and count (declared, predicted) pairs — the
+    metadata-trust audit ("the `lang` column says 'de'; does the text
+    agree?").  Off-diagonal mass localizes either bad metadata or a
+    scorer blind spot; both are per-slice data-quality findings.
+
+    Plan: one pass scoring per batch (same kernel as lang_id), the
+    pair counts pre-reduce per batch (combiner), ONE tiny groupby over
+    the (languages × languages)-bounded key space.  Output
+    (lang, lang_pred, n).
+    """
+    from ray.data.aggregate import Sum
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch.column(lang_col))
+        batch = batch.filter(ok)
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        n_rows = batch.num_rows
+        scores = np.zeros((n_rows, len(LANG_ORDER)), dtype=np.int64)
+        for j, lang in enumerate(LANG_ORDER):
+            scores[:, j] = _per_row_hits(flat, offsets, STOPWORDS[lang])
+        best = np.argmax(scores, axis=1)
+        pred = np.asarray(LANG_ORDER, dtype=object)[best]
+        pred[scores.sum(axis=1) == 0] = "unknown"
+        decl = batch.column(lang_col)
+        decl = (decl.combine_chunks()
+                if isinstance(decl, pa.ChunkedArray) else decl)
+        enc_d = pc.dictionary_encode(decl)
+        dc = np.asarray(enc_d.indices, dtype=np.int64)
+        enc_p = pc.dictionary_encode(pa.array(pred))
+        pcs = np.asarray(enc_p.indices, dtype=np.int64)
+        k = max(len(enc_p.dictionary), 1)
+        flat_code = dc * k + pcs
+        cnt = np.bincount(flat_code)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            lang_col: pc.take(enc_d.dictionary,
+                              pa.array(nz // k, pa.int64())),
+            "lang_pred": pc.take(enc_p.dictionary,
+                                 pa.array(nz % k, pa.int64())),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    return (ds.select_columns([lang_col, text_col])
+            .map_batches(kernel, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([lang_col, "lang_pred"])
+            .aggregate(Sum("n", alias_name="n")))
