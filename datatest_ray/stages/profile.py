@@ -1347,3 +1347,71 @@ def cochran_armitage(ds, cat_col: str, outcome_col: str, target,
 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def ddsketch_quantiles(ds, col: str, *, gamma: float = 1.02,
+                       qs=(0.5, 0.9, 0.99)):
+    """DDSketch quantile estimates (Masson et al., VLDB 2019) for a
+    positive-valued column: log-gamma buckets ``ceil(ln x / ln gamma)``
+    guarantee RELATIVE error <= (gamma-1)/(gamma+1) per quantile --
+    unlike the t-digest, the bucket mapping is deterministic, so the
+    estimate is bit-reproducible across engines and partitionings and
+    ships with a full SQL oracle.
+
+    One O(distinct buckets) shuffle (buckets are calendar-of-log-range
+    bounded, ~log(max/min)/ln(gamma) rows), then a one-row-per-quantile
+    finalize.  The bucket index rounds ln x/ln gamma to 9dp before
+    ``ceil`` so a 1-ulp libm difference between engines cannot flip a
+    boundary value into the neighboring bucket.
+
+    Output: (q double, bucket int64, est double round-6) -- est =
+    2 gamma^b / (gamma + 1), the bucket's midpoint in relative space.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    lg = math.log(gamma)
+
+    def buckets(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[np.isfinite(x) & (x > 0)]
+        b = np.ceil(np.round(np.log(x) / lg, 9)).astype(np.int64)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (
+        ds.select_columns([col])
+        .map_batches(buckets, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("bucket", "ascending")])
+        b = t.column("bucket").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(n)
+        total = int(cum[-1]) if len(cum) else 0
+        out_q, out_b, out_e = [], [], []
+        for q in qs:
+            if total == 0:
+                out_q.append(float(q))
+                out_b.append(None)
+                out_e.append(None)
+                continue
+            r = max(1, math.ceil(q * total))
+            i = int(np.searchsorted(cum, r))
+            bb = int(b[i])
+            out_q.append(float(q))
+            out_b.append(bb)
+            out_e.append(round(2.0 * gamma ** bb / (gamma + 1.0), 6))
+        return pa.table({
+            "q": pa.array(out_q, pa.float64()),
+            "bucket": pa.array(out_b, pa.int64()),
+            "est": pa.array(out_e, pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

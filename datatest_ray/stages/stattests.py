@@ -49,6 +49,7 @@ __all__ = [
     "palma_ratio",
     "hodges_lehmann_shift",
     "hash_bootstrap_mean_ci",
+    "chatterjee_xi",
 ]
 
 
@@ -2002,3 +2003,105 @@ def hash_bootstrap_mean_ci(ds, *, value_col: str, id_col: str,
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def chatterjee_xi(ds, *, x_col: str, y_col: str, tie_cols):
+    """Chatterjee's rank correlation xi(x -> y) (Chatterjee 2021, JASA):
+    a [0,1]-ish dependence coefficient that is 0 iff independence and 1
+    iff y is a measurable function of x -- catches the nonmonotone
+    relationships Pearson/Kendall miss.  Tie-corrected form:
+
+        xi = 1 - n * sum_i |r_{i+1} - r_i| / (2 * sum_i l_i (n - l_i))
+
+    with rows ordered by ``(x, *tie_cols)`` (deterministic tie-break --
+    upstream uses a random one; a fixed total order keeps the statistic
+    hash-stable across engines), ``r_i = #{j: y_j <= y_i}`` and ``l_i =
+    #{j: y_j >= y_i}``.
+
+    Distribution plan: r/l come from the GLOBAL y value-counts (one
+    small groupby; assumes a modest distinct-y domain, e.g. quantities/
+    grades/counts -- documents the small-domain assumption).  The
+    x-ordered adjacency sum needs one ``sort``; each sorted block
+    contributes its internal sum plus a 2-value boundary stub
+    (first/last y + the block's first full sort key), and the tiny
+    per-block stub table is stitched on the driver.  Shuffle payload:
+    one sort of (x, y, keys) plus O(distinct y) + O(blocks) rows.
+
+    Output: one row (n int64, xi double round-6; xi NULL when n < 2).
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    need = [x_col, y_col, *tie_cols]
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(x_col)),
+                     pc.is_valid(t.column(y_col)))
+        return t.select(need).filter(ok)
+
+    base = ds.select_columns(need).map_batches(
+        clean, batch_format="pyarrow", zero_copy_batch=True)
+
+    vc = base.groupby(y_col).aggregate(Count(alias_name="c")).take_all()
+    if not vc:
+        return ray.data.from_arrow(pa.table({
+            "n": pa.array([0], pa.int64()),
+            "xi": pa.array([None], pa.float64()),
+        }))
+    ys = np.array(sorted(r[y_col] for r in vc), dtype=np.float64)
+    cmap = {r[y_col]: r["c"] for r in vc}
+    counts = np.array([cmap[v] for v in ys], dtype=np.int64)
+    cum_le = np.cumsum(counts)                      # r for each distinct y
+    n = int(cum_le[-1])
+    l_ge = n - np.concatenate(([0], cum_le[:-1]))   # l for each distinct y
+    denom = int(np.sum(counts * l_ge * (n - l_ge)))
+    ys_ref = ray.put(ys)
+    cum_ref = ray.put(cum_le)
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "s": pa.array([], pa.int64()),
+            "first_y": pa.array([], pa.float64()),
+            "last_y": pa.array([], pa.float64()),
+            "first_x": pa.array([], pa.float64()),
+            "k1": pa.array([], pa.int64()),
+            "k2": pa.array([], pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        ysort = ray.get(ys_ref)
+        cum = ray.get(cum_ref)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        r = cum[np.searchsorted(ysort, y)]
+        s = int(np.abs(np.diff(r)).sum())
+        return pa.table({
+            "s": pa.array([s], pa.int64()),
+            "first_y": pa.array([float(y[0])], pa.float64()),
+            "last_y": pa.array([float(y[-1])], pa.float64()),
+            "first_x": pa.array(
+                [float(t.column(x_col)[0].as_py())], pa.float64()),
+            "k1": pa.array(
+                [int(t.column(tie_cols[0])[0].as_py())], pa.int64()),
+            "k2": pa.array(
+                [int(t.column(tie_cols[1])[0].as_py())
+                 if len(tie_cols) > 1 else 0], pa.int64()),
+        })
+
+    stubs = (
+        base.sort([x_col, *tie_cols])
+        .map_batches(block_partial, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+        .take_all()
+    )
+    stubs.sort(key=lambda r: (r["first_x"], r["k1"], r["k2"]))
+    s_total = sum(r["s"] for r in stubs)
+    for prev, cur in zip(stubs, stubs[1:]):
+        r_prev = int(cum_le[np.searchsorted(ys, prev["last_y"])])
+        r_cur = int(cum_le[np.searchsorted(ys, cur["first_y"])])
+        s_total += abs(r_cur - r_prev)
+    xi = (round(1.0 - (float(n) * float(s_total)) / (2.0 * float(denom)), 6)
+          if n >= 2 and denom > 0 else None)
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "xi": pa.array([xi], pa.float64()),
+    }))

@@ -32,7 +32,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "acf_daily", "expfit_ks", "km_survival",
            "circular_hour_stats", "dispersion_index_hourly",
            "holt_daily", "nelson_aalen", "holt_winters_daily", "dow_strength",
-           "mase_daily", "c_chart"]
+           "mase_daily", "c_chart", "bollinger_daily",
+           "stoch_donchian_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1713,3 +1714,118 @@ def c_chart(ds, ts_col: str, *, filter_expr=None, sigma: float = 3.0):
 
     return daily.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def _daily_counts(ds, ts_col: str, by: str):
+    """(by, day:int64 epoch-day, n:int64) daily event counts -- the one
+    row-level shuffle shared by the trailing-window indicator audits."""
+    from ray.data.aggregate import Count
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(by)))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        return pa.table({by: t.column(by), "day": day})
+
+    return (
+        ds.select_columns([ts_col, by])
+        .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "day"]).aggregate(Count(alias_name="n"))
+    )
+
+
+def bollinger_daily(ds, ts_col: str, *, by: str, window: int = 7):
+    """Bollinger-band breach audit over the per-group daily-count
+    series: for every full ``window``-row trailing window (observed
+    days, not calendar days -- gaps compress), the band is mean +/- 2
+    population-sigma and a day breaches when it falls strictly outside.
+    The volume-anomaly control chart that adapts to local level, unlike
+    the global-mean c-chart.
+
+    Breach tests are evaluated in EXACT int64 arithmetic -- with s1 =
+    sum(x), s2 = sum(x^2) over the window, ``x > mean + 2 sigma`` iff
+    ``dev = w*x - s1 > 0 and dev^2 > 4*(w*s2 - s1^2)`` -- so the result
+    is hash-stable against a SQL-window oracle (no float sqrt at the
+    decision boundary).  One daily-count shuffle, then a tiny
+    vectorized per-group kernel (cumsum sliding sums over m days).
+
+    Output: (by, n_days, n_windows, n_breach_hi, n_breach_lo) int64.
+    """
+    w = int(window)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(x)
+        hi = lo = 0
+        nw = max(0, m - w + 1)
+        if nw:
+            c1 = np.concatenate(([0], np.cumsum(x)))
+            c2 = np.concatenate(([0], np.cumsum(x * x)))
+            s1 = c1[w:] - c1[:-w]
+            s2 = c2[w:] - c2[:-w]
+            cur = x[w - 1:]
+            dev = w * cur - s1
+            var = w * s2 - s1 * s1
+            breach = dev * dev > 4 * var
+            hi = int(np.count_nonzero(breach & (dev > 0)))
+            lo = int(np.count_nonzero(breach & (dev < 0)))
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([m], pa.int64()),
+            "n_windows": pa.array([nw], pa.int64()),
+            "n_breach_hi": pa.array([hi], pa.int64()),
+            "n_breach_lo": pa.array([lo], pa.int64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def stoch_donchian_daily(ds, ts_col: str, *, by: str, window: int = 14):
+    """Stochastic-oscillator / Donchian-channel audit over the daily
+    count series per group: %K = (x - min_w)/(max_w - min_w) over the
+    trailing ``window`` observed days (inclusive), counting days in the
+    overheated band (%K >= 0.8, evaluated exactly as ``5*(x - lo) >=
+    4*(hi - lo)`` in int64), and Donchian breakouts -- days strictly
+    above the max of the PRIOR ``window`` days.  The "is today extreme
+    relative to its own recent range" screen, scale-free per group.
+
+    Same plan as :func:`bollinger_daily`: one daily-count shuffle, then
+    an exact-integer vectorized kernel per group.
+
+    Output: (by, n_days, n_k_hi, n_breakout) int64.
+    """
+    w = int(window)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(x)
+        k_hi = brk = 0
+        if m >= w:
+            win = np.lib.stride_tricks.sliding_window_view(x, w)
+            lo = win.min(axis=1)
+            hi = win.max(axis=1)
+            cur = x[w - 1:]
+            k_hi = int(np.count_nonzero(
+                (hi > lo) & (5 * (cur - lo) >= 4 * (hi - lo))))
+        if m >= w + 1:
+            win = np.lib.stride_tricks.sliding_window_view(x[:-1], w)
+            prior_hi = win.max(axis=1)
+            brk = int(np.count_nonzero(x[w:] > prior_hi))
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([m], pa.int64()),
+            "n_k_hi": pa.array([k_hi], pa.int64()),
+            "n_breakout": pa.array([brk], pa.int64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")

@@ -45,6 +45,8 @@ __all__ = [
     "readability_by_lang",
     "collocations_pmi",
     "lang_confusion",
+    "vocab_richness",
+    "heaps_law",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -1724,3 +1726,168 @@ def lang_confusion(ds, text_col: str, *, lang_col: str):
                          zero_copy_batch=True)
             .groupby([lang_col, "lang_pred"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def vocab_richness(ds, text_col: str, *, lang_col: str):
+    """Vocabulary-richness profile per language from the word frequency
+    spectrum: Yule's K = 10^4 (sum m^2 - N)/N^2 (repeat-rate constant,
+    higher = poorer vocabulary), Simpson's D = (sum m^2 - N)/(N(N-1))
+    (probability two random token occurrences are the same word), and
+    Honore's H = 100 ln N / (1 - V1/V) (hapax-legomena richness; NULL
+    when every word is a hapax) -- the classic authorship/quality
+    screens for a text corpus, all exact up to one final float per
+    statistic.
+
+    Plan: per-batch (lang, token, n) partial counts -> one word-level
+    groupby -> per-batch per-lang spectrum partials (sum m, sum m^2,
+    V, V1) -> tiny groupby(lang) -> finalize.  Shuffle payload is
+    O(distinct words), never O(tokens).
+    """
+    from ray.data.aggregate import Sum
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        n_rows = len(counts)
+        langs = batch.column(lang_col)
+        parents = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        lang_flat = langs.take(pa.array(parents))
+        t = pa.table({"lang": lang_flat, "token": flat})
+        return t.group_by(["lang", "token"]).aggregate(
+            [("token", "count")]).rename_columns(["lang", "token", "n"])
+
+    wc = (
+        ds.select_columns([text_col, lang_col])
+        .filter(expr=f"{lang_col} is not null")
+        .map_batches(word_partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="m"))
+    )
+
+    def spectrum_partials(t: pa.Table) -> pa.Table:
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({
+            "lang": t.column("lang"),
+            "n": pa.array(m),
+            "m2": pa.array(m * m),
+            "v": pa.array(np.ones(len(m), dtype=np.int64)),
+            "v1": pa.array((m == 1).astype(np.int64)),
+        })
+        return g.group_by("lang").aggregate(
+            [("n", "sum"), ("m2", "sum"), ("v", "sum"), ("v1", "sum")]
+        ).rename_columns(["lang", "n", "m2", "v", "v1"])
+
+    agg = wc.map_batches(
+        spectrum_partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("lang").aggregate(
+        Sum("n", alias_name="n"), Sum("m2", alias_name="m2"),
+        Sum("v", alias_name="v"), Sum("v1", alias_name="v1"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import math
+
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        m2 = t.column("m2").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        v1 = t.column("v1").to_numpy(zero_copy_only=False).astype(np.int64)
+        yk = [round(10000.0 * (b - a) / (float(a) * a), 6)
+              if a > 0 else None for a, b in zip(n, m2)]
+        sd = [round(float(b - a) / (float(a) * (a - 1)), 6)
+              if a > 1 else None for a, b in zip(n, m2)]
+        hh = [round(100.0 * math.log(a) / (1.0 - float(d) / c), 6)
+              if a > 0 and c > 0 and d < c else None
+              for a, c, d in zip(n, v, v1)]
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_tokens": pa.array(n),
+            "vocab": pa.array(v),
+            "yules_k": pa.array(yk, pa.float64()),
+            "simpson_d": pa.array(sd, pa.float64()),
+            "honore_h": pa.array(hh, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def heaps_law(ds, text_col: str, *, lang_col: str):
+    """Heaps'-law fit per language: OLS of ln(distinct types per doc)
+    on ln(tokens per doc) across documents -- V ~= k N^beta.  beta well
+    below 1 is the healthy sublinear vocabulary growth of natural text;
+    beta ~= 1 flags template/random corpora, and k shifts flag
+    tokenizer or language drift.
+
+    Per-batch vectorized per-doc (N, V) (dictionary-encode + lexsort
+    dedup, no Python over rows) folded straight into per-lang OLS
+    partial sums -- the only shuffle moves 5 floats per (lang, block).
+
+    Output: (lang, n_docs, beta round-6, k round-6); NULL fit when
+    under 2 docs or zero variance in ln N.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        n_rows = len(counts)
+        if len(flat) == 0:
+            distinct = np.zeros(n_rows, dtype=np.int64)
+        else:
+            enc = pc.dictionary_encode(flat)
+            codes = np.asarray(enc.indices, dtype=np.int64)
+            parents = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+            order = np.lexsort((codes, parents))
+            ps, cs = parents[order], codes[order]
+            keep = np.ones(len(cs), dtype=bool)
+            keep[1:] = (ps[1:] != ps[:-1]) | (cs[1:] != cs[:-1])
+            distinct = np.bincount(ps[keep], minlength=n_rows).astype(
+                np.int64)
+        ok = counts > 0
+        x = np.log(counts[ok].astype(np.float64))
+        y = np.log(distinct[ok].astype(np.float64))
+        langs = batch.column(lang_col).take(
+            pa.array(np.flatnonzero(ok)))
+        return pa.table({
+            "lang": langs,
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "sxy": pa.array(x * y),
+        })
+
+    agg = (
+        ds.select_columns([text_col, lang_col])
+        .filter(expr=f"{lang_col} is not null")
+        .map_batches(partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"), Sum("sxy", alias_name="sxy"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import math
+
+        n = t.column("n_docs").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        betas, ks = [], []
+        for i in range(len(n)):
+            den = n[i] * sxx[i] - sx[i] * sx[i]
+            if n[i] < 2 or den == 0:
+                betas.append(None)
+                ks.append(None)
+                continue
+            b = (n[i] * sxy[i] - sx[i] * sy[i]) / den
+            betas.append(round(b, 6))
+            ks.append(round(math.exp(sy[i] / n[i] - b * sx[i] / n[i]), 6))
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_docs": pa.array(n.astype(np.int64)),
+            "beta": pa.array(betas, pa.float64()),
+            "k": pa.array(ks, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -26,7 +26,7 @@ from ..functions.aggregates import hash64
 __all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
            "group_zscore", "rank_window", "percent_rank",
            "trailing_range_agg", "ntile_window", "record_counts",
-           "trailing_distinct", "capped_balance"]
+           "trailing_distinct", "capped_balance", "max_drawdown"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -725,3 +725,66 @@ def capped_balance(ds, *, by: str, ts_col: str, delta_col: str,
 
     return _bucketed(ds, need, by, n_buckets).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def max_drawdown(ds, *, by: str, ts_col: str, value_col: str,
+                 id_col: str, n_buckets: int = 256):
+    """Per-key maximum drawdown of the running balance: with ``cum_i``
+    the cumulative sum of the (cents-scaled) value stream in ``(ts,
+    id)`` order, drawdown_i = max_{j<=i} cum_j - cum_i and the output
+    is its per-key maximum -- the canonical "worst peak-to-trough"
+    risk/health metric for any metered stream (spend, credits, queue
+    depth).  All arithmetic is exact int64 cents; two vectorized
+    accumulate passes per key segment (cumsum + running max), same
+    coarse-bucket plan as the rest of this module.
+
+    Output: (by, n_events int64, final_bal round-6, max_drawdown
+    round-6) -- balances back in value units.
+    """
+    need = [by, ts_col, value_col, id_col]
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column(by)),
+                             pc.is_valid(t.column(ts_col))),
+                     pc.is_valid(t.column(value_col)))
+        t = t.select(need).filter(ok)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()), 100.0)), pa.int64())
+        return t.set_column(t.schema.get_field_index(value_col),
+                            value_col, cents)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), (ts_col, "ascending"),
+                           (id_col, "ascending")])
+        k = t.column(by).to_numpy(zero_copy_only=False)
+        d = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(k)
+        starts = np.flatnonzero(_segments(k))
+        ends = np.append(starts[1:], n)
+        keys, nev, fin, mdd = [], [], [], []
+        for s, e in zip(starts, ends):
+            c = np.cumsum(d[s:e])
+            runmax = np.maximum.accumulate(c)
+            keys.append(k[s])
+            nev.append(e - s)
+            fin.append(round(int(c[-1]) / 100.0, 6))
+            mdd.append(round(int((runmax - c).max()) / 100.0, 6))
+        return pa.table({
+            by: pa.array(keys, pa.int64()),
+            "n_events": pa.array(nev, pa.int64()),
+            "final_bal": pa.array(fin, pa.float64()),
+            "max_drawdown": pa.array(mdd, pa.float64()),
+        })
+
+    bucketed = (
+        ds.select_columns(need)
+        .map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda t: t.append_column("coarse", pa.array(
+                (hash64(t.column(by)) % np.uint64(n_buckets)).astype(
+                    np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse")
+    )
+    return bucketed.map_groups(kernel, batch_format="pyarrow")
