@@ -35,7 +35,7 @@ from .sampling import _key_units
 __all__ = ["fd_violations", "target_encode", "split_balance",
            "quantize_report", "impute_group_median", "quantile_normalize",
            "l_diversity", "eb_shrunk_rates", "t_closeness",
-           "cfd_violations", "woe_iv", "cuped"]
+           "cfd_violations", "woe_iv", "cuped", "average_precision"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -898,3 +898,59 @@ def cuped(ds, *, ts_col: str, key_col: str, value_col: str, cutoff: str):
             [None if reduction is None else round(reduction, 6)],
             pa.float64()),
     })
+
+
+def average_precision(ds, *, score_col: str, label_expr):
+    """PR-AUC as tie-aware average precision: rows are ranked by score
+    descending, tied scores form one group, and AP = sum over groups of
+    (tp_g / P) * (cumTP_g / cumN_g) -- precision evaluated at each
+    group's trailing edge, weighted by the recall it adds.  The
+    ranking-quality complement to the ROC AUC (which is blind to class
+    imbalance).
+
+    ``label_expr(table) -> BooleanArray`` marks positives.  Plan: one
+    O(distinct scores) shuffle of (score, n, tp) partials, then a
+    single-partition finalize over the sorted score groups (assumes
+    distinct scores fit one task -- quantize the score upstream for
+    columns with unbounded cardinality).
+
+    Output: one row (n int64, p int64, ap double round-6; ap NULL when
+    P = 0).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        y = label_expr(t)
+        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        ok = pc.and_(pc.is_valid(t.column(score_col)), pc.is_valid(y))
+        g = pa.table({"s": t.column(score_col),
+                      "y": pc.cast(y, pa.int64())}).filter(ok)
+        return g.group_by("s").aggregate(
+            [("y", "count"), ("y", "sum")]
+        ).rename_columns(["s", "n", "tp"])
+
+    agg = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("s").aggregate(Sum("n", alias_name="n"),
+                             Sum("tp", alias_name="tp"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("s", "descending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        tp = t.column("tp").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        p = int(tp.sum())
+        if p == 0:
+            ap = None
+        else:
+            ctp = np.cumsum(tp)
+            cn = np.cumsum(n)
+            ap = round(float(np.sum((tp / p) * (ctp / cn))), 6)
+        return pa.table({
+            "n": pa.array([total], pa.int64()),
+            "p": pa.array([p], pa.int64()),
+            "ap": pa.array([ap], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

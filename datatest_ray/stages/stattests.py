@@ -50,6 +50,9 @@ __all__ = [
     "hodges_lehmann_shift",
     "hash_bootstrap_mean_ci",
     "chatterjee_xi",
+    "brunner_munzel",
+    "lepage_test",
+    "cucconi_test",
 ]
 
 
@@ -2105,3 +2108,190 @@ def chatterjee_xi(ds, *, x_col: str, y_col: str, tie_cols):
         "n": pa.array([n], pa.int64()),
         "xi": pa.array([xi], pa.float64()),
     }))
+
+
+def brunner_munzel(ds, *, value_col: str, group_col: str, a, b=None):
+    """Brunner-Munzel two-sample test (the heteroscedastic-safe
+    replacement for Mann-Whitney): estimates p = P(X_a < X_b) + 0.5
+    P(X_a = X_b) with midranks and studentizes it WITHOUT assuming
+    equal variances -- the robust "did this metric stochastically
+    shift" test when spread also drifts.
+
+    Every term reduces to per-tie-block closed forms over the shared
+    (value, count_a, count_total) partials: within a block the pooled
+    and within-sample midranks are constant, so the rank-variance sums
+    are exact block sums.  Shuffle payload O(distinct values).
+
+    Output one row (n_a, n_b, p_hat round-6, w round-6) with w the BM
+    statistic (scipy.stats.brunnermunzel convention, positive when b
+    tends larger); w NULL for degenerate variance.
+    """
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _value_counts_partial(group_col, value_col, a, b),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("p_hat", pa.float64()), ("w", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        _, ca, cnt = _merge_value_counts(t)
+        cb = cnt - ca
+        n_a = int(ca.sum())
+        n_b = int(cb.sum())
+        n = n_a + n_b
+        if n_a < 2 or n_b < 2:
+            return schema.empty_table()
+        hi = np.cumsum(cnt)
+        pr = (hi - cnt).astype(np.float64) + (cnt + 1) / 2.0
+        a_hi = np.cumsum(ca)
+        wr_a = (a_hi - ca).astype(np.float64) + (ca + 1) / 2.0
+        b_hi = np.cumsum(cb)
+        wr_b = (b_hi - cb).astype(np.float64) + (cb + 1) / 2.0
+        rbar_a = float(np.sum(ca * pr)) / n_a
+        rbar_b = float(np.sum(cb * pr)) / n_b
+        da = pr - wr_a - rbar_a + (n_a + 1) / 2.0
+        db = pr - wr_b - rbar_b + (n_b + 1) / 2.0
+        s_a = float(np.sum(ca * da * da)) / (n_a - 1)
+        s_b = float(np.sum(cb * db * db)) / (n_b - 1)
+        p_hat = (rbar_b - (n_b + 1) / 2.0) / n_a
+        den = n * np.sqrt(n_a * s_a + n_b * s_b)
+        w = (round(n_a * n_b * (rbar_b - rbar_a) / den, 6)
+             if den > 0 else None)
+        return pa.table({
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "p_hat": pa.array([round(p_hat, 6)], pa.float64()),
+            "w": pa.array([w], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def lepage_test(ds, *, value_col: str, group_col: str, a, b=None):
+    """Lepage combined location-scale test: L = Z_W^2 + Z_AB^2, the sum
+    of the squared standardized Wilcoxon rank-sum (location) and
+    Ansari-Bradley (scale) statistics -- one omnibus "did ANYTHING
+    about this distribution move" number, asymptotically chi^2(2).
+
+    Midrank ties throughout; the Wilcoxon variance carries the exact
+    tie correction n_a n_b / 12 * (N + 1 - sum(t^3 - t)/(N(N-1))), and
+    the AB moments reuse the exact integer prefix-score sums of
+    :func:`ansari_bradley`.  Shuffle payload O(distinct values).
+
+    Output one row (n_a, n_b, z_w, z_ab, lepage_l) round-6; NULL
+    z-components (and L) on degenerate variance.
+    """
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _value_counts_partial(group_col, value_col, a, b),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def _f(tt: np.ndarray, n_tot: int) -> np.ndarray:
+        tt = tt.astype(np.int64)
+        c = (n_tot + 1) // 2
+        lo = np.minimum(tt, c)
+        head = lo * (lo + 1) // 2
+        over = np.maximum(tt - c, 0)
+        tail = (n_tot + 1) * over - (tt * (tt + 1) // 2 - c * (c + 1) // 2)
+        return head + np.where(over > 0, tail, 0)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("z_w", pa.float64()), ("z_ab", pa.float64()),
+                            ("lepage_l", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        _, ca, cnt = _merge_value_counts(t)
+        n = int(cnt.sum())
+        n_a = int(ca.sum())
+        n_b = n - n_a
+        if n_a == 0 or n_b == 0 or n < 2:
+            return schema.empty_table()
+        hi = np.cumsum(cnt)
+        mr = (hi - cnt).astype(np.float64) + (cnt + 1) / 2.0
+        w_sum = float(np.sum(ca * mr))
+        e_w = n_a * (n + 1) / 2.0
+        tie = float(np.sum(cnt.astype(np.float64) ** 3 - cnt))
+        var_w = (n_a * float(n_b) / 12.0
+                 * ((n + 1) - tie / (float(n) * (n - 1))))
+        z_w = (w_sum - e_w) / np.sqrt(var_w) if var_w > 0 else None
+        s_blk = _f(hi, n) - _f(hi - cnt, n)
+        a_v = s_blk.astype(np.float64) / cnt.astype(np.float64)
+        w_ab = float(np.sum(ca.astype(np.float64) * a_v))
+        s1 = float(_f(np.array([n]), n)[0])
+        s2 = float(np.sum(cnt.astype(np.float64) * a_v * a_v))
+        e_ab = n_a * s1 / n
+        var_ab = (n_a * float(n_b) * (n * s2 - s1 * s1)
+                  / (float(n) ** 2 * (n - 1)))
+        z_ab = (w_ab - e_ab) / np.sqrt(var_ab) if var_ab > 0 else None
+        lep = (round(z_w * z_w + z_ab * z_ab, 6)
+               if z_w is not None and z_ab is not None else None)
+        return pa.table({
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "z_w": pa.array(
+                [None if z_w is None else round(z_w, 6)], pa.float64()),
+            "z_ab": pa.array(
+                [None if z_ab is None else round(z_ab, 6)], pa.float64()),
+            "lepage_l": pa.array([lep], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def cucconi_test(ds, *, value_col: str, group_col: str, a, b=None):
+    """Cucconi location-scale test (predates and often beats Lepage):
+    U standardizes the sum of squared pooled midranks of sample ``a``,
+    V the sum of squared CONTRARY ranks (N + 1 - R)^2, and
+
+        C = (U^2 + V^2 - 2 rho U V) / (2 (1 - rho^2)),
+        rho = 2 (N^2 - 4) / ((2N + 1)(8N + 11)) - 1.
+
+    Midrank ties (a tie block contributes count * midrank^2 exactly);
+    same O(distinct values) shuffle contract as the other two-sample
+    kernels.  Output one row (n_a, n_b, u, v, c) round-6.
+    """
+    partials = ds.select_columns([group_col, value_col]).map_batches(
+        _value_counts_partial(group_col, value_col, a, b),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("u", pa.float64()), ("v", pa.float64()),
+                            ("c", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        _, ca, cnt = _merge_value_counts(t)
+        n = int(cnt.sum())
+        n_a = int(ca.sum())
+        n_b = n - n_a
+        if n_a == 0 or n_b == 0 or n < 3:
+            return schema.empty_table()
+        hi = np.cumsum(cnt)
+        mr = (hi - cnt).astype(np.float64) + (cnt + 1) / 2.0
+        sum_r2 = float(np.sum(ca * mr * mr))
+        contrary = (n + 1) - mr
+        sum_c2 = float(np.sum(ca * contrary * contrary))
+        m, nn = float(n_a), float(n)
+        den = np.sqrt(m * n_b * (nn + 1) * (2 * nn + 1)
+                      * (8 * nn + 11) / 5.0)
+        if den == 0:
+            return schema.empty_table()
+        u = (6.0 * sum_r2 - m * (nn + 1) * (2 * nn + 1)) / den
+        v = (6.0 * sum_c2 - m * (nn + 1) * (2 * nn + 1)) / den
+        rho = 2.0 * (nn * nn - 4.0) / ((2 * nn + 1) * (8 * nn + 11)) - 1.0
+        c = ((u * u + v * v - 2.0 * rho * u * v)
+             / (2.0 * (1.0 - rho * rho)) if abs(rho) < 1 else None)
+        return pa.table({
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "u": pa.array([round(u, 6)], pa.float64()),
+            "v": pa.array([round(v, 6)], pa.float64()),
+            "c": pa.array(
+                [None if c is None else round(c, 6)], pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

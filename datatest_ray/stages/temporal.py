@@ -33,7 +33,7 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "circular_hour_stats", "dispersion_index_hourly",
            "holt_daily", "nelson_aalen", "holt_winters_daily", "dow_strength",
            "mase_daily", "c_chart", "bollinger_daily",
-           "stoch_donchian_daily"]
+           "stoch_donchian_daily", "gumbel_weekly_max"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1825,6 +1825,61 @@ def stoch_donchian_daily(ds, ts_col: str, *, by: str, window: int = 14):
             "n_days": pa.array([m], pa.int64()),
             "n_k_hi": pa.array([k_hi], pa.int64()),
             "n_breakout": pa.array([brk], pa.int64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def gumbel_weekly_max(ds, ts_col: str, *, by: str, period: int = 7):
+    """Gumbel (EV-I) fit to block maxima of the daily-count series per
+    group: weeks are fixed ``period``-day epoch blocks, the block
+    statistic is the max daily count, and the fit is the method of
+    moments -- beta = s sqrt(6)/pi, mu = mean - gamma_E beta (Euler-
+    Mascheroni) -- the classical extreme-value model behind "what daily
+    peak should we provision for".  Sample std uses the explicit
+    (sum x^2 - (sum x)^2/n)/(n-1) form over EXACT integer maxima so a
+    SQL mirror hashes identically.
+
+    One daily-count shuffle, then per-group closed forms.  Output:
+    (by, n_weeks int64, mu round-6, beta round-6); NULL fit under 2
+    weeks or zero variance.
+    """
+    import math
+
+    EULER = 0.5772156649015329
+
+    def kernel(t: pa.Table) -> pa.Table:
+        key = t.column(by)[0].as_py()
+        day = t.column("day").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        week = day // period
+        order = np.argsort(week, kind="stable")
+        week, x = week[order], x[order]
+        new = np.ones(len(week), dtype=bool)
+        if len(week) > 1:
+            new[1:] = week[1:] != week[:-1]
+        seg = np.cumsum(new) - 1
+        wmax = np.zeros(seg[-1] + 1, dtype=np.int64) if len(seg) else \
+            np.zeros(0, dtype=np.int64)
+        np.maximum.at(wmax, seg, x)
+        nw = len(wmax)
+        mu = beta = None
+        if nw >= 2:
+            s1 = int(wmax.sum())
+            s2 = int((wmax * wmax).sum())
+            var = (s2 - s1 * s1 / float(nw)) / (nw - 1)
+            if var > 0:
+                s = math.sqrt(var)
+                beta_v = s * math.sqrt(6.0) / math.pi
+                mu = round(s1 / float(nw) - EULER * beta_v, 6)
+                beta = round(beta_v, 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_weeks": pa.array([nw], pa.int64()),
+            "mu": pa.array([mu], pa.float64()),
+            "beta": pa.array([beta], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(

@@ -1746,6 +1746,7 @@ def vocab_richness(ds, text_col: str, *, lang_col: str):
     from ray.data.aggregate import Sum
 
     def word_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(lang_col)))
         flat, offsets = tokens_and_offsets(batch.column(text_col))
         counts = _row_counts(offsets)
         n_rows = len(counts)
@@ -1758,7 +1759,6 @@ def vocab_richness(ds, text_col: str, *, lang_col: str):
 
     wc = (
         ds.select_columns([text_col, lang_col])
-        .filter(expr=f"{lang_col} is not null")
         .map_batches(word_partials, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="m"))
@@ -1827,6 +1827,7 @@ def heaps_law(ds, text_col: str, *, lang_col: str):
     from ray.data.aggregate import Count, Sum
 
     def partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(lang_col)))
         flat, offsets = tokens_and_offsets(batch.column(text_col))
         counts = _row_counts(offsets)
         n_rows = len(counts)
@@ -1855,7 +1856,6 @@ def heaps_law(ds, text_col: str, *, lang_col: str):
 
     agg = (
         ds.select_columns([text_col, lang_col])
-        .filter(expr=f"{lang_col} is not null")
         .map_batches(partials, batch_format="pyarrow",
                      zero_copy_batch=True)
         .groupby("lang").aggregate(
