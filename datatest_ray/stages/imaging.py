@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit"]
 
 
 class FixtureReference:
@@ -1127,4 +1127,99 @@ def image_ssim_scores(ds, *, reference_seed: int = 42,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+class BlurScoreExtractor:
+    """Actor-pool callable: decode every payload and emit the variance
+    of the 4-neighbour Laplacian of the grayscale image — the classic
+    sharpness score (low variance = blurry/flat).  Codec state is
+    per-actor; decode failures emit NULL scores (corruption reporting
+    belongs to the integrity/parity checks)."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt"):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    @staticmethod
+    def var_laplacian(img: np.ndarray) -> float:
+        px = img.astype(np.float64)
+        if px.ndim == 3:
+            px = px.mean(axis=2)
+        if px.shape[0] < 3 or px.shape[1] < 3:
+            return 0.0
+        lap = (4.0 * px[1:-1, 1:-1] - px[:-2, 1:-1] - px[2:, 1:-1]
+               - px[1:-1, :-2] - px[1:-1, 2:])
+        return float(lap.var())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (batch.column(self.fmt_col).to_pylist()
+                if self.fmt_col in batch.column_names else [None] * n)
+        score = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                img = decode_image(data, fmt)
+            except Exception:
+                continue
+            score[i] = self.var_laplacian(img)
+            ok[i] = True
+        out = {self.id_col: batch.column(self.id_col)}
+        if self.fmt_col in batch.column_names:
+            out[self.fmt_col] = batch.column(self.fmt_col)
+        out["var_lap"] = pa.array(score, pa.float64(), mask=~ok)
+        return pa.table(out)
+
+
+def blur_scores(ds, *, concurrency=(2, 8), batch_size: int = 128,
+                fmt_col: str = "fmt"):
+    """Per-image variance-of-Laplacian sharpness as a Dataset
+    (actor-pool decode; bytes never shuffle — the score column is 8
+    bytes/row downstream)."""
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    return ds.select_columns(cols).map_batches(
+        BlurScoreExtractor,
+        fn_constructor_kwargs=dict(fmt_col=fmt_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def blur_audit(ds, *, threshold: float = 25.0, **kwargs):
+    """Per-format blur audit over decoded pixels: (fmt, n_images,
+    n_decode_fail, n_blurry) with blurry = var_laplacian < threshold.
+    The "did a resize/compression job soften everything" screen; at
+    corpus scale feed per-format counts into a DomainCheck-style gate.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    scores = blur_scores(ds, **kwargs)
+
+    def mark(t: pa.Table) -> pa.Table:
+        v = t.column("var_lap")
+        failed = pc.cast(pc.is_null(v), pa.int64())
+        blurry = pc.cast(
+            pc.fill_null(pc.less(v, threshold), False), pa.int64())
+        return pa.table({
+            "fmt": t.column("fmt"),
+            "failed": failed,
+            "blurry": blurry,
+        })
+
+    return scores.map_batches(
+        mark, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("fmt").aggregate(
+        Count(alias_name="n_images"),
+        Sum("failed", alias_name="n_decode_fail"),
+        Sum("blurry", alias_name="n_blurry"),
     )

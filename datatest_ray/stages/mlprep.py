@@ -35,7 +35,8 @@ from .sampling import _key_units
 __all__ = ["fd_violations", "target_encode", "split_balance",
            "quantize_report", "impute_group_median", "quantile_normalize",
            "l_diversity", "eb_shrunk_rates", "t_closeness",
-           "cfd_violations", "woe_iv", "cuped", "average_precision"]
+           "cfd_violations", "woe_iv", "cuped", "average_precision",
+           "rrf_fuse"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -953,4 +954,44 @@ def average_precision(ds, *, score_col: str, label_expr):
         })
 
     return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def rrf_fuse(ds, *, key_col: str, score_cols, c: int = 60,
+             top_k: int = 20):
+    """Reciprocal-rank fusion over an already-aggregated score table:
+    each score column induces a ranking (score DESC, key ASC -- the
+    deterministic tie-break), and every key gets
+    ``sum_cols 1/(c + rank)``; output the fused top_k.  The standard
+    way to combine incomparable rankings (lexical + semantic retrieval,
+    revenue + volume league tables) without calibrating scores.
+
+    Single-partition finalize over the aggregate (O(distinct keys) --
+    quantize or pre-filter keys upstream for unbounded domains).
+
+    Output: (key_col, rank_<col> int64 per score column, rrf round-6),
+    sorted rrf DESC then key ASC, top_k rows.
+    """
+    cols = list(score_cols)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(keys)
+        rrf = np.zeros(n, dtype=np.float64)
+        ranks = {}
+        for col in cols:
+            s = t.column(col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((keys, -s))
+            r = np.empty(n, dtype=np.int64)
+            r[order] = np.arange(1, n + 1)
+            ranks[col] = r
+            rrf += 1.0 / (c + r)
+        top = np.lexsort((keys, -rrf))[:top_k]
+        out = {key_col: pa.array(keys[top])}
+        for col in cols:
+            out[f"rank_{col}"] = pa.array(ranks[col][top])
+        out["rrf"] = pa.array(np.round(rrf[top], 6))
+        return pa.table(out)
+
+    return ds.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

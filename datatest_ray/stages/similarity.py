@@ -29,7 +29,8 @@ __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "pca_top_components",
            "neardup_cosine_pairs",
            "ann_lsh_topk", "ivf_topk", "label_centroids",
-           "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report"]
+           "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report",
+           "matryoshka_recall"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -927,3 +928,66 @@ def exact_dup_vectors(ds, *, vec_col: str, id_col: str):
 
     return groups.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def matryoshka_recall(ds, *, id_col: str, vec_col: str,
+                      dims=(8, 16, 32), k: int = 10,
+                      n_queries: int = 20):
+    """Matryoshka/truncation quality report: recall@k of exact cosine
+    top-k computed on only the FIRST d dimensions against the full-dim
+    exact top-k, per candidate prefix length d -- the measurement that
+    decides how far an embedding column can be truncated before ANN
+    quality collapses (Kusupati et al. 2022 'Matryoshka Representation
+    Learning' motivates prefix-truncation).
+
+    Queries are the rows with ``id_col < n_queries`` (deterministic).
+    Each ranking reuses :func:`topk_cosine` (queries broadcast via
+    ``ray.put``, per-batch GEMM + partial top-k, ascending-id tie
+    break), so every pass streams the dataset once; the comparison
+    joins the tiny (n_queries * k)-row result sets on the driver.
+
+    Output: (dim int64, n_queries int64, overlap int64, recall
+    round-6), one row per prefix length.
+    """
+    def truncate(d):
+        def cut(t: pa.Table) -> pa.Table:
+            col = t.column(vec_col)
+            col = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            return pa.table({id_col: t.column(id_col),
+                             vec_col: pc.list_slice(col, 0, d)})
+        return cut
+
+    base = ds.select_columns([id_col, vec_col])
+    queries = base.filter(expr=f"{id_col} < {int(n_queries)}")
+
+    def pairs(res) -> set:
+        t = pa.concat_tables(list(res.iter_batches(
+            batch_format="pyarrow", batch_size=4096)))
+        return set(zip(t.column("query_id").to_pylist(),
+                       t.column("neighbor_id").to_pylist()))
+
+    full = pairs(topk_cosine(base, queries, id_col=id_col,
+                             vec_col=vec_col, k=k))
+    nq = len({q for q, _ in full})
+    rows_d, rows_n, rows_o, rows_r = [], [], [], []
+    for d in dims:
+        cut_ds = base.map_batches(truncate(d), batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        cut_q = queries.map_batches(truncate(d), batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        got = pairs(topk_cosine(cut_ds, cut_q, id_col=id_col,
+                                vec_col=vec_col, k=k))
+        overlap = len(full & got)
+        rows_d.append(int(d))
+        rows_n.append(nq)
+        rows_o.append(overlap)
+        rows_r.append(round(overlap / float(nq * k), 6) if nq else None)
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "dim": pa.array(rows_d, pa.int64()),
+        "n_queries": pa.array(rows_n, pa.int64()),
+        "overlap": pa.array(rows_o, pa.int64()),
+        "recall": pa.array(rows_r, pa.float64()),
+    }))

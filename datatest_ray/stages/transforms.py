@@ -27,7 +27,7 @@ __all__ = ["ImageResizer", "ImageFeatureExtractor", "FrameSampler",
            "AudioFeatureExtractor", "resize_images",
            "extract_image_features", "sample_frames",
            "extract_audio_features", "ImageContentAuditor",
-           "audit_image_content"]
+           "audit_image_content", "aspect_bucket_plan"]
 
 
 def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -353,3 +353,68 @@ def audit_image_content(ds, *, id_col: str = "image_id",
                                "tol": tol},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def aspect_bucket_plan(ds, *, w_col: str = "w", h_col: str = "h",
+                       ratios=((1, 1), (4, 3), (3, 4), (16, 9), (9, 16)),
+                       target_area: int = 1024 * 1024):
+    """SDXL-style aspect-ratio bucketing plan from metadata only: each
+    image snaps to the ratio bucket nearest in |log(aspect) -
+    log(bucket aspect)| (ties to the earlier bucket in ``ratios``), and
+    the plan reports per bucket how many images land there plus the
+    resize statistics toward the bucket's target_area-preserving
+    dimensions -- the batching table an aspect-bucketed trainer needs
+    BEFORE any pixels move.
+
+    Pure vectorized metadata pass (no decode, no shuffle beyond one
+    tiny groupby).  Output: (bucket string "W:H", n_images int64,
+    n_upscale int64 [scale > 1], mean_scale round-6) with scale =
+    sqrt(target_area / (w*h)).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    r = np.array([a / b for a, b in ratios], dtype=np.float64)
+    log_r = np.log(r)
+    names = [f"{a}:{b}" for a, b in ratios]
+
+    def assign(t: pa.Table) -> pa.Table:
+        w = t.column(w_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        h = t.column(h_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = np.isfinite(w) & np.isfinite(h) & (w > 0) & (h > 0)
+        w, h = w[ok], h[ok]
+        la = np.log(w / h)
+        # argmin of |la - log_r| with ties to the earlier ratio
+        d = np.abs(la[:, None] - log_r[None, :])
+        bucket = np.argmin(d, axis=1)
+        scale = np.sqrt(target_area / (w * h))
+        return pa.table({
+            "bucket": pa.array([names[i] for i in bucket]),
+            "one": pa.array(np.ones(len(w), dtype=np.int64)),
+            "up": pa.array((scale > 1.0).astype(np.int64)),
+            "scale": pa.array(scale),
+        })
+
+    agg = ds.select_columns([w_col, h_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").aggregate(
+        Count(alias_name="n_images"),
+        Sum("up", alias_name="n_upscale"),
+        Sum("scale", alias_name="_scale_sum"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_images").to_numpy(zero_copy_only=False)
+        s = t.column("_scale_sum").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": t.column("bucket"),
+            "n_images": t.column("n_images"),
+            "n_upscale": t.column("n_upscale"),
+            "mean_scale": pa.array(
+                [round(x / c, 6) if c else None
+                 for x, c in zip(s, n)], pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
