@@ -36,7 +36,7 @@ __all__ = ["fd_violations", "target_encode", "split_balance",
            "quantize_report", "impute_group_median", "quantile_normalize",
            "l_diversity", "eb_shrunk_rates", "t_closeness",
            "cfd_violations", "woe_iv", "cuped", "average_precision",
-           "rrf_fuse"]
+           "rrf_fuse", "gini_stump", "loo_encode_audit"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -995,3 +995,143 @@ def rrf_fuse(ds, *, key_col: str, score_cols, c: int = 60,
 
     return ds.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def gini_stump(ds, *, score_col: str, label_expr,
+               cents_scale: float = 100.0):
+    """Best single-threshold decision stump under Gini impurity: over
+    every distinct value v of ``score_col``, split left = (x <= v) and
+    pick the v maximizing (pl^2+ql^2)/nl + (pr^2+qr^2)/nr (equivalently
+    minimizing the weighted Gini (n - imp)/n), ties to the SMALLEST
+    threshold -- the univariate feature-quality probe (CART's first
+    split) for "does this score separate the classes at all".
+
+    The objective is evaluated with the same single-expression double
+    arithmetic a SQL mirror uses, over exact integer class counts from
+    one O(distinct scores) shuffle; scores are cents-quantized so the
+    threshold is hash-stable.  Output one row (n, pos, threshold
+    round-6, gini round-6); NULL when no valid split exists.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        y = label_expr(t)
+        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        ok = pc.and_(pc.is_valid(t.column(score_col)), pc.is_valid(y))
+        s = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(score_col), pa.float64()), cents_scale)),
+            pa.int64())
+        g = pa.table({"s": s, "y": pc.cast(y, pa.int64())}).filter(ok)
+        return g.group_by("s").aggregate(
+            [("y", "count"), ("y", "sum")]
+        ).rename_columns(["s", "n", "pos"])
+
+    agg = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("s").aggregate(Sum("n", alias_name="n"),
+                             Sum("pos", alias_name="pos"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("pos", pa.int64()),
+                            ("threshold", pa.float64()),
+                            ("gini", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("s", "ascending")])
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        cp = t.column("pos").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = int(cn.sum())
+        p = int(cp.sum())
+        nl = np.cumsum(cn)
+        pl = np.cumsum(cp)
+        ql = nl - pl
+        nr = n - nl
+        pr = p - pl
+        qr = nr - pr
+        valid = (nl > 0) & (nr > 0)
+        if not valid.any():
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                "pos": pa.array([p], pa.int64()),
+                "threshold": pa.array([None], pa.float64()),
+                "gini": pa.array([None], pa.float64()),
+            })
+        imp = ((pl * pl + ql * ql) / nl.astype(np.float64)
+               + (pr * pr + qr * qr)
+               / np.where(nr > 0, nr, 1).astype(np.float64))
+        imp = np.where(valid, imp, -np.inf)
+        best = int(np.argmax(imp))  # argmax takes the FIRST max: min v
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "pos": pa.array([p], pa.int64()),
+            "threshold": pa.array(
+                [round(s[best] / cents_scale, 6)], pa.float64()),
+            "gini": pa.array(
+                [round((n - imp[best]) / n, 6)], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def loo_encode_audit(ds, *, cat_col: str, target_col: str,
+                     cents_scale: float = 100.0):
+    """Leave-one-out target-encoding audit per category: the LOO code
+    of row i is (S - x_i)/(n - 1), and this reports its per-category
+    mean and standard deviation in closed form from EXACT integer sums
+    (S, sum x^2) -- high sd_loo marks categories whose encoding leaks
+    per-row information (small n or heavy tails), the screening step
+    before shipping an encoded feature.
+
+    One O(categories) shuffle of (sum, sum-of-squares, count) partials.
+    Output: (cat_col, n int64, mean_loo round-6, sd_loo round-6;
+    NULLs when n < 2).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def to_units(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(cat_col)),
+                     pc.is_valid(t.column(target_col)))
+        t = t.filter(ok)
+        u = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(target_col), pa.float64()), cents_scale)),
+            pa.int64())
+        u2 = pc.multiply(u, u)
+        return pa.table({cat_col: t.column(cat_col), "u": u, "u2": u2})
+
+    agg = ds.select_columns([cat_col, target_col]).map_batches(
+        to_units, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(cat_col).aggregate(
+        Sum("u", alias_name="s"), Sum("u2", alias_name="s2"),
+        Count(alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        means, sds = [], []
+        for si, s2i, ni in zip(s, s2, n):
+            if ni < 2:
+                means.append(None)
+                sds.append(None)
+                continue
+            # codes c_i = (S - x_i)/(n-1): mean = S/n exactly;
+            # E[c^2] = (S^2 (n-2) + sum x^2) / (n (n-1)^2)
+            mean = float(si) / ni / cents_scale
+            ec2 = (float(si) * si * (ni - 2) + float(s2i)) \
+                / (ni * float(ni - 1) ** 2) / (cents_scale ** 2)
+            var = ec2 - mean * mean
+            means.append(round(mean, 6))
+            sds.append(round(float(np.sqrt(max(var, 0.0))), 6))
+        return pa.table({
+            cat_col: t.column(cat_col),
+            "n": pa.array(n),
+            "mean_loo": pa.array(means, pa.float64()),
+            "sd_loo": pa.array(sds, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -53,6 +53,7 @@ __all__ = [
     "brunner_munzel",
     "lepage_test",
     "cucconi_test",
+    "weibull_median_rank_fit",
 ]
 
 
@@ -2294,4 +2295,74 @@ def cucconi_test(ds, *, value_col: str, group_col: str, a, b=None):
         })
 
     return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def weibull_median_rank_fit(ds, *, value_col: str):
+    """Weibull (shape k, scale lambda) fit by median-rank regression --
+    the reliability-engineering standard for waiting/failure times:
+    with F_v = (pos_v - 0.3) / (n + 0.4) (Bernard's approximation) at
+    each distinct positive value's AVERAGE order position, OLS of
+    y = ln(-ln(1 - F)) on x = ln(value) gives slope = k and
+    lambda = exp(-intercept / k).  k < 1 flags bursty/heavy-tailed
+    gaps, k ~ 1 memoryless, k > 1 wear-out.
+
+    Ties use the closed-form average position of the tie block (lo +
+    (c+1)/2), so the fit is deterministic under any partitioning;
+    shuffle payload O(distinct values).  Output one row (n int64,
+    shape round-6, scale round-6); NULL fit under 2 distinct values.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        uv, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.select_columns([value_col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("shape", pa.float64()),
+                            ("log_scale", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("v", "ascending")])
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = int(cnt.sum())
+        if len(v) < 2:
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "shape": pa.array([None], pa.float64()),
+                             "log_scale": pa.array([None], pa.float64())})
+        hi = np.cumsum(cnt)
+        pos = (hi - cnt) + (cnt + 1) / 2.0      # average order position
+        f = (pos - 0.3) / (n + 0.4)
+        x = np.log(v)
+        y = np.log(-np.log(1.0 - f))
+        w = cnt.astype(np.float64)
+        sw = float(w.sum())
+        sx = float(np.sum(w * x))
+        sy = float(np.sum(w * y))
+        sxx = float(np.sum(w * x * x))
+        sxy = float(np.sum(w * x * y))
+        den = sw * sxx - sx * sx
+        if den == 0:
+            shape = log_scale = None
+        else:
+            k = (sw * sxy - sx * sy) / den
+            shape = round(k, 6)
+            log_scale = (round(-(sy - k * sx) / (sw * k), 6)
+                         if k != 0 else None)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "shape": pa.array([shape], pa.float64()),
+                         "log_scale": pa.array([log_scale],
+                                               pa.float64())})
+
+    return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

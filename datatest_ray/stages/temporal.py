@@ -33,7 +33,7 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "circular_hour_stats", "dispersion_index_hourly",
            "holt_daily", "nelson_aalen", "holt_winters_daily", "dow_strength",
            "mase_daily", "c_chart", "bollinger_daily",
-           "stoch_donchian_daily", "gumbel_weekly_max"]
+           "stoch_donchian_daily", "gumbel_weekly_max", "cox_stuart_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1880,6 +1880,43 @@ def gumbel_weekly_max(ds, ts_col: str, *, by: str, period: int = 7):
             "n_weeks": pa.array([nw], pa.int64()),
             "mu": pa.array([mu], pa.float64()),
             "beta": pa.array([beta], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def cox_stuart_daily(ds, ts_col: str, *, by: str):
+    """Cox-Stuart sign test for monotone trend per group over the
+    daily-count series: pair day i with day i + ceil(m/2) (odd-length
+    middle dropped), count positive/negative differences (ties
+    dropped), z = (n_pos - n_neg)/sqrt(n_pos + n_neg) -- the
+    assumption-free "is volume trending" screen that complements the
+    Mann-Kendall census in :func:`trend_daily` at a fraction of the
+    pairwise cost (m/2 comparisons, not m^2/2).
+
+    Exact integer comparisons; one daily-count shuffle then a tiny
+    per-group kernel.  Output: (by, n_days, n_pos, n_neg, z round-6;
+    z NULL when n_pos + n_neg = 0).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(x)
+        c = (m + 1) // 2
+        k = m // 2
+        d = x[c:c + k] - x[:k]
+        n_pos = int(np.count_nonzero(d > 0))
+        n_neg = int(np.count_nonzero(d < 0))
+        tot = n_pos + n_neg
+        z = (round((n_pos - n_neg) / np.sqrt(tot), 6) if tot else None)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([m], pa.int64()),
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "z": pa.array([z], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
