@@ -54,6 +54,7 @@ __all__ = [
     "lepage_test",
     "cucconi_test",
     "weibull_median_rank_fit",
+    "quade_test",
 ]
 
 
@@ -2365,4 +2366,163 @@ def weibull_median_rank_fit(ds, *, value_col: str):
                                                pa.float64())})
 
     return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def quade_test(ds, *, subject_col: str, treatment_col: str,
+               treatments, value_col: str):
+    """Quade test for k related treatments over complete blocks --
+    Friedman's range-weighted sibling: blocks (subjects) with a BIGGER
+    within-block spread count more.  Per complete block i, treatments
+    get within-block midranks r_ij of the cent-exact means; blocks get
+    midranks Q_i of their range (max - min of the means); with S_ij =
+    Q_i (r_ij - (k+1)/2), S_j = sum_i S_ij, A = sum S_ij^2 and B =
+    (1/n) sum_j S_j^2,
+
+        F = (n - 1) B / (A - B)   ~ F(k-1, (n-1)(k-1)) under H0.
+
+    Plan: per-batch (subject, treatment) integer-cent mean partials,
+    one coarse-bucket shuffle, per-bucket complete-block filter +
+    within-block midranks (exact 2-rank ints), then a single-partition
+    finalize that midranks the block ranges (floats identical on both
+    engines) and assembles the moments.  Output one row (n_subjects,
+    quade_f round-6; NULL when A = B or n < 2).
+    """
+    from ..functions.aggregates import hash64
+
+    k = len(treatments)
+    code_of = {t: i for i, t in enumerate(treatments)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column(subject_col)
+        tr = t.column(treatment_col)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column(value_col), 100.0)), pa.int64())
+        ok = pc.and_(pc.and_(pc.is_valid(s), pc.is_valid(cents)),
+                     pc.is_in(tr, value_set=pa.array(treatments)))
+        tt = pa.table({"s": s, "t": tr, "c": cents}).filter(ok)
+        sv = tt.column("s").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tv = np.array([code_of[x] for x in tt.column("t").to_pylist()],
+                      dtype=np.int64)
+        cv = tt.column("c").to_numpy(zero_copy_only=False)
+        key = sv * k + tv
+        order = np.argsort(key, kind="stable")
+        key, cv = key[order], cv[order]
+        new = np.ones(len(key), dtype=bool)
+        if len(key) > 1:
+            new[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1 if len(seg) else 0
+        ukey = key[np.flatnonzero(new)]
+        subj = ukey // k
+        return pa.table({
+            "s": pa.array(subj),
+            "t": pa.array(ukey % k),
+            "sc": pa.array(np.bincount(
+                seg, weights=cv, minlength=nseg).astype(np.int64)),
+            "c": pa.array(np.bincount(seg, minlength=nseg).astype(
+                np.int64)),
+            "coarse": pa.array((hash64(pa.array(subj)) %
+                                np.uint64(256)).astype(np.int64)),
+        })
+
+    def bucket_kernel(group: pa.Table) -> pa.Table:
+        cols = {"s": pa.int64(), "rng": pa.float64()}
+        cols.update({f"r2_{j}": pa.int64() for j in range(k)})
+        empty = pa.schema(list(cols.items())).empty_table()
+        t = group.sort_by([("s", "ascending"), ("t", "ascending")])
+        sv = t.column("s").to_numpy(zero_copy_only=False)
+        tv = t.column("t").to_numpy(zero_copy_only=False)
+        sc = t.column("sc").to_numpy(zero_copy_only=False)
+        cv = t.column("c").to_numpy(zero_copy_only=False)
+        if len(sv) == 0:
+            return empty
+        key = sv * k + tv
+        new = np.ones(len(key), dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new) - 1
+        sc = np.bincount(seg, weights=sc).astype(np.int64)
+        cv = np.bincount(seg, weights=cv).astype(np.int64)
+        key = key[np.flatnonzero(new)]
+        sv, tv = key // k, key % k
+        snew = np.ones(len(sv), dtype=bool)
+        snew[1:] = sv[1:] != sv[:-1]
+        sseg = np.cumsum(snew) - 1
+        slen = np.bincount(sseg)
+        full = slen[sseg] == k
+        sv, tv, sc, cv = sv[full], tv[full], sc[full], cv[full]
+        if len(sv) == 0:
+            return empty
+        d = sc.astype(np.float64) / cv
+        order = np.lexsort((d, sv))
+        sv, tv, d = sv[order], tv[order], d[order]
+        n_rows = len(sv)
+        snew = np.ones(n_rows, dtype=bool)
+        snew[1:] = sv[1:] != sv[:-1]
+        sstart = np.flatnonzero(snew)
+        sseg = np.cumsum(snew) - 1
+        pos = np.arange(n_rows, dtype=np.int64) - sstart[sseg] + 1
+        run_new = snew | np.concatenate([[True], d[1:] != d[:-1]])
+        rseg = np.cumsum(run_new) - 1
+        run_len = np.bincount(rseg)
+        run_first = pos[np.flatnonzero(run_new)]
+        r2 = 2 * run_first[rseg] + run_len[rseg] - 1
+        # per-subject range of the means (max - min; identical IEEE)
+        dmax = np.maximum.reduceat(d, sstart)
+        dmin = np.minimum.reduceat(d, sstart)
+        usubj = sv[sstart]
+        out = {"s": pa.array(usubj),
+               "rng": pa.array(dmax - dmin, pa.float64())}
+        for j in range(k):
+            rj = np.zeros(len(usubj), dtype=np.int64)
+            sel = tv == j
+            rj[sseg[sel]] = r2[sel]
+            out[f"r2_{j}"] = pa.array(rj)
+        return pa.table(out)
+
+    per_subject = (ds.select_columns(
+        [subject_col, treatment_col, value_col])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("coarse").map_groups(bucket_kernel,
+                                      batch_format="pyarrow"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_subjects", pa.int64()),
+                            ("quade_f", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("s", "ascending")])
+        n = t.num_rows
+        rng = t.column("rng").to_numpy(zero_copy_only=False)
+        if n < 2:
+            return pa.table({"n_subjects": pa.array([n], pa.int64()),
+                             "quade_f": pa.array([None], pa.float64())})
+        # midrank the block ranges (ties share the average rank)
+        order = np.argsort(rng, kind="stable")
+        srt = rng[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = srt[1:] != srt[:-1]
+        rseg = np.cumsum(new) - 1
+        run_len = np.bincount(rseg)
+        run_first = np.flatnonzero(new) + 1
+        q_sorted = run_first[rseg] + (run_len[rseg] - 1) / 2.0
+        q = np.empty(n, dtype=np.float64)
+        q[order] = q_sorted
+        a_sum = 0.0
+        s_j = []
+        for j in range(k):
+            r2 = t.column(f"r2_{j}").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            s_ij = q * (r2 / 2.0 - (k + 1) / 2.0)
+            a_sum += float(np.sum(s_ij * s_ij))
+            s_j.append(float(np.sum(s_ij)))
+        b_sum = sum(v * v for v in s_j) / n
+        f = (round((n - 1) * b_sum / (a_sum - b_sum), 6)
+             if a_sum > b_sum else None)
+        return pa.table({"n_subjects": pa.array([n], pa.int64()),
+                         "quade_f": pa.array([f], pa.float64())})
+
+    return per_subject.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

@@ -33,7 +33,9 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "circular_hour_stats", "dispersion_index_hourly",
            "holt_daily", "nelson_aalen", "holt_winters_daily", "dow_strength",
            "mase_daily", "c_chart", "bollinger_daily",
-           "stoch_donchian_daily", "gumbel_weekly_max", "cox_stuart_daily"]
+           "stoch_donchian_daily", "gumbel_weekly_max", "cox_stuart_daily",
+           "hoeffding_d_daily", "distance_correlation_daily",
+           "ljung_box_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -1917,6 +1919,185 @@ def cox_stuart_daily(ds, ts_col: str, *, by: str):
             "n_pos": pa.array([n_pos], pa.int64()),
             "n_neg": pa.array([n_neg], pa.int64()),
             "z": pa.array([z], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def _daily_xy(ds, ts_col: str, *, type_col: str, type_a, type_b):
+    """Zero-filled (day, x, y) spine: every observed day (any non-null
+    type) with the counts of the two named types -- the shared input
+    for the bivariate daily dependence audits."""
+    from ray.data.aggregate import Sum
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(ts_col)),
+                     pc.is_valid(t.column(type_col)))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        isa = pc.cast(pc.equal(t.column(type_col), type_a), pa.int64())
+        isb = pc.cast(pc.equal(t.column(type_col), type_b), pa.int64())
+        return pa.table({"day": day, "x": isa, "y": isb})
+
+    return (
+        ds.select_columns([ts_col, type_col])
+        .map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day").aggregate(Sum("x", alias_name="x"),
+                                  Sum("y", alias_name="y"))
+    )
+
+
+def hoeffding_d_daily(ds, ts_col: str, *, type_col: str, type_a,
+                      type_b):
+    """Hoeffding's D dependence statistic between the daily counts of
+    two event types (zero-filled over the observed-day spine) -- the
+    classical omnibus independence test that catches non-monotone
+    association Spearman/Kendall miss, predating distance correlation
+    by 60 years.  With midranks R, S and the tie-weighted concordance
+    counts c_i = sum_j!=i w_x w_y (w = 1 below, 1/2 at a tie):
+
+        D1 = sum c_i (c_i - 1),  D2 = sum (R-1)(R-2)(S-1)(S-2),
+        D3 = sum (R-2)(S-2) c_i,
+        D  = 30 ((n-2)(n-3) D1 + D2 - 2(n-2) D3)
+             / (n (n-1)(n-2)(n-3)(n-4)).
+
+    All quarter-integer quantities are exact in binary floats, so a
+    SQL cross-join mirror hashes identically.  The day spine is
+    calendar-bounded; the O(n^2) kernel runs once on a single tiny
+    partition.  Output one row (n int64, d round-6; NULL when n < 5).
+    """
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("d", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        if n < 5:
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "d": pa.array([None], pa.float64())})
+        lx = (x[:, None] < x[None, :])
+        ex = (x[:, None] == x[None, :])
+        ly = (y[:, None] < y[None, :])
+        ey = (y[:, None] == y[None, :])
+        wx = lx + 0.5 * ex
+        wy = ly + 0.5 * ey
+        np.fill_diagonal(wx, 0.0)
+        np.fill_diagonal(wy, 0.0)
+        r = wx.sum(axis=0) + 1.0          # midrank of x
+        s = wy.sum(axis=0) + 1.0          # midrank of y
+        c = (wx * wy).sum(axis=0)
+        d1 = float(np.sum(c * (c - 1.0)))
+        d2 = float(np.sum((r - 1.0) * (r - 2.0) * (s - 1.0) * (s - 2.0)))
+        d3 = float(np.sum((r - 2.0) * (s - 2.0) * c))
+        denom = (float(n) * (n - 1) * (n - 2) * (n - 3) * (n - 4))
+        d = 30.0 * ((n - 2) * (n - 3) * d1 + d2 - 2.0 * (n - 2) * d3) \
+            / denom
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "d": pa.array([round(d, 6)], pa.float64())})
+
+    return _daily_xy(ds, ts_col, type_col=type_col, type_a=type_a,
+                     type_b=type_b).repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def distance_correlation_daily(ds, ts_col: str, *, type_col: str,
+                               type_a, type_b):
+    """Distance correlation (Szekely-Rizzo 2007) between the daily
+    counts of two event types: dCor = 0 iff independent (unlike
+    Pearson), computed exactly from integer pairwise |differences| on
+    the zero-filled day spine --
+
+        dCov^2  = Sxy/n^2 - 2 sum_i ax_i ay_i / n^3 + Sx Sy / n^4
+
+    with ax_i the row sums of |x_i - x_j| (all int64-exact), and
+    dCor^2 = dCov^2 / sqrt(dVarX^2 dVarY^2).  O(n^2) on a calendar-
+    bounded spine, single tiny partition.  Output one row (n int64,
+    dcor round-6; NULL on degenerate variance).
+    """
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("dcor", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        if n < 2:
+            return pa.table({"n": pa.array([n], pa.int64()),
+                             "dcor": pa.array([None], pa.float64())})
+        ax = np.abs(x[:, None] - x[None, :])
+        ay = np.abs(y[:, None] - y[None, :])
+        rx = ax.sum(axis=1)               # int64 row sums
+        ry = ay.sum(axis=1)
+        sx = int(rx.sum())
+        sy = int(ry.sum())
+        nf = float(n)
+
+        def dstat(m1_sum, cross_rowsum, tot_a, tot_b):
+            return (m1_sum / nf ** 2
+                    - 2.0 * cross_rowsum / nf ** 3
+                    + float(tot_a) * tot_b / nf ** 4)
+
+        dcov2 = dstat(float(np.sum(ax * ay)), float(np.sum(rx * ry)),
+                      sx, sy)
+        dvarx = dstat(float(np.sum(ax * ax)), float(np.sum(rx * rx)),
+                      sx, sx)
+        dvary = dstat(float(np.sum(ay * ay)), float(np.sum(ry * ry)),
+                      sy, sy)
+        prod = dvarx * dvary
+        if prod <= 0:
+            dcor = None
+        else:
+            dcor = round(float(np.sqrt(
+                max(dcov2, 0.0) / np.sqrt(prod))), 6)
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "dcor": pa.array([dcor], pa.float64())})
+
+    return _daily_xy(ds, ts_col, type_col=type_col, type_a=type_a,
+                     type_b=type_b).repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def ljung_box_daily(ds, ts_col: str, *, by: str, max_lag: int = 7):
+    """Ljung-Box portmanteau whiteness test per group over the daily
+    count series: Q = n (n+2) sum_{h=1..m} rho_h^2 / (n-h) with rho_h
+    the lag-h sample autocorrelation (row semantics over observed
+    days) -- "is there ANY autocorrelation structure" in one number,
+    the standard residual-whiteness gate after a seasonal fit.
+
+    One daily-count shuffle, then a vectorized per-group kernel.
+    Output: (by, n_days int64, q round-6; NULL when n <= max_lag or
+    zero variance).
+    """
+    m = int(max_lag)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        q = None
+        if n > m:
+            mu = x.sum() / n
+            d = x - mu
+            den = float(np.sum(d * d))
+            if den > 0:
+                acc = 0.0
+                for h in range(1, m + 1):
+                    rho = float(np.sum(d[h:] * d[:-h])) / den
+                    acc += rho * rho / (n - h)
+                q = round(n * (n + 2.0) * acc, 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "q": pa.array([q], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
