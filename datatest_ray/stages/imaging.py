@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit", "PayloadEntropyExtractor", "payload_entropy_audit"]
 
 
 class FixtureReference:
@@ -1223,3 +1223,104 @@ def blur_audit(ds, *, threshold: float = 25.0, **kwargs):
         Sum("failed", alias_name="n_decode_fail"),
         Sum("blurry", alias_name="n_blurry"),
     )
+
+
+class PayloadEntropyExtractor:
+    """Actor-pool callable: per-payload BYTE-level Shannon entropy
+    (bits/byte, 0..8) computed straight off the stored bytes -- no
+    decode.  Near-8 entropy is what healthy compressed payloads look
+    like; low entropy flags padding/truncation/constant fills, and a
+    per-format mean shift flags a codec change upstream."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt"):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+
+    @staticmethod
+    def byte_entropy(data: bytes) -> float:
+        if not data:
+            return 0.0
+        arr = np.frombuffer(data, dtype=np.uint8)
+        cnt = np.bincount(arr, minlength=256).astype(np.float64)
+        p = cnt[cnt > 0] / len(arr)
+        return float(-(p * np.log2(p)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        ent = np.zeros(n, dtype=np.float64)
+        size = np.zeros(n, dtype=np.int64)
+        ok = np.zeros(n, dtype=bool)
+        for i, data in enumerate(payloads):
+            if data is None:
+                continue
+            ent[i] = self.byte_entropy(data)
+            size[i] = len(data)
+            ok[i] = True
+        out = {self.id_col: batch.column(self.id_col)}
+        if self.fmt_col in batch.column_names:
+            out[self.fmt_col] = batch.column(self.fmt_col)
+        out["entropy"] = pa.array(ent, pa.float64(), mask=~ok)
+        out["n_bytes"] = pa.array(size, mask=~ok)
+        return pa.table(out)
+
+
+def payload_entropy_audit(ds, *, low_threshold: float = 6.0,
+                          concurrency=(2, 8), batch_size: int = 256,
+                          fmt_col: str = "fmt"):
+    """Per-format stored-bytes entropy audit: (fmt, n_images, n_null,
+    n_low_entropy, mean_entropy round-6) with low = entropy <
+    low_threshold bits/byte -- the cheapest corpus-integrity screen
+    (no decode, no shuffle of bytes; entropies are 8 bytes/row
+    downstream)."""
+    from ray.data.aggregate import Count, Sum
+
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    scores = ds.select_columns(cols).map_batches(
+        PayloadEntropyExtractor,
+        fn_constructor_kwargs=dict(fmt_col=fmt_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        e = t.column("entropy")
+        return pa.table({
+            "fmt": t.column(fmt_col),
+            "is_null": pc.cast(pc.is_null(e), pa.int64()),
+            "low": pc.cast(pc.fill_null(
+                pc.less(e, low_threshold), False), pa.int64()),
+            "ent": pc.fill_null(e, 0.0),
+        })
+
+    agg = scores.map_batches(
+        mark, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("fmt").aggregate(
+        Count(alias_name="n_images"),
+        Sum("is_null", alias_name="n_null"),
+        Sum("low", alias_name="n_low_entropy"),
+        Sum("ent", alias_name="_ent_sum"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_images").to_numpy(zero_copy_only=False)
+        nn = t.column("n_null").to_numpy(zero_copy_only=False)
+        es = t.column("_ent_sum").to_numpy(zero_copy_only=False)
+        mean = [round(e / (c - u), 6) if c - u > 0 else None
+                for e, c, u in zip(es, n, nn)]
+        return pa.table({
+            "fmt": t.column("fmt"),
+            "n_images": t.column("n_images"),
+            "n_null": t.column("n_null"),
+            "n_low_entropy": t.column("n_low_entropy"),
+            "mean_entropy": pa.array(mean, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -35,7 +35,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "mase_daily", "c_chart", "bollinger_daily",
            "stoch_donchian_daily", "gumbel_weekly_max", "cox_stuart_daily",
            "hoeffding_d_daily", "distance_correlation_daily",
-           "ljung_box_daily"]
+           "ljung_box_daily", "von_neumann_daily",
+           "buishand_range_daily", "binseg_change_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2098,6 +2099,124 @@ def ljung_box_daily(ds, ts_col: str, *, by: str, max_lag: int = 7):
             by: pa.array([key]),
             "n_days": pa.array([n], pa.int64()),
             "q": pa.array([q], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def von_neumann_daily(ds, ts_col: str, *, by: str):
+    """Von Neumann successive-difference ratio per group over the
+    daily-count series: eta = sum (x_{i+1} - x_i)^2 / sum (x - mean)^2.
+    Under randomness E[eta] ~ 2; eta << 2 flags positive
+    autocorrelation (trend/drift), eta >> 2 flags oscillation -- the
+    oldest and cheapest "is this series actually random" screen.
+
+    Numerator is exact int64; denominator is the exact rational
+    (n sum x^2 - (sum x)^2)/n evaluated once in double.  One
+    daily-count shuffle, tiny per-group kernel.  Output: (by, n_days,
+    eta round-6; NULL on constant series or n < 2).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        eta = None
+        if n >= 2:
+            num = int(np.sum(np.diff(x) ** 2))
+            s1 = int(x.sum())
+            s2 = int((x * x).sum())
+            den = (n * s2 - s1 * s1) / float(n)
+            if den > 0:
+                eta = round(num / den, 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "eta": pa.array([eta], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def buishand_range_daily(ds, ts_col: str, *, by: str):
+    """Buishand range test for a level shift per group: with partial
+    sums S_k = sum_{i<=k} (x_i - mean) over the ordered daily counts,
+    R = (max S - min S) / (s sqrt(n)) (s the population std) -- the
+    cumulative-deviations changepoint screen that complements Pettitt
+    (rank-based) with a parametric range statistic.
+
+    One daily-count shuffle, tiny per-group kernel.  Output: (by,
+    n_days, q round-6 = max|S_k|/(s sqrt n), r round-6; NULL on
+    constant series).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        q = r = None
+        if n >= 2:
+            mean = x.sum() / n
+            s_k = np.cumsum(x - mean)
+            var = float(np.sum((x - mean) * (x - mean))) / n
+            if var > 0:
+                scale = np.sqrt(var) * np.sqrt(n)
+                q = round(float(np.abs(s_k).max()) / scale, 6)
+                r = round(float(s_k.max() - s_k.min()) / scale, 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "q": pa.array([q], pa.float64()),
+            "r": pa.array([r], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def binseg_change_daily(ds, ts_col: str, *, by: str):
+    """Single-changepoint binary segmentation per group: the split
+    k (1 <= k < n) of the ordered daily counts maximizing the
+    between-segment sum of squares cum_k^2/k + (S - cum_k)^2/(n - k)
+    (equivalently minimizing total SSE), ties to the EARLIEST k -- the
+    first step of the binary-segmentation changepoint family, with the
+    level shift it implies.
+
+    Objective evaluated with the same single-expression double
+    arithmetic a SQL window mirror uses, over exact int64 prefix sums.
+    Output: (by, n_days, split_pos int64 [days in the left segment],
+    delta_mean round-6 = right mean - left mean; NULL when n < 2).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        if n < 2:
+            return pa.table({
+                by: pa.array([key]),
+                "n_days": pa.array([n], pa.int64()),
+                "split_pos": pa.array([None], pa.int64()),
+                "delta_mean": pa.array([None], pa.float64()),
+            })
+        s = int(x.sum())
+        cum = np.cumsum(x)[:-1]            # k = 1..n-1
+        k = np.arange(1, n, dtype=np.int64)
+        obj = (cum * cum) / k.astype(np.float64) \
+            + (s - cum) * (s - cum) / (n - k).astype(np.float64)
+        best = int(np.argmax(obj))         # first max: earliest k
+        kk = int(k[best])
+        left = float(cum[best]) / kk
+        right = float(s - cum[best]) / (n - kk)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "split_pos": pa.array([kk], pa.int64()),
+            "delta_mean": pa.array([round(right - left, 6)],
+                                   pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
