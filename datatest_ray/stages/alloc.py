@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["apportion_largest_remainder", "dhondt_seats",
+__all__ = ["borda_copeland",
+           "apportion_largest_remainder", "dhondt_seats",
            "consistent_hash_shards"]
 
 _LCM20 = 232792560  # lcm(1..20): exact scaled quotients for seats <= 20
@@ -176,3 +177,56 @@ def consistent_hash_shards(ds, *, id_col: str, n_shards_a: int = 4,
             "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
             "n_moved": pc.cast(t.column("n_moved"), pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def borda_copeland(scores_ds, *, voter_col: str, cand_col: str,
+                   score_col: str):
+    """Borda count and Copeland pairwise score over an aggregated
+    (voter, candidate, score) table: every voter ranks the FULL
+    candidate set by score descending (absent pairs score 0; ties
+    break by ascending candidate), Borda awards (n_cands - rank)
+    points, and Copeland counts strict-majority pairwise victories
+    (score = #beaten - #beaten_by) -- the two classical rank-fusion
+    voting rules, robust to one voter's scale.
+
+    Single-partition finalize over the tiny aggregate (voters x
+    candidates); all integer arithmetic.  Output: (cand_col, borda
+    int64, copeland int64), every candidate.
+    """
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([(cand_col, pa.string()),
+                            ("borda", pa.int64()),
+                            ("copeland", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        voters = sorted(set(t.column(voter_col).to_pylist()))
+        cands = sorted(set(t.column(cand_col).to_pylist()))
+        vi = {v: i for i, v in enumerate(voters)}
+        ci = {c: i for i, c in enumerate(cands)}
+        nv, nc = len(voters), len(cands)
+        mat = np.zeros((nv, nc), dtype=np.int64)   # zero-filled ballots
+        for v, c, s in zip(t.column(voter_col).to_pylist(),
+                           t.column(cand_col).to_pylist(),
+                           t.column(score_col).to_pylist()):
+            mat[vi[v], ci[c]] = s
+        borda = np.zeros(nc, dtype=np.int64)
+        for v in range(nv):
+            # rank desc by score, ties to the lower candidate index
+            order = np.lexsort((np.arange(nc), -mat[v]))
+            pts = np.empty(nc, dtype=np.int64)
+            pts[order] = nc - 1 - np.arange(nc)
+            borda += pts
+        # pairwise: a beats b when a strict majority of voters score
+        # a above b
+        gt = (mat[:, :, None] > mat[:, None, :]).sum(axis=0)
+        beats = gt > nv / 2.0
+        copeland = beats.sum(axis=1).astype(np.int64) \
+            - beats.sum(axis=0).astype(np.int64)
+        return pa.table({
+            cand_col: pa.array(cands, pa.string()),
+            "borda": pa.array(borda),
+            "copeland": pa.array(copeland),
+        })
+
+    return scores_ds.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

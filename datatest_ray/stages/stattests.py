@@ -55,6 +55,7 @@ __all__ = [
     "cucconi_test",
     "weibull_median_rank_fit",
     "quade_test",
+    "icc_oneway",
 ]
 
 
@@ -2525,4 +2526,71 @@ def quade_test(ds, *, subject_col: str, treatment_col: str,
                          "quade_f": pa.array([f], pa.float64())})
 
     return per_subject.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def icc_oneway(ds, *, group_col: str, value_col: str):
+    """One-way random-effects intraclass correlation ICC(1) over
+    grouped measurements (e.g. repeated per-user metric values): from
+    the one-way ANOVA decomposition with unbalanced-group correction
+
+        k0  = (N - sum n_g^2 / N) / (G - 1)
+        ICC = (MSB - MSW) / (MSB + (k0 - 1) MSW)
+
+    -- "how much of the variance is BETWEEN keys", the clustering/
+    reliability screen that says whether per-key aggregation is even
+    meaningful.  Cent-exact integer partials (n, sum, sum^2) per
+    group; one O(groups) shuffle and a closed-form finalize.
+
+    Output one row (n int64, n_groups int64, icc round-6; NULL when
+    G < 2, N = G, or degenerate denominators).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def to_units(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(group_col)),
+                     pc.is_valid(t.column(value_col)))
+        t = t.filter(ok)
+        u = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"g": t.column(group_col), "u": u,
+                         "u2": pc.multiply(u, u)})
+
+    agg = ds.select_columns([group_col, value_col]).map_batches(
+        to_units, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("g").aggregate(
+        Count(alias_name="n"), Sum("u", alias_name="s"),
+        Sum("u2", alias_name="s2"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("n_groups", pa.int64()),
+                            ("icc", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("g", "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        big_n = int(n.sum())
+        g = len(n)
+        icc = None
+        if g >= 2 and big_n > g:
+            tot = float(s.sum())
+            ssb = float(np.sum(s * s / n)) - tot * tot / big_n
+            ssw = float(np.sum(s2 - s * s / n))
+            msb = ssb / (g - 1)
+            msw = ssw / (big_n - g)
+            k0 = (big_n - float(np.sum(
+                n.astype(np.float64) ** 2)) / big_n) / (g - 1)
+            den = msb + (k0 - 1.0) * msw
+            if den != 0:
+                icc = round((msb - msw) / den, 6)
+        return pa.table({"n": pa.array([big_n], pa.int64()),
+                         "n_groups": pa.array([g], pa.int64()),
+                         "icc": pa.array([icc], pa.float64())})
+
+    return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

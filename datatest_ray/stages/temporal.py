@@ -36,7 +36,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "stoch_donchian_daily", "gumbel_weekly_max", "cox_stuart_daily",
            "hoeffding_d_daily", "distance_correlation_daily",
            "ljung_box_daily", "von_neumann_daily",
-           "buishand_range_daily", "binseg_change_daily"]
+           "buishand_range_daily", "binseg_change_daily",
+           "page_hinkley_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2217,6 +2218,42 @@ def binseg_change_daily(ds, ts_col: str, *, by: str):
             "split_pos": pa.array([kk], pa.int64()),
             "delta_mean": pa.array([round(right - left, 6)],
                                    pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def page_hinkley_daily(ds, ts_col: str, *, by: str):
+    """Page-Hinkley drift statistics per group over the daily-count
+    series: with running mean xbar_i = cum_i / i and M_t =
+    sum_{i<=t} (x_i - xbar_i), PH_up = max_t (M_t - min_{s<=t} M_s)
+    and PH_down = max_t (max_{s<=t} M_s - M_t) -- the classic
+    streaming change detector, evaluated here in one exact pass (the
+    running mean has the closed form cum/i, so nothing is
+    approximated).
+
+    One daily-count shuffle, tiny per-group kernel.  Output: (by,
+    n_days, ph_up round-6, ph_down round-6).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        cum = np.cumsum(x)
+        xbar = cum / np.arange(1, n + 1, dtype=np.float64)
+        m = np.cumsum(x - xbar)
+        runmin = np.minimum.accumulate(m)
+        runmax = np.maximum.accumulate(m)
+        ph_up = round(float((m - runmin).max()), 6)
+        ph_down = round(float((runmax - m).max()), 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "ph_up": pa.array([ph_up], pa.float64()),
+            "ph_down": pa.array([ph_down], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
