@@ -36,7 +36,8 @@ __all__ = ["fd_violations", "target_encode", "split_balance",
            "quantize_report", "impute_group_median", "quantile_normalize",
            "l_diversity", "eb_shrunk_rates", "t_closeness",
            "cfd_violations", "woe_iv", "cuped", "average_precision",
-           "rrf_fuse", "gini_stump", "loo_encode_audit"]
+           "rrf_fuse", "gini_stump", "loo_encode_audit",
+           "isotonic_calibration"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -1135,3 +1136,92 @@ def loo_encode_audit(ds, *, cat_col: str, target_col: str,
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def isotonic_calibration(ds, *, score_col: str, label_expr,
+                         n_bins: int = 10):
+    """Isotonic (PAVA) calibration audit: quantile-free fixed-score
+    binning of the score into ``n_bins`` equal-width bins over the
+    observed [min, max], then the pool-adjacent-violators algorithm
+    enforces a monotone event-rate curve over the bins -- the
+    calibration table a monotone-score consumer (ranker, threshold
+    alert) actually needs, plus how much pooling was required (pooled
+    bins = score regions where the raw rate INVERTS).
+
+    PAVA runs on the tiny per-bin aggregate (exact integer counts,
+    weighted-average pooling); the only shuffle is O(n_bins).
+    Output: (bin int64, n int64, pos int64, raw_rate round-6,
+    iso_rate round-6), one row per non-empty bin ordered by bin.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def units(t: pa.Table) -> pa.Table:
+        y = label_expr(t)
+        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        ok = pc.and_(pc.is_valid(t.column(score_col)), pc.is_valid(y))
+        s = pc.cast(t.column(score_col), pa.float64())
+        return pa.table({"s": s, "y": pc.cast(y, pa.int64())}).filter(ok)
+
+    base = ds.map_batches(units, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    bounds = base.aggregate(Min("s"), Max("s"))
+    lo, hi = bounds["min(s)"], bounds["max(s)"]
+    if lo is None or hi is None or hi <= lo:
+        return ray.data.from_arrow(pa.schema(
+            [("bin", pa.int64()), ("n", pa.int64()),
+             ("pos", pa.int64()), ("raw_rate", pa.float64()),
+             ("iso_rate", pa.float64())]).empty_table())
+    width = (hi - lo) / n_bins
+
+    def to_bins(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        b = np.minimum(((s - lo) / width).astype(np.int64), n_bins - 1)
+        g = pa.table({"bin": pa.array(b), "one": pa.array(
+            np.ones(len(b), dtype=np.int64)), "y": t.column("y")})
+        return g.group_by("bin").aggregate(
+            [("one", "sum"), ("y", "sum")]
+        ).rename_columns(["bin", "n", "pos"])
+
+    agg = base.map_batches(
+        to_bins, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bin").aggregate(Sum("n", alias_name="n"),
+                               Sum("pos", alias_name="pos"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("bin", "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        pos = t.column("pos").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        # PAVA with weights n: pool adjacent blocks while decreasing
+        blocks = []  # (weight, weighted_rate_sum)
+        for w, p in zip(n, pos):
+            blocks.append([w, p])
+            while (len(blocks) > 1 and
+                   blocks[-2][1] * blocks[-1][0]
+                   > blocks[-1][1] * blocks[-2][0]):
+                w2, p2 = blocks.pop()
+                blocks[-1][0] += w2
+                blocks[-1][1] += p2
+        iso = np.empty(len(n), dtype=np.float64)
+        i = 0
+        for w, p in blocks:
+            rate = p / w
+            cnt = 0
+            acc = 0.0
+            while acc < w - 1e-9:
+                acc += n[i + cnt]
+                cnt += 1
+            iso[i:i + cnt] = rate
+            i += cnt
+        return pa.table({
+            "bin": t.column("bin"),
+            "n": pa.array(n.astype(np.int64)),
+            "pos": pa.array(pos.astype(np.int64)),
+            "raw_rate": pa.array(np.round(pos / n, 6)),
+            "iso_rate": pa.array(np.round(iso, 6)),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -37,7 +37,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "hoeffding_d_daily", "distance_correlation_daily",
            "ljung_box_daily", "von_neumann_daily",
            "buishand_range_daily", "binseg_change_daily",
-           "page_hinkley_daily"]
+           "page_hinkley_daily", "seasonal_mk_daily",
+           "turning_points_daily", "bartels_rank_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2254,6 +2255,140 @@ def page_hinkley_daily(ds, ts_col: str, *, by: str):
             "n_days": pa.array([n], pa.int64()),
             "ph_up": pa.array([ph_up], pa.float64()),
             "ph_down": pa.array([ph_down], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def seasonal_mk_daily(ds, ts_col: str, *, by: str, period: int = 7):
+    """Seasonal Mann-Kendall trend test per group: the MK sign census
+    runs WITHIN each season (epoch-day mod ``period``, i.e. day-of-week
+    for 7) and the S statistics add across seasons, so weekly
+    seasonality cannot masquerade as trend -- the standard fix for the
+    plain MK test (trend_daily) on seasonal ops data.  Variance uses
+    the exact per-season tie-corrected form sum n(n-1)(2n+5)/18 -
+    sum_t t(t-1)(2t+5)/18, and z applies the +/-1 continuity
+    correction.
+
+    Exact integer S and variance numerators; one daily-count shuffle
+    then a tiny per-group pairwise kernel (days are calendar-bounded).
+    Output: (by, n_days, s int64, z round-6; z NULL when var = 0).
+    """
+    p = int(period)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        day = t.column("day").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(x)
+        s_total = 0
+        var18 = 0  # 18 * Var, exact integer
+        for season in range(p):
+            xs = x[day % p == season]
+            ns = len(xs)
+            if ns < 2:
+                continue
+            i, j = np.triu_indices(ns, k=1)
+            s_total += int(np.sign(xs[j] - xs[i]).sum())
+            var18 += ns * (ns - 1) * (2 * ns + 5)
+            _, tc = np.unique(xs, return_counts=True)
+            tc = tc[tc > 1]
+            var18 -= int(np.sum(tc * (tc - 1) * (2 * tc + 5)))
+        z = None
+        if var18 > 0:
+            sd = np.sqrt(var18 / 18.0)
+            if s_total > 0:
+                z = round((s_total - 1) / sd, 6)
+            elif s_total < 0:
+                z = round((s_total + 1) / sd, 6)
+            else:
+                z = 0.0
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([m], pa.int64()),
+            "s": pa.array([s_total], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def turning_points_daily(ds, ts_col: str, *, by: str):
+    """Turning-points randomness test per group: count interior days
+    that are strict local maxima or minima of the daily-count series;
+    under randomness E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90, so
+    z = (T - E)/sqrt(Var) -- too FEW turning points means trend or
+    stickiness, too many means oscillation/over-dithering.
+
+    Exact integer T; one daily-count shuffle, tiny per-group kernel.
+    Output: (by, n_days, t int64, z round-6; NULL when n < 3).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(x)
+        tp = 0
+        z = None
+        if n >= 3:
+            a, b, c = x[:-2], x[1:-1], x[2:]
+            tp = int(np.count_nonzero(((b > a) & (b > c))
+                                      | ((b < a) & (b < c))))
+            var = (16.0 * n - 29.0) / 90.0
+            if var > 0:
+                z = round((tp - 2.0 * (n - 2) / 3.0) / np.sqrt(var), 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "t": pa.array([tp], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def bartels_rank_daily(ds, ts_col: str, *, by: str):
+    """Bartels rank version of the von Neumann ratio per group:
+    RVN = sum (r_{i+1} - r_i)^2 / sum (r_i - (n+1)/2)^2 over the
+    midranks of the daily counts -- the distribution-free randomness
+    test (E[RVN] = 2 under H0; << 2 trend, >> 2 oscillation), immune
+    to the heavy-tail days that distort the raw-value ratio.
+
+    Midranks are exact half-integers, so both sums are exact in
+    doubles; one daily-count shuffle, tiny per-group kernel.
+    Output: (by, n_days, rvn round-6; NULL when n < 2 or constant).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        rvn = None
+        if n >= 2:
+            order = np.argsort(x, kind="stable")
+            srt = x[order]
+            new = np.ones(n, dtype=bool)
+            new[1:] = srt[1:] != srt[:-1]
+            rseg = np.cumsum(new) - 1
+            run_len = np.bincount(rseg)
+            run_first = np.flatnonzero(new) + 1
+            mid_sorted = run_first[rseg] + (run_len[rseg] - 1) / 2.0
+            r = np.empty(n, dtype=np.float64)
+            r[order] = mid_sorted
+            num = float(np.sum(np.diff(r) ** 2))
+            den = float(np.sum((r - (n + 1) / 2.0) ** 2))
+            if den > 0:
+                rvn = round(num / den, 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "rvn": pa.array([rvn], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
