@@ -56,6 +56,7 @@ __all__ = [
     "weibull_median_rank_fit",
     "quade_test",
     "icc_oneway",
+    "partial_correlation",
 ]
 
 
@@ -2594,3 +2595,75 @@ def icc_oneway(ds, *, group_col: str, value_col: str):
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def partial_correlation(ds, *, x_col: str, y_col: str, z_col: str):
+    """First-order partial correlation r_xy.z = (r_xy - r_xz r_yz) /
+    sqrt((1 - r_xz^2)(1 - r_yz^2)) -- "does x relate to y once z is
+    held fixed", the one-line confounder check before anyone trusts a
+    raw correlation.  Pairwise Pearsons come from cent-exact integer
+    sums in ONE pass (n, sums, squares, cross products), evaluated
+    with the same expression shape a SQL mirror uses.
+
+    Output one row (n int64, r_xy, r_xz, r_yz, r_xy_z round-6; NULLs
+    on degenerate variance).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def to_units(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column(x_col)),
+                             pc.is_valid(t.column(y_col))),
+                     pc.is_valid(t.column(z_col)))
+        t = t.filter(ok)
+
+        def cents(c):
+            return pc.cast(pc.round(pc.multiply(
+                pc.cast(t.column(c), pa.float64()), 100.0)), pa.int64())
+
+        x, y, z = cents(x_col), cents(y_col), cents(z_col)
+        return pa.table({
+            "x": x, "y": y, "z": z,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "zz": pc.multiply(z, z), "xy": pc.multiply(x, y),
+            "xz": pc.multiply(x, z), "yz": pc.multiply(y, z),
+        })
+
+    agg = ds.select_columns([x_col, y_col, z_col]).map_batches(
+        to_units, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(
+        Count(alias_name="n"),
+        *[Sum(c, alias_name=f"s_{c}")
+          for c in ("x", "y", "z", "xx", "yy", "zz", "xy", "xz", "yz")])
+
+    import ray
+
+    n = agg["n"] or 0
+
+    def corr(sa, sb, sab, saa, sbb):
+        num = float(n) * sab - float(sa) * sb
+        da = float(n) * saa - float(sa) * sa
+        db = float(n) * sbb - float(sb) * sb
+        if da <= 0 or db <= 0:
+            return None
+        return num / np.sqrt(da * db)
+
+    if n < 3:
+        r_xy = r_xz = r_yz = rp = None
+    else:
+        g = agg
+        r_xy = corr(g["s_x"], g["s_y"], g["s_xy"], g["s_xx"], g["s_yy"])
+        r_xz = corr(g["s_x"], g["s_z"], g["s_xz"], g["s_xx"], g["s_zz"])
+        r_yz = corr(g["s_y"], g["s_z"], g["s_yz"], g["s_yy"], g["s_zz"])
+        rp = None
+        if None not in (r_xy, r_xz, r_yz):
+            den = (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz)
+            if den > 0:
+                rp = (r_xy - r_xz * r_yz) / np.sqrt(den)
+    rnd = (lambda v: None if v is None else round(float(v), 6))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "r_xy": pa.array([rnd(r_xy)], pa.float64()),
+        "r_xz": pa.array([rnd(r_xz)], pa.float64()),
+        "r_yz": pa.array([rnd(r_yz)], pa.float64()),
+        "r_xy_z": pa.array([rnd(rp)], pa.float64()),
+    }))

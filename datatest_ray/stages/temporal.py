@@ -38,7 +38,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "ljung_box_daily", "von_neumann_daily",
            "buishand_range_daily", "binseg_change_daily",
            "page_hinkley_daily", "seasonal_mk_daily",
-           "turning_points_daily", "bartels_rank_daily"]
+           "turning_points_daily", "bartels_rank_daily",
+           "hampel_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2389,6 +2390,47 @@ def bartels_rank_daily(ds, ts_col: str, *, by: str):
             by: pa.array([key]),
             "n_days": pa.array([n], pa.int64()),
             "rvn": pa.array([rvn], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def hampel_daily(ds, ts_col: str, *, by: str, window: int = 7,
+                 k: float = 3.0):
+    """Hampel filter outlier census per group: a day is flagged when
+    |x - median_w| > k * 1.4826 * MAD_w over the trailing ``window``
+    observed days (inclusive; full windows only) -- the robust
+    control chart that a single previous spike cannot blow up (unlike
+    the mean/sigma Bollinger screen, which it complements).
+
+    Window medians/MADs of integer counts are exact half-integers, so
+    the flag comparisons are deterministic across engines.  One
+    daily-count shuffle, tiny per-group sliding kernel.  Output: (by,
+    n_days, n_windows, n_outliers) int64.
+    """
+    w = int(window)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        m = len(x)
+        nw = max(0, m - w + 1)
+        n_out = 0
+        if nw:
+            win = np.lib.stride_tricks.sliding_window_view(x, w)
+            med = np.median(win, axis=1)
+            mad = np.median(np.abs(win - med[:, None]), axis=1)
+            cur = x[w - 1:]
+            flag = (mad > 0) & (np.abs(cur - med) > k * 1.4826 * mad)
+            n_out = int(np.count_nonzero(flag))
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([m], pa.int64()),
+            "n_windows": pa.array([nw], pa.int64()),
+            "n_outliers": pa.array([n_out], pa.int64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(

@@ -47,6 +47,7 @@ __all__ = [
     "lang_confusion",
     "vocab_richness",
     "heaps_law",
+    "dsir_profile",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -1887,6 +1888,111 @@ def heaps_law(ds, text_col: str, *, lang_col: str):
             "n_docs": pa.array(n.astype(np.int64)),
             "beta": pa.array(betas, pa.float64()),
             "k": pa.array(ks, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def dsir_profile(ds, text_col: str, *, lang_col: str, target_lang: str):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document mean
+    log-likelihood ratio between a TARGET unigram LM (docs of
+    ``target_lang``) and the corpus LM, both add-1 smoothed -- the
+    score used to up-sample target-domain-looking data.  This reports
+    the per-language profile (n_docs, mean/sd of the doc scores):
+    target-language docs must score high and the gap IS the signal
+    available to a resampler.
+
+    Two passes: one word-count groupby builds both LMs (the vocabulary
+    is broadcast via ``ray.put`` -- hash features replace the exact
+    vocab when it is unbounded), then a vectorized per-doc scoring
+    pass feeds per-lang moment partials.  Output: (lang, n_docs,
+    mean_score round-6, sd_score round-6).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(lang_col)))
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        n_rows = len(counts)
+        parents = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        is_t = pc.cast(pc.equal(batch.column(lang_col), target_lang),
+                       pa.int64())
+        t_flat = is_t.take(pa.array(parents))
+        t = pa.table({"w": flat, "t": t_flat})
+        return t.group_by("w").aggregate(
+            [("t", "count"), ("t", "sum")]
+        ).rename_columns(["w", "n_all", "n_t"])
+
+    vocab = (
+        ds.select_columns([text_col, lang_col])
+        .map_batches(word_partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("w").aggregate(Sum("n_all", alias_name="n_all"),
+                                Sum("n_t", alias_name="n_t"))
+    ).take_all()
+    if not vocab:
+        return ray.data.from_arrow(pa.schema(
+            [("lang", pa.string()), ("n_docs", pa.int64()),
+             ("mean_score", pa.float64()),
+             ("sd_score", pa.float64())]).empty_table())
+    words = sorted(r["w"] for r in vocab)
+    by_w = {r["w"]: r for r in vocab}
+    n_all = np.array([by_w[w]["n_all"] for w in words], dtype=np.int64)
+    n_t = np.array([by_w[w]["n_t"] for w in words], dtype=np.int64)
+    v = len(words)
+    na, nt = int(n_all.sum()), int(n_t.sum())
+    lr = (np.log((n_t + 1) / float(nt + v))
+          - np.log((n_all + 1) / float(na + v)))
+    words_arr = pa.array(words)
+    lr_ref = ray.put((words_arr, lr))
+
+    def score_docs(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(lang_col)))
+        warr, lrv = ray.get(lr_ref)
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        n_rows = len(counts)
+        idx = pc.index_in(flat, value_set=warr).to_numpy(
+            zero_copy_only=False)
+        parents = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        ssum = np.bincount(parents, weights=lrv[idx],
+                           minlength=n_rows)
+        ok = counts > 0
+        score = ssum[ok] / counts[ok]
+        langs = batch.column(lang_col).take(
+            pa.array(np.flatnonzero(ok)))
+        return pa.table({
+            "lang": langs,
+            "one": pa.array(np.ones(int(ok.sum()), dtype=np.int64)),
+            "s": pa.array(score),
+            "s2": pa.array(score * score),
+        })
+
+    agg = (
+        ds.select_columns([text_col, lang_col])
+        .map_batches(score_docs, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("s", alias_name="s"), Sum("s2", alias_name="s2"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_docs").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        mean = [round(a / c, 6) if c else None for a, c in zip(s, n)]
+        sd = [round(float(np.sqrt(max(b / c - (a / c) ** 2, 0.0))), 6)
+              if c else None for a, b, c in zip(s, s2, n)]
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_docs": pa.array(n.astype(np.int64)),
+            "mean_score": pa.array(mean, pa.float64()),
+            "sd_score": pa.array(sd, pa.float64()),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow",
