@@ -37,7 +37,7 @@ __all__ = ["fd_violations", "target_encode", "split_balance",
            "l_diversity", "eb_shrunk_rates", "t_closeness",
            "cfd_violations", "woe_iv", "cuped", "average_precision",
            "rrf_fuse", "gini_stump", "loo_encode_audit",
-           "isotonic_calibration"]
+           "isotonic_calibration", "gk_lambda", "gains_table"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -1224,4 +1224,135 @@ def isotonic_calibration(ds, *, score_col: str, label_expr,
         })
 
     return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def gk_lambda(ds, *, row_col: str, col_col: str):
+    """Goodman-Kruskal lambda, both directions: the proportional
+    reduction in prediction error when guessing one categorical column
+    from the other (0 = the predictor is useless, 1 = perfect) -- the
+    "does this category actually predict that one" screen that a
+    chi-square cannot answer.  lambda_c = (sum_r max_c n_rc - max_c
+    n_c) / (n - max_c n_c), all exact integers until the final
+    quotient.
+
+    One O(categories^2) shuffle of the contingency partials.  Output
+    one row (n int64, lambda_col round-6 [predict col from row],
+    lambda_row round-6; NULL when the denominator is 0).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(row_col)),
+                     pc.is_valid(t.column(col_col)))
+        t = t.filter(ok)
+        g = pa.table({"r": t.column(row_col), "c": t.column(col_col),
+                      "one": pa.array(
+                          np.ones(t.num_rows, dtype=np.int64))})
+        return g.group_by(["r", "c"]).aggregate(
+            [("one", "sum")]).rename_columns(["r", "c", "n"])
+
+    agg = ds.select_columns([row_col, col_col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["r", "c"]).aggregate(Sum("n", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()),
+                            ("lambda_col", pa.float64()),
+                            ("lambda_row", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        rows = t.column("r").to_pylist()
+        cols = t.column("c").to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ri = {v: i for i, v in enumerate(sorted(set(rows)))}
+        ci = {v: i for i, v in enumerate(sorted(set(cols)))}
+        mat = np.zeros((len(ri), len(ci)), dtype=np.int64)
+        for r, c, v in zip(rows, cols, n):
+            mat[ri[r], ci[c]] = v
+        total = int(mat.sum())
+
+        def lam(m):
+            big = int(m.sum(axis=0).max())
+            num = int(m.max(axis=1).sum()) - big
+            den = total - big
+            return round(num / den, 6) if den > 0 else None
+
+        return pa.table({
+            "n": pa.array([total], pa.int64()),
+            "lambda_col": pa.array([lam(mat)], pa.float64()),
+            "lambda_row": pa.array([lam(mat.T)], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def gains_table(ds, *, score_col: str, id_col: str, label_expr,
+                k: int = 10):
+    """Cumulative-gains / lift table: rows rank by score descending
+    (id ascending tie-break), split into k SQL-ntile buckets, and each
+    decile reports its positive count, the cumulative fraction of all
+    positives captured, and the lift over a random ranking -- the
+    campaign-targeting readout of ranking quality, complementary to
+    AP/AUC.
+
+    The ordered split is computed in a single-partition kernel over
+    (score, id, y) triples -- O(rows) memory in ONE task; pre-filter
+    or sample upstream for corpora past ~10^7 rows (the decile
+    boundaries then come from a t-digest instead).  Output: (tile
+    int64, n int64, pos int64, cum_capture round-6, lift round-6).
+    """
+    def triples(t: pa.Table) -> pa.Table:
+        y = label_expr(t)
+        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        ok = pc.and_(pc.is_valid(t.column(score_col)), pc.is_valid(y))
+        return pa.table({"s": t.column(score_col),
+                         "id": t.column(id_col),
+                         "y": pc.cast(y, pa.int64())}).filter(ok)
+
+    base = ds.map_batches(triples, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("tile", pa.int64()), ("n", pa.int64()),
+                            ("pos", pa.int64()),
+                            ("cum_capture", pa.float64()),
+                            ("lift", pa.float64())])
+        n = t.num_rows
+        if n == 0:
+            return schema.empty_table()
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        ids = t.column("id").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, -s))
+        y = y[order]
+        pos_total = int(y.sum())
+        q, r = n // k, n % k
+        sizes = np.full(k, q, dtype=np.int64)
+        sizes[:r] += 1
+        sizes = sizes[sizes > 0]
+        bounds = np.concatenate(([0], np.cumsum(sizes)))
+        tiles, ns, poss, cums, lifts = [], [], [], [], []
+        cum_pos = 0
+        for i in range(len(sizes)):
+            seg = y[bounds[i]:bounds[i + 1]]
+            p = int(seg.sum())
+            cum_pos += p
+            tiles.append(i + 1)
+            ns.append(int(sizes[i]))
+            poss.append(p)
+            cums.append(round(cum_pos / pos_total, 6)
+                        if pos_total else None)
+            lifts.append(round((p / sizes[i]) / (pos_total / n), 6)
+                         if pos_total else None)
+        return pa.table({
+            "tile": pa.array(tiles, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+            "cum_capture": pa.array(cums, pa.float64()),
+            "lift": pa.array(lifts, pa.float64()),
+        })
+
+    return base.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

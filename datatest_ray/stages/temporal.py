@@ -39,7 +39,7 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "buishand_range_daily", "binseg_change_daily",
            "page_hinkley_daily", "seasonal_mk_daily",
            "turning_points_daily", "bartels_rank_daily",
-           "hampel_daily"]
+           "hampel_daily", "hurst_rs_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2431,6 +2431,60 @@ def hampel_daily(ds, ts_col: str, *, by: str, window: int = 7,
             "n_days": pa.array([m], pa.int64()),
             "n_windows": pa.array([nw], pa.int64()),
             "n_outliers": pa.array([n_out], pa.int64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def hurst_rs_daily(ds, ts_col: str, *, by: str,
+                   window_sizes=(8, 16, 32)):
+    """Hurst exponent via classical rescaled-range (R/S) analysis per
+    group: the daily-count series splits into consecutive
+    non-overlapping windows of each size w (tail dropped), each window
+    contributes R/S (range of cumulative mean-deviations over its
+    population std), and H is the OLS slope of ln(mean R/S) on ln(w).
+    H ~ 0.5 is memoryless, H > 0.5 long-range persistent (slow ops
+    drifts), H < 0.5 anti-persistent.
+
+    One daily-count shuffle, tiny per-group kernel.  Output: (by,
+    n_days, hurst round-6; NULL when fewer than 2 window sizes
+    produce a valid mean R/S).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        xs, ys = [], []
+        for w in window_sizes:
+            m = n // w
+            if m < 1:
+                continue
+            seg = x[:m * w].reshape(m, w)
+            mu = seg.mean(axis=1, keepdims=True)
+            dev = np.cumsum(seg - mu, axis=1)
+            rng = dev.max(axis=1) - dev.min(axis=1)
+            sd = seg.std(axis=1)
+            ok = sd > 0
+            if not ok.any():
+                continue
+            rs = float((rng[ok] / sd[ok]).mean())
+            if rs > 0:
+                xs.append(np.log(w))
+                ys.append(np.log(rs))
+        h = None
+        if len(xs) >= 2:
+            xa, ya = np.array(xs), np.array(ys)
+            den = float(np.sum((xa - xa.mean()) ** 2))
+            if den > 0:
+                h = round(float(np.sum(
+                    (xa - xa.mean()) * (ya - ya.mean())) / den), 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "hurst": pa.array([h], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
