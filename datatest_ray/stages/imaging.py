@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit", "PayloadEntropyExtractor", "payload_entropy_audit"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit", "PayloadEntropyExtractor", "payload_entropy_audit", "phash_bit_balance"]
 
 
 class FixtureReference:
@@ -1324,3 +1324,52 @@ def payload_entropy_audit(ds, *, low_threshold: float = 6.0,
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def phash_bit_balance(ds, *, hash_col: str = "phash", n_bits: int = 64):
+    """Bit-balance audit of a stored perceptual-hash column: per bit
+    position, the fraction of rows with that bit set, plus the count
+    of DEGENERATE bits (ones-fraction outside [lo, hi] = [0.05, 0.95])
+    -- a healthy hash family keeps every bit near 0.5; stuck bits
+    shrink the effective Hamming space and silently inflate LSH
+    collision rates.
+
+    Fully vectorized bit extraction (uint64 shifts per batch, one
+    64-row partial per block).  Output: (bit int64, n int64, ones
+    int64, frac round-6), one row per bit.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        h = t.column(hash_col).to_numpy(zero_copy_only=False)
+        h = h[~pa.compute.is_null(t.column(hash_col)).to_numpy(
+            zero_copy_only=False)] if t.column(hash_col).null_count \
+            else h
+        u = h.astype(np.uint64)
+        ones = np.array(
+            [int(((u >> np.uint64(b)) & np.uint64(1)).sum())
+             for b in range(n_bits)], dtype=np.int64)
+        return pa.table({
+            "bit": pa.array(range(n_bits), pa.int64()),
+            "n": pa.array([len(u)] * n_bits, pa.int64()),
+            "ones": pa.array(ones),
+        })
+
+    agg = ds.select_columns([hash_col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bit").aggregate(Sum("n", alias_name="n"),
+                               Sum("ones", alias_name="ones"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        o = t.column("ones").to_numpy(zero_copy_only=False)
+        frac = [round(b / a, 6) if a else None for a, b in zip(n, o)]
+        return pa.table({
+            "bit": t.column("bit"),
+            "n": t.column("n"),
+            "ones": t.column("ones"),
+            "frac": pa.array(frac, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True).sort("bit")

@@ -30,7 +30,7 @@ __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "neardup_cosine_pairs",
            "ann_lsh_topk", "ivf_topk", "label_centroids",
            "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report",
-           "matryoshka_recall"]
+           "matryoshka_recall", "knn_label_purity"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -991,3 +991,91 @@ def matryoshka_recall(ds, *, id_col: str, vec_col: str,
         "overlap": pa.array(rows_o, pa.int64()),
         "recall": pa.array(rows_r, pa.float64()),
     }))
+
+
+def knn_label_purity(ds, *, id_col: str, vec_col: str, label_col: str,
+                     k: int = 5, n_queries: int = 50):
+    """k-NN label purity: for each query vector (``id_col <
+    n_queries``), the fraction of its k exact cosine neighbors that
+    share its label, reported per label -- the standard "is this
+    embedding space linearly usable" probe (low purity for a label =
+    its region is contaminated), and the zero-training ceiling for any
+    k-NN classifier on the corpus.
+
+    Exact neighbors come from :func:`topk_cosine` (one streamed GEMM
+    pass, queries broadcast); labels attach to the tiny (n_queries x
+    k) result via :func:`~..stages.relational.lookup_join` against the
+    (id, label) dimension.  Output: (label, n_queries int64, n_pairs
+    int64, n_same int64, purity round-6).
+    """
+    from .relational import lookup_join
+
+    pairs = topk_cosine(ds.select_columns([id_col, vec_col]),
+                        ds.select_columns([id_col, vec_col]).filter(
+                            expr=f"{id_col} < {int(n_queries)}"),
+                        id_col=id_col, vec_col=vec_col, k=k)
+    dim = ds.select_columns([id_col, label_col])
+
+    def prep_q(t: pa.Table) -> pa.Table:
+        return pa.table({"query_id": t.column("query_id"),
+                         "neighbor_id": t.column("neighbor_id")})
+
+    base = pairs.map_batches(prep_q, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    with_q = lookup_join(base, dim, on="query_id", right_on=id_col,
+                         right_cols=[label_col])
+
+    def rename_q(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["query_id", "neighbor_id", "q_label"])
+
+    with_q = with_q.map_batches(rename_q, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    with_n = lookup_join(with_q, dim, on="neighbor_id",
+                         right_on=id_col, right_cols=[label_col])
+
+    def agg(t: pa.Table) -> pa.Table:
+        same = pc.cast(pc.equal(t.column("q_label"),
+                                t.column(label_col)), pa.int64())
+        g = pa.table({"label": t.column("q_label"),
+                      "query_id": t.column("query_id"),
+                      "one": pa.array(np.ones(t.num_rows,
+                                              dtype=np.int64)),
+                      "same": same})
+        return g
+
+    marked = with_n.map_batches(agg, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("label", pa.int64()),
+                            ("n_queries", pa.int64()),
+                            ("n_pairs", pa.int64()),
+                            ("n_same", pa.int64()),
+                            ("purity", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        qids = t.column("query_id").to_numpy(zero_copy_only=False)
+        same = t.column("same").to_numpy(zero_copy_only=False)
+        out_l, out_q, out_p, out_s, out_r = [], [], [], [], []
+        for lab in sorted(set(labels.tolist())):
+            sel = labels == lab
+            nq = len(set(qids[sel].tolist()))
+            np_ = int(sel.sum())
+            ns = int(same[sel].sum())
+            out_l.append(int(lab))
+            out_q.append(nq)
+            out_p.append(np_)
+            out_s.append(ns)
+            out_r.append(round(ns / np_, 6) if np_ else None)
+        return pa.table({
+            "label": pa.array(out_l, pa.int64()),
+            "n_queries": pa.array(out_q, pa.int64()),
+            "n_pairs": pa.array(out_p, pa.int64()),
+            "n_same": pa.array(out_s, pa.int64()),
+            "purity": pa.array(out_r, pa.float64()),
+        })
+
+    return marked.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

@@ -57,6 +57,7 @@ __all__ = [
     "quade_test",
     "icc_oneway",
     "partial_correlation",
+    "mmd_poly",
 ]
 
 
@@ -2666,4 +2667,67 @@ def partial_correlation(ds, *, x_col: str, y_col: str, z_col: str):
         "r_xz": pa.array([rnd(r_xz)], pa.float64()),
         "r_yz": pa.array([rnd(r_yz)], pa.float64()),
         "r_xy_z": pa.array([rnd(rp)], pa.float64()),
+    }))
+
+
+def mmd_poly(ds, *, value_col: str, group_col: str, a, b=None,
+             c: float = 1.0, scale: float = 100.0):
+    """Maximum mean discrepancy (biased V-statistic) between two
+    samples under the quadratic polynomial kernel k(x, y) =
+    (xy/scale^2 + c)^2 -- the kernel two-sample test that is zero iff
+    the first two moments agree.  The V-statistic collapses to the
+    cancellation-free closed form
+
+        MMD^2 = (E_a[x^2] - E_b[x^2])^2 + 2c (E_a[x] - E_b[x])^2
+
+    (x := x/scale), so it needs only per-group (n, sum, sum of
+    squares) -- one O(1)-payload pass, no pairwise work at any scale,
+    and no large-term subtraction to lose precision to.  Output one
+    row (n_a, n_b, mmd2 round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        v = pc.cast(t.column(value_col), pa.float64())
+        isa = pc.fill_null(pc.equal(g, a), False)
+        if b is None:
+            isb = pc.and_(pc.is_valid(g), pc.invert(isa))
+        else:
+            isb = pc.fill_null(pc.equal(g, b), False)
+        ok = pc.and_(pc.or_(isa, isb), pc.is_valid(v))
+        t2 = pa.table({"v": v, "isa": isa}).filter(ok)
+        x = t2.column("v").to_numpy(zero_copy_only=False) / scale
+        m = t2.column("isa").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "na": pa.array([int(m.sum())], pa.int64()),
+            "nb": pa.array([int((~m).sum())], pa.int64()),
+            "sx": pa.array([float(x[m].sum())], pa.float64()),
+            "sx2": pa.array([float((x[m] ** 2).sum())], pa.float64()),
+            "sy": pa.array([float(x[~m].sum())], pa.float64()),
+            "sy2": pa.array([float((x[~m] ** 2).sum())], pa.float64()),
+        })
+
+    agg = ds.select_columns([group_col, value_col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("na", alias_name="na"), Sum("nb", alias_name="nb"),
+                Sum("sx", alias_name="sx"), Sum("sx2", alias_name="sx2"),
+                Sum("sy", alias_name="sy"), Sum("sy2", alias_name="sy2"))
+
+    import ray
+
+    na, nb = agg["na"] or 0, agg["nb"] or 0
+    if na == 0 or nb == 0:
+        mmd2 = None
+    else:
+        sx, sx2 = agg["sx"], agg["sx2"]
+        sy, sy2 = agg["sy"], agg["sy2"]
+        dm2 = sx2 / na - sy2 / nb
+        dm1 = sx / na - sy / nb
+        mmd2 = round(dm2 * dm2 + 2.0 * c * dm1 * dm1, 6)
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "mmd2": pa.array([mmd2], pa.float64()),
     }))
