@@ -39,7 +39,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "buishand_range_daily", "binseg_change_daily",
            "page_hinkley_daily", "seasonal_mk_daily",
            "turning_points_daily", "bartels_rank_daily",
-           "hampel_daily", "hurst_rs_daily"]
+           "hampel_daily", "hurst_rs_daily", "granger_lag1_daily",
+           "transfer_entropy_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2489,3 +2490,125 @@ def hurst_rs_daily(ds, ts_col: str, *, by: str,
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def granger_lag1_daily(ds, ts_col: str, *, type_col: str, cause,
+                       effect):
+    """Lag-1 Granger causality on the zero-filled daily spine: does
+    yesterday's ``cause`` count improve the prediction of today's
+    ``effect`` count beyond the effect's own lag?  F-statistic of the
+    one-restriction nested OLS comparison
+
+        y_t ~ y_{t-1}            vs.   y_t ~ y_{t-1} + x_{t-1}
+
+    with every moment an exact integer sum (counts), centered and
+    solved in closed form -- the ops-grade "does this stream LEAD that
+    one" probe behind alert routing.  Output one row (n_days int64,
+    b_x round-6 [the cause's coefficient], f round-6; NULL on
+    degenerate designs).
+    """
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_days", pa.int64()),
+                            ("b_x", pa.float64()), ("f", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("day", "ascending")])
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        if n < 5:
+            return pa.table({"n_days": pa.array([n], pa.int64()),
+                             "b_x": pa.array([None], pa.float64()),
+                             "f": pa.array([None], pa.float64())})
+        w, z1, z2 = y[1:], y[:-1], x[:-1]
+        m = float(n - 1)
+        s11 = float(np.sum(z1 * z1)) - float(z1.sum()) ** 2 / m
+        s22 = float(np.sum(z2 * z2)) - float(z2.sum()) ** 2 / m
+        s12 = float(np.sum(z1 * z2)) - float(z1.sum()) * z2.sum() / m
+        s1w = float(np.sum(z1 * w)) - float(z1.sum()) * w.sum() / m
+        s2w = float(np.sum(z2 * w)) - float(z2.sum()) * w.sum() / m
+        sww = float(np.sum(w * w)) - float(w.sum()) ** 2 / m
+        d = s11 * s22 - s12 * s12
+        if d <= 0 or s11 <= 0:
+            return pa.table({"n_days": pa.array([n], pa.int64()),
+                             "b_x": pa.array([None], pa.float64()),
+                             "f": pa.array([None], pa.float64())})
+        b1 = (s22 * s1w - s12 * s2w) / d
+        b2 = (s11 * s2w - s12 * s1w) / d
+        sse_u = sww - (b1 * s1w + b2 * s2w)
+        sse_r = sww - s1w * s1w / s11
+        f = (round((sse_r - sse_u) * (m - 3.0) / sse_u, 6)
+             if sse_u > 0 else None)
+        return pa.table({"n_days": pa.array([n], pa.int64()),
+                         "b_x": pa.array([round(b2, 6)], pa.float64()),
+                         "f": pa.array([f], pa.float64())})
+
+    return _daily_xy(ds, ts_col, type_col=type_col, type_a=cause,
+                     type_b=effect).repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def transfer_entropy_daily(ds, ts_col: str, *, type_col: str, cause,
+                           effect):
+    """Binary transfer entropy TE(X -> Y) over the daily spine: both
+    series binarize at their own median (strictly above = 1; medians
+    of integer counts are exact half-integers), and
+
+        TE = sum p(y_t, y_{t-1}, x_{t-1})
+                 log2[ p(y_t | y_{t-1}, x_{t-1}) / p(y_t | y_{t-1}) ]
+
+    from the exact integer 2x2x2 transition counts -- the
+    model-free directional-information complement to the Granger
+    F-test (catches nonlinear lead-lag the OLS misses).  Output one
+    row (n_days int64, n_transitions int64, te round-6 bits).
+    """
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_days", pa.int64()),
+                            ("n_transitions", pa.int64()),
+                            ("te", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("day", "ascending")])
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        if n < 2:
+            return pa.table({
+                "n_days": pa.array([n], pa.int64()),
+                "n_transitions": pa.array([0], pa.int64()),
+                "te": pa.array([None], pa.float64())})
+        a = (x > np.median(x)).astype(np.int64)
+        b = (y > np.median(y)).astype(np.int64)
+        i = b[1:]           # y_t
+        j = b[:-1]          # y_{t-1}
+        k = a[:-1]          # x_{t-1}
+        cell = i * 4 + j * 2 + k
+        n_ijk = np.bincount(cell, minlength=8).astype(np.int64)
+        big_n = int(n_ijk.sum())
+        te = 0.0
+        for ii in range(2):
+            for jj in range(2):
+                for kk in range(2):
+                    c = int(n_ijk[ii * 4 + jj * 2 + kk])
+                    if c == 0:
+                        continue
+                    n_jk = int(n_ijk[jj * 2 + kk]
+                               + n_ijk[4 + jj * 2 + kk])
+                    n_ij = int(n_ijk[ii * 4 + jj * 2]
+                               + n_ijk[ii * 4 + jj * 2 + 1])
+                    n_j = int(sum(n_ijk[z * 4 + jj * 2 + w]
+                                  for z in range(2) for w in range(2)))
+                    te += (c / big_n) * np.log2(
+                        (c * n_j) / (float(n_jk) * n_ij))
+        return pa.table({
+            "n_days": pa.array([n], pa.int64()),
+            "n_transitions": pa.array([big_n], pa.int64()),
+            "te": pa.array([round(te, 6)], pa.float64())})
+
+    return _daily_xy(ds, ts_col, type_col=type_col, type_a=cause,
+                     type_b=effect).repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
