@@ -23,11 +23,13 @@ from typing import Dict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.aggregates import hash64
 
 __all__ = ["hash_sample", "stratified_hash_sample", "weighted_hash_sample",
-           "cap_per_group", "greedy_coverage"]
+           "cap_per_group", "greedy_coverage",
+           "pps_systematic"]
 
 _SCALE = 16 ** 8
 
@@ -267,3 +269,66 @@ def greedy_coverage(ds, *, id_col: str, text_col: str, k: int = 10,
         "gain": pa.array(gains, pa.int64()),
         "covered_total": pa.array(totals, pa.int64()),
     })
+
+
+def pps_systematic(ds, *, key_col: str, weight_col: str, k: int = 20,
+                   cents_scale: float = 100.0):
+    """Systematic probability-proportional-to-size sample: keys sort
+    ascending, weights accumulate in exact integer cents, and the i-th
+    draw (i = 0..k-1) is the first key whose cumulative weight reaches
+    the mid-stride target (2i+1)T/(2k) -- evaluated as the integer
+    comparison 2k*cum >= (2i+1)T, so the selection is bit-identical on
+    any engine and any partitioning (the classic survey-sampling
+    design, deterministic variant).  Non-positive weights drop.
+
+    Single-partition finalize over the (key, weight) aggregate --
+    O(distinct keys); pre-aggregate upstream for unbounded key
+    domains.  Output: (draw int64, key_col, weight round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    def units(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(key_col)),
+                     pc.is_valid(t.column(weight_col)))
+        t = t.filter(ok)
+        w = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(weight_col), pa.float64()), cents_scale)),
+            pa.int64())
+        return pa.table({"k": t.column(key_col), "w": w})
+
+    agg = ds.select_columns([key_col, weight_col]).map_batches(
+        units, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("k").aggregate(Sum("w", alias_name="w"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("draw", pa.int64()),
+                            (key_col, pa.int64()),
+                            ("weight", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("k", "ascending")])
+        keys = t.column("k").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = w > 0
+        keys, w = keys[pos], w[pos]
+        if len(w) == 0:
+            return schema.empty_table()
+        cum = np.cumsum(w)
+        total = int(cum[-1])
+        draws, out_k, out_w = [], [], []
+        for i in range(k):
+            target = (2 * i + 1) * total          # vs 2k * cum
+            j = int(np.searchsorted(2 * k * cum, target))
+            if j >= len(cum):
+                break
+            draws.append(i)
+            out_k.append(int(keys[j]))
+            out_w.append(round(int(w[j]) / cents_scale, 6))
+        return pa.table({
+            "draw": pa.array(draws, pa.int64()),
+            key_col: pa.array(out_k, pa.int64()),
+            "weight": pa.array(out_w, pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

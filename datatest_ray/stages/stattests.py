@@ -58,6 +58,8 @@ __all__ = [
     "icc_oneway",
     "partial_correlation",
     "mmd_poly",
+    "perm_test_two_sample",
+    "mantel_haenszel",
 ]
 
 
@@ -2731,3 +2733,179 @@ def mmd_poly(ds, *, value_col: str, group_col: str, a, b=None,
         "n_b": pa.array([nb], pa.int64()),
         "mmd2": pa.array([mmd2], pa.float64()),
     }))
+
+
+def perm_test_two_sample(ds, *, value_col: str, group_col: str,
+                         id_col: str, a, b, n_perm: int = 200):
+    """Deterministic hash-seeded permutation test for a two-sample
+    mean difference: every (row, replicate) pair draws a reproducible
+    pseudo-group from the same Knuth hash the bootstrap CI uses
+    (h mod 2), the replicate mean differences form the null
+    distribution, and p = (1 + #{|diff_r| >= |observed|}) / (B + 1) --
+    the assumption-free significance check whose resamples replay
+    bit-identically on any cluster size (binomial-split approximation
+    to the exact relabeling; group sizes vary by ~sqrt(n) per
+    replicate).
+
+    Per-batch partials carry 4 int64 B-vectors (pseudo-group cent sums
+    and counts); one replicate-keyed groupby.  Output one row (n_a,
+    n_b, obs_diff round-6, b int64, n_ge int64, p round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    reps = np.arange(n_perm, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        isa = pc.fill_null(pc.equal(g, a), False)
+        isb = pc.fill_null(pc.equal(g, b), False)
+        ok = pc.and_(pc.and_(pc.or_(isa, isb),
+                             pc.is_valid(t.column(value_col))),
+                     pc.is_valid(t.column(id_col)))
+        t2 = pa.table({"id": t.column(id_col), "v": t.column(value_col),
+                       "isa": isa}).filter(ok)
+        ids = t2.column("id").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cents = np.rint(t2.column("v").to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        m = t2.column("isa").to_numpy(zero_copy_only=False)
+        side = (((ids[:, None] * _BOOT_C1 + reps[None, :] * _BOOT_C2)
+                 % _BOOT_MOD) % 2).astype(bool)
+        return pa.table({
+            "r": pa.array(reps),
+            "sa": pa.array(np.where(side, cents[:, None], 0)
+                           .sum(axis=0).astype(np.int64)),
+            "na": pa.array(side.sum(axis=0).astype(np.int64)),
+            "sb": pa.array(np.where(side, 0, cents[:, None])
+                           .sum(axis=0).astype(np.int64)),
+            "nb": pa.array((~side).sum(axis=0).astype(np.int64)),
+            "osa": pa.array(np.full(n_perm, int(cents[m].sum()),
+                                    dtype=np.int64)),
+            "ona": pa.array(np.full(n_perm, int(m.sum()),
+                                    dtype=np.int64)),
+            "osb": pa.array(np.full(n_perm, int(cents[~m].sum()),
+                                    dtype=np.int64)),
+            "onb": pa.array(np.full(n_perm, int((~m).sum()),
+                                    dtype=np.int64)),
+        })
+
+    agg = (ds.select_columns([group_col, value_col, id_col])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("r")
+           .aggregate(Sum("sa", alias_name="sa"),
+                      Sum("na", alias_name="na"),
+                      Sum("sb", alias_name="sb"),
+                      Sum("nb", alias_name="nb"),
+                      Sum("osa", alias_name="osa"),
+                      Sum("ona", alias_name="ona"),
+                      Sum("osb", alias_name="osb"),
+                      Sum("onb", alias_name="onb")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                            ("obs_diff", pa.float64()),
+                            ("b", pa.int64()), ("n_ge", pa.int64()),
+                            ("p", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        na_o = int(t.column("ona")[0].as_py())
+        nb_o = int(t.column("onb")[0].as_py())
+        if na_o == 0 or nb_o == 0:
+            return schema.empty_table()
+        obs = (int(t.column("osa")[0].as_py()) / na_o
+               - int(t.column("osb")[0].as_py()) / nb_o) / 100.0
+        sa = t.column("sa").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        na = t.column("na").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        sb = t.column("sb").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nb = t.column("nb").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ok = (na > 0) & (nb > 0)
+        diff = (sa[ok] / na[ok] - sb[ok] / nb[ok]) / 100.0
+        bcnt = int(ok.sum())
+        n_ge = int(np.count_nonzero(np.abs(diff) >= abs(obs)))
+        return pa.table({
+            "n_a": pa.array([na_o], pa.int64()),
+            "n_b": pa.array([nb_o], pa.int64()),
+            "obs_diff": pa.array([round(obs, 6)], pa.float64()),
+            "b": pa.array([bcnt], pa.int64()),
+            "n_ge": pa.array([n_ge], pa.int64()),
+            "p": pa.array([round((1 + n_ge) / (bcnt + 1.0), 6)],
+                          pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def mantel_haenszel(ds, *, strata_expr, exposure_expr, outcome_expr):
+    """Mantel-Haenszel pooled odds ratio across strata: with the 2x2
+    table (a, b, c, d) per stratum (exposed/outcome counts),
+
+        OR_MH = sum_i (a_i d_i / n_i) / sum_i (b_i c_i / n_i)
+
+    -- the confounding-adjusted association the crude pooled table
+    gets wrong (Simpson's paradox).  ``*_expr(table) -> BooleanArray``
+    callables define the stratum key is returned by ``strata_expr``
+    (any Arrow array).  Exact integer cell counts; one O(strata)
+    shuffle.  Output one row (n int64, n_strata int64, or_crude
+    round-6, or_mh round-6; NULLs on zero denominators).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = strata_expr(t)
+        e = pc.cast(exposure_expr(t), pa.int64())
+        o = pc.cast(outcome_expr(t), pa.int64())
+        g = pa.table({"s": s, "e": e, "o": o})
+        g = g.filter(pc.and_(pc.and_(pc.is_valid(g.column("s")),
+                                     pc.is_valid(g.column("e"))),
+                             pc.is_valid(g.column("o"))))
+        e_ = g.column("e").to_numpy(zero_copy_only=False)
+        o_ = g.column("o").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s": g.column("s"),
+            "a": pa.array((e_ & o_).astype(np.int64)),
+            "b": pa.array((e_ & (1 - o_)).astype(np.int64)),
+            "c": pa.array(((1 - e_) & o_).astype(np.int64)),
+            "d": pa.array(((1 - e_) & (1 - o_)).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("s").aggregate(
+        Sum("a", alias_name="a"), Sum("b", alias_name="b"),
+        Sum("c", alias_name="c"), Sum("d", alias_name="d"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("n_strata", pa.int64()),
+                            ("or_crude", pa.float64()),
+                            ("or_mh", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_i = a + b + c + d
+        n = int(n_i.sum())
+        ta, tb, tc, td = (int(a.sum()), int(b.sum()), int(c.sum()),
+                          int(d.sum()))
+        crude = (round((ta * td) / (float(tb) * tc), 6)
+                 if tb > 0 and tc > 0 else None)
+        num = float(np.sum(a * d / n_i.astype(np.float64)))
+        den = float(np.sum(b * c / n_i.astype(np.float64)))
+        mh = round(num / den, 6) if den > 0 else None
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "n_strata": pa.array([len(a)], pa.int64()),
+            "or_crude": pa.array([crude], pa.float64()),
+            "or_mh": pa.array([mh], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
