@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit", "PayloadEntropyExtractor", "payload_entropy_audit", "phash_bit_balance"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit", "PayloadEntropyExtractor", "payload_entropy_audit", "phash_bit_balance", "TileStatsExtractor", "tile_uniformity_audit"]
 
 
 class FixtureReference:
@@ -1373,3 +1373,98 @@ def phash_bit_balance(ds, *, hash_col: str = "phash", n_bits: int = 64):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True).sort("bit")
+
+
+class TileStatsExtractor:
+    """Actor-pool callable: decode each payload and emit the variance
+    of a g x g grid of tile means (grayscale) normalized by the global
+    pixel variance -- near-0 means illumination/content is uniform
+    across the frame; high values flag vignetting, letterboxing
+    remnants, watermark corners or split-frame composites."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt", grid: int = 4):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.grid = grid
+
+    @staticmethod
+    def tile_nonuniformity(img: np.ndarray, grid: int) -> float:
+        px = img.astype(np.float64)
+        if px.ndim == 3:
+            px = px.mean(axis=2)
+        h, w = px.shape
+        if h < grid or w < grid:
+            return 0.0
+        hb = (np.arange(grid + 1) * h) // grid
+        wb = (np.arange(grid + 1) * w) // grid
+        means = np.array([[px[hb[i]:hb[i + 1], wb[j]:wb[j + 1]].mean()
+                           for j in range(grid)] for i in range(grid)])
+        gvar = px.var()
+        if gvar <= 0:
+            return 0.0
+        return float(means.var() / gvar)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (batch.column(self.fmt_col).to_pylist()
+                if self.fmt_col in batch.column_names else [None] * n)
+        score = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                img = decode_image(data, fmt)
+            except Exception:
+                continue
+            score[i] = self.tile_nonuniformity(img, self.grid)
+            ok[i] = True
+        out = {self.id_col: batch.column(self.id_col)}
+        if self.fmt_col in batch.column_names:
+            out[self.fmt_col] = batch.column(self.fmt_col)
+        out["tile_nonuniformity"] = pa.array(score, pa.float64(),
+                                             mask=~ok)
+        return pa.table(out)
+
+
+def tile_uniformity_audit(ds, *, threshold: float = 0.5, grid: int = 4,
+                          concurrency=(2, 8), batch_size: int = 128,
+                          fmt_col: str = "fmt"):
+    """Per-format tile-uniformity audit over decoded pixels: (fmt,
+    n_images, n_decode_fail, n_nonuniform) with nonuniform =
+    tile-mean variance > threshold x global pixel variance --
+    the spatial-composition counterpart to the exposure and blur
+    audits (same actor-pool decode contract)."""
+    from ray.data.aggregate import Count, Sum
+
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    scores = ds.select_columns(cols).map_batches(
+        TileStatsExtractor,
+        fn_constructor_kwargs=dict(fmt_col=fmt_col, grid=grid),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        v = t.column("tile_nonuniformity")
+        return pa.table({
+            "fmt": t.column(fmt_col),
+            "failed": pc.cast(pc.is_null(v), pa.int64()),
+            "nonuni": pc.cast(pc.fill_null(
+                pc.greater(v, threshold), False), pa.int64()),
+        })
+
+    return scores.map_batches(
+        mark, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("fmt").aggregate(
+        Count(alias_name="n_images"),
+        Sum("failed", alias_name="n_decode_fail"),
+        Sum("nonuni", alias_name="n_nonuniform"),
+    )

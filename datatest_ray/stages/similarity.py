@@ -30,7 +30,8 @@ __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "neardup_cosine_pairs",
            "ann_lsh_topk", "ivf_topk", "label_centroids",
            "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report",
-           "matryoshka_recall", "knn_label_purity"]
+           "matryoshka_recall", "knn_label_purity",
+           "twonn_intrinsic_dim"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -1078,4 +1079,53 @@ def knn_label_purity(ds, *, id_col: str, vec_col: str, label_col: str,
         })
 
     return marked.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def twonn_intrinsic_dim(ds, *, id_col: str, vec_col: str,
+                        n_queries: int = 50):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    query point, mu = d2/d1 (its two nearest-neighbor cosine
+    DISTANCES), and the MLE is  ID = n / sum ln mu  -- the one-number
+    answer to "how many effective dimensions does this embedding cloud
+    actually use", which decides quantization/truncation budgets.
+
+    Distances derive from the ROUNDED (6dp) similarities
+    :func:`topk_cosine` emits, making the estimate hash-identical
+    against a SQL window mirror; queries with d1 <= 0 (exact
+    duplicates) or d2 = d1 drop.  Output one row (n_used int64,
+    id_mle round-6).
+    """
+    queries = ds.select_columns([id_col, vec_col]).filter(
+        expr=f"{id_col} < {int(n_queries)}")
+    top2 = topk_cosine(ds.select_columns([id_col, vec_col]), queries,
+                       id_col=id_col, vec_col=vec_col, k=2)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_used", pa.int64()),
+                            ("id_mle", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("query_id", "ascending"),
+                       ("sim", "descending")])
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        s = t.column("sim").to_numpy(zero_copy_only=False)
+        new = np.ones(len(q), dtype=bool)
+        new[1:] = q[1:] != q[:-1]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(q)))
+        full = starts[cnt >= 2]
+        d1 = 1.0 - s[full]
+        d2 = 1.0 - s[full + 1]
+        ok = (d1 > 0) & (d2 > d1)
+        mu = d2[ok] / d1[ok]
+        n_used = int(ok.sum())
+        idm = (round(n_used / float(np.sum(np.log(mu))), 6)
+               if n_used and float(np.sum(np.log(mu))) > 0 else None)
+        return pa.table({
+            "n_used": pa.array([n_used], pa.int64()),
+            "id_mle": pa.array([idm], pa.float64()),
+        })
+
+    return top2.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
