@@ -30,7 +30,8 @@ import pyarrow.compute as pc
 
 __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
            "mahalanobis_outliers", "spearman_grouped",
-           "kendall_grouped", "mann_whitney", "welch_ttest"]
+           "kendall_grouped", "mann_whitney", "welch_ttest",
+           "expected_shortfall", "mean_excess_slope"]
 
 
 def _group_positions(col, keys):
@@ -2110,3 +2111,136 @@ def mmr_select(ds, *, vec_col: str, id_col: str, k: int = 10,
         "vec_id": pa.array(selected_ids, pa.int64()),
         "score": pa.array([round(s, 6) for s in scores], pa.float64()),
     })
+
+
+def expected_shortfall(ds, *, col: str, q: float = 0.95):
+    """Expected shortfall (CVaR): the exact mean of the top
+    ceil((1-q)*n) values -- the tail-risk number that, unlike the
+    quantile itself, reacts to HOW bad the tail is.  Computed from the
+    value-count suffix: whole tail blocks sum exactly in integer
+    cents, and the boundary value contributes the exact fractional
+    count, so the result is an integer quotient in disguise.
+
+    O(distinct values) shuffle.  Output one row (n int64, m int64 tail
+    size, var_q round-6 [the q-quantile, inverted-CDF], es round-6).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[np.isfinite(v)]
+        cents = np.rint(v * 100.0).astype(np.int64)
+        uv, cnt = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.select_columns([col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("m", pa.int64()),
+                            ("var_q", pa.float64()),
+                            ("es", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("v", "descending")])
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = int(cnt.sum())
+        # exact integer ceil((1-q) n): q carries 2 decimals, so the
+        # rank is (n * (100 - 100q) + 99) // 100 -- immune to the
+        # float-ceil off-by-one (0.05 * 15000 -> 750.0000000000007)
+        qn = int(round((1.0 - q) * 100))
+        m = max(1, (n * qn + 99) // 100)
+        cum = np.cumsum(cnt)
+        j = int(np.searchsorted(cum, m))          # boundary block
+        whole = int(np.sum(v[:j] * cnt[:j]))
+        take = m - (int(cum[j - 1]) if j > 0 else 0)
+        tail_sum = whole + int(v[j]) * take
+        # VaR_q: smallest value with ascending-cum >= ceil(q*n)
+        r = max(1, (n * (100 - qn) + 99) // 100)
+        va = v[::-1]
+        ca = np.cumsum(cnt[::-1])
+        var_q = int(va[int(np.searchsorted(ca, r))])
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "m": pa.array([m], pa.int64()),
+            "var_q": pa.array([round(var_q / 100.0, 6)], pa.float64()),
+            "es": pa.array([round(tail_sum / (100.0 * m), 6)],
+                           pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def mean_excess_slope(ds, *, col: str, thresholds):
+    """Peaks-over-threshold mean-excess diagnostic: e(u) = mean(x - u
+    | x > u) at each fixed threshold, plus the OLS slope of e(u) on u
+    -- the classical GPD tail-shape probe (slope > 0 heavy tail
+    xi > 0, ~0 exponential, < 0 bounded).  Exact integer-cent sums per
+    threshold from ONE pass; the grid is user-fixed so the statistic
+    is deterministic by construction.
+
+    Output: one row per threshold (u round-6, n_exceed int64, mean_ex
+    round-6) plus slope carried on every row (me_slope round-6; NULL
+    under 2 usable thresholds).
+    """
+    from ray.data.aggregate import Sum
+
+    th = [float(u) for u in thresholds]
+    th_cents = np.rint(np.array(th) * 100.0).astype(np.int64)
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[np.isfinite(v)]
+        cents = np.rint(v * 100.0).astype(np.int64)
+        rows_u, rows_n, rows_s = [], [], []
+        for i, u in enumerate(th_cents):
+            sel = cents > u
+            rows_u.append(i)
+            rows_n.append(int(sel.sum()))
+            rows_s.append(int((cents[sel] - u).sum()))
+        return pa.table({"i": pa.array(rows_u, pa.int64()),
+                         "n": pa.array(rows_n, pa.int64()),
+                         "s": pa.array(rows_s, pa.int64())})
+
+    agg = ds.select_columns([col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("i").aggregate(Sum("n", alias_name="n"),
+                             Sum("s", alias_name="s"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("i", "ascending")])
+        idx = t.column("i").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = th_cents[idx] / 100.0
+        ok = n > 0
+        me = np.where(ok, (s / 100.0) / np.maximum(n, 1), np.nan)
+        slope = None
+        if int(ok.sum()) >= 2:
+            x, y = u[ok], me[ok]
+            mx, my = x.mean(), y.mean()
+            den = float(np.sum((x - mx) ** 2))
+            if den > 0:
+                slope = round(float(np.sum((x - mx) * (y - my))) / den,
+                              6)
+        return pa.table({
+            "u": pa.array(np.round(u, 6)),
+            "n_exceed": pa.array(n),
+            "mean_ex": pa.array(
+                [round(m_, 6) if ok_ else None
+                 for m_, ok_ in zip(me, ok)], pa.float64()),
+            "me_slope": pa.array([slope] * len(u), pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

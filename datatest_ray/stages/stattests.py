@@ -60,6 +60,7 @@ __all__ = [
     "mmd_poly",
     "perm_test_two_sample",
     "mantel_haenszel",
+    "taylors_law",
 ]
 
 
@@ -2906,6 +2907,72 @@ def mantel_haenszel(ds, *, strata_expr, exposure_expr, outcome_expr):
             "or_crude": pa.array([crude], pa.float64()),
             "or_mh": pa.array([mh], pa.float64()),
         })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def taylors_law(ds, *, group_col: str, value_col: str,
+                min_n: int = 5):
+    """Taylor's power law fit: OLS of ln(per-group population variance)
+    on ln(per-group mean) across groups with at least ``min_n``
+    observations -- the ecology/ops classic (variance ~ a * mean^b):
+    b ~ 1 is Poisson-like load, b -> 2 is bursty/clustered, and a b
+    SHIFT between runs flags a traffic-mix change no single-group
+    variance test sees.
+
+    Per-group (n, sum, sum^2) cent-exact partials; one O(groups)
+    shuffle and a closed-form finalize.  Output one row (n_groups
+    int64, b round-6, ln_a round-6; NULL under 2 usable groups).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def to_units(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(group_col)),
+                     pc.is_valid(t.column(value_col)))
+        t = t.filter(ok)
+        u = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"g": t.column(group_col), "u": u,
+                         "u2": pc.multiply(u, u)})
+
+    agg = ds.select_columns([group_col, value_col]).map_batches(
+        to_units, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("g").aggregate(
+        Count(alias_name="n"), Sum("u", alias_name="s"),
+        Sum("u2", alias_name="s2"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_groups", pa.int64()),
+                            ("b", pa.float64()),
+                            ("ln_a", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("g", "ascending")])
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        mean = s / n / 100.0
+        var = (s2 - s * s / n) / n / 10000.0
+        ok = (n >= min_n) & (mean > 0) & (var > 0)
+        g = int(ok.sum())
+        b = ln_a = None
+        if g >= 2:
+            x = np.log(mean[ok])
+            y = np.log(var[ok])
+            mx, my = x.sum() / g, y.sum() / g
+            den = float(np.sum((x - mx) ** 2))
+            if den > 0:
+                bb = float(np.sum((x - mx) * (y - my))) / den
+                b = round(bb, 6)
+                ln_a = round(my - bb * mx, 6)
+        return pa.table({"n_groups": pa.array([g], pa.int64()),
+                         "b": pa.array([b], pa.float64()),
+                         "ln_a": pa.array([ln_a], pa.float64())})
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
