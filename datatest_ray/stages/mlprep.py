@@ -37,7 +37,8 @@ __all__ = ["fd_violations", "target_encode", "split_balance",
            "l_diversity", "eb_shrunk_rates", "t_closeness",
            "cfd_violations", "woe_iv", "cuped", "average_precision",
            "rrf_fuse", "gini_stump", "loo_encode_audit",
-           "isotonic_calibration", "gk_lambda", "gains_table"]
+           "isotonic_calibration", "gk_lambda", "gains_table",
+           "rfm_segments"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -1355,4 +1356,84 @@ def gains_table(ds, *, score_col: str, id_col: str, label_expr,
         })
 
     return base.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def rfm_segments(ds, *, id_col: str, ts_col: str, value_col: str,
+                 k: int = 5):
+    """RFM segmentation: per key, Recency (days from last activity to
+    the corpus max day), Frequency (event count) and Monetary (cent-
+    exact value sum) each split into k SQL-ntile quantile bins
+    (ordered ascending, key-ascending tie-break), and the output is
+    the occupied (r_q, f_q, m_q) cell census -- the classic customer-
+    base health matrix (e.g. r_q=5,f_q=1: long-dormant one-shot keys).
+
+    Per-key aggregates come from one groupby; the ntile split runs in
+    a single-partition kernel over O(keys) rows.  Output: (r_q, f_q,
+    m_q int64, n_users int64).
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    def units(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column(id_col)),
+                             pc.is_valid(t.column(ts_col))),
+                     pc.is_valid(t.column(value_col)))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"k": t.column(id_col), "day": day,
+                         "c": cents})
+
+    agg = ds.select_columns([id_col, ts_col, value_col]).map_batches(
+        units, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("k").aggregate(
+        Max("day", alias_name="last_day"),
+        Count(alias_name="f"),
+        Sum("c", alias_name="m"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("r_q", pa.int64()), ("f_q", pa.int64()),
+                            ("m_q", pa.int64()),
+                            ("n_users", pa.int64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("k", "ascending")])
+        keys = t.column("k").to_numpy(zero_copy_only=False)
+        last = t.column("last_day").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        f = t.column("f").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        rec = int(last.max()) - last      # days since last activity
+        n = len(keys)
+
+        def ntile(metric):
+            order = np.lexsort((keys, metric))
+            q, r = n // k, n % k
+            sizes = np.full(k, q, dtype=np.int64)
+            sizes[:r] += 1
+            tile_sorted = np.repeat(np.arange(1, k + 1,
+                                              dtype=np.int64), sizes)
+            tile = np.empty(n, dtype=np.int64)
+            tile[order] = tile_sorted[:n]
+            return tile
+
+        rq, fq, mq = ntile(rec), ntile(f), ntile(m)
+        cell = (rq - 1) * k * k + (fq - 1) * k + (mq - 1)
+        cnt = np.bincount(cell, minlength=k * k * k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "r_q": pa.array(nz // (k * k) + 1, pa.int64()),
+            "f_q": pa.array((nz // k) % k + 1, pa.int64()),
+            "m_q": pa.array(nz % k + 1, pa.int64()),
+            "n_users": pa.array(cnt[nz], pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

@@ -31,7 +31,8 @@ __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "ann_lsh_topk", "ivf_topk", "label_centroids",
            "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report",
            "matryoshka_recall", "knn_label_purity",
-           "twonn_intrinsic_dim"]
+           "twonn_intrinsic_dim", "geometric_median_labels",
+           "kcenter_greedy"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -1129,3 +1130,205 @@ def twonn_intrinsic_dim(ds, *, id_col: str, vec_col: str,
 
     return top2.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def geometric_median_labels(ds, *, vec_col: str, label_col: str,
+                            n_iter: int = 8):
+    """Per-label geometric median of the embedding cloud via Weiszfeld
+    iterations -- the ROBUST centroid (minimizes summed euclidean
+    distance, not squared), so a few corrupt vectors cannot drag the
+    class center the way the mean centroid does.  Reported per label:
+    the median's distance to the MEAN centroid (in units of the mean
+    per-point distance) -- a large gap flags outlier contamination.
+
+    Fully streaming and iterative: each Weiszfeld step broadcasts the
+    current per-label estimates via ``ray.put`` and runs ONE
+    ``map_batches`` pass of inverse-distance-weighted partial sums
+    (payload O(labels x dim) per block), exactly n_iter passes.
+    rows-only by contract (iterative); brute-force parity pinned in
+    unit tests.  Output: (label, n int64, shift round-6, mean_dist
+    round-6).
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    base = ds.select_columns([label_col, vec_col])
+
+    def start_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(label_col)))
+        labs = t.column(label_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(t, vec_col)
+        uls = np.unique(labs)
+        rows = {"label": pa.array(uls.astype(np.int64)),
+                "n": pa.array([int((labs == l).sum()) for l in uls],
+                              pa.int64())}
+        sums = np.stack([mat[labs == l].sum(axis=0) for l in uls])
+        rows["s"] = pa.array(list(sums.astype(np.float64)),
+                             pa.list_(pa.float64()))
+        return pa.table(rows)
+
+    def merge_label_vecs(agg_ds):
+        rows = agg_ds.take_all()
+        merged = {}
+        for r in rows:
+            lab = r["label"]
+            v = np.asarray(r["s"], dtype=np.float64)
+            if lab in merged:
+                merged[lab][0] += r["n"]
+                merged[lab][1] += v
+            else:
+                merged[lab] = [r["n"], v.copy()]
+        return merged
+
+    first = base.map_batches(start_partials, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    # per-block partials already reduce to O(labels); merge on driver
+    state = merge_label_vecs(first)
+    labels = sorted(state)
+    est = {lab: state[lab][1] / state[lab][0] for lab in labels}
+    counts = {lab: state[lab][0] for lab in labels}
+    mean_centroid = dict(est)
+
+    for _ in range(n_iter):
+        est_ref = ray.put(est)
+
+        def step(t: pa.Table) -> pa.Table:
+            cur = ray.get(est_ref)
+            t = t.filter(pc.is_valid(t.column(label_col)))
+            labs = t.column(label_col).to_numpy(zero_copy_only=False)
+            mat = _batch_matrix(t, vec_col)
+            out_l, out_w, out_s = [], [], []
+            for lab, c in cur.items():
+                sel = labs == lab
+                if not sel.any():
+                    continue
+                x = mat[sel]
+                d = np.sqrt(((x - c) ** 2).sum(axis=1))
+                d = np.maximum(d, 1e-12)
+                w = 1.0 / d
+                out_l.append(int(lab))
+                out_w.append(float(w.sum()))
+                out_s.append((x * w[:, None]).sum(axis=0).astype(
+                    np.float64))
+            return pa.table({
+                "label": pa.array(out_l, pa.int64()),
+                "w": pa.array(out_w, pa.float64()),
+                "s": pa.array([list(v) for v in out_s],
+                              pa.list_(pa.float64())),
+            })
+
+        parts = base.map_batches(step, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+        acc = {}
+        for r in parts:
+            lab = r["label"]
+            v = np.asarray(r["s"], dtype=np.float64)
+            if lab in acc:
+                acc[lab][0] += r["w"]
+                acc[lab][1] += v
+            else:
+                acc[lab] = [r["w"], v.copy()]
+        est = {lab: acc[lab][1] / acc[lab][0] for lab in acc}
+
+    # final pass: mean distance to the geometric median per label
+    est_ref = ray.put(est)
+
+    def dist_partials(t: pa.Table) -> pa.Table:
+        cur = ray.get(est_ref)
+        t = t.filter(pc.is_valid(t.column(label_col)))
+        labs = t.column(label_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(t, vec_col)
+        out_l, out_d = [], []
+        for lab, c in cur.items():
+            sel = labs == lab
+            if not sel.any():
+                continue
+            out_l.append(int(lab))
+            out_d.append(float(np.sqrt(
+                ((mat[sel] - c) ** 2).sum(axis=1)).sum()))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "dsum": pa.array(out_d, pa.float64())})
+
+    dparts = base.map_batches(dist_partials, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    dsum = {}
+    for r in dparts:
+        dsum[r["label"]] = dsum.get(r["label"], 0.0) + r["dsum"]
+
+    out_rows = {"label": [], "n": [], "shift": [], "mean_dist": []}
+    for lab in labels:
+        md = dsum.get(lab, 0.0) / counts[lab]
+        shift = float(np.sqrt(
+            ((est[lab] - mean_centroid[lab]) ** 2).sum()))
+        out_rows["label"].append(int(lab))
+        out_rows["n"].append(int(counts[lab]))
+        out_rows["shift"].append(
+            round(shift / md, 6) if md > 0 else None)
+        out_rows["mean_dist"].append(round(md, 6))
+    return ray.data.from_arrow(pa.table({
+        "label": pa.array(out_rows["label"], pa.int64()),
+        "n": pa.array(out_rows["n"], pa.int64()),
+        "shift": pa.array(out_rows["shift"], pa.float64()),
+        "mean_dist": pa.array(out_rows["mean_dist"], pa.float64()),
+    }))
+
+
+def kcenter_greedy(ds, *, id_col: str, vec_col: str, k: int = 8):
+    """Greedy k-center coreset (Gonzalez 2-approximation): start from
+    the lowest id, repeatedly add the point FARTHEST (euclidean) from
+    the current set -- the diversity-maximizing selection used for
+    "cover the embedding space with k exemplars" sampling, with a
+    provable 2x bound on the covering radius.
+
+    k streaming passes: each pass broadcasts the chosen centers via
+    ``ray.put`` and reduces per-block (max min-distance, argmax id)
+    candidates; ties break to the smaller id, so the selection is
+    deterministic under any partitioning.  rows-only by contract
+    (iterative); brute-force parity pinned in unit tests.
+    Output: (round int64, id_col int64, dist round-6 [distance to the
+    previously chosen set; 0 for the seed]).
+    """
+    import ray
+
+    base = ds.select_columns([id_col, vec_col])
+    seed = base.aggregate(ray.data.aggregate.Min(id_col))[
+        f"min({id_col})"]
+    chosen_ids = [int(seed)]
+    chosen_dists = [0.0]
+
+    def fetch_vec(target_id):
+        row = base.filter(
+            expr=f"{id_col} == {int(target_id)}").take_all()
+        return np.asarray(row[0][vec_col], dtype=np.float64)
+
+    centers = [fetch_vec(seed)]
+    for _ in range(k - 1):
+        c_ref = ray.put(np.stack(centers))
+
+        def far_partial(t: pa.Table) -> pa.Table:
+            cs = ray.get(c_ref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _batch_matrix(t, vec_col).astype(np.float64)
+            d2 = ((mat[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            dmin = np.sqrt(d2.min(axis=1))
+            order = np.lexsort((ids, -dmin))
+            j = order[0]
+            return pa.table({
+                "id": pa.array([int(ids[j])], pa.int64()),
+                "d": pa.array([float(dmin[j])], pa.float64()),
+            })
+
+        cand = base.map_batches(far_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+        cand.sort(key=lambda r: (-r["d"], r["id"]))
+        best = cand[0]
+        chosen_ids.append(int(best["id"]))
+        chosen_dists.append(float(best["d"]))
+        centers.append(fetch_vec(best["id"]))
+
+    return ray.data.from_arrow(pa.table({
+        "round": pa.array(range(len(chosen_ids)), pa.int64()),
+        id_col: pa.array(chosen_ids, pa.int64()),
+        "dist": pa.array([round(d, 6) for d in chosen_dists],
+                         pa.float64()),
+    }))
