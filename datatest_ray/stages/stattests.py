@@ -61,6 +61,7 @@ __all__ = [
     "perm_test_two_sample",
     "mantel_haenszel",
     "taylors_law",
+    "logrank_test",
 ]
 
 
@@ -2975,4 +2976,88 @@ def taylors_law(ds, *, group_col: str, value_col: str,
                          "ln_a": pa.array([ln_a], pa.float64())})
 
     return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def logrank_test(ds, *, id_col: str, ts_col: str, group_expr):
+    """Two-group log-rank test over key LIFETIMES (last minus first
+    active day per key, all observed -- no censoring in this framing):
+    at each distinct lifetime t, group 1 contributes observed deaths
+    d1_t against expectation d_t * n1_t / n_t from the at-risk sets,
+    and z = (O1 - E1) / sqrt(sum hypergeometric variances) -- the
+    standard "do these two cohorts churn on the same clock" test that
+    compares the WHOLE survival curve, not just mean lifetime.
+
+    ``group_expr(table) -> BooleanArray`` marks group 1 rows (it sees
+    each key's FIRST-DAY row attributes via the per-key aggregate).
+    At-risk counts come from suffix sums over the distinct-lifetime
+    census; everything is exact integers until the final z.
+    Output one row (n1, n2, o1 int64, e1 round-6, z round-6).
+    """
+    from ray.data.aggregate import Max, Min
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(id_col)),
+                     pc.is_valid(t.column(ts_col)))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        g = pc.cast(group_expr(t), pa.int64())
+        return pa.table({"k": t.column(id_col), "day": day, "g": g})
+
+    per_key = (
+        ds.map_batches(to_day, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("k").aggregate(Min("day", alias_name="first_day"),
+                                Max("day", alias_name="last_day"),
+                                Max("g", alias_name="g1"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n1", pa.int64()), ("n2", pa.int64()),
+                            ("o1", pa.int64()), ("e1", pa.float64()),
+                            ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        dur = (t.column("last_day").to_numpy(zero_copy_only=False)
+               - t.column("first_day").to_numpy(
+                   zero_copy_only=False)).astype(np.int64)
+        g1 = t.column("g1").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n1 = int(g1.sum())
+        n2 = len(g1) - n1
+        if n1 == 0 or n2 == 0:
+            return schema.empty_table()
+        order = np.argsort(dur, kind="stable")
+        dur, g1 = dur[order], g1[order]
+        new = np.ones(len(dur), dtype=bool)
+        new[1:] = dur[1:] != dur[:-1]
+        seg = np.cumsum(new) - 1
+        d_t = np.bincount(seg).astype(np.int64)
+        d1_t = np.bincount(seg, weights=g1).astype(np.int64)
+        total = len(dur)
+        # at-risk = suffix counts (everyone with duration >= t)
+        cum_d = np.cumsum(d_t)
+        cum_d1 = np.cumsum(d1_t)
+        n_t = total - np.concatenate(([0], cum_d[:-1]))
+        n1_t = n1 - np.concatenate(([0], cum_d1[:-1]))
+        o1 = int(d1_t.sum())
+        e1 = float(np.sum(d_t * (n1_t / n_t.astype(np.float64))))
+        ok = n_t > 1
+        v = float(np.sum(
+            d_t[ok] * (n1_t[ok] / n_t[ok].astype(np.float64))
+            * (1.0 - n1_t[ok] / n_t[ok].astype(np.float64))
+            * (n_t[ok] - d_t[ok]) / (n_t[ok] - 1.0)))
+        z = round((o1 - e1) / np.sqrt(v), 6) if v > 0 else None
+        return pa.table({
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "o1": pa.array([o1], pa.int64()),
+            "e1": pa.array([round(e1, 6)], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return per_key.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

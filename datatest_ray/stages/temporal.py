@@ -40,7 +40,7 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "page_hinkley_daily", "seasonal_mk_daily",
            "turning_points_daily", "bartels_rank_daily",
            "hampel_daily", "hurst_rs_daily", "granger_lag1_daily",
-           "transfer_entropy_daily"]
+           "transfer_entropy_daily", "ewma_chart_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2612,3 +2612,50 @@ def transfer_entropy_daily(ds, ts_col: str, *, type_col: str, cause,
     return _daily_xy(ds, ts_col, type_col=type_col, type_a=cause,
                      type_b=effect).repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def ewma_chart_daily(ds, ts_col: str, *, by: str, lam: float = 0.2,
+                     l_sigma: float = 3.0):
+    """EWMA control chart per group over the daily-count series
+    (Roberts 1959): z_t = lam*x_t + (1-lam)*z_{t-1} seeded at the
+    series mean, with time-varying limits mu +/- L*sigma*
+    sqrt(lam/(2-lam)*(1-(1-lam)^(2t))) -- the small-persistent-shift
+    detector that the Shewhart/c-chart misses (it reacts to ~0.5-1
+    sigma drifts in a few days).
+
+    The recursion is evaluated with the exact double sequence a
+    recursive-CTE oracle replays (one multiply-add per day), so breach
+    flags are hash-stable.  Output: (by, n_days, n_breach_hi,
+    n_breach_lo, last_z round-6).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        s1 = x.sum()
+        mu = s1 / n
+        var = float(np.sum((x - mu) * (x - mu))) / n
+        sigma = np.sqrt(var)
+        z = mu
+        hi = lo = 0
+        for t_i in range(1, n + 1):
+            z = lam * x[t_i - 1] + (1.0 - lam) * z
+            lim = (l_sigma * sigma
+                   * np.sqrt(lam / (2.0 - lam)
+                             * (1.0 - (1.0 - lam) ** (2 * t_i))))
+            if z > mu + lim:
+                hi += 1
+            elif z < mu - lim:
+                lo += 1
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "n_breach_hi": pa.array([hi], pa.int64()),
+            "n_breach_lo": pa.array([lo], pa.int64()),
+            "last_z": pa.array([round(float(z), 6)], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
