@@ -48,6 +48,8 @@ __all__ = [
     "vocab_richness",
     "heaps_law",
     "dsir_profile",
+    "species_richness",
+    "word_burstiness",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -1993,6 +1995,186 @@ def dsir_profile(ds, text_col: str, *, lang_col: str, target_lang: str):
             "n_docs": pa.array(n.astype(np.int64)),
             "mean_score": pa.array(mean, pa.float64()),
             "sd_score": pa.array(sd, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def species_richness(ds, text_col: str, *, lang_col: str):
+    """Unseen-vocabulary estimators per language from the word
+    frequency spectrum: Chao1 richness (V + V1^2 / (2 V2) -- how many
+    word types the corpus has NOT yet seen), the Good-Turing unseen
+    probability mass (V1/N -- the chance the next token is a new
+    type), and the Hill number exp(H) (effective vocabulary size under
+    Shannon weighting).  Together they answer "has this crawl
+    saturated its domain" before anyone trains on it.
+
+    Same O(distinct words) plan as :func:`vocab_richness` (shared
+    spectrum partials).  Output: (lang, n_tokens, vocab, v1, v2,
+    chao1 round-6, gt_p0 round-6, hill_1 round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(lang_col)))
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        parents = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        lang_flat = batch.column(lang_col).take(pa.array(parents))
+        t = pa.table({"lang": lang_flat, "token": flat})
+        return t.group_by(["lang", "token"]).aggregate(
+            [("token", "count")]).rename_columns(
+                ["lang", "token", "n"])
+
+    wc = (
+        ds.select_columns([text_col, lang_col])
+        .map_batches(word_partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="m"))
+    )
+
+    def spectrum(t: pa.Table) -> pa.Table:
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        g = pa.table({
+            "lang": t.column("lang"),
+            "n": pa.array(m),
+            "v": pa.array(np.ones(len(m), dtype=np.int64)),
+            "v1": pa.array((m == 1).astype(np.int64)),
+            "v2": pa.array((m == 2).astype(np.int64)),
+            "mlnm": pa.array(m * np.log(m)),
+        })
+        return g.group_by("lang").aggregate(
+            [("n", "sum"), ("v", "sum"), ("v1", "sum"), ("v2", "sum"),
+             ("mlnm", "sum")]
+        ).rename_columns(["lang", "n", "v", "v1", "v2", "mlnm"])
+
+    agg = wc.map_batches(
+        spectrum, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("lang").aggregate(
+        Sum("n", alias_name="n"), Sum("v", alias_name="v"),
+        Sum("v1", alias_name="v1"), Sum("v2", alias_name="v2"),
+        Sum("mlnm", alias_name="mlnm"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import math
+
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v1 = t.column("v1").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        v2 = t.column("v2").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        mlnm = t.column("mlnm").to_numpy(zero_copy_only=False)
+        chao, gt, hill = [], [], []
+        for ni, vi, v1i, v2i, si in zip(n, v, v1, v2, mlnm):
+            chao.append(round(vi + v1i * v1i / (2.0 * v2i), 6)
+                        if v2i > 0 else None)
+            gt.append(round(v1i / float(ni), 6) if ni > 0 else None)
+            # H = ln N - (1/N) sum m ln m; hill_1 = exp(H)
+            hill.append(round(math.exp(math.log(ni) - si / ni), 6)
+                        if ni > 0 else None)
+        return pa.table({
+            "lang": t.column("lang"),
+            "n_tokens": pa.array(n),
+            "vocab": pa.array(v),
+            "v1": pa.array(v1),
+            "v2": pa.array(v2),
+            "chao1": pa.array(chao, pa.float64()),
+            "gt_p0": pa.array(gt, pa.float64()),
+            "hill_1": pa.array(hill, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def word_burstiness(ds, text_col: str, *, id_col: str, k: int = 10):
+    """Per-word burstiness over the top-k corpus words (by total
+    occurrences, alphabetical tie-break): the variance-to-mean ratio
+    of the word's PER-DOCUMENT count across ALL documents (zeros
+    included).  VMR ~ 1 is Poisson scatter (function words); VMR >> 1
+    marks topical/bursty words -- the Church-Gale dispersion signal
+    that separates content words from glue, and a drift alarm when a
+    "function" word suddenly goes bursty.
+
+    One (word, doc) count shuffle restricted to the top-k vocabulary
+    (found from a first O(distinct words) pass).  Exact integer sums;
+    D includes empty documents.  Output: (token, cf int64, df int64,
+    vmr round-6).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    n_docs = ds.select_columns([id_col]).count()
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        flat, _ = tokens_and_offsets(batch.column(text_col))
+        t = pa.table({"token": flat})
+        return t.group_by("token").aggregate(
+            [("token", "count")]).rename_columns(["token", "n"])
+
+    top = (
+        ds.select_columns([text_col])
+        .map_batches(word_partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("token").aggregate(Sum("n", alias_name="cf"))
+    ).take_all()
+    top.sort(key=lambda r: (-r["cf"], r["token"]))
+    vocab = [r["token"] for r in top[:k]]
+    vocab_arr = pa.array(sorted(vocab))
+
+    def doc_counts(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        n_rows = len(counts)
+        sel = pc.is_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False)
+        parents = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        code = pc.index_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False)
+        psel, csel = parents[sel], code[sel]
+        key = psel * len(vocab) + csel
+        uk, cnt = np.unique(key, return_counts=True)
+        tok = pc.take(vocab_arr, pa.array(uk % len(vocab), pa.int64()))
+        c = cnt.astype(np.int64)
+        return pa.table({
+            "token": tok,
+            "one": pa.array(np.ones(len(uk), dtype=np.int64)),
+            "c": pa.array(c),
+            "c2": pa.array(c * c),
+        })
+
+    agg = (
+        ds.select_columns([text_col, id_col])
+        .map_batches(doc_counts, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("token").aggregate(
+            Sum("one", alias_name="df"), Sum("c", alias_name="cf"),
+            Sum("c2", alias_name="c2"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cf = t.column("cf").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        c2 = t.column("c2").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        d = float(n_docs)
+        vmr = []
+        for cfi, c2i in zip(cf, c2):
+            mean = cfi / d
+            var = c2i / d - mean * mean
+            vmr.append(round(var / mean, 6) if mean > 0 else None)
+        return pa.table({
+            "token": t.column("token"),
+            "cf": pa.array(cf),
+            "df": pa.array(df),
+            "vmr": pa.array(vmr, pa.float64()),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow",
