@@ -40,7 +40,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "page_hinkley_daily", "seasonal_mk_daily",
            "turning_points_daily", "bartels_rank_daily",
            "hampel_daily", "hurst_rs_daily", "granger_lag1_daily",
-           "transfer_entropy_daily", "ewma_chart_daily"]
+           "transfer_entropy_daily", "ewma_chart_daily",
+           "optimal_changepoints_daily", "sax_motifs_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2655,6 +2656,134 @@ def ewma_chart_daily(ds, ts_col: str, *, by: str, lam: float = 0.2,
             "n_breach_hi": pa.array([hi], pa.int64()),
             "n_breach_lo": pa.array([lo], pa.int64()),
             "last_z": pa.array([round(float(z), 6)], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def optimal_changepoints_daily(ds, ts_col: str, *, by: str,
+                               penalty_factor: float = 2.0):
+    """Exact optimal-partitioning changepoint segmentation per group
+    (the dynamic program PELT prunes): minimize total within-segment
+    SSE + penalty * n_changepoints over ALL segmentations of the daily
+    count series, penalty = penalty_factor * global variance * ln(n)
+    (BIC-flavored).  Returns every changepoint -- the multi-shift
+    answer the single-split binseg probe (binseg_change_daily) only
+    approximates.
+
+    O(n^2) DP on the calendar-bounded series with exact integer prefix
+    sums; rows-only by contract (sequential DP has no SQL mirror);
+    brute-force parity pinned in unit tests.  Output: (by, n_days,
+    n_changepoints int64, split_pos string 'p1,p2,...' [left-segment
+    lengths], cost round-6).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        if n < 2:
+            return pa.table({
+                by: pa.array([key]),
+                "n_days": pa.array([n], pa.int64()),
+                "n_changepoints": pa.array([0], pa.int64()),
+                "split_pos": pa.array([""], pa.string()),
+                "cost": pa.array([0.0], pa.float64()),
+            })
+        c1 = np.concatenate(([0.0], np.cumsum(x)))
+        c2 = np.concatenate(([0.0], np.cumsum(x * x)))
+
+        def sse(i, j):  # segment x[i:j]
+            m = j - i
+            s = c1[j] - c1[i]
+            return (c2[j] - c2[i]) - s * s / m
+
+        var = float(np.var(x))
+        pen = penalty_factor * var * np.log(n) if var > 0 else 1.0
+        best = np.full(n + 1, np.inf)
+        prev = np.zeros(n + 1, dtype=np.int64)
+        best[0] = -pen
+        for j in range(1, n + 1):
+            for i in range(j):
+                c = best[i] + sse(i, j) + pen
+                if c < best[j] - 1e-12:
+                    best[j] = c
+                    prev[j] = i
+        cps = []
+        j = n
+        while j > 0:
+            i = int(prev[j])
+            if i > 0:
+                cps.append(i)
+            j = i
+        cps = sorted(cps)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "n_changepoints": pa.array([len(cps)], pa.int64()),
+            "split_pos": pa.array([",".join(map(str, cps))],
+                                  pa.string()),
+            "cost": pa.array([round(float(best[n]), 6)], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def sax_motifs_daily(ds, ts_col: str, *, by: str, word_len: int = 3):
+    """SAX motif census per group: the daily counts z-normalize
+    against the group's own mean/std, discretize into the classic
+    4-symbol alphabet (breakpoints -0.6745 / 0 / 0.6745 -- standard
+    normal quartiles), and consecutive ``word_len``-day windows form
+    SAX words; repeated words are the series' MOTIFS (recurring local
+    shapes).  Output per group: total and repeated word counts plus
+    the most frequent word (count desc, lexicographic tie-break) --
+    the cheap "does this series have a recurring weekly shape"
+    detector (Lin et al. 2003).
+
+    One daily-count shuffle, tiny per-group kernel; symbol boundaries
+    are evaluated on the identical doubles a SQL mirror computes.
+    Output: (by, n_days, n_words, n_repeated, top_word, top_count).
+    """
+    w = int(word_len)
+    BPS = (-0.6745, 0.0, 0.6745)
+    ABC = "abcd"
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        n_words = n_rep = 0
+        top_word, top_count = None, None
+        if n >= w:
+            mu = x.sum() / n
+            var = float(np.sum((x - mu) * (x - mu))) / n
+            sd = np.sqrt(var)
+            if sd > 0:
+                z = (x - mu) / sd
+                sym = np.full(n, 0, dtype=np.int64)
+                for bp in BPS:
+                    sym += (z > bp).astype(np.int64)
+                words = {}
+                for i in range(n - w + 1):
+                    word = "".join(ABC[s] for s in sym[i:i + w])
+                    words[word] = words.get(word, 0) + 1
+                n_words = len(words)
+                n_rep = sum(1 for c in words.values() if c >= 2)
+                top_word = min(words,
+                               key=lambda k: (-words[k], k))
+                top_count = int(words[top_word])
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "n_words": pa.array([n_words], pa.int64()),
+            "n_repeated": pa.array([n_rep], pa.int64()),
+            "top_word": pa.array([top_word], pa.string()),
+            "top_count": pa.array([top_count], pa.int64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
