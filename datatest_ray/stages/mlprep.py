@@ -38,7 +38,7 @@ __all__ = ["fd_violations", "target_encode", "split_balance",
            "cfd_violations", "woe_iv", "cuped", "average_precision",
            "rrf_fuse", "gini_stump", "loo_encode_audit",
            "isotonic_calibration", "gk_lambda", "gains_table",
-           "rfm_segments"]
+           "rfm_segments", "mcc_binary", "youden_threshold"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -1433,6 +1433,145 @@ def rfm_segments(ds, *, id_col: str, ts_col: str, value_col: str,
             "f_q": pa.array((nz // k) % k + 1, pa.int64()),
             "m_q": pa.array(nz % k + 1, pa.int64()),
             "n_users": pa.array(cnt[nz], pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def mcc_binary(ds, *, flag_expr, label_expr):
+    """Matthews correlation coefficient of a binary flag against a
+    binary label: MCC = (TP*TN - FP*FN) / sqrt((TP+FP)(TP+FN)(TN+FP)
+    (TN+FN)) -- the single confusion-matrix number that stays honest
+    under class imbalance (unlike accuracy or F1).  Exact integer
+    cells; the product under the sqrt is evaluated in double with the
+    same factor order a SQL mirror uses.
+
+    Output one row (n, tp, fp, fn_, tn int64, mcc round-6; NULL when
+    any marginal is empty).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = flag_expr(t)
+        f = f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f
+        y = label_expr(t)
+        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        ok = pc.and_(pc.is_valid(f), pc.is_valid(y))
+        g = pa.table({"f": pc.cast(f, pa.int64()),
+                      "y": pc.cast(y, pa.int64())}).filter(ok)
+        fv = g.column("f").to_numpy(zero_copy_only=False)
+        yv = g.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tp": pa.array([int((fv & yv).sum())], pa.int64()),
+            "fp": pa.array([int((fv & (1 - yv)).sum())], pa.int64()),
+            "fn_": pa.array([int(((1 - fv) & yv).sum())], pa.int64()),
+            "tn": pa.array([int(((1 - fv) & (1 - yv)).sum())],
+                           pa.int64()),
+        })
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("tp", alias_name="tp"), Sum("fp", alias_name="fp"),
+                Sum("fn_", alias_name="fn_"),
+                Sum("tn", alias_name="tn"))
+
+    import ray
+
+    tp, fp = agg["tp"] or 0, agg["fp"] or 0
+    fn, tn = agg["fn_"] or 0, agg["tn"] or 0
+    n = tp + fp + fn + tn
+    den = (float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    mcc = (round((float(tp) * tn - float(fp) * fn) / np.sqrt(den), 6)
+           if den > 0 else None)
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "tp": pa.array([tp], pa.int64()),
+        "fp": pa.array([fp], pa.int64()),
+        "fn_": pa.array([fn], pa.int64()),
+        "tn": pa.array([tn], pa.int64()),
+        "mcc": pa.array([mcc], pa.float64()),
+    }))
+
+
+def youden_threshold(ds, *, score_col: str, label_expr,
+                     cents_scale: float = 100.0):
+    """Optimal decision threshold by Youden's J: over every distinct
+    score value v (predict positive when score > v), maximize J =
+    TPR - FPR; ties break to the SMALLEST threshold.  J is compared
+    through the exact integer cross product tp * neg - fp * pos (same
+    ordering as the float J, no float ties), so the chosen cut is
+    hash-stable.  Also reports sensitivity/specificity at the cut.
+
+    One O(distinct scores) shuffle + prefix sums.  Output one row
+    (n, pos int64, threshold round-6, j round-6, tpr round-6,
+    tnr round-6; NULL when a class is empty).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        y = label_expr(t)
+        y = y.combine_chunks() if isinstance(y, pa.ChunkedArray) else y
+        ok = pc.and_(pc.is_valid(t.column(score_col)), pc.is_valid(y))
+        s = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(score_col), pa.float64()), cents_scale)),
+            pa.int64())
+        g = pa.table({"s": s, "y": pc.cast(y, pa.int64())}).filter(ok)
+        return g.group_by("s").aggregate(
+            [("y", "count"), ("y", "sum")]
+        ).rename_columns(["s", "n", "pos"])
+
+    agg = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("s").aggregate(Sum("n", alias_name="n"),
+                             Sum("pos", alias_name="pos"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("pos", pa.int64()),
+                            ("threshold", pa.float64()),
+                            ("j", pa.float64()),
+                            ("tpr", pa.float64()),
+                            ("tnr", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("s", "ascending")])
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cn = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cp = t.column("pos").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = int(cn.sum())
+        p = int(cp.sum())
+        neg = n - p
+        if p == 0 or neg == 0:
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                "pos": pa.array([p], pa.int64()),
+                "threshold": pa.array([None], pa.float64()),
+                "j": pa.array([None], pa.float64()),
+                "tpr": pa.array([None], pa.float64()),
+                "tnr": pa.array([None], pa.float64()),
+            })
+        # predict positive when score > s_k: tp = pos above the cut
+        cum_p = np.cumsum(cp)
+        cum_n = np.cumsum(cn)
+        tp = p - cum_p
+        fp = neg - (cum_n - cum_p)
+        # maximize tp*neg - fp*pos (exact-int ordering of J)
+        obj = tp * neg - fp * p
+        best = int(np.argmax(obj))      # first max -> smallest cut
+        tpb, fpb = int(tp[best]), int(fp[best])
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "pos": pa.array([p], pa.int64()),
+            "threshold": pa.array([round(s[best] / cents_scale, 6)],
+                                  pa.float64()),
+            "j": pa.array(
+                [round(tpb / p - fpb / neg, 6)], pa.float64()),
+            "tpr": pa.array([round(tpb / p, 6)], pa.float64()),
+            "tnr": pa.array([round(1.0 - fpb / neg, 6)],
+                            pa.float64()),
         })
 
     return agg.repartition(1).map_batches(
