@@ -62,6 +62,8 @@ __all__ = [
     "mantel_haenszel",
     "taylors_law",
     "logrank_test",
+    "powerlaw_alpha",
+    "gamma_moments_fit",
 ]
 
 
@@ -3061,3 +3063,104 @@ def logrank_test(ds, *, id_col: str, ts_col: str, group_expr):
 
     return per_key.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def powerlaw_alpha(ds, *, group_col: str, x_min: int = 5):
+    """Discrete power-law exponent MLE over per-key activity counts
+    (Clauset-Shalizi-Newman approximation): for counts x >= x_min,
+    alpha = 1 + n / sum ln(x / (x_min - 0.5)) -- the "how heavy is the
+    heavy-user tail" number behind capacity planning and abuse
+    screens; alpha drifting DOWN means the tail is getting fatter.
+
+    Counts come from one groupby; the MLE needs only (n, sum ln x) of
+    the tail -- O(keys) shuffle, closed-form finalize.  Output one row
+    (n_keys int64, n_tail int64, alpha round-6; NULL on empty tail).
+    """
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="c"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tail = c[c >= x_min]
+        return pa.table({
+            "n_keys": pa.array([len(c)], pa.int64()),
+            "n_tail": pa.array([len(tail)], pa.int64()),
+            "slog": pa.array(
+                [float(np.log(tail / (x_min - 0.5)).sum())],
+                pa.float64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = counts.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n_keys", alias_name="n_keys"),
+                Sum("n_tail", alias_name="n_tail"),
+                Sum("slog", alias_name="slog"))
+
+    import ray
+
+    nk = agg["n_keys"] or 0
+    nt = agg["n_tail"] or 0
+    slog = agg["slog"]
+    alpha = (round(1.0 + nt / slog, 6)
+             if nt and slog and slog > 0 else None)
+    return ray.data.from_arrow(pa.table({
+        "n_keys": pa.array([nk], pa.int64()),
+        "n_tail": pa.array([nt], pa.int64()),
+        "alpha": pa.array([alpha], pa.float64()),
+    }))
+
+
+def gamma_moments_fit(ds, *, value_col: str):
+    """Gamma(shape k, scale theta) fit by the method of moments over a
+    positive-valued column: k = mean^2 / var, theta = var / mean
+    (population variance) -- the waiting-time model between the
+    exponential (k = 1) and the normal (k large); k < 1 confirms
+    bursty arrivals.  Exact integer sums (values taken as-is --
+    already-integer streams like microsecond gaps lose nothing), one
+    O(1)-payload pass.
+
+    Output one row (n int64, mean round-6, shape round-6,
+    scale round-6; NULL fit on degenerate variance).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "s": pa.array([float(v.sum())], pa.float64()),
+            "s2": pa.array([float((v * v).sum())], pa.float64()),
+        })
+
+    agg = ds.select_columns([value_col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                Sum("s2", alias_name="s2"))
+
+    import ray
+
+    n = agg["n"] or 0
+    if n < 2:
+        mean = shape = scale = None
+    else:
+        s, s2 = agg["s"], agg["s2"]
+        mu = s / n
+        var = s2 / n - mu * mu
+        mean = round(mu, 6)
+        if var > 0:
+            shape = round(mu * mu / var, 6)
+            scale = round(var / mu, 6)
+        else:
+            shape = scale = None
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "mean": pa.array([mean], pa.float64()),
+        "shape": pa.array([shape], pa.float64()),
+        "scale": pa.array([scale], pa.float64()),
+    }))
