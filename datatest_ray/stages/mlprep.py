@@ -38,7 +38,8 @@ __all__ = ["fd_violations", "target_encode", "split_balance",
            "cfd_violations", "woe_iv", "cuped", "average_precision",
            "rrf_fuse", "gini_stump", "loo_encode_audit",
            "isotonic_calibration", "gk_lambda", "gains_table",
-           "rfm_segments", "mcc_binary", "youden_threshold"]
+           "rfm_segments", "mcc_binary", "youden_threshold",
+           "weighted_kappa"]
 
 
 def fd_violations(ds, *, det_col: str, dep_col: str):
@@ -1573,6 +1574,70 @@ def youden_threshold(ds, *, score_col: str, label_expr,
             "tnr": pa.array([round(1.0 - fpb / neg, 6)],
                             pa.float64()),
         })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_kappa(ds, *, rater_a_expr, rater_b_expr, k_levels: int):
+    """Quadratic-weighted Cohen's kappa between two ORDINAL ratings
+    (1..k): disagreement cells weight by ((i-j)/(k-1))^2, so being off
+    by one grade costs little and off by four costs everything -- the
+    agreement statistic for graded labels (quality tiers, priorities)
+    where plain kappa over-penalizes near-misses.
+
+    ``rater_*_expr(table) -> int array (1..k)``.  Exact integer
+    contingency from one O(k^2) shuffle; expected weights from the
+    marginals.  Output one row (n int64, kappa_w round-6; NULL on
+    degenerate marginals).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = rater_a_expr(t)
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = rater_b_expr(t)
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        g = pa.table({"a": pc.cast(a, pa.int64()),
+                      "b": pc.cast(b, pa.int64())}).filter(ok)
+        av = g.column("a").to_numpy(zero_copy_only=False)
+        bv = g.column("b").to_numpy(zero_copy_only=False)
+        cell = (av - 1) * k_levels + (bv - 1)
+        cnt = np.bincount(cell, minlength=k_levels * k_levels)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "cell": pa.array(nz.astype(np.int64)),
+            "n": pa.array(cnt[nz].astype(np.int64)),
+        })
+
+    agg = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("cell").aggregate(Sum("n", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()),
+                            ("kappa_w", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        cell = t.column("cell").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        mat = np.zeros((k_levels, k_levels), dtype=np.int64)
+        mat[cell // k_levels, cell % k_levels] = n
+        total = int(mat.sum())
+        i, j = np.meshgrid(np.arange(k_levels), np.arange(k_levels),
+                           indexing="ij")
+        w = ((i - j) / (k_levels - 1.0)) ** 2
+        po = float(np.sum(w * mat)) / total
+        ra = mat.sum(axis=1).astype(np.float64)
+        rb = mat.sum(axis=0).astype(np.float64)
+        pe = float(np.sum(w * np.outer(ra, rb))) / (float(total) *
+                                                    total)
+        kappa = round(1.0 - po / pe, 6) if pe > 0 else None
+        return pa.table({"n": pa.array([total], pa.int64()),
+                         "kappa_w": pa.array([kappa], pa.float64())})
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

@@ -41,7 +41,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "turning_points_daily", "bartels_rank_daily",
            "hampel_daily", "hurst_rs_daily", "granger_lag1_daily",
            "transfer_entropy_daily", "ewma_chart_daily",
-           "optimal_changepoints_daily", "sax_motifs_daily"]
+           "optimal_changepoints_daily", "sax_motifs_daily",
+           "sign_test_daily", "ccc_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2788,3 +2789,83 @@ def sax_motifs_daily(ds, ts_col: str, *, by: str, word_len: int = 3):
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def sign_test_daily(ds, ts_col: str, *, type_col: str, type_a,
+                    type_b):
+    """Paired sign test on the daily spine: on each observed day,
+    score +1 when ``type_a``'s count exceeds ``type_b``'s, -1 when it
+    trails (ties drop), and z = (n_pos - n_neg)/sqrt(n_pos + n_neg)
+    -- the median-free "which stream usually wins the day" test,
+    robust to any daily-volume distribution.
+
+    Exact integer comparisons on the shared zero-filled spine.
+    Output one row (n_days, n_pos, n_neg, z round-6; z NULL when all
+    days tie).
+    """
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_days", pa.int64()),
+                            ("n_pos", pa.int64()),
+                            ("n_neg", pa.int64()), ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n_pos = int(np.count_nonzero(x > y))
+        n_neg = int(np.count_nonzero(x < y))
+        tot = n_pos + n_neg
+        z = round((n_pos - n_neg) / np.sqrt(tot), 6) if tot else None
+        return pa.table({
+            "n_days": pa.array([len(x)], pa.int64()),
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return _daily_xy(ds, ts_col, type_col=type_col, type_a=type_a,
+                     type_b=type_b).repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def ccc_daily(ds, ts_col: str, *, type_col: str, type_a, type_b):
+    """Lin's concordance correlation between two daily count series on
+    the shared spine: CCC = 2 s_xy / (s_x^2 + s_y^2 + (mean_x -
+    mean_y)^2) -- Pearson r PENALIZED for scale and location offsets,
+    i.e. "do these two streams AGREE", not merely co-move.  The
+    mirror-stream / double-write audit statistic.
+
+    Exact integer sums from the daily spine, one closed-form
+    finalize.  Output one row (n_days, r round-6, ccc round-6; NULLs
+    on degenerate variance).
+    """
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_days", pa.int64()), ("r", pa.float64()),
+                            ("ccc", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        if n < 2:
+            return pa.table({"n_days": pa.array([n], pa.int64()),
+                             "r": pa.array([None], pa.float64()),
+                             "ccc": pa.array([None], pa.float64())})
+        mx, my = x.sum() / n, y.sum() / n
+        sxx = float(np.sum((x - mx) * (x - mx))) / n
+        syy = float(np.sum((y - my) * (y - my))) / n
+        sxy = float(np.sum((x - mx) * (y - my))) / n
+        r = (round(sxy / np.sqrt(sxx * syy), 6)
+             if sxx > 0 and syy > 0 else None)
+        den = sxx + syy + (mx - my) * (mx - my)
+        ccc = round(2.0 * sxy / den, 6) if den > 0 else None
+        return pa.table({"n_days": pa.array([n], pa.int64()),
+                         "r": pa.array([r], pa.float64()),
+                         "ccc": pa.array([ccc], pa.float64())})
+
+    return _daily_xy(ds, ts_col, type_col=type_col, type_a=type_a,
+                     type_b=type_b).repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
