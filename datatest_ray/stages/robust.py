@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
            "mahalanobis_outliers", "spearman_grouped",
            "kendall_grouped", "mann_whitney", "welch_ttest",
-           "expected_shortfall", "mean_excess_slope"]
+           "expected_shortfall", "mean_excess_slope", "ecod_topk"]
 
 
 def _group_positions(col, keys):
@@ -2244,3 +2244,74 @@ def mean_excess_slope(ds, *, col: str, thresholds):
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def ecod_topk(ds, *, cols, key_cols, k: int = 10,
+              cents_scale: float = 100.0):
+    """ECOD outlier scores (Li et al., TKDE 2022, simplified
+    unskewed form): per dimension the empirical tail probability
+    min(P(X <= x), P(X >= x)) from the EXACT value counts, and the
+    outlier score is the summed negative log tail mass -- a
+    deterministic, parameter-free multivariate anomaly detector (no
+    trees, no seeds) whose top-k is bit-reproducible on any engine.
+
+    Per-dim value counts collect once (O(distinct) driver state,
+    broadcast via ``ray.put``); scoring is one vectorized
+    ``searchsorted`` pass; the global top-k comes from a sort+limit.
+    Output: (*key_cols, score round-6), k rows, score desc then keys
+    asc.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    dims = list(cols)
+    keys = list(key_cols)
+
+    def vc_partials(c):
+        def f(t: pa.Table) -> pa.Table:
+            v = t.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            v = v[np.isfinite(v)]
+            cents = np.rint(v * cents_scale).astype(np.int64)
+            uv, cnt = np.unique(cents, return_counts=True)
+            return pa.table({"v": pa.array(uv),
+                             "cnt": pa.array(cnt.astype(np.int64))})
+        return f
+
+    maps = {}
+    for c in dims:
+        vc = (ds.select_columns([c])
+              .map_batches(vc_partials(c), batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+              ).take_all()
+        vs = np.array(sorted(r["v"] for r in vc), dtype=np.int64)
+        by_v = {r["v"]: r["cnt"] for r in vc}
+        cnt = np.array([by_v[v] for v in vs], dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        maps[c] = (vs, cum, cnt, n)
+    refs = ray.put(maps)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(refs)
+        out = {kk: t.column(kk) for kk in keys}
+        total = None
+        for c in dims:
+            vs, cum, cnt, n = m[c]
+            x = np.rint(t.column(c).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+                * cents_scale).astype(np.int64)
+            idx = np.searchsorted(vs, x)
+            pl = cum[idx] / n                       # P(X <= x)
+            pr = (n - cum[idx] + cnt[idx]) / n      # P(X >= x)
+            term = -np.log(np.minimum(pl, pr))
+            total = term if total is None else total + term
+        out["score"] = pa.array(np.round(total, 6))
+        out["_neg"] = pa.array(-total)
+        return pa.table(out)
+
+    scored = ds.select_columns(keys + dims).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+    top = scored.sort(["_neg"] + keys).limit(k)
+    return top.select_columns(keys + ["score"])
