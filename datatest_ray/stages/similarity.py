@@ -32,7 +32,7 @@ __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report",
            "matryoshka_recall", "knn_label_purity",
            "twonn_intrinsic_dim", "geometric_median_labels",
-           "kcenter_greedy"]
+           "kcenter_greedy", "hotelling_t2"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -1331,4 +1331,91 @@ def kcenter_greedy(ds, *, id_col: str, vec_col: str, k: int = 8):
         id_col: pa.array(chosen_ids, pa.int64()),
         "dist": pa.array([round(d, 6) for d in chosen_dists],
                          pa.float64()),
+    }))
+
+
+def hotelling_t2(ds, *, vec_col: str, label_col: str, label_a,
+                 label_b):
+    """Two-sample Hotelling T^2 between two labeled embedding clouds:
+    T^2 = (n_a n_b / (n_a + n_b)) (mu_a - mu_b)' S_pooled^-1
+    (mu_a - mu_b), with the F-scaled statistic reported -- the
+    multivariate "did this class's embedding distribution move"
+    test that per-dimension t-tests fatally under-power.
+
+    Mergeable (n, sum, sum-outer-product) sketches per label (the PCA
+    sketch contract), one d x d solve on the driver; rows-only by
+    contract (matrix inverse is not SQL-expressible); brute-force
+    parity pinned in unit tests.  Output one row (n_a, n_b, t2
+    round-6, f round-6; NULL on singular pooled covariance).
+    """
+    import ray
+
+    base = ds.select_columns([label_col, vec_col])
+
+    def partials(t: pa.Table) -> pa.Table:
+        labs = t.column(label_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(t, vec_col).astype(np.float64)
+        rows = []
+        for lab, tag in ((label_a, 0), (label_b, 1)):
+            sel = labs == lab
+            if not sel.any():
+                continue
+            x = mat[sel]
+            rows.append((tag, len(x), x.sum(axis=0),
+                         x.T @ x))
+        if not rows:
+            return pa.table({
+                "tag": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.float64())),
+                "ss": pa.array([], pa.list_(pa.float64())),
+            })
+        return pa.table({
+            "tag": pa.array([r[0] for r in rows], pa.int64()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([list(r[2]) for r in rows],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([list(r[3].ravel()) for r in rows],
+                           pa.list_(pa.float64())),
+        })
+
+    parts = base.map_batches(partials, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    acc = {}
+    for r in parts:
+        tag = r["tag"]
+        if tag not in acc:
+            acc[tag] = [0, None, None]
+        acc[tag][0] += r["n"]
+        s = np.asarray(r["s"], dtype=np.float64)
+        ss = np.asarray(r["ss"], dtype=np.float64)
+        acc[tag][1] = s if acc[tag][1] is None else acc[tag][1] + s
+        acc[tag][2] = ss if acc[tag][2] is None else acc[tag][2] + ss
+    schema = pa.schema([("n_a", pa.int64()), ("n_b", pa.int64()),
+                        ("t2", pa.float64()), ("f", pa.float64())])
+    if 0 not in acc or 1 not in acc:
+        return ray.data.from_arrow(schema.empty_table())
+    na, sa, ssa = acc[0]
+    nb, sb, ssb = acc[1]
+    d = len(sa)
+    mua, mub = sa / na, sb / nb
+    ca = ssa.reshape(d, d) - np.outer(sa, sa) / na
+    cb = ssb.reshape(d, d) - np.outer(sb, sb) / nb
+    dof = na + nb - 2
+    t2 = f = None
+    if dof > 0 and na + nb - d - 1 > 0:
+        sp = (ca + cb) / dof
+        diff = mua - mub
+        try:
+            sol = np.linalg.solve(sp, diff)
+            t2v = (na * nb / (na + nb)) * float(diff @ sol)
+            t2 = round(t2v, 6)
+            f = round(t2v * (na + nb - d - 1) / (dof * d), 6)
+        except np.linalg.LinAlgError:
+            pass
+    return ray.data.from_arrow(pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "t2": pa.array([t2], pa.float64()),
+        "f": pa.array([f], pa.float64()),
     }))

@@ -50,6 +50,7 @@ __all__ = [
     "dsir_profile",
     "species_richness",
     "word_burstiness",
+    "source_similarity",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -2179,3 +2180,77 @@ def word_burstiness(ds, text_col: str, *, id_col: str, k: int = 10):
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def source_similarity(ds, text_col: str, *, source_col: str,
+                      k: int = 10):
+    """Weighted-Jaccard (Ruzicka) similarity between per-source word
+    distributions: for sources A, B with word counts a_w, b_w,
+    sim = sum_w min(a_w, b_w) / sum_w max(a_w, b_w) -- the exact
+    bag-of-words overlap that catches mirror/scraper sources whose
+    per-document texts never collide (set-level dedup misses them).
+    Reports the top-k most similar pairs.
+
+    One O(distinct words x sources) shuffle, pairwise kernel on the
+    tiny (source, token) aggregate.  Exact integer sums.  Output:
+    (src_a, src_b, wjac round-6), wjac desc then names asc.
+    """
+    from ray.data.aggregate import Sum
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column(source_col)))
+        flat, offsets = tokens_and_offsets(batch.column(text_col))
+        counts = _row_counts(offsets)
+        parents = np.repeat(np.arange(len(counts), dtype=np.int64),
+                            counts)
+        src = batch.column(source_col).take(pa.array(parents))
+        t = pa.table({"src": src, "token": flat})
+        return t.group_by(["src", "token"]).aggregate(
+            [("token", "count")]).rename_columns(
+                ["src", "token", "n"])
+
+    wc = (
+        ds.select_columns([text_col, source_col])
+        .map_batches(word_partials, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby(["src", "token"]).aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("src_a", pa.string()),
+                            ("src_b", pa.string()),
+                            ("wjac", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        srcs = t.column("src").to_pylist()
+        toks = t.column("token").to_pylist()
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        u_src = sorted(set(srcs))
+        u_tok = sorted(set(toks))
+        si = {v: i for i, v in enumerate(u_src)}
+        ti = {v: i for i, v in enumerate(u_tok)}
+        mat = np.zeros((len(u_src), len(u_tok)), dtype=np.int64)
+        for s_, w_, c_ in zip(srcs, toks, n):
+            mat[si[s_], ti[w_]] = c_
+        rows = []
+        for i in range(len(u_src)):
+            for j in range(i + 1, len(u_src)):
+                mx = int(np.maximum(mat[i], mat[j]).sum())
+                mn = int(np.minimum(mat[i], mat[j]).sum())
+                if mx > 0:
+                    # sort on the UNROUNDED ratio (rounding is
+                    # monotone but collapses near-ties the SQL mirror
+                    # still distinguishes); round only for output
+                    rows.append((u_src[i], u_src[j], mn / mx))
+        rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+        rows = rows[:k]
+        return pa.table({
+            "src_a": pa.array([r[0] for r in rows], pa.string()),
+            "src_b": pa.array([r[1] for r in rows], pa.string()),
+            "wjac": pa.array([round(r[2], 6) for r in rows],
+                             pa.float64()),
+        })
+
+    return wc.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
