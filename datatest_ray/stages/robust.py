@@ -31,7 +31,8 @@ import pyarrow.compute as pc
 __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
            "mahalanobis_outliers", "spearman_grouped",
            "kendall_grouped", "mann_whitney", "welch_ttest",
-           "expected_shortfall", "mean_excess_slope", "ecod_topk"]
+           "expected_shortfall", "mean_excess_slope", "ecod_topk",
+           "boxcox_scan", "lorenz_asymmetry"]
 
 
 def _group_positions(col, keys):
@@ -2315,3 +2316,147 @@ def ecod_topk(ds, *, cols, key_cols, k: int = 10,
         score, batch_format="pyarrow", zero_copy_batch=True)
     top = scored.sort(["_neg"] + keys).limit(k)
     return top.select_columns(keys + ["score"])
+
+
+def boxcox_scan(ds, *, col: str, lambdas=(-1.0, -0.5, 0.0, 0.5, 1.0)):
+    """Box-Cox profile-likelihood scan over a FIXED lambda grid for a
+    positive column: for each lambda the transform y = (x^l - 1)/l
+    (ln x at l = 0) scores ll = -n/2 ln(pop-var(y)) + (l - 1) sum ln x
+    -- the principled "should we log this metric" answer, reported for
+    every candidate plus the argmax (grid ties to the smaller lambda).
+
+    One pass of exact float sums per lambda (the grid is fixed so the
+    statistic is deterministic by construction).  The log-likelihood
+    reports PER OBSERVATION (ll/n) so its round-6 representation
+    stays inside float-summation noise at any corpus size.  Output:
+    (lam round-6, ll_per_n round-6, best int64 0/1).
+    """
+    from ray.data.aggregate import Sum
+
+    lams = [float(v) for v in lambdas]
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        lx = np.log(v)
+        rows_i, rows_n, rows_s, rows_s2, rows_lx = [], [], [], [], []
+        for i, l in enumerate(lams):
+            # var((x^l - 1)/l) = var(x^l)/l^2: accumulate the PURE
+            # power so the affine constant cannot eat precision
+            # (1 - 1/x at l = -1 is a catastrophic-cancellation trap)
+            y = lx if l == 0.0 else v ** l
+            rows_i.append(i)
+            rows_n.append(len(v))
+            rows_s.append(float(y.sum()))
+            rows_s2.append(float((y * y).sum()))
+            rows_lx.append(float(lx.sum()))
+        return pa.table({
+            "i": pa.array(rows_i, pa.int64()),
+            "n": pa.array(rows_n, pa.int64()),
+            "s": pa.array(rows_s, pa.float64()),
+            "s2": pa.array(rows_s2, pa.float64()),
+            "slx": pa.array(rows_lx, pa.float64()),
+        })
+
+    agg = ds.select_columns([col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("i").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Sum("s2", alias_name="s2"), Sum("slx", alias_name="slx"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("i", "ascending")])
+        idx = t.column("i").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        slx = t.column("slx").to_numpy(zero_copy_only=False)
+        lls = []
+        for i in range(len(idx)):
+            if n[i] < 2:
+                lls.append(None)
+                continue
+            var = s2[i] / n[i] - (s[i] / n[i]) * (s[i] / n[i])
+            if var <= 0:
+                lls.append(None)
+                continue
+            l = lams[int(idx[i])]
+            if l != 0.0:
+                var = var / (l * l)
+            lls.append((-n[i] / 2.0 * np.log(var)
+                        + (l - 1.0) * slx[i]) / n[i])
+        best_i = None
+        best = -np.inf
+        for i, v in enumerate(lls):
+            if v is not None and v > best:
+                best, best_i = v, i
+        return pa.table({
+            "lam": pa.array([round(lams[int(j)], 6) for j in idx],
+                            pa.float64()),
+            "ll_per_n": pa.array([None if v is None else round(v, 6)
+                                  for v in lls], pa.float64()),
+            "best": pa.array(
+                [1 if i == best_i else 0 for i in range(len(idx))],
+                pa.int64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def lorenz_asymmetry(ds, *, col: str):
+    """Lorenz asymmetry coefficient S = F(mu) + L(mu) under the
+    discrete convention F(mu) = share of units strictly below the
+    mean and L(mu) = their value share: S < 1 means inequality is
+    driven by many small values, S > 1 by a few giants -- the
+    direction Gini alone cannot tell.  Exact integer cents sums.
+
+    O(distinct values) shuffle.  Output one row (n int64, s round-6,
+    f_mu round-6, l_mu round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        cents = np.rint(v * 100.0).astype(np.int64)
+        uv, cnt = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.select_columns([col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("s", pa.float64()),
+                            ("f_mu", pa.float64()),
+                            ("l_mu", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("v", "ascending")])
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = int(cnt.sum())
+        tot = int(np.sum(v * cnt))
+        # strictly below the mean: v * n < tot (exact integers)
+        below = v * n < tot
+        n_below = int(cnt[below].sum())
+        sum_below = int(np.sum(v[below] * cnt[below]))
+        f_mu = n_below / n
+        l_mu = sum_below / tot if tot > 0 else 0.0
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([round(f_mu + l_mu, 6)], pa.float64()),
+            "f_mu": pa.array([round(f_mu, 6)], pa.float64()),
+            "l_mu": pa.array([round(l_mu, 6)], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
