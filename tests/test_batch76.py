@@ -46,10 +46,13 @@ class TestLorenzAsymmetry:
         assert out["f_mu"] == 0.95
         assert out["l_mu"] < 0.2
 
-    def test_symmetric_near_one(self, ray_session):
+    def test_symmetric_low_spread_near_one(self, ray_session):
         from datatest_ray.stages.robust import lorenz_asymmetry
 
-        vals = list(np.linspace(10, 90, 81))
+        # symmetric with small relative spread: S -> 1 (Damgaard &
+        # Weiner); high-cv symmetric data legitimately sits below 1
+        vals = list(np.linspace(90, 110, 81))
         t = pa.table({"v": pa.array(vals, pa.float64())})
         out = lorenz_asymmetry(_ds(t), col="v").take_all()[0]
-        assert abs(out["s"] - 1.0) < 0.15
+        assert abs(out["s"] - 1.0) < 0.06
+        assert out["f_mu"] < 0.51
