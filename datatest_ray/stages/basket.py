@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 from ..functions.aggregates import hash64
 
-__all__ = ["cooccur_pairs"]
+__all__ = ["cooccur_pairs", "item_cosine"]
 
 
 def cooccur_pairs(ds, *, by: str, item_col: str, top: int = 100,
@@ -219,3 +219,98 @@ def pair_lift(ds, *, by: str, item_col: str, min_n: int = 3,
             "lift", pa.array(n * nb / (na * nbv)))
 
     return pairs.map_batches(add_lift, batch_format="pyarrow")
+
+
+def item_cosine(ds, *, user_col: str, item_col: str, k: int = 10):
+    """Item-item cosine (Ochiai) similarity over user baskets:
+    sim(a, b) = n_ab / sqrt(n_a n_b) with n_a = users touching item a
+    and n_ab = users touching both -- the classic item-based
+    collaborative-filtering kernel, reported for the top-k pairs
+    (cosine desc, names asc).  Exact integer co-occurrence counts
+    from per-user distinct item sets.
+
+    Plan: per-batch distinct (user, item) pairs, one groupby to global
+    distinct, per-user item-pair expansion (bounded by items-per-user
+    squared), one pair-count groupby.  Output: (item_a, item_b,
+    n_both int64, cosine round-6).
+    """
+    from ray.data.aggregate import Count
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(user_col)),
+                     pc.is_valid(t.column(item_col)))
+        g = t.filter(ok)
+        u = g.column(user_col).to_numpy(zero_copy_only=False)
+        it = g.column(item_col)
+        it = it.combine_chunks() if isinstance(it, pa.ChunkedArray) \
+            else it
+        enc = pc.dictionary_encode(it)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        key = u * max(len(enc.dictionary), 1) + code
+        _, first = np.unique(key, return_index=True)
+        idx = pa.array(np.sort(first), pa.int64())
+        return pa.table({"u": pc.take(pa.array(u), idx),
+                         "item": pc.take(it, idx)})
+
+    pairs = (ds.select_columns([user_col, item_col])
+             .map_batches(distinct_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["u", "item"]).aggregate(Count(alias_name="_")))
+
+    item_n = pairs.groupby("item").aggregate(
+        Count(alias_name="n")).take_all()
+    n_of = {r["item"]: r["n"] for r in item_n}
+
+    def expand(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("u", "ascending"),
+                           ("item", "ascending")])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        items = t.column("item").to_pylist()
+        out_a, out_b = [], []
+        i = 0
+        n = len(u)
+        while i < n:
+            j = i
+            while j < n and u[j] == u[i]:
+                j += 1
+            basket = items[i:j]
+            for a in range(len(basket)):
+                for b in range(a + 1, len(basket)):
+                    out_a.append(basket[a])
+                    out_b.append(basket[b])
+            i = j
+        return pa.table({"item_a": pa.array(out_a, pa.string()),
+                         "item_b": pa.array(out_b, pa.string())})
+
+    co = pairs.groupby("u").map_groups(
+        expand, batch_format="pyarrow"
+    ).groupby(["item_a", "item_b"]).aggregate(
+        Count(alias_name="n_both"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("item_a", pa.string()),
+                            ("item_b", pa.string()),
+                            ("n_both", pa.int64()),
+                            ("cosine", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        a = t.column("item_a").to_pylist()
+        b = t.column("item_b").to_pylist()
+        nb = t.column("n_both").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        rows = []
+        for aa, bb, c in zip(a, b, nb):
+            cos = c / np.sqrt(float(n_of[aa]) * n_of[bb])
+            rows.append((aa, bb, int(c), cos))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        rows = rows[:k]
+        return pa.table({
+            "item_a": pa.array([r[0] for r in rows], pa.string()),
+            "item_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_both": pa.array([r[2] for r in rows], pa.int64()),
+            "cosine": pa.array([round(r[3], 6) for r in rows],
+                               pa.float64()),
+        })
+
+    return co.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
