@@ -19,7 +19,8 @@ import pyarrow.compute as pc
 
 __all__ = ["profile_columns", "corr_matrix", "quantile_histogram",
            "key_skew_report", "benford_digits", "group_entropy",
-           "kmv_overlap", "fd_profile", "null_share_daily"]
+           "kmv_overlap", "fd_profile", "null_share_daily",
+           "ddsketch_quantiles", "benford_second_digit"]
 
 
 def _kmv_bottom_k(ds, col: str, *, k: int):
@@ -1411,6 +1412,68 @@ def ddsketch_quantiles(ds, col: str, *, gamma: float = 1.02,
             "q": pa.array(out_q, pa.float64()),
             "bucket": pa.array(out_b, pa.int64()),
             "est": pa.array(out_e, pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def benford_second_digit(ds, col: str):
+    """Benford second-digit audit (Nigrini's follow-up when the
+    first-digit test passes): observed share of each SECOND decimal
+    digit (0-9) of floor(value) vs the Benford expectation
+    sum_d1 log10(1 + 1/(10 d1 + d2)) -- doctored numbers often keep a
+    clean leading digit but a flat second digit.  The digit comes from
+    the decimal STRING (values >= 10 only), so no float-log boundary
+    can disagree between engines.
+
+    O(10) shuffle of per-batch digit counts.  Output: (digit int64,
+    n int64, share round-6, expected round-6, chi2_term round-6),
+    digits ascending.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    exp = [sum(math.log10(1.0 + 1.0 / (10 * d1 + d2))
+               for d1 in range(1, 10)) for d2 in range(10)]
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[np.isfinite(v) & (v >= 10)]
+        iv = np.floor(v).astype(np.int64)
+        d2 = np.array([int(str(x)[1]) for x in iv], dtype=np.int64)
+        cnt = np.bincount(d2, minlength=10)
+        return pa.table({
+            "digit": pa.array(range(10), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = ds.select_columns([col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("digit").aggregate(Sum("n", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("digit", "ascending")])
+        d = t.column("digit").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        total = int(n.sum())
+        shares, exps, chis = [], [], []
+        for di, ni in zip(d, n):
+            e = exp[int(di)]
+            shares.append(round(ni / total, 6) if total else None)
+            exps.append(round(e, 6))
+            chis.append(round((ni / total - e) ** 2 / e, 6)
+                        if total else None)
+        return pa.table({
+            "digit": pa.array(d),
+            "n": pa.array(n),
+            "share": pa.array(shares, pa.float64()),
+            "expected": pa.array(exps, pa.float64()),
+            "chi2_term": pa.array(chis, pa.float64()),
         })
 
     return agg.repartition(1).map_batches(
