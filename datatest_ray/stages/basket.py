@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 
 from ..functions.aggregates import hash64
 
-__all__ = ["cooccur_pairs", "item_cosine"]
+__all__ = ["cooccur_pairs", "item_cosine", "item_triples"]
 
 
 def cooccur_pairs(ds, *, by: str, item_col: str, top: int = 100,
@@ -310,6 +310,110 @@ def item_cosine(ds, *, user_col: str, item_col: str, k: int = 10):
             "n_both": pa.array([r[2] for r in rows], pa.int64()),
             "cosine": pa.array([round(r[3], 6) for r in rows],
                                pa.float64()),
+        })
+
+    return co.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def item_triples(ds, *, user_col: str, item_col: str, k: int = 10):
+    """Frequent 3-itemset census over user baskets: for every item
+    triple {a, b, c} the number of users touching all three, plus the
+    LIFT against independence (n_abc * n_users^2 / (n_a n_b n_c)) --
+    the beyond-pairs association mining step (pair lift is blind to
+    genuinely triadic bundles).  Exact integer counts from per-user
+    distinct item sets; triple expansion is bounded by
+    (items-per-user choose 3).
+
+    Output: (item_a, item_b, item_c, n_all3 int64, lift round-6),
+    top-k by support desc then names asc.
+    """
+    from ray.data.aggregate import Count
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(user_col)),
+                     pc.is_valid(t.column(item_col)))
+        g = t.filter(ok)
+        u = g.column(user_col).to_numpy(zero_copy_only=False)
+        it = g.column(item_col)
+        it = it.combine_chunks() if isinstance(it, pa.ChunkedArray) \
+            else it
+        enc = pc.dictionary_encode(it)
+        code = np.asarray(enc.indices, dtype=np.int64)
+        key = u * max(len(enc.dictionary), 1) + code
+        _, first = np.unique(key, return_index=True)
+        idx = pa.array(np.sort(first), pa.int64())
+        return pa.table({"u": pc.take(pa.array(u), idx),
+                         "item": pc.take(it, idx)})
+
+    pairs = (ds.select_columns([user_col, item_col])
+             .map_batches(distinct_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["u", "item"]).aggregate(Count(alias_name="_")))
+
+    item_n = pairs.groupby("item").aggregate(
+        Count(alias_name="n")).take_all()
+    n_of = {r["item"]: r["n"] for r in item_n}
+    n_users = len(set()) or None
+    n_users = pairs.groupby("u").aggregate(
+        Count(alias_name="_")).count()
+
+    def expand(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("u", "ascending"), ("item", "ascending")])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        items = t.column("item").to_pylist()
+        oa, ob, oc = [], [], []
+        i = 0
+        n = len(u)
+        while i < n:
+            j = i
+            while j < n and u[j] == u[i]:
+                j += 1
+            basket = items[i:j]
+            m = len(basket)
+            for a in range(m):
+                for b in range(a + 1, m):
+                    for c in range(b + 1, m):
+                        oa.append(basket[a])
+                        ob.append(basket[b])
+                        oc.append(basket[c])
+            i = j
+        return pa.table({"item_a": pa.array(oa, pa.string()),
+                         "item_b": pa.array(ob, pa.string()),
+                         "item_c": pa.array(oc, pa.string())})
+
+    co = pairs.groupby("u").map_groups(
+        expand, batch_format="pyarrow"
+    ).groupby(["item_a", "item_b", "item_c"]).aggregate(
+        Count(alias_name="n_all3"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("item_a", pa.string()),
+                            ("item_b", pa.string()),
+                            ("item_c", pa.string()),
+                            ("n_all3", pa.int64()),
+                            ("lift", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        a = t.column("item_a").to_pylist()
+        b = t.column("item_b").to_pylist()
+        c = t.column("item_c").to_pylist()
+        n3 = t.column("n_all3").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        rows = []
+        for aa, bb, cc, nn in zip(a, b, c, n3):
+            lift = (float(nn) * n_users * n_users
+                    / (float(n_of[aa]) * n_of[bb] * n_of[cc]))
+            rows.append((aa, bb, cc, int(nn), lift))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1], r[2]))
+        rows = rows[:k]
+        return pa.table({
+            "item_a": pa.array([r[0] for r in rows], pa.string()),
+            "item_b": pa.array([r[1] for r in rows], pa.string()),
+            "item_c": pa.array([r[2] for r in rows], pa.string()),
+            "n_all3": pa.array([r[3] for r in rows], pa.int64()),
+            "lift": pa.array([round(r[4], 6) for r in rows],
+                             pa.float64()),
         })
 
     return co.repartition(1).map_batches(

@@ -32,7 +32,7 @@ __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
            "mahalanobis_outliers", "spearman_grouped",
            "kendall_grouped", "mann_whitney", "welch_ttest",
            "expected_shortfall", "mean_excess_slope", "ecod_topk",
-           "boxcox_scan", "lorenz_asymmetry"]
+           "boxcox_scan", "lorenz_asymmetry", "quantile_diff"]
 
 
 def _group_positions(col, keys):
@@ -2456,6 +2456,91 @@ def lorenz_asymmetry(ds, *, col: str):
             "s": pa.array([round(f_mu + l_mu, 6)], pa.float64()),
             "f_mu": pa.array([round(f_mu, 6)], pa.float64()),
             "l_mu": pa.array([round(l_mu, 6)], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def quantile_diff(ds, *, value_col: str, split_expr,
+                  qs=(0.1, 0.25, 0.5, 0.75, 0.9)):
+    """Quantile 'treatment effect' table: the inverted-CDF quantile of
+    ``value_col`` in each of two slices (split_expr(table) ->
+    BooleanArray marks slice A) at fixed probabilities, plus the
+    difference -- WHERE in the distribution the two slices diverge,
+    which a mean comparison flattens away.  Ranks are exact integers
+    ((n * q + 99) // 100 for 2-decimal q), values exact cents.
+
+    O(distinct values) shuffle of per-slice value counts.  Output:
+    (q round-6, q_a round-6, q_b round-6, diff round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = split_expr(t)
+        m = m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m
+        ok = pc.and_(pc.is_valid(t.column(value_col)), pc.is_valid(m))
+        g = pa.table({"v": t.column(value_col),
+                      "a": pc.cast(m, pa.int64())}).filter(ok)
+        v = g.column("v").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cents = np.rint(v * 100.0).astype(np.int64)
+        aa = g.column("a").to_numpy(zero_copy_only=False)
+        out = {"v": [], "ca": [], "cb": []}
+        for side in (0, 1):
+            sel = aa == side
+            uv, cnt = np.unique(cents[sel], return_counts=True)
+            out["v"].extend(uv.tolist())
+            out["ca"].extend((cnt if side else
+                              np.zeros_like(cnt)).tolist())
+            out["cb"].extend((np.zeros_like(cnt) if side else
+                              cnt).tolist())
+        return pa.table({"v": pa.array(out["v"], pa.int64()),
+                         "ca": pa.array(out["ca"], pa.int64()),
+                         "cb": pa.array(out["cb"], pa.int64())})
+
+    agg = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").aggregate(Sum("ca", alias_name="ca"),
+                             Sum("cb", alias_name="cb"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("q", pa.float64()), ("q_a", pa.float64()),
+                            ("q_b", pa.float64()),
+                            ("diff", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("v", "ascending")])
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cb = t.column("cb").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cum_a, cum_b = np.cumsum(ca), np.cumsum(cb)
+        na = int(cum_a[-1]) if len(cum_a) else 0
+        nb = int(cum_b[-1]) if len(cum_b) else 0
+        rows = {"q": [], "q_a": [], "q_b": [], "diff": []}
+        for q in qs:
+            qn = int(round(q * 100))
+            rows["q"].append(round(q, 6))
+            if na == 0 or nb == 0:
+                rows["q_a"].append(None)
+                rows["q_b"].append(None)
+                rows["diff"].append(None)
+                continue
+            ra = max(1, (na * qn + 99) // 100)
+            rb = max(1, (nb * qn + 99) // 100)
+            va = int(v[int(np.searchsorted(cum_a, ra))])
+            vb = int(v[int(np.searchsorted(cum_b, rb))])
+            rows["q_a"].append(round(va / 100.0, 6))
+            rows["q_b"].append(round(vb / 100.0, 6))
+            rows["diff"].append(round((va - vb) / 100.0, 6))
+        return pa.table({
+            "q": pa.array(rows["q"], pa.float64()),
+            "q_a": pa.array(rows["q_a"], pa.float64()),
+            "q_b": pa.array(rows["q_b"], pa.float64()),
+            "diff": pa.array(rows["diff"], pa.float64()),
         })
 
     return agg.repartition(1).map_batches(
