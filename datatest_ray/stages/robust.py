@@ -32,7 +32,8 @@ __all__ = ["iqr_outliers", "grouped_mad", "winsorize", "weighted_median",
            "mahalanobis_outliers", "spearman_grouped",
            "kendall_grouped", "mann_whitney", "welch_ttest",
            "expected_shortfall", "mean_excess_slope", "ecod_topk",
-           "boxcox_scan", "lorenz_asymmetry", "quantile_diff"]
+           "boxcox_scan", "lorenz_asymmetry", "quantile_diff",
+           "interquartile_mean"]
 
 
 def _group_positions(col, keys):
@@ -2542,6 +2543,63 @@ def quantile_diff(ds, *, value_col: str, split_expr,
             "q_b": pa.array(rows["q_b"], pa.float64()),
             "diff": pa.array(rows["diff"], pa.float64()),
         })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def interquartile_mean(ds, *, col: str):
+    """Interquartile mean (midmean): the exact mean of the middle 50%
+    of the distribution, with FRACTIONAL weights on the boundary
+    order statistics when n is not divisible by 4 (the Olympic-score
+    estimator: immune to both tails, smoother than the median).
+    With n/4 = k + f, the lowest and highest k observations drop and
+    the two boundary values enter with weight 1 - f ... all in exact
+    integer quarters of cents, so the quotient is hash-stable.
+
+    O(distinct values) shuffle.  Output one row (n int64, iqm
+    round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[np.isfinite(v)]
+        cents = np.rint(v * 100.0).astype(np.int64)
+        uv, cnt = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(uv),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.select_columns([col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("iqm", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("v", "ascending")])
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = int(cnt.sum())
+        if n == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "iqm": pa.array([None], pa.float64())})
+        # quarter-units: each observation weighs 4 units; keep the
+        # overlap of each value's [cum - w, cum] span with the middle
+        # band [n, 3n] -- exact integer interval arithmetic
+        w = cnt * 4
+        cum = np.cumsum(w)
+        kept = np.clip(np.minimum(cum, 3 * n)
+                       - np.maximum(cum - w, n), 0, None)
+        wsum = int(np.sum(v * kept))
+        wtot = int(kept.sum())        # = 2n units
+        iqm = round(wsum / (100.0 * wtot), 6) if wtot else None
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "iqm": pa.array([iqm], pa.float64())})
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)

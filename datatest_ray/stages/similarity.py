@@ -32,7 +32,7 @@ __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report",
            "matryoshka_recall", "knn_label_purity",
            "twonn_intrinsic_dim", "geometric_median_labels",
-           "kcenter_greedy", "hotelling_t2"]
+           "kcenter_greedy", "hotelling_t2", "davies_bouldin_labels"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -1418,4 +1418,97 @@ def hotelling_t2(ds, *, vec_col: str, label_col: str, label_a,
         "n_b": pa.array([nb], pa.int64()),
         "t2": pa.array([t2], pa.float64()),
         "f": pa.array([f], pa.float64()),
+    }))
+
+
+def davies_bouldin_labels(ds, *, vec_col: str, label_col: str):
+    """Davies-Bouldin index of the label partition of the embedding
+    cloud: DB = mean over clusters of max_j (s_i + s_j) / d_ij with
+    s = mean euclidean distance to the centroid and d the centroid
+    separation -- lower is better-separated; the cheap companion to
+    the silhouette (which needs pairwise distances this one avoids).
+
+    Two streaming passes (centroid sums, then scatter sums against
+    the broadcast centroids); the k x k finalize runs on the driver.
+    rows-only by contract (centroid algebra is not SQL-expressible
+    over list columns); brute-force parity pinned in unit tests.
+    Output one row (n int64, k int64, db round-6).
+    """
+    import ray
+
+    base = ds.select_columns([label_col, vec_col])
+
+    def sum_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(label_col)))
+        labs = t.column(label_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(t, vec_col).astype(np.float64)
+        uls = np.unique(labs)
+        return pa.table({
+            "label": pa.array(uls.astype(np.int64)),
+            "n": pa.array([int((labs == l).sum()) for l in uls],
+                          pa.int64()),
+            "s": pa.array([list(mat[labs == l].sum(axis=0))
+                           for l in uls], pa.list_(pa.float64())),
+        })
+
+    parts = base.map_batches(sum_partials, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    acc = {}
+    for r in parts:
+        lab = r["label"]
+        v = np.asarray(r["s"], dtype=np.float64)
+        if lab in acc:
+            acc[lab][0] += r["n"]
+            acc[lab][1] += v
+        else:
+            acc[lab] = [r["n"], v.copy()]
+    labels = sorted(acc)
+    cents = {lab: acc[lab][1] / acc[lab][0] for lab in labels}
+    c_ref = ray.put(cents)
+
+    def scatter_partials(t: pa.Table) -> pa.Table:
+        cs = ray.get(c_ref)
+        t = t.filter(pc.is_valid(t.column(label_col)))
+        labs = t.column(label_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(t, vec_col).astype(np.float64)
+        out_l, out_d = [], []
+        for lab, c in cs.items():
+            sel = labs == lab
+            if not sel.any():
+                continue
+            out_l.append(int(lab))
+            out_d.append(float(np.sqrt(
+                ((mat[sel] - c) ** 2).sum(axis=1)).sum()))
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "d": pa.array(out_d, pa.float64())})
+
+    dparts = base.map_batches(scatter_partials,
+                              batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    dsum = {}
+    for r in dparts:
+        dsum[r["label"]] = dsum.get(r["label"], 0.0) + r["d"]
+    k = len(labels)
+    n = sum(acc[lab][0] for lab in labels)
+    db = None
+    if k >= 2:
+        s = {lab: dsum.get(lab, 0.0) / acc[lab][0] for lab in labels}
+        worst = []
+        for i in labels:
+            best = -np.inf
+            for j in labels:
+                if i == j:
+                    continue
+                dij = float(np.sqrt(
+                    ((cents[i] - cents[j]) ** 2).sum()))
+                if dij > 0:
+                    best = max(best, (s[i] + s[j]) / dij)
+            if np.isfinite(best):
+                worst.append(best)
+        if worst:
+            db = round(float(np.mean(worst)), 6)
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "db": pa.array([db], pa.float64()),
     }))
