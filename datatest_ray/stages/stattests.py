@@ -64,6 +64,7 @@ __all__ = [
     "logrank_test",
     "powerlaw_alpha",
     "gamma_moments_fit",
+    "dunn_pairs",
 ]
 
 
@@ -3164,3 +3165,94 @@ def gamma_moments_fit(ds, *, value_col: str):
         "shape": pa.array([shape], pa.float64()),
         "scale": pa.array([scale], pa.float64()),
     }))
+
+
+def dunn_pairs(ds, *, value_col: str, group_col: str, groups):
+    """Dunn's post-hoc test: after a significant Kruskal-Wallis, which
+    PAIRS of groups actually differ?  Pooled-sample midranks, mean
+    rank per group, and for each pair z = (Rbar_i - Rbar_j) /
+    sqrt((N(N+1)/12 - T/(12(N-1))) (1/n_i + 1/n_j)) with the exact
+    tie correction T = sum(t^3 - t) -- the standard follow-up that a
+    per-pair Mann-Whitney (with its per-pair reranking) is NOT.
+
+    One O(distinct values x groups) shuffle of the per-group value
+    counts.  Output: (group_a, group_b, z round-6) for every pair in
+    ``groups`` order, names ascending within the pair.
+    """
+    from ray.data.aggregate import Sum
+
+    gl = list(groups)
+    code_of = {g: i for i, g in enumerate(gl)}
+    k = len(gl)
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        v = t.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ok = pc.is_in(g, value_set=pa.array(gl)).to_numpy(
+            zero_copy_only=False) & ~np.isnan(v)
+        v = v[ok]
+        codes = np.array([code_of[x] for x, m in
+                          zip(g.to_pylist(), ok) if m],
+                         dtype=np.int64)
+        order = np.lexsort((codes, v))
+        v, codes = v[order], codes[order]
+        new = np.ones(len(v), dtype=bool)
+        if len(v) > 1:
+            new[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(new) - 1
+        nseg = int(seg[-1]) + 1 if len(seg) else 0
+        out = {"v": pa.array(v[np.flatnonzero(new)])}
+        for j in range(k):
+            out[f"c{j}"] = pa.array(np.bincount(
+                seg, weights=(codes == j).astype(np.int64),
+                minlength=nseg).astype(np.int64))
+        return pa.table(out)
+
+    agg = ds.select_columns([group_col, value_col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").aggregate(
+        *[Sum(f"c{j}", alias_name=f"c{j}") for j in range(k)])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("group_a", pa.string()),
+                            ("group_b", pa.string()),
+                            ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        t = t.sort_by([("v", "ascending")])
+        cs = np.stack([t.column(f"c{j}").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+            for j in range(k)], axis=1)
+        cnt = cs.sum(axis=1)
+        n_g = cs.sum(axis=0)
+        big_n = int(cnt.sum())
+        hi = np.cumsum(cnt)
+        mr = (hi - cnt).astype(np.float64) + (cnt + 1) / 2.0
+        rbar = [(float(np.sum(cs[:, j] * mr)) / n_g[j])
+                if n_g[j] else None for j in range(k)]
+        ties = float(np.sum(cnt.astype(np.float64) ** 3 - cnt))
+        base = (big_n * (big_n + 1) / 12.0
+                - ties / (12.0 * (big_n - 1))) if big_n > 1 else 0.0
+        rows = {"group_a": [], "group_b": [], "z": []}
+        for i in range(k):
+            for j in range(i + 1, k):
+                a, b = sorted((gl[i], gl[j]))
+                ia, ib = code_of[a], code_of[b]
+                z = None
+                if n_g[ia] and n_g[ib] and base > 0:
+                    se = np.sqrt(base * (1.0 / n_g[ia]
+                                         + 1.0 / n_g[ib]))
+                    z = round((rbar[ia] - rbar[ib]) / se, 6)
+                rows["group_a"].append(a)
+                rows["group_b"].append(b)
+                rows["z"].append(z)
+        return pa.table({
+            "group_a": pa.array(rows["group_a"], pa.string()),
+            "group_b": pa.array(rows["group_b"], pa.string()),
+            "z": pa.array(rows["z"], pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
