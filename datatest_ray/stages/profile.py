@@ -20,7 +20,7 @@ import pyarrow.compute as pc
 __all__ = ["profile_columns", "corr_matrix", "quantile_histogram",
            "key_skew_report", "benford_digits", "group_entropy",
            "kmv_overlap", "fd_profile", "null_share_daily",
-           "ddsketch_quantiles", "benford_second_digit"]
+           "ddsketch_quantiles", "benford_second_digit", "null_pattern_census", "dup_row_census"]
 
 
 def _kmv_bottom_k(ds, col: str, *, k: int):
@@ -1478,3 +1478,107 @@ def benford_second_digit(ds, col: str):
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def null_pattern_census(ds, cols, *, k: int = 10):
+    """Missingness PATTERN census: every row maps to the bitmask of
+    which of ``cols`` are null, and the census reports the top-k
+    patterns with counts -- pairwise null co-occurrence
+    (null_cooccurrence) says which columns miss together; this says
+    which exact COMBINATIONS ship, the fingerprint that identifies
+    the upstream system dropping them.
+
+    One O(2^|cols| observed) shuffle of per-batch bitmask counts.
+    Output: (pattern string 'col1,col2' or '(none)', n int64,
+    share round-6), count desc then pattern asc, top-k.
+    """
+    from ray.data.aggregate import Sum
+
+    cl = list(cols)
+
+    def partials(t: pa.Table) -> pa.Table:
+        mask = np.zeros(t.num_rows, dtype=np.int64)
+        for i, c in enumerate(cl):
+            isnull = pc.is_null(t.column(c)).to_numpy(
+                zero_copy_only=False)
+            mask |= isnull.astype(np.int64) << i
+        ub, cnt = np.unique(mask, return_counts=True)
+        return pa.table({"m": pa.array(ub),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.select_columns(cl).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("m").aggregate(Sum("n", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("pattern", pa.string()),
+                            ("n", pa.int64()),
+                            ("share", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        total = int(n.sum())
+
+        def name(bits):
+            parts = [cl[i] for i in range(len(cl))
+                     if bits & (1 << i)]
+            return ",".join(parts) if parts else "(none)"
+
+        rows = sorted(((name(mi), int(ni)) for mi, ni in zip(m, n)),
+                      key=lambda r: (-r[1], r[0]))[:k]
+        return pa.table({
+            "pattern": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "share": pa.array([round(r[1] / total, 6) for r in rows],
+                              pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def dup_row_census(ds, cols):
+    """Full-row duplicate census over ``cols``: how many rows are
+    exact copies of another row (the accidental-double-ingest
+    signature), plus the distinct-combination count.  One groupby on
+    the column tuple; counts exact.
+
+    Output one row (n_rows int64, n_distinct int64, n_dup_rows
+    int64 [rows beyond the first of each duplicate group],
+    max_multiplicity int64).
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    cl = list(cols)
+    counted = ds.select_columns(cl).groupby(cl).aggregate(
+        Count(alias_name="n"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        return pa.table({
+            "rows": pa.array([int(n.sum())], pa.int64()),
+            "distinct": pa.array([len(n)], pa.int64()),
+            "dups": pa.array([int((n - 1).sum())], pa.int64()),
+            "maxm": pa.array([int(n.max()) if len(n) else 0],
+                             pa.int64()),
+        })
+
+    agg = counted.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("rows", alias_name="rows"),
+                Sum("distinct", alias_name="distinct"),
+                Sum("dups", alias_name="dups"),
+                Max("maxm", alias_name="maxm"))
+
+    import ray
+
+    return ray.data.from_arrow(pa.table({
+        "n_rows": pa.array([agg["rows"] or 0], pa.int64()),
+        "n_distinct": pa.array([agg["distinct"] or 0], pa.int64()),
+        "n_dup_rows": pa.array([agg["dups"] or 0], pa.int64()),
+        "max_multiplicity": pa.array([agg["maxm"] or 0], pa.int64()),
+    }))
