@@ -37,7 +37,7 @@ def _dim_cte(col: str, alias: str) -> str:
 vc_{alias} AS (
   SELECT CAST(round({col} * 100) AS BIGINT) AS v,
          CAST(count(*) AS BIGINT) AS cnt
-  FROM lineitem GROUP BY 1),
+  FROM lineitem WHERE {col} IS NOT NULL GROUP BY 1),
 w_{alias} AS (
   SELECT v, cnt,
          CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,

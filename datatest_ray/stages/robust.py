@@ -2297,6 +2297,14 @@ def ecod_topk(ds, *, cols, key_cols, k: int = 10,
 
     def score(t: pa.Table) -> pa.Table:
         m = ray.get(refs)
+        # a null in ANY dimension drops the row (the SQL mirror's
+        # equi-joins do the same silently; NaN->int64 garbage must
+        # never reach searchsorted)
+        ok = None
+        for c in dims:
+            valid = pc.is_valid(t.column(c))
+            ok = valid if ok is None else pc.and_(ok, valid)
+        t = t.filter(ok)
         out = {kk: t.column(kk) for kk in keys}
         total = None
         for c in dims:
