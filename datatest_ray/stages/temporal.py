@@ -42,7 +42,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "hampel_daily", "hurst_rs_daily", "granger_lag1_daily",
            "transfer_entropy_daily", "ewma_chart_daily",
            "optimal_changepoints_daily", "sax_motifs_daily",
-           "sign_test_daily", "ccc_daily", "median_polish_dow_type"]
+           "sign_test_daily", "ccc_daily", "median_polish_dow_type",
+           "above_median_streak"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2959,3 +2960,35 @@ def median_polish_dow_type(ds, ts_col: str, *, type_col: str,
         "residual": pa.array(rows["residual"], pa.float64()),
         "overall": pa.array(rows["overall"], pa.float64()),
     }))
+
+
+def above_median_streak(ds, ts_col: str, *, by: str):
+    """Longest streak of OBSERVED days strictly above the group's own
+    daily-count median (exact half-integer median, gaps compress) --
+    the "how long do hot spells last" persistence probe that the
+    autocorrelation number obscures.
+
+    One daily-count shuffle, tiny per-group kernel.  Output: (by,
+    n_days, n_above, longest_streak int64).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        med = float(np.median(x))
+        above = x > med
+        best = cur = 0
+        for a in above:
+            cur = cur + 1 if a else 0
+            best = max(best, cur)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "n_above": pa.array([int(above.sum())], pa.int64()),
+            "longest_streak": pa.array([best], pa.int64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")

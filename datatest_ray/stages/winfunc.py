@@ -26,7 +26,7 @@ from ..functions.aggregates import hash64
 __all__ = ["lag_diff", "rolling_agg", "rolling_median", "cume_dist",
            "group_zscore", "rank_window", "percent_rank",
            "trailing_range_agg", "ntile_window", "record_counts",
-           "trailing_distinct", "capped_balance", "max_drawdown"]
+           "trailing_distinct", "capped_balance", "max_drawdown", "first_passage"]
 
 
 def _bucketed(ds, need, key: str, n_buckets: int):
@@ -788,3 +788,80 @@ def max_drawdown(ds, *, by: str, ts_col: str, value_col: str,
         .groupby("coarse")
     )
     return bucketed.map_groups(kernel, batch_format="pyarrow")
+
+
+def first_passage(ds, *, by: str, ts_col: str, value_col: str,
+                  id_col: str, threshold: float,
+                  n_buckets: int = 256):
+    """First-passage summary: per key, the number of events until the
+    cents-exact running value sum first reaches ``threshold`` -- the
+    time-to-milestone distribution (days to $1k spend, events to
+    quota) summarized as (n_keys, n_crossed, min / median / max
+    events-to-cross).  The median over crossing counts is the exact
+    lower median (integer, deterministic).
+
+    Same coarse-bucket plan as the rest of this module; exact int64
+    cumsums.  Output one row.
+    """
+    thr_cents = int(round(threshold * 100))
+    need = [by, ts_col, value_col, id_col]
+
+    def clean(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column(by)),
+                             pc.is_valid(t.column(ts_col))),
+                     pc.is_valid(t.column(value_col)))
+        t = t.select(need).filter(ok)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(value_col), pa.float64()), 100.0)),
+            pa.int64())
+        return t.set_column(t.schema.get_field_index(value_col),
+                            value_col, cents)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        t = group.sort_by([(by, "ascending"), (ts_col, "ascending"),
+                           (id_col, "ascending")])
+        k = t.column(by).to_numpy(zero_copy_only=False)
+        d = t.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(k)
+        starts = np.flatnonzero(_segments(k))
+        ends = np.append(starts[1:], n)
+        nk = 0
+        crossed = []
+        for s, e in zip(starts, ends):
+            nk += 1
+            c = np.cumsum(d[s:e])
+            hit = np.flatnonzero(c >= thr_cents)
+            if len(hit):
+                crossed.append(int(hit[0]) + 1)
+        return pa.table({
+            "n_keys": pa.array([nk], pa.int64()),
+            "crossed": pa.array([crossed],
+                                pa.list_(pa.int64())),
+        })
+
+    parts = (
+        ds.select_columns(need)
+        .map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda t: t.append_column("coarse", pa.array(
+                (hash64(t.column(by)) % np.uint64(n_buckets)).astype(
+                    np.int64))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("coarse").map_groups(kernel, batch_format="pyarrow")
+    ).take_all()
+    n_keys = sum(r["n_keys"] for r in parts)
+    crossed = sorted(x for r in parts for x in r["crossed"])
+    import ray
+
+    nc = len(crossed)
+    return ray.data.from_arrow(pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "n_crossed": pa.array([nc], pa.int64()),
+        "min_events": pa.array(
+            [crossed[0] if nc else None], pa.int64()),
+        "median_events": pa.array(
+            [crossed[(nc - 1) // 2] if nc else None], pa.int64()),
+        "max_events": pa.array(
+            [crossed[-1] if nc else None], pa.int64()),
+    }))
