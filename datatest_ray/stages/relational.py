@@ -32,7 +32,7 @@ __all__ = ["safe_join", "semi_join", "anti_join", "except_distinct",
            "broadcast_join", "range_join_broadcast", "pareto_front",
            "bloom_semi_join", "bloom_anti_join", "melt",
            "interval_join_bucketed", "pivot_sum", "union_distinct",
-           "lookup_join", "skew_join"]
+           "lookup_join", "skew_join", "topk_turnover"]
 
 _MARK = "__dtr_semi_mark"
 
@@ -1051,3 +1051,54 @@ def skew_join(left_ds, right_ds, *, on: str, right_on: str,
         right_cols=right_cols, how=how,
         n_buckets=n_buckets).select_columns(out_order)
     return hot_joined.union(cold_joined)
+
+
+def topk_turnover(ds, *, period_col: str, key_col: str,
+                  score_col: str, k: int = 5):
+    """Leaderboard turnover: per period the top-k keys by integer
+    score (score desc, key asc), and for each consecutive period pair
+    the Jaccard overlap of the two top-k sets -- "how churny is the
+    top of this league table", the stability number behind
+    trending/top-N product surfaces.
+
+    Input is an aggregated (period, key, score) table; the per-period
+    ranking runs in one single-partition kernel over O(periods x
+    keys-kept) rows.  Output: (period_a int64, period_b int64,
+    n_common int64, jaccard round-6), consecutive periods ascending.
+    """
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("period_a", pa.int64()),
+                            ("period_b", pa.int64()),
+                            ("n_common", pa.int64()),
+                            ("jaccard", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        p = t.column(period_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        kk = t.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        tops = {}
+        for per in np.unique(p):
+            sel = p == per
+            order = np.lexsort((kk[sel], -s[sel]))
+            tops[int(per)] = set(kk[sel][order[:k]].tolist())
+        periods = sorted(tops)
+        rows = {"a": [], "b": [], "c": [], "j": []}
+        for a, b in zip(periods, periods[1:]):
+            inter = len(tops[a] & tops[b])
+            union = len(tops[a] | tops[b])
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["c"].append(inter)
+            rows["j"].append(round(inter / union, 6) if union else None)
+        return pa.table({
+            "period_a": pa.array(rows["a"], pa.int64()),
+            "period_b": pa.array(rows["b"], pa.int64()),
+            "n_common": pa.array(rows["c"], pa.int64()),
+            "jaccard": pa.array(rows["j"], pa.float64()),
+        })
+
+    return ds.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)

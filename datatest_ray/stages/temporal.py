@@ -43,7 +43,7 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "transfer_entropy_daily", "ewma_chart_daily",
            "optimal_changepoints_daily", "sax_motifs_daily",
            "sign_test_daily", "ccc_daily", "median_polish_dow_type",
-           "above_median_streak"]
+           "above_median_streak", "variogram_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -2988,6 +2988,46 @@ def above_median_streak(ds, ts_col: str, *, by: str):
             "n_days": pa.array([n], pa.int64()),
             "n_above": pa.array([int(above.sum())], pa.int64()),
             "longest_streak": pa.array([best], pa.int64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def variogram_daily(ds, ts_col: str, *, by: str,
+                    lags=(1, 2, 3, 7, 14)):
+    """Madogram (first-order variogram) of the daily count series per
+    group: gamma(h) = mean |x_{t+h} - x_t| over observed-day ROW lags
+    -- the robust scale-of-change profile (a spiky series inflates an
+    ACF's variance normalization; absolute differences don't care).
+    gamma flattening by h = 7 with a dip AT 7 is the weekly-rhythm
+    signature.
+
+    Exact integer |differences|; one daily-count shuffle, tiny
+    per-group kernel.  Output: (by, lag int64, n_pairs int64, gamma
+    round-6), one row per lag with pairs.
+    """
+    ls = [int(h) for h in lags]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(x)
+        rows = {"lag": [], "n_pairs": [], "gamma": []}
+        for h in ls:
+            if n <= h:
+                continue
+            d = np.abs(x[h:] - x[:-h])
+            rows["lag"].append(h)
+            rows["n_pairs"].append(len(d))
+            rows["gamma"].append(round(int(d.sum()) / len(d), 6))
+        return pa.table({
+            by: pa.array([key] * len(rows["lag"])),
+            "lag": pa.array(rows["lag"], pa.int64()),
+            "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+            "gamma": pa.array(rows["gamma"], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
