@@ -65,6 +65,7 @@ __all__ = [
     "powerlaw_alpha",
     "gamma_moments_fit",
     "dunn_pairs",
+    "tail_dependence",
 ]
 
 
@@ -3256,3 +3257,89 @@ def dunn_pairs(ds, *, value_col: str, group_col: str, groups):
 
     return agg.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def tail_dependence(ds, *, x_col: str, y_col: str, q: float = 0.9):
+    """Empirical upper-tail dependence: lambda_U(q) = P(Y > y_q | X >
+    x_q) with each threshold the exact inverted-CDF q-quantile of its
+    own margin -- near q itself under independence, near 1 when
+    extremes co-occur (the joint-blowup risk a correlation coefficient
+    underestimates).  Exact integer counts and cents-exact
+    thresholds.
+
+    One O(distinct values) pass per margin for the thresholds, then
+    one exact joint-exceedance count pass.  Output one row (n int64,
+    x_thr round-6, y_thr round-6, n_x int64, n_joint int64,
+    lambda_u round-6).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    qn = int(round(q * 100))
+
+    def vc(col):
+        def f(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            v = v[np.isfinite(v)]
+            cents = np.rint(v * 100.0).astype(np.int64)
+            uv, cnt = np.unique(cents, return_counts=True)
+            return pa.table({"v": pa.array(uv),
+                             "cnt": pa.array(cnt.astype(np.int64))})
+        return f
+
+    def threshold(col):
+        rows = (ds.select_columns([col])
+                .map_batches(vc(col), batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+                ).take_all()
+        rows.sort(key=lambda r: r["v"])
+        cnt = np.array([r["cnt"] for r in rows], dtype=np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1]) if len(cum) else 0
+        if n == 0:
+            return None, 0
+        r = max(1, (n * qn + 99) // 100)
+        j = int(np.searchsorted(cum, r))
+        return int(rows[j]["v"]), n
+
+    x_thr, _ = threshold(x_col)
+    y_thr, _ = threshold(y_col)
+    if x_thr is None or y_thr is None:
+        return ray.data.from_arrow(pa.schema(
+            [("n", pa.int64()), ("x_thr", pa.float64()),
+             ("y_thr", pa.float64()), ("n_x", pa.int64()),
+             ("n_joint", pa.int64()),
+             ("lambda_u", pa.float64())]).empty_table())
+
+    def joint(t: pa.Table) -> pa.Table:
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = np.isfinite(x) & np.isfinite(y)
+        xc = np.rint(x[ok] * 100.0).astype(np.int64)
+        yc = np.rint(y[ok] * 100.0).astype(np.int64)
+        ex = xc > x_thr
+        return pa.table({
+            "n": pa.array([int(ok.sum())], pa.int64()),
+            "nx": pa.array([int(ex.sum())], pa.int64()),
+            "nj": pa.array([int((ex & (yc > y_thr)).sum())],
+                           pa.int64()),
+        })
+
+    agg = ds.select_columns([x_col, y_col]).map_batches(
+        joint, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("n", alias_name="n"), Sum("nx", alias_name="nx"),
+                Sum("nj", alias_name="nj"))
+    n, nx, nj = agg["n"] or 0, agg["nx"] or 0, agg["nj"] or 0
+    lam = round(nj / nx, 6) if nx else None
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "x_thr": pa.array([round(x_thr / 100.0, 6)], pa.float64()),
+        "y_thr": pa.array([round(y_thr / 100.0, 6)], pa.float64()),
+        "n_x": pa.array([nx], pa.int64()),
+        "n_joint": pa.array([nj], pa.int64()),
+        "lambda_u": pa.array([lam], pa.float64()),
+    }))

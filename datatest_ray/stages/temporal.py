@@ -43,7 +43,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "transfer_entropy_daily", "ewma_chart_daily",
            "optimal_changepoints_daily", "sax_motifs_daily",
            "sign_test_daily", "ccc_daily", "median_polish_dow_type",
-           "above_median_streak", "variogram_daily"]
+           "above_median_streak", "variogram_daily",
+           "extremal_index_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -3028,6 +3029,51 @@ def variogram_daily(ds, ts_col: str, *, by: str,
             "lag": pa.array(rows["lag"], pa.int64()),
             "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
             "gamma": pa.array(rows["gamma"], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def extremal_index_daily(ds, ts_col: str, *, by: str,
+                         q: float = 0.9, run_gap: int = 2):
+    """Runs-estimator extremal index per group: exceedances of the
+    group's own q-quantile daily count decluster into runs separated
+    by > ``run_gap`` observed days, and theta = n_clusters /
+    n_exceedances -- theta near 1 means spikes arrive alone, small
+    theta means they CLUSTER (one incident spans days), the number
+    that converts a daily exceedance rate into an incident rate.
+
+    Thresholds are exact inverted-CDF quantiles of integer counts;
+    all counting exact.  Output: (by, n_days, n_exceed, n_clusters,
+    theta round-6).
+    """
+    qn = int(round(q * 100))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(x)
+        srt = np.sort(x)
+        r = max(1, (n * qn + 99) // 100)
+        thr = int(srt[r - 1])
+        idx = np.flatnonzero(x > thr)
+        ne = len(idx)
+        if ne == 0:
+            clusters = 0
+            theta = None
+        else:
+            gaps = np.diff(idx)
+            clusters = 1 + int(np.count_nonzero(gaps > run_gap))
+            theta = round(clusters / ne, 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "n_exceed": pa.array([ne], pa.int64()),
+            "n_clusters": pa.array([clusters], pa.int64()),
+            "theta": pa.array([theta], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
