@@ -51,6 +51,7 @@ __all__ = [
     "species_richness",
     "word_burstiness",
     "source_similarity",
+    "script_mix_audit",
 ]
 
 # Deterministic per-language stopword lists (tiny n-gram-free heuristic;
@@ -2254,3 +2255,47 @@ def source_similarity(ds, text_col: str, *, source_col: str,
 
     return wc.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def script_mix_audit(ds, text_col: str, *, lang_col: str):
+    """Script-mixing and invisible-character audit per language: counts
+    documents whose text (a) mixes Han and Latin letters, (b) contains
+    zero-width/invisible characters (ZWSP/ZWNJ/ZWJ/BOM), or (c)
+    carries bidirectional control characters -- the homoglyph/spoofing
+    and copy-paste-artifact screens a multilingual corpus needs before
+    training (invisible chars silently split tokens).
+
+    Both engines evaluate the SAME RE2 patterns (Arrow and DuckDB both
+    embed RE2), so the flags are definitionally identical.  One
+    O(langs) shuffle of per-batch counts.  Output: (lang, n_docs,
+    n_mixed_script, n_invisible, n_bidi) int64.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    RE_MIXED = r"\p{Han}[^\s]*[A-Za-z]|[A-Za-z][^\s]*\p{Han}"
+    RE_INVIS = "[​‌‍﻿]"
+    RE_BIDI = "[‪-‮⁦-⁩]"
+
+    def partials(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t.column(lang_col)),
+                     pc.is_valid(t.column(text_col)))
+        t = t.filter(ok)
+        txt = t.column(text_col)
+        mixed = pc.cast(pc.match_substring_regex(txt, RE_MIXED),
+                        pa.int64())
+        invis = pc.cast(pc.match_substring_regex(txt, RE_INVIS),
+                        pa.int64())
+        bidi = pc.cast(pc.match_substring_regex(txt, RE_BIDI),
+                       pa.int64())
+        return pa.table({"lang": t.column(lang_col),
+                         "mixed": mixed, "invis": invis,
+                         "bidi": bidi})
+
+    return (ds.select_columns([text_col, lang_col])
+            .map_batches(partials, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("lang").aggregate(
+                Count(alias_name="n_docs"),
+                Sum("mixed", alias_name="n_mixed_script"),
+                Sum("invis", alias_name="n_invisible"),
+                Sum("bidi", alias_name="n_bidi")))
