@@ -32,7 +32,8 @@ __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "centroid_confusion", "kmeans", "silhouette_labels", "ann_recall_report",
            "matryoshka_recall", "knn_label_purity",
            "twonn_intrinsic_dim", "geometric_median_labels",
-           "kcenter_greedy", "hotelling_t2", "davies_bouldin_labels"]
+           "kcenter_greedy", "hotelling_t2", "davies_bouldin_labels",
+           "hubness"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -1512,3 +1513,60 @@ def davies_bouldin_labels(ds, *, vec_col: str, label_col: str):
         "k": pa.array([k], pa.int64()),
         "db": pa.array([db], pa.float64()),
     }))
+
+
+def hubness(ds, *, id_col: str, vec_col: str, k: int = 5,
+            n_queries: int = 100):
+    """Hubness probe (Radovanovic et al. 2010): over the k-NN lists of
+    ``n_queries`` query points, how skewed is the neighbor in-degree?
+    High-dimensional spaces grow HUBS -- points that appear in
+    everyone's neighbor list -- which silently dominate retrieval and
+    k-NN labels.  Reports the in-degree distribution's max, the hub
+    count (in-degree >= 2k), and the skewness of the in-degree over
+    all points that appear at all.
+
+    One :func:`topk_cosine` pass (queries broadcast, exact kNN); the
+    in-degree census is O(n_queries x k).  Output one row (n_queries,
+    n_neighbors int64 distinct, max_indeg int64, n_hubs int64,
+    indeg_skew round-6).
+    """
+    import ray
+
+    base = ds.select_columns([id_col, vec_col])
+    pairs = topk_cosine(base, base.filter(
+        expr=f"{id_col} < {int(n_queries)}"),
+        id_col=id_col, vec_col=vec_col, k=k)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_queries", pa.int64()),
+                            ("n_neighbors", pa.int64()),
+                            ("max_indeg", pa.int64()),
+                            ("n_hubs", pa.int64()),
+                            ("indeg_skew", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        nb = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        nq = len(set(q.tolist()))
+        _, indeg = np.unique(nb, return_counts=True)
+        n_nb = len(indeg)
+        mx = int(indeg.max())
+        hubs = int(np.count_nonzero(indeg >= 2 * k))
+        skew = None
+        if n_nb >= 2:
+            d = indeg.astype(np.float64)
+            mu = d.sum() / n_nb
+            m2 = float(np.sum((d - mu) ** 2)) / n_nb
+            m3 = float(np.sum((d - mu) ** 3)) / n_nb
+            if m2 > 0:
+                skew = round(m3 / m2 ** 1.5, 6)
+        return pa.table({
+            "n_queries": pa.array([nq], pa.int64()),
+            "n_neighbors": pa.array([n_nb], pa.int64()),
+            "max_indeg": pa.array([mx], pa.int64()),
+            "n_hubs": pa.array([hubs], pa.int64()),
+            "indeg_skew": pa.array([skew], pa.float64()),
+        })
+
+    return pairs.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
