@@ -72,7 +72,10 @@ def q_topk_turnover_parts(sf_dir: str):
                 "l_shipdate"])
 
     def units(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column("l_shipdate")))
+        ok = pc.is_valid(t.column("l_shipdate"))
+        for c in ("l_partkey", "l_extendedprice", "l_discount"):
+            ok = pc.and_(ok, pc.is_valid(t.column(c)))
+        t = t.filter(ok)
         us = pc.cast(pc.cast(t.column("l_shipdate"),
                              pa.timestamp("us")), pa.int64())
         day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
@@ -101,7 +104,9 @@ WITH f AS (
          l_partkey,
          CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
               AS BIGINT) AS rev
-  FROM lineitem WHERE l_shipdate IS NOT NULL),
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_partkey IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
 agg AS (
   SELECT week, l_partkey, CAST(sum(rev) AS BIGINT) AS rev
   FROM f GROUP BY 1, 2),
