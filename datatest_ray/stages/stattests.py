@@ -66,6 +66,8 @@ __all__ = [
     "gamma_moments_fit",
     "dunn_pairs",
     "tail_dependence",
+    "auc_with_ci",
+    "overdispersion_test",
 ]
 
 
@@ -3343,3 +3345,96 @@ def tail_dependence(ds, *, x_col: str, y_col: str, q: float = 0.9):
         "n_joint": pa.array([nj], pa.int64()),
         "lambda_u": pa.array([lam], pa.float64()),
     }))
+
+
+def auc_with_ci(ds, *, score_col: str, group_col: str, pos, neg=None):
+    """ROC AUC from the exact tie-corrected rank sum (Mann-Whitney
+    U / (n_pos n_neg)) plus the Hanley-McNeil standard error and Wald
+    95% interval -- the ranking-quality number WITH the uncertainty a
+    dashboard needs before celebrating +0.01.
+
+    O(distinct scores) shuffle via the shared value-count partials.
+    Output one row (n_pos, n_neg, auc round-6, se round-6, ci_lo
+    round-6, ci_hi round-6).
+    """
+    partials = ds.select_columns([group_col, score_col]).map_batches(
+        _value_counts_partial(group_col, score_col, pos, neg),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_pos", pa.int64()), ("n_neg", pa.int64()),
+                            ("auc", pa.float64()), ("se", pa.float64()),
+                            ("ci_lo", pa.float64()),
+                            ("ci_hi", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        _, ca, cnt = _merge_value_counts(t)
+        cb = cnt - ca
+        np_, nn = int(ca.sum()), int(cb.sum())
+        if np_ == 0 or nn == 0:
+            return schema.empty_table()
+        # U = sum over pos of #(neg below) + 0.5 #(neg tied)
+        cum_b = np.cumsum(cb)
+        below = cum_b - cb
+        u = float(np.sum(ca * below) + 0.5 * np.sum(ca * cb))
+        auc = u / (float(np_) * nn)
+        q1 = auc / (2.0 - auc)
+        q2 = 2.0 * auc * auc / (1.0 + auc)
+        var = (auc * (1.0 - auc) + (np_ - 1) * (q1 - auc * auc)
+               + (nn - 1) * (q2 - auc * auc)) / (float(np_) * nn)
+        se = np.sqrt(max(var, 0.0))
+        return pa.table({
+            "n_pos": pa.array([np_], pa.int64()),
+            "n_neg": pa.array([nn], pa.int64()),
+            "auc": pa.array([round(auc, 6)], pa.float64()),
+            "se": pa.array([round(float(se), 6)], pa.float64()),
+            "ci_lo": pa.array([round(auc - 1.959964 * float(se), 6)],
+                              pa.float64()),
+            "ci_hi": pa.array([round(auc + 1.959964 * float(se), 6)],
+                              pa.float64()),
+        })
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
+def overdispersion_test(ds, *, group_col: str):
+    """Cameron-Trivedi style overdispersion z for per-key event counts
+    against Poisson(mean): z = sum((y - mu)^2 - y) / sqrt(2 n mu^2)
+    (the auxiliary-regression score test with a constant mean) --
+    z >> 0 says the counts cluster (negative-binomial world; plan
+    capacity on bursts), z ~ 0 says Poisson thinking is safe.
+
+    Exact integer count sums; one O(keys) shuffle.  Output one row
+    (n_keys int64, mean round-6, var round-6, z round-6).
+    """
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="y"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_keys", pa.int64()),
+                            ("mean", pa.float64()),
+                            ("var", pa.float64()), ("z", pa.float64())])
+        if t.num_rows == 0:
+            return schema.empty_table()
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(y)
+        s1 = int(y.sum())
+        s2 = int((y * y).sum())
+        mu = s1 / n
+        var = s2 / n - mu * mu
+        z = None
+        if n >= 2 and mu > 0:
+            num = float(s2) - 2.0 * mu * s1 + n * mu * mu - s1
+            z = round(num / np.sqrt(2.0 * n * mu * mu), 6)
+        return pa.table({
+            "n_keys": pa.array([n], pa.int64()),
+            "mean": pa.array([round(mu, 6)], pa.float64()),
+            "var": pa.array([round(var, 6)], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return counts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
