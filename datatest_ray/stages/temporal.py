@@ -44,7 +44,7 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "optimal_changepoints_daily", "sax_motifs_daily",
            "sign_test_daily", "ccc_daily", "median_polish_dow_type",
            "above_median_streak", "variogram_daily",
-           "extremal_index_daily"]
+           "extremal_index_daily", "intermittency_classes"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -3078,3 +3078,91 @@ def extremal_index_daily(ds, ts_col: str, *, by: str,
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
         kernel, batch_format="pyarrow")
+
+
+def intermittency_classes(ds, ts_col: str, *, key_col: str,
+                          qty_col: str, period: int = 7):
+    """Syntetos-Boylan intermittent-demand classification per SKU:
+    over fixed ``period``-day epoch buckets between each key's first
+    and last demand, ADI = buckets / nonzero-demand buckets and CV^2 =
+    population variance / mean^2 of the nonzero bucket demand sizes;
+    the (ADI <= 1.32) x (CV^2 <= 0.49) quadrants split keys into
+    smooth / intermittent / erratic / lumpy -- the standard routing
+    table for WHICH forecasting method each SKU gets (SES vs Croston
+    vs bootstrap).
+
+    All integer bucket sums; boundary comparisons evaluated as exact
+    cross-multiplications, so the census is hash-stable.  Output:
+    (class string, n_keys int64, share round-6).
+    """
+    from ray.data.aggregate import Sum
+
+    def units(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column(key_col)),
+                             pc.is_valid(t.column(ts_col))),
+                     pc.is_valid(t.column(qty_col)))
+        t = t.filter(ok)
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")),
+                     pa.int64())
+        day = pc.cast(pc.floor(pc.divide(pc.cast(us, pa.float64()),
+                                         86400e6)), pa.int64())
+        bucket = pc.divide(day, period)
+        q = pc.cast(pc.round(pc.multiply(
+            pc.cast(t.column(qty_col), pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"k": t.column(key_col), "b": bucket, "q": q})
+
+    per_bucket = ds.select_columns([key_col, ts_col, qty_col]) \
+        .map_batches(units, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["k", "b"]).aggregate(Sum("q", alias_name="q"))
+
+    def per_key(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("k", "ascending"), ("b", "ascending")])
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        q = t.column("q").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        new = np.ones(len(k), dtype=bool)
+        if len(k) > 1:
+            new[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(k))
+        counts = {"smooth": 0, "intermittent": 0, "erratic": 0,
+                  "lumpy": 0}
+        for s, e in zip(starts, ends):
+            nz = q[s:e][q[s:e] > 0]
+            nd = len(nz)
+            if nd == 0:
+                continue
+            span = int(b[e - 1] - b[s]) + 1
+            # ADI <= 1.32  <=>  span * 100 <= 132 * nd  (exact ints)
+            low_adi = span * 100 <= 132 * nd
+            s1 = int(nz.sum())
+            s2 = int((nz * nz).sum())
+            # CV^2 = (s2/nd - (s1/nd)^2) / (s1/nd)^2
+            #      = (nd*s2 - s1^2) / s1^2
+            # CV^2 <= 0.49  <=>  100*(nd*s2 - s1^2) <= 49*s1^2
+            low_cv = 100 * (nd * s2 - s1 * s1) <= 49 * s1 * s1
+            if low_adi and low_cv:
+                cls = "smooth"
+            elif low_adi:
+                cls = "erratic"
+            elif low_cv:
+                cls = "intermittent"
+            else:
+                cls = "lumpy"
+            counts[cls] += 1
+        rows = [(c, n) for c, n in sorted(counts.items())]
+        tot = sum(n for _, n in rows)
+        return pa.table({
+            "class": pa.array([r[0] for r in rows], pa.string()),
+            "n_keys": pa.array([r[1] for r in rows], pa.int64()),
+            "share": pa.array(
+                [round(r[1] / tot, 6) if tot else None
+                 for r in rows], pa.float64()),
+        })
+
+    return per_bucket.repartition(1).map_batches(
+        per_key, batch_format="pyarrow", batch_size=None)
