@@ -32,7 +32,7 @@ from ..functions.png import (container_scan, decode_image, dhash64,
 from ..sources.images import reference_caption, reference_pixels
 from .base import Check, RunContext
 
-__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit", "PayloadEntropyExtractor", "payload_entropy_audit", "phash_bit_balance", "TileStatsExtractor", "tile_uniformity_audit"]
+__all__ = ["ImageParityCheck", "ImageParityChecker", "ImageIntegrityCheck", "ImageIntegrityChecker", "PhashNearDupCheck", "fixture_reference_provider", "image_dup_clusters", "ChannelStatsExtractor", "channel_stats", "channel_profile", "PixelFingerprintExtractor", "pixel_fingerprints", "image_pixel_dup_clusters", "ImageQualityExtractor", "image_quality_scores", "PixelMD5Extractor", "image_exact_pixel_dups", "ExposureExtractor", "image_exposure_scores", "SSIMExtractor", "image_ssim_scores", "BlurScoreExtractor", "blur_scores", "blur_audit", "PayloadEntropyExtractor", "payload_entropy_audit", "phash_bit_balance", "TileStatsExtractor", "tile_uniformity_audit", "GradientOrientationExtractor", "orientation_profile"]
 
 
 class FixtureReference:
@@ -1468,3 +1468,137 @@ def tile_uniformity_audit(ds, *, threshold: float = 0.5, grid: int = 4,
         Sum("failed", alias_name="n_decode_fail"),
         Sum("nonuni", alias_name="n_nonuniform"),
     )
+
+
+class GradientOrientationExtractor:
+    """Actor-pool callable: decode each payload and emit the 8-bin
+    gradient-orientation histogram (HOG-lite) of the grayscale image,
+    L1-normalized, plus its entropy -- the texture/structure signature
+    that separates flat fills, axis-aligned synthetic art and natural
+    gradients without any model."""
+
+    def __init__(self, id_col: str = "image_id", bytes_col: str = "bytes",
+                 fmt_col: str = "fmt", bins: int = 8):
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.fmt_col = fmt_col
+        self.bins = bins
+
+    @staticmethod
+    def orientation_hist(img: np.ndarray, bins: int) -> np.ndarray:
+        px = img.astype(np.float64)
+        if px.ndim == 3:
+            px = px.mean(axis=2)
+        gy = px[1:, :-1] - px[:-1, :-1]
+        gx = px[:-1, 1:] - px[:-1, :-1]
+        mag = np.sqrt(gx * gx + gy * gy)
+        ang = np.arctan2(gy, gx)          # [-pi, pi]
+        b = np.minimum(((ang + np.pi) / (2 * np.pi) * bins)
+                       .astype(np.int64), bins - 1)
+        h = np.bincount(b.ravel(), weights=mag.ravel(),
+                        minlength=bins)
+        s = h.sum()
+        return h / s if s > 0 else h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payloads = batch.column(self.bytes_col).to_pylist()
+        fmts = (batch.column(self.fmt_col).to_pylist()
+                if self.fmt_col in batch.column_names else [None] * n)
+        hists = np.zeros((n, self.bins))
+        ent = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        for i, (data, fmt) in enumerate(zip(payloads, fmts)):
+            if data is None:
+                continue
+            try:
+                img = decode_image(data, fmt)
+            except Exception:
+                continue
+            h = self.orientation_hist(img, self.bins)
+            hists[i] = h
+            p = h[h > 0]
+            ent[i] = float(-(p * np.log2(p)).sum()) if len(p) else 0.0
+            ok[i] = True
+        out = {self.id_col: batch.column(self.id_col)}
+        if self.fmt_col in batch.column_names:
+            out[self.fmt_col] = batch.column(self.fmt_col)
+        out["orient_entropy"] = pa.array(ent, pa.float64(), mask=~ok)
+        out["hist"] = pa.array(
+            [list(h) if o else None for h, o in zip(hists, ok)],
+            pa.list_(pa.float64()))
+        return pa.table(out)
+
+
+def orientation_profile(ds, *, concurrency=(2, 8),
+                        batch_size: int = 128, fmt_col: str = "fmt"):
+    """Per-format gradient-orientation profile: mean 8-bin histogram
+    (as 8 columns) and mean orientation entropy over decoded pixels --
+    a distribution shift here flags a renderer/codec change before
+    any labeled metric moves.  Same actor-pool decode contract as the
+    other imaging audits; rows-only with numpy parity in tests.
+
+    Output: (fmt, n_images, n_decode_fail, mean_entropy round-6,
+    b0..b7 round-6)."""
+    from ray.data.aggregate import Count, Sum
+
+    names = ds.schema().names
+    cols = ["image_id", "bytes"]
+    if fmt_col in names:
+        cols.append(fmt_col)
+    scores = ds.select_columns(cols).map_batches(
+        GradientOrientationExtractor,
+        fn_constructor_kwargs=dict(fmt_col=fmt_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        ent = t.column("orient_entropy")
+        hist = t.column("hist")
+        hist = hist.combine_chunks() if isinstance(
+            hist, pa.ChunkedArray) else hist
+        n = t.num_rows
+        cols_out = {
+            "fmt": t.column(fmt_col),
+            "failed": pc.cast(pc.is_null(ent), pa.int64()),
+            "ent": pc.fill_null(ent, 0.0),
+        }
+        mat = np.zeros((n, 8))
+        valid = ~pc.is_null(hist).to_numpy(zero_copy_only=False)
+        vals = hist.to_pylist()
+        for i in np.flatnonzero(valid):
+            mat[i] = vals[i]
+        for j in range(8):
+            cols_out[f"b{j}"] = pa.array(mat[:, j])
+        return pa.table(cols_out)
+
+    agg = scores.map_batches(
+        mark, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("fmt").aggregate(
+        Count(alias_name="n_images"),
+        Sum("failed", alias_name="n_decode_fail"),
+        Sum("ent", alias_name="_ent"),
+        *[Sum(f"b{j}", alias_name=f"_b{j}") for j in range(8)])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_images").to_numpy(zero_copy_only=False)
+        f = t.column("n_decode_fail").to_numpy(zero_copy_only=False)
+        good = np.maximum(n - f, 1)
+        out = {
+            "fmt": t.column("fmt"),
+            "n_images": t.column("n_images"),
+            "n_decode_fail": t.column("n_decode_fail"),
+            "mean_entropy": pa.array(np.round(
+                t.column("_ent").to_numpy(zero_copy_only=False)
+                / good, 6)),
+        }
+        for j in range(8):
+            out[f"b{j}"] = pa.array(np.round(
+                t.column(f"_b{j}").to_numpy(zero_copy_only=False)
+                / good, 6))
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           zero_copy_batch=True)

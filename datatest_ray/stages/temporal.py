@@ -44,7 +44,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "optimal_changepoints_daily", "sax_motifs_daily",
            "sign_test_daily", "ccc_daily", "median_polish_dow_type",
            "above_median_streak", "variogram_daily",
-           "extremal_index_daily", "intermittency_classes"]
+           "extremal_index_daily", "intermittency_classes",
+           "spectral_entropy_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -3166,3 +3167,40 @@ def intermittency_classes(ds, ts_col: str, *, key_col: str,
 
     return per_bucket.repartition(1).map_batches(
         per_key, batch_format="pyarrow", batch_size=None)
+
+
+def spectral_entropy_daily(ds, ts_col: str, *, by: str):
+    """Spectral entropy (forecastability) per group: the Shannon
+    entropy of the normalized periodogram of the mean-centered daily
+    counts, scaled to [0, 1] by ln(n_freqs) -- near 0 means the energy
+    sits in a few frequencies (strong rhythm, forecastable), near 1
+    means white noise (don't bother with a seasonal model).  The
+    standard 'forecastability' feature in tsfeatures/catch22.
+
+    rows-only by contract (FFT); planted-cycle behavior pinned in
+    unit tests.  Output: (by, n_days, spectral_entropy round-6).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = len(x)
+        se = None
+        if n >= 4:
+            xc = x - x.sum() / n
+            spec = np.abs(np.fft.rfft(xc)[1:]) ** 2
+            tot = spec.sum()
+            if tot > 0 and len(spec) >= 2:
+                p = spec / tot
+                p = p[p > 0]
+                se = round(float(-(p * np.log(p)).sum())
+                           / np.log(len(spec)), 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "spectral_entropy": pa.array([se], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
