@@ -45,7 +45,8 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "sign_test_daily", "ccc_daily", "median_polish_dow_type",
            "above_median_streak", "variogram_daily",
            "extremal_index_daily", "intermittency_classes",
-           "spectral_entropy_daily"]
+           "spectral_entropy_daily", "records_daily",
+           "time_reversibility_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -3200,6 +3201,77 @@ def spectral_entropy_daily(ds, ts_col: str, *, by: str):
             by: pa.array([key]),
             "n_days": pa.array([n], pa.int64()),
             "spectral_entropy": pa.array([se], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def records_daily(ds, ts_col: str, *, by: str):
+    """Running-record census per group: the number of days setting a
+    new all-time-high daily count (first day counts), against the
+    i.i.d. expectation H_n = sum 1/k and variance H_n - sum 1/k^2 --
+    too many records = growth/trend, too few = early peak then decay;
+    the classic records test reads trend off ORDER STATISTICS alone.
+    Strict records (ties do not count) on exact integers.
+
+    Output: (by, n_days, n_records int64, expected round-6, z
+    round-6).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(x)
+        runmax = np.maximum.accumulate(x)
+        rec = 1 + int(np.count_nonzero(x[1:] > runmax[:-1])) \
+            if n else 0
+        k = np.arange(1, n + 1, dtype=np.float64)
+        h1 = float(np.sum(1.0 / k))
+        h2 = float(np.sum(1.0 / (k * k)))
+        var = h1 - h2
+        z = (round((rec - h1) / np.sqrt(var), 6) if var > 0 else None)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "n_records": pa.array([rec], pa.int64()),
+            "expected": pa.array([round(h1, 6)], pa.float64()),
+            "z": pa.array([z], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def time_reversibility_daily(ds, ts_col: str, *, by: str):
+    """catch22-style time-reversibility statistic per group: trev =
+    mean(d^3) / mean(d^2)^1.5 over successive differences d of the
+    daily counts -- zero for reversible (e.g. Gaussian linear)
+    dynamics; sharply nonzero for sawtooth ramp-up/crash-down cycles,
+    a shape the variance and ACF are blind to.  Exact integer
+    difference powers.
+
+    Output: (by, n_days, trev round-6; NULL on constant series).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        key = t.column(by)[0].as_py()
+        x = t.column("n").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n = len(x)
+        trev = None
+        if n >= 3:
+            d = np.diff(x)
+            s2 = int((d * d).sum())
+            s3 = int((d * d * d).sum())
+            m = len(d)
+            if s2 > 0:
+                trev = round((s3 / m) / (s2 / m) ** 1.5, 6)
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "trev": pa.array([trev], pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
