@@ -4660,8 +4660,9 @@ def queries() -> Dict[str, Callable]:
     from .oracle90 import QUERIES90
     from .oracle91 import QUERIES91
     from .oracle92 import QUERIES92
+    from .oracle93 import QUERIES93
 
-    return (QUERIES92 | QUERIES91 | QUERIES90 | QUERIES89 | QUERIES88 | QUERIES87 | QUERIES86 | QUERIES85 | QUERIES84 | QUERIES83 | QUERIES82 | QUERIES81 | QUERIES80 | QUERIES79 | QUERIES78 | QUERIES77 | QUERIES76 | QUERIES75 | QUERIES74 | QUERIES73 | QUERIES72 | QUERIES71 | QUERIES70 | QUERIES69 | QUERIES68 | QUERIES67 | QUERIES66 | QUERIES65 | QUERIES64 | QUERIES63 | QUERIES62 | QUERIES61 | QUERIES60 | QUERIES59 | QUERIES58 | QUERIES57 | QUERIES56 | QUERIES55 | QUERIES54 | QUERIES53 | QUERIES52 | QUERIES51 | QUERIES50 | QUERIES49 | QUERIES48 | QUERIES47 | QUERIES46 | QUERIES45 | QUERIES44 | QUERIES43 | QUERIES42 | QUERIES41 | QUERIES40 | QUERIES39 | QUERIES38 | QUERIES37 | QUERIES36 | QUERIES35 | QUERIES34 | QUERIES33 | QUERIES32 | QUERIES31 | QUERIES30 | QUERIES29 | QUERIES28 | QUERIES27 | QUERIES26 | QUERIES25 | QUERIES24 | QUERIES23 | QUERIES22 | QUERIES21 | QUERIES20 | QUERIES19 | QUERIES18 | QUERIES17 | QUERIES16 | QUERIES15 | QUERIES14 | QUERIES13 | QUERIES12 | QUERIES11 | QUERIES10 | QUERIES9 | QUERIES8 | QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
+    return (QUERIES93 | QUERIES92 | QUERIES91 | QUERIES90 | QUERIES89 | QUERIES88 | QUERIES87 | QUERIES86 | QUERIES85 | QUERIES84 | QUERIES83 | QUERIES82 | QUERIES81 | QUERIES80 | QUERIES79 | QUERIES78 | QUERIES77 | QUERIES76 | QUERIES75 | QUERIES74 | QUERIES73 | QUERIES72 | QUERIES71 | QUERIES70 | QUERIES69 | QUERIES68 | QUERIES67 | QUERIES66 | QUERIES65 | QUERIES64 | QUERIES63 | QUERIES62 | QUERIES61 | QUERIES60 | QUERIES59 | QUERIES58 | QUERIES57 | QUERIES56 | QUERIES55 | QUERIES54 | QUERIES53 | QUERIES52 | QUERIES51 | QUERIES50 | QUERIES49 | QUERIES48 | QUERIES47 | QUERIES46 | QUERIES45 | QUERIES44 | QUERIES43 | QUERIES42 | QUERIES41 | QUERIES40 | QUERIES39 | QUERIES38 | QUERIES37 | QUERIES36 | QUERIES35 | QUERIES34 | QUERIES33 | QUERIES32 | QUERIES31 | QUERIES30 | QUERIES29 | QUERIES28 | QUERIES27 | QUERIES26 | QUERIES25 | QUERIES24 | QUERIES23 | QUERIES22 | QUERIES21 | QUERIES20 | QUERIES19 | QUERIES18 | QUERIES17 | QUERIES16 | QUERIES15 | QUERIES14 | QUERIES13 | QUERIES12 | QUERIES11 | QUERIES10 | QUERIES9 | QUERIES8 | QUERIES7 | QUERIES6 | QUERIES5 | QUERIES4 | QUERIES3
             | QUERIES2 | {
         "interval_quantity": q_interval_quantity,
         "interval_discount": q_interval_discount,
@@ -4917,8 +4918,9 @@ def oracle_sql() -> Dict[str, str]:
     from .oracle90 import SQL90
     from .oracle91 import _sql91
     from .oracle92 import SQL92
+    from .oracle93 import _sql93
 
-    return (SQL92 | _sql91() | SQL90 | SQL89 | SQL88 | SQL87 | SQL86 | SQL85 | SQL84 | SQL83 | SQL82 | SQL81 | _sql80() | SQL79 | SQL78 | _sql77() | SQL76 | _sql75() | SQL74 | SQL73 | SQL72 | SQL71 | _sql70() | SQL69 | SQL68 | _sql67() | SQL66 | _sql65() | SQL64 | SQL63 | _sql62() | _sql61() | SQL60 | _sql59() | SQL58 | _sql57() | SQL56 | SQL55 | _sql54() | SQL53 | SQL52 | SQL51 | _sql50() | SQL49 | SQL48 | SQL47 | SQL46 | SQL45 | SQL44 | SQL43 | SQL42 | SQL41 | SQL40 | SQL39 | SQL38 | SQL37 | SQL36 | SQL35 | SQL34 | SQL33 | SQL32 | SQL31 | SQL30 | SQL29 | SQL28 | SQL27 | SQL26 | SQL25 | SQL24 | SQL23 | SQL22 | SQL21 | SQL20 | SQL19 | SQL18 | SQL17 | SQL16 | SQL15 | SQL14 | SQL13 | SQL12 | SQL11 | SQL10 | SQL9 | SQL8 | SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
+    return (_sql93() | SQL92 | _sql91() | SQL90 | SQL89 | SQL88 | SQL87 | SQL86 | SQL85 | SQL84 | SQL83 | SQL82 | SQL81 | _sql80() | SQL79 | SQL78 | _sql77() | SQL76 | _sql75() | SQL74 | SQL73 | SQL72 | SQL71 | _sql70() | SQL69 | SQL68 | _sql67() | SQL66 | _sql65() | SQL64 | SQL63 | _sql62() | _sql61() | SQL60 | _sql59() | SQL58 | _sql57() | SQL56 | SQL55 | _sql54() | SQL53 | SQL52 | SQL51 | _sql50() | SQL49 | SQL48 | SQL47 | SQL46 | SQL45 | SQL44 | SQL43 | SQL42 | SQL41 | SQL40 | SQL39 | SQL38 | SQL37 | SQL36 | SQL35 | SQL34 | SQL33 | SQL32 | SQL31 | SQL30 | SQL29 | SQL28 | SQL27 | SQL26 | SQL25 | SQL24 | SQL23 | SQL22 | SQL21 | SQL20 | SQL19 | SQL18 | SQL17 | SQL16 | SQL15 | SQL14 | SQL13 | SQL12 | SQL11 | SQL10 | SQL9 | SQL8 | SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,

@@ -33,7 +33,7 @@ __all__ = ["embedding_matrix", "topk_cosine", "hard_negatives",
            "matryoshka_recall", "knn_label_purity",
            "twonn_intrinsic_dim", "geometric_median_labels",
            "kcenter_greedy", "hotelling_t2", "davies_bouldin_labels",
-           "hubness"]
+           "hubness", "effective_rank"]
 
 
 def _pa_ids(arr: np.ndarray):
@@ -1570,3 +1570,54 @@ def hubness(ds, *, id_col: str, vec_col: str, k: int = 5,
 
     return pairs.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None)
+
+
+def effective_rank(ds, *, vec_col: str):
+    """Effective rank of the embedding cloud (Roy & Vetterli 2007):
+    erank = exp(H(lambda)) over the normalized covariance eigenvalue
+    spectrum -- "how many dimensions actually carry variance", the
+    single number behind truncation and whitening budgets (compare
+    with TwoNN's intrinsic dimension: erank is the LINEAR version).
+
+    Uses the same mergeable (n, sum, sum-outer-product) sketch as the
+    PCA stage, one d x d eigendecomposition on the driver; rows-only
+    by contract (eig).  Output one row (n int64, dim int64, erank
+    round-6, top1_share round-6).
+    """
+    import ray
+
+    base = ds.select_columns([vec_col])
+
+    def partials(t: pa.Table) -> pa.Table:
+        mat = _batch_matrix(t, vec_col).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(mat)], pa.int64()),
+            "s": pa.array([list(mat.sum(axis=0))],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([list((mat.T @ mat).ravel())],
+                           pa.list_(pa.float64())),
+        })
+
+    rows = base.map_batches(partials, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in rows)
+    schema = pa.schema([("n", pa.int64()), ("dim", pa.int64()),
+                        ("erank", pa.float64()),
+                        ("top1_share", pa.float64())])
+    if n < 2:
+        return ray.data.from_arrow(schema.empty_table())
+    s = sum(np.asarray(r["s"], dtype=np.float64) for r in rows)
+    ss = sum(np.asarray(r["ss"], dtype=np.float64) for r in rows)
+    d = len(s)
+    cov = (ss.reshape(d, d) - np.outer(s, s) / n) / (n - 1)
+    lam = np.linalg.eigvalsh(cov)
+    lam = lam[lam > 0]
+    p = lam / lam.sum()
+    erank = float(np.exp(-(p * np.log(p)).sum()))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "dim": pa.array([d], pa.int64()),
+        "erank": pa.array([round(erank, 6)], pa.float64()),
+        "top1_share": pa.array([round(float(p.max()), 6)],
+                               pa.float64()),
+    }))

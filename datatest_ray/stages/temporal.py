@@ -46,7 +46,7 @@ __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "above_median_streak", "variogram_daily",
            "extremal_index_daily", "intermittency_classes",
            "spectral_entropy_daily", "records_daily",
-           "time_reversibility_daily"]
+           "time_reversibility_daily", "capacity_profile_daily"]
 
 
 def acf_daily(ds, ts_col: str, *, by: str, max_lag: int = 3,
@@ -3272,6 +3272,42 @@ def time_reversibility_daily(ds, ts_col: str, *, by: str):
             by: pa.array([key]),
             "n_days": pa.array([n], pa.int64()),
             "trev": pa.array([trev], pa.float64()),
+        })
+
+    return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
+        kernel, batch_format="pyarrow")
+
+
+def capacity_profile_daily(ds, ts_col: str, *, by: str):
+    """Capacity-planning profile of the daily count series per group:
+    mean, exact p95 (inverted CDF), max, the peak-to-average ratio
+    max/mean, and the p95-to-mean ratio -- the numbers that size a
+    fixed fleet (PAR >> 1 argues for burst capacity, p95/mean is what
+    autoscaling actually tracks).  Exact integer order statistics;
+    the two ratios are single divisions of exact quantities.
+
+    Output: (by, n_days, mean round-6, p95 int64, max int64, par
+    round-6, p95_ratio round-6).
+    """
+    def kernel(t: pa.Table) -> pa.Table:
+        key = t.column(by)[0].as_py()
+        x = np.sort(t.column("n").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        n = len(x)
+        s1 = int(x.sum())
+        mean = s1 / n
+        r = max(1, (n * 95 + 99) // 100)
+        p95 = int(x[r - 1])
+        mx = int(x[-1])
+        return pa.table({
+            by: pa.array([key]),
+            "n_days": pa.array([n], pa.int64()),
+            "mean": pa.array([round(mean, 6)], pa.float64()),
+            "p95": pa.array([p95], pa.int64()),
+            "max": pa.array([mx], pa.int64()),
+            "par": pa.array([round(mx / mean, 6)], pa.float64()),
+            "p95_ratio": pa.array([round(p95 / mean, 6)],
+                                  pa.float64()),
         })
 
     return _daily_counts(ds, ts_col, by).groupby(by).map_groups(
