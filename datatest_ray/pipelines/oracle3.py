@@ -604,12 +604,63 @@ FROM w JOIN s ON s.event_type = w.event_type AND s.dow = w.dow
 
 
 def q_periodogram_events(sf_dir: str):
-    # FFT periodogram -> not SQL-expressible -> rows-only; planted-cycle
-    # recovery pinned in tests
+    """Dominant-period detection per event type.  Oracle-paired: the
+    small-N rfft unrolls into an explicit cos/sin cross-join DFT
+    (SQL_PERIODOGRAM_EVENTS); planted-cycle recovery additionally
+    pinned in tests (stages/drift.py :: periodogram_daily)."""
     from ..stages.drift import periodogram_daily
 
     ev = _read(sf_dir, "events", ["ts", "event_type"])
     return _materialize(periodogram_daily(ev, "ts", by="event_type"))
+
+
+# Explicit-DFT mirror of periodogram_daily: the day grid is laid out
+# lo..hi (gaps = 0), each rfft bin k=1..m/2 is one (cos, sin) pair of
+# cross-join sums, dominant bin = max power among periods in [2, 14]
+# (ties -> smallest k, matching np.argmax's first-hit rule).
+SQL_PERIODOGRAM_EVENTS = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS g, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+ext AS MATERIALIZED (
+  SELECT g, min(day) AS lo, CAST(max(day) - min(day) + 1 AS BIGINT) AS m
+  FROM daily GROUP BY g),
+grid AS MATERIALIZED (
+  SELECT e.g, CAST(unnest(range(e.m)) AS BIGINT) AS j, e.m, e.lo
+  FROM ext e),
+x AS MATERIALIZED (
+  SELECT gp.g, gp.j, gp.m, COALESCE(d.n, 0.0) AS n,
+         avg(COALESCE(d.n, 0.0)) OVER (PARTITION BY gp.g) AS mu
+  FROM grid gp LEFT JOIN daily d ON d.g = gp.g AND d.day = gp.lo + gp.j),
+freq AS MATERIALIZED (
+  SELECT g, m,
+         CAST(unnest(range(1, CAST(m//2 AS BIGINT) + 1)) AS BIGINT) AS k
+  FROM ext),
+co AS MATERIALIZED (
+  SELECT f.g, f.k, f.m,
+         sum((i.n - i.mu) * cos(2*pi()*i.j*f.k/f.m)) AS c,
+         sum((i.n - i.mu) * sin(2*pi()*i.j*f.k/f.m)) AS s
+  FROM freq f JOIN x i ON i.g = f.g GROUP BY 1, 2, 3),
+spec AS MATERIALIZED (
+  SELECT g, k, m, c*c + s*s AS p,
+         CAST(m AS DOUBLE)/k AS period FROM co),
+tot AS MATERIALIZED (SELECT g, sum(p) AS tot FROM spec GROUP BY g),
+best AS MATERIALIZED (
+  SELECT g, k, period, p,
+         row_number() OVER (PARTITION BY g ORDER BY p DESC, k ASC) AS r
+  FROM spec WHERE period >= 2 AND period <= 14)
+SELECT e.g AS event_type, e.m AS n_days,
+       CASE WHEN e.m >= 4 AND t.tot > 0
+            THEN round(b.period, 3) END AS dominant_period_days,
+       CASE WHEN e.m >= 4 AND t.tot > 0
+            THEN round(b.p / t.tot, 6) END AS peak_power_share
+FROM ext e
+LEFT JOIN tot t ON t.g = e.g
+LEFT JOIN best b ON b.g = e.g AND b.r = 1
+ORDER BY e.g
+"""
 
 
 def q_qq_price_drift(sf_dir: str):
@@ -797,6 +848,7 @@ SQL3: Dict[str, str] = {
     "setop_union_status": SQL_SETOP_UNION_STATUS,
     "pivot_value_sums": SQL_PIVOT_VALUE_SUMS,
     "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY_EVENTS,
+    "periodogram_events": SQL_PERIODOGRAM_EVENTS,
     "qq_price_drift": SQL_QQ_PRICE_DRIFT,
     # periodogram_events / pca_embeddings: FFT/eig, rows-only
     # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:

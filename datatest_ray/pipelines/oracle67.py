@@ -57,9 +57,10 @@ FROM q GROUP BY 1, 2, 3
 
 
 def q_geometric_median_labels(sf_dir: str):
-    """rows-only by design (Weiszfeld is iterative): per-label robust
-    centroid vs mean-centroid displacement; brute-force parity pinned
-    in tests/test_batch67.py
+    """Per-label robust centroid vs mean-centroid displacement.
+    Oracle-paired: the fixed 8 Weiszfeld iterations unroll into an
+    8-stage CTE chain (SQL_GEOMETRIC_MEDIAN_LABELS); brute-force
+    parity additionally pinned in tests/test_batch67.py
     (stages/similarity.py :: geometric_median_labels)."""
     from ..stages.similarity import geometric_median_labels
 
@@ -87,7 +88,56 @@ QUERIES67: Dict[str, Callable] = {
 }
 
 
+def _geometric_median_sql(n_iter: int = 8) -> str:
+    """Unrolled-Weiszfeld DuckDB mirror of ``geometric_median_labels``:
+    each of the fixed ``n_iter`` iterations is one (distance, update)
+    CTE pair over the unnested (vec_id, label, dim, x) point grid —
+    the same technique the pagerank/kmeans oracles use for bounded
+    iteration counts."""
+    ctes = [
+        """pts AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE label IS NOT NULL)""",
+        """est0 AS (
+  SELECT label, dim, sum(x)/count(*) AS c FROM pts GROUP BY 1, 2)""",
+    ]
+    prev = "est0"
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""d{k} AS (
+  SELECT p.vec_id, p.label,
+         greatest(sqrt(sum((p.x - e.c)*(p.x - e.c))), 1e-12) AS dist
+  FROM pts p JOIN {prev} e ON p.label = e.label AND p.dim = e.dim
+  GROUP BY 1, 2)""")
+        ctes.append(f"""est{k} AS (
+  SELECT p.label, p.dim, sum(p.x/d.dist)/sum(1.0/d.dist) AS c
+  FROM pts p JOIN d{k} d ON p.vec_id = d.vec_id AND p.label = d.label
+  GROUP BY 1, 2)""")
+        prev = f"est{k}"
+    ctes.append(f"""dfin AS (
+  SELECT p.vec_id, p.label, sqrt(sum((p.x - e.c)*(p.x - e.c))) AS dist
+  FROM pts p JOIN {prev} e ON p.label = e.label AND p.dim = e.dim
+  GROUP BY 1, 2)""")
+    ctes.append("""md AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n,
+         sum(dist)/count(*) AS mean_dist FROM dfin GROUP BY 1)""")
+    ctes.append(f"""sh AS (
+  SELECT e.label, sqrt(sum((e.c - m.c)*(e.c - m.c))) AS s
+  FROM {prev} e JOIN est0 m ON e.label = m.label AND e.dim = m.dim
+  GROUP BY 1)""")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT m.label, m.n,
+       CASE WHEN m.mean_dist > 0
+            THEN round(s.s/m.mean_dist, 6) END AS shift,
+       round(m.mean_dist, 6) AS mean_dist
+FROM md m JOIN sh s ON m.label = s.label ORDER BY m.label"""
+
+
+SQL_GEOMETRIC_MEDIAN_LABELS = _geometric_median_sql(8)
+
+
 def _sql67() -> Dict[str, str]:
     return {
         "rfm_segments_users": SQL_RFM_SEGMENTS_USERS,
+        "geometric_median_labels": SQL_GEOMETRIC_MEDIAN_LABELS,
     }
