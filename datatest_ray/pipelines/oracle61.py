@@ -105,15 +105,67 @@ FROM w, tot
 
 
 def q_hurst_events(sf_dir: str):
-    """rows-only by design (the multi-scale R/S windowing has no
-    tractable SQL mirror): Hurst exponent per event type over daily
-    counts; R/S parity vs a brute-force numpy reference is pinned in
+    """Hurst exponent per event type over daily counts.
+    Oracle-paired: the fixed window sizes (8/16/32) make the R/S
+    windowing a window-function grid (SQL_HURST_EVENTS — cumulative
+    mean-deviation range per non-overlapping window via running sums);
+    R/S parity vs brute-force numpy additionally pinned in
     tests/test_batch61.py (stages/temporal.py :: hurst_rs_daily)."""
     from ..stages.temporal import hurst_rs_daily
 
     return _materialize(hurst_rs_daily(
         _read(sf_dir, "events", ["event_type", "ts"]),
         "ts", by="event_type"))
+
+
+SQL_HURST_EVENTS = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type AS g, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+idx AS MATERIALIZED (
+  SELECT g, n AS x,
+         row_number() OVER (PARTITION BY g ORDER BY day) - 1 AS j,
+         count(*) OVER (PARTITION BY g) AS nn
+  FROM daily),
+win AS MATERIALIZED (
+  SELECT i.g, w.w, i.j, i.x, i.j // w.w AS wi,
+         row_number() OVER (PARTITION BY i.g, w.w, i.j // w.w
+                            ORDER BY i.j) AS pos,
+         sum(i.x) OVER (PARTITION BY i.g, w.w, i.j // w.w
+                        ORDER BY i.j ROWS UNBOUNDED PRECEDING) AS cs
+  FROM idx i, (SELECT unnest([8, 16, 32]) AS w) w
+  WHERE i.j < (i.nn // w.w) * w.w),
+wstat AS MATERIALIZED (
+  SELECT g, w, wi, avg(x) AS mu,
+         sqrt(avg(x*x) - avg(x)*avg(x)) AS sd
+  FROM win GROUP BY 1, 2, 3),
+dev AS MATERIALIZED (
+  SELECT wn.g, wn.w, wn.wi,
+         max(wn.cs - wn.pos * ws.mu) - min(wn.cs - wn.pos * ws.mu) AS rng,
+         any_value(ws.sd) AS sd
+  FROM win wn JOIN wstat ws
+    ON ws.g = wn.g AND ws.w = wn.w AND ws.wi = wn.wi
+  GROUP BY 1, 2, 3),
+rsw AS MATERIALIZED (
+  SELECT g, w, avg(rng/sd) AS rs
+  FROM dev WHERE sd > 0 GROUP BY 1, 2),
+ptsr AS MATERIALIZED (
+  SELECT g, ln(CAST(w AS DOUBLE)) AS lx, ln(rs) AS ly
+  FROM rsw WHERE rs > 0),
+ols AS (
+  SELECT g, count(*) AS np,
+         sum(lx*ly) - sum(lx)*sum(ly)/count(*) AS sxy,
+         sum(lx*lx) - sum(lx)*sum(lx)/count(*) AS sxx
+  FROM ptsr GROUP BY g),
+nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY g)
+SELECT nd.g AS event_type, nd.n_days,
+       CASE WHEN o.np >= 2 AND o.sxx > 0
+            THEN round(o.sxy/o.sxx, 6) END AS hurst
+FROM nd LEFT JOIN ols o ON o.g = nd.g
+ORDER BY nd.g
+"""
 
 
 QUERIES61: Dict[str, Callable] = {
@@ -127,4 +179,5 @@ def _sql61() -> Dict[str, str]:
     return {
         "gk_lambda_orders": SQL_GK_LAMBDA_ORDERS,
         "gains_deciles_events": SQL_GAINS_DECILES_EVENTS,
+        "hurst_events": SQL_HURST_EVENTS,
     }

@@ -199,7 +199,10 @@ def q_winnow_docs(sf_dir: str):
     def mutate(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id")
         sel = t.filter(pc.equal(pc.bit_wise_and(ids, 7), 0))
-        pre = pa.array(["COPIED PREAMBLE "] * sel.num_rows)
+        # typed explicitly: an empty batch (more read splits at higher
+        # CPU counts) would otherwise make this null-typed and crash
+        # binary_join_element_wise
+        pre = pa.array(["COPIED PREAMBLE "] * sel.num_rows, pa.string())
         return pa.table({
             "doc_id": pc.add(sel.column("doc_id"), 1_000_000),
             "text": pc.binary_join_element_wise(pre, sel.column("text"),
