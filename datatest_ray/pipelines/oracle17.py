@@ -479,9 +479,11 @@ def q_mmr_select_embeddings(sf_dir: str):
     """Top-10 diversity-aware exemplars via maximal marginal relevance
     (λ=0.7, query = corpus centroid) — the training-data curation
     primitive for picking representative-but-diverse samples.
-    Iterative greedy selection is not SQL-expressible (each pick
-    depends on the previous set), so this is rows-only; correctness is
-    pinned by a brute-force unit test in test_batch17.py."""
+    Oracle-paired: the fixed 10 greedy rounds unroll into
+    MATERIALIZED CTE blocks, each round one (redundancy-max, score,
+    argmax-pick) step over the unnested normalized vectors
+    (SQL_MMR_SELECT_EMBEDDINGS); brute-force parity additionally
+    pinned in test_batch17.py."""
     from ..stages.robust import mmr_select
 
     return mmr_select(
@@ -499,7 +501,73 @@ QUERIES17: Dict[str, Callable] = {
     "mmr_select_embeddings": q_mmr_select_embeddings,
 }
 
+def _mmr_select_sql(k: int = 10, lam: float = 0.7) -> str:
+    """Unrolled-greedy MMR mirror: normalized vectors and the centroid
+    query are plain SQL; each of the fixed ``k`` rounds computes the
+    max-dot redundancy against the selected set, scores, and picks the
+    argmax (score DESC, id ASC — numpy's exact-tie min-id rule)."""
+    ctes = ["""nrm AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings)""",
+        """nn AS MATERIALIZED (
+  SELECT vec_id, CASE WHEN sqrt(sum(x*x)) = 0 THEN 1.0
+                      ELSE sqrt(sum(x*x)) END AS nv
+  FROM nrm GROUP BY 1)""",
+        """pts AS MATERIALIZED (
+  SELECT n.vec_id AS id, n.dim, n.x / nn.nv AS xn
+  FROM nrm n JOIN nn ON nn.vec_id = n.vec_id)""",
+        """qraw AS MATERIALIZED (
+  SELECT dim, sum(xn)/(SELECT count(*) FROM nn) AS v
+  FROM pts GROUP BY 1)""",
+        """qv AS MATERIALIZED (
+  SELECT dim, v / (CASE WHEN (SELECT sqrt(sum(v*v)) FROM qraw) = 0
+                        THEN 1.0
+                        ELSE (SELECT sqrt(sum(v*v)) FROM qraw) END) AS q
+  FROM qraw)""",
+        """rel AS MATERIALIZED (
+  SELECT p.id, sum(p.xn * q.q) AS rel
+  FROM pts p JOIN qv q ON q.dim = p.dim GROUP BY 1)"""]
+    for r in range(1, k + 1):
+        if r == 1:
+            ctes.append(f"""score_1 AS MATERIALIZED (
+  SELECT id, {lam} * rel AS score FROM rel)""")
+            ctes.append(f"""pick_1 AS MATERIALIZED (
+  SELECT 1 AS rank, id, score FROM score_1
+  ORDER BY score DESC, id ASC LIMIT 1)""")
+            ctes.append(
+                "sel_1 AS MATERIALIZED (SELECT rank, id, score FROM pick_1)")
+        else:
+            p = r - 1
+            ctes += [
+                f"""red_{r} AS MATERIALIZED (
+  SELECT dp.id, max(dp.d) AS red FROM
+    (SELECT p2.id, s.id AS sid, sum(p2.xn * ps.xn) AS d
+     FROM pts p2 JOIN sel_{p} s ON true
+     JOIN pts ps ON ps.id = s.id AND ps.dim = p2.dim
+     GROUP BY 1, 2) dp
+  GROUP BY 1)""",
+                f"""score_{r} AS MATERIALIZED (
+  SELECT r.id, {lam} * r.rel - {round(1 - lam, 12)} * d.red AS score
+  FROM rel r JOIN red_{r} d ON d.id = r.id
+  WHERE r.id NOT IN (SELECT id FROM sel_{p}))""",
+                f"""pick_{r} AS MATERIALIZED (
+  SELECT {r} AS rank, id, score FROM score_{r}
+  ORDER BY score DESC, id ASC LIMIT 1)""",
+                f"""sel_{r} AS MATERIALIZED (
+  SELECT * FROM sel_{p} UNION ALL SELECT * FROM pick_{r})""",
+            ]
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(rank AS BIGINT) AS rank, id AS vec_id,
+       round(score, 6) AS score
+FROM sel_{k} ORDER BY rank"""
+
+
+SQL_MMR_SELECT_EMBEDDINGS = _mmr_select_sql(10, 0.7)
+
+
 SQL17: Dict[str, str] = {
+    "mmr_select_embeddings": SQL_MMR_SELECT_EMBEDDINGS,
     "fisher_exact_orders": SQL_FISHER_EXACT_ORDERS,
     "mcnemar_users": SQL_MCNEMAR_USERS,
     "cohens_kappa_orders": SQL_COHENS_KAPPA_ORDERS,

@@ -87,7 +87,10 @@ FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n
 def q_kcore_user_days(sf_dir: str):
     """24-core of the bipartite user-day activity graph (day nodes
     encoded negative); the engagement core that survives mutual
-    peeling (stages/graph.py :: k_core).  Iterative — rows-only."""
+    peeling (stages/graph.py :: k_core).  Oracle-paired: peeling is
+    monotone and idempotent at the fixed point, so unrolling the
+    engine's max_iters=64 rounds in SQL (SQL_KCORE_USER_DAYS) is
+    exact — extra rounds past convergence are no-ops."""
     from ray.data.aggregate import Count
 
     from ..stages.graph import k_core
@@ -112,6 +115,34 @@ def q_kcore_user_days(sf_dir: str):
     return _materialize(k_core(e, src_col="u", dst_col="v", k=24))
 
 
+def _kcore_sql(k: int = 24, rounds: int = 64) -> str:
+    """Unrolled k-core peeling mirror: each round keeps nodes of
+    degree >= k and re-filters the symmetric edge list to surviving
+    endpoints.  ``rounds`` matches the engine's max_iters bound; once
+    the core stabilizes the remaining rounds change nothing."""
+    ctes = ["""e0d AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u,
+         -CAST(floor(epoch(ts)/86400) AS BIGINT) - 1 AS v
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)""",
+        """e_0 AS MATERIALIZED (
+  SELECT u, v FROM e0d UNION ALL SELECT v AS u, u AS v FROM e0d)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += [
+            f"""a_{i} AS MATERIALIZED (
+  SELECT u FROM e_{p} GROUP BY u HAVING count(*) >= {k})""",
+            f"""e_{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e_{p} e
+  JOIN a_{i} x ON x.u = e.u JOIN a_{i} y ON y.u = e.v)""",
+        ]
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e_{rounds} GROUP BY u ORDER BY node"""
+
+
+SQL_KCORE_USER_DAYS = _kcore_sql(24, 64)
+
+
 QUERIES45: Dict[str, Callable] = {
     "capped_balance_users": q_capped_balance_users,
     "kcore_user_days": q_kcore_user_days,
@@ -119,4 +150,5 @@ QUERIES45: Dict[str, Callable] = {
 
 SQL45: Dict[str, str] = {
     "capped_balance_users": SQL_CAPPED_BALANCE_USERS,
+    "kcore_user_days": SQL_KCORE_USER_DAYS,
 }

@@ -157,12 +157,14 @@ FROM agg
 
 
 def q_isotonic_purchase(sf_dir: str):
-    """rows-only by design (PAVA's cascaded pooling is not
-    SQL-expressible without recursion): isotonic calibration of the
-    purchase rate against the value score over 10 equal-width bins;
-    PAVA parity vs a brute-force reference is pinned in
-    tests/test_batch59.py (stages/mlprep.py :: isotonic_calibration).
-    """
+    """Isotonic calibration of the purchase rate against the value
+    score over 10 equal-width bins.  Oracle-paired: over the tiny bin
+    aggregate, PAVA's L2 projection equals the minimax closed form
+    iso_i = max_{j<=i} min_{l>=i} avg(pos/n over bins j..l)
+    (SQL_ISOTONIC_PURCHASE) — both sides divide the SAME pooled
+    integer sums, so the match is bit-exact.  PAVA parity vs a
+    brute-force reference additionally pinned in tests/test_batch59.py
+    (stages/mlprep.py :: isotonic_calibration)."""
     from ..stages.mlprep import isotonic_calibration
 
     ev = _read(sf_dir, "events", ["event_type", "value"])
@@ -181,9 +183,45 @@ QUERIES59: Dict[str, Callable] = {
 }
 
 
+SQL_ISOTONIC_PURCHASE = """
+WITH base AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+b AS MATERIALIZED (SELECT min(s) AS lo, max(s) AS hi FROM base),
+bins AS MATERIALIZED (
+  SELECT least(CAST(floor((s - b.lo)/((b.hi - b.lo)/10.0)) AS BIGINT), 9)
+           AS bin, y
+  FROM base, b WHERE b.hi > b.lo),
+agg AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+  FROM bins GROUP BY 1),
+ord_ AS MATERIALIZED (
+  SELECT bin, n, pos,
+         row_number() OVER (ORDER BY bin) AS i,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(pos) OVER (ORDER BY bin) AS cp
+  FROM agg),
+seg AS MATERIALIZED (
+  SELECT j.i AS j, l.i AS l,
+         (l.cp - j.cp + j.pos) AS p, (l.cn - j.cn + j.n) AS nn
+  FROM ord_ j JOIN ord_ l ON l.i >= j.i),
+mn AS MATERIALIZED (
+  SELECT s.j, i.i AS i, min(s.p * 1.0 / s.nn) AS m
+  FROM seg s JOIN ord_ i ON s.l >= i.i AND s.j <= i.i
+  GROUP BY 1, 2),
+iso AS MATERIALIZED (SELECT i, max(m) AS iso FROM mn GROUP BY 1)
+SELECT o.bin, o.n, o.pos,
+       round(o.pos * 1.0 / o.n, 6) AS raw_rate,
+       round(iso.iso, 6) AS iso_rate
+FROM ord_ o JOIN iso ON iso.i = o.i ORDER BY o.bin
+"""
+
+
 def _sql59() -> Dict[str, str]:
     return {
         "seasonal_mk_events": SQL_SEASONAL_MK_EVENTS,
         "turning_points_events": SQL_TURNING_POINTS_EVENTS,
         "bartels_events": SQL_BARTELS_EVENTS,
+        "isotonic_purchase": SQL_ISOTONIC_PURCHASE,
     }

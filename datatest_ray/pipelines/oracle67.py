@@ -70,10 +70,11 @@ def q_geometric_median_labels(sf_dir: str):
 
 
 def q_kcenter_embeddings(sf_dir: str):
-    """rows-only by design (greedy k-center is iterative): the 8-point
-    farthest-first coreset of the embedding cloud; brute-force parity
-    pinned in tests/test_batch67.py
-    (stages/similarity.py :: kcenter_greedy)."""
+    """The 8-point farthest-first (Gonzalez) coreset of the embedding
+    cloud.  Oracle-paired: the fixed 8 greedy rounds unroll into
+    (distance-grid, min, argmax-pick) MATERIALIZED CTE blocks
+    (SQL_KCENTER_EMBEDDINGS); brute-force parity additionally pinned
+    in tests/test_batch67.py (stages/similarity.py :: kcenter_greedy)."""
     from ..stages.similarity import kcenter_greedy
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -136,8 +137,51 @@ FROM md m JOIN sh s ON m.label = s.label ORDER BY m.label"""
 SQL_GEOMETRIC_MEDIAN_LABELS = _geometric_median_sql(8)
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center mirror: round r computes every point's
+    distance to each already-chosen center over the unnested (id, dim)
+    grid, takes the min per point, and picks the farthest (ties to the
+    smaller id, matching the engine's lexsort rule)."""
+    ctes = ["""pts AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id IS NOT NULL)""",
+        """sel_1 AS MATERIALIZED (
+  SELECT 0 AS round, min(vec_id) AS id, 0.0 AS dist FROM embeddings
+  WHERE vec_id IS NOT NULL)""",
+        "ch_1 AS MATERIALIZED (SELECT id FROM sel_1)"]
+    for r in range(2, k + 1):
+        p = r - 1
+        ctes += [
+            f"""dist_{r} AS MATERIALIZED (
+  SELECT p.vec_id AS pid, cp.vec_id AS cid,
+         sqrt(sum((p.x - cp.x)*(p.x - cp.x))) AS d
+  FROM pts p
+  JOIN pts cp ON cp.dim = p.dim
+  JOIN ch_{p} ct ON ct.id = cp.vec_id
+  GROUP BY 1, 2)""",
+            f"""dmin_{r} AS MATERIALIZED (
+  SELECT pid, min(d) AS dmin FROM dist_{r} GROUP BY 1)""",
+            f"""pick_{r} AS MATERIALIZED (
+  SELECT {r - 1} AS round, pid AS id, dmin AS dist
+  FROM dmin_{r} ORDER BY dmin DESC, pid ASC LIMIT 1)""",
+            f"""sel_{r} AS MATERIALIZED (
+  SELECT * FROM sel_{p} UNION ALL SELECT * FROM pick_{r})""",
+            f"""ch_{r} AS MATERIALIZED (
+  SELECT id FROM ch_{p} UNION ALL SELECT id FROM pick_{r})""",
+        ]
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(round AS BIGINT) AS round, id AS vec_id,
+       round(dist, 6) AS dist
+FROM sel_{k} ORDER BY round"""
+
+
+SQL_KCENTER_EMBEDDINGS = _kcenter_sql(8)
+
+
 def _sql67() -> Dict[str, str]:
     return {
         "rfm_segments_users": SQL_RFM_SEGMENTS_USERS,
         "geometric_median_labels": SQL_GEOMETRIC_MEDIAN_LABELS,
+        "kcenter_embeddings": SQL_KCENTER_EMBEDDINGS,
     }
