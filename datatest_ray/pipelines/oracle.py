@@ -1432,9 +1432,16 @@ WHERE (l_quantity < 1 OR l_quantity > 30)
 
 
 def q_order_region(sf_dir: str):
-    """Order-sensitive sequence check (B10; bounded data by design —
-    difflib alignment is not SQL-expressible, so rows-only contract):
-    region names ordered by r_regionkey vs the expected sequence."""
+    """Order-sensitive sequence check (B10; bounded data by design):
+    region names ordered by r_regionkey vs the expected sequence.
+    Oracle-paired with a set-difference mirror (SQL_ORDER_REGION):
+    when the common elements appear in consistent order and each name
+    is unique — true of the region table at every SF — difflib's
+    alignment reduces exactly to (required EXCEPT data) = missing and
+    (data EXCEPT required) = extra with their source positions.  The
+    general transposition case (where difflib pairs a move as
+    missing+extra at alignment-dependent positions) stays covered by
+    unit tests on OrderCheck itself."""
     from ..stages.base import RunContext
     from ..stages.order import OrderCheck
 
@@ -1448,6 +1455,23 @@ def q_order_region(sf_dir: str):
         ds, RunContext()
     )
     return _materialize(v).select(["kind", "value", "value_num"])
+
+
+SQL_ORDER_REGION = """
+WITH req AS (
+  SELECT * FROM (VALUES ('AFRICA', 0), ('ANTARCTICA', 1),
+                        ('AMERICA', 2), ('ASIA', 3), ('EUROPE', 4))
+    r(name, pos)),
+dat AS (
+  SELECT r_name AS name,
+         row_number() OVER (ORDER BY r_regionkey) - 1 AS pos
+  FROM region)
+SELECT 'missing' AS kind, r.name AS value, CAST(r.pos AS DOUBLE) AS value_num
+FROM req r LEFT JOIN dat d ON d.name = r.name WHERE d.name IS NULL
+UNION ALL
+SELECT 'extra' AS kind, d.name AS value, CAST(d.pos AS DOUBLE) AS value_num
+FROM dat d LEFT JOIN req r ON r.name = d.name WHERE r.name IS NULL
+"""
 
 
 def q_sim_ivf_topk(sf_dir: str):
@@ -4921,6 +4945,7 @@ def oracle_sql() -> Dict[str, str]:
     from .oracle93 import _sql93
 
     return (_sql93() | SQL92 | _sql91() | SQL90 | SQL89 | SQL88 | SQL87 | SQL86 | SQL85 | SQL84 | SQL83 | SQL82 | SQL81 | _sql80() | SQL79 | SQL78 | _sql77() | SQL76 | _sql75() | SQL74 | SQL73 | SQL72 | SQL71 | _sql70() | SQL69 | SQL68 | _sql67() | SQL66 | _sql65() | SQL64 | SQL63 | _sql62() | _sql61() | SQL60 | _sql59() | SQL58 | _sql57() | SQL56 | SQL55 | _sql54() | SQL53 | SQL52 | SQL51 | _sql50() | SQL49 | SQL48 | SQL47 | SQL46 | SQL45 | SQL44 | SQL43 | SQL42 | SQL41 | SQL40 | SQL39 | SQL38 | SQL37 | SQL36 | SQL35 | SQL34 | SQL33 | SQL32 | SQL31 | SQL30 | SQL29 | SQL28 | SQL27 | SQL26 | SQL25 | SQL24 | SQL23 | SQL22 | SQL21 | SQL20 | SQL19 | SQL18 | SQL17 | SQL16 | SQL15 | SQL14 | SQL13 | SQL12 | SQL11 | SQL10 | SQL9 | SQL8 | SQL7 | SQL6 | SQL5 | SQL4 | SQL3 | SQL2 | {
+        "order_region": SQL_ORDER_REGION,
         "interval_quantity": SQL_INTERVAL_QUANTITY,
         "interval_discount": SQL_INTERVAL_DISCOUNT,
         "regex_lang": SQL_REGEX_LANG,
