@@ -7,11 +7,11 @@ reference).  Every stage is an ACTOR-POOL ``map_batches`` callable class
 batch — with small batch sizes because the payload column is wide.
 
 The sandbox has no PIL/ffmpeg: the image path runs fully (the engine's
-pure-numpy PNG/lossy codecs from functions/png.py); the video
-frame-sampler's decode step is STUBBED behind NotImplementedError with a
-deterministic fake available for tests — the Ray-side plumbing (schema,
-batch signature, actor pool, output layout) is real and tested either
-way.
+pure-numpy PNG/lossy codecs from functions/png.py), and the video/audio
+paths decode the engine's own GVC1/GAC1 containers (functions/av.py —
+per-frame PNG video, int16-PCM audio, pure numpy) end-to-end.  Only
+real-world codec formats (mp4/wav/...) remain behind a clearly-marked
+NotImplementedError seam where a codec library would plug in.
 """
 
 from __future__ import annotations
@@ -119,10 +119,13 @@ class ImageFeatureExtractor:
 class FrameSampler:
     """Actor-pool callable for VIDEO payloads: sample ``n_frames``
     evenly-spaced frames per clip, emit one row per frame
-    (id, frame_idx, bytes).  No video codec exists in this sandbox, so
-    the real decoder is a clearly-marked stub; ``fake=True`` substitutes
-    a deterministic synthetic decoder so the plumbing (schema, explode
-    layout, actor signature) is testable."""
+    (id, frame_idx, bytes).  Payloads in the engine's own GVC1
+    container (functions/av.py — per-frame PNG, pure numpy) decode for
+    REAL end-to-end; real-world containers (mp4/h264) need a codec
+    library absent from this sandbox, so unknown magics raise a
+    clearly-marked NotImplementedError at the decoder seam.
+    ``fake=True`` substitutes a deterministic synthetic decoder for
+    plumbing-only tests."""
 
     def __init__(self, n_frames: int = 4, id_col: str = "video_id",
                  bytes_col: str = "bytes", fake: bool = False):
@@ -131,14 +134,19 @@ class FrameSampler:
         self.fake = fake
 
     def _decode_frames(self, payload: bytes) -> list:
+        from ..functions.av import GVC_MAGIC, decode_video
+
+        if payload[:4] == GVC_MAGIC:
+            return decode_video(payload)
         if self.fake:
             rng = np.random.RandomState(len(payload) % (2**31))
             total = 16
             return [rng.randint(0, 256, (8, 8)).astype(np.uint8)
                     for _ in range(total)]
         raise NotImplementedError(
-            "video decode requires a codec library not present in this "
-            "environment; plug a decoder in here (payload -> [frames])"
+            "unknown video container: only the engine's GVC1 format "
+            "decodes in-sandbox; plug a codec-library decoder in here "
+            "(payload -> [frames]) for mp4/h264/etc."
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -164,10 +172,13 @@ class FrameSampler:
 class AudioFeatureExtractor:
     """Actor-pool callable for AUDIO payloads: decode PCM and emit
     fixed-size per-clip features (duration, RMS energy per band-window).
-    No audio codec exists in this sandbox, so the real decoder is a
-    clearly-marked stub; ``fake=True`` substitutes a deterministic
-    synthetic PCM decoder so the plumbing (schema, framing arithmetic,
-    actor signature, output layout) is real and testable."""
+    Payloads in the engine's own GAC1 container (functions/av.py —
+    int16 PCM, pure numpy) decode for REAL end-to-end, using the
+    container's embedded sample rate for duration; real-world codecs
+    (wav/mp3/flac) need a library absent from this sandbox, so unknown
+    magics raise a clearly-marked NotImplementedError at the decoder
+    seam.  ``fake=True`` substitutes a deterministic synthetic PCM
+    decoder for plumbing-only tests."""
 
     def __init__(self, n_windows: int = 8, sample_rate: int = 16000,
                  id_col: str = "audio_id", bytes_col: str = "bytes",
@@ -177,23 +188,29 @@ class AudioFeatureExtractor:
         self.id_col, self.bytes_col = id_col, bytes_col
         self.fake = fake
 
-    def _decode_pcm(self, payload: bytes) -> np.ndarray:
+    def _decode_pcm(self, payload: bytes):
+        from ..functions.av import GAC_MAGIC, decode_audio
+
+        if payload[:4] == GAC_MAGIC:
+            return decode_audio(payload)
         if self.fake:
             rng = np.random.RandomState(len(payload) % (2**31))
             n = 4000 + (len(payload) % 4000)
-            return (rng.standard_normal(n) * 0.1).astype(np.float32)
+            return ((rng.standard_normal(n) * 0.1).astype(np.float32),
+                    self.sample_rate)
         raise NotImplementedError(
-            "audio decode requires a codec library not present in this "
-            "environment; plug a decoder in here (payload -> float32 PCM)"
+            "unknown audio container: only the engine's GAC1 format "
+            "decodes in-sandbox; plug a codec-library decoder in here "
+            "(payload -> (float32 PCM, rate)) for wav/mp3/etc."
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         out_id, out_dur, out_rms = [], [], []
         for i, payload in enumerate(batch.column(self.bytes_col).to_pylist()):
-            pcm = self._decode_pcm(payload)
+            pcm, rate = self._decode_pcm(payload)
             out_id.append(ids[i])
-            out_dur.append(len(pcm) / float(self.sample_rate))
+            out_dur.append(len(pcm) / float(rate))
             # RMS energy over n_windows equal slices (pad the tail)
             w = int(np.ceil(len(pcm) / self.n_windows))
             padded = np.zeros(w * self.n_windows, dtype=np.float64)

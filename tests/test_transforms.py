@@ -73,11 +73,34 @@ def test_frame_sampler_fake_and_stub(ray_session):
     assert set(out["video_id"]) == {"v0", "v1"}
     assert out["frame_idx"].between(0, 15).all()
 
-    # the real decoder is an explicit stub
+    # unknown container magics remain an explicit stub
     with pytest.raises(NotImplementedError):
         FrameSampler(fake=False)(pa.table({
             "video_id": ["v"], "bytes": pa.array([b"zz"], pa.binary()),
         }))
+
+
+def test_frame_sampler_real_gvc_decode(ray_session):
+    import ray.data as rd
+
+    from datatest_ray import sample_frames
+    from datatest_ray.functions.av import decode_video, synthetic_clip
+    from datatest_ray.functions.png import png_decode
+
+    clips = {f"v{i}": synthetic_clip(seed=i, n_frames=16, w=16, h=16)
+             for i in range(3)}
+    ds = rd.from_arrow(pa.table({
+        "video_id": list(clips),
+        "bytes": pa.array(list(clips.values()), pa.binary()),
+    }))
+    out = sample_frames(ds, n_frames=4, concurrency=2).to_pandas()
+    assert len(out) == 12  # 3 clips x 4 frames
+    # evenly spaced over 16 frames: linspace(0, 15, 4) -> 0, 5, 10, 15
+    assert sorted(out[out.video_id == "v0"]["frame_idx"]) == [0, 5, 10, 15]
+    # sampled frame bytes decode back to the exact source frame
+    row = out[(out.video_id == "v1") & (out.frame_idx == 5)].iloc[0]
+    src = decode_video(clips["v1"])[5]
+    assert (png_decode(row["bytes"]) == src).all()
 
 
 def test_audio_features_fake_and_stub(ray_session):
@@ -103,11 +126,36 @@ def test_audio_features_fake_and_stub(ray_session):
     n = again.sort_values("audio_id").reset_index(drop=True)
     assert (m["duration_s"] == n["duration_s"]).all()
 
-    # the real decoder is an explicit stub
+    # unknown container magics remain an explicit stub
     with pytest.raises(NotImplementedError):
         AudioFeatureExtractor(fake=False)(pa.table({
             "audio_id": ["a"], "bytes": pa.array([b"zz"], pa.binary()),
         }))
+
+
+def test_audio_features_real_gac_decode(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from datatest_ray import extract_audio_features
+    from datatest_ray.functions.av import decode_audio, synthetic_pcm
+
+    clips = {f"a{i}": synthetic_pcm(seed=i, n=8000, sample_rate=16000)
+             for i in range(3)}
+    ds = rd.from_arrow(pa.table({
+        "audio_id": list(clips),
+        "bytes": pa.array(list(clips.values()), pa.binary()),
+    }))
+    out = extract_audio_features(ds, n_windows=8, concurrency=2).to_pandas()
+    assert len(out) == 3
+    # duration comes from the container's embedded rate: 8000/16000 s
+    assert np.allclose(out["duration_s"], 0.5)
+    # a 0.5-amplitude sine has RMS ~0.35 in every window
+    for r in out["rms"]:
+        assert all(0.2 < v < 0.5 for v in r)
+    # decode round-trip is exact int16 PCM
+    pcm, rate = decode_audio(clips["a0"])
+    assert rate == 16000 and len(pcm) == 8000 and np.abs(pcm).max() <= 1.0
 
 
 def test_read_table_source(ray_session, tmp_path):
