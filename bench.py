@@ -202,9 +202,28 @@ def flagship_once() -> None:
     ray.shutdown()
 
 
+def _mem_probe() -> tuple[float, float]:
+    """(driver peak RSS MB, object-store bytes currently used MB).
+    Cheap enough to sample per query; maxima go into the bench JSON so
+    a memory regression is visible before it becomes a raylet crash."""
+    import resource
+
+    import ray
+
+    rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    try:
+        total = ray.cluster_resources().get("object_store_memory", 0.0)
+        avail = ray.available_resources().get("object_store_memory", 0.0)
+        store_mb = (total - avail) / (1024 * 1024)
+    except Exception:
+        store_mb = 0.0
+    return rss_mb, store_mb
+
+
 def run_chunk(names_file: str, out_file: str, concurrency: int) -> None:
     """Subprocess worker: run the named queries in a fresh Ray session,
-    write {name: sec} JSON atomically to ``out_file``."""
+    write {name: sec, ... "_mem": {...}} JSON atomically to
+    ``out_file``."""
     import gc
     from concurrent.futures import ThreadPoolExecutor
 
@@ -218,6 +237,7 @@ def run_chunk(names_file: str, out_file: str, concurrency: int) -> None:
     with open(names_file) as f:
         names = json.load(f)
     qmap = entrymod.queries()
+    peak = [0.0, 0.0]
 
     def one(name):
         fn = qmap[name]
@@ -229,12 +249,17 @@ def run_chunk(names_file: str, out_file: str, concurrency: int) -> None:
         # release object-store refs before the next query's plan runs
         del res
         gc.collect()
+        rss, store = _mem_probe()
+        peak[0] = max(peak[0], rss)
+        peak[1] = max(peak[1], store)
         return name, sec
 
     results = {}
     with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
         for name, sec in ex.map(one, names):
             results[name] = sec
+    results["_mem"] = {"peak_rss_mb": round(peak[0], 1),
+                       "peak_object_store_mb": round(peak[1], 1)}
     tmp = out_file + ".tmp"
     with open(tmp, "w") as f:
         json.dump(results, f)
@@ -258,7 +283,7 @@ def _chunk_worker(names: list[str], out_file: str, concurrency: int,
     try:
         with open(out_file) as f:
             got = json.load(f)
-        if set(got) == set(names):
+        if {k for k in got if not k.startswith("_")} == set(names):
             return got
     except (OSError, ValueError):
         pass
@@ -294,6 +319,15 @@ def run_query_bench() -> dict:
     os.makedirs(run_dir, exist_ok=True)
 
     merged: dict[str, float] = {}
+    mem = {"peak_rss_mb": 0.0, "peak_object_store_mb": 0.0}
+
+    def fold(got: dict) -> None:
+        m = got.pop("_mem", None) if isinstance(got, dict) else None
+        if m:
+            for k in mem:
+                mem[k] = max(mem[k], m.get(k, 0.0))
+        merged.update(got)
+
     now = time.time()
     for idx, (names, conc) in enumerate(chunks):
         out_file = os.path.join(run_dir, f"chunk_{idx:03d}.json")
@@ -301,8 +335,8 @@ def run_query_bench() -> dict:
             try:
                 with open(out_file) as f:
                     got = json.load(f)
-                if set(got) == set(names):
-                    merged.update(got)
+                if {k for k in got if not k.startswith("_")} == set(names):
+                    fold(got)
                     continue
             except (OSError, ValueError):
                 pass
@@ -322,7 +356,8 @@ def run_query_bench() -> dict:
             with open(out_file + ".tmp", "w") as f:
                 json.dump(got, f)
             os.replace(out_file + ".tmp", out_file)
-        merged.update(got)
+        fold(dict(got))
+    merged["_mem"] = mem
     return merged
 
 
@@ -362,6 +397,7 @@ def main() -> None:
     # scaling trials skip the per-query sweep (it times operators, not
     # the flagship throughput the efficiency criterion measures)
     queries = {} if os.environ.get("GRAFT_FLAGSHIP_ONLY") else run_query_bench()
+    mem = queries.pop("_mem", {}) if isinstance(queries, dict) else {}
     payload = {
         "metric": "flagship image validation suite wall time",
         "value": flagship["value"],
@@ -374,6 +410,8 @@ def main() -> None:
         "n_violations": flagship["n_violations"],
         "flagship_trials_sec": [t["value"] for t in trials],
         "query_concurrency": QUERY_CONCURRENCY,
+        "peak_rss_mb": mem.get("peak_rss_mb"),
+        "peak_object_store_mb": mem.get("peak_object_store_mb"),
         "sweep_protocol": (
             f"chunked fresh subprocesses: {CHUNK_SIZE}/chunk at "
             f"concurrency {QUERY_CONCURRENCY}, heavy queries "

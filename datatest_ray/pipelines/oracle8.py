@@ -191,7 +191,12 @@ def q_winnow_docs(sf_dir: str):
     UNION a deterministic prefix-mutated copy of every 8th doc — the
     copies share the full original text as a substring, so the
     guaranteed-detection path (shared span ≥ w+k−1 chars ⇒ shared
-    fingerprint) actually fires on this corpus."""
+    fingerprint) actually fires on this corpus.  Oracle-paired: the
+    rolling k-gram hash is a plain polynomial mod 2^64, reproduced in
+    SQL with HUGEINT arithmetic and precomputed base powers; window
+    minima, the leftmost-argmin rule, the boilerplate cap and the
+    pair/count reduce are all relational (SQL_WINNOW_DOCS — verified
+    bit-exact against the numpy path)."""
     from ..stages.dedup import winnow_pairs
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -218,6 +223,78 @@ def q_winnow_docs(sf_dir: str):
                                 ("shared", pa.int64())]))
 
 
+def _winnow_sql(k: int = 16, w: int = 8, min_shared: int = 2,
+                cap: int = 64) -> str:
+    """SQL mirror of the full winnowing pipeline: explode normalized
+    chars, compute each k-gram's polynomial hash mod 2^64 (HUGEINT sum
+    of byte * B^(k-1-j) with powers precomputed here), take the w-wide
+    sliding minimum with the leftmost-argmin rule, dedup selected
+    positions to (doc, fingerprint), drop boilerplate fingerprints in
+    more than ``cap`` docs, and count shared fingerprints per doc
+    pair.  The uint64 hash reinterprets as int64 to match the engine's
+    ``.view(np.int64)`` fingerprint values."""
+    M = 1 << 64
+    B = 1000003
+    pws = [pow(B, k - 1 - j, M) for j in range(k)]
+    pw_vals = ", ".join(f"({j}, {p})" for j, p in enumerate(pws))
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id AS doc, text FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc, 'COPIED PREAMBLE ' || text
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 8 = 0),
+norm AS MATERIALIZED (
+  SELECT doc, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+  FROM corpus),
+chars AS MATERIALIZED (
+  SELECT doc, CAST(unnest(range(1, len(s) + 1)) AS BIGINT) AS i,
+         unicode(substr(s, CAST(unnest(range(1, len(s) + 1)) AS BIGINT), 1))
+           AS byte
+  FROM norm WHERE len(s) >= {k}),
+pw(j, p) AS (VALUES {pw_vals}),
+hh AS MATERIALIZED (
+  SELECT c.doc, c.i AS pos,
+         CAST(sum(CAST(c2.byte AS HUGEINT) * pw.p) % {M} AS UBIGINT) AS h
+  FROM chars c
+  JOIN chars c2 ON c2.doc = c.doc AND c2.i >= c.i AND c2.i < c.i + {k}
+  JOIN pw ON pw.j = c2.i - c.i
+  GROUP BY 1, 2 HAVING count(*) = {k}),
+wmin AS MATERIALIZED (
+  SELECT doc, pos AS s,
+         min(h) OVER win8 AS mn, count(*) OVER win8 AS cnt
+  FROM hh
+  WINDOW win8 AS (PARTITION BY doc ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)),
+sel AS MATERIALIZED (
+  SELECT w.doc, w.s, min(p.pos) AS selpos
+  FROM wmin w JOIN hh p
+    ON p.doc = w.doc AND p.pos >= w.s AND p.pos < w.s + {w}
+   AND p.h = w.mn
+  WHERE w.cnt = {w}
+  GROUP BY 1, 2),
+fps AS MATERIALIZED (
+  SELECT DISTINCT s.doc,
+         CAST(CAST(h.h AS HUGEINT)
+              - CASE WHEN h.h >= 9223372036854775808
+                     THEN CAST(18446744073709551616 AS HUGEINT)
+                     ELSE 0 END AS BIGINT) AS fp
+  FROM (SELECT DISTINCT doc, selpos FROM sel) s
+  JOIN hh h ON h.doc = s.doc AND h.pos = s.selpos),
+freq AS MATERIALIZED (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {cap})
+SELECT f1.doc AS a, f2.doc AS b, CAST(count(*) AS BIGINT) AS shared
+FROM fps f1
+JOIN fps f2 ON f1.fp = f2.fp AND f1.doc < f2.doc
+JOIN freq fr ON fr.fp = f1.fp
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY a, b"""
+
+
+SQL_WINNOW_DOCS = _winnow_sql(16, 8, 2, 64)
+
+
 QUERIES8: Dict[str, Callable] = {
     "spearman_qty_disc": q_spearman_qty_disc,
     "stdres_orders": q_stdres_orders,
@@ -231,4 +308,5 @@ SQL8: Dict[str, str] = {
     "stdres_orders": SQL_STDRES_ORDERS,
     "expfit_ks_gaps": SQL_EXPFIT_KS_GAPS,
     "cents_uniformity_price": SQL_CENTS_UNIFORMITY_PRICE,
+    "winnow_docs": SQL_WINNOW_DOCS,
 }
