@@ -66,12 +66,16 @@ def entry() -> Any:
     from datatest_ray.pipelines.flagship import run_flagship
     from datatest_ray.sources.images import ImageFixtureSpec, generate_dataset
 
-    # (a) flagship image suite on a seeded synthetic fixture
+    # (a) flagship image suite on a seeded synthetic fixture — with the
+    # integrity check ON (the fixture plants corrupt payloads) and the
+    # sampled-LSH near-dup mode the 100 TB path uses (seeded bit
+    # projections -> deterministic), so the smoke exercises the same
+    # code the full-scale bench runs, not just the small-data defaults
     spec = ImageFixtureSpec(n_rows=1000, seed=42, rows_per_part=250)
     images = generate_dataset(spec)
     image_violations = run_flagship(
         images, reference_seed=spec.seed, parity_concurrency=2,
-        with_integrity=True,
+        with_integrity=True, near_dup_mode="sampled",
     ).violations
 
     # (b) TPC-H-ish validation suite over the driver's smoke tables
