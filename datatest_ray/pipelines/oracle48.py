@@ -128,18 +128,25 @@ def q_bh_weekend_mix(sf_dir: str):
         pp = (nw + wb) / (n + nb)
         z2 = (p1 - p2) ** 2 / (pp * (1.0 - pp) * (1.0 / n + 1.0 / nb))
         z2 = np.round(z2, 6)
-        p = np.round(np.exp(-z2 / 2.0), 6)
+        # BH runs on the UNROUNDED surrogate p: a round-6 p times the
+        # small-integer k/rank ratio lands exactly on decimal .5
+        # boundaries, where numpy (binary-nearest) and DuckDB
+        # (decimal half-away) round differently — fuzz seed 20260820
+        # hit 0.289813 * 5/2 = 0.7245325 exactly
+        p_raw = np.exp(-z2 / 2.0)
         return pa.table({
             "event_type": t.column("event_type"),
             "n": pa.array(n, pa.int64()),
             "n_weekend": pa.array(nw, pa.int64()),
             "z2": pa.array(z2, pa.float64()),
-            "p": pa.array(p, pa.float64()),
+            "p": pa.array(np.round(p_raw, 6), pa.float64()),
+            "p_raw": pa.array(p_raw, pa.float64()),
         })
 
     stat_ds = agg.repartition(1).map_batches(
         stats, batch_format="pyarrow", batch_size=None)
-    return _materialize(bh_adjust(stat_ds, p_col="p", alpha=0.05))
+    adjusted = bh_adjust(stat_ds, p_col="p_raw", alpha=0.05)
+    return _materialize(adjusted.drop_columns(["p_raw"]))
 
 
 SQL_BH_WEEKEND_MIX = """
@@ -161,17 +168,18 @@ s AS (SELECT g, n, nw,
                   * (1.0 - nw_tot / CAST(n_tot AS DOUBLE))
                   * (1.0 / n + 1.0 / (n_tot - n))), 6) AS z2
       FROM a, t),
-ps AS (SELECT g, n, nw, z2, round(exp(-z2 / 2.0), 6) AS p FROM s),
-r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, g) AS BIGINT) AS rn,
+ps AS (SELECT g, n, nw, z2, exp(-z2 / 2.0) AS praw FROM s),
+r AS (SELECT *,
+             CAST(row_number() OVER (ORDER BY praw, g) AS BIGINT) AS rn,
              CAST(count(*) OVER () AS BIGINT) AS k
       FROM ps),
 adj AS (SELECT *,
-               min(least(p * k / rn, 1.0))
+               min(least(praw * k / rn, 1.0))
                  OVER (ORDER BY rn DESC
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND CURRENT ROW) AS padj
         FROM r)
-SELECT g AS event_type, n, nw AS n_weekend, z2, p,
+SELECT g AS event_type, n, nw AS n_weekend, z2, round(praw, 6) AS p,
        round(padj, 6) AS p_adj, padj <= 0.05 AS significant
 FROM adj
 """

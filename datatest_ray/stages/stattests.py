@@ -845,6 +845,22 @@ def cochrans_q(ds, *, subject_col: str, cat_col: str, categories):
         finalize, batch_format="pyarrow", batch_size=None)
 
 
+def _finalize_partials(partials, finalize):
+    """Run a tiny-reduce ``finalize`` kernel driver-side over collected
+    per-bucket partials (O(buckets) rows by construction).  The former
+    ``repartition(1).map_batches(finalize)`` pattern silently SKIPPED
+    the kernel when the partials Dataset had zero blocks (no qualifying
+    subjects), yielding an empty unknown-schema Dataset that crashed
+    downstream materialization — found by fuzz seed 20260820 on
+    pages_l (no customer had orders in all five priority tiers)."""
+    import ray
+
+    batches = list(partials.iter_batches(batch_format="pyarrow",
+                                         batch_size=65536))
+    t = pa.concat_tables(batches) if batches else pa.table({})
+    return ray.data.from_arrow(finalize(t))
+
+
 def _blocked_rank_partials(ds, *, subject_col: str,
                            treatment_col: str, treatments,
                            value_col: str):
@@ -982,6 +998,8 @@ def friedman_test(ds, *, subject_col: str, treatment_col: str,
         schema = pa.schema([("n_subjects", pa.int64()), ("k", pa.int64()),
                             ("chi2", pa.float64()), ("w", pa.float64())])
         if t.num_rows == 0:
+            # 0 rows, like the SQL mirror: its final CTE is a grouped
+            # aggregate over the empty rank table
             return schema.empty_table()
         tot = {c: sum(int(x) for x in t.column(c).to_pylist())
                for c in t.schema.names}
@@ -1005,8 +1023,7 @@ def friedman_test(ds, *, subject_col: str, treatment_col: str,
             "w": pa.array([w], pa.float64()),
         })
 
-    return partials.repartition(1).map_batches(
-        finalize, batch_format="pyarrow", batch_size=None)
+    return _finalize_partials(partials, finalize)
 
 
 def kde_fixed_grid(ds, *, value_col: str, grid, bandwidth: float):
@@ -1222,10 +1239,14 @@ def pages_l_test(ds, *, subject_col: str, treatment_col: str,
         treatments=ordered_treatments, value_col=value_col)
 
     def finalize(t: pa.Table) -> pa.Table:
-        schema = pa.schema([("n_subjects", pa.int64()), ("k", pa.int64()),
-                            ("l", pa.float64()), ("z", pa.float64())])
+        # one row even with zero qualifying subjects: the SQL mirror's
+        # final CTE is an UNgrouped aggregate, which always emits a row
+        # (n_subjects = 0, l/z NULL)
         if t.num_rows == 0:
-            return schema.empty_table()
+            return pa.table({"n_subjects": pa.array([0], pa.int64()),
+                             "k": pa.array([k], pa.int64()),
+                             "l": pa.array([None], pa.float64()),
+                             "z": pa.array([None], pa.float64())})
         tot = {c: sum(int(x) for x in t.column(c).to_pylist())
                for c in t.schema.names}
         n = tot["n"]
@@ -1246,8 +1267,7 @@ def pages_l_test(ds, *, subject_col: str, treatment_col: str,
             "z": pa.array([z], pa.float64()),
         })
 
-    return partials.repartition(1).map_batches(
-        finalize, batch_format="pyarrow", batch_size=None)
+    return _finalize_partials(partials, finalize)
 
 
 def somers_d(ds, *, i_col: str, j_col: str):
