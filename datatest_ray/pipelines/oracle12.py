@@ -89,8 +89,15 @@ def q_q5_star_revenue(sf_dir: str):
                 pc.cast(t.column("rev_sum"), pa.float64()), 10000.0),
         })
 
-    return _materialize(agg.map_batches(
-        finalize, batch_format="pyarrow", zero_copy_batch=True))
+    # empty_schema: a corpus with no ASIA-region supplier leaves the
+    # groupby with zero blocks, so the finalize never runs and the
+    # Dataset has no inferable schema (fuzz seed 99)
+    return _materialize(
+        agg.map_batches(finalize, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        empty_schema=pa.schema([("n_name", pa.string()),
+                                ("n_items", pa.int64()),
+                                ("revenue", pa.float64())]))
 
 
 SQL_Q5_STAR_REVENUE = """

@@ -585,12 +585,18 @@ def time_weighted_avg(ds, *, by: str, ts: str, value_col: str,
         wsum = np.bincount(seg,
                            weights=np.where(np.isnan(v), 0.0, v) * dt)
         span = np.bincount(seg, weights=dt)
+        # SQL's sum over zero non-null terms is NULL, not 0: a group
+        # whose every dt-carrying value is NULL must emit twa = NULL
+        # (fuzz seed 1: a two-event user whose first value is null)
+        terms = np.bincount(seg, weights=(~np.isnan(v) & ~last))
         has = span > 0
         first_idx = np.flatnonzero(new)
         keys_out = t.column(by).take(pa.array(first_idx[has]))
+        twa = np.where(terms[has] > 0, wsum[has] / span[has], np.nan)
         return pa.table({
             by: keys_out,
-            "twa": pa.array(wsum[has] / span[has]),
+            "twa": pa.array([None if np.isnan(x) else x for x in twa],
+                            pa.float64()),
             "span_s": pa.array(span[has]),
         })
 

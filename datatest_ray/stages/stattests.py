@@ -2522,10 +2522,12 @@ def quade_test(ds, *, subject_col: str, treatment_col: str,
                                       batch_format="pyarrow"))
 
     def finalize(t: pa.Table) -> pa.Table:
-        schema = pa.schema([("n_subjects", pa.int64()),
-                            ("quade_f", pa.float64())])
+        # one row even with zero complete blocks: the SQL mirror's
+        # final CTEs are ungrouped aggregates (always one row,
+        # n_subjects = 0 / quade_f NULL)
         if t.num_rows == 0:
-            return schema.empty_table()
+            return pa.table({"n_subjects": pa.array([0], pa.int64()),
+                             "quade_f": pa.array([None], pa.float64())})
         t = t.sort_by([("s", "ascending")])
         n = t.num_rows
         rng = t.column("rng").to_numpy(zero_copy_only=False)
@@ -2557,8 +2559,7 @@ def quade_test(ds, *, subject_col: str, treatment_col: str,
         return pa.table({"n_subjects": pa.array([n], pa.int64()),
                          "quade_f": pa.array([f], pa.float64())})
 
-    return per_subject.repartition(1).map_batches(
-        finalize, batch_format="pyarrow", batch_size=None)
+    return _finalize_partials(per_subject, finalize)
 
 
 def icc_oneway(ds, *, group_col: str, value_col: str):
