@@ -181,10 +181,34 @@ def _gen(out_dir: str):
     }), f"{out_dir}/embeddings.parquet")
 
 
+def _carve_empty_subsets(out_dir: str) -> None:
+    """Optional adversarial carving (GRAFT_FUZZ_CARVE=1): remove every
+    ASIA-region supplier and drop one event type so literal-filter and
+    complete-block queries hit genuinely EMPTY subsets — the shape that
+    exposed the skipped-finalize / unknown-schema crash class (quade,
+    pages_l, q5_star_revenue; round 3)."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    nat = _pq.read_table(f"{out_dir}/nation.parquet").to_pandas()
+    asia = nat[nat.n_regionkey == 2].n_nationkey
+    sup = _pq.read_table(f"{out_dir}/supplier.parquet")
+    _pq.write_table(sup.filter(_pc.invert(_pc.is_in(
+        sup.column("s_nationkey"),
+        pa.array(list(asia), sup.column("s_nationkey").type)))),
+        f"{out_dir}/supplier.parquet")
+    ev = _pq.read_table(f"{out_dir}/events.parquet")
+    _pq.write_table(
+        ev.filter(_pc.not_equal(ev.column("event_type"), "signup")),
+        f"{out_dir}/events.parquet")
+
+
 @pytest.fixture(scope="module")
 def fuzz_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("fuzz_sf"))
     _gen(d)
+    if os.environ.get("GRAFT_FUZZ_CARVE"):
+        _carve_empty_subsets(d)
     return d
 
 
