@@ -528,12 +528,15 @@ def q_q21_late_supplier(sf_dir: str):
         bucket_kernel, batch_format="pyarrow")
     agg = blocked.groupby("l_suppkey").aggregate(
         Sum("c", alias_name="numwait"))
-    top = agg.sort(["numwait", "l_suppkey"],
-                   descending=[True, False]).limit(10)
-    top = broadcast_join(top, _read(sf_dir, "supplier",
-                                    ["s_suppkey", "s_name"]),
-                         on="l_suppkey", right_on="s_suppkey",
-                         right_cols=["s_name"], how="inner")
+    # join supplier BEFORE the top-10: an l_suppkey with no supplier
+    # row (FK orphan) must not consume a limit slot — the SQL mirror
+    # inner-joins before ORDER BY/LIMIT (carved-fuzz finding)
+    named = broadcast_join(agg, _read(sf_dir, "supplier",
+                                      ["s_suppkey", "s_name"]),
+                           on="l_suppkey", right_on="s_suppkey",
+                           right_cols=["s_name"], how="inner")
+    top = named.sort(["numwait", "l_suppkey"],
+                     descending=[True, False]).limit(10)
     t = _materialize(top, empty_schema=pa.schema(
         [("l_suppkey", pa.int64()), ("numwait", pa.int64()),
          ("s_name", pa.string())]))

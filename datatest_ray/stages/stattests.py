@@ -3264,8 +3264,13 @@ def dunn_pairs(ds, *, value_col: str, group_col: str, groups):
             for j in range(i + 1, k):
                 a, b = sorted((gl[i], gl[j]))
                 ia, ib = code_of[a], code_of[b]
+                # pairs exist only between OBSERVED groups (the SQL
+                # mirror inner-joins per-group aggregates, so a listed
+                # group absent from the data yields no pair rows)
+                if not (n_g[ia] and n_g[ib]):
+                    continue
                 z = None
-                if n_g[ia] and n_g[ib] and base > 0:
+                if base > 0:
                     se = np.sqrt(base * (1.0 / n_g[ia]
                                          + 1.0 / n_g[ib]))
                     z = round((rbar[ia] - rbar[ib]) / se, 6)
