@@ -1275,10 +1275,21 @@ def gk_lambda(ds, *, row_col: str, col_col: str):
         total = int(mat.sum())
 
         def lam(m):
+            from decimal import ROUND_HALF_UP, Decimal
+
             big = int(m.sum(axis=0).max())
             num = int(m.max(axis=1).sum()) - big
             den = total - big
-            return round(num / den, 6) if den > 0 else None
+            if den <= 0:
+                return None
+            # decimal half-away rounding: an exact-integer quotient can
+            # land exactly on a decimal .5 at 6 dp (1/128 = 0.0078125),
+            # where Python's banker's rounding and DuckDB's round()
+            # disagree; a 6-dp tie requires den | 2^7*5^6, for which
+            # the binary value is exact, so the Decimal rule equals
+            # DuckDB's on every possible tie (fuzz seed 606)
+            return float(Decimal(num / den).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP))
 
         return pa.table({
             "n": pa.array([total], pa.int64()),
