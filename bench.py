@@ -237,7 +237,6 @@ def run_chunk(names_file: str, out_file: str, concurrency: int) -> None:
     with open(names_file) as f:
         names = json.load(f)
     qmap = entrymod.queries()
-    peak = [0.0, 0.0]
 
     def one(name):
         fn = qmap[name]
@@ -250,16 +249,22 @@ def run_chunk(names_file: str, out_file: str, concurrency: int) -> None:
         del res
         gc.collect()
         rss, store = _mem_probe()
-        peak[0] = max(peak[0], rss)
-        peak[1] = max(peak[1], store)
-        return name, sec
+        return name, sec, rss, store
 
+    # collect (rss, store) per query and reduce AFTER the pool drains —
+    # a shared read-modify-write max from multiple pool threads can
+    # lose samples and understate the reported peaks
     results = {}
+    samples = []
     with ThreadPoolExecutor(max_workers=max(1, concurrency)) as ex:
-        for name, sec in ex.map(one, names):
+        for name, sec, rss, store in ex.map(one, names):
             results[name] = sec
-    results["_mem"] = {"peak_rss_mb": round(peak[0], 1),
-                       "peak_object_store_mb": round(peak[1], 1)}
+            samples.append((rss, store))
+    results["_mem"] = {
+        "peak_rss_mb": round(max(s[0] for s in samples), 1) if samples else 0.0,
+        "peak_object_store_mb":
+            round(max(s[1] for s in samples), 1) if samples else 0.0,
+    }
     tmp = out_file + ".tmp"
     with open(tmp, "w") as f:
         json.dump(results, f)

@@ -131,4 +131,30 @@ from .integrations import (  # noqa: F401
 )
 from .case import DataTestCase  # noqa: F401
 
+
+def _ensure_worker_shipping() -> None:
+    """Register this package for cloudpickle by-value pickling so Ray
+    workers that do NOT have the repo on their import path (any driver
+    script run from a foreign cwd) can still deserialize our check
+    classes / closures — the task payload carries the code itself.
+
+    Ray's bundled cloudpickle resolves by-value registration through
+    parent packages (``_is_registered_pickle_by_value`` walks name
+    prefixes), so registering the top-level package here covers every
+    submodule, including ones imported after this call.  Idempotent
+    (module-name set membership); failure degrades to the normal
+    by-reference path, which still works whenever workers share the
+    driver's sys.path."""
+    try:
+        import sys as _sys
+
+        from ray import cloudpickle as _cloudpickle
+
+        _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+    except Exception:
+        pass
+
+
+_ensure_worker_shipping()
+
 __version__ = "0.1.0"

@@ -258,12 +258,14 @@ class CheckSuite:
                     c_input = reader(c_cols)
             pieces.append(c.violations(c_input, ctx))
             piece_pool.append(bool(getattr(c, "actor_pool", False)))
-        if not pieces:
-            violations = rd.from_arrow(empty_violations())
-        else:
-            violations = pieces[0]
-            for p in pieces[1:]:
-                violations = violations.union(p)
+        # seed the union with a known-schema empty block so the lazy
+        # violations Dataset always resolves ``.schema()`` to
+        # VIOLATION_SCHEMA (a bare union of map_batches branches has no
+        # schema until executed — on an empty input a user probing
+        # ``.schema()`` before materializing used to get ``None``)
+        violations = rd.from_arrow(empty_violations())
+        for p in pieces:
+            violations = violations.union(p)
         return ValidationResult(violations, self.checks, ctx, pieces=pieces,
                                 piece_is_actor_pool=piece_pool)
 

@@ -1282,27 +1282,39 @@ def kcenter_greedy(ds, *, id_col: str, vec_col: str, k: int = 8):
     provable 2x bound on the covering radius.
 
     k streaming passes: each pass broadcasts the chosen centers via
-    ``ray.put`` and reduces per-block (max min-distance, argmax id)
-    candidates; ties break to the smaller id, so the selection is
-    deterministic under any partitioning.  rows-only by contract
-    (iterative); brute-force parity pinned in unit tests.
+    ``ray.put`` and reduces per-block (max min-distance, argmax id,
+    argmax VECTOR) candidates — carrying the winning row's vector in
+    the partial means the next round's center needs no second
+    fetch-by-id scan (one pass per round, not two).  Ties break to the
+    smaller id, so the selection is deterministic under any
+    partitioning.  rows-only by contract (iterative); brute-force
+    parity pinned in unit tests.
     Output: (round int64, id_col int64, dist round-6 [distance to the
     previously chosen set; 0 for the seed]).
     """
     import ray
 
     base = ds.select_columns([id_col, vec_col])
-    seed = base.aggregate(ray.data.aggregate.Min(id_col))[
-        f"min({id_col})"]
-    chosen_ids = [int(seed)]
+    seed = int(base.aggregate(ray.data.aggregate.Min(id_col))[
+        f"min({id_col})"])
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        hit = np.flatnonzero(ids == seed)
+        if len(hit) == 0:
+            return pa.table({"vec": pa.array([], pa.list_(pa.float64()))})
+        mat = _batch_matrix(t, vec_col).astype(np.float64)
+        return pa.table({
+            "vec": pa.array([mat[hit[0]].tolist()],
+                            pa.list_(pa.float64())),
+        })
+
+    seed_rows = base.map_batches(
+        seed_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    chosen_ids = [seed]
     chosen_dists = [0.0]
-
-    def fetch_vec(target_id):
-        row = base.filter(
-            expr=f"{id_col} == {int(target_id)}").take_all()
-        return np.asarray(row[0][vec_col], dtype=np.float64)
-
-    centers = [fetch_vec(seed)]
+    centers = [np.asarray(seed_rows[0]["vec"], dtype=np.float64)]
     for _ in range(k - 1):
         c_ref = ray.put(np.stack(centers))
 
@@ -1317,6 +1329,8 @@ def kcenter_greedy(ds, *, id_col: str, vec_col: str, k: int = 8):
             return pa.table({
                 "id": pa.array([int(ids[j])], pa.int64()),
                 "d": pa.array([float(dmin[j])], pa.float64()),
+                "vec": pa.array([mat[j].tolist()],
+                                pa.list_(pa.float64())),
             })
 
         cand = base.map_batches(far_partial, batch_format="pyarrow",
@@ -1325,7 +1339,7 @@ def kcenter_greedy(ds, *, id_col: str, vec_col: str, k: int = 8):
         best = cand[0]
         chosen_ids.append(int(best["id"]))
         chosen_dists.append(float(best["d"]))
-        centers.append(fetch_vec(best["id"]))
+        centers.append(np.asarray(best["vec"], dtype=np.float64))
 
     return ray.data.from_arrow(pa.table({
         "round": pa.array(range(len(chosen_ids)), pa.int64()),

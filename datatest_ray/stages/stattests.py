@@ -845,15 +845,32 @@ def cochrans_q(ds, *, subject_col: str, cat_col: str, categories):
         finalize, batch_format="pyarrow", batch_size=None)
 
 
-def _finalize_partials(partials, finalize):
-    """Run a tiny-reduce ``finalize`` kernel driver-side over collected
-    per-bucket partials (O(buckets) rows by construction).  The former
+def _finalize_partials(partials, finalize, *, empty_schema=None):
+    """Run a tiny-reduce ``finalize`` kernel over the collected
+    partials.
+
+    Default (``empty_schema=None``): collect driver-side via
+    ``iter_batches`` — ONLY for partials that are O(buckets)-bounded by
+    construction (e.g. 256 coarse-bucket moment sums).  The former
     ``repartition(1).map_batches(finalize)`` pattern silently SKIPPED
     the kernel when the partials Dataset had zero blocks (no qualifying
     subjects), yielding an empty unknown-schema Dataset that crashed
     downstream materialization — found by fuzz seed 20260820 on
-    pages_l (no customer had orders in all five priority tiers)."""
+    pages_l (no customer had orders in all five priority tiers).
+
+    With ``empty_schema`` (the partials' Arrow schema): run the
+    finalize in a WORKER task instead — for partials that are one row
+    per subject/key (quade), which at large scale factors must not
+    concentrate in driver RAM.  Unioning a known-schema empty block
+    first guarantees ``repartition(1)`` produces exactly one block, so
+    the zero-block skip above cannot recur."""
     import ray
+
+    if empty_schema is not None:
+        seeded = partials.union(
+            ray.data.from_arrow(empty_schema.empty_table()))
+        return seeded.repartition(1).map_batches(
+            finalize, batch_format="pyarrow", batch_size=None)
 
     batches = list(partials.iter_batches(batch_format="pyarrow",
                                          batch_size=65536))
@@ -2559,7 +2576,13 @@ def quade_test(ds, *, subject_col: str, treatment_col: str,
         return pa.table({"n_subjects": pa.array([n], pa.int64()),
                          "quade_f": pa.array([f], pa.float64())})
 
-    return _finalize_partials(per_subject, finalize)
+    # one row PER SUBJECT (not O(buckets)): finalize must run in a
+    # worker task with object-store spilling, never in driver RAM
+    quade_schema = pa.schema(
+        [("s", pa.int64()), ("rng", pa.float64())]
+        + [(f"r2_{j}", pa.int64()) for j in range(k)])
+    return _finalize_partials(per_subject, finalize,
+                              empty_schema=quade_schema)
 
 
 def icc_oneway(ds, *, group_col: str, value_col: str):
