@@ -1451,6 +1451,31 @@ def q_order_region(sf_dir: str):
     # non-empty, assertable diff — a 0-row result would pass even with a
     # broken OrderCheck (round-1 verdict "What's wrong" #3).
     required = ["AFRICA", "ANTARCTICA", "AMERICA", "ASIA", "EUROPE"]
+    # Assumption guard (round-3 ADVICE): the set-difference SQL mirror
+    # is exact ONLY while the data's common elements appear in the
+    # required list's relative order (then difflib's diff degenerates
+    # to a pure set difference — all-distinct elements in consistent
+    # order always fully match).  If the region names are ever permuted
+    # out of that order, difflib emits transposition diffs no
+    # set-difference SQL can mirror; BOTH sides then emit the same
+    # self-describing sentinel row instead of silently diverging.
+    # region is 5 rows by construction — a declared-small collect.
+    seq = _materialize(ds).sort_by([("r_regionkey", "ascending")])
+    names = seq.column("r_name").to_pylist()
+    rpos = {n: i for i, n in enumerate(required)}
+    common = [rpos[n] for n in names if n in rpos]
+    inversions = sum(
+        1
+        for i in range(len(common))
+        for j in range(i + 1, len(common))
+        if common[i] > common[j]
+    )
+    if inversions:
+        return pa.table({
+            "kind": pa.array(["order_inconsistent"], pa.string()),
+            "value": pa.array([None], pa.string()),
+            "value_num": pa.array([float(inversions)], pa.float64()),
+        })
     v = OrderCheck("r_name", required, pos_col="r_regionkey").violations(
         ds, RunContext()
     )
@@ -1465,12 +1490,24 @@ WITH req AS (
 dat AS (
   SELECT r_name AS name,
          row_number() OVER (ORDER BY r_regionkey) - 1 AS pos
-  FROM region)
+  FROM region),
+com AS (
+  SELECT r.name, r.pos AS rpos, d.pos AS dpos
+  FROM req r JOIN dat d ON d.name = r.name),
+inv AS (
+  SELECT count(*) AS n
+  FROM com a JOIN com b ON a.rpos < b.rpos AND a.dpos > b.dpos)
 SELECT 'missing' AS kind, r.name AS value, CAST(r.pos AS DOUBLE) AS value_num
-FROM req r LEFT JOIN dat d ON d.name = r.name WHERE d.name IS NULL
+FROM req r LEFT JOIN dat d ON d.name = r.name
+WHERE d.name IS NULL AND (SELECT n FROM inv) = 0
 UNION ALL
 SELECT 'extra' AS kind, d.name AS value, CAST(d.pos AS DOUBLE) AS value_num
-FROM dat d LEFT JOIN req r ON r.name = d.name WHERE r.name IS NULL
+FROM dat d LEFT JOIN req r ON r.name = d.name
+WHERE r.name IS NULL AND (SELECT n FROM inv) = 0
+UNION ALL
+SELECT 'order_inconsistent' AS kind, CAST(NULL AS VARCHAR) AS value,
+       CAST(n AS DOUBLE) AS value_num
+FROM inv WHERE n > 0
 """
 
 

@@ -110,6 +110,13 @@ def _changepoints_sql(jmax: int = 40, penalty_factor: float = 2.0) -> str:
   SELECT g, CAST(count(*) AS BIGINT) AS n_cp,
          string_agg(CAST(cp AS VARCHAR), ',' ORDER BY cp) AS split_pos
   FROM path GROUP BY g)""")
+    # Self-describing overflow sentinel (round-3 ADVICE): a group whose
+    # series exceeds the unroll depth used to vanish silently (walk_0
+    # inner-joins ball_{jmax} on j = n, which has no match past jmax),
+    # surfacing as a confusing row-count mismatch.  Now such a group
+    # emits an explicit ERROR row instead, so the oracle diff names the
+    # failure mode (regenerate with a larger jmax) rather than hiding
+    # the group.
     return "WITH " + ",\n".join(ctes) + f"""
 SELECT p.g AS event_type, p.n AS n_days,
        COALESCE(c.n_cp, 0) AS n_changepoints,
@@ -118,7 +125,13 @@ SELECT p.g AS event_type, p.n AS n_days,
 FROM pen p
 JOIN walk_0 w ON w.g = p.g
 LEFT JOIN cps c ON c.g = p.g
-ORDER BY p.g"""
+UNION ALL
+SELECT p.g AS event_type, p.n AS n_days,
+       CAST(-1 AS BIGINT) AS n_changepoints,
+       'ERROR: series length exceeds SQL unroll jmax={jmax}' AS split_pos,
+       CAST(NULL AS DOUBLE) AS cost
+FROM pen p WHERE p.n > {jmax}
+ORDER BY event_type"""
 
 
 SQL_CHANGEPOINTS_EVENTS = _changepoints_sql(40)

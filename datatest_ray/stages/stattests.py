@@ -861,16 +861,32 @@ def _finalize_partials(partials, finalize, *, empty_schema=None):
     With ``empty_schema`` (the partials' Arrow schema): run the
     finalize in a WORKER task instead — for partials that are one row
     per subject/key (quade), which at large scale factors must not
-    concentrate in driver RAM.  Unioning a known-schema empty block
-    first guarantees ``repartition(1)`` produces exactly one block, so
-    the zero-block skip above cannot recur."""
+    concentrate in driver RAM.  ``map_batches`` skips zero-ROW blocks
+    just like zero-block datasets skip ``repartition(1)``, so the seed
+    is a one-row ALL-NULL sentinel that the wrapped finalize filters
+    back out — this guarantees the kernel runs exactly once even when
+    no partial qualified.  Contract: real partial rows must carry at
+    least one non-null value (true for every per-subject partial)."""
     import ray
 
     if empty_schema is not None:
-        seeded = partials.union(
-            ray.data.from_arrow(empty_schema.empty_table()))
+        sentinel = pa.Table.from_arrays(
+            [pa.array([None], f.type) for f in empty_schema],
+            schema=empty_schema)
+
+        def finalize_drop_sentinel(t: pa.Table) -> pa.Table:
+            mask = None
+            for name in t.schema.names:
+                v = pc.is_valid(t.column(name))
+                mask = v if mask is None else pc.or_(mask, v)
+            if mask is not None:
+                t = t.filter(mask)
+            return finalize(t)
+
+        seeded = partials.union(ray.data.from_arrow(sentinel))
         return seeded.repartition(1).map_batches(
-            finalize, batch_format="pyarrow", batch_size=None)
+            finalize_drop_sentinel, batch_format="pyarrow",
+            batch_size=None)
 
     batches = list(partials.iter_batches(batch_format="pyarrow",
                                          batch_size=65536))

@@ -203,12 +203,34 @@ def _carve_empty_subsets(out_dir: str) -> None:
         f"{out_dir}/events.parquet")
 
 
+def _carve_permute_region(out_dir: str) -> None:
+    """GRAFT_FUZZ_CARVE=2: additionally permute the region-name ↔
+    regionkey assignment so order_region's documented consistent-order
+    assumption is VIOLATED — the engine's difflib OrderCheck would emit
+    transposition diffs no set-difference SQL can mirror, so both the
+    engine wrapper and the SQL must detect the inversions and emit the
+    identical self-describing 'order_inconsistent' sentinel row
+    (round-3 ADVICE item on SQL_ORDER_REGION)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(f"{out_dir}/region.parquet")
+    names = t.column("r_name").to_pylist()
+    perm = [names[i] for i in (2, 0, 3, 1, 4)]
+    _pq.write_table(pa.table({
+        "r_regionkey": t.column("r_regionkey"),
+        "r_name": pa.array(perm),
+    }), f"{out_dir}/region.parquet")
+
+
 @pytest.fixture(scope="module")
 def fuzz_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("fuzz_sf"))
     _gen(d)
-    if os.environ.get("GRAFT_FUZZ_CARVE"):
+    carve = os.environ.get("GRAFT_FUZZ_CARVE")
+    if carve:
         _carve_empty_subsets(d)
+        if carve == "2":
+            _carve_permute_region(d)
     return d
 
 
