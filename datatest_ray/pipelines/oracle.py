@@ -1019,13 +1019,89 @@ SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node
 
 
 def q_dedup_simhash(sf_dir: str):
-    # no SQL oracle (SimHash is not SQL-expressible); rows-only contract,
-    # brute-force parity asserted in tests/test_dedup.py
+    """SimHash near-dup pairs — oracle-paired since round 4: token
+    hashes are md5-based (``dedup.md5_hash64`` == DuckDB
+    ``md5_number_lower``), the 3-gram shingle combine is a polynomial
+    mod 2^64 reproduced with HUGEINT split-multiply, the per-bit
+    majority vote and the Hamming pair filter are relational
+    (SQL_DEDUP_SIMHASH).  The engine's 8x8-band pigeonhole LSH has
+    recall 1.0 at Hamming <= 7 with exact verification, so its output
+    IS exactly every pair at Hamming <= 7 — what the SQL computes
+    brute-force.  Brute-force numpy parity additionally pinned in
+    tests/test_text_dedup_similarity.py."""
     from ..stages.dedup import simhash_pairs
 
     return _materialize(simhash_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id",
-        shuffle_partitions=8))
+        shuffle_partitions=8),
+        empty_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("hamming", pa.int64())]))
+
+
+def _simhash_sql(max_hamming: int = 7) -> str:
+    """SQL mirror of ``dedup.simhash_pairs``: tokenize exactly like
+    ``tokens_and_offsets`` (lower, trim, split \\s+), hash tokens with
+    ``md5_number_lower``, combine 3-token shingles with the engine's
+    polynomial (acc = (h0*C + h1)*C + h2 mod 2^64; C powers precomputed
+    here, the 128-bit-safe h*c mod 2^64 done as a 32-bit split), DISTINCT
+    shingles per doc, per-bit majority vote (2*ones > n), reassemble the
+    uint64, reinterpret as int64, and emit every doc pair at Hamming <=
+    max_hamming via xor + bit_count.  Docs with <3 tokens get simhash 0
+    (they pair with each other at Hamming 0), matching the engine."""
+    M = 1 << 64
+    M32 = 1 << 32
+    C = 0x9E3779B97F4A7C15
+    C2 = (C * C) % M
+
+    def mm(h: str, c: int) -> str:
+        # h*c mod 2^64 without overflowing signed HUGEINT
+        return (f"((((CAST({h} AS HUGEINT) // {M32}) * {c}) % {M32})"
+                f" * {M32} + (CAST({h} AS HUGEINT) % {M32}) * {c})")
+
+    pw_vals = ", ".join(f"({b}, {1 << b})" for b in range(64))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS doc,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN []
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+  FROM documents),
+tok AS MATERIALIZED (
+  SELECT doc, i, md5_number_lower(ts[i]) AS h
+  FROM (SELECT doc, ts, unnest(range(1, len(ts) + 1)) AS i FROM base)),
+sh AS MATERIALIZED (
+  SELECT doc,
+         CAST(({mm('h0', C2)} + {mm('h1', C)} + CAST(h2 AS HUGEINT))
+              % {M} AS UBIGINT) AS s
+  FROM (SELECT doc, h AS h0,
+               lead(h, 1) OVER w AS h1, lead(h, 2) OVER w AS h2
+        FROM tok WINDOW w AS (PARTITION BY doc ORDER BY i))
+  WHERE h2 IS NOT NULL),
+shd AS MATERIALIZED (SELECT DISTINCT doc, s FROM sh),
+pw(b, p) AS (VALUES {pw_vals}),
+bits AS MATERIALIZED (
+  SELECT d.doc, pw.b,
+         CASE WHEN 2 * sum((CAST(d.s AS HUGEINT) // pw.p) % 2) > count(*)
+              THEN CAST(pw.p AS HUGEINT) ELSE 0 END AS contrib
+  FROM shd d CROSS JOIN pw
+  GROUP BY d.doc, pw.b, pw.p),
+sims AS MATERIALIZED (
+  SELECT b.doc, COALESCE(u.u, 0) AS u
+  FROM base b LEFT JOIN
+       (SELECT doc, sum(contrib) AS u FROM bits GROUP BY doc) u
+    ON u.doc = b.doc),
+ivals AS MATERIALIZED (
+  SELECT doc, CAST(u - CASE WHEN u >= {1 << 63}
+                            THEN CAST({M} AS HUGEINT) ELSE 0 END
+              AS BIGINT) AS sim
+  FROM sims)
+SELECT a.doc AS a, b.doc AS b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM ivals a JOIN ivals b ON a.doc < b.doc
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+ORDER BY a, b"""
+
+
+SQL_DEDUP_SIMHASH = _simhash_sql(7)
 
 
 # ---------------------------------------------------------------------------
@@ -5018,6 +5094,7 @@ def oracle_sql() -> Dict[str, str]:
         "dedup_minhash_lsh": _SQL_JACCARD_PAIRS,
         "dedup_minhash_join": _SQL_JACCARD_PAIRS,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "dedup_simhash": SQL_DEDUP_SIMHASH,
         "sim_neardup_cosine": SQL_SIM_NEARDUP_COSINE,
         "sim_topk_cosine": SQL_SIM_TOPK_COSINE,
         "window_hourly": SQL_WINDOW_HOURLY,

@@ -338,14 +338,22 @@ FROM d GROUP BY 1
 
 
 def q_spacesaving_top_users(sf_dir: str):
-    # approximate enumeration -> rows-only; exact-recovery guarantees
-    # pinned in tests/test_spacesaving.py
+    """Top-10 users by event count via a mergeable SpaceSaving summary.
+    Oracle-paired IN THE EXACT REGIME (round-3 verdict item #3):
+    capacity 256 ≥ the distinct-user count at every correctness scale
+    (15 at sf0.001, 150 at sf0.01, 40 on the fuzz corpus), so no
+    eviction ever fires, counts are exact, err = 0, and the summary's
+    deterministic tie-break (count desc, str(value) asc) is plain SQL
+    (SQL_SPACESAVING_TOP_USERS).  Beyond capacity (sf0.1 bench: 1,500
+    users) the SAME code path degrades gracefully to the approximate
+    contract, whose error bounds are pinned in
+    tests/test_spacesaving.py."""
     from ..functions.aggregates import (SketchAggregate, SpaceSaving,
                                         sketch_loads)
 
     ds = _read(sf_dir, "events", ["user_id"])
     res = ds.aggregate(SketchAggregate(
-        on="user_id", factory=lambda: SpaceSaving(64),
+        on="user_id", factory=lambda: SpaceSaving(256),
         alias_name="ss"))
     ss = sketch_loads(res["ss"])
     top = ss.topk(10)
@@ -359,10 +367,12 @@ def q_spacesaving_top_users(sf_dir: str):
 def q_heavy_hitters_group(sf_dir: str):
     """GROUPED SpaceSaving: per event_type, the top-3 users by event
     count — the summary merges through the groupby shuffle (O(k) items
-    per group per block).  Top-k enumeration is approximate in general
-    -> rows-only (deterministic: counts carry error bounds and the
-    tie-break is fixed); guarantee behavior is pinned in
-    tests/test_spacesaving.py."""
+    per group per block).  Oracle-paired IN THE EXACT REGIME (round-3
+    verdict item #3): capacity 256 ≥ per-group distinct users at every
+    correctness scale (max 150 at sf0.01), so counts are exact and the
+    deterministic tie-break (count desc, str(value) asc) is plain SQL
+    (SQL_HEAVY_HITTERS_GROUP).  Approximate-regime error bounds stay
+    pinned in tests/test_spacesaving.py."""
     from ..functions.aggregates import (SketchAggregate, SpaceSaving,
                                         sketch_loads)
 
@@ -384,6 +394,36 @@ def q_heavy_hitters_group(sf_dir: str):
         "user_id": pa.array(users, pa.int64()),
         "n": pa.array(counts, pa.int64()),
     })
+
+
+# Exact-regime mirrors for the SpaceSaving queries: with capacity ≥
+# distinct keys no eviction fires, so the summary IS the exact
+# value_counts and topk's tie-break is (count desc, str(value) asc) —
+# note the STRING order on the value ('10' < '9'), mirrored with a
+# VARCHAR cast.
+SQL_SPACESAVING_TOP_USERS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS count_upper,
+       CAST(0 AS BIGINT) AS err
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC
+LIMIT 10
+"""
+
+SQL_HEAVY_HITTERS_GROUP = """
+WITH c AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY n DESC, CAST(user_id AS VARCHAR) ASC) AS rank
+  FROM c)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, n
+FROM r WHERE rank <= 3
+"""
 
 
 def q_tdigest_group_price(sf_dir: str):
@@ -898,7 +938,8 @@ SQL3: Dict[str, str] = {
     "periodogram_events": SQL_PERIODOGRAM_EVENTS,
     "mahalanobis_lineitem": SQL_MAHALANOBIS_LINEITEM,
     "qq_price_drift": SQL_QQ_PRICE_DRIFT,
+    "spacesaving_top_users": SQL_SPACESAVING_TOP_USERS,
+    "heavy_hitters_group": SQL_HEAVY_HITTERS_GROUP,
     # periodogram_events / pca_embeddings: FFT/eig, rows-only
-    # spacesaving_top_users / tdigest_group_price / mahalanobis_lineitem:
-    # approximate or rank-based -> rows-only
+    # tdigest_group_price: approximate by nature -> rows-only
 }

@@ -703,6 +703,31 @@ def _join_exact_verify(ds, pairs, text_col: str, id_col: str, *, n: int,
 # ---------------------------------------------------------------------------
 
 
+def md5_hash64(flat) -> np.ndarray:
+    """uint64 token hashes = the little-endian lower 8 bytes of md5 —
+    bit-identical to DuckDB's ``md5_number_lower()``, which is what
+    makes the SimHash pipeline SQL-reproducible (round-4: moved
+    dedup_simhash from rows-only to oracle-paired).  md5 runs once per
+    DISTINCT token via dictionary-encode, then gathers by code, so the
+    Python loop is vocabulary-bounded, not token-bounded."""
+    import hashlib
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if not isinstance(flat, pa.Array):
+        flat = pa.array(flat, pa.string())
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = pc.dictionary_encode(flat)
+    vocab = enc.dictionary.to_pylist()
+    hv = np.fromiter(
+        (int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[8:],
+                        "little") for v in vocab),
+        dtype=np.uint64, count=len(vocab))
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    return hv[codes]
+
+
 def simhash64(sh: np.ndarray, sh_off: np.ndarray) -> np.ndarray:
     """64-bit SimHash per doc from flat shingle hashes (vectorized:
     unpack bits, segment-sum, sign)."""
@@ -732,7 +757,11 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, n: int = 3,
                   shuffle_partitions: int | None = None):
     """Near-duplicate pairs by SimHash Hamming distance: (a, b, hamming).
     8 bands x 8 bits: any pair within Hamming <= 7 shares at least one
-    exact band (pigeonhole), so recall is 1.0 at the default radius."""
+    exact band (pigeonhole), so recall is 1.0 at the default radius —
+    with exact-Hamming verification the output is EXACTLY every pair at
+    Hamming <= max_hamming.  Token hashes are md5-based
+    (``md5_hash64``), so the whole pipeline is deterministic AND
+    SQL-reproducible (oracle pair ``dedup_simhash``)."""
     from ray.data.aggregate import Min
 
     bands, width = 8, 8
@@ -740,7 +769,8 @@ def simhash_pairs(ds, text_col: str, id_col: str, *, n: int = 3,
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         flat, offsets = tokens_and_offsets(batch.column(text_col))
-        sh, sh_off = shingle_hash_sets(flat, offsets, n=n)
+        sh, sh_off = shingle_hash_sets(flat, offsets, n=n,
+                                       tok_hash=md5_hash64)
         sims = simhash64(sh, sh_off)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         out_bucket, out_doc, out_sim = [], [], []

@@ -378,16 +378,18 @@ def json_extract_int(ds, col: str, id_col: str, *, key: str,
 
 
 def shingle_hash_sets(
-    flat_tokens: pa.Array, offsets: np.ndarray, n: int = 3
+    flat_tokens: pa.Array, offsets: np.ndarray, n: int = 3, tok_hash=None
 ):
     """Per-row DISTINCT hashes of n-token shingles, fully vectorized.
 
     Returns (flat_shingle_hashes: uint64, shingle_offsets: int64) in the
     same flat+offsets layout as the token input.  Token hashes are mixed
     with a polynomial rolling combine so no shingle strings are ever
-    materialized.
+    materialized.  ``tok_hash`` overrides the token-hash function
+    (default ``hash64``); pass ``dedup.md5_hash64`` for hashes that are
+    bit-reproducible in SQL (DuckDB ``md5_number_lower``).
     """
-    tok_h = hash64(flat_tokens)
+    tok_h = (tok_hash or hash64)(flat_tokens)
     counts = _row_counts(offsets)
     n_rows = len(counts)
     sh_counts = np.maximum(counts - (n - 1), 0)

@@ -132,7 +132,8 @@ def test_jaro_winkler_pairs_blocked(ray_session):
 
 
 def test_simhash_pairs_match_bruteforce(ray_session):
-    from datatest_ray.stages.dedup import _popcount64, simhash64, simhash_pairs
+    from datatest_ray.stages.dedup import (
+        _popcount64, md5_hash64, simhash64, simhash_pairs)
     from datatest_ray.stages.text import shingle_hash_sets, tokens_and_offsets
 
     ds = _docs_ds()
@@ -142,7 +143,7 @@ def test_simhash_pairs_match_bruteforce(ray_session):
 
     t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow")).combine_chunks()
     flat, off = tokens_and_offsets(t.column("text"))
-    sh, sh_off = shingle_hash_sets(flat, off, n=3)
+    sh, sh_off = shingle_hash_sets(flat, off, n=3, tok_hash=md5_hash64)
     sims = simhash64(sh, sh_off)
     want = set()
     for i in range(len(sims)):
