@@ -183,12 +183,31 @@ def flagship_once() -> None:
     """Single flagship trial in THIS process (fresh Ray session);
     prints one JSON line.  Invoked as a subprocess by the orchestrator
     and by ``--scaling``."""
+    import threading
+
     import ray
 
     _pin_fsspec_stub()
     _init_ray()
     sf = _sf_of(SF_DIR)
+    # sample driver RSS + object-store usage while the suite streams:
+    # the memory-boundedness evidence for the 10x-scale run (the peaks
+    # must stay ~flat vs the 1x run if nothing materializes the payload)
+    peak = {"rss": 0.0, "store": 0.0}
+    stop = threading.Event()
+
+    def sample() -> None:
+        while not stop.is_set():
+            rss, store = _mem_probe()
+            peak["rss"] = max(peak["rss"], rss)
+            peak["store"] = max(peak["store"], store)
+            stop.wait(0.5)
+
+    t = threading.Thread(target=sample, daemon=True)
+    t.start()
     r = run_flagship_bench(sf)
+    stop.set()
+    t.join(timeout=5)
     print(json.dumps({
         "metric": "flagship image validation suite wall time",
         "value": round(r["flagship_sec"], 3),
@@ -198,6 +217,8 @@ def flagship_once() -> None:
         "images_per_sec": round(r["images_per_sec"], 1),
         "n_images": r["n_images"],
         "n_violations": r["n_violations"],
+        "peak_rss_mb": round(peak["rss"], 1),
+        "peak_object_store_mb": round(peak["store"], 1),
     }))
     ray.shutdown()
 

@@ -15,6 +15,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+# slow tier: a full 462-pair cross-engine replay (~3 min); part of the
+# per-round fuzz campaign, not the inner loop
+pytestmark = pytest.mark.slow
+
 # default seed is pinned for CI determinism; set GRAFT_FUZZ_SEED to
 # probe other corpora (each regenerates the schema and reruns every
 # oracle-paired query)

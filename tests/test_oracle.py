@@ -8,6 +8,11 @@ import duckdb
 import pandas as pd
 import pytest
 
+# slow tier: duplicates the driver's full-population oracle sweep
+# (tools/oracle_sweep_report.py); `pytest -m "not slow"` is the <3 min
+# inner loop, the driver's full `pytest tests/` still runs everything
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
