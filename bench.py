@@ -164,6 +164,15 @@ def _init_ray() -> None:
     import ray
 
     if not ray.is_initialized():
+        kwargs = {}
+        # memory-boundedness evidence knob: cap the plasma store (e.g.
+        # GRAFT_OBJECT_STORE_GB=4 for the 10x-scale run) to prove the
+        # streaming executor's backpressure — peak usage is then
+        # budget-bounded, not data-bounded, and the run must still
+        # complete (spilling is fine; dying is not)
+        cap_gb = os.environ.get("GRAFT_OBJECT_STORE_GB")
+        if cap_gb:
+            kwargs["object_store_memory"] = int(float(cap_gb) * (1 << 30))
         ray.init(
             address="local",
             num_cpus=NCPU,
@@ -173,6 +182,7 @@ def _init_ray() -> None:
             # keep raylet/worker chatter out of stdout: the driver
             # parses this process's output for the ONE json line
             log_to_driver=False,
+            **kwargs,
         )
     from ray.data import DataContext
 
