@@ -109,11 +109,13 @@ from .stages.salting import (  # noqa: F401
     salted_group_map,
 )
 from .stages.transforms import (  # noqa: F401
+    CodecSupportCheck,
     extract_audio_features,
     extract_image_features,
     resize_images,
     sample_frames,
 )
+from .functions.png import UnsupportedCodecError  # noqa: F401
 from .stages import basket, dedup, robust, seq, similarity, text  # noqa: F401
 from .stages.imaging import (  # noqa: F401
     ImageIntegrityCheck,

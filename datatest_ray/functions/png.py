@@ -33,6 +33,8 @@ __all__ = [
     "webp_decode",
     "decode_image",
     "container_scan",
+    "sniff_real_codec",
+    "UnsupportedCodecError",
     "psnr",
     "phash64",
     "dhash64",
@@ -40,6 +42,73 @@ __all__ = [
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+class UnsupportedCodecError(NotImplementedError, ValueError):
+    """A payload whose container magic IS a recognized real-world codec
+    (jpeg, mp4, wav, ...) that this sandbox has no decode library for.
+
+    Distinct from a corrupt/garbage payload: the data is probably fine,
+    the engine just can't decode it here.  Checks report it as a clean
+    ``check_id='codec_unsupported'`` violation row instead of letting a
+    worker-side exception kill the pipeline (round-4 verdict item #3).
+    Subclasses ``NotImplementedError`` (the historical seam contract)
+    and ``ValueError`` (so generic decode-error handlers still catch).
+    """
+
+    def __init__(self, codec: str, media: str = "image"):
+        self.codec = codec
+        self.media = media
+        super().__init__(
+            f"codec_unsupported:{codec} — real-world {media} container "
+            f"recognized but no codec library is available in-sandbox; "
+            f"plug a decoder in at this seam"
+        )
+
+
+def sniff_real_codec(data: bytes) -> Optional[str]:
+    """Identify a real-world media container by magic, or None.
+
+    Only unambiguous signatures (no mp3 frame-sync heuristics — a
+    corrupt payload must keep reporting as corrupt, not as mp3).
+    """
+    if len(data) < 12:
+        return None
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if data[:2] == b"BM" and len(data) >= 14:
+        return "bmp"
+    if data[:4] == b"RIFF":
+        sub = data[8:12]
+        if sub == b"WEBP":
+            return "webp-real"
+        if sub == b"WAVE":
+            return "wav"
+        if sub == b"AVI ":
+            return "avi"
+        return "riff"
+    if data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand[:3] == b"hei" or brand == b"mif1":
+            return "heic"
+        if brand == b"avif":
+            return "avif"
+        if brand == b"qt  ":
+            return "mov"
+        return "mp4"
+    if data[:4] == b"\x1aE\xdf\xa3":
+        return "mkv"
+    if data[:4] == b"fLaC":
+        return "flac"
+    if data[:4] == b"OggS":
+        return "ogg"
+    if data[:3] == b"ID3":
+        return "mp3"
+    return None
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -198,6 +267,9 @@ def decode_image(data: bytes, fmt: Optional[str] = None) -> np.ndarray:
         return lossy_decode(data)
     if data[:4] == b"SWBP":
         return webp_decode(data)
+    codec = sniff_real_codec(data)
+    if codec is not None:
+        raise UnsupportedCodecError(codec, "image")
     raise ValueError(f"unknown image container (fmt hint {fmt!r})")
 
 
@@ -303,6 +375,11 @@ def container_scan(data: bytes):
             return "webp", None, None, "truncated:header"
         _, _ver, _ndim, w, h = struct.unpack(">4sBBHH", data[:10])
         return "webp", int(w), int(h), None
+    codec = sniff_real_codec(data)
+    if codec is not None:
+        # recognized real-world codec, no in-sandbox decoder: report a
+        # self-describing unsupported-codec error, not generic bad_magic
+        return codec, None, None, f"codec_unsupported:{codec}"
     return None, None, None, "bad_magic"
 
 

@@ -286,9 +286,23 @@ def _validate_mapping(data: Mapping, requirement: Any) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _norm_columns(columns):
+    """Accept ``columns="name"`` as shorthand for ``columns=["name"]``.
+
+    Without this, a bare string is treated as a sequence of characters:
+    ``columns="x"`` accidentally works (one char) while ``columns="qty"``
+    raises a confusing "needs exactly one column" TypeError.
+    """
+    if isinstance(columns, str):
+        return [columns]
+    return columns
+
+
 def _dataset_checks(ds, requirement: Any, columns: Optional[Sequence[str]]):
     from ..stages.global_checks import SetCheck, SubsetCheck, SupersetCheck, UniqueCheck
     from ..stages.row_checks import PredicateCheck, SchemaCheck, TupleCheck
+
+    columns = _norm_columns(columns)
 
     def one_column() -> str:
         if columns:
@@ -334,6 +348,7 @@ def _validate_dataset(ds, requirement: Any, msg: Optional[str],
 
 def _one_column(ds, columns: Optional[Sequence[str]]) -> str:
     """Resolve the single column an explicit-method check targets."""
+    columns = _norm_columns(columns)
     if columns:
         if len(columns) != 1:
             raise TypeError("this check needs exactly one column")

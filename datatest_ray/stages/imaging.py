@@ -24,7 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..differences import empty_violations, violations_table
-from ..functions.png import (container_scan, decode_image, dhash64,
+from ..functions.png import (UnsupportedCodecError, container_scan,
+                             decode_image, dhash64,
                              hamming64, phash64, psnr)
 # imported at module top (NOT lazily inside methods): worker processes may
 # only have this code via cloudpickle by-value shipping, where runtime
@@ -112,10 +113,11 @@ class ImageParityChecker:
             if self.partition_col and self.partition_col in batch.column_names
             else [""] * n
         )
-        rows: dict = {k: [] for k in ("row_ref", "part", "kind", "value", "value_num", "expected", "expected_num", "deviation")}
+        rows: dict = {k: [] for k in ("check_id", "row_ref", "part", "kind", "value", "value_num", "expected", "expected_num", "deviation")}
 
         def emit(i, kind, value=None, value_num=None, expected=None,
-                 expected_num=None, deviation=None):
+                 expected_num=None, deviation=None, check_id=None):
+            rows["check_id"].append(check_id or self.check_id)
             rows["row_ref"].append(ids[i])
             rows["part"].append(parts[i])
             rows["kind"].append(kind)
@@ -128,6 +130,11 @@ class ImageParityChecker:
         for i in range(n):
             try:
                 img = decode_image(payloads[i])
+            except UnsupportedCodecError as err:
+                emit(i, "invalid", value=f"codec_unsupported:{err.codec}",
+                     expected="decodable container (png|SJPG|SWBP)",
+                     check_id="codec_unsupported")
+                continue
             except Exception as err:
                 emit(i, "invalid", value=f"decode_error:{type(err).__name__}")
                 continue
@@ -175,7 +182,7 @@ class ImageParityChecker:
         if not rows["row_ref"]:
             return empty_violations()
         return violations_table(
-            len(rows["row_ref"]), check_id=self.check_id, kind=rows["kind"],
+            len(rows["row_ref"]), check_id=rows["check_id"], kind=rows["kind"],
             partition_id=rows["part"], row_ref=rows["row_ref"],
             value=rows["value"], value_num=rows["value_num"],
             expected=rows["expected"], expected_num=rows["expected_num"],
@@ -454,9 +461,11 @@ class ImageIntegrityChecker:
                  and self.partition_col in batch.column_names
                  else [""] * n)
         rows: dict = {k: [] for k in
-                      ("row_ref", "part", "kind", "value", "expected")}
+                      ("check_id", "row_ref", "part", "kind", "value",
+                       "expected")}
 
-        def emit(i, kind, value=None, expected=None):
+        def emit(i, kind, value=None, expected=None, check_id=None):
+            rows["check_id"].append(check_id or self.check_id)
             rows["row_ref"].append(ids[i])
             rows["part"].append(parts[i])
             rows["kind"].append(kind)
@@ -466,7 +475,16 @@ class ImageIntegrityChecker:
         for i in range(n):
             fmt, w, h, err = container_scan(payloads[i])
             if err is not None:
-                emit(i, "corrupt", value=err, expected="sound container")
+                if err.startswith("codec_unsupported"):
+                    # recognized real-world codec with no in-sandbox
+                    # decoder: a clean self-describing violation row,
+                    # not a corrupt-container report (verdict r4 #3)
+                    emit(i, "invalid", value=err,
+                         expected="decodable container (png|SJPG|SWBP)",
+                         check_id="codec_unsupported")
+                else:
+                    emit(i, "corrupt", value=err,
+                         expected="sound container")
                 continue
             if fmts is not None and fmts[i] != fmt:
                 emit(i, "invalid", value=fmts[i], expected=fmt)
@@ -478,7 +496,7 @@ class ImageIntegrityChecker:
         if not rows["row_ref"]:
             return empty_violations()
         return violations_table(
-            len(rows["row_ref"]), check_id=self.check_id,
+            len(rows["row_ref"]), check_id=rows["check_id"],
             kind=rows["kind"], partition_id=rows["part"],
             row_ref=rows["row_ref"], value=rows["value"],
             expected=rows["expected"],

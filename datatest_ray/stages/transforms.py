@@ -9,9 +9,12 @@ batch — with small batch sizes because the payload column is wide.
 The sandbox has no PIL/ffmpeg: the image path runs fully (the engine's
 pure-numpy PNG/lossy codecs from functions/png.py), and the video/audio
 paths decode the engine's own GVC1/GAC1 containers (functions/av.py —
-per-frame PNG video, int16-PCM audio, pure numpy) end-to-end.  Only
-real-world codec formats (mp4/wav/...) remain behind a clearly-marked
-NotImplementedError seam where a codec library would plug in.
+per-frame PNG video, int16-PCM audio, pure numpy) end-to-end.
+Real-world codec formats (mp4/wav/...) are sniffed by magic
+(functions/png.py :: sniff_real_codec): extractors stream past them by
+default (``on_unsupported="skip"``) and :class:`CodecSupportCheck`
+reports each one as a clean ``check_id='codec_unsupported'`` violation
+row — a codec library plugs in at the UnsupportedCodecError seam.
 """
 
 from __future__ import annotations
@@ -22,12 +25,14 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.png import decode_image, png_encode
+from .base import Check
 
 __all__ = ["ImageResizer", "ImageFeatureExtractor", "FrameSampler",
            "AudioFeatureExtractor", "resize_images",
            "extract_image_features", "sample_frames",
            "extract_audio_features", "ImageContentAuditor",
-           "audit_image_content", "aspect_bucket_plan"]
+           "audit_image_content", "aspect_bucket_plan",
+           "CodecSupportCheck"]
 
 
 def _resize_nn(img: np.ndarray, w: int, h: int) -> np.ndarray:
@@ -122,19 +127,28 @@ class FrameSampler:
     (id, frame_idx, bytes).  Payloads in the engine's own GVC1
     container (functions/av.py — per-frame PNG, pure numpy) decode for
     REAL end-to-end; real-world containers (mp4/h264) need a codec
-    library absent from this sandbox, so unknown magics raise a
-    clearly-marked NotImplementedError at the decoder seam.
-    ``fake=True`` substitutes a deterministic synthetic decoder for
-    plumbing-only tests."""
+    library absent from this sandbox.  ``on_unsupported`` controls the
+    seam: ``"skip"`` (default) streams past the clip so a stray real
+    mp4 never kills the pipeline (pair with :class:`CodecSupportCheck`
+    to get the clip reported as a ``codec_unsupported`` violation row);
+    ``"raise"`` raises the clearly-marked
+    :class:`~datatest_ray.functions.png.UnsupportedCodecError` at the
+    decoder seam.  ``fake=True`` substitutes a deterministic synthetic
+    decoder for plumbing-only tests."""
 
     def __init__(self, n_frames: int = 4, id_col: str = "video_id",
-                 bytes_col: str = "bytes", fake: bool = False):
+                 bytes_col: str = "bytes", fake: bool = False,
+                 on_unsupported: str = "skip"):
+        if on_unsupported not in ("skip", "raise"):
+            raise ValueError("on_unsupported must be 'skip' or 'raise'")
         self.n_frames = n_frames
         self.id_col, self.bytes_col = id_col, bytes_col
         self.fake = fake
+        self.on_unsupported = on_unsupported
 
     def _decode_frames(self, payload: bytes) -> list:
         from ..functions.av import GVC_MAGIC, decode_video
+        from ..functions.png import UnsupportedCodecError, sniff_real_codec
 
         if payload[:4] == GVC_MAGIC:
             return decode_video(payload)
@@ -143,17 +157,21 @@ class FrameSampler:
             total = 16
             return [rng.randint(0, 256, (8, 8)).astype(np.uint8)
                     for _ in range(total)]
-        raise NotImplementedError(
-            "unknown video container: only the engine's GVC1 format "
-            "decodes in-sandbox; plug a codec-library decoder in here "
-            "(payload -> [frames]) for mp4/h264/etc."
-        )
+        raise UnsupportedCodecError(
+            sniff_real_codec(payload) or "unknown", "video")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.png import UnsupportedCodecError
+
         ids = batch.column(self.id_col).to_pylist()
         out_id, out_idx, out_bytes = [], [], []
         for i, payload in enumerate(batch.column(self.bytes_col).to_pylist()):
-            frames = self._decode_frames(payload)
+            try:
+                frames = self._decode_frames(payload)
+            except UnsupportedCodecError:
+                if self.on_unsupported == "raise":
+                    raise
+                continue
             n = len(frames)
             take = np.linspace(0, n - 1, min(self.n_frames, n)).astype(int)
             for j in take:
@@ -175,21 +193,28 @@ class AudioFeatureExtractor:
     Payloads in the engine's own GAC1 container (functions/av.py —
     int16 PCM, pure numpy) decode for REAL end-to-end, using the
     container's embedded sample rate for duration; real-world codecs
-    (wav/mp3/flac) need a library absent from this sandbox, so unknown
-    magics raise a clearly-marked NotImplementedError at the decoder
-    seam.  ``fake=True`` substitutes a deterministic synthetic PCM
-    decoder for plumbing-only tests."""
+    (wav/mp3/flac) need a library absent from this sandbox.
+    ``on_unsupported="skip"`` (default) streams past such clips (pair
+    with :class:`CodecSupportCheck` for the violation rows);
+    ``"raise"`` raises the clearly-marked
+    :class:`~datatest_ray.functions.png.UnsupportedCodecError` at the
+    decoder seam.  ``fake=True`` substitutes a deterministic synthetic
+    PCM decoder for plumbing-only tests."""
 
     def __init__(self, n_windows: int = 8, sample_rate: int = 16000,
                  id_col: str = "audio_id", bytes_col: str = "bytes",
-                 fake: bool = False):
+                 fake: bool = False, on_unsupported: str = "skip"):
+        if on_unsupported not in ("skip", "raise"):
+            raise ValueError("on_unsupported must be 'skip' or 'raise'")
         self.n_windows = n_windows
         self.sample_rate = sample_rate
         self.id_col, self.bytes_col = id_col, bytes_col
         self.fake = fake
+        self.on_unsupported = on_unsupported
 
     def _decode_pcm(self, payload: bytes):
         from ..functions.av import GAC_MAGIC, decode_audio
+        from ..functions.png import UnsupportedCodecError, sniff_real_codec
 
         if payload[:4] == GAC_MAGIC:
             return decode_audio(payload)
@@ -198,17 +223,21 @@ class AudioFeatureExtractor:
             n = 4000 + (len(payload) % 4000)
             return ((rng.standard_normal(n) * 0.1).astype(np.float32),
                     self.sample_rate)
-        raise NotImplementedError(
-            "unknown audio container: only the engine's GAC1 format "
-            "decodes in-sandbox; plug a codec-library decoder in here "
-            "(payload -> (float32 PCM, rate)) for wav/mp3/etc."
-        )
+        raise UnsupportedCodecError(
+            sniff_real_codec(payload) or "unknown", "audio")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.png import UnsupportedCodecError
+
         ids = batch.column(self.id_col).to_pylist()
         out_id, out_dur, out_rms = [], [], []
         for i, payload in enumerate(batch.column(self.bytes_col).to_pylist()):
-            pcm, rate = self._decode_pcm(payload)
+            try:
+                pcm, rate = self._decode_pcm(payload)
+            except UnsupportedCodecError:
+                if self.on_unsupported == "raise":
+                    raise
+                continue
             out_id.append(ids[i])
             out_dur.append(len(pcm) / float(rate))
             # RMS energy over n_windows equal slices (pad the tail)
@@ -435,3 +464,99 @@ def aspect_bucket_plan(ds, *, w_col: str = "w", h_col: str = "h",
 
     return agg.map_batches(finalize, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+# ---------------------------------------------------------------------------
+# Codec-support screen (round-4 verdict #3)
+# ---------------------------------------------------------------------------
+
+_DECODABLE_MAGICS = {
+    # magic prefixes the in-sandbox codecs actually decode, per media
+    "image": (b"\x89PNG\r\n\x1a\n", b"SJPG", b"SWBP"),
+    "video": (b"GVC1",),
+    "audio": (b"GAC1",),
+}
+
+
+class CodecSupportCheck(Check):
+    """Per-row screen: every payload whose container this engine cannot
+    decode becomes a violation row — ``check_id='codec_unsupported'`` /
+    kind ``invalid`` when the magic is a RECOGNIZED real-world codec
+    (jpeg, mp4, wav, ...; see ``functions/png.sniff_real_codec``), or
+    this check's own ``check_id`` / kind ``corrupt`` for garbage magic.
+
+    Pairs with the extractors' default ``on_unsupported="skip"``: the
+    feature pipeline streams past undecodable clips, this check reports
+    them, and the pipeline COMPLETES instead of dying on a worker-side
+    exception the first time a real mp4 shows up.  Stateless prefix
+    compares only — no decode work — so it runs as plain task
+    ``map_batches``.
+    """
+
+    check_id = "av_codec_support"
+
+    def __init__(self, media: str = "image", *, id_col: Optional[str] = None,
+                 bytes_col: str = "bytes", check_id: Optional[str] = None,
+                 batch_size: int = 256):
+        if media not in _DECODABLE_MAGICS:
+            raise ValueError(f"media must be one of {sorted(_DECODABLE_MAGICS)}")
+        self.media = media
+        self.id_col = id_col or {"image": "image_id", "video": "video_id",
+                                 "audio": "audio_id"}[media]
+        self.bytes_col = bytes_col
+        if check_id is not None:
+            self.check_id = check_id
+        self.batch_size = batch_size
+        self.columns = [self.id_col, self.bytes_col]
+
+    def kernel(self, batch: pa.Table, part_col: Optional[str]) -> pa.Table:
+        from ..differences import empty_violations, violations_table
+        from ..functions.png import sniff_real_codec
+
+        magics = _DECODABLE_MAGICS[self.media]
+        ids = batch.column(self.id_col).to_pylist()
+        parts = (batch.column(part_col).to_pylist()
+                 if part_col and part_col in batch.column_names
+                 else [""] * batch.num_rows)
+        out_check, out_ref, out_part, out_kind, out_val = [], [], [], [], []
+        for i, payload in enumerate(batch.column(self.bytes_col).to_pylist()):
+            if payload is None:
+                out_check.append(self.check_id)
+                out_kind.append("missing")
+                out_val.append(None)
+            else:
+                if any(payload[: len(m)] == m for m in magics):
+                    continue
+                codec = sniff_real_codec(payload)
+                if codec is not None:
+                    out_check.append("codec_unsupported")
+                    out_kind.append("invalid")
+                    out_val.append(f"codec_unsupported:{codec}")
+                else:
+                    out_check.append(self.check_id)
+                    out_kind.append("corrupt")
+                    out_val.append("bad_magic")
+            out_ref.append(ids[i])
+            out_part.append(parts[i])
+        if not out_ref:
+            return empty_violations()
+        expected = "decodable container (" + "|".join(
+            m.decode("latin1").strip() for m in magics) + ")"
+        return violations_table(
+            len(out_ref), check_id=out_check, kind=out_kind,
+            partition_id=out_part, row_ref=out_ref, value=out_val,
+            expected=expected,
+        )
+
+    def violations(self, ds, ctx):
+        part_col = getattr(ctx, "partition_col", None)
+        cols = list(self.columns)
+        names = ds.schema().names
+        if part_col and part_col in names and part_col not in cols:
+            cols.append(part_col)
+        check = self
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            return check.kernel(batch, part_col)
+
+        return ds.select_columns(cols).map_batches(
+            _apply, batch_format="pyarrow", batch_size=self.batch_size)

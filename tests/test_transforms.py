@@ -73,9 +73,14 @@ def test_frame_sampler_fake_and_stub(ray_session):
     assert set(out["video_id"]) == {"v0", "v1"}
     assert out["frame_idx"].between(0, 15).all()
 
-    # unknown container magics remain an explicit stub
+    # unknown container magics: skipped by default (graceful), an
+    # explicit stub under on_unsupported="raise"
+    out = FrameSampler(fake=False)(pa.table({
+        "video_id": ["v"], "bytes": pa.array([b"zz"], pa.binary()),
+    }))
+    assert out.num_rows == 0
     with pytest.raises(NotImplementedError):
-        FrameSampler(fake=False)(pa.table({
+        FrameSampler(fake=False, on_unsupported="raise")(pa.table({
             "video_id": ["v"], "bytes": pa.array([b"zz"], pa.binary()),
         }))
 
@@ -126,9 +131,14 @@ def test_audio_features_fake_and_stub(ray_session):
     n = again.sort_values("audio_id").reset_index(drop=True)
     assert (m["duration_s"] == n["duration_s"]).all()
 
-    # unknown container magics remain an explicit stub
+    # unknown container magics: skipped by default (graceful), an
+    # explicit stub under on_unsupported="raise"
+    out = AudioFeatureExtractor(fake=False)(pa.table({
+        "audio_id": ["a"], "bytes": pa.array([b"zz"], pa.binary()),
+    }))
+    assert out.num_rows == 0
     with pytest.raises(NotImplementedError):
-        AudioFeatureExtractor(fake=False)(pa.table({
+        AudioFeatureExtractor(fake=False, on_unsupported="raise")(pa.table({
             "audio_id": ["a"], "bytes": pa.array([b"zz"], pa.binary()),
         }))
 
