@@ -146,15 +146,33 @@ def _ensure_worker_shipping() -> None:
     submodule, including ones imported after this call.  Idempotent
     (module-name set membership); failure degrades to the normal
     by-reference path, which still works whenever workers share the
-    driver's sys.path."""
+    driver's sys.path — but it WARNS instead of degrading silently.
+
+    Opt out with ``DATATEST_RAY_SHIP_BY_VALUE=0`` (restores plain
+    by-reference shipping: smaller task payloads and stable class
+    identity when every worker already has the repo on sys.path, e.g.
+    an installed wheel on a real cluster)."""
+    import os as _os
+
+    if _os.environ.get("DATATEST_RAY_SHIP_BY_VALUE", "1") in (
+            "0", "false", "no"):
+        return
     try:
         import sys as _sys
 
         from ray import cloudpickle as _cloudpickle
 
         _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
-    except Exception:
-        pass
+    except Exception as exc:
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"datatest_ray: cloudpickle by-value registration failed "
+            f"({type(exc).__name__}: {exc}); falling back to by-reference "
+            f"shipping — workers must have the package on sys.path",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 _ensure_worker_shipping()

@@ -290,6 +290,16 @@ class SpaceSaving:
         self.counts: dict = {}  # value -> [count_upper, err]
         self.floor = 0  # upper bound for any value NOT in the summary
 
+    @property
+    def evicted(self) -> bool:
+        """True iff an eviction has fired anywhere in this summary's
+        history (directly or in a merged-in partial) — i.e. counts are
+        upper BOUNDS now, not exact.  ``floor`` only leaves 0 on
+        truncation and merges propagate it, so this is exactly the
+        exact-regime/approximate-regime boundary the SQL-paired
+        wrappers key their capacity-exceeded sentinel on."""
+        return self.floor > 0
+
     def _truncate(self) -> None:
         if len(self.counts) <= self.k:
             return

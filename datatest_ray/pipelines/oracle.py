@@ -382,8 +382,8 @@ def q_pack_contexts(sf_dir: str):
 SQL_PACK_CONTEXTS = r"""
 WITH tok AS (
   SELECT doc_id, lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, lang, n_tokens,
@@ -409,8 +409,8 @@ def q_mix_weights(sf_dir: str):
 SQL_MIX_WEIGHTS = r"""
 WITH tok AS (
   SELECT lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS n
   FROM documents
 ), c AS (
   SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM tok GROUP BY 1
@@ -437,8 +437,8 @@ def q_quality_funnel(sf_dir: str):
 
 SQL_QUALITY_FUNNEL = f"""
 WITH b AS (SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+             CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') END AS ts
            FROM documents),
 s AS (SELECT len(ts) AS n_tokens, length(text) AS n_chars,
        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
@@ -522,8 +522,8 @@ def q_zipf_slope(sf_dir: str):
 SQL_ZIPF_SLOPE = r"""
 WITH tok AS (
   SELECT lang,
-         unnest(CASE WHEN trim(text) = '' THEN []
-                     ELSE string_split_regex(trim(lower(text)), '\s+')
+         unnest(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+                     ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')
                 END) AS token
   FROM documents
 ), c AS (
@@ -555,8 +555,8 @@ def q_pack_greedy(sf_dir: str):
 SQL_PACK_GREEDY = r"""
 WITH RECURSIVE tok AS (
   SELECT doc_id, lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS n_tokens
   FROM documents
 ), o AS (
   SELECT doc_id, lang, n_tokens,
@@ -591,8 +591,8 @@ def q_boilerplate_ngrams(sf_dir: str):
 
 SQL_BOILERPLATE_NGRAMS = r"""
 WITH b AS (
-  SELECT CASE WHEN trim(text) = '' THEN []
-              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+  SELECT CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') END AS ts
   FROM documents
 ), g AS (
   SELECT array_to_string(ts[i:i+4], ' ') AS gram
@@ -805,8 +805,8 @@ def q_text_tokens(sf_dir: str):
 
 SQL_TEXT_TOKENS = """
 SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+       CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS n_tokens
 FROM documents
 """
 
@@ -820,8 +820,8 @@ def q_text_quality(sf_dir: str):
 
 SQL_TEXT_QUALITY = f"""
 WITH b AS (SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+             CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') END AS ts
            FROM documents),
 s AS (SELECT doc_id, len(ts) AS n_tokens, length(text) AS n_chars,
        length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
@@ -842,8 +842,8 @@ def q_text_lang_id(sf_dir: str):
 
 SQL_TEXT_LANG_ID = f"""
 WITH b AS (SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+             CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') END AS ts
            FROM documents),
 s AS (SELECT doc_id,
   len(list_filter(ts, t -> list_contains([{_EN}], t))) AS s_en,
@@ -923,7 +923,7 @@ FROM documents GROUP BY 1, 2
 
 
 _SQL_JACCARD_PAIRS = """
-WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS ts FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
 pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
@@ -1000,7 +1000,7 @@ def q_dedup_clusters(sf_dir: str):
 
 SQL_DEDUP_CLUSTERS = """
 WITH RECURSIVE
-tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents),
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ts FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
 pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
@@ -1062,8 +1062,8 @@ def _simhash_sql(max_hamming: int = 7) -> str:
     return f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id AS doc,
-         CASE WHEN text IS NULL OR trim(text) = '' THEN []
-              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+         CASE WHEN text IS NULL OR trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') END AS ts
   FROM documents),
 tok AS MATERIALIZED (
   SELECT doc, i, md5_number_lower(ts[i]) AS h
@@ -1226,8 +1226,8 @@ def q_text_vocab(sf_dir: str):
 
 SQL_TEXT_VOCAB = """
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-  FROM documents WHERE trim(text) <> ''
+  SELECT unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) AS token
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 )
 SELECT token, count(*) AS n FROM toks WHERE token <> ''
 GROUP BY token ORDER BY n DESC, token LIMIT 20
@@ -1903,8 +1903,8 @@ def q_text_repetition(sf_dir: str):
 SQL_TEXT_REPETITION = """
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []
-              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+              ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') END AS ts
   FROM documents)
 SELECT doc_id,
        CAST(len(ts) AS BIGINT) AS n_tokens,
@@ -1957,8 +1957,8 @@ def q_unnest_tokens(sf_dir: str):
 
 
 SQL_UNNEST_TOKENS = """
-SELECT doc_id, unnest(CASE WHEN trim(text) = '' THEN []
-                           ELSE string_split_regex(trim(lower(text)), '\\s+')
+SELECT doc_id, unnest(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+                           ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')
                       END) AS token
 FROM documents
 """
@@ -2110,8 +2110,8 @@ def q_tfidf_lang(sf_dir: str):
 SQL_TFIDF_LANG = """
 WITH tok AS (
   SELECT doc_id, lang,
-         unnest(CASE WHEN trim(text) = '' THEN []
-                     ELSE string_split_regex(trim(lower(text)), '\\s+')
+         unnest(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+                     ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')
                 END) AS term
   FROM documents
 ),
@@ -2468,8 +2468,8 @@ def q_corpus_prep(sf_dir: str):
 
 SQL_CORPUS_PREP = f"""
 WITH b AS (SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS ts
+             CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') END AS ts
            FROM documents),
 s AS (SELECT doc_id, md5(text) AS fp,
         0.5*(least(len(ts),100)/100.0)
@@ -3063,8 +3063,8 @@ def q_lexical_lang(sf_dir: str):
 SQL_LEXICAL_LANG = """
 WITH toks AS (
   SELECT lang,
-         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
-  FROM documents WHERE trim(text) <> ''
+         unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) AS token
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 ),
 tc AS (
   SELECT lang, token, count(*) AS c
@@ -3600,7 +3600,7 @@ def q_dup_degree_hist(sf_dir: str):
 
 
 SQL_DUP_DEGREE_HIST = """
-WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents),
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ts FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
 pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
@@ -3762,8 +3762,8 @@ def q_text_bigrams(sf_dir: str):
 
 SQL_TEXT_BIGRAMS = """
 WITH t AS (
-  SELECT string_split_regex(trim(lower(text)), '\s+') AS l
-  FROM documents WHERE trim(text) <> ''
+  SELECT string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS l
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 ),
 b AS (
   SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM t
@@ -4073,8 +4073,8 @@ def q_feature_hash_lang(sf_dir: str):
 SQL_FEATURE_HASH_LANG = """
 WITH toks AS (
   SELECT lang,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-  FROM documents WHERE trim(text) <> ''
+         unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS tok
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 )
 SELECT lang,
        CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 16
@@ -4336,8 +4336,8 @@ def q_tfidf_pairs(sf_dir: str):
 
 SQL_TFIDF_PAIRS = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS tok
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 ), tf AS (
   SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
   FROM toks WHERE trim(tok) <> '' GROUP BY 1, 2
@@ -4381,8 +4381,8 @@ def q_overlap_pairs(sf_dir: str):
 
 SQL_OVERLAP_PAIRS = """
 WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ts
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 ), sh AS (
   SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
@@ -4620,8 +4620,8 @@ WITH t AS (
   FROM documents
 ), tok AS (
   SELECT doc_id, is_eval,
-         string_split_regex(trim(lower(text)), '\\s+') AS ts
-  FROM t WHERE trim(text) <> ''
+         string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ts
+  FROM t WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 ), sh AS (
   SELECT doc_id, is_eval,
          unnest(list_distinct(list_transform(
@@ -4651,8 +4651,8 @@ def q_lm_score(sf_dir: str):
 
 SQL_LM_SCORE = """
 WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS l
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS l
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''
 ), uni AS (SELECT unnest(l) AS w FROM tok),
 uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY w),
 vv AS (SELECT CAST(count(*) AS BIGINT) AS V FROM uc),

@@ -68,7 +68,9 @@ WITH d AS (
 ),
 l AS (
   SELECT doc_id,
-         trim(lower(unnest(string_split(text, '.')))) AS line
+         trim(lower(unnest(string_split(text, '.'))),
+              ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))
+           AS line
   FROM d
 )
 SELECT line, count(DISTINCT doc_id) AS n_docs

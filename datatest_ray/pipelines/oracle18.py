@@ -210,8 +210,8 @@ def q_oov_rate_docs(sf_dir: str):
 
 SQL_OOV_RATE_DOCS = """
 WITH tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS w
+  FROM documents WHERE text IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 vocab AS (
   SELECT w FROM (
     SELECT w, count(*) AS c FROM tok GROUP BY w

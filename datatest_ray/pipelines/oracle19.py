@@ -59,7 +59,7 @@ def q_split_leakage_jaccard(sf_dir: str):
 
 
 SQL_SPLIT_LEAKAGE_JACCARD = r"""
-WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS ts FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
 pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,

@@ -204,7 +204,7 @@ def q_dedup_best_rep(sf_dir: str):
 
 SQL_DEDUP_BEST_REP = """
 WITH RECURSIVE
-tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts FROM documents),
+tok AS (SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ts FROM documents),
 sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ts)-2),
          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s FROM tok),
 pairs AS (SELECT a.doc_id AS a, b.doc_id AS b
@@ -896,8 +896,8 @@ def q_sample_token_budget(sf_dir: str):
 SQL_SAMPLE_TOKEN_BUDGET = r"""
 WITH tok AS (
   SELECT doc_id, lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS nt
   FROM documents
 ),
 tot AS (SELECT lang, sum(nt) AS t FROM tok GROUP BY 1),
@@ -1275,8 +1275,8 @@ def q_chunk_plan_docs(sf_dir: str):
 SQL_CHUNK_PLAN_DOCS = r"""
 WITH tok AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS nt
   FROM documents
 ),
 c AS (
@@ -1307,8 +1307,8 @@ def q_blocklist_docs(sf_dir: str):
 SQL_BLOCKLIST_DOCS = r"""
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') END AS ts
   FROM documents
 )
 SELECT doc_id,
@@ -1403,7 +1403,7 @@ def q_triangles_dupgraph(sf_dir: str):
 
 SQL_TRIANGLES_DUPGRAPH = r"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS ts
   FROM documents
 ),
 sh AS (

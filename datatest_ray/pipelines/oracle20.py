@@ -42,7 +42,7 @@ def q_ngram_novelty_docs(sf_dir: str):
 
 
 SQL_NGRAM_NOVELTY_DOCS = r"""
-WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS ts FROM documents),
 ng AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ts)-2),
          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g FROM tok),
 df AS (SELECT g, count(*) AS d FROM ng GROUP BY g)
@@ -70,7 +70,7 @@ def q_distinct_ngrams_lang(sf_dir: str):
 
 
 SQL_DISTINCT_NGRAMS_LANG = r"""
-WITH tok AS (SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS ts FROM documents),
+WITH tok AS (SELECT lang, string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS ts FROM documents),
 ng AS (SELECT lang, unnest(list_distinct(list_transform(generate_series(1, len(ts)-2),
          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g FROM tok)
 SELECT lang, CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,

@@ -60,8 +60,8 @@ def q_bpe_token_counts(sf_dir: str):
 
 SQL_BPE_TOKEN_COUNTS = r"""
 SELECT doc_id,
-       CAST(CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+       CAST(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS BIGINT)
          AS n_ws,
        CAST(len(regexp_extract_all(text,
          '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
@@ -101,8 +101,8 @@ def q_bpe_fertility_lang(sf_dir: str):
 
 SQL_BPE_FERTILITY_LANG = r"""
 SELECT lang,
-       CAST(sum(CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT)
+       CAST(sum(CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+            ELSE len(string_split_regex(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END) AS BIGINT)
          AS n_ws,
        CAST(sum(len(regexp_extract_all(text,
          '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))

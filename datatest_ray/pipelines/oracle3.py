@@ -344,10 +344,13 @@ def q_spacesaving_top_users(sf_dir: str):
     (15 at sf0.001, 150 at sf0.01, 40 on the fuzz corpus), so no
     eviction ever fires, counts are exact, err = 0, and the summary's
     deterministic tie-break (count desc, str(value) asc) is plain SQL
-    (SQL_SPACESAVING_TOP_USERS).  Beyond capacity (sf0.1 bench: 1,500
-    users) the SAME code path degrades gracefully to the approximate
-    contract, whose error bounds are pinned in
-    tests/test_spacesaving.py."""
+    (SQL_SPACESAVING_TOP_USERS).  Beyond capacity the summary KNOWS
+    eviction fired (``SpaceSaving.evicted``) and both the engine and
+    the SQL emit the identical self-describing capacity-exceeded
+    sentinel row (user_id NULL, count_upper = capacity, err = -1)
+    instead of silently diverging (round-4 ADVICE item #1, mirroring
+    the order_region sentinel pattern).  Approximate-regime error
+    bounds stay pinned in tests/test_spacesaving.py."""
     from ..functions.aggregates import (SketchAggregate, SpaceSaving,
                                         sketch_loads)
 
@@ -356,6 +359,12 @@ def q_spacesaving_top_users(sf_dir: str):
         on="user_id", factory=lambda: SpaceSaving(256),
         alias_name="ss"))
     ss = sketch_loads(res["ss"])
+    if ss.evicted:
+        return pa.table({
+            "user_id": pa.array([None], pa.int64()),
+            "count_upper": pa.array([256], pa.int64()),
+            "err": pa.array([-1], pa.int64()),
+        })
     top = ss.topk(10)
     return pa.table({
         "user_id": pa.array([int(v) for v, _c, _e in top], pa.int64()),
@@ -371,8 +380,11 @@ def q_heavy_hitters_group(sf_dir: str):
     verdict item #3): capacity 256 ≥ per-group distinct users at every
     correctness scale (max 150 at sf0.01), so counts are exact and the
     deterministic tie-break (count desc, str(value) asc) is plain SQL
-    (SQL_HEAVY_HITTERS_GROUP).  Approximate-regime error bounds stay
-    pinned in tests/test_spacesaving.py."""
+    (SQL_HEAVY_HITTERS_GROUP).  A group past capacity emits the
+    identical self-describing sentinel row in both the engine and the
+    SQL (rank = -1, user_id NULL, n = -1; round-4 ADVICE item #1)
+    instead of silently diverging.  Approximate-regime error bounds
+    stay pinned in tests/test_spacesaving.py."""
     from ..functions.aggregates import (SketchAggregate, SpaceSaving,
                                         sketch_loads)
 
@@ -383,7 +395,14 @@ def q_heavy_hitters_group(sf_dir: str):
     types, users, counts, ranks = [], [], [], []
     for et, raw in zip(res.column("event_type").to_pylist(),
                        res.column("ss").to_pylist()):
-        for rank, (v, c, _e) in enumerate(sketch_loads(raw).topk(3), 1):
+        s = sketch_loads(raw)
+        if s.evicted:
+            types.append(et)
+            users.append(None)
+            counts.append(-1)
+            ranks.append(-1)
+            continue
+        for rank, (v, c, _e) in enumerate(s.topk(3), 1):
             types.append(et)
             users.append(int(v))
             counts.append(int(c))
@@ -402,12 +421,21 @@ def q_heavy_hitters_group(sf_dir: str):
 # note the STRING order on the value ('10' < '9'), mirrored with a
 # VARCHAR cast.
 SQL_SPACESAVING_TOP_USERS = """
-SELECT user_id, CAST(count(*) AS BIGINT) AS count_upper,
-       CAST(0 AS BIGINT) AS err
-FROM events WHERE user_id IS NOT NULL
-GROUP BY user_id
-ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC
-LIMIT 10
+WITH nd AS (
+  SELECT count(DISTINCT user_id) AS n FROM events
+  WHERE user_id IS NOT NULL),
+base AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS count_upper,
+         CAST(0 AS BIGINT) AS err
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+  ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC
+  LIMIT 10)
+SELECT * FROM base WHERE (SELECT n FROM nd) <= 256
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS user_id, CAST(256 AS BIGINT) AS count_upper,
+       CAST(-1 AS BIGINT) AS err
+WHERE (SELECT n FROM nd) > 256
 """
 
 SQL_HEAVY_HITTERS_GROUP = """
@@ -415,14 +443,21 @@ WITH c AS (
   SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
   FROM events WHERE user_id IS NOT NULL
   GROUP BY 1, 2),
+g AS (
+  SELECT event_type, count(*) AS nd FROM c GROUP BY 1),
 r AS (
   SELECT event_type, user_id, n,
          row_number() OVER (
            PARTITION BY event_type
            ORDER BY n DESC, CAST(user_id AS VARCHAR) ASC) AS rank
   FROM c)
-SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, n
-FROM r WHERE rank <= 3
+SELECT r.event_type, CAST(rank AS BIGINT) AS rank, user_id, n
+FROM r JOIN g ON g.event_type = r.event_type
+WHERE rank <= 3 AND g.nd <= 256
+UNION ALL
+SELECT event_type, CAST(-1 AS BIGINT) AS rank,
+       CAST(NULL AS BIGINT) AS user_id, CAST(-1 AS BIGINT) AS n
+FROM g WHERE nd > 256
 """
 
 

@@ -167,8 +167,8 @@ def q_collocations_pmi(sf_dir: str):
 
 SQL_COLLOCATIONS_PMI = r"""
 WITH t AS (
-  SELECT string_split_regex(trim(lower(text)), '\s+') AS l
-  FROM documents WHERE trim(text) <> ''),
+  SELECT string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+') AS l
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 uni AS (SELECT unnest(l) AS w FROM t),
 u AS (SELECT w, CAST(count(*) AS BIGINT) AS u FROM uni
       WHERE w <> '' GROUP BY w),

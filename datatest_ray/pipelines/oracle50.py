@@ -146,8 +146,8 @@ def _sql_lang_confusion() -> str:
 
     return f"""
 WITH b AS (SELECT lang,
-             CASE WHEN trim(text) = '' THEN []
-                  ELSE string_split_regex(trim(lower(text)), '\\s+')
+             CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')
              END AS ts
            FROM documents WHERE lang IS NOT NULL),
 s AS (SELECT lang,

@@ -36,9 +36,9 @@ def q_vocab_richness_lang(sf_dir: str):
 SQL_VOCAB_RICHNESS_LANG = """
 WITH toks AS (
   SELECT lang,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS token
   FROM documents
-  WHERE lang IS NOT NULL AND trim(text) <> ''),
+  WHERE lang IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 wc AS (
   SELECT lang, token, CAST(count(*) AS BIGINT) AS m
   FROM toks WHERE token <> '' GROUP BY 1, 2),
@@ -79,12 +79,12 @@ def q_heaps_law_docs(sf_dir: str):
 SQL_HEAPS_LAW_DOCS = """
 WITH per_doc AS (
   SELECT lang,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(lower(text)), '\\s+'))
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+              ELSE len(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+'))
          END AS nt,
-         CASE WHEN trim(text) = '' THEN 0
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
               ELSE len(list_distinct(
-                     string_split_regex(trim(lower(text)), '\\s+')))
+                     string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')))
          END AS nd
   FROM documents WHERE lang IS NOT NULL),
 logs AS (

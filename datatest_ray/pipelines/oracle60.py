@@ -34,8 +34,8 @@ SQL_DSIR_PROFILE_DOCS = """
 WITH toks AS (
   SELECT lang,
          row_number() OVER () AS doc_key,
-         string_split_regex(trim(lower(text)), '\\s+') AS ws
-  FROM documents WHERE lang IS NOT NULL AND trim(text) <> ''),
+         string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+') AS ws
+  FROM documents WHERE lang IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 tk AS (
   SELECT lang, doc_key, unnest(ws) AS w FROM toks),
 tk2 AS (SELECT lang, doc_key, w FROM tk WHERE w <> ''),

@@ -33,9 +33,9 @@ def q_species_richness_lang(sf_dir: str):
 SQL_SPECIES_RICHNESS_LANG = """
 WITH toks AS (
   SELECT lang,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS token
   FROM documents
-  WHERE lang IS NOT NULL AND trim(text) <> ''),
+  WHERE lang IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 wc AS (
   SELECT lang, token, CAST(count(*) AS BIGINT) AS m
   FROM toks WHERE token <> '' GROUP BY 1, 2),
@@ -72,8 +72,8 @@ SQL_WORD_BURSTINESS_DOCS = """
 WITH d AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
 toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
-  FROM documents WHERE trim(text) <> ''),
+         unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS token
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 tk AS (SELECT doc_id, token FROM toks WHERE token <> ''),
 top AS (
   SELECT token, CAST(count(*) AS BIGINT) AS cf

@@ -32,9 +32,9 @@ def q_source_similarity_docs(sf_dir: str):
 SQL_SOURCE_SIMILARITY_DOCS = """
 WITH toks AS (
   SELECT source,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         unnest(string_split_regex(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\\s+')) AS token
   FROM documents
-  WHERE source IS NOT NULL AND trim(text) <> ''),
+  WHERE source IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) <> ''),
 wc AS (
   SELECT source, token, CAST(count(*) AS BIGINT) AS n
   FROM toks WHERE token <> '' GROUP BY 1, 2),

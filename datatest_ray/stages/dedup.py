@@ -709,7 +709,12 @@ def md5_hash64(flat) -> np.ndarray:
     makes the SimHash pipeline SQL-reproducible (round-4: moved
     dedup_simhash from rows-only to oracle-paired).  md5 runs once per
     DISTINCT token via dictionary-encode, then gathers by code, so the
-    Python loop is vocabulary-bounded, not token-bounded."""
+    Python loop is vocabulary-bounded, not token-bounded.
+
+    Null tokens hash as the empty string (= DuckDB
+    ``md5_number_lower(coalesce(t, ''))``) — the engine's tokenizers
+    never emit nulls, but this is a public helper and must not raise
+    AttributeError on a null that arrives from user data."""
     import hashlib
 
     if isinstance(flat, pa.ChunkedArray):
@@ -718,6 +723,8 @@ def md5_hash64(flat) -> np.ndarray:
         flat = pa.array(flat, pa.string())
     if len(flat) == 0:
         return np.empty(0, dtype=np.uint64)
+    if flat.null_count:
+        flat = pc.fill_null(flat, "")
     enc = pc.dictionary_encode(flat)
     vocab = enc.dictionary.to_pylist()
     hv = np.fromiter(

@@ -79,7 +79,8 @@ def tokens_and_offsets(text_col: pa.ChunkedArray):
     flat = toks.flatten()
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     # Arrow's split emits empty strings at leading/trailing/consecutive
-    # whitespace; drop them so semantics equal `trim(text)` + split on
+    # whitespace; drop them so semantics equal whitespace-set trim
+    # (SQL: trim(text, ' '||chr(9)||chr(10)||...)) + split on
     # \s+ (the SQL-oracle definition).  Filter on trim != '' rather than
     # != '': a token is by definition a maximal non-whitespace run, so
     # any whitespace-only output is a split artifact — observed once as

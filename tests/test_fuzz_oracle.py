@@ -164,6 +164,12 @@ def _gen(out_dir: str):
     texts[1] = "   "                    # whitespace-only
     texts[2] = texts[3] = texts[4]      # exact duplicates
     texts[10] = texts[11] + " extra"    # near duplicate
+    # tab/newline-edged + interior runs (round-4 ADVICE: DuckDB's
+    # one-arg trim strips only spaces, so edge \t\n used to leave
+    # empty tokens in every string_split_regex oracle mirror)
+    texts[12] = "\t" + texts[13] + " \n"
+    texts[14] = "\t \n  "               # whitespace-only, non-space edges
+    texts[15] = "alpha\t\tbeta\ngamma \t delta"
     langs = rng.choice(LANGS, n_doc)
     langs[5:7] = "xx"                   # out-of-domain lang
     pq.write_table(pa.table({
@@ -207,6 +213,29 @@ def _carve_empty_subsets(out_dir: str) -> None:
         f"{out_dir}/events.parquet")
 
 
+def _carve_hot_key_skew(out_dir: str) -> None:
+    """GRAFT_FUZZ_CARVE=3: additionally concentrate ~99% of events on
+    ONE user and ~60% of lineitem on ONE supplier — the hot-key shape
+    the salting paths (stages/salting.py) and skew-aware join exist
+    for.  Every per-user / per-supplier oracle pair must stay exact
+    under extreme skew (round-4 verdict item #5)."""
+    import pyarrow.parquet as _pq
+
+    ev = _pq.read_table(f"{out_dir}/events.parquet").to_pandas()
+    rng = np.random.RandomState(777)
+    hot = rng.rand(len(ev)) < 0.99
+    # keep rows 0-8 (the one-event user / click-only users: fixtures
+    # other tests rely on), then flood the rest onto user 39
+    hot[:9] = False
+    ev.loc[hot, "user_id"] = 39
+    _pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                    f"{out_dir}/events.parquet")
+    li = _pq.read_table(f"{out_dir}/lineitem.parquet").to_pandas()
+    li.loc[rng.rand(len(li)) < 0.6, "l_suppkey"] = 1
+    _pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                    f"{out_dir}/lineitem.parquet")
+
+
 def _carve_permute_region(out_dir: str) -> None:
     """GRAFT_FUZZ_CARVE=2: additionally permute the region-name ↔
     regionkey assignment so order_region's documented consistent-order
@@ -233,8 +262,10 @@ def fuzz_dir(tmp_path_factory):
     carve = os.environ.get("GRAFT_FUZZ_CARVE")
     if carve:
         _carve_empty_subsets(d)
-        if carve == "2":
+        if carve in ("2", "3"):
             _carve_permute_region(d)
+        if carve == "3":
+            _carve_hot_key_skew(d)
     return d
 
 

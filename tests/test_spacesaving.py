@@ -138,3 +138,83 @@ def test_mahalanobis_matches_numpy(ray_session):
     np.testing.assert_allclose(
         np.sort(out["d2"].to_numpy())[::-1], np.sort(d2[want_top])[::-1],
         rtol=1e-9)
+
+
+def test_spacesaving_evicted_flag():
+    from datatest_ray.functions.aggregates import SpaceSaving
+
+    s = SpaceSaving(8)
+    s.update(pa.array(np.arange(8)))
+    assert not s.evicted  # k covers the domain: exact regime
+    t = SpaceSaving(8)
+    t.update(pa.array(np.arange(4, 12)))
+    s.merge(t)
+    assert s.evicted  # merged distinct 12 > 8: counts are bounds now
+
+
+def test_spacesaving_capacity_sentinel_matches_sql(ray_session, tmp_path):
+    """Past capacity BOTH the engine wrapper and the SQL oracle emit
+    the identical self-describing sentinel row (round-4 ADVICE #1)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from datatest_ray.pipelines.oracle3 import (
+        SQL_HEAVY_HITTERS_GROUP,
+        SQL_SPACESAVING_TOP_USERS,
+        q_heavy_hitters_group,
+        q_spacesaving_top_users,
+    )
+
+    rng = np.random.RandomState(0)
+    n = 3000
+    pq.write_table(pa.table({
+        "user_id": pa.array(rng.randint(1, 1000, n).astype(np.int64)),
+        "event_type": pa.array(
+            ["hot"] * (n // 2)
+            + list(rng.choice(["a", "b"], n - n // 2))),
+    }), str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+
+    eng = q_spacesaving_top_users(str(tmp_path)).to_pandas()
+    ora = con.execute(SQL_SPACESAVING_TOP_USERS).fetchdf()
+    assert len(eng) == 1 and eng["err"].iloc[0] == -1
+    assert eng["user_id"].isna().all()
+    assert len(ora) == 1 and int(ora["err"].iloc[0]) == -1
+    assert int(eng["count_upper"].iloc[0]) == int(ora["count_upper"].iloc[0]) == 256
+
+    eng_g = q_heavy_hitters_group(str(tmp_path)).to_pandas()
+    ora_g = con.execute(SQL_HEAVY_HITTERS_GROUP).fetchdf()
+    # every group here exceeds capacity 256 -> one sentinel per group
+    for df in (eng_g, ora_g):
+        assert (df["rank"] == -1).all() and (df["n"] == -1).all()
+        assert df["user_id"].isna().all()
+    assert sorted(eng_g["event_type"]) == sorted(ora_g["event_type"])
+
+
+def test_spacesaving_exact_regime_unchanged(ray_session, tmp_path):
+    """Below capacity the sentinel must NOT fire: wrappers and SQL
+    still agree on the exact top-k."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from datatest_ray.pipelines.oracle3 import (
+        SQL_SPACESAVING_TOP_USERS,
+        q_spacesaving_top_users,
+    )
+
+    rng = np.random.RandomState(1)
+    pq.write_table(pa.table({
+        "user_id": pa.array(rng.randint(1, 40, 2000).astype(np.int64)),
+        "event_type": pa.array(rng.choice(["a", "b"], 2000)),
+    }), str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    eng = q_spacesaving_top_users(str(tmp_path)).to_pandas()
+    ora = con.execute(SQL_SPACESAVING_TOP_USERS).fetchdf()
+    assert (eng["err"] == 0).all() and len(eng) == 10
+    assert list(eng["user_id"]) == list(ora["user_id"])
+    assert list(eng["count_upper"]) == list(ora["count_upper"].astype(int))
