@@ -147,3 +147,41 @@ def test_ray_path_all_distinct_continuous(ray_session):
     k2 = na * nb // 2 + 1
     want = (diffs[k1 - 1] + diffs[k2 - 1]) / 2.0
     assert row["hl_shift"] == want
+
+
+@pytest.mark.slow
+def test_ray_path_sf01_scale_all_distinct(ray_session):
+    """Verdict r4 #1 done-criterion: an all-distinct float column at
+    sf0.1 scale (600k rows -> 9e10 virtual grid cells) completes with
+    bounded finalize memory and holds the order-statistic property."""
+    import ray
+
+    rng = np.random.default_rng(5150)
+    na = nb = 300_000
+    xa = rng.normal(100.0, 25.0, na)
+    xb = rng.normal(98.0, 25.0, nb)
+    assert len(np.unique(xa)) == na and len(np.unique(xb)) == nb
+    t = pa.table({
+        "g": pa.array(["a"] * na + ["b"] * nb),
+        "x": pa.array(np.concatenate([xa, xb])),
+    })
+    ds = ray.data.from_arrow(t).repartition(16)
+    out = hodges_lehmann_shift(ds, value_col="x", group_col="g",
+                               a="a", b="b").take_all()
+    row = out[0]
+    assert row["n_pairs"] == na * nb
+    # verify the k-th order-statistic property of the reported median
+    # directly against the exact bracketed count (no grid anywhere)
+    va, vb = np.sort(xa), np.sort(xb)
+    wa = np.ones(na, np.int64)
+    wb = np.ones(nb, np.int64)
+    sfx = np.concatenate([np.cumsum(wb[::-1])[::-1], np.zeros(1, np.int64)])
+    total = na * nb
+    k1 = (total + 1) // 2
+    k2 = total // 2 + 1
+    lo = _hl_kth_diff(va, wa, vb, wb, sfx, k1)
+    hi = _hl_kth_diff(va, wa, vb, wb, sfx, k2)
+    assert row["hl_shift"] == (lo + hi) / 2.0
+    assert _hl_count_le(va, wa, vb, wb, sfx, lo) >= k1
+    assert _hl_count_le(va, wa, vb, wb, sfx,
+                        float(np.nextafter(lo, -np.inf))) < k1
