@@ -88,3 +88,23 @@ class TestAssortativity:
         ref = np.corrcoef(x, y)[0, 1]
         got = out.column("assortativity")[0].as_py()
         assert math.isfinite(got) and abs(got - ref) < 1e-9
+
+
+def test_assortativity_modes_bit_identical(ray_session):
+    """Broadcast-gather and lookup_join degree attachment must agree
+    exactly (integer moment partials: partitioning cannot perturb)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from datatest_ray.stages.graph import degree_assortativity
+
+    rng = np.random.RandomState(7)
+    u = rng.randint(0, 200, 900).astype(np.int64)
+    v = (rng.randint(0, 200, 900) + 200).astype(np.int64)
+    keep = np.unique(u * 1000 + v)
+    t = pa.table({"u": pa.array(keep // 1000), "v": pa.array(keep % 1000)})
+    fast = degree_assortativity(rd.from_arrow(t)).to_pydict()
+    slow = degree_assortativity(
+        rd.from_arrow(t), broadcast_nodes_max=0).to_pydict()
+    assert fast == slow
