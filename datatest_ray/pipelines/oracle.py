@@ -2617,7 +2617,8 @@ WITH o AS (
 )
 SELECT user_id, max(n) AS n_events,
        round(sum(value * CASE WHEN rn = 1 THEN power(0.7, n - rn)
-                              ELSE 0.3 * power(0.7, n - rn) END), 6) AS ewma
+                              ELSE 0.3 * power(0.7, n - rn) END
+                 ORDER BY rn), 6) AS ewma
 FROM o GROUP BY user_id
 """
 

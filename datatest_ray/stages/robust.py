@@ -1711,7 +1711,10 @@ def durbin_watson_grouped(ds, *, by: str, ts_col: str, value_col: str,
     sensitive) — then one vectorized kernel.  Assumes one group's rows
     fit in a worker (the per-key-fits assumption shared with
     sessionize; salt or pre-aggregate when a key is pathological).
-    Groups with n < min_n or zero variance emit NULL dw."""
+    Groups with n < min_n or zero variance emit NULL dw; a group whose
+    values are ALL null emits nothing (= the SQL mirror's
+    ``WHERE value IS NOT NULL`` dropping the key before GROUP BY —
+    caught by fuzz seed 777777 under the carve=3 hot-key skew)."""
 
     def kernel(group: pa.Table) -> pa.Table:
         g = group.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
@@ -1719,6 +1722,12 @@ def durbin_watson_grouped(ds, *, by: str, ts_col: str, value_col: str,
             np.float64)
         v = v[~np.isnan(v)]
         n = len(v)
+        if n == 0:
+            return pa.schema([
+                (by, group.column(by).type),
+                ("n", pa.int64()),
+                ("dw", pa.float64()),
+            ]).empty_table()
         dw = None
         if n >= min_n:
             den = float(((v - v.mean()) ** 2).sum())

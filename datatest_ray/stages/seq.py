@@ -232,16 +232,21 @@ def ewma_last(ds, *, by: str, ts: str, value_col: str, id_col: str,
         w = alpha * np.power(1.0 - alpha, (n[seg] - rn).astype(np.float64))
         w[first] = np.power(1.0 - alpha, (n[seg] - rn).astype(np.float64))[first]
         # null values: SQL's sum(v * w) skips them while the row keeps
-        # its position in the weight schedule (rn / n unchanged)
-        y = np.bincount(seg, weights=np.where(np.isnan(v), 0.0, v) * w,
+        # its position in the weight schedule (rn / n unchanged); a key
+        # whose values are ALL null gets SQL's sum-of-nothing = NULL,
+        # not 0 (fuzz seed 777777 under carve=3 hot-key skew)
+        ok = ~np.isnan(v)
+        y = np.bincount(seg, weights=np.where(ok, v, 0.0) * w,
                         minlength=m)
+        n_ok = np.bincount(seg, weights=ok.astype(np.float64),
+                           minlength=m)
         kcol = group.column(by)
         kcol = kcol.combine_chunks() if isinstance(kcol, pa.ChunkedArray) \
             else kcol
         return pa.table({
             by: pc.take(kcol, pa.array(order[starts], pa.int64())),
             "n_events": pa.array(n.astype(np.int64)),
-            "ewma": pa.array(np.round(y, 6)),
+            "ewma": pa.array(np.round(y, 6), mask=n_ok == 0),
         })
 
     return _bucketed(ds.select_columns(

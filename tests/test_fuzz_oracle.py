@@ -236,6 +236,21 @@ def _carve_hot_key_skew(out_dir: str) -> None:
                     f"{out_dir}/lineitem.parquet")
 
 
+def _carve_null_tiny_keys(out_dir: str) -> None:
+    """GRAFT_FUZZ_CARVE=4: additionally NULL the value of every event
+    of the tiny users (1-5) — so every per-user float kernel confronts
+    keys whose values are ALL null.  SQL mirrors drop such keys at
+    ``WHERE value IS NOT NULL`` before GROUP BY; engine kernels must
+    match (the class fuzz seed 777777 + carve=3 exposed in
+    durbin_watson / ewma: round-5)."""
+    import pyarrow.parquet as _pq
+
+    ev = _pq.read_table(f"{out_dir}/events.parquet").to_pandas()
+    ev.loc[ev["user_id"] <= 5, "value"] = None
+    _pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                    f"{out_dir}/events.parquet")
+
+
 def _carve_permute_region(out_dir: str) -> None:
     """GRAFT_FUZZ_CARVE=2: additionally permute the region-name ↔
     regionkey assignment so order_region's documented consistent-order
@@ -262,10 +277,12 @@ def fuzz_dir(tmp_path_factory):
     carve = os.environ.get("GRAFT_FUZZ_CARVE")
     if carve:
         _carve_empty_subsets(d)
-        if carve in ("2", "3"):
+        if carve in ("2", "3", "4"):
             _carve_permute_region(d)
-        if carve == "3":
+        if carve in ("3", "4"):
             _carve_hot_key_skew(d)
+        if carve == "4":
+            _carve_null_tiny_keys(d)
     return d
 
 
