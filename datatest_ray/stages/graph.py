@@ -675,8 +675,6 @@ def bradley_terry(pairs_ds, *, winner_col: str, loser_col: str,
     vs SQL (iterative); parity pinned in tests.  Output per entity:
     (entity, wins, games, strength), strength geometric-mean-1.
     """
-    from ray.data.aggregate import Sum
-
     from .base import collect_table
 
     def partial(t: pa.Table) -> pa.Table:
@@ -696,12 +694,27 @@ def bradley_terry(pairs_ds, *, winner_col: str, loser_col: str,
                 inv, weights=wt).astype(np.int64)),
         })
 
-    wins = (pairs_ds.select_columns(
+    # per-batch (w, l, n) partials collect straight to the driver and
+    # merge with one exact integer bincount — the win matrix is
+    # entity²-bounded by the documented contract (the MM loop below
+    # already holds it), so a distributed (w, l) sort-groupby here
+    # bought nothing but a shuffle
+    parts = (pairs_ds.select_columns(
         [c for c in (winner_col, loser_col, weight_col) if c])
         .map_batches(partial, batch_format="pyarrow",
-                     zero_copy_batch=True)
-        .groupby(["w", "l"]).aggregate(Sum("n", alias_name="n")))
-    t = collect_table(wins, ["w", "l", "n"])
+                     zero_copy_batch=True))
+    t = collect_table(parts, ["w", "l", "n"])
+    if t.num_rows:
+        w0 = t.column("w").to_numpy(zero_copy_only=False)
+        l0 = t.column("l").to_numpy(zero_copy_only=False)
+        n0 = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = w0 * (1 << 32) + l0
+        u, inv = np.unique(key, return_inverse=True)
+        t = pa.table({
+            "w": pa.array((u >> 32).astype(np.int64)),
+            "l": pa.array((u & 0xFFFFFFFF).astype(np.int64)),
+            "n": pa.array(np.bincount(inv, weights=n0).astype(np.int64)),
+        })
     if t.num_rows == 0:
         return pa.schema([("entity", pa.int64()), ("wins", pa.int64()),
                           ("games", pa.int64()),
