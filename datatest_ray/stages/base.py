@@ -30,7 +30,23 @@ import pyarrow as pa
 
 from ..differences import VIOLATION_SCHEMA, empty_violations, violations_table
 
-__all__ = ["RunContext", "Check", "StatelessCheck", "column_or_none", "mask_to_violations", "coalesced", "collect_table"]
+__all__ = ["RunContext", "Check", "StatelessCheck", "column_or_none", "mask_to_violations", "coalesced", "collect_table", "round6_half_up"]
+
+
+def round6_half_up(x) -> float:
+    """Round to 6 dp with DECIMAL half-away-from-zero ties — DuckDB's
+    ``round()`` rule — instead of Python/numpy banker's rounding.
+
+    Use on every oracle-paired OUTPUT that is an exact integer
+    quotient (share = n_i / total, capture = cum / total, ...): such
+    values tie exactly on a decimal .5 at 6 dp whenever the
+    denominator's reduced form divides 2^a·5^b (total = 512 → ties at
+    cum ≡ 4 mod 8; fuzz seeds 606 and 555004), and a 6-dp tie value is
+    binary-exact, so this rule equals DuckDB's on every possible tie.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
 
 @dataclass(frozen=True)

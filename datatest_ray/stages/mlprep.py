@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .base import round6_half_up as _r6
 from .sampling import _key_units
 
 __all__ = ["fd_violations", "target_encode", "split_balance",
@@ -1072,7 +1073,7 @@ def gini_stump(ds, *, score_col: str, label_expr,
             "threshold": pa.array(
                 [round(s[best] / cents_scale, 6)], pa.float64()),
             "gini": pa.array(
-                [round((n - imp[best]) / n, 6)], pa.float64()),
+                [_r6((n - imp[best]) / n)], pa.float64()),
         })
 
     return agg.repartition(1).map_batches(
@@ -1221,8 +1222,8 @@ def isotonic_calibration(ds, *, score_col: str, label_expr,
             "bin": t.column("bin"),
             "n": pa.array(n.astype(np.int64)),
             "pos": pa.array(pos.astype(np.int64)),
-            "raw_rate": pa.array(np.round(pos / n, 6)),
-            "iso_rate": pa.array(np.round(iso, 6)),
+            "raw_rate": pa.array([_r6(x) for x in pos / n]),
+            "iso_rate": pa.array([_r6(x) for x in iso]),
         })
 
     return agg.repartition(1).map_batches(
@@ -1328,6 +1329,8 @@ def gains_table(ds, *, score_col: str, id_col: str, label_expr,
                           zero_copy_batch=True)
 
     def finalize(t: pa.Table) -> pa.Table:
+        from decimal import ROUND_HALF_UP, Decimal
+
         schema = pa.schema([("tile", pa.int64()), ("n", pa.int64()),
                             ("pos", pa.int64()),
                             ("cum_capture", pa.float64()),
@@ -1341,6 +1344,17 @@ def gains_table(ds, *, score_col: str, id_col: str, label_expr,
         order = np.lexsort((ids, -s))
         y = y[order]
         pos_total = int(y.sum())
+
+        def r6(x):
+            # exact-integer quotients can tie at a decimal .5 at 6 dp
+            # (e.g. p_total a multiple of 128), where Python's banker's
+            # rounding and DuckDB's half-away round() disagree — the
+            # Decimal rule equals DuckDB's on every possible tie
+            # because a 6-dp tie value is binary-exact (fuzz seed
+            # 555004 under carve=3 skew; same class as fuzz seed 606)
+            return float(Decimal(x).quantize(Decimal("1e-6"),
+                                             ROUND_HALF_UP))
+
         q, r = n // k, n % k
         sizes = np.full(k, q, dtype=np.int64)
         sizes[:r] += 1
@@ -1355,9 +1369,9 @@ def gains_table(ds, *, score_col: str, id_col: str, label_expr,
             tiles.append(i + 1)
             ns.append(int(sizes[i]))
             poss.append(p)
-            cums.append(round(cum_pos / pos_total, 6)
+            cums.append(r6(cum_pos / pos_total)
                         if pos_total else None)
-            lifts.append(round((p / sizes[i]) / (pos_total / n), 6)
+            lifts.append(r6((p / sizes[i]) / (pos_total / n))
                          if pos_total else None)
         return pa.table({
             "tile": pa.array(tiles, pa.int64()),

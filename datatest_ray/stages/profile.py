@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .base import round6_half_up
+
 __all__ = ["profile_columns", "corr_matrix", "quantile_histogram",
            "key_skew_report", "benford_digits", "group_entropy",
            "kmv_overlap", "fd_profile", "null_share_daily",
@@ -1464,7 +1466,7 @@ def benford_second_digit(ds, col: str):
         shares, exps, chis = [], [], []
         for di, ni in zip(d, n):
             e = exp[int(di)]
-            shares.append(round(ni / total, 6) if total else None)
+            shares.append(round6_half_up(ni / total) if total else None)
             exps.append(round(e, 6))
             chis.append(round((ni / total - e) ** 2 / e, 6)
                         if total else None)
@@ -1532,8 +1534,8 @@ def null_pattern_census(ds, cols, *, k: int = 10):
         return pa.table({
             "pattern": pa.array([r[0] for r in rows], pa.string()),
             "n": pa.array([r[1] for r in rows], pa.int64()),
-            "share": pa.array([round(r[1] / total, 6) for r in rows],
-                              pa.float64()),
+            "share": pa.array([round6_half_up(r[1] / total)
+                               for r in rows], pa.float64()),
         })
 
     return agg.repartition(1).map_batches(

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..differences import empty_violations, violations_table
-from .base import Check, RunContext
+from .base import Check, RunContext, round6_half_up
 
 __all__ = ["MonotonicCheck", "FreshnessCheck", "SequenceContiguityCheck",
            "acf_daily", "expfit_ks", "km_survival",
@@ -3025,7 +3025,8 @@ def variogram_daily(ds, ts_col: str, *, by: str,
             d = np.abs(x[h:] - x[:-h])
             rows["lag"].append(h)
             rows["n_pairs"].append(len(d))
-            rows["gamma"].append(round(int(d.sum()) / len(d), 6))
+            # int/int quotient: decimal half-up ties = DuckDB round()
+            rows["gamma"].append(round6_half_up(int(d.sum()) / len(d)))
         return pa.table({
             by: pa.array([key] * len(rows["lag"])),
             "lag": pa.array(rows["lag"], pa.int64()),
@@ -3162,7 +3163,7 @@ def intermittency_classes(ds, ts_col: str, *, key_col: str,
             "class": pa.array([r[0] for r in rows], pa.string()),
             "n_keys": pa.array([r[1] for r in rows], pa.int64()),
             "share": pa.array(
-                [round(r[1] / tot, 6) if tot else None
+                [round6_half_up(r[1] / tot) if tot else None
                  for r in rows], pa.float64()),
         })
 

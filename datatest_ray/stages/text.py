@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.aggregates import hash64
+from .base import round6_half_up as _r6
 
 __all__ = [
     "STOPWORDS",
@@ -1572,8 +1573,10 @@ def readability_by_lang(ds, *, text_col: str, lang_col: str):
         return pa.table({
             lang_col: t.column(lang_col),
             "n_docs": pc.cast(t.column("n"), pa.int64()),
-            "words_per_sent": pa.array(np.round(sw / ss, 6), pa.float64()),
-            "syll_per_word": pa.array(np.round(sy / sw, 6), pa.float64()),
+            "words_per_sent": pa.array(
+                [_r6(x) for x in sw / ss], pa.float64()),
+            "syll_per_word": pa.array(
+                [_r6(x) for x in sy / sw], pa.float64()),
             "flesch": pa.array(np.round(sf / n, 6), pa.float64()),
         })
 
